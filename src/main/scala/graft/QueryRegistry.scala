@@ -1,0 +1,233 @@
+package graft
+
+import graft.functions.sphere
+import graft.operators.Spatial
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The operator inventory (SURVEY.md §2): every entry pairs a
+ * Spark-first implementation with (where SQL-expressible) a DuckDB
+ * oracle over the same parquet tables. Column names and all rounding
+ * are kept identical on both sides — the driver hash-compares.
+ */
+object QueryRegistry {
+
+  final case class QueryDef(run: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // derived pseudo-sky coordinates (SURVEY.md §3)
+  private def withSky(df: DataFrame, key: String): DataFrame =
+    df.withColumn("cra", sphere.raOf(col(key))).withColumn("cdec", sphere.decOf(col(key)))
+  private def skySql(table: String, key: String, extra: String = ""): String =
+    s"(SELECT $table.*, ${sphere.raOfSql(key)} AS cra, ${sphere.decOfSql(key)} AS cdec$extra FROM $table)"
+
+  // ---------------------------------------------------------------- OLAP
+
+  private val q1_agg = QueryDef(
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_extendedprice), 4) AS avg_price,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q_join_agg = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  private val q_topk = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10),
+    Some("""SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10"""))
+
+  private val q_window = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("rn"))
+      .orderBy("o_custkey", "rn"),
+    Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od, rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  private val q_antijoin = QueryDef(
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 150000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      ORDER BY c_custkey"""))
+
+  /**
+   * events.parquet carries TIMESTAMP(NANOS) which Spark only reads
+   * as a long (legacy flag); convert to micros for the window.
+   */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  private val events_window = QueryDef(
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("ws", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+      event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- spatial
+
+  private val gcd = sphere.gcDistSql("cra", "cdec", "180.0", "0.0")
+
+  private val gc_dist = QueryDef(
+    (s, dir) => withSky(t(s, dir, "customer"), "c_custkey")
+      .select(col("c_custkey"), round(sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)), 6).as("dist"))
+      .orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey, round($gcd, 6) AS dist
+      FROM ${skySql("customer", "c_custkey")} ORDER BY c_custkey"""))
+
+  private val gnomonic = QueryDef(
+    (s, dir) => withSky(t(s, dir, "customer"), "c_custkey")
+      .filter(sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)) < 60.0)
+      .select(col("c_custkey"),
+        round(sphere.gnomonicX(col("cra"), col("cdec"), 180.0, 0.0), 6).as("gx"),
+        round(sphere.gnomonicY(col("cra"), col("cdec"), 180.0, 0.0), 6).as("gy"))
+      .orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey,
+      round(${sphere.gnomonicXSql("cra", "cdec", 180.0, 0.0)}, 6) AS gx,
+      round(${sphere.gnomonicYSql("cra", "cdec", 180.0, 0.0)}, 6) AS gy
+      FROM ${skySql("customer", "c_custkey")} WHERE $gcd < 60.0 ORDER BY c_custkey"""))
+
+  private val cone_search = QueryDef(
+    (s, dir) => Spatial.coneSearch(withSky(t(s, dir, "customer"), "c_custkey"),
+        "cra", "cdec", 180.0, 0.0, 20.0, order = 3)
+      .select(col("c_custkey"), col("cra"), col("cdec"), round(col("_DIST"), 6).as("dist"))
+      .orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey, cra, cdec, round($gcd, 6) AS dist
+      FROM ${skySql("customer", "c_custkey")} WHERE $gcd < 20.0 ORDER BY c_custkey"""))
+
+  /** Brute-force kNN SQL shared by the xmatch oracles. */
+  private def xmatchSql(dthresh: Double, k: Int): String = {
+    val g = sphere.gcDistSql("cra", "cdec", "sra", "sdec")
+    s"""(SELECT * FROM (
+       SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal, dist,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY round(dist, 9), s_suppkey) AS rn
+       FROM (
+         SELECT c.c_custkey, c.c_acctbal, s.s_suppkey, s.s_acctbal, $g AS dist
+         FROM (SELECT c_custkey, c_acctbal, ${sphere.raOfSql("c_custkey")} AS cra, ${sphere.decOfSql("c_custkey")} AS cdec FROM customer) c
+         CROSS JOIN (SELECT s_suppkey, s_acctbal, ${sphere.raOfSql("s_suppkey")} AS sra, ${sphere.decOfSql("s_suppkey")} AS sdec FROM supplier) s
+         WHERE $g < $dthresh)
+     ) WHERE rn <= $k)"""
+  }
+
+  private def xmatchDf(s: SparkSession, dir: String, dthresh: Double, k: Int): DataFrame =
+    Spatial.crossMatchKnn(
+      withSky(t(s, dir, "customer"), "c_custkey"), withSky(t(s, dir, "supplier"), "s_suppkey"),
+      leftRa = "cra", leftDec = "cdec", leftId = "c_custkey",
+      rightRa = "cra", rightDec = "cdec", rightId = "s_suppkey",
+      k = k, dthreshDeg = dthresh, leftPrefix = "", rightPrefix = "s_")
+      .withColumnRenamed("s_cra", "sra").withColumnRenamed("s_cdec", "sdec")
+      .withColumnRenamed("s_s_suppkey", "s_suppkey").withColumnRenamed("s_s_acctbal", "s_acctbal")
+
+  private val xmatch_knn = QueryDef(
+    (s, dir) => xmatchDf(s, dir, 15.0, 2)
+      .select(col("c_custkey"), col("s_suppkey"), round(col("_DIST"), 6).as("dist"), col("_RANK").cast("long").as("rn"))
+      .orderBy("c_custkey", "rn"),
+    Some(s"""SELECT c_custkey, s_suppkey, round(dist, 6) AS dist, rn
+      FROM ${xmatchSql(15.0, 2)} ORDER BY c_custkey, rn"""))
+
+  private val xmatch_postfilter = QueryDef(
+    (s, dir) => xmatchDf(s, dir, 15.0, 2)
+      .withColumn("pm", round(sqrt(pow(col("c_acctbal"), 2) + pow(col("s_acctbal"), 2)), 4))
+      .filter(col("pm") > 5000.0)
+      .select(col("c_custkey"), col("s_suppkey"), col("pm"))
+      .orderBy("c_custkey", "s_suppkey"),
+    Some(s"""SELECT c_custkey, s_suppkey, pm FROM (
+      SELECT c_custkey, s_suppkey, round(sqrt(pow(c_acctbal, 2) + pow(s_acctbal, 2)), 4) AS pm
+      FROM ${xmatchSql(15.0, 2)}) WHERE pm > 5000.0 ORDER BY c_custkey, s_suppkey"""))
+
+  // rows-only (healpix-valued outputs are not DuckDB-expressible)
+
+  private val hpix_histogram = QueryDef(
+    (s, dir) => Spatial.densityHistogram(withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 2)
+      .orderBy("pix"),
+    None)
+
+  private val hpix_index = QueryDef(
+    (s, dir) => Spatial.spatialIndex(withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 20)
+      .select("c_custkey", "_ID").orderBy("c_custkey"),
+    None)
+
+  private val partition_map = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
+      val sky = withSky(li, "k")
+      val pm = graft.catalog.HipsPartitioner.computePartitionMap(sky, "cra", "cdec", 5, 2000L)
+      graft.catalog.HipsPartitioner.withPartitionColumns(sky, "cra", "cdec", pm)
+        .groupBy("Norder", "Npix").agg(count(lit(1)).as("cnt"))
+        .orderBy("Norder", "Npix")
+    },
+    None)
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[(String, QueryDef)] = Seq(
+    "q1_agg" -> q1_agg,
+    "q_join_agg" -> q_join_agg,
+    "q_topk" -> q_topk,
+    "q_window" -> q_window,
+    "q_antijoin" -> q_antijoin,
+    "events_window" -> events_window,
+    "gc_dist" -> gc_dist,
+    "gnomonic" -> gnomonic,
+    "cone_search" -> cone_search,
+    "xmatch_knn" -> xmatch_knn,
+    "xmatch_postfilter" -> xmatch_postfilter,
+    "hpix_histogram" -> hpix_histogram,
+    "hpix_index" -> hpix_index,
+    "partition_map" -> partition_map,
+  )
+}

@@ -1,0 +1,199 @@
+package graft.catalog
+
+import graft.functions.sphere
+import graft.healpix.Healpix
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Density-adaptive HEALPix partitioning — Spark-first re-expression
+ * of the reference partitioner (hipscat/partitioner.py):
+ *
+ *  1. histogram the catalog on an order-k healpix map
+ *     (gather_statistics, partitioner.py:94) — a single map-side-
+ *     combined groupBy; the result is bounded by 12*4^k entries
+ *     regardless of data size, so collecting it to the driver is
+ *     safe even at 100 TB.
+ *  2. top-down threshold walk (compute_partitioning_map,
+ *     partitioner.py:136): from order 0 down to k, assign every
+ *     still-active pixel whose rebinned count < threshold.
+ *     (Deviation: pixels still ≥ threshold at order k are assigned
+ *     at k rather than failing, so the walk always terminates.)
+ *  3. write hive-style `catalog/Norder=K/Dir=D/Npix=P/` parquet
+ *     (partitioner.py:233 _write_partition_structure layout) via a
+ *     single distributed write partitioned by the assigned pixel —
+ *     file sizes are bounded by the threshold, partition pruning on
+ *     Norder/Npix is native.
+ *  4. margin ("neighbor") cache (margin_utils.py + dask_utils.py:246):
+ *     rows within `marginDeg` of a FOREIGN partition pixel are
+ *     replicated under `neighbor/Norder=K/Dir=D/Npix=P/` via a
+ *     bounded disc-cover explode.
+ */
+object HipsPartitioner {
+
+  /** order-k pixel -> assigned order; derived partition pixel = pixK >> 2*(k-order). */
+  final case class PartitionMap(orderK: Int, orders: Array[Int]) {
+    def assignedOrder(pixK: Long): Int = orders(pixK.toInt)
+    def partitionPixel(pixK: Long): Long = pixK >> (2 * (orderK - orders(pixK.toInt)))
+    /** (order, pixel) pairs actually used (count > 0 handled by caller). */
+    def pixelsAtOrders: Map[Int, Array[Long]] = {
+      val m = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Long]]
+      var i = 0
+      while (i < orders.length) {
+        val o = orders(i)
+        m.getOrElseUpdate(o, scala.collection.mutable.Set.empty) += (i.toLong >> (2 * (orderK - o)))
+        i += 1
+      }
+      m.map { case (o, s) => o -> s.toArray.sorted }.toMap
+    }
+  }
+
+  /** Step 1+2: histogram at order k and run the top-down threshold walk. */
+  def computePartitionMap(df: DataFrame, raCol: String, decCol: String,
+                          orderK: Int, threshold: Long): PartitionMap = {
+    require(orderK <= 10, s"partition histogram order $orderK too fine to collect (12*4^k entries)")
+    val n = Healpix.npix(orderK).toInt
+    val hist = new Array[Long](n)
+    df.groupBy(sphere.hpix(col(raCol), col(decCol), orderK).as("pix"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .foreach(r => hist(r.getLong(0).toInt) = r.getLong(1))
+
+    val orders = Array.fill(n)(-1)
+    var o = 0
+    while (o <= orderK) {
+      val k2o = 1 << (2 * (orderK - o))
+      var p = 0
+      while (p < (n / k2o)) {
+        val lo = p * k2o
+        var active = false
+        var sum = 0L
+        var i = lo
+        while (i < lo + k2o) {
+          if (orders(i) == -1) active = true
+          sum += hist(i)
+          i += 1
+        }
+        if (active && (sum < threshold || o == orderK)) {
+          var j = lo
+          while (j < lo + k2o) { if (orders(j) == -1) orders(j) = o; j += 1 }
+        }
+        p += 1
+      }
+      o += 1
+    }
+    PartitionMap(orderK, orders)
+  }
+
+  /**
+   * Columns (Norder, Dir, Npix) for each row given a partition map.
+   * The map is broadcast via the closure (bounded: 12*4^k ints).
+   */
+  def withPartitionColumns(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(pm.orders)
+    val orderK = pm.orderK
+    val assign = udf { (ra: Double, dec: Double) =>
+      val pixK = Healpix.ang2pixNest(orderK, ra, dec)
+      val o = bc.value(pixK.toInt)
+      val pix = pixK >> (2 * (orderK - o))
+      (o, (pix / 10000L) * 10000L, pix)
+    }
+    df.withColumn("__p", assign(col(raCol).cast("double"), col(decCol).cast("double")))
+      .withColumn("Norder", col("__p._1"))
+      .withColumn("Dir", col("__p._2"))
+      .withColumn("Npix", col("__p._3"))
+      .drop("__p")
+  }
+
+  /**
+   * Margin rows: (Norder, Dir, Npix) of every FOREIGN partition
+   * pixel within `marginDeg` of the row — the reference's neighbor
+   * cache semantics (rows near a pixel's border get replicated into
+   * that pixel's neighbor file).
+   */
+  def marginRows(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap, marginDeg: Double): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(pm.orders)
+    val orderK = pm.orderK
+    val marginPixels = udf { (ra: Double, dec: Double) =>
+      val own = {
+        val pk = Healpix.ang2pixNest(orderK, ra, dec)
+        val o = bc.value(pk.toInt)
+        (o, pk >> (2 * (orderK - o)))
+      }
+      // partition pixels overlapping the margin disc, minus our own
+      Healpix.queryDiscCover(orderK, ra, dec, marginDeg).map { pk =>
+        val o = bc.value(pk.toInt)
+        (o, pk >> (2 * (orderK - o)))
+      }.distinct.filter(_ != own).map { case (o, p) => Array(o.toLong, p) }
+    }
+    df.withColumn("__m", explode(marginPixels(col(raCol).cast("double"), col(decCol).cast("double"))))
+      .withColumn("Norder", col("__m").getItem(0).cast("int"))
+      .withColumn("Npix", col("__m").getItem(1))
+      .withColumn("Dir", (col("Npix") / 10000L).cast("long") * 10000L)
+      .drop("__m")
+  }
+
+  /**
+   * Full partitioned-catalog write: catalog/ + neighbor/ hive trees
+   * plus a `_graft_meta.json` (reference: metadata.json +
+   * write_structure_metadata, partitioner.py:350).
+   */
+  def write(df: DataFrame, raCol: String, decCol: String, idCol: String,
+            outputDir: String, catname: String,
+            orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1): PartitionMap = {
+    val pm = computePartitionMap(df, raCol, decCol, orderK, threshold)
+    withPartitionColumns(df, raCol, decCol, pm)
+      .repartition(col("Norder"), col("Npix"))
+      .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
+      .parquet(s"$outputDir/$catname/catalog")
+    marginRows(df, raCol, decCol, pm, marginDeg)
+      .repartition(col("Norder"), col("Npix"))
+      .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
+      .parquet(s"$outputDir/$catname/neighbor")
+
+    val hips = pm.pixelsAtOrders.toSeq.sortBy(_._1)
+      .map { case (o, ps) => s""""$o": [${ps.mkString(",")}]""" }.mkString("{", ",", "}")
+    val meta =
+      s"""{"cat_name": "$catname", "ra_kw": "$raCol", "dec_kw": "$decCol", "id_kw": "$idCol",
+         | "pix_threshold": $threshold, "order_k": $orderK, "margin_deg": $marginDeg,
+         | "hips": $hips}""".stripMargin
+    val p = new java.io.File(s"$outputDir/$catname/_graft_meta.json")
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(p.toPath, meta)
+    pm
+  }
+}
+
+/**
+ * Reader for a graft/HiPSCat-style partitioned catalog
+ * (reference: hipscat/catalog.py Catalog.load + cone_search pruning).
+ */
+object HipsCatalog {
+  /** Load the full catalog dataframe (hive partition columns included). */
+  def load(spark: SparkSession, outputDir: String, catname: String): DataFrame =
+    spark.read.parquet(s"$outputDir/$catname/catalog")
+
+  /**
+   * Cone search with *file-level* pruning: the hive partition filter
+   * on (Norder, Npix) restricts the scan to overlapping partitions
+   * before any row is read (catalog.py:65 semantics).
+   */
+  def coneSearch(spark: SparkSession, outputDir: String, catname: String,
+                 raCol: String, decCol: String,
+                 raDeg: Double, decDeg: Double, radiusDeg: Double, orderK: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val coverK = Healpix.queryDiscCover(orderK, raDeg, decDeg, radiusDeg)
+    // candidate partition pixels at every order (ancestors of the order-k cover)
+    val candidates: Seq[(Int, Long)] =
+      (0 to orderK).flatMap(o => coverK.map(p => (o, p >> (2 * (orderK - o)))).distinct)
+    val df = load(spark, outputDir, catname)
+    val pred = candidates
+      .map { case (o, p) => (col("Norder") === o) && (col("Npix") === p) }
+      .reduce(_ || _)
+    df.filter(pred)
+      .withColumn("_DIST", graft.functions.sphere.gcDist(col(raCol), col(decCol), lit(raDeg), lit(decDeg)))
+      .filter(col("_DIST") < radiusDeg)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/**
+ * Native Catalyst expressions for the HEALPix primitives — codegen'd
+ * static calls into [[graft.healpix.Healpix]], so spatial operators
+ * stay inside whole-stage codegen (no UDF/serialization overhead on
+ * the 100 TB hot path).
+ *
+ * Re-expresses healpy usage of the reference (hipscat/util.py:24,
+ * catalog.py:93) as Spark-native expressions.
+ */
+
+/** hpix(ra, dec, order) -> NEST pixel id (LongType). */
+case class HpixExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hpix"
+
+  override protected def nullSafeEval(ra: Any, dec: Any, order: Any): Any =
+    graft.healpix.Healpix.ang2pixNest(order.asInstanceOf[Int], ra.asInstanceOf[Double], dec.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ra, dec, order) =>
+      s"${ev.value} = graft.healpix.Healpix.ang2pixNest($order, $ra, $dec);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/**
+ * hpix_cover(ra, dec, order, radiusDeg) -> Array[Long] of all pixels
+ * at `order` whose region may lie within `radiusDeg` of the point.
+ * Used to explode the smaller side of a cross-match into margin
+ * pixels (bounded explode — typically 1-4 pixels for radius << pixel
+ * size); the engine's exact distance filter culls false candidates.
+ */
+case class HpixCoverExpr(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hpix_cover"
+
+  override protected def nullSafeEval(ra: Any, dec: Any, order: Any, radius: Any): Any =
+    ArrayData.toArrayData(graft.healpix.Healpix.queryDiscCover(
+      order.asInstanceOf[Int], ra.asInstanceOf[Double], dec.asInstanceOf[Double], radius.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ra, dec, order, radius) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.healpix.Healpix.queryDiscCover($order, $ra, $dec, $radius));")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/**
+ * Spherical-geometry column functions, composed from built-in
+ * (codegen'd) Spark functions — no UDFs on the hot path.
+ *
+ * Mirrors the reference's numerics:
+ *  - gcDist    = hipscat/util.py:211 (gc_dist, haversine in degrees)
+ *  - gnomonicX/Y = hipscat/util.py:197 + :353 (gnomonic projection)
+ *  - hpix      = healpy ang2pix NEST (util.py:24) via HpixExpr
+ *  - hpixCover = healpy query_disc-style conservative cover
+ */
+object sphere {
+
+  /** HEALPix NEST pixel of (ra, dec) at `order`. */
+  def hpix(ra: Column, dec: Column, order: Int): Column =
+    GraftBridge.column(HpixExpr(
+      GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")),
+      GraftBridge.expression(lit(order))))
+
+  /** Conservative pixel cover of the disc (ra, dec, radiusDeg) at `order`. */
+  def hpixCover(ra: Column, dec: Column, order: Int, radiusDeg: Column): Column =
+    GraftBridge.column(HpixCoverExpr(
+      GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")),
+      GraftBridge.expression(lit(order)), GraftBridge.expression(radiusDeg.cast("double"))))
+
+  /**
+   * Great-circle distance in degrees (haversine). Formula kept
+   * textually identical to the DuckDB oracle SQL so both engines
+   * evaluate the same expression tree.
+   */
+  def gcDist(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column =
+    lit(2.0) * degrees(asin(least(lit(1.0), sqrt(
+      pow(sin(radians(dec1 - dec2) / 2), 2) +
+        cos(radians(dec1)) * cos(radians(dec2)) * pow(sin(radians(ra1 - ra2) / 2), 2)))))
+
+  /** SQL text of gcDist for DuckDB oracles (same formula, same order of ops). */
+  def gcDistSql(ra1: String, dec1: String, ra2: String, dec2: String): String =
+    s"2.0 * degrees(asin(least(1.0, sqrt(" +
+      s"pow(sin(radians($dec1 - $dec2) / 2), 2) + " +
+      s"cos(radians($dec1)) * cos(radians($dec2)) * pow(sin(radians($ra1 - $ra2) / 2), 2)))))"
+
+  private def cosc(lon: Column, lat: Column, clon: Double, clat: Double): Column =
+    lit(math.sin(math.toRadians(clat))) * sin(radians(lat)) +
+      lit(math.cos(math.toRadians(clat))) * cos(radians(lat)) * cos(radians(lon) - lit(math.toRadians(clon)))
+
+  /** Gnomonic x (degrees) of (lon, lat) about center (clon, clat). */
+  def gnomonicX(lon: Column, lat: Column, clon: Double, clat: Double): Column =
+    degrees(cos(radians(lat)) * sin(radians(lon) - lit(math.toRadians(clon))) / cosc(lon, lat, clon, clat))
+
+  /** Gnomonic y (degrees) of (lon, lat) about center (clon, clat). */
+  def gnomonicY(lon: Column, lat: Column, clon: Double, clat: Double): Column =
+    degrees((lit(math.cos(math.toRadians(clat))) * sin(radians(lat)) -
+      lit(math.sin(math.toRadians(clat))) * cos(radians(lat)) * cos(radians(lon) - lit(math.toRadians(clon)))) /
+      cosc(lon, lat, clon, clat))
+
+  /** SQL text of gnomonic x/y for DuckDB oracles. */
+  def gnomonicXSql(lon: String, lat: String, clon: Double, clat: Double): String = {
+    val (sc, cc, l0) = (math.sin(math.toRadians(clat)), math.cos(math.toRadians(clat)), math.toRadians(clon))
+    s"degrees(cos(radians($lat)) * sin(radians($lon) - $l0) / " +
+      s"($sc * sin(radians($lat)) + $cc * cos(radians($lat)) * cos(radians($lon) - $l0)))"
+  }
+  def gnomonicYSql(lon: String, lat: String, clon: Double, clat: Double): String = {
+    val (sc, cc, l0) = (math.sin(math.toRadians(clat)), math.cos(math.toRadians(clat)), math.toRadians(clon))
+    s"degrees(($cc * sin(radians($lat)) - $sc * cos(radians($lat)) * cos(radians($lon) - $l0)) / " +
+      s"($sc * sin(radians($lat)) + $cc * cos(radians($lat)) * cos(radians($lon) - $l0)))"
+  }
+
+  /**
+   * Deterministic pseudo sky coordinates derived from an integer key
+   * (the TPC-H-ish test tables carry no ra/dec — see SURVEY.md §3).
+   * Spark and the DuckDB oracle derive identical values.
+   */
+  def raOf(key: Column): Column = (key * 137 % 36000).cast("double") / 100.0
+  def decOf(key: Column): Column = (key * 211 % 16000).cast("double") / 100.0 - 80.0
+  def raOfSql(key: String): String = s"CAST($key * 137 % 36000 AS DOUBLE) / 100.0"
+  def decOfSql(key: String): String = s"CAST($key * 211 % 16000 AS DOUBLE) / 100.0 - 80.0"
+}

@@ -1,0 +1,239 @@
+package graft.healpix
+
+/**
+ * Pure-Scala / JVM implementation of the HEALPix NEST pixelization
+ * (Górski et al. 2005, ApJ 622, 759 — the standard public algorithm).
+ *
+ * Provides exactly the primitives the engine needs:
+ *  - ang2pixNest / pix2angNest (pixel centers)
+ *  - nested hierarchy arithmetic (parent = pix >> 2*dk)
+ *  - maxPixRad: conservative circumradius of any pixel at an order
+ *  - queryDiscCover: a conservative (superset) list of pixels at an
+ *    order intersecting a small disc, via hierarchical descent. Used
+ *    for cone-search partition pruning and cross-match margin
+ *    assignment; correctness only requires the cover to be a
+ *    superset, the engine always applies an exact distance filter
+ *    afterwards.
+ *
+ * Reference behavior being re-expressed (not copied): healpy
+ * ang2pix/query_disc usage in /root/reference/hipscat/util.py:24,
+ * catalog.py:93-97, and the margin logic of margin_utils.py.
+ *
+ * All functions are static (object methods with static forwarders) so
+ * Catalyst-generated Java code can call them directly.
+ */
+object Healpix {
+
+  /** Max supported order: 29 (pixel ids fit in a signed Long). */
+  final val MaxOrder = 29
+
+  // ---- bit interleaving (z-order curve within a face) ----
+
+  /** Spread the lower 32 bits of v so bit i lands at position 2i. */
+  def spreadBits(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Inverse of spreadBits: collect bits at even positions. */
+  def compressBits(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x >>> 4)) & 0x00ff00ff00ff00ffL
+    x = (x | (x >>> 8)) & 0x0000ffff0000ffffL
+    x = (x | (x >>> 16)) & 0x00000000ffffffffL
+    x
+  }
+
+  @inline def nside(order: Int): Long = 1L << order
+  @inline def npix(order: Int): Long = 12L * (1L << (2 * order))
+
+  /** (face, ix, iy) -> NEST pixel id. */
+  def xyf2nest(ix: Long, iy: Long, face: Int, order: Int): Long =
+    (face.toLong << (2 * order)) | spreadBits(ix) | (spreadBits(iy) << 1)
+
+  /** NEST pixel id -> (ix, iy, face). */
+  def nest2xyf(pix: Long, order: Int): (Long, Long, Int) = {
+    val face = (pix >>> (2 * order)).toInt
+    val xy = pix & ((1L << (2 * order)) - 1)
+    val ix = compressBits(xy)
+    val iy = compressBits(xy >>> 1)
+    (ix, iy, face)
+  }
+
+  /**
+   * HEALPix NEST ang2pix. ra/dec in degrees (lonlat convention, as
+   * healpy's `lonlat=True` used throughout the reference).
+   */
+  def ang2pixNest(order: Int, raDeg: Double, decDeg: Double): Long = {
+    val ns = nside(order)
+    val z = math.sin(math.toRadians(decDeg))
+    val za = math.abs(z)
+    // tt in [0, 4): longitude in units of 90 degrees
+    var tt = (raDeg % 360.0) / 90.0
+    if (tt < 0) tt += 4.0
+
+    if (za <= 2.0 / 3.0) {
+      // equatorial region
+      val temp1 = ns * (0.5 + tt)
+      val temp2 = ns * (z * 0.75)
+      val jp = (temp1 - temp2).toLong // ascending edge line index
+      val jm = (temp1 + temp2).toLong // descending edge line index
+      val ifp = jp >> order
+      val ifm = jm >> order
+      val face =
+        if (ifp == ifm) ((ifp & 3) + 4).toInt
+        else if (ifp < ifm) (ifp & 3).toInt
+        else ((ifm & 3) + 8).toInt
+      val ix = jm & (ns - 1)
+      val iy = ns - 1 - (jp & (ns - 1))
+      xyf2nest(ix, iy, face, order)
+    } else {
+      // polar caps
+      val ntt = math.min(3, tt.toInt)
+      val tp = tt - ntt
+      val tmp = ns * math.sqrt(3.0 * (1.0 - za))
+      var jp = (tp * tmp).toLong
+      var jm = ((1.0 - tp) * tmp).toLong
+      if (jp >= ns) jp = ns - 1
+      if (jm >= ns) jm = ns - 1
+      if (z >= 0) xyf2nest(ns - 1 - jm, ns - 1 - jp, ntt, order)
+      else xyf2nest(jp, jm, ntt + 8, order)
+    }
+  }
+
+  // jrll/jpll: ring-index and longitude-index offsets of the 12 base faces
+  private val jrll = Array(2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4)
+  private val jpll = Array(1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7)
+
+  /** Pixel center: NEST pix -> (raDeg, decDeg). */
+  def pix2angNest(order: Int, pix: Long): (Double, Double) = {
+    val ns = nside(order)
+    val (ix, iy, face) = nest2xyf(pix, order)
+    val jr = jrll(face) * ns - ix - iy - 1 // ring index
+
+    val nPix = npix(order).toDouble
+    val fact2 = 4.0 / nPix
+    val fact1 = (ns << 1) * fact2
+
+    var z = 0.0
+    var nr = 0L
+    var kshift = 0L
+    if (jr < ns) { // north polar cap
+      nr = jr
+      z = 1.0 - nr * nr * fact2
+      kshift = 0
+    } else if (jr > 3 * ns) { // south polar cap
+      nr = 4 * ns - jr
+      z = nr * nr * fact2 - 1.0
+      kshift = 0
+    } else { // equatorial
+      nr = ns
+      z = (2 * ns - jr) * fact1
+      kshift = (jr - ns) & 1
+    }
+
+    var jp = (jpll(face) * nr + ix - iy + 1 + kshift) / 2
+    if (jp > 4 * nr) jp -= 4 * nr
+    if (jp < 1) jp += 4 * nr
+
+    val phi = (jp - (kshift + 1) * 0.5) * (math.Pi / 2) / nr
+    val ra = math.toDegrees(phi)
+    val dec = math.toDegrees(math.asin(z))
+    (if (ra >= 360.0) ra - 360.0 else ra, dec)
+  }
+
+  /** Convenience accessors for codegen (no tuples). */
+  def pixCenterRa(order: Int, pix: Long): Double = pix2angNest(order, pix)._1
+  def pixCenterDec(order: Int, pix: Long): Double = pix2angNest(order, pix)._2
+
+  /**
+   * Conservative maximum angular distance (radians) from any pixel
+   * center to any point of that pixel, at the given order. Formula
+   * from the standard HEALPix base library (`max_pixrad`): the
+   * largest circumradius occurs for pixels touching the polar/
+   * equatorial region transition. A 1.05 safety factor is applied —
+   * callers only need a conservative bound.
+   */
+  def maxPixRad(order: Int): Double = {
+    val ns = nside(order).toDouble
+    // va: z = 2/3, phi = pi/(4 nside)
+    val zva = 2.0 / 3.0
+    val pva = math.Pi / (4.0 * ns)
+    val sva = math.sqrt(1 - zva * zva)
+    val va = (sva * math.cos(pva), sva * math.sin(pva), zva)
+    // vb: z = 1 - (1 - 1/nside)^2 / 3, phi = 0
+    val t1 = 1.0 - 1.0 / ns
+    val zvb = 1.0 - t1 * t1 / 3.0
+    val svb = math.sqrt(1 - zvb * zvb)
+    val vb = (svb, 0.0, zvb)
+    val dot = va._1 * vb._1 + va._2 * vb._2 + va._3 * vb._3
+    1.05 * math.acos(math.max(-1.0, math.min(1.0, dot)))
+  }
+
+  /** Great-circle distance in degrees (haversine; = util.gc_dist of the reference). */
+  def gcDistDeg(ra1: Double, dec1: Double, ra2: Double, dec2: Double): Double = {
+    val l1 = math.toRadians(ra1); val p1 = math.toRadians(dec1)
+    val l2 = math.toRadians(ra2); val p2 = math.toRadians(dec2)
+    val sd = math.sin((p1 - p2) * 0.5)
+    val sl = math.sin((l1 - l2) * 0.5)
+    val h = sd * sd + math.cos(p1) * math.cos(p2) * sl * sl
+    math.toDegrees(2.0 * math.asin(math.min(1.0, math.sqrt(h))))
+  }
+
+  /**
+   * Conservative cover: all pixels at `order` whose region MAY
+   * intersect the disc of `radiusDeg` around (raDeg, decDeg) —
+   * guaranteed superset of the true intersecting set. Hierarchical
+   * descent from the 12 base pixels using the maxPixRad bound; cost
+   * is O(cover size * order), no full-sky enumeration.
+   */
+  def queryDiscCover(order: Int, raDeg: Double, decDeg: Double, radiusDeg: Double): Array[Long] = {
+    var frontier = new Array[Long](12)
+    var i = 0
+    while (i < 12) { frontier(i) = i.toLong; i += 1 }
+    var o = 0
+    while (o <= order) {
+      val bound = radiusDeg + math.toDegrees(maxPixRad(o))
+      val keep = new scala.collection.mutable.ArrayBuffer[Long](frontier.length)
+      var j = 0
+      while (j < frontier.length) {
+        val p = frontier(j)
+        val (cra, cdec) = pix2angNest(o, p)
+        if (gcDistDeg(raDeg, decDeg, cra, cdec) <= bound) keep += p
+        j += 1
+      }
+      if (o == order) return keep.toArray
+      // descend: each kept pixel -> 4 children
+      val next = new Array[Long](keep.length * 4)
+      var k = 0
+      while (k < keep.length) {
+        val base = keep(k) << 2
+        next(4 * k) = base; next(4 * k + 1) = base + 1
+        next(4 * k + 2) = base + 2; next(4 * k + 3) = base + 3
+        k += 1
+      }
+      frontier = next
+      o += 1
+    }
+    frontier // unreachable
+  }
+
+  /**
+   * Disc cover for codegen / UDF call sites: same as queryDiscCover
+   * but boxed for Spark array columns.
+   */
+  def discCoverBoxed(order: Int, raDeg: Double, decDeg: Double, radiusDeg: Double): Array[java.lang.Long] = {
+    val a = queryDiscCover(order, raDeg, decDeg, radiusDeg)
+    val out = new Array[java.lang.Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = java.lang.Long.valueOf(a(i)); i += 1 }
+    out
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.sphere
+import graft.healpix.Healpix
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Spatial query operators over point catalogs — Spark-first
+ * re-expression of the reference's cone search and cross-match
+ * (hipscat/catalog.py:65 `cone_search`, catalog.py:144 `cross_match`,
+ * dask_utils.py:330/:367).
+ *
+ * Scale design (SURVEY.md §4): everything is keyed by HEALPix pixel.
+ * Cone search prunes candidate pixels BEFORE the scan filter; the
+ * cross-match is a plain equi-join on the pixel column (shuffle-join
+ * that AQE can re-plan / skew-split), with the margin problem solved
+ * by a bounded explode of the right side over a conservative disc
+ * cover of radius dthresh — no cartesian products, no driver loops,
+ * no KDTree: per-left-row ranking is a window over the already
+ * pixel-partitioned shuffle output.
+ */
+object Spatial {
+
+  /**
+   * Cone search: rows of `df` within `radiusDeg` of (raDeg, decDeg),
+   * plus a `_DIST` column (great-circle degrees), exactly the
+   * reference's contract (catalog.py:65). Pixel pruning at
+   * `order` happens driver-side (the cover is tiny) and becomes a
+   * partition/file prune when `df` is a hive Norder=/Npix= catalog.
+   */
+  def coneSearch(df: DataFrame, raCol: String, decCol: String,
+                 raDeg: Double, decDeg: Double, radiusDeg: Double,
+                 order: Int = 4, pixCol: Option[String] = None): DataFrame = {
+    val cover = Healpix.queryDiscCover(order, raDeg, decDeg, radiusDeg)
+    val pix: Column = pixCol.map(col).getOrElse(sphere.hpix(col(raCol), col(decCol), order))
+    df.filter(pix.isin(cover.map(Long.box).toIndexedSeq: _*))
+      .withColumn("_DIST", sphere.gcDist(col(raCol), col(decCol), lit(raDeg), lit(decDeg)))
+      .filter(col("_DIST") < radiusDeg)
+  }
+
+  /**
+   * kNN cross-match (reference: catalog.py:144 + dask_utils.py:367):
+   * for each left row, the `k` nearest right rows within
+   * `dthreshDeg`, with `_DIST` (gc degrees), `hips_k`, `hips_pix`.
+   *
+   * Exact within dthresh (the reference's fixed 0.1-degree margin
+   * cache can miss true neighbors; the disc-cover margin here cannot).
+   *
+   * `leftId` must be unique per left row (ranking key). Join order
+   * auto-picked so pixels are ≳ 2x dthresh wide unless given.
+   */
+  def crossMatchKnn(left: DataFrame, right: DataFrame,
+                    leftRa: String, leftDec: String, leftId: String,
+                    rightRa: String, rightDec: String, rightId: String,
+                    k: Int, dthreshDeg: Double,
+                    order: Int = -1,
+                    leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+    val o = if (order >= 0) order else autoOrder(dthreshDeg)
+
+    val lp = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, leftPrefix + c))
+    val rp = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
+
+    val l = lp.withColumn("__pix", sphere.hpix(col(leftPrefix + leftRa), col(leftPrefix + leftDec), o))
+    // bounded margin explode: every pixel possibly within dthresh of the right point
+    val r = rp.withColumn("__pix",
+      explode(sphere.hpixCover(col(rightPrefix + rightRa), col(rightPrefix + rightDec), o, lit(dthreshDeg))))
+
+    val joined = l.join(r, "__pix")
+      .withColumn("_DIST", sphere.gcDist(
+        col(leftPrefix + leftRa), col(leftPrefix + leftDec),
+        col(rightPrefix + rightRa), col(rightPrefix + rightDec)))
+      .filter(col("_DIST") < dthreshDeg)
+
+    // deterministic ranking: rounded distance, then right id (stable
+    // across JVM-vs-libm last-ulp trig differences)
+    val w = Window.partitionBy(col(leftPrefix + leftId))
+      .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumn("hips_k", lit(o))
+      .withColumnRenamed("__pix", "hips_pix")
+      .withColumnRenamed("__rn", "_RANK")
+  }
+
+  /** Largest order whose pixels are still ≥ ~2x dthresh wide. */
+  def autoOrder(dthreshDeg: Double): Int = {
+    var o = 0
+    while (o < 12 && math.toDegrees(Healpix.maxPixRad(o + 1)) >= 2 * dthreshDeg) o += 1
+    o
+  }
+
+  /**
+   * The reference's 64-bit spatial index (hipscat/util.py:14
+   * compute_index): healpix pixel at `order` in the high bits, a
+   * per-pixel rank (ordered by ra, dec) in the low bits. Bit-for-bit
+   * the same layout (as the reference's uint64 reinterpreted signed).
+   */
+  def spatialIndex(df: DataFrame, raCol: String, decCol: String, order: Int = 20): DataFrame = {
+    val bits = 4 + 2 * order
+    val pix = sphere.hpix(col(raCol), col(decCol), order)
+    val rank = row_number().over(
+      Window.partitionBy(pix).orderBy(col(raCol).asc, col(decCol).asc)).cast("long") - 1
+    df.withColumn("_ID", shiftleft(pix, 64 - bits) + rank)
+  }
+
+  /** HEALPix density histogram (reference: partitioner.gather_statistics). */
+  def densityHistogram(df: DataFrame, raCol: String, decCol: String, order: Int): DataFrame =
+    df.groupBy(sphere.hpix(col(raCol), col(decCol), order).as("pix"))
+      .agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.healpix.Healpix
+import org.scalatest.funsuite.AnyFunSuite
+
+class HealpixSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("bit interleave roundtrip") {
+    val r = rng(1)
+    (0 until 1000).foreach { _ =>
+      val v = r.nextLong() & 0x1fffffffL
+      assert(Healpix.compressBits(Healpix.spreadBits(v)) == v)
+    }
+  }
+
+  test("ang2pix produces valid pixel ids at all orders") {
+    val r = rng(2)
+    (0 to 20).foreach { o =>
+      (0 until 200).foreach { _ =>
+        val ra = r.nextDouble() * 360.0
+        val dec = r.nextDouble() * 180.0 - 90.0
+        val p = Healpix.ang2pixNest(o, ra, dec)
+        assert(p >= 0 && p < Healpix.npix(o), s"order=$o ra=$ra dec=$dec pix=$p")
+      }
+    }
+  }
+
+  test("nested hierarchy: pix(k) >> 2 == pix(k-1)") {
+    val r = rng(3)
+    (1 to 20).foreach { o =>
+      (0 until 300).foreach { _ =>
+        val ra = r.nextDouble() * 360.0
+        val dec = r.nextDouble() * 180.0 - 90.0
+        val fine = Healpix.ang2pixNest(o, ra, dec)
+        val coarse = Healpix.ang2pixNest(o - 1, ra, dec)
+        assert(fine >> 2 == coarse, s"order=$o ra=$ra dec=$dec")
+      }
+    }
+  }
+
+  test("pix2ang center maps back to the same pixel (roundtrip)") {
+    val r = rng(4)
+    (0 to 12).foreach { o =>
+      (0 until 300).foreach { _ =>
+        val p = (r.nextDouble() * Healpix.npix(o)).toLong
+        val (ra, dec) = Healpix.pix2angNest(o, p)
+        assert(ra >= 0 && ra < 360 && dec >= -90 && dec <= 90)
+        assert(Healpix.ang2pixNest(o, ra, dec) == p, s"order=$o pix=$p center=($ra,$dec)")
+      }
+    }
+  }
+
+  test("order-0 face assignment: pixel of its own face center") {
+    (0 until 12).foreach { f =>
+      val (ra, dec) = Healpix.pix2angNest(0, f.toLong)
+      assert(Healpix.ang2pixNest(0, ra, dec) == f.toLong)
+    }
+  }
+
+  test("pixel sizes: every point is within maxPixRad of its pixel center") {
+    val r = rng(5)
+    (0 to 10).foreach { o =>
+      val bound = math.toDegrees(Healpix.maxPixRad(o))
+      (0 until 500).foreach { _ =>
+        val ra = r.nextDouble() * 360.0
+        val dec = math.toDegrees(math.asin(r.nextDouble() * 2 - 1)) // uniform on sphere
+        val p = Healpix.ang2pixNest(o, ra, dec)
+        val (cra, cdec) = Healpix.pix2angNest(o, p)
+        val d = Healpix.gcDistDeg(ra, dec, cra, cdec)
+        assert(d <= bound, s"order=$o d=$d bound=$bound ra=$ra dec=$dec")
+      }
+    }
+  }
+
+  test("queryDiscCover is a superset of pixels containing in-disc points") {
+    val r = rng(6)
+    (0 until 40).foreach { _ =>
+      val cra = r.nextDouble() * 360.0
+      val cdec = math.toDegrees(math.asin(r.nextDouble() * 2 - 1))
+      val radius = 0.2 + r.nextDouble() * 25.0
+      val order = 1 + r.nextInt(6)
+      val cover = Healpix.queryDiscCover(order, cra, cdec, radius).toSet
+      // sample points inside the disc; their pixels must be in the cover
+      (0 until 200).foreach { _ =>
+        // rejection-sample a point within the disc (in a small patch)
+        val t = r.nextDouble() * 2 * math.Pi
+        val rr = radius * math.sqrt(r.nextDouble())
+        val dec = math.max(-89.9, math.min(89.9, cdec + rr * math.sin(t)))
+        val ra = cra + rr * math.cos(t) / math.max(0.05, math.cos(math.toRadians(dec)))
+        if (Healpix.gcDistDeg(cra, cdec, ra, dec) <= radius) {
+          val p = Healpix.ang2pixNest(order, ra, dec)
+          assert(cover.contains(p),
+            s"pix $p (order $order) of in-disc point ($ra,$dec) missing from cover of ($cra,$cdec,r=$radius)")
+        }
+      }
+    }
+  }
+
+  test("gcDist: zero on identical points, symmetric, known values") {
+    assert(Healpix.gcDistDeg(10, 20, 10, 20) == 0.0)
+    assert(math.abs(Healpix.gcDistDeg(0, 0, 90, 0) - 90.0) < 1e-9)
+    assert(math.abs(Healpix.gcDistDeg(0, -45, 0, 45) - 90.0) < 1e-9)
+    assert(math.abs(Healpix.gcDistDeg(0, 90, 180, 90)) < 1e-9) // both at pole
+    val a = Healpix.gcDistDeg(12.3, 45.6, 78.9, -12.3)
+    val b = Healpix.gcDistDeg(78.9, -12.3, 12.3, 45.6)
+    assert(math.abs(a - b) < 1e-12)
+  }
+
+  test("full-sky disc cover returns all pixels") {
+    val cover = Healpix.queryDiscCover(3, 0, 0, 181.0)
+    assert(cover.length == Healpix.npix(3))
+  }
+}
