@@ -212,6 +212,119 @@ object QueryRegistry {
     },
     None)
 
+  // ---------------------------------------------------------------- LLM-pipeline
+
+  import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+
+  private val dedup_exact = QueryDef(
+    (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id"),
+    Some(s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+      GROUP BY ${Dedup.normalizeTextSql("text")} ORDER BY keep_id"""))
+
+  private val dedup_keyed = QueryDef(
+    (s, dir) => Dedup.keepFirst(events(s, dir), Seq("user_id", "event_type"),
+        Seq(col("ts").asc, col("event_id").asc))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  private val dedup_minhash = QueryDef(
+    (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("est_sim", round(col("est_sim"), 4)).orderBy("id_a", "id_b"),
+    None)
+
+  private val dedup_simhash = QueryDef(
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text").orderBy("id_a", "id_b"),
+    None)
+
+  private val jaccardShinglesSql: String = {
+    val norm = Dedup.normalizeTextSql("text")
+    s"""(SELECT doc_id, lang, source, list_distinct(list_transform(
+        range(1, len(string_split($norm, ' ')) - 1),
+        i -> array_to_string(string_split($norm, ' ')[i:i+2], ' '))) AS sh FROM documents)"""
+  }
+
+  private val dedup_jaccard = QueryDef(
+    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), n = 3, minJaccard = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4)).orderBy("id_a", "id_b"),
+    Some(s"""SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM $jaccardShinglesSql a JOIN $jaccardShinglesSql b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
+
+  /** Explicit sequential-fold cosine (matches Spark's aggregate order). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  private val dedup_cosine = QueryDef(
+    (s, dir) => Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.35)
+      .withColumn("cos", round(col("cos"), 6)).orderBy("id_a", "id_b"),
+    Some(s"""SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos > 0.35 ORDER BY id_a, id_b"""))
+
+  private val ann_bruteforce = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "vec_id", "embedding", "q_id", "q_vec", k = 5)
+        .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
+    },
+    Some(s"""SELECT q_id, vec_id, round(cos, 6) AS cos, rn FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id, ${cosSql("c.embedding", "q.embedding")} AS cos,
+        row_number() OVER (PARTITION BY q.vec_id ORDER BY round(${cosSql("c.embedding", "q.embedding")}, 9) DESC, c.vec_id) AS rn
+      FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q)
+      WHERE rn <= 5 ORDER BY q_id, rn"""))
+
+  private val ann_lsh = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "vec_id", "embedding", "q_id", "q_vec", k = 5, dim = 64)
+        .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
+    },
+    None)
+
+  private val text_langid = QueryDef(
+    (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+      .select("doc_id", "lang", "pred_lang").orderBy("doc_id"),
+    None)
+
+  private val text_quality = QueryDef(
+    (s, dir) => TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "avg_token_len_e4", "punct_ratio_e4", "stopword_ratio_e4", "quality_score_e4")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, ${TextAnalysis.qualitySql("text")} FROM documents ORDER BY doc_id"""))
+
+  private val text_tokens = QueryDef(
+    (s, dir) => TextAnalysis.withTokenCounts(t(s, dir, "documents"), "text")
+      .select("doc_id", "ws_tokens", "bpe_pieces").orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_pieces
+      FROM documents ORDER BY doc_id"""))
+
+  private val text_fingerprint = QueryDef(
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
+    None)
+
+  private val multimodal_meta = QueryDef(
+    (s, dir) => Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "text")
+      .select("id", "modality", "byte_len").orderBy("id"),
+    Some("""SELECT CAST(doc_id AS BIGINT) AS id, 'text' AS modality,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents ORDER BY id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -229,5 +342,18 @@ object QueryRegistry {
     "hpix_histogram" -> hpix_histogram,
     "hpix_index" -> hpix_index,
     "partition_map" -> partition_map,
+    "dedup_exact" -> dedup_exact,
+    "dedup_keyed" -> dedup_keyed,
+    "dedup_minhash" -> dedup_minhash,
+    "dedup_simhash" -> dedup_simhash,
+    "dedup_jaccard" -> dedup_jaccard,
+    "dedup_cosine" -> dedup_cosine,
+    "ann_bruteforce" -> ann_bruteforce,
+    "ann_lsh" -> ann_lsh,
+    "text_langid" -> text_langid,
+    "text_quality" -> text_quality,
+    "text_tokens" -> text_tokens,
+    "text_fingerprint" -> text_fingerprint,
+    "multimodal_meta" -> multimodal_meta,
   )
 }

@@ -185,14 +185,15 @@ object HipsCatalog {
                  raDeg: Double, decDeg: Double, radiusDeg: Double, orderK: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val coverK = Healpix.queryDiscCover(orderK, raDeg, decDeg, radiusDeg)
-    // candidate partition pixels at every order (ancestors of the order-k cover)
-    val candidates: Seq[(Int, Long)] =
-      (0 to orderK).flatMap(o => coverK.map(p => (o, p >> (2 * (orderK - o)))).distinct)
+    // candidate partition pixels at every order (ancestors of the
+    // order-k cover), packed into one (order, pixel) key so the
+    // filter is a flat InSet over the two hive partition columns
+    // (file-level pruning) instead of a deep Or tree.
+    val candidates: Seq[Long] =
+      (0 to orderK).flatMap(o => coverK.map(p => (o.toLong << 48) | (p >> (2 * (orderK - o)))).distinct)
     val df = load(spark, outputDir, catname)
-    val pred = candidates
-      .map { case (o, p) => (col("Norder") === o) && (col("Npix") === p) }
-      .reduce(_ || _)
-    df.filter(pred)
+    df.filter((col("Norder").cast("long") * (1L << 48) + col("Npix"))
+        .isin(candidates.map(Long.box): _*))
       .withColumn("_DIST", graft.functions.sphere.gcDist(col(raCol), col(decCol), lit(raDeg), lit(decDeg)))
       .filter(col("_DIST") < radiusDeg)
   }

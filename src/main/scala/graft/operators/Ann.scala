@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over embedding columns.
+ *
+ *  - bruteForceTopK: exact cosine top-k — the correctness baseline.
+ *    Queries are broadcast (small side), so the scan of the corpus
+ *    is a single pass with no corpus shuffle; ranking is a window
+ *    keyed by query id.
+ *  - lshTopK: the 100 TB scale path — random-hyperplane signatures
+ *    (seeded, deterministic) bucket the corpus; candidates come from
+ *    an equi-join on the signature, top-k ranked within candidates.
+ */
+object Ann {
+
+  /** Exact top-k by cosine for each query vector (queries must be small/broadcastable). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     corpusId: String, corpusVec: String,
+                     queryId: String, queryVec: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
+    joined.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal columns. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until numPlanes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }
+  }
+
+  /** Random-hyperplane signature (one bit per plane) of a vector column. */
+  def lshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    hyperplanes(numPlanes, dim, seed).zipWithIndex.map { case (plane, j) =>
+      when(aggregate(zip_with(vd, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) >= 0,
+        shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed ANN: candidates share the full signature bucket
+   * (optionally banded for higher recall), ranked by exact cosine.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, corpusVec: String,
+              queryId: String, queryVec: String,
+              k: Int, dim: Int, numPlanes: Int = 12, bands: Int = 3, seed: Long = 42L): DataFrame = {
+    val planesPerBand = numPlanes / bands
+    val mask = (1L << planesPerBand) - 1
+    def banded(df: DataFrame, vecCol: String): DataFrame = {
+      val sig = lshSignature(col(vecCol), numPlanes, dim, seed)
+      df.withColumn("__sig", sig)
+        .select(col("*"), posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("__sig"), b * planesPerBand).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
+    }
+    val c = banded(corpus, corpusVec)
+    val q = banded(queries, queryVec).select(col("__band"), col("__bsig"), col(queryId), col(queryVec))
+    val cand = c.join(broadcast(q), Seq("__band", "__bsig"))
+      .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec)).distinct()
+      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
+    cand.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rn"))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ * All composed from built-in (codegen'd) functions — no UDFs — and
+ * all shuffle-bounded: near-dup candidate generation is an equi-join
+ * on (band, signature) buckets, never an O(n^2) comparison.
+ *
+ * Scale notes (SURVEY.md §4): exact dedup is one hash aggregate with
+ * map-side combine; minhash signatures are computed in a single
+ * groupBy over exploded shingles (64 parallel min-aggregates, no
+ * row explosion per permutation); banding keeps the self-join
+ * bounded by bucket size.
+ */
+object Dedup {
+
+  /** Lowercase, collapse whitespace, strip basic punctuation. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:'\"]", ""), "\\s+", " "))
+
+  /** SQL twin of normalizeText for DuckDB oracles. */
+  def normalizeTextSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[.,!?;:''\"]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /**
+   * Exact dedup: one surviving row id per distinct (normalized)
+   * text, plus the duplicate count. At scale: group on a 256-bit
+   * content hash, not the text itself (shuffle keys stay small).
+   */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__norm", normalizeText(col(textCol)))
+      .groupBy(sha2(col("__norm"), 256).as("__h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__h")
+
+  /** Keep-first dedup by key(s), ordered by `orderCols` (earliest wins). */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(normalizeText(text), " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /**
+   * MinHash signature: `numPerms` permutations approximated by
+   * seeded xxhash64 of each shingle; the signature is the element-
+   * wise min. Single groupBy, one agg buffer per permutation.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerms: Int, shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn("__hs", transform(sequence(lit(0), lit(numPerms - 1)), i => xxhash64(i, col("__sh"))))
+    val mins = (0 until numPerms).map(i => min(element_at(col("__hs"), i + 1)).as(s"m$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs: band the signature,
+   * bucket-join on (band index, band hash), keep pairs whose
+   * estimated Jaccard (fraction of matching signature components)
+   * reaches `minEstSim`. Bounded equi-join — the 100 TB scale path.
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numPerms: Int = 64, bands: Int = 8, minEstSim: Double = 0.5,
+                   shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash"))
+    a.join(b, Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / numPerms)
+      .filter(col("est_sim") >= minEstSim)
+      .select("id_a", "id_b", "est_sim").distinct()
+  }
+
+  /** 64-bit SimHash from token hashes (sign of per-bit weighted sums). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(normalizeText(col(textCol)), " ")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxHamming,
+   * candidate-generated by joining on 16-bit signature chunks (any
+   * pair within Hamming 3 shares at least one of 4 chunks).
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 6): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val chunked = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkval")
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("chunkval"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("chunkval"))
+    a.join(b, Seq("chunk", "chunkval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Word-ngram Jaccard similarity for pairs within a blocking key
+   * (at 100 TB you never all-pairs; block, then set-compare).
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select((blockCols :+ idCol).map(col) :+ shingles(col(textCol), n).as("sh"): _*)
+    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a"): _*)
+    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cosine similarity of two (float-)vector columns, computed in doubles. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  blockCol: String, minCos: Double): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, blockCol)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") > minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}

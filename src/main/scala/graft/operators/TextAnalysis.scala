@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, document fingerprinting. All
+ * built-in-function compositions (codegen'd, UDF-free).
+ */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "en"))
+
+  def tokens(text: Column): Column = split(Dedup.normalizeText(text), " ")
+
+  /**
+   * Heuristic language ID: CJK character presence -> zh, otherwise
+   * argmax of stopword-hit counts (deterministic tiebreak by lang
+   * code order), "und" when nothing matches.
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(col("__cjk") > 0, lit("zh")) // caller provides __cjk; see withLangId
+      .otherwise(when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")))
+  }
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__cjk", length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", "")))
+      .withColumn("pred_lang", langId(col(textCol)))
+      .drop("__cjk")
+
+  /**
+   * Quality signals: token count, mean token length, punctuation
+   * ratio, stopword ratio (en), and a blended 0-1 quality score.
+   * Every component is SQL-expressible for the DuckDB oracle.
+   */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val punct = length(t) - length(regexp_replace(t, "[.,!?;:'\"]", ""))
+    val stopHits = size(filter(toks, x => x.isin(stopwords("en"): _*)))
+    // ratios are emitted as floor(x * 1e4) integers: floor of the
+    // identically-computed double is engine-policy-free, unlike
+    // round() (Spark rounds the decimal rendering HALF_UP, DuckDB
+    // rounds the binary value — they disagree on exact .xxxx5 cases)
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("avg_token_len_e4",
+        floor(length(array_join(toks, "")).cast("double") / nTok * 10000).cast("long"))
+      .withColumn("punct_ratio_e4", floor(punct.cast("double") / length(t) * 10000).cast("long"))
+      .withColumn("stopword_ratio_e4", floor(stopHits.cast("double") / nTok * 10000).cast("long"))
+      .withColumn("quality_score_e4", floor((
+        least(lit(1.0), nTok.cast("double") / 100) * 0.5 +
+          least(lit(1.0), stopHits.cast("double") / nTok * 5) * 0.3 +
+          (lit(1.0) - least(lit(1.0), punct.cast("double") / length(t) * 10)) * 0.2) * 10000).cast("long"))
+  }
+
+  /** SQL twins of withQuality's columns (text expr `t`, DuckDB dialect). */
+  def qualitySql(t: String): String = {
+    val norm = Dedup.normalizeTextSql(t)
+    val toks = s"string_split($norm, ' ')"
+    val nTok = s"len($toks)"
+    val punct = s"(length($t) - length(regexp_replace($t, '[.,!?;:''\"]', '', 'g')))"
+    val stop = s"len(list_filter($toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))"
+    s"""CAST($nTok AS BIGINT) AS n_tokens,
+       CAST(floor(length(array_to_string($toks, ''))::DOUBLE / $nTok * 10000) AS BIGINT) AS avg_token_len_e4,
+       CAST(floor($punct::DOUBLE / length($t) * 10000) AS BIGINT) AS punct_ratio_e4,
+       CAST(floor($stop::DOUBLE / $nTok * 10000) AS BIGINT) AS stopword_ratio_e4,
+       CAST(floor((least(1.0, $nTok::DOUBLE / 100) * 0.5
+           + least(1.0, $stop::DOUBLE / $nTok * 5) * 0.3
+           + (1.0 - least(1.0, $punct::DOUBLE / length($t) * 10)) * 0.2) * 10000) AS BIGINT) AS quality_score_e4"""
+  }
+
+  /** Whitespace tokens + BPE-ish regex piece count (letters runs / digit runs / other). */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("bpe_pieces", regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+
+  /**
+   * Order-sensitive document fingerprint: XOR-rotate rolling hash of
+   * the token-hash sequence (two texts with the same multiset but
+   * different order fingerprint differently). XOR+rotl instead of a
+   * polynomial so ANSI mode can't overflow.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, x) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(x)))
+}

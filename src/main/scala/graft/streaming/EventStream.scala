@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming ingestion of the events feed: file-source
+ * readStream -> event-time tumbling window aggregation with a
+ * watermark. The reference has no streaming surface; this is the
+ * engine's continuous-ingest path (SURVEY.md §2 #20), designed so
+ * the batch query `events_window` and the streaming query produce
+ * identical results on a bounded input (verified in ScalaTest).
+ *
+ * Scale: file-source streaming scales horizontally (each micro-batch
+ * is a normal distributed scan); state is bounded by the watermark.
+ */
+object EventStream {
+
+  /** events.parquet schema (ts is TIMESTAMP(NANOS) -> read as long). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming DF over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling 1h window x event_type aggregation with a 2h watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /**
+   * Run the windowed aggregation over whatever is in `dir` right now
+   * (AvailableNow trigger) into an in-memory table; returns the
+   * result. Used by tests to assert batch parity.
+   */
+  def runAvailableNow(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = windowedCounts(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.catalog.{HipsCatalog, HipsPartitioner}
+import graft.functions.sphere
+import org.apache.spark.sql.functions._
+
+class CatalogSpec extends SparkSpecBase {
+
+  private def li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    .withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
+    .withColumn("cra", sphere.raOf(col("k")))
+    .withColumn("cdec", sphere.decOf(col("k")))
+
+  test("adaptive partition map: every pixel assigned, dense regions subdivide") {
+    val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
+    assert(pm.orders.forall(o => o >= 0 && o <= 4))
+    // partition counts respect the threshold (except possibly at order k)
+    val counts = HipsPartitioner.withPartitionColumns(li, "cra", "cdec", pm)
+      .groupBy("Norder", "Npix").count().collect()
+    counts.filter(_.getInt(0) < 4).foreach(r => assert(r.getLong(2) < 500, s"partition over threshold: $r"))
+    assert(counts.map(_.getLong(2)).sum == li.count())
+  }
+
+  test("write + load round-trips all rows; hive cone search equals brute force") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    HipsPartitioner.write(li, "cra", "cdec", "k", out, "litest", orderK = 4, threshold = 500, marginDeg = 1.0)
+
+    val loaded = HipsCatalog.load(spark, out, "litest")
+    assert(loaded.count() == li.count())
+
+    for (radius <- Seq(10.0, 30.0)) {
+      val cone = HipsCatalog.coneSearch(spark, out, "litest", "cra", "cdec", 180.0, 0.0, radius, orderK = 4)
+        .select("k").collect().map(_.getLong(0)).sorted
+      val brute = li.withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)))
+        .filter(col("d") < radius).select("k").collect().map(_.getLong(0)).sorted
+      assert(cone.toSeq == brute.toSeq, s"radius=$radius")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("margin cache: rows land under foreign pixels within the margin") {
+    val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
+    val margins = HipsPartitioner.marginRows(li, "cra", "cdec", pm, marginDeg = 1.0)
+    val own = HipsPartitioner.withPartitionColumns(li, "cra", "cdec", pm)
+      .select(col("k"), col("Norder"), col("Npix"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val rows = margins.select("k", "Norder", "Npix").collect()
+    assert(rows.nonEmpty, "some rows must fall within 1 deg of a foreign pixel")
+    rows.foreach { r =>
+      assert(own(r.getLong(0)) != (r.getInt(1), r.getLong(2)), "margin pixel must differ from home pixel")
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsWithPlants = {
+    val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet").select("doc_id", "text")
+    val dups = Seq(
+      (100001L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (100002L, "the quick brown fox jumps over the lazy dog again and again and again"), // exact dup of 100001
+      (100003L, "the quick brown fox jumps over the lazy dog again and again once more"), // near dup
+      (100004L, "completely different content about spark query engines and healpix pixels")
+    ).toDF("doc_id", "text")
+    base.union(dups)
+  }
+
+  test("exactDedup collapses exact duplicates, keeps min id") {
+    val res = Dedup.exactDedup(docsWithPlants, "doc_id", "text")
+    val planted = res.filter(col("keep_id") >= 100001L).collect()
+    assert(res.filter(col("n_copies") === 2).count() == 1)
+    assert(planted.map(_.getLong(0)).toSet == Set(100001L, 100003L, 100004L))
+  }
+
+  test("minhashPairs finds planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashPairs(docsWithPlants, "doc_id", "text", minEstSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100001L, 100002L)), "exact dup must be a candidate pair")
+    assert(pairs.contains((100001L, 100003L)) || pairs.contains((100002L, 100003L)),
+      "near dup should share a band")
+  }
+
+  test("simhashPairs: exact dup has hamming 0") {
+    val pairs = Dedup.simhashPairs(docsWithPlants, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((100001L, 100002L)).contains(0))
+  }
+
+  test("jaccardPairs exact on planted texts") {
+    val df = docsWithPlants.withColumn("blk", lit(1))
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", Seq("blk"), n = 3, minJaccard = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((100001L, 100002L)) == 1.0)
+    assert(pairs.contains((100001L, 100003L)))
+  }
+
+  test("cosine of identical unit vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.cosinePairs(df, "vec_id", "embedding", "label", -2.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((1L, 3L))) < 1e-12)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("keepFirst keeps exactly one row per key, the earliest") {
+    val df = Seq((1L, "a", 3L), (1L, "a", 1L), (1L, "b", 2L), (2L, "a", 9L))
+      .toDF("uid", "etype", "ord")
+    val res = Dedup.keepFirst(df, Seq("uid", "etype"), Seq(col("ord").asc))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(res == Map((1L, "a") -> 1L, (1L, "b") -> 2L, (2L, "a") -> 9L))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.sphere
+import graft.operators.Spatial
+import org.apache.spark.sql.functions._
+
+class SpatialSpec extends SparkSpecBase {
+
+  private def cust = {
+    val df = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+    df.withColumn("cra", sphere.raOf(col("c_custkey")))
+      .withColumn("cdec", sphere.decOf(col("c_custkey")))
+  }
+
+  test("hpix expression matches the Scala implementation") {
+    val rows = cust.select(col("cra"), col("cdec"), sphere.hpix(col("cra"), col("cdec"), 5).as("p")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == graft.healpix.Healpix.ang2pixNest(5, r.getDouble(0), r.getDouble(1)))
+    }
+  }
+
+  test("cone search equals brute-force distance filter") {
+    for (radius <- Seq(5.0, 20.0, 45.0); order <- Seq(1, 3, 6)) {
+      val pruned = Spatial.coneSearch(cust, "cra", "cdec", 180.0, 0.0, radius, order)
+        .select("c_custkey").collect().map(_.getLong(0)).sorted
+      val brute = cust
+        .withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)))
+        .filter(col("d") < radius)
+        .select("c_custkey").collect().map(_.getLong(0)).sorted
+      assert(pruned.toSeq == brute.toSeq, s"radius=$radius order=$order")
+    }
+  }
+
+  test("crossMatchKnn equals brute-force kNN within threshold") {
+    val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
+      .withColumn("sra", sphere.raOf(col("s_suppkey")))
+      .withColumn("sdec", sphere.decOf(col("s_suppkey")))
+
+    for (order <- Seq(0, 1, 2); k <- Seq(1, 3); dthresh <- Seq(10.0, 30.0)) {
+      val fast = Spatial.crossMatchKnn(cust, supp,
+        "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey",
+        k = k, dthreshDeg = dthresh, order = order, leftPrefix = "", rightPrefix = "x_")
+        .select(col("c_custkey"), col("x_s_suppkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+      import org.apache.spark.sql.expressions.Window
+      val brute = cust.crossJoin(supp)
+        .withColumn("d", sphere.gcDist(col("cra"), col("cdec"), col("sra"), col("sdec")))
+        .filter(col("d") < dthresh)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_custkey").orderBy(round(col("d"), 9).asc, col("s_suppkey").asc)))
+        .filter(col("rn") <= k)
+        .select(col("c_custkey"), col("s_suppkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+      assert(fast.toSeq == brute.toSeq, s"order=$order k=$k dthresh=$dthresh")
+    }
+  }
+
+  test("spatialIndex: high bits hold the order-20 pixel, ranks dense per pixel") {
+    val idx = Spatial.spatialIndex(cust, "cra", "cdec", 20)
+      .select(col("cra"), col("cdec"), col("_ID")).collect()
+    idx.foreach { r =>
+      val pix = graft.healpix.Healpix.ang2pixNest(20, r.getDouble(0), r.getDouble(1))
+      assert((r.getLong(2) >>> 20) == pix, "pixel must occupy bits 20..63")
+    }
+  }
+
+  test("densityHistogram sums to row count") {
+    val total = Spatial.densityHistogram(cust, "cra", "cdec", 2)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == cust.count())
+  }
+}
