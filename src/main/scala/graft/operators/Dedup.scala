@@ -43,12 +43,16 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-gram shingles of a text column. */
+  /**
+   * Distinct word n-gram shingles of a text column — codegen kernel
+   * (graft.functions.WordShinglesExpr); the equivalent higher-order-
+   * function pipeline (transform+slice+array_join) runs interpreted
+   * and profiled ~8x slower at sf0.1.
+   */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(normalizeText(text), " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.WordShinglesExpr(
+      GraftBridge.expression(normalizeText(text)), GraftBridge.expression(lit(n))))
   }
 
   /**
@@ -57,10 +61,10 @@ object Dedup {
    * wise min. Single groupBy, one agg buffer per permutation.
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerms: Int, shingleN: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
-      .withColumn("__hs", transform(sequence(lit(0), lit(numPerms - 1)), i => xxhash64(i, col("__sh"))))
-    val mins = (0 until numPerms).map(i => min(element_at(col("__hs"), i + 1)).as(s"m$i"))
+    val exploded = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+    // one codegen'd min(xxhash64(seed_i, shingle)) aggregate per
+    // permutation — no array materialization, no interpreted lambdas
+    val mins = (0 until numPerms).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"m$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -132,25 +136,29 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sh = df.select((blockCols :+ idCol).map(col) :+ shingles(col(textCol), n).as("sh"): _*)
-    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a"): _*)
-    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b"): _*)
+      .withColumn("sz", size(col("sh")))
+    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a") :+ col("sz").as("sz_a"): _*)
+    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b") :+ col("sz").as("sz_b"): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      // size bound: J <= min/max, so prune before the set intersection
+      .filter(least(col("sz_a"), col("sz_b")) >= lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // |a ∪ b| = |a| + |b| - |a ∩ b| (shingle arrays are distinct)
+      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Cosine similarity of two (float-)vector columns, computed in doubles. */
+  /**
+   * Cosine similarity of two float-vector columns: single-pass
+   * codegen kernel with double accumulation (sequential element
+   * order — matches the DuckDB oracle's explicit fold).
+   */
   def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
-    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
-    dot / (sqrt(na) * sqrt(nb))
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.CosineSimExpr(
+      GraftBridge.expression(a.cast("array<float>")), GraftBridge.expression(b.cast("array<float>"))))
   }
 
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
