@@ -175,6 +175,60 @@ object HipsCatalog {
   def load(spark: SparkSession, outputDir: String, catname: String): DataFrame =
     spark.read.parquet(s"$outputDir/$catname/catalog")
 
+  /** Load the neighbor (margin) tree; empty DF with catalog schema if absent. */
+  def loadNeighbors(spark: SparkSession, outputDir: String, catname: String): DataFrame = {
+    val p = s"$outputDir/$catname/neighbor"
+    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    else load(spark, outputDir, catname).limit(0)
+  }
+
+  /**
+   * Catalog-level kNN cross-match consuming the PERSISTED margin
+   * cache — the reference's stored-neighbor semantics
+   * (catalog.py:144 cross_match + dask_utils.py:367: per partition
+   * pixel, match left rows against right catalog rows of that pixel
+   * plus the pixel's neighbor file; like the reference, matches
+   * beyond the margin radius are not found, so choose
+   * marginDeg >= dthresh at write time for exactness).
+   *
+   * Both catalogs must have been written by HipsPartitioner.write
+   * with the same orderK. The join key is the left catalog's stored
+   * (Norder, Npix): right rows are re-pixelized to the left's grid
+   * on the fly (util.map_catalog_hips's hierarchy alignment,
+   * re-expressed as an equi-join after re-binning).
+   */
+  def crossMatchStored(spark: SparkSession, outputDir: String,
+                       leftCat: String, rightCat: String,
+                       leftRa: String, leftDec: String, leftId: String,
+                       rightRa: String, rightDec: String, rightId: String,
+                       k: Int, dthreshDeg: Double, orderK: Int,
+                       rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.sphere
+
+    val lm = load(spark, outputDir, leftCat)
+      .withColumn("__lpix", sphere.hpix(col(leftRa), col(leftDec), orderK))
+
+    def prep(df: DataFrame): DataFrame = {
+      val cols = df.columns.filterNot(Seq("Norder", "Dir", "Npix").contains)
+      df.select(cols.map(col): _*)
+    }
+    // right side: own catalog rows + margin replicas, re-binned to order-k
+    val r0 = prep(loadNeighbors(spark, outputDir, rightCat)).unionByName(prep(load(spark, outputDir, rightCat)))
+      .dropDuplicates(rightId) // a row may appear in several neighbor files
+      .withColumn("__margin", sphere.hpixCover(col(rightRa), col(rightDec), orderK, lit(dthreshDeg)))
+      .withColumn("__lpix", explode(col("__margin"))).drop("__margin")
+    val rp = r0.columns.filterNot(_ == "__lpix").foldLeft(r0)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
+
+    val joined = lm.join(rp, "__lpix")
+      .withColumn("_DIST", sphere.gcDist(col(leftRa), col(leftDec),
+        col(rightPrefix + rightRa), col(rightPrefix + rightDec)))
+      .filter(col("_DIST") < dthreshDeg)
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
+    joined.withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k).drop("__lpix")
+  }
+
   /**
    * Cone search with *file-level* pruning: the hive partition filter
    * on (Norder, Npix) restricts the scan to overlapping partitions

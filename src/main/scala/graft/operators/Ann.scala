@@ -29,20 +29,22 @@ object Ann {
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded), as literal columns. */
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal float-array columns. */
   private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
     val rnd = new scala.util.Random(seed)
     (0 until numPlanes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+      typedLit((0 until dim).map(_ => rnd.nextGaussian().toFloat).toArray)
     }
   }
 
-  /** Random-hyperplane signature (one bit per plane) of a vector column. */
+  /** Random-hyperplane signature (one bit per plane) of a vector column — codegen dot kernel. */
   def lshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val vd = transform(vec, x => x.cast("double"))
+    import org.apache.spark.sql.GraftBridge
+    val vf = vec.cast("array<float>")
     hyperplanes(numPlanes, dim, seed).zipWithIndex.map { case (plane, j) =>
-      when(aggregate(zip_with(vd, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) >= 0,
-        shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val dot = GraftBridge.column(graft.functions.DotProductExpr(
+        GraftBridge.expression(vf), GraftBridge.expression(plane)))
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

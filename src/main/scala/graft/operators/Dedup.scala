@@ -79,7 +79,11 @@ object Dedup {
                    numPerms: Int = 64, bands: Int = 8, minEstSim: Double = 0.5,
                    shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numPerms / bands
+    // signatures are tiny relative to the corpus (numPerms longs per
+    // doc); persist so the banded self-join doesn't recompute the
+    // shingle scan twice (the ContextCleaner reclaims it on GC)
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Source-catalog ingest — the input side of the reference partitioner
+ * (hipscat/partitioner.py:26: fmt csv/csv.gz/parquet/fits, ra_kw/
+ * dec_kw/id_kw column keywords, dtype overrides, skiprows, and
+ * positional column indices for headerless files;
+ * dask_utils.py:29 _gather_statistics_hpix_hist does the reading).
+ *
+ * Spark-first: csv/csv.gz/parquet are native distributed scans
+ * (csv.gz decompresses per-file; at scale prefer parquet or split
+ * csv). FITS has no public Spark datasource in this environment —
+ * `readFits` is a clearly-marked stub that validates the request and
+ * points at the table-HDU binary layout a full implementation reads.
+ */
+object CatalogReader {
+
+  final case class CatalogSpec(
+      fmt: String, // csv | csv.gz | parquet | fits
+      raKw: String = "ra",
+      decKw: String = "dec",
+      idKw: String = "source_id",
+      header: Boolean = true,
+      // positional fallbacks for headerless csv (reference: ra_kw as int)
+      raIdx: Int = -1, decIdx: Int = -1, idIdx: Int = -1,
+      skipRows: Int = 0,
+      dtypes: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None)
+
+  /**
+   * Read source files and normalize to a dataframe with canonical
+   * `ra`, `dec`, `id` columns (original columns retained).
+   */
+  def read(spark: SparkSession, paths: Seq[String], spec: CatalogSpec): DataFrame = {
+    val raw = spec.fmt match {
+      case "csv" | "csv.gz" =>
+        var r = spark.read
+          .option("header", spec.header.toString)
+          .option("inferSchema", spec.schema.isEmpty.toString)
+        spec.schema.foreach(s => r = r.schema(s))
+        if (spec.skipRows > 0) {
+          // distributed skip: csv has no skiprows option; read as text,
+          // drop the first rows of each FILE by line index, re-parse
+          val text = spark.read.textFile(paths: _*)
+            .withColumn("__f", input_file_name())
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("__f")
+            .orderBy(monotonically_increasing_id())
+          val body = text.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") > spec.skipRows)
+            .select("value")
+          r.csv(body.as[String](org.apache.spark.sql.Encoders.STRING))
+        } else r.csv(paths: _*)
+      case "parquet" => spark.read.parquet(paths: _*)
+      case "fits" => readFits(spark, paths)
+      case other => throw new IllegalArgumentException(
+        s"format '$other' not supported (csv, csv.gz, parquet, fits)")
+    }
+    val dtyped = spec.dtypes.foldLeft(raw) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+    val cols = dtyped.columns
+    def pick(kw: String, idx: Int): String =
+      if (cols.contains(kw)) kw
+      else if (idx >= 0 && idx < cols.length) cols(idx)
+      else throw new IllegalArgumentException(s"column '$kw' not found and no valid positional index")
+    dtyped
+      .withColumn("ra", col(pick(spec.raKw, spec.raIdx)).cast("double"))
+      .withColumn("dec", col(pick(spec.decKw, spec.decIdx)).cast("double"))
+      .withColumn("id", col(pick(spec.idKw, spec.idIdx)))
+  }
+
+  /**
+   * STUB: FITS binary-table reader. A production implementation
+   * parses the 2880-byte header units (NAXIS2 rows, TFORMn column
+   * formats) of HDU 1 and maps fixed-width records to rows — a
+   * binaryFiles + mapPartitions job. Out of scope in this container
+   * (no FITS test data); fails fast with a clear message.
+   */
+  def readFits(spark: SparkSession, paths: Seq[String]): DataFrame =
+    throw new UnsupportedOperationException(
+      "FITS ingest not available in this build: supply csv/csv.gz/parquet, " +
+        "or extend CatalogReader.readFits with a binary-table HDU parser")
+}

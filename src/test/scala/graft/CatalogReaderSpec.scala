@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.CatalogReader
+import graft.sources.CatalogReader.CatalogSpec
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+class CatalogReaderSpec extends SparkSpecBase {
+
+  private def writeTemp(name: String, content: String, gzip: Boolean = false): String = {
+    val dir = Files.createTempDirectory("graft_src")
+    val p = dir.resolve(name)
+    if (gzip) {
+      val out = new GZIPOutputStream(Files.newOutputStream(p))
+      out.write(content.getBytes("UTF-8")); out.close()
+    } else Files.writeString(p, content)
+    p.toString
+  }
+
+  test("csv ingest with keyword renames and dtype overrides") {
+    val p = writeTemp("cat.csv",
+      "RAJ2000,DEJ2000,objid,mag\n10.5,-20.25,7,15.2\n180.0,45.0,9,12.1\n")
+    val df = CatalogReader.read(spark, Seq(p),
+      CatalogSpec(fmt = "csv", raKw = "RAJ2000", decKw = "DEJ2000", idKw = "objid",
+        dtypes = Map("mag" -> "double")))
+    val rows = df.select("ra", "dec", "id").collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    assert(rows.toSeq == Seq((10.5, -20.25), (180.0, 45.0)))
+    assert(df.schema("mag").dataType.typeName == "double")
+  }
+
+  test("csv.gz ingest, headerless positional columns, skiprows") {
+    val p = writeTemp("cat2.csv.gz",
+      "# comment line to skip\n11.0,22.0,1\n33.0,44.0,2\n", gzip = true)
+    val df = CatalogReader.read(spark, Seq(p),
+      CatalogSpec(fmt = "csv.gz", header = false, raIdx = 0, decIdx = 1, idIdx = 2,
+        raKw = "_no", decKw = "_no", idKw = "_no", skipRows = 1))
+    val rows = df.select("ra", "dec").collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    assert(rows.toSeq == Seq((11.0, 22.0), (33.0, 44.0)))
+  }
+
+  test("parquet ingest keeps native columns") {
+    val df = CatalogReader.read(spark, Seq(sf("sf0.001") + "/customer.parquet"),
+      CatalogSpec(fmt = "parquet", raKw = "c_acctbal", decKw = "c_acctbal", idKw = "c_custkey"))
+    assert(df.count() == 150)
+    assert(df.columns.contains("ra") && df.columns.contains("id"))
+  }
+
+  test("fits fails fast with a clear message; unknown format rejected") {
+    assertThrows[UnsupportedOperationException] {
+      CatalogReader.read(spark, Seq("/tmp/x.fits"), CatalogSpec(fmt = "fits"))
+    }
+    assertThrows[IllegalArgumentException] {
+      CatalogReader.read(spark, Seq("/tmp/x.avro"), CatalogSpec(fmt = "avro"))
+    }
+  }
+}

@@ -38,6 +38,32 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("stored cross-match (catalog + neighbor files) equals in-flight crossMatchKnn") {
+    val out = java.nio.file.Files.createTempDirectory("graft_xm").toString
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey")))
+      .withColumn("cdec", sphere.decOf(col("c_custkey")))
+    val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
+      .withColumn("sra", sphere.raOf(col("s_suppkey")))
+      .withColumn("sdec", sphere.decOf(col("s_suppkey")))
+    HipsPartitioner.write(cust, "cra", "cdec", "c_custkey", out, "c1", orderK = 2, threshold = 100, marginDeg = 12.0)
+    HipsPartitioner.write(supp, "sra", "sdec", "s_suppkey", out, "c2", orderK = 2, threshold = 100, marginDeg = 12.0)
+
+    val stored = HipsCatalog.crossMatchStored(spark, out, "c1", "c2",
+      "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey", k = 2, dthreshDeg = 10.0, orderK = 2)
+      .select("c_custkey", "r_s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val inflight = graft.operators.Spatial.crossMatchKnn(cust, supp,
+      "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey",
+      k = 2, dthreshDeg = 10.0, leftPrefix = "", rightPrefix = "x_")
+      .select("c_custkey", "x_s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    assert(stored.toSeq == inflight.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("margin cache: rows land under foreign pixels within the margin") {
     val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
     val margins = HipsPartitioner.marginRows(li, "cra", "cdec", pm, marginDeg = 1.0)
