@@ -117,6 +117,26 @@ object QueryRegistry {
       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val q_sessionize = QueryDef(
+    (s, dir) => graft.streaming.Sessionize.batchSessions(events(s, dir))
+      .orderBy("user_id", "session_seq"),
+    Some(graft.streaming.Sessionize.batchSessionsSql + " ORDER BY user_id, session_seq"))
+
+  private val q_rollup = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("nation", "priority"),
+    Some("""SELECT coalesce(n_name, '(all)') AS nation, coalesce(o_orderpriority, '(all)') AS priority,
+      count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority"""))
+
   // ---------------------------------------------------------------- spatial
 
   private val gcd = sphere.gcDistSql("cra", "cdec", "180.0", "0.0")
@@ -295,6 +315,15 @@ object QueryRegistry {
     },
     None)
 
+  private val ann_ivf = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "vec_id", "embedding", "q_id", "q_vec", k = 5)
+        .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
+    },
+    None)
+
   private val text_langid = QueryDef(
     (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
       .select("doc_id", "lang", "pred_lang").orderBy("doc_id"),
@@ -334,6 +363,8 @@ object QueryRegistry {
     "q_window" -> q_window,
     "q_antijoin" -> q_antijoin,
     "events_window" -> events_window,
+    "q_sessionize" -> q_sessionize,
+    "q_rollup" -> q_rollup,
     "gc_dist" -> gc_dist,
     "gnomonic" -> gnomonic,
     "cone_search" -> cone_search,
@@ -350,6 +381,7 @@ object QueryRegistry {
     "dedup_cosine" -> dedup_cosine,
     "ann_bruteforce" -> ann_bruteforce,
     "ann_lsh" -> ann_lsh,
+    "ann_ivf" -> ann_ivf,
     "text_langid" -> text_langid,
     "text_quality" -> text_quality,
     "text_tokens" -> text_tokens,

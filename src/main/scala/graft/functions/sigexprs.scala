@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Per-row signature kernels: a document's MinHash / SimHash is a
+ * pure function of its shingle/token array, so computing it inside
+ * one codegen'd expression removes the explode + 64-aggregate
+ * shuffle entirely (signature generation becomes a map-only stage —
+ * the only shuffle left in near-dup detection is the band bucket
+ * join). This is the shape that survives 100 TB: O(tokens) work per
+ * row, no row multiplication.
+ */
+object SigKernels {
+
+  /** FNV-1a 64 with an avalanche finisher (splitmix64). Self-contained, stable. */
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    // splitmix64 finisher
+    h += 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Seeded odd multipliers/offsets for the universal-hash permutations. */
+  private def mixers(numPerms: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(0x5eed
+      * 1234567L)
+    val a = new Array[Long](numPerms)
+    val b = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) { a(i) = rnd.nextLong() | 1L; b(i) = rnd.nextLong(); i += 1 }
+    (a, b)
+  }
+  private val (mixA, mixB) = mixers(256) // supports numPerms <= 256
+
+  /** MinHash signature over a string array: one base hash per element, cheap mixes per permutation. */
+  def minhashSig(elems: ArrayData, numPerms: Int): ArrayData = {
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash64(elems.getUTF8String(i))
+      var j = 0
+      while (j < numPerms) {
+        val g = mixA(j) * h + mixB(j)
+        if (g < sig(j)) sig(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over a string array (sign of per-bit weighted counts). */
+  def simhash(elems: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash64(elems.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** minhash_sig(array<string>, numPerms) -> array<long> (codegen static call). */
+case class MinHashSigExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(elems: Any, numPerms: Any): Any =
+    SigKernels.minhashSig(elems.asInstanceOf[ArrayData], numPerms.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, n) =>
+      s"${ev.value} = graft.functions.SigKernels.minhashSig($e, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** simhash(array<string>) -> long (codegen static call). */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(elems: Any): Any =
+    SigKernels.simhash(elems.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e => s"graft.functions.SigKernels.simhash($e)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -49,6 +49,46 @@ object Ann {
   }
 
   /**
+   * IVF (inverted-file) ANN: a deterministic sample of corpus
+   * vectors acts as the centroid codebook; every corpus vector is
+   * assigned to its nearest centroid (one broadcast pass), queries
+   * probe the `nprobe` nearest cells and rank candidates by exact
+   * cosine. The 100 TB shape: the corpus is scanned once to build
+   * the cell assignment (which can be persisted alongside the data
+   * as a bucketing column), and each query touches only
+   * nprobe/nCells of the data.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, corpusVec: String,
+              queryId: String, queryVec: String,
+              k: Int, nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    // deterministic codebook: hash-sampled corpus vectors
+    val cents = corpus
+      .withColumn("__h", abs(xxhash64(col(corpusId))) % lit(1000000))
+      .orderBy(col("__h"), col(corpusId)).limit(nCells)
+      .select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+
+    def nearestCells(df: DataFrame, idC: String, vec: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("__csim", Dedup.cosine(col(vec), col("__cvec")))
+        .withColumn("__crn", row_number().over(
+          Window.partitionBy(col(idC)).orderBy(round(col("__csim"), 9).desc, col("__cid").asc)))
+        .filter(col("__crn") <= n)
+        .drop("__cvec", "__csim", "__crn")
+
+    val assigned = nearestCells(corpus, corpusId, corpusVec, 1) // cell per corpus vector
+    val probed = nearestCells(queries, queryId, queryVec, nprobe) // nprobe cells per query
+      .select(col("__cid"), col(queryId), col(queryVec))
+
+    val cand = assigned.join(broadcast(probed), "__cid")
+      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
+    cand.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rn"))
+  }
+
+  /**
    * LSH-bucketed ANN: candidates share the full signature bucket
    * (optionally banded for higher recall), ranked by exact cosine.
    */

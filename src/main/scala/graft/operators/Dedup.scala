@@ -11,10 +11,9 @@ import org.apache.spark.sql.functions._
  * on (band, signature) buckets, never an O(n^2) comparison.
  *
  * Scale notes (SURVEY.md §4): exact dedup is one hash aggregate with
- * map-side combine; minhash signatures are computed in a single
- * groupBy over exploded shingles (64 parallel min-aggregates, no
- * row explosion per permutation); banding keeps the self-join
- * bounded by bucket size.
+ * map-side combine; minhash/simhash signatures are per-row codegen
+ * kernels (map-only — no explode, no signature shuffle); banding
+ * keeps the candidate self-join bounded by bucket size.
  */
 object Dedup {
 
@@ -56,17 +55,17 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: `numPerms` permutations approximated by
-   * seeded xxhash64 of each shingle; the signature is the element-
-   * wise min. Single groupBy, one agg buffer per permutation.
+   * MinHash signature: one base hash per shingle, `numPerms` seeded
+   * universal-hash mixes, element-wise min — all inside a single
+   * per-row codegen kernel (graft.functions.MinHashSigExpr).
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerms: Int, shingleN: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
-    // one codegen'd min(xxhash64(seed_i, shingle)) aggregate per
-    // permutation — no array materialization, no interpreted lambdas
-    val mins = (0 until numPerms).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"m$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+    // per-row kernel: signature generation is map-only (no explode /
+    // groupBy shuffle) — see graft.functions.SigKernels
+    import org.apache.spark.sql.GraftBridge
+    df.select(col(idCol), GraftBridge.column(graft.functions.MinHashSigExpr(
+      GraftBridge.expression(shingles(col(textCol), shingleN)),
+      GraftBridge.expression(lit(numPerms)))).as("sig"))
   }
 
   /**
@@ -76,7 +75,7 @@ object Dedup {
    * reaches `minEstSim`. Bounded equi-join — the 100 TB scale path.
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   numPerms: Int = 64, bands: Int = 8, minEstSim: Double = 0.5,
+                   numPerms: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
                    shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numPerms / bands
     // signatures are tiny relative to the corpus (numPerms longs per
@@ -101,16 +100,11 @@ object Dedup {
       .select("id_a", "id_b", "est_sim").distinct()
   }
 
-  /** 64-bit SimHash from token hashes (sign of per-bit weighted sums). */
+  /** 64-bit SimHash from token hashes (sign of per-bit weighted sums) — per-row kernel, map-only. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(normalizeText(col(textCol)), " ")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    import org.apache.spark.sql.GraftBridge
+    df.select(col(idCol), GraftBridge.column(graft.functions.SimHashExpr(
+      GraftBridge.expression(split(normalizeText(col(textCol)), " ")))).as("simhash"))
   }
 
   /**
@@ -141,6 +135,7 @@ object Dedup {
                    blockCols: Seq[String], n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sh = df.select((blockCols :+ idCol).map(col) :+ shingles(col(textCol), n).as("sh"): _*)
       .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides share one shingle scan
     val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a") :+ col("sz").as("sz_a"): _*)
     val b = sh.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b") :+ col("sz").as("sz_b"): _*)
     a.join(b, blockCols)

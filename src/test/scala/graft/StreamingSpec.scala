@@ -22,4 +22,65 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.toSeq == batch.toSeq)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
+
+  test("stateful streaming sessionization matches the batch query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+
+    // batch truth on the real events
+    val batch = graft.streaming.Sessionize
+      .batchSessions(QueryRegistryTestAccess.events(spark, dir))
+      .select("user_id", "session_seq", "session_start", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sorted
+
+    // file 1: the real events; file 2: far-future sentinels that push
+    // the watermark past every real session so all of them close
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/00_events.parquet"))
+    val maxNanos = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(col("ts").cast("long"))).collect()(0).getLong(0)
+    spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxNanos + 86400L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.parquet(s"$streamDir/zz_sentinel")
+    // move sentinel parquet up (file source reads the dir non-recursively per glob)
+    val sent = new java.io.File(s"$streamDir/zz_sentinel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(sent.toPath, java.nio.file.Paths.get(s"$streamDir/01_sentinel.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$streamDir/zz_sentinel"))
+
+    val src = graft.streaming.EventStream.readEvents(spark, streamDir)
+      .withWatermark("ts", "0 seconds")
+    val q = graft.streaming.Sessionize.streamSessions(spark, src)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sess_test")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sorted
+
+    assert(streamed.toSeq == batch.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+}
+
+/** Test access to the registry's event-table normalization. */
+object QueryRegistryTestAccess {
+  def events(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
 }
