@@ -65,6 +65,36 @@ object SigKernels {
     new GenericArrayData(sig)
   }
 
+  /** Sorted distinct 64-bit hashes of a string array (for merge-based set ops). */
+  def sortedHashes(elems: ArrayData): ArrayData = {
+    val n = elems.numElements()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = hash64(elems.getUTF8String(i)); i += 1 }
+    java.util.Arrays.sort(h)
+    // dedup in place (collisions aside, inputs are usually distinct already)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || h(i) != h(w - 1)) { h(w) = h(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) h else java.util.Arrays.copyOf(h, w))
+  }
+
+  /** |A ∩ B| of two sorted long arrays by linear merge. */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over a string array (sign of per-bit weighted counts). */
   def simhash(elems: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -87,6 +117,36 @@ object SigKernels {
     }
     out
   }
+}
+
+/** sorted_hashes(array<string>) -> sorted array<long> of distinct element hashes. */
+case class SortedHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_hashes"
+
+  override protected def nullSafeEval(elems: Any): Any =
+    SigKernels.sortedHashes(elems.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e =>
+      s"${ev.value} = graft.functions.SigKernels.sortedHashes($e);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** intersect_count(sortedA, sortedB) -> int via linear merge (no per-pair hash sets). */
+case class IntersectCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigKernels.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigKernels.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** minhash_sig(array<string>, numPerms) -> array<long> (codegen static call). */

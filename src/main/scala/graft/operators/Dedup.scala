@@ -133,7 +133,13 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select((blockCols :+ idCol).map(col) :+ shingles(col(textCol), n).as("sh"): _*)
+    import org.apache.spark.sql.GraftBridge
+    // each doc's shingle set becomes a sorted array of 64-bit hashes
+    // once; per-pair intersection is then a linear long-merge kernel
+    // instead of a per-pair string hash set (profiled ~5x faster)
+    val sh = df.select((blockCols :+ idCol).map(col) :+
+        GraftBridge.column(graft.functions.SortedHashesExpr(
+          GraftBridge.expression(shingles(col(textCol), n)))).as("sh"): _*)
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides share one shingle scan
     val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a") :+ col("sz").as("sz_a"): _*)
@@ -142,7 +148,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       // size bound: J <= min/max, so prune before the set intersection
       .filter(least(col("sz_a"), col("sz_b")) >= lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", GraftBridge.column(graft.functions.IntersectCountExpr(
+        GraftBridge.expression(col("sh_a")), GraftBridge.expression(col("sh_b")))))
       // |a ∪ b| = |a| + |b| - |a ∩ b| (shingle arrays are distinct)
       .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -35,7 +35,25 @@ object Spatial {
                  order: Int = 4, pixCol: Option[String] = None): DataFrame = {
     val cover = Healpix.queryDiscCover(order, raDeg, decDeg, radiusDeg)
     val pix: Column = pixCol.map(col).getOrElse(sphere.hpix(col(raCol), col(decCol), order))
-    df.filter(pix.isin(cover.map(Long.box).toIndexedSeq: _*))
+    val pruned = df.filter(pix.isin(cover.map(Long.box).toIndexedSeq: _*))
+    // conservative bounding-box prefilters: redundant with the exact
+    // distance filter, but when ra/dec are STORED columns these are
+    // plain range predicates that reach the parquet scan and prune
+    // row groups via min/max stats (decisive at 100 TB)
+    val decLo = decDeg - radiusDeg
+    val decHi = decDeg + radiusDeg
+    val boxed0 = pruned.filter(col(decCol) >= decLo && col(decCol) <= decHi)
+    val maxAbsDec = math.max(math.abs(decLo), math.abs(decHi))
+    val sinRatio = math.sin(math.toRadians(radiusDeg)) / math.cos(math.toRadians(math.min(89.9, maxAbsDec)))
+    val boxed =
+      if (maxAbsDec < 89.0 && sinRatio < 1.0) {
+        // exact meridian bound: max |Δra| = asin(sin r / cos decMax); +1e-6 deg guard
+        val raHalf = math.toDegrees(math.asin(sinRatio)) + 1e-6
+        if (raDeg - raHalf > 0 && raDeg + raHalf < 360) // skip on wrap-around
+          boxed0.filter(col(raCol) >= raDeg - raHalf && col(raCol) <= raDeg + raHalf)
+        else boxed0
+      } else boxed0
+    boxed
       .withColumn("_DIST", sphere.gcDist(col(raCol), col(decCol), lit(raDeg), lit(decDeg)))
       .filter(col("_DIST") < radiusDeg)
   }
@@ -56,18 +74,28 @@ object Spatial {
                     rightRa: String, rightDec: String, rightId: String,
                     k: Int, dthreshDeg: Double,
                     order: Int = -1,
-                    leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+                    leftPrefix: String = "l_", rightPrefix: String = "r_",
+                    saltBuckets: Int = 1): DataFrame = {
     val o = if (order >= 0) order else autoOrder(dthreshDeg)
 
     val lp = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, leftPrefix + c))
     val rp = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
 
-    val l = lp.withColumn("__pix", sphere.hpix(col(leftPrefix + leftRa), col(leftPrefix + leftDec), o))
+    var l = lp.withColumn("__pix", sphere.hpix(col(leftPrefix + leftRa), col(leftPrefix + leftDec), o))
     // bounded margin explode: every pixel possibly within dthresh of the right point
-    val r = rp.withColumn("__pix",
+    var r = rp.withColumn("__pix",
       explode(sphere.hpixCover(col(rightPrefix + rightRa), col(rightPrefix + rightDec), o, lit(dthreshDeg))))
 
-    val joined = l.join(r, "__pix")
+    // optional skew salting (galactic-plane-style hot pixels): left
+    // rows spread over S sub-keys, right candidates replicated S x —
+    // same join result, S x the parallelism on the hottest pixel
+    val joinKeys = if (saltBuckets > 1) {
+      l = l.withColumn("__salt", pmod(xxhash64(col(leftPrefix + leftId)), lit(saltBuckets)))
+      r = r.withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+      Seq("__pix", "__salt")
+    } else Seq("__pix")
+
+    val joined = l.join(r, joinKeys)
       .withColumn("_DIST", sphere.gcDist(
         col(leftPrefix + leftRa), col(leftPrefix + leftDec),
         col(rightPrefix + rightRa), col(rightPrefix + rightDec)))
@@ -82,6 +110,7 @@ object Spatial {
       .withColumn("hips_k", lit(o))
       .withColumnRenamed("__pix", "hips_pix")
       .withColumnRenamed("__rn", "_RANK")
+      .drop("__salt")
   }
 
   /** Largest order whose pixels are still ≥ ~2x dthresh wide. */

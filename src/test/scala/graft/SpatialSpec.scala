@@ -57,6 +57,18 @@ class SpatialSpec extends SparkSpecBase {
     }
   }
 
+  test("salted cross-match equals unsalted (skew mitigation is result-invariant)") {
+    val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
+      .withColumn("sra", sphere.raOf(col("s_suppkey")))
+      .withColumn("sdec", sphere.decOf(col("s_suppkey")))
+    def run(salt: Int) = Spatial.crossMatchKnn(cust, supp,
+      "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey",
+      k = 2, dthreshDeg = 20.0, leftPrefix = "", rightPrefix = "x_", saltBuckets = salt)
+      .select(col("c_custkey"), col("x_s_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(1) == run(4))
+  }
+
   test("spatialIndex: high bits hold the order-20 pixel, ranks dense per pixel") {
     val idx = Spatial.spatialIndex(cust, "cra", "cdec", 20)
       .select(col("cra"), col("cdec"), col("_ID")).collect()
