@@ -28,14 +28,16 @@ object sphere {
       GraftBridge.expression(lit(order)), GraftBridge.expression(radiusDeg.cast("double"))))
 
   /**
-   * Great-circle distance in degrees (haversine). Formula kept
-   * textually identical to the DuckDB oracle SQL so both engines
-   * evaluate the same expression tree.
+   * Great-circle distance in degrees (haversine) — native codegen
+   * expression (GcDistExpr); its kernel mirrors the DuckDB oracle
+   * SQL's operation order so both engines agree to the last ulp,
+   * and the optimizer rule graft.plans.SpatialFilterPushdown can
+   * pattern-match it to derive scan-pushable bounding predicates.
    */
   def gcDist(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column =
-    lit(2.0) * degrees(asin(least(lit(1.0), sqrt(
-      pow(sin(radians(dec1 - dec2) / 2), 2) +
-        cos(radians(dec1)) * cos(radians(dec2)) * pow(sin(radians(ra1 - ra2) / 2), 2)))))
+    GraftBridge.column(GcDistExpr(
+      GraftBridge.expression(ra1.cast("double")), GraftBridge.expression(dec1.cast("double")),
+      GraftBridge.expression(ra2.cast("double")), GraftBridge.expression(dec2.cast("double"))))
 
   /** SQL text of gcDist for DuckDB oracles (same formula, same order of ops). */
   def gcDistSql(ra1: String, dec1: String, ra2: String, dec2: String): String =

@@ -13,6 +13,7 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpecBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions.install)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
