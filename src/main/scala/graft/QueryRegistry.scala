@@ -117,6 +117,50 @@ object QueryRegistry {
       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** TPC-H Q3 pattern: shipping-priority top-10 over a 3-way join. */
+  private val q3_shipping = QueryDef(
+    (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10),
+    Some("""SELECT l_orderkey, revenue, odate, o_orderpriority FROM (
+      SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** TPC-H Q5 pattern: revenue by nation across a 6-table star join. */
+  private val q5_local = QueryDef(
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
   private val q_sessionize = QueryDef(
     (s, dir) => graft.streaming.Sessionize.batchSessions(events(s, dir))
       .orderBy("user_id", "session_seq"),
@@ -365,6 +409,8 @@ object QueryRegistry {
     "events_window" -> events_window,
     "q_sessionize" -> q_sessionize,
     "q_rollup" -> q_rollup,
+    "q3_shipping" -> q3_shipping,
+    "q5_local" -> q5_local,
     "gc_dist" -> gc_dist,
     "gnomonic" -> gnomonic,
     "cone_search" -> cone_search,
