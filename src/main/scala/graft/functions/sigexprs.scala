@@ -95,6 +95,17 @@ object SigKernels {
     c
   }
 
+  /** Positional equal-element count of two equal-length long arrays. */
+  def matchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over a string array (sign of per-bit weighted counts). */
   def simhash(elems: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -144,6 +155,21 @@ case class IntersectCountExpr(left: Expression, right: Expression) extends Binar
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigKernels.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** match_count(sigA, sigB) -> int: positional equality count (signature agreement). */
+case class MatchCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigKernels.matchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigKernels.matchCount($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

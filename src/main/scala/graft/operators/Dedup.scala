@@ -85,17 +85,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash"))
     a.join(b, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .withColumn("est_sim",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / numPerms)
+      .withColumn("est_sim", {
+        import org.apache.spark.sql.GraftBridge
+        GraftBridge.column(graft.functions.MatchCountExpr(
+          GraftBridge.expression(col("sig_a")), GraftBridge.expression(col("sig_b"))))
+          .cast("double") / numPerms
+      })
       .filter(col("est_sim") >= minEstSim)
       .select("id_a", "id_b", "est_sim").distinct()
   }

@@ -43,6 +43,14 @@ object EventStream {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /**
+   * Streaming exact dedup: drop duplicate event_ids within the
+   * watermark horizon (the streaming face of Dedup.exactDedup —
+   * state is bounded by the watermark).
+   */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
+  /**
    * Run the windowed aggregation over whatever is in `dir` right now
    * (AvailableNow trigger) into an in-memory table; returns the
    * result. Used by tests to assert batch parity.

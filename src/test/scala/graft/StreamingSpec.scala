@@ -23,6 +23,31 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming dedup drops duplicate event ids (watermark-bounded state)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    // duplicate the whole file: every event_id appears twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/b.parquet"))
+
+    val q = graft.streaming.EventStream.dedupStream(
+      graft.streaming.EventStream.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("dd_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val n = spark.table("dd_test").count()
+    val distinct = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(n == distinct, s"dedup stream must emit each event_id once ($n vs $distinct)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("stateful streaming sessionization matches the batch query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
