@@ -88,6 +88,11 @@ object HipsPartitioner {
   /**
    * Columns (Norder, Dir, Npix) for each row given a partition map.
    * The map is broadcast via the closure (bounded: 12*4^k ints).
+   *
+   * Dir = floor(Npix / 10000) * 10000 — the hipscat layout intent.
+   * (The reference's float expression `(pix / 10_000) * 10_000`
+   * evaluates to pix itself, dask_utils.py:123; we implement the
+   * intended integer bucketing.)
    */
   def withPartitionColumns(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap): DataFrame = {
     val spark = df.sparkSession
@@ -153,13 +158,17 @@ object HipsPartitioner {
       .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
       .parquet(s"$outputDir/$catname/neighbor")
 
+    // metadata JSON with the reference's key set ({cat}_meta.json,
+    // partitioner.py:350 write_structure_metadata) so downstream
+    // hipscat tooling can read the layout
+    val nSources = df.count()
     val hips = pm.pixelsAtOrders.toSeq.sortBy(_._1)
       .map { case (o, ps) => s""""$o": [${ps.mkString(",")}]""" }.mkString("{", ",", "}")
     val meta =
       s"""{"cat_name": "$catname", "ra_kw": "$raCol", "dec_kw": "$decCol", "id_kw": "$idCol",
-         | "pix_threshold": $threshold, "order_k": $orderK, "margin_deg": $marginDeg,
-         | "hips": $hips}""".stripMargin
-    val p = new java.io.File(s"$outputDir/$catname/_graft_meta.json")
+         | "n_sources": $nSources, "pix_threshold": $threshold, "order_k": $orderK,
+         | "margin_deg": $marginDeg, "hips": $hips}""".stripMargin
+    val p = new java.io.File(s"$outputDir/$catname/${catname}_meta.json")
     p.getParentFile.mkdirs()
     java.nio.file.Files.writeString(p.toPath, meta)
     pm

@@ -72,6 +72,19 @@ object CatalogReader {
   }
 
   /**
+   * Extract catalog file URLs from an HTML directory listing —
+   * the reference's `util.get_cat_urls` (util.py:374) without the
+   * network fetch (zero-egress here): pass the fetched HTML in.
+   */
+  def parseCatalogLinks(html: String, baseUrl: String, fmt: String): Seq[String] = {
+    val href = """href\s*=\s*["']([^"']+)["']""".r
+    href.findAllMatchIn(html).map(_.group(1))
+      .filter(_.endsWith(fmt))
+      .map(h => if (h.startsWith("http")) h else baseUrl + h)
+      .toSeq
+  }
+
+  /**
    * STUB: FITS binary-table reader. A production implementation
    * parses the 2880-byte header units (NAXIS2 rows, TFORMn column
    * formats) of HDU 1 and maps fixed-width records to rows — a

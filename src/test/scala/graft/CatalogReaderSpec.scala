@@ -45,6 +45,20 @@ class CatalogReaderSpec extends SparkSpecBase {
     assert(df.columns.contains("ra") && df.columns.contains("id"))
   }
 
+  test("parseCatalogLinks extracts matching hrefs from an HTML listing") {
+    val html = """<html><body>
+      <a href="GaiaSource_000.csv.gz">a</a>
+      <a href='GaiaSource_001.csv.gz'>b</a>
+      <a href="readme.txt">c</a>
+      <a href="http://cdn.example/abs_002.csv.gz">d</a>
+      </body></html>"""
+    val urls = CatalogReader.parseCatalogLinks(html, "http://cdn.example/gaia/", ".csv.gz")
+    assert(urls == Seq(
+      "http://cdn.example/gaia/GaiaSource_000.csv.gz",
+      "http://cdn.example/gaia/GaiaSource_001.csv.gz",
+      "http://cdn.example/abs_002.csv.gz"))
+  }
+
   test("fits fails fast with a clear message; unknown format rejected") {
     assertThrows[UnsupportedOperationException] {
       CatalogReader.read(spark, Seq("/tmp/x.fits"), CatalogSpec(fmt = "fits"))

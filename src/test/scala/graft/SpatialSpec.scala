@@ -57,6 +57,19 @@ class SpatialSpec extends SparkSpecBase {
     }
   }
 
+  test("cone search at the pole and across the ra wrap equals brute force") {
+    for ((ra0, dec0, radius) <- Seq((100.0, 89.0, 3.0), (100.0, -88.5, 5.0),
+        (0.5, 10.0, 8.0), (359.2, -30.0, 12.0), (180.0, 90.0, 2.0))) {
+      val pruned = Spatial.coneSearch(cust, "cra", "cdec", ra0, dec0, radius, order = 4)
+        .select("c_custkey").collect().map(_.getLong(0)).sorted
+      val brute = cust
+        .withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(ra0), lit(dec0)))
+        .filter(col("d") < radius)
+        .select("c_custkey").collect().map(_.getLong(0)).sorted
+      assert(pruned.toSeq == brute.toSeq, s"center=($ra0,$dec0) radius=$radius")
+    }
+  }
+
   test("salted cross-match equals unsalted (skew mitigation is result-invariant)") {
     val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
       .withColumn("sra", sphere.raOf(col("s_suppkey")))
