@@ -192,19 +192,42 @@ object HipsCatalog {
   }
 
   /**
+   * Partition grid of a written catalog as an order-k lookup array
+   * (order-k pixel -> assigned order), reconstructed from the hive
+   * directory structure. Bounded: 12*4^k ints.
+   */
+  def partitionGrid(outputDir: String, catname: String, orderK: Int): Array[Int] = {
+    val root = new java.io.File(s"$outputDir/$catname/catalog")
+    val orders = Array.fill(Healpix.npix(orderK).toInt)(-1)
+    for {
+      od <- Option(root.listFiles()).getOrElse(Array.empty)
+      if od.getName.startsWith("Norder=")
+      o = od.getName.stripPrefix("Norder=").toInt
+      dd <- od.listFiles()
+      pd <- dd.listFiles()
+      if pd.getName.startsWith("Npix=")
+      p = pd.getName.stripPrefix("Npix=").toLong
+    } {
+      val lo = (p << (2 * (orderK - o))).toInt
+      val n = 1 << (2 * (orderK - o))
+      var i = 0
+      while (i < n) { orders(lo + i) = o; i += 1 }
+    }
+    orders
+  }
+
+  /**
    * Catalog-level kNN cross-match consuming the PERSISTED margin
    * cache — the reference's stored-neighbor semantics
-   * (catalog.py:144 cross_match + dask_utils.py:367: per partition
-   * pixel, match left rows against right catalog rows of that pixel
-   * plus the pixel's neighbor file; like the reference, matches
-   * beyond the margin radius are not found, so choose
-   * marginDeg >= dthresh at write time for exactness).
-   *
-   * Both catalogs must have been written by HipsPartitioner.write
-   * with the same orderK. The join key is the left catalog's stored
-   * (Norder, Npix): right rows are re-pixelized to the left's grid
-   * on the fly (util.map_catalog_hips's hierarchy alignment,
-   * re-expressed as an equi-join after re-binning).
+   * (catalog.py:144 cross_match + dask_utils.py:367): per right-
+   * catalog partition pixel, candidates are that pixel's catalog
+   * rows plus its neighbor-file rows; left rows are assigned to the
+   * right catalog's partition pixel containing them (the hierarchy
+   * alignment of util.map_catalog_hips, as one equi-join key).
+   * No per-row disc cover at query time — that work was done once
+   * at write time. Like the reference, matches beyond the stored
+   * margin radius are not found: choose marginDeg >= dthresh at
+   * write time for exactness (asserted in ScalaTest).
    */
   def crossMatchStored(spark: SparkSession, outputDir: String,
                        leftCat: String, rightCat: String,
@@ -215,27 +238,32 @@ object HipsCatalog {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.sphere
 
+    // assign each left row to the RIGHT catalog's partition pixel
+    val bc = spark.sparkContext.broadcast(partitionGrid(outputDir, rightCat, orderK))
+    val toRightPixel = udf { (ra: Double, dec: Double) =>
+      val pixK = Healpix.ang2pixNest(orderK, ra, dec)
+      val o = bc.value(pixK.toInt)
+      if (o < 0) -1L else pixK >> (2 * (orderK - o))
+    }
     val lm = load(spark, outputDir, leftCat)
-      .withColumn("__lpix", sphere.hpix(col(leftRa), col(leftDec), orderK))
+      .withColumn("__jpix", toRightPixel(col(leftRa).cast("double"), col(leftDec).cast("double")))
 
     def prep(df: DataFrame): DataFrame = {
       val cols = df.columns.filterNot(Seq("Norder", "Dir", "Npix").contains)
-      df.select(cols.map(col): _*)
+      df.select((cols.map(col) :+ col("Npix").as("__jpix")): _*)
     }
-    // right side: own catalog rows + margin replicas, re-binned to order-k
-    val r0 = prep(loadNeighbors(spark, outputDir, rightCat)).unionByName(prep(load(spark, outputDir, rightCat)))
-      .dropDuplicates(rightId) // a row may appear in several neighbor files
-      .withColumn("__margin", sphere.hpixCover(col(rightRa), col(rightDec), orderK, lit(dthreshDeg)))
-      .withColumn("__lpix", explode(col("__margin"))).drop("__margin")
-    val rp = r0.columns.filterNot(_ == "__lpix").foldLeft(r0)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
+    // right candidates per pixel: home rows + stored margin replicas
+    val r0 = prep(load(spark, outputDir, rightCat))
+      .unionByName(prep(loadNeighbors(spark, outputDir, rightCat)))
+    val rp = r0.columns.filterNot(_ == "__jpix").foldLeft(r0)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
 
-    val joined = lm.join(rp, "__lpix")
+    val joined = lm.join(rp, "__jpix")
       .withColumn("_DIST", sphere.gcDist(col(leftRa), col(leftDec),
         col(rightPrefix + rightRa), col(rightPrefix + rightDec)))
       .filter(col("_DIST") < dthreshDeg)
     val w = Window.partitionBy(col(leftId))
       .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
-    joined.withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k).drop("__lpix")
+    joined.withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k).drop("__jpix")
   }
 
   /**

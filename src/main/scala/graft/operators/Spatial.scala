@@ -113,10 +113,10 @@ object Spatial {
       .drop("__salt")
   }
 
-  /** Largest order whose pixels are still ≥ ~2x dthresh wide. */
+  /** Largest order whose pixels are still ≥ ~2x dthresh wide (arcsec thresholds reach order ~18). */
   def autoOrder(dthreshDeg: Double): Int = {
     var o = 0
-    while (o < 12 && math.toDegrees(Healpix.maxPixRad(o + 1)) >= 2 * dthreshDeg) o += 1
+    while (o < 18 && math.toDegrees(Healpix.maxPixRad(o + 1)) >= 2 * dthreshDeg) o += 1
     o
   }
 
