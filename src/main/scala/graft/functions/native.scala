@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+
+/**
+ * Column-API facade over the graft codegen kernels — one named
+ * constructor per custom Catalyst expression (these also exist as
+ * SQL functions via [[graft.plans.GraftExtensions]]).
+ */
+object native {
+  private def c1(f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(a: Column): Column =
+    GraftBridge.column(f(GraftBridge.expression(a)))
+  private def c2(f: (org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.catalyst.expressions.Expression) => org.apache.spark.sql.catalyst.expressions.Expression)(a: Column, b: Column): Column =
+    GraftBridge.column(f(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Distinct word n-grams of normalized text (WordShinglesExpr). */
+  def wordShingles(normText: Column, n: Column): Column = c2(WordShinglesExpr.apply)(normText, n)
+  /** Cosine similarity of float vectors (CosineSimExpr). */
+  def cosineSim(a: Column, b: Column): Column = c2(CosineSimExpr.apply)(a.cast("array<float>"), b.cast("array<float>"))
+  /** Dot product of float vectors (DotProductExpr). */
+  def dot(a: Column, b: Column): Column = c2(DotProductExpr.apply)(a.cast("array<float>"), b.cast("array<float>"))
+  /** MinHash signature of a shingle array (MinHashSigExpr). */
+  def minhashSig(shingles: Column, numPerms: Column): Column = c2(MinHashSigExpr.apply)(shingles, numPerms)
+  /** 64-bit SimHash of a token array (SimHashExpr). */
+  def simhash(tokens: Column): Column = c1(SimHashExpr.apply)(tokens)
+  /** Sorted distinct element hashes (SortedHashesExpr). */
+  def sortedHashes(elems: Column): Column = c1(SortedHashesExpr.apply)(elems)
+  /** Linear-merge intersection count of sorted hash arrays (IntersectCountExpr). */
+  def intersectCount(a: Column, b: Column): Column = c2(IntersectCountExpr.apply)(a, b)
+  /** Positional signature agreement count (MatchCountExpr). */
+  def matchCount(a: Column, b: Column): Column = c2(MatchCountExpr.apply)(a, b)
+}

@@ -38,15 +38,10 @@ object Ann {
   }
 
   /** Random-hyperplane signature (one bit per plane) of a vector column — codegen dot kernel. */
-  def lshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    import org.apache.spark.sql.GraftBridge
-    val vf = vec.cast("array<float>")
+  def lshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
     hyperplanes(numPlanes, dim, seed).zipWithIndex.map { case (plane, j) =>
-      val dot = GraftBridge.column(graft.functions.DotProductExpr(
-        GraftBridge.expression(vf), GraftBridge.expression(plane)))
-      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(graft.functions.native.dot(vec, plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /**
    * IVF (inverted-file) ANN: a deterministic sample of corpus

@@ -48,11 +48,8 @@ object Dedup {
    * function pipeline (transform+slice+array_join) runs interpreted
    * and profiled ~8x slower at sf0.1.
    */
-  def shingles(text: Column, n: Int): Column = {
-    import org.apache.spark.sql.GraftBridge
-    GraftBridge.column(graft.functions.WordShinglesExpr(
-      GraftBridge.expression(normalizeText(text)), GraftBridge.expression(lit(n))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.native.wordShingles(normalizeText(text), lit(n))
 
   /**
    * MinHash signature: one base hash per shingle, `numPerms` seeded
@@ -62,10 +59,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerms: Int, shingleN: Int = 3): DataFrame = {
     // per-row kernel: signature generation is map-only (no explode /
     // groupBy shuffle) — see graft.functions.SigKernels
-    import org.apache.spark.sql.GraftBridge
-    df.select(col(idCol), GraftBridge.column(graft.functions.MinHashSigExpr(
-      GraftBridge.expression(shingles(col(textCol), shingleN)),
-      GraftBridge.expression(lit(numPerms)))).as("sig"))
+    df.select(col(idCol),
+      graft.functions.native.minhashSig(shingles(col(textCol), shingleN), lit(numPerms)).as("sig"))
   }
 
   /**
@@ -93,21 +88,16 @@ object Dedup {
     a.join(b, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .withColumn("est_sim", {
-        import org.apache.spark.sql.GraftBridge
-        GraftBridge.column(graft.functions.MatchCountExpr(
-          GraftBridge.expression(col("sig_a")), GraftBridge.expression(col("sig_b"))))
-          .cast("double") / numPerms
-      })
+      .withColumn("est_sim",
+        graft.functions.native.matchCount(col("sig_a"), col("sig_b")).cast("double") / numPerms)
       .filter(col("est_sim") >= minEstSim)
       .select("id_a", "id_b", "est_sim").distinct()
   }
 
   /** 64-bit SimHash from token hashes (sign of per-bit weighted sums) — per-row kernel, map-only. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    df.select(col(idCol), GraftBridge.column(graft.functions.SimHashExpr(
-      GraftBridge.expression(split(normalizeText(col(textCol)), " ")))).as("simhash"))
+    df.select(col(idCol),
+      graft.functions.native.simhash(split(normalizeText(col(textCol)), " ")).as("simhash"))
   }
 
   /**
@@ -136,13 +126,11 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
     // each doc's shingle set becomes a sorted array of 64-bit hashes
     // once; per-pair intersection is then a linear long-merge kernel
     // instead of a per-pair string hash set (profiled ~5x faster)
     val sh = df.select((blockCols :+ idCol).map(col) :+
-        GraftBridge.column(graft.functions.SortedHashesExpr(
-          GraftBridge.expression(shingles(col(textCol), n)))).as("sh"): _*)
+        graft.functions.native.sortedHashes(shingles(col(textCol), n)).as("sh"): _*)
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides share one shingle scan
     val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a") :+ col("sz").as("sz_a"): _*)
@@ -151,8 +139,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       // size bound: J <= min/max, so prune before the set intersection
       .filter(least(col("sz_a"), col("sz_b")) >= lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
-      .withColumn("inter", GraftBridge.column(graft.functions.IntersectCountExpr(
-        GraftBridge.expression(col("sh_a")), GraftBridge.expression(col("sh_b")))))
+      .withColumn("inter", graft.functions.native.intersectCount(col("sh_a"), col("sh_b")))
       // |a ∪ b| = |a| + |b| - |a ∩ b| (shingle arrays are distinct)
       .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -164,11 +151,7 @@ object Dedup {
    * codegen kernel with double accumulation (sequential element
    * order — matches the DuckDB oracle's explicit fold).
    */
-  def cosine(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.GraftBridge
-    GraftBridge.column(graft.functions.CosineSimExpr(
-      GraftBridge.expression(a.cast("array<float>")), GraftBridge.expression(b.cast("array<float>"))))
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.native.cosineSim(a, b)
 
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
