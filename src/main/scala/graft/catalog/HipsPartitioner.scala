@@ -142,8 +142,14 @@ object HipsPartitioner {
 
   /**
    * Full partitioned-catalog write: catalog/ + neighbor/ hive trees
-   * plus a `_graft_meta.json` (reference: metadata.json +
-   * write_structure_metadata, partitioner.py:350).
+   * plus a `{cat}_meta.json` (reference: write_structure_metadata,
+   * partitioner.py:350).
+   *
+   * Deviation: no parquet `_metadata`/`_common_metadata` summary
+   * files (partitioner.py:373) — those serialize every footer
+   * through one writer, which is exactly what breaks at 100 TB
+   * (Spark removed summary-file support for this reason); the JSON
+   * partition map + hive layout carry the same information.
    */
   def write(df: DataFrame, raCol: String, decCol: String, idCol: String,
             outputDir: String, catname: String,

@@ -200,6 +200,8 @@ object Healpix {
     while (i < 12) { frontier(i) = i.toLong; i += 1 }
     var o = 0
     while (o <= order) {
+      require(frontier.length <= (4 << 20),
+        s"disc cover too large (order=$order radius=$radiusDeg): use a coarser order for wide discs")
       val bound = radiusDeg + math.toDegrees(maxPixRad(o))
       val keep = new scala.collection.mutable.ArrayBuffer[Long](frontier.length)
       var j = 0

@@ -44,7 +44,11 @@ object CatalogReader {
         spec.schema.foreach(s => r = r.schema(s))
         if (spec.skipRows > 0) {
           // distributed skip: csv has no skiprows option; read as text,
-          // drop the first rows of each FILE by line index, re-parse
+          // drop the first rows of each FILE by line index, re-parse.
+          // Caveat: line numbering relies on per-file partition order,
+          // which holds for unsplittable inputs (csv.gz) and
+          // single-partition files — the reference's use case
+          // (skipping header metadata lines, partitioner.py skiprows).
           val text = spark.read.textFile(paths: _*)
             .withColumn("__f", input_file_name())
           val w = org.apache.spark.sql.expressions.Window.partitionBy("__f")
