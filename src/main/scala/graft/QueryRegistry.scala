@@ -103,7 +103,7 @@ object QueryRegistry {
    */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private val events_window = QueryDef(
@@ -160,6 +160,19 @@ object QueryRegistry {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** Semi-structured: JSON property extraction + aggregate over events.props. */
+  private val q_json = QueryDef(
+    (s, dir) => events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+      min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
 
   private val q_sessionize = QueryDef(
     (s, dir) => graft.streaming.Sessionize.batchSessions(events(s, dir))
@@ -306,9 +319,12 @@ object QueryRegistry {
 
   private val jaccardShinglesSql: String = {
     val norm = Dedup.normalizeTextSql("text")
-    s"""(SELECT doc_id, lang, source, list_distinct(list_transform(
-        range(1, len(string_split($norm, ' ')) - 1),
-        i -> array_to_string(string_split($norm, ' ')[i:i+2], ' '))) AS sh FROM documents)"""
+    // matches WordShinglesExpr exactly, incl. the <n-token case
+    // (single whole-text shingle rather than an empty set)
+    s"""(SELECT doc_id, lang, source, list_distinct(
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        FROM (SELECT doc_id, lang, source, string_split($norm, ' ') AS toks FROM documents))"""
   }
 
   private val dedup_jaccard = QueryDef(
@@ -408,6 +424,7 @@ object QueryRegistry {
     "q_antijoin" -> q_antijoin,
     "events_window" -> events_window,
     "q_sessionize" -> q_sessionize,
+    "q_json" -> q_json,
     "q_rollup" -> q_rollup,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,

@@ -32,16 +32,19 @@ import org.apache.spark.sql.functions._
 object HipsPartitioner {
 
   /** order-k pixel -> assigned order; derived partition pixel = pixK >> 2*(k-order). */
-  final case class PartitionMap(orderK: Int, orders: Array[Int]) {
+  final case class PartitionMap(orderK: Int, orders: Array[Int], hist: Array[Long]) {
     def assignedOrder(pixK: Long): Int = orders(pixK.toInt)
     def partitionPixel(pixK: Long): Long = pixK >> (2 * (orderK - orders(pixK.toInt)))
-    /** (order, pixel) pairs actually used (count > 0 handled by caller). */
+    def nSources: Long = hist.sum
+    /** (order, pixel) pairs that actually hold data (empty sky excluded). */
     def pixelsAtOrders: Map[Int, Array[Long]] = {
       val m = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Long]]
       var i = 0
       while (i < orders.length) {
-        val o = orders(i)
-        m.getOrElseUpdate(o, scala.collection.mutable.Set.empty) += (i.toLong >> (2 * (orderK - o)))
+        if (hist(i) > 0) {
+          val o = orders(i)
+          m.getOrElseUpdate(o, scala.collection.mutable.Set.empty) += (i.toLong >> (2 * (orderK - o)))
+        }
         i += 1
       }
       m.map { case (o, s) => o -> s.toArray.sorted }.toMap
@@ -82,7 +85,7 @@ object HipsPartitioner {
       }
       o += 1
     }
-    PartitionMap(orderK, orders)
+    PartitionMap(orderK, orders, hist)
   }
 
   /**
@@ -166,17 +169,16 @@ object HipsPartitioner {
 
     // metadata JSON with the reference's key set ({cat}_meta.json,
     // partitioner.py:350 write_structure_metadata) so downstream
-    // hipscat tooling can read the layout
-    val nSources = df.count()
+    // hipscat tooling can read the layout; counts come from the
+    // already-computed histogram (no extra scan), hips lists only
+    // pixels that actually hold data
     val hips = pm.pixelsAtOrders.toSeq.sortBy(_._1)
       .map { case (o, ps) => s""""$o": [${ps.mkString(",")}]""" }.mkString("{", ",", "}")
     val meta =
       s"""{"cat_name": "$catname", "ra_kw": "$raCol", "dec_kw": "$decCol", "id_kw": "$idCol",
-         | "n_sources": $nSources, "pix_threshold": $threshold, "order_k": $orderK,
+         | "n_sources": ${pm.nSources}, "pix_threshold": $threshold, "order_k": $orderK,
          | "margin_deg": $marginDeg, "hips": $hips}""".stripMargin
-    val p = new java.io.File(s"$outputDir/$catname/${catname}_meta.json")
-    p.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(p.toPath, meta)
+    HipsCatalog.writeString(df.sparkSession, s"$outputDir/$catname/${catname}_meta.json", meta)
     pm
   }
 }
@@ -186,6 +188,19 @@ object HipsPartitioner {
  * (reference: hipscat/catalog.py Catalog.load + cone_search pruning).
  */
 object HipsCatalog {
+  import org.apache.hadoop.fs.Path
+
+  // all filesystem access goes through the Hadoop FileSystem API so
+  // catalogs on HDFS/S3 behave identically to local ones
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[catalog] def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val out = fs(spark, path).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Load the full catalog dataframe (hive partition columns included). */
   def load(spark: SparkSession, outputDir: String, catname: String): DataFrame =
     spark.read.parquet(s"$outputDir/$catname/catalog")
@@ -193,31 +208,38 @@ object HipsCatalog {
   /** Load the neighbor (margin) tree; empty DF with catalog schema if absent. */
   def loadNeighbors(spark: SparkSession, outputDir: String, catname: String): DataFrame = {
     val p = s"$outputDir/$catname/neighbor"
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    if (fs(spark, p).exists(new Path(p))) spark.read.parquet(p)
     else load(spark, outputDir, catname).limit(0)
   }
 
   /**
    * Partition grid of a written catalog as an order-k lookup array
    * (order-k pixel -> assigned order), reconstructed from the hive
-   * directory structure. Bounded: 12*4^k ints.
+   * directory structure — catalog/ AND neighbor/ trees, so sky
+   * regions that hold only margin replicas (empty home pixel,
+   * populated border) still resolve. Bounded: 12*4^k ints.
    */
-  def partitionGrid(outputDir: String, catname: String, orderK: Int): Array[Int] = {
-    val root = new java.io.File(s"$outputDir/$catname/catalog")
+  def partitionGrid(spark: SparkSession, outputDir: String, catname: String, orderK: Int): Array[Int] = {
     val orders = Array.fill(Healpix.npix(orderK).toInt)(-1)
-    for {
-      od <- Option(root.listFiles()).getOrElse(Array.empty)
-      if od.getName.startsWith("Norder=")
-      o = od.getName.stripPrefix("Norder=").toInt
-      dd <- od.listFiles()
-      pd <- dd.listFiles()
-      if pd.getName.startsWith("Npix=")
-      p = pd.getName.stripPrefix("Npix=").toLong
-    } {
-      val lo = (p << (2 * (orderK - o))).toInt
-      val n = 1 << (2 * (orderK - o))
-      var i = 0
-      while (i < n) { orders(lo + i) = o; i += 1 }
+    for (tree <- Seq("catalog", "neighbor")) {
+      val root = new Path(s"$outputDir/$catname/$tree")
+      val f = fs(spark, root.toString)
+      if (f.exists(root)) {
+        for {
+          od <- f.listStatus(root)
+          if od.getPath.getName.startsWith("Norder=")
+          o = od.getPath.getName.stripPrefix("Norder=").toInt
+          dd <- f.listStatus(od.getPath)
+          pd <- f.listStatus(dd.getPath)
+          if pd.getPath.getName.startsWith("Npix=")
+          p = pd.getPath.getName.stripPrefix("Npix=").toLong
+        } {
+          val lo = (p << (2 * (orderK - o))).toInt
+          val n = 1 << (2 * (orderK - o))
+          var i = 0
+          while (i < n) { orders(lo + i) = o; i += 1 }
+        }
+      }
     }
     orders
   }
@@ -245,7 +267,7 @@ object HipsCatalog {
     import graft.functions.sphere
 
     // assign each left row to the RIGHT catalog's partition pixel
-    val bc = spark.sparkContext.broadcast(partitionGrid(outputDir, rightCat, orderK))
+    val bc = spark.sparkContext.broadcast(partitionGrid(spark, outputDir, rightCat, orderK))
     val toRightPixel = udf { (ra: Double, dec: Double) =>
       val pixK = Healpix.ang2pixNest(orderK, ra, dec)
       val o = bc.value(pixK.toInt)

@@ -48,6 +48,7 @@ object SigKernels {
 
   /** MinHash signature over a string array: one base hash per element, cheap mixes per permutation. */
   def minhashSig(elems: ArrayData, numPerms: Int): ArrayData = {
+    require(numPerms >= 1 && numPerms <= 256, s"numPerms must be in [1, 256], got $numPerms")
     val sig = new Array[Long](numPerms)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = elems.numElements()

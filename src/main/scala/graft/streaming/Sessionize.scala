@@ -25,6 +25,11 @@ object Sessionize {
                               n_events: Long, sum_value: Double)
   final case class UserBuf(events: List[(Long, Double)], emitted: Long) // (epochSec, value), #sessions emitted
 
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+  /** Always-full 'yyyy-MM-dd HH:mm:ss' (Instant.toString drops :00 seconds). */
+  def formatSec(epochSec: Long): String = tsFmt.format(java.time.Instant.ofEpochSecond(epochSec))
+
   /** Batch sessionization: gap > 30 min starts a new session. */
   def batchSessions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -78,16 +83,17 @@ object Sessionize {
               case _ => List(ev) :: acc
             }
           }.map(_.reverse).reverse
-          // a session is closed once the watermark is a full gap past its last event
+          // a session is closed once the watermark is a full gap past
+          // its last event. State survives even when everything
+          // closed: the `emitted` counter must persist so the user's
+          // next session continues batch-identical numbering (state
+          // is O(users); the event buffer itself drains to empty).
           val (closed, open) = sessions.partition(s => wmSec - s.last._1 > GapSeconds)
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(UserBuf(open.flatten, prev.emitted + closed.length))
+          state.update(UserBuf(open.flatten, prev.emitted + closed.length))
+          if (open.nonEmpty)
             state.setTimeoutTimestamp((all.map(_._1).max + GapSeconds + 1) * 1000)
-          }
           closed.zipWithIndex.iterator.map { case (s, i) =>
-            SessionOut(user, prev.emitted + i + 1,
-              java.time.Instant.ofEpochSecond(s.head._1).toString.replace("T", " ").dropRight(1),
+            SessionOut(user, prev.emitted + i + 1, formatSec(s.head._1),
               s.length.toLong,
               BigDecimal(s.map(_._2).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
