@@ -75,7 +75,7 @@ object Spatial {
                     k: Int, dthreshDeg: Double,
                     order: Int = -1,
                     leftPrefix: String = "l_", rightPrefix: String = "r_",
-                    saltBuckets: Int = 1): DataFrame = {
+                    saltBuckets: Int = 1, rankShuffle: Boolean = true): DataFrame = {
     val o = if (order >= 0) order else autoOrder(dthreshDeg)
 
     val lp = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, leftPrefix + c))
@@ -102,15 +102,65 @@ object Spatial {
       .filter(col("_DIST") < dthreshDeg)
 
     // deterministic ranking: rounded distance, then right id (stable
-    // across JVM-vs-libm last-ulp trig differences)
-    val w = Window.partitionBy(col(leftPrefix + leftId))
-      .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    // across JVM-vs-libm last-ulp trig differences).
+    //
+    // Every left row's candidates are co-located in the join output
+    // partition (a left row sits in exactly one pixel/salt key), so
+    // the top-k can also be taken per-partition with a bounded heap
+    // (rankShuffle = false) — zero shuffle over the candidate pairs,
+    // which at cluster scale are far larger than either input.
+    // Measured on local[32] at 6M x 150k (30M candidates): window
+    // 27-30s, partition-heap 36-38s — Tungsten sort+window wins when
+    // shuffle is an in-memory copy, so it is the default; flip to
+    // the heap on network-bound clusters where candidate-shuffle
+    // bytes dominate.
+    val ranked =
+      if (rankShuffle) {
+        val w = Window.partitionBy(col(leftPrefix + leftId))
+          .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
+        joined.withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k)
+      } else
+        partitionTopK(joined, leftPrefix + leftId, rightPrefix + rightId, k)
+    ranked
       .withColumn("hips_k", lit(o))
       .withColumnRenamed("__pix", "hips_pix")
-      .withColumnRenamed("__rn", "_RANK")
       .drop("__salt")
+  }
+
+  /**
+   * Shuffle-free kNN ranking: per-partition bounded max-heaps keyed
+   * by left id (correct because the pixel join co-locates all of a
+   * left row's candidates). Ids must be LongType.
+   */
+  private[graft] def partitionTopK(joined: DataFrame, leftIdCol: String, rightIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val inSchema = joined.schema
+    val outSchema = StructType(inSchema.fields :+ org.apache.spark.sql.types.StructField("_RANK", IntegerType, nullable = false))
+    val liIdx = inSchema.fieldIndex(leftIdCol)
+    val riIdx = inSchema.fieldIndex(rightIdCol)
+    val dIdx = inSchema.fieldIndex("_DIST")
+    // heap orders worst-first so the (k+1)th candidate evicts in O(log k)
+    implicit val ord: Ordering[(Double, Long, Row)] =
+      Ordering.by[(Double, Long, Row), (Double, Long)](t => (t._1, t._2))
+    joined.mapPartitions { rows =>
+      val best = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Row)]]
+      rows.foreach { r =>
+        // Math.rint(d*1e9)/1e9 is the cheap analog of round(d, 9);
+        // it can disagree with HALF_UP only when two candidates are
+        // within 1e-9 — the right-id tiebreak then decides, same as
+        // the window path within its own rounding
+        val d = r.getDouble(dIdx)
+        val key = (math.rint(d * 1e9) / 1e9, r.getLong(riIdx), r)
+        val q = best.getOrElseUpdate(r.getLong(liIdx), scala.collection.mutable.PriorityQueue.empty[(Double, Long, Row)])
+        if (q.size < k) q.enqueue(key)
+        else if (ord.lt(key, q.head)) { q.dequeue(); q.enqueue(key) }
+      }
+      best.iterator.flatMap { case (_, q) =>
+        val sorted: Seq[(Double, Long, Row)] = q.dequeueAll.reverse
+        sorted.zipWithIndex.map { case (t, i) => Row.fromSeq(t._3.toSeq :+ (i + 1)) }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Largest order whose pixels are still ≥ ~2x dthresh wide (arcsec thresholds reach order ~18). */

@@ -31,15 +31,16 @@ class SpatialSpec extends SparkSpecBase {
     }
   }
 
-  test("crossMatchKnn equals brute-force kNN within threshold") {
+  test("crossMatchKnn equals brute-force kNN within threshold (both ranking modes)") {
     val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
       .withColumn("sra", sphere.raOf(col("s_suppkey")))
       .withColumn("sdec", sphere.decOf(col("s_suppkey")))
 
-    for (order <- Seq(0, 1, 2); k <- Seq(1, 3); dthresh <- Seq(10.0, 30.0)) {
+    for (order <- Seq(0, 1, 2); k <- Seq(1, 3); dthresh <- Seq(10.0, 30.0); shuffleRank <- Seq(true, false)) {
       val fast = Spatial.crossMatchKnn(cust, supp,
         "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey",
-        k = k, dthreshDeg = dthresh, order = order, leftPrefix = "", rightPrefix = "x_")
+        k = k, dthreshDeg = dthresh, order = order, leftPrefix = "", rightPrefix = "x_",
+        rankShuffle = shuffleRank)
         .select(col("c_custkey"), col("x_s_suppkey"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
 
