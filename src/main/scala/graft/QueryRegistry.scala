@@ -387,7 +387,35 @@ object QueryRegistry {
   private val text_langid = QueryDef(
     (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
       .select("doc_id", "lang", "pred_lang").orderBy("doc_id"),
-    None)
+    Some {
+      val toks = s"string_split(${Dedup.normalizeTextSql("text")}, ' ')"
+      def sw(lang: String) = graft.operators.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+      s"""SELECT doc_id, lang,
+        CASE WHEN cjk > 0 THEN 'zh'
+             WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+             WHEN sfr = greatest(sde, sen, ses, sfr) THEN 'fr'
+             WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+             WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+             ELSE 'de' END AS pred_lang
+        FROM (SELECT doc_id, lang,
+          length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+          len(list_intersect($toks, ${sw("de")})) AS sde,
+          len(list_intersect($toks, ${sw("en")})) AS sen,
+          len(list_intersect($toks, ${sw("es")})) AS ses,
+          len(list_intersect($toks, ${sw("fr")})) AS sfr
+          FROM documents)
+        ORDER BY doc_id"""
+    })
+
+  /** Per-cluster embedding centroids (element-wise mean) — the building block of k-means / IVF training. */
+  private val vec_centroids = QueryDef(
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("i"))
+      .agg(round(avg(col("col").cast("double")), 6).as("v"))
+      .orderBy("label", "i"),
+    Some("""SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS v
+      FROM embeddings, range(1, 65) t(i) GROUP BY label, i ORDER BY label, i"""))
 
   private val text_quality = QueryDef(
     (s, dir) => TextAnalysis.withQuality(t(s, dir, "documents"), "text")
@@ -446,6 +474,7 @@ object QueryRegistry {
     "ann_lsh" -> ann_lsh,
     "ann_ivf" -> ann_ivf,
     "text_langid" -> text_langid,
+    "vec_centroids" -> vec_centroids,
     "text_quality" -> text_quality,
     "text_tokens" -> text_tokens,
     "text_fingerprint" -> text_fingerprint,
