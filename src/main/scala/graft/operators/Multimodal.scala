@@ -61,4 +61,46 @@ object Multimodal {
       }
     }
   }
+
+  final case class ResizedMedia(id: Long, modality: String, width: Int, height: Int, payload: Array[Byte])
+
+  /**
+   * STUB resize: stands in for an image resampler. The Spark shape
+   * is the real thing — per-partition batched transform producing a
+   * new payload column; the "pixels" are a deterministic byte
+   * decimation to the target WxH budget.
+   */
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val budget = math.max(1, targetW * targetH)
+        val step = math.max(1, r.payload.length / budget)
+        val out = new Array[Byte](math.min(budget, math.max(1, r.payload.length / step)))
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * step); i += 1 }
+        ResizedMedia(r.id, r.modality, targetW, targetH, out)
+      }
+    }
+  }
+
+  final case class Frame(id: Long, frame_idx: Int, frame_payload: Array[Byte])
+
+  /**
+   * STUB frame sampling: treats the payload as a "video" of
+   * fixed-size frames and emits every `stride`-th frame — the
+   * explode-shaped plumbing (one row per sampled frame) a real
+   * demuxer would feed.
+   */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val nFrames = math.max(1, r.payload.length / frameBytes)
+      (0 until nFrames by stride).map { fi =>
+        val from = fi * frameBytes
+        val until = math.min(r.payload.length, from + frameBytes)
+        Frame(r.id, fi, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
 }

@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpecBase {
     assert(fps(1L) != fps(2L))
   }
 
+  test("ANN approximations keep usable recall vs the brute-force baseline") {
+    import graft.operators.Ann
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Ann.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 5))
+    val lsh = pairs(Ann.lshTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 5, dim = 64))
+    val ivf = pairs(Ann.ivfTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 5))
+    val lshRecall = (truth & lsh).size.toDouble / truth.size
+    val ivfRecall = (truth & ivf).size.toDouble / truth.size
+    // approximations: self-match (cos=1) is always found; demand a
+    // meaningful fraction of the rest on these random embeddings
+    assert(lshRecall >= 0.3, s"LSH recall too low: $lshRecall")
+    assert(ivfRecall >= 0.3, s"IVF recall too low: $ivfRecall")
+    info(f"recall@5: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f (vs exact)")
+  }
+
   test("keepFirst keeps exactly one row per key, the earliest") {
     val df = Seq((1L, "a", 3L), (1L, "a", 1L), (1L, "b", 2L), (2L, "a", 9L))
       .toDF("uid", "etype", "ord")

@@ -24,6 +24,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1._3.toSeq == f2._3.toSeq && f1._1 == f2._1)
   }
 
+  test("resize bounds payloads to the target budget; frame sampling strides the payload") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "video")
+
+    val resized = Multimodal.resize(spark, media, 8, 8).collect()
+    resized.foreach { r =>
+      assert(r.payload.length <= 64 && r.payload.nonEmpty)
+      assert(r.width == 8 && r.height == 8)
+    }
+
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 32, stride = 2)
+    val byDoc = frames.collect().groupBy(_.id)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).forall(_ % 2 == 0), "only every 2nd frame sampled")
+      fs.foreach(f => assert(f.frame_payload.length <= 32 && f.frame_payload.nonEmpty))
+    }
+  }
+
   test("byte_len matches utf-8 byte count") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text")
