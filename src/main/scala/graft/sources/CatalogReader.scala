@@ -88,15 +88,6 @@ object CatalogReader {
       .toSeq
   }
 
-  /**
-   * STUB: FITS binary-table reader. A production implementation
-   * parses the 2880-byte header units (NAXIS2 rows, TFORMn column
-   * formats) of HDU 1 and maps fixed-width records to rows — a
-   * binaryFiles + mapPartitions job. Out of scope in this container
-   * (no FITS test data); fails fast with a clear message.
-   */
-  def readFits(spark: SparkSession, paths: Seq[String]): DataFrame =
-    throw new UnsupportedOperationException(
-      "FITS ingest not available in this build: supply csv/csv.gz/parquet, " +
-        "or extend CatalogReader.readFits with a binary-table HDU parser")
+  /** FITS binary-table ingest — see [[graft.sources.Fits]]. */
+  def readFits(spark: SparkSession, paths: Seq[String]): DataFrame = Fits.read(spark, paths)
 }

@@ -59,10 +59,7 @@ class CatalogReaderSpec extends SparkSpecBase {
       "http://cdn.example/abs_002.csv.gz"))
   }
 
-  test("fits fails fast with a clear message; unknown format rejected") {
-    assertThrows[UnsupportedOperationException] {
-      CatalogReader.read(spark, Seq("/tmp/x.fits"), CatalogSpec(fmt = "fits"))
-    }
+  test("unknown format rejected with a clear message") {
     assertThrows[IllegalArgumentException] {
       CatalogReader.read(spark, Seq("/tmp/x.avro"), CatalogSpec(fmt = "avro"))
     }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.{CatalogReader, Fits}
+import graft.sources.CatalogReader.CatalogSpec
+import java.io.ByteArrayOutputStream
+
+/**
+ * Round-trip test against a FITS 4.0 BINTABLE built byte-by-byte to
+ * the public standard (2880-byte header units of 80-char cards,
+ * big-endian fixed records).
+ */
+class FitsSpec extends SparkSpecBase {
+
+  private def card(key: String, value: String): Array[Byte] =
+    (key.padTo(8, ' ') + "= " + value).padTo(80, ' ').getBytes("US-ASCII")
+  private def endCard: Array[Byte] = "END".padTo(80, ' ').getBytes("US-ASCII")
+  private def pad(out: ByteArrayOutputStream): Unit =
+    while (out.size() % 2880 != 0) out.write(' ')
+  private def padZero(out: ByteArrayOutputStream): Unit =
+    while (out.size() % 2880 != 0) out.write(0)
+
+  private def buildFits(rows: Seq[(Double, Double, Long, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    // primary HDU: minimal header, no data
+    out.write(card("SIMPLE", "T"))
+    out.write(card("BITPIX", "8"))
+    out.write(card("NAXIS", "0"))
+    out.write(endCard); pad(out)
+    // BINTABLE extension header
+    val rowBytes = 8 + 8 + 8 + 6
+    out.write(card("XTENSION", "'BINTABLE'"))
+    out.write(card("BITPIX", "8"))
+    out.write(card("NAXIS", "2"))
+    out.write(card("NAXIS1", rowBytes.toString))
+    out.write(card("NAXIS2", rows.length.toString))
+    out.write(card("PCOUNT", "0"))
+    out.write(card("GCOUNT", "1"))
+    out.write(card("TFIELDS", "4"))
+    out.write(card("TTYPE1", "'RA      '")); out.write(card("TFORM1", "'D       '"))
+    out.write(card("TTYPE2", "'DEC     '")); out.write(card("TFORM2", "'D       '"))
+    out.write(card("TTYPE3", "'SRC_ID  '")); out.write(card("TFORM3", "'K       '"))
+    out.write(card("TTYPE4", "'TAG     '")); out.write(card("TFORM4", "'6A      '"))
+    out.write(endCard); pad(out)
+    // data records, big-endian
+    val bb = java.nio.ByteBuffer.allocate(rowBytes * rows.length)
+    rows.foreach { case (ra, dec, id, tag) =>
+      bb.putDouble(ra); bb.putDouble(dec); bb.putLong(id)
+      bb.put(tag.padTo(6, ' ').getBytes("US-ASCII"), 0, 6)
+    }
+    out.write(bb.array()); padZero(out)
+    out.toByteArray
+  }
+
+  private val sample = Seq(
+    (10.5, -20.25, 7L, "alpha"),
+    (180.0, 45.0, 9L, "beta"),
+    (359.9, -89.5, 11L, "gamma"))
+
+  test("parseFile decodes header, schema and big-endian records") {
+    val (schema, rows) = Fits.parseFile(buildFits(sample))
+    assert(schema.fieldNames.toSeq == Seq("RA", "DEC", "SRC_ID", "TAG"))
+    val got = rows.toSeq.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(got == sample)
+  }
+
+  test("fits ingest through CatalogReader with keyword renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fits")
+    java.nio.file.Files.write(dir.resolve("cat.fits"), buildFits(sample))
+    val df = CatalogReader.read(spark, Seq(dir.resolve("cat.fits").toString),
+      CatalogSpec(fmt = "fits", raKw = "RA", decKw = "DEC", idKw = "SRC_ID"))
+    val got = df.select("ra", "dec", "id", "TAG").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getString(3))).sortBy(_._3)
+    assert(got.toSeq == sample.sortBy(_._3))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("unsupported TFORM fails with a clear message") {
+    // build a header with a complex-valued column (TFORM 'C')
+    val out = new ByteArrayOutputStream()
+    out.write(card("SIMPLE", "T")); out.write(card("BITPIX", "8")); out.write(card("NAXIS", "0"))
+    out.write(endCard); pad(out)
+    out.write(card("XTENSION", "'BINTABLE'")); out.write(card("NAXIS1", "8")); out.write(card("NAXIS2", "0"))
+    out.write(card("TFIELDS", "1"))
+    out.write(card("TTYPE1", "'X       '")); out.write(card("TFORM1", "'C       '"))
+    out.write(endCard); pad(out)
+    val e = intercept[UnsupportedOperationException](Fits.parseFile(out.toByteArray))
+    assert(e.getMessage.contains("TFORM"))
+  }
+}
