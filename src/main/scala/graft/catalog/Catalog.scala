@@ -1,0 +1,62 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * User-facing handle mirroring the reference's `hipscat.Catalog`
+ * object API (hipscat/catalog.py:20) over the functional layer:
+ *
+ * {{{
+ * val gaia = Catalog(spark, "/data/hips", "gaia")
+ * gaia.load(Seq("ra", "dec", "source_id"))
+ * gaia.coneSearch(ra = 56, dec = 20, radiusDeg = 10)
+ * gaia.crossMatch(sdss, nNeighbors = 4, dthreshDeg = 1.0)
+ * }}}
+ */
+final case class Catalog(spark: SparkSession, location: String, catname: String) {
+
+  private lazy val meta: Map[String, String] = {
+    val p = s"$location/$catname/${catname}_meta.json"
+    val raw = spark.sparkContext.textFile(p, 1).collect().mkString("\n")
+    // flat string/number fields of the metadata JSON (hips map handled elsewhere)
+    """"(\w+)":\s*(?:"([^"]*)"|([-\d.]+))""".r.findAllMatchIn(raw).map { m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
+    }.toMap
+  }
+
+  def raKw: String = meta("ra_kw")
+  def decKw: String = meta("dec_kw")
+  def idKw: String = meta("id_kw")
+  def orderK: Int = meta("order_k").toInt
+
+  /** Load the catalog, optionally column-pruned (ra/dec/id always kept — catalog.py validate_user_input_cols). */
+  def load(columns: Seq[String] = Nil): DataFrame = {
+    val df = HipsCatalog.load(spark, location, catname)
+    if (columns.isEmpty) df
+    else df.select((columns ++ Seq(raKw, decKw, idKw)).distinct.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Cone search with file-level pruning; adds `_DIST` (catalog.py:65). */
+  def coneSearch(ra: Double, dec: Double, radiusDeg: Double): DataFrame =
+    HipsCatalog.coneSearch(spark, location, catname, raKw, decKw, ra, dec, radiusDeg, orderK)
+
+  /** kNN cross-match against another written catalog using its stored margins (catalog.py:144). */
+  def crossMatch(other: Catalog, nNeighbors: Int = 1, dthreshDeg: Double = 0.01,
+                 rightPrefix: String = ""): DataFrame = {
+    require(other.catname != catname, "cannot cross-match a catalog with itself")
+    HipsCatalog.crossMatchStored(spark, location, catname, other.catname,
+      raKw, decKw, idKw, other.raKw, other.decKw, other.idKw,
+      k = nNeighbors, dthreshDeg = dthreshDeg, orderK = math.max(orderK, other.orderK),
+      rightPrefix = if (rightPrefix.nonEmpty) rightPrefix else other.catname + "_")
+  }
+}
+
+object Catalog {
+  /** Import (partition + write) a source dataframe as a new catalog, then open it. */
+  def importFrom(df: DataFrame, location: String, catname: String,
+                 raKw: String, decKw: String, idKw: String,
+                 orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1): Catalog = {
+    HipsPartitioner.write(df, raKw, decKw, idKw, location, catname, orderK, threshold, marginDeg)
+    Catalog(df.sparkSession, location, catname)
+  }
+}

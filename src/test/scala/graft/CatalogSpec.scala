@@ -1,6 +1,6 @@
 package graft
 
-import graft.catalog.{HipsCatalog, HipsPartitioner}
+import graft.catalog.{Catalog, HipsCatalog, HipsPartitioner}
 import graft.functions.sphere
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,30 @@ class CatalogSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
 
     assert(stored.toSeq == inflight.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("Catalog object API: import, load with pruning, cone search, cross-match") {
+    val out = java.nio.file.Files.createTempDirectory("graft_oo").toString
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey")))
+      .withColumn("cdec", sphere.decOf(col("c_custkey")))
+    val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
+      .withColumn("sra", sphere.raOf(col("s_suppkey")))
+      .withColumn("sdec", sphere.decOf(col("s_suppkey")))
+
+    val c1 = Catalog.importFrom(cust, out, "cust", "cra", "cdec", "c_custkey",
+      orderK = 2, threshold = 100, marginDeg = 12.0)
+    val c2 = Catalog.importFrom(supp, out, "supp", "sra", "sdec", "s_suppkey",
+      orderK = 2, threshold = 100, marginDeg = 12.0)
+
+    assert(c1.raKw == "cra" && c1.orderK == 2)
+    assert(c1.load(Seq("c_name")).columns.toSet == Set("c_name", "cra", "cdec", "c_custkey"))
+    assert(c1.coneSearch(180.0, 0.0, 30.0).count() == 17)
+
+    val xm = c1.crossMatch(c2, nNeighbors = 2, dthreshDeg = 10.0)
+    assert(xm.columns.contains("supp_s_suppkey") && xm.columns.contains("_DIST"))
+    assert(xm.count() > 0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 

@@ -108,6 +108,20 @@ class HealpixSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-12)
   }
 
+  test("order 29 (max): roundtrip at the long-id boundary") {
+    val r = rng(7)
+    (0 until 200).foreach { _ =>
+      val ra = r.nextDouble() * 360.0
+      val dec = math.toDegrees(math.asin(r.nextDouble() * 2 - 1))
+      val p = Healpix.ang2pixNest(29, ra, dec)
+      assert(p >= 0 && p < Healpix.npix(29))
+      assert(p >> 2 == Healpix.ang2pixNest(28, ra, dec))
+      // pixel centers at order 29 are within a fraction of an arcsec
+      val (cra, cdec) = Healpix.pix2angNest(29, p)
+      assert(Healpix.gcDistDeg(ra, dec, cra, cdec) < 2e-4)
+    }
+  }
+
   test("full-sky disc cover returns all pixels") {
     val cover = Healpix.queryDiscCover(3, 0, 0, 181.0)
     assert(cover.length == Healpix.npix(3))
