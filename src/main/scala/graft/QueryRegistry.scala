@@ -117,6 +117,20 @@ object QueryRegistry {
       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Correlated scalar subquery (Catalyst decorrelation): orders 1.5x above their customer's average. */
+  private val q_correlated = QueryDef(
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      FROM orders o
+      WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
+
   /** TPC-H Q3 pattern: shipping-priority top-10 over a 3-way join. */
   private val q3_shipping = QueryDef(
     (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -454,6 +468,7 @@ object QueryRegistry {
     "q_sessionize" -> q_sessionize,
     "q_json" -> q_json,
     "q_rollup" -> q_rollup,
+    "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,
     "gc_dist" -> gc_dist,
