@@ -75,8 +75,17 @@ object Spatial {
                     k: Int, dthreshDeg: Double,
                     order: Int = -1,
                     leftPrefix: String = "l_", rightPrefix: String = "r_",
-                    saltBuckets: Int = 1, rankShuffle: Boolean = true): DataFrame = {
+                    saltBuckets: Int = -1, rankShuffle: Boolean = true): DataFrame = {
     val o = if (order >= 0) order else autoOrder(dthreshDeg)
+    // wide thresholds force coarse orders: npix(order) can drop below
+    // the cluster parallelism (48 pixels = 48 join keys). Auto-salt
+    // to restore it; right-side replication stays bounded (x salt).
+    val salt =
+      if (saltBuckets > 0) saltBuckets
+      else {
+        val parallelism = left.sparkSession.sparkContext.defaultParallelism
+        math.max(1, math.ceil(2.0 * parallelism / graft.healpix.Healpix.npix(o)).toInt)
+      }
 
     val lp = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, leftPrefix + c))
     val rp = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
@@ -89,9 +98,9 @@ object Spatial {
     // optional skew salting (galactic-plane-style hot pixels): left
     // rows spread over S sub-keys, right candidates replicated S x —
     // same join result, S x the parallelism on the hottest pixel
-    val joinKeys = if (saltBuckets > 1) {
-      l = l.withColumn("__salt", pmod(xxhash64(col(leftPrefix + leftId)), lit(saltBuckets)))
-      r = r.withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    val joinKeys = if (salt > 1) {
+      l = l.withColumn("__salt", pmod(xxhash64(col(leftPrefix + leftId)), lit(salt)))
+      r = r.withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
       Seq("__pix", "__salt")
     } else Seq("__pix")
 
