@@ -74,12 +74,15 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val budget = math.max(1, targetW * targetH)
-        val step = math.max(1, r.payload.length / budget)
-        val out = new Array[Byte](math.min(budget, math.max(1, r.payload.length / step)))
-        var i = 0
-        while (i < out.length) { out(i) = r.payload(i * step); i += 1 }
-        ResizedMedia(r.id, r.modality, targetW, targetH, out)
+        if (r.payload.isEmpty) ResizedMedia(r.id, r.modality, targetW, targetH, Array.emptyByteArray)
+        else {
+          val budget = math.max(1, targetW * targetH)
+          val step = math.max(1, r.payload.length / budget)
+          val out = new Array[Byte](math.min(budget, math.max(1, r.payload.length / step)))
+          var i = 0
+          while (i < out.length) { out(i) = r.payload(i * step); i += 1 }
+          ResizedMedia(r.id, r.modality, targetW, targetH, out)
+        }
       }
     }
   }

@@ -113,39 +113,42 @@ object Spatial {
     // deterministic ranking: rounded distance, then right id (stable
     // across JVM-vs-libm last-ulp trig differences).
     //
-    // Every left row's candidates are co-located in the join output
-    // partition (a left row sits in exactly one pixel/salt key), so
-    // the top-k can also be taken per-partition with a bounded heap
-    // (rankShuffle = false) — zero shuffle over the candidate pairs,
-    // which at cluster scale are far larger than either input.
-    // Measured on local[32] at 6M x 150k (30M candidates): window
-    // 27-30s, partition-heap 36-38s — Tungsten sort+window wins when
-    // shuffle is an in-memory copy, so it is the default; flip to
-    // the heap on network-bound clusters where candidate-shuffle
-    // bytes dominate.
-    val ranked =
-      if (rankShuffle) {
-        val w = Window.partitionBy(col(leftPrefix + leftId))
-          .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
-        joined.withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k)
-      } else
-        partitionTopK(joined, leftPrefix + leftId, rightPrefix + rightId, k)
-    ranked
+    // With rankShuffle = false, a partition-local bounded-heap top-k
+    // runs FIRST as a combiner: any globally top-k candidate is
+    // top-k within its partition, so pre-filtering to k rows per
+    // (left id, partition) is lossless regardless of how the join
+    // partitioned the data (broadcast builds and AQE skew splits
+    // included) — the exact window then ranks a shuffle that carries
+    // at most k rows per left id per partition instead of every
+    // candidate pair. Measured on local[32] at 6M x 150k (30M
+    // candidates) the plain window is still faster (27-30s vs
+    // 36-38s) because a local shuffle is an in-memory copy; the
+    // combiner pays off on network-bound clusters.
+    val preFiltered =
+      if (rankShuffle) joined
+      else partitionTopK(joined, leftPrefix + leftId, rightPrefix + rightId, k)
+    val w = Window.partitionBy(col(leftPrefix + leftId))
+      .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
+    preFiltered
+      .withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k)
       .withColumn("hips_k", lit(o))
       .withColumnRenamed("__pix", "hips_pix")
       .drop("__salt")
   }
 
   /**
-   * Shuffle-free kNN ranking: per-partition bounded max-heaps keyed
-   * by left id (correct because the pixel join co-locates all of a
-   * left row's candidates). Ids must be LongType.
+   * Lossless combiner for kNN ranking: per-partition bounded
+   * max-heaps keep at most k candidates per left id per partition
+   * (a globally top-k row is necessarily partition-locally top-k).
+   * Ids must be LongType (validated).
    */
   private[graft] def partitionTopK(joined: DataFrame, leftIdCol: String, rightIdCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, StructType}
+    import org.apache.spark.sql.types.LongType
     val inSchema = joined.schema
-    val outSchema = StructType(inSchema.fields :+ org.apache.spark.sql.types.StructField("_RANK", IntegerType, nullable = false))
+    require(inSchema(leftIdCol).dataType == LongType && inSchema(rightIdCol).dataType == LongType,
+      s"partition top-k requires LongType ids; got ${inSchema(leftIdCol).dataType}/${inSchema(rightIdCol).dataType}" +
+        " — use rankShuffle = true for other id types")
     val liIdx = inSchema.fieldIndex(leftIdCol)
     val riIdx = inSchema.fieldIndex(rightIdCol)
     val dIdx = inSchema.fieldIndex("_DIST")
@@ -155,21 +158,18 @@ object Spatial {
     joined.mapPartitions { rows =>
       val best = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Row)]]
       rows.foreach { r =>
-        // Math.rint(d*1e9)/1e9 is the cheap analog of round(d, 9);
-        // it can disagree with HALF_UP only when two candidates are
-        // within 1e-9 — the right-id tiebreak then decides, same as
-        // the window path within its own rounding
-        val d = r.getDouble(dIdx)
-        val key = (math.rint(d * 1e9) / 1e9, r.getLong(riIdx), r)
+        // rounded EXACTLY like Spark's round(_, 9) (HALF_UP on the
+        // decimal rendering): the combiner is lossless only if its
+        // ordering equals the final window's ordering bit for bit
+        val d = BigDecimal.decimal(r.getDouble(dIdx))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val key = (d, r.getLong(riIdx), r)
         val q = best.getOrElseUpdate(r.getLong(liIdx), scala.collection.mutable.PriorityQueue.empty[(Double, Long, Row)])
         if (q.size < k) q.enqueue(key)
         else if (ord.lt(key, q.head)) { q.dequeue(); q.enqueue(key) }
       }
-      best.iterator.flatMap { case (_, q) =>
-        val sorted: Seq[(Double, Long, Row)] = q.dequeueAll.reverse
-        sorted.zipWithIndex.map { case (t, i) => Row.fromSeq(t._3.toSeq :+ (i + 1)) }
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+      best.valuesIterator.flatMap(_.iterator.map(_._3))
+    }(org.apache.spark.sql.Encoders.row(inSchema))
   }
 
   /** Largest order whose pixels are still ≥ ~2x dthresh wide (arcsec thresholds reach order ~18). */

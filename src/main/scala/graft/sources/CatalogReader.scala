@@ -13,9 +13,8 @@ import org.apache.spark.sql.types.StructType
  *
  * Spark-first: csv/csv.gz/parquet are native distributed scans
  * (csv.gz decompresses per-file; at scale prefer parquet or split
- * csv). FITS has no public Spark datasource in this environment —
- * `readFits` is a clearly-marked stub that validates the request and
- * points at the table-HDU binary layout a full implementation reads.
+ * csv). FITS goes through [[graft.sources.Fits]], a from-scratch
+ * BINTABLE parser (one task per file).
  */
 object CatalogReader {
 

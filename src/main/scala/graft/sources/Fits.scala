@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
  * extension parsed from its 80-char header cards (NAXIS1 row bytes,
  * NAXIS2 rows, TFIELDS/TTYPEn/TFORMn), fixed-width big-endian
  * records decoded per row. Supported TFORMs: J (int32), K (int64),
- * E (float32), D (float64), nA (char strings).
+ * E (float32), D (float64), nA (char strings); numeric repeats > 1
+ * (e.g. '3E') decode as array columns.
  *
  * Scale shape: one FITS file = one task (the format has no internal
  * split points without an index — same constraint the reference
  * has); a catalog of many files parallelizes per file via
- * binaryFiles.
+ * binaryFiles. Schema comes from a header-blocks-only peek of the
+ * first file; every file's schema is validated against it.
  */
 object Fits {
 
@@ -32,16 +34,23 @@ object Fits {
     var i = off
     var done = false
     while (!done) {
+      if (i + 80 > bytes.length)
+        throw new IllegalArgumentException(s"FITS: truncated header (offset $i of ${bytes.length} bytes)")
       val card = new String(bytes, i, 80, "US-ASCII")
       val key = card.take(8).trim
       if (key == "END") done = true
       else if (card.length > 10 && card(8) == '=') {
-        val raw = card.substring(10).split("/")(0).trim
-        val v = if (raw.startsWith("'")) raw.stripPrefix("'").split("'")(0).trim else raw
+        val raw = card.substring(10)
+        // quoted strings may contain '/', the comment delimiter only
+        // applies outside them (FITS 4.0 §4.1.2.3)
+        val v =
+          if (raw.trim.startsWith("'")) {
+            val t = raw.trim.stripPrefix("'")
+            t.substring(0, t.indexOf('\'').max(0)).trim
+          } else raw.split("/")(0).trim
         cards(key) = v
       }
       i += 80
-      if (!done && i >= bytes.length) throw new IllegalArgumentException("FITS: unterminated header")
     }
     // headers occupy whole 2880-byte blocks
     val next = ((i + BLOCK - 1) / BLOCK) * BLOCK
@@ -68,32 +77,38 @@ object Fits {
     }
   }
 
-  private def sparkType(c: Col): DataType = c.form match {
-    case 'J' => IntegerType
-    case 'K' => LongType
-    case 'E' => FloatType
-    case 'D' => DoubleType
-    case 'A' => StringType
+  private def sparkType(c: Col): DataType = {
+    val scalar: DataType = c.form match {
+      case 'J' => IntegerType
+      case 'K' => LongType
+      case 'E' => FloatType
+      case 'D' => DoubleType
+      case 'A' => StringType
+    }
+    if (c.form != 'A' && c.repeat > 1) ArrayType(scalar, containsNull = false) else scalar
   }
 
-  /** Decode one fixed-width record. */
+  /** Decode one fixed-width record (numeric repeats > 1 become arrays). */
   private def decodeRow(bytes: Array[Byte], rowStart: Int, cols: Seq[Col]): Row = {
     val bb = java.nio.ByteBuffer.wrap(bytes) // FITS is big-endian, the ByteBuffer default
     Row.fromSeq(cols.map { c =>
       val p = rowStart + c.offset
+      def one(i: Int): Any = c.form match {
+        case 'J' => bb.getInt(p + 4 * i)
+        case 'K' => bb.getLong(p + 8 * i)
+        case 'E' => bb.getFloat(p + 4 * i)
+        case 'D' => bb.getDouble(p + 8 * i)
+      }
       c.form match {
-        case 'J' => bb.getInt(p)
-        case 'K' => bb.getLong(p)
-        case 'E' => bb.getFloat(p)
-        case 'D' => bb.getDouble(p)
         case 'A' => new String(bytes, p, c.repeat, "US-ASCII").trim
+        case _ if c.repeat > 1 => (0 until c.repeat).map(one)
+        case _ => one(0)
       }
     })
   }
 
-  /** Parse a whole FITS file's first BINTABLE extension. */
-  def parseFile(bytes: Array[Byte]): (StructType, Iterator[Row]) = {
-    // primary HDU: header + (usually empty) data
+  /** Both headers (primary + first BINTABLE); returns (bintableHeader, dataStart). */
+  private def headers(bytes: Array[Byte]): (Map[String, String], Int) = {
     val (h0, afterPrimary) = readHeader(bytes, 0)
     val primaryData = {
       val bitpix = math.abs(h0.getOrElse("BITPIX", "8").toInt) / 8
@@ -104,6 +119,12 @@ object Fits {
     val (h1, dataStart) = readHeader(bytes, afterPrimary + primaryData.toInt)
     require(h1.get("XTENSION").exists(_.startsWith("BINTABLE")),
       s"FITS: expected BINTABLE extension, got ${h1.get("XTENSION")}")
+    (h1, dataStart)
+  }
+
+  /** Parse a whole FITS file's first BINTABLE extension. */
+  def parseFile(bytes: Array[Byte]): (StructType, Iterator[Row]) = {
+    val (h1, dataStart) = headers(bytes)
     val rowBytes = h1("NAXIS1").toInt
     val nRows = h1("NAXIS2").toInt
     val cols = columns(h1)
@@ -112,14 +133,41 @@ object Fits {
     (schema, rows)
   }
 
-  /** Distributed read: one task per FITS file. */
+  /** Schema from header blocks only (no full-file read). */
+  def peekSchema(spark: SparkSession, path: String): StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      // catalogs have an empty primary HDU; 64 blocks (180 KB) cover
+      // any realistic pair of headers — grow once on demand
+      var take = math.min(fileLen, 64L * BLOCK).toInt
+      var bytes = new Array[Byte](take)
+      in.readFully(0, bytes)
+      try {
+        val (h1, _) = headers(bytes)
+        StructType(columns(h1).map(c => StructField(c.name, sparkType(c))))
+      } catch {
+        case _: IllegalArgumentException if take < fileLen =>
+          take = fileLen.toInt
+          bytes = new Array[Byte](take)
+          in.readFully(0, bytes)
+          val (h1, _) = headers(bytes)
+          StructType(columns(h1).map(c => StructField(c.name, sparkType(c))))
+      }
+    } finally in.close()
+  }
+
+  /** Distributed read: one task per FITS file; all files must share the first file's schema. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val sc = spark.sparkContext
-    val files = sc.binaryFiles(paths.mkString(","))
-    // schema from the first file (driver-side header peek)
-    val firstBytes = files.first()._2.toArray()
-    val (schema, _) = parseFile(firstBytes)
-    val rows = files.flatMap { case (_, pds) => parseFile(pds.toArray())._2 }
+    val schema = peekSchema(spark, paths.head)
+    val rows = sc.binaryFiles(paths.mkString(",")).flatMap { case (name, pds) =>
+      val (s, it) = parseFile(pds.toArray())
+      require(s == schema, s"FITS schema mismatch in $name: $s != $schema")
+      it
+    }
     spark.createDataFrame(rows, schema)
   }
 }

@@ -74,6 +74,36 @@ class FitsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("array TFORM (3E) decodes as an array column; quoted slash survives") {
+    val out = new ByteArrayOutputStream()
+    out.write(card("SIMPLE", "T")); out.write(card("BITPIX", "8")); out.write(card("NAXIS", "0"))
+    out.write(endCard); pad(out)
+    val rowBytes = 8 + 12
+    out.write(card("XTENSION", "'BINTABLE'"))
+    out.write(card("NAXIS", "2"))
+    out.write(card("NAXIS1", rowBytes.toString)); out.write(card("NAXIS2", "2"))
+    out.write(card("TFIELDS", "2"))
+    out.write(card("TTYPE1", "'S/N     '")); out.write(card("TFORM1", "'K       '"))
+    out.write(card("TTYPE2", "'FLUX    '")); out.write(card("TFORM2", "'3E      '"))
+    out.write(endCard); pad(out)
+    val bb = java.nio.ByteBuffer.allocate(rowBytes * 2)
+    bb.putLong(1L); bb.putFloat(1.5f); bb.putFloat(2.5f); bb.putFloat(3.5f)
+    bb.putLong(2L); bb.putFloat(4.0f); bb.putFloat(5.0f); bb.putFloat(6.0f)
+    out.write(bb.array()); padZero(out)
+
+    val (schema, rows) = Fits.parseFile(out.toByteArray)
+    assert(schema.fieldNames.toSeq == Seq("S/N", "FLUX"))
+    assert(schema("FLUX").dataType.typeName == "array")
+    val got = rows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(got == Seq((1L, Seq(1.5f, 2.5f, 3.5f)), (2L, Seq(4.0f, 5.0f, 6.0f))))
+  }
+
+  test("truncated file fails with the clear truncation message") {
+    val full = buildFits(sample)
+    val e = intercept[IllegalArgumentException](Fits.parseFile(full.take(100)))
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("unsupported TFORM fails with a clear message") {
     // build a header with a complex-valued column (TFORM 'C')
     val out = new ByteArrayOutputStream()
