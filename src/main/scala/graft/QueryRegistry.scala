@@ -101,7 +101,7 @@ object QueryRegistry {
    * events.parquet carries TIMESTAMP(NANOS) which Spark only reads
    * as a long (legacy flag); convert to micros for the window.
    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -16,8 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Catalog(spark: SparkSession, location: String, catname: String) {
 
   private lazy val meta: Map[String, String] = {
-    val p = s"$location/$catname/${catname}_meta.json"
-    val raw = spark.sparkContext.textFile(p, 1).collect().mkString("\n")
+    val raw = HipsCatalog.readString(spark, s"$location/$catname/${catname}_meta.json")
     // flat string/number fields of the metadata JSON (hips map handled elsewhere)
     """"(\w+)":\s*(?:"([^"]*)"|([-\d.]+))""".r.findAllMatchIn(raw).map { m =>
       m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))

@@ -201,6 +201,11 @@ object HipsCatalog {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  private[catalog] def readString(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new Path(path))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
   /** Load the full catalog dataframe (hive partition columns included). */
   def load(spark: SparkSession, outputDir: String, catname: String): DataFrame =
     spark.read.parquet(s"$outputDir/$catname/catalog")

@@ -15,34 +15,19 @@ import org.apache.spark.sql.catalyst.util.ArrayData
  * catalog.py:93) as Spark-native expressions.
  */
 
-object SphereKernels {
-  /**
-   * Great-circle distance, degrees. Operation order mirrors the
-   * DuckDB oracle SQL text exactly (radians of the DIFFERENCE, not
-   * difference of radians) so both engines produce bit-comparable
-   * doubles.
-   */
-  def gcDistDeg(ra1: Double, dec1: Double, ra2: Double, dec2: Double): Double = {
-    val h = math.pow(math.sin(math.toRadians(dec1 - dec2) / 2), 2) +
-      math.cos(math.toRadians(dec1)) * math.cos(math.toRadians(dec2)) *
-        math.pow(math.sin(math.toRadians(ra1 - ra2) / 2), 2)
-    2.0 * math.toDegrees(math.asin(math.min(1.0, math.sqrt(h))))
-  }
-}
-
-/** gc_dist(ra1, dec1, ra2, dec2) -> degrees (codegen static call). */
+/** gc_dist(ra1, dec1, ra2, dec2) -> degrees (codegen static call; oracle-parity op order). */
 case class GcDistExpr(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "gc_dist"
 
   override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-    SphereKernels.gcDistDeg(a.asInstanceOf[Double], b.asInstanceOf[Double],
+    graft.healpix.Healpix.gcDistDeg(a.asInstanceOf[Double], b.asInstanceOf[Double],
       c.asInstanceOf[Double], d.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
-      s"${ev.value} = graft.functions.SphereKernels.gcDistDeg($a, $b, $c, $d);")
+      s"${ev.value} = graft.healpix.Healpix.gcDistDeg($a, $b, $c, $d);")
 
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression, d: Expression): Expression =

@@ -177,14 +177,19 @@ object Healpix {
     1.05 * math.acos(math.max(-1.0, math.min(1.0, dot)))
   }
 
-  /** Great-circle distance in degrees (haversine; = util.gc_dist of the reference). */
+  /**
+   * Great-circle distance in degrees (haversine; = util.gc_dist of
+   * the reference). Operation order mirrors the DuckDB oracle SQL
+   * text exactly (radians of the DIFFERENCE, not difference of
+   * radians) so both engines produce bit-comparable doubles — this
+   * is the single haversine used engine-wide (GcDistExpr codegen
+   * calls it too).
+   */
   def gcDistDeg(ra1: Double, dec1: Double, ra2: Double, dec2: Double): Double = {
-    val l1 = math.toRadians(ra1); val p1 = math.toRadians(dec1)
-    val l2 = math.toRadians(ra2); val p2 = math.toRadians(dec2)
-    val sd = math.sin((p1 - p2) * 0.5)
-    val sl = math.sin((l1 - l2) * 0.5)
-    val h = sd * sd + math.cos(p1) * math.cos(p2) * sl * sl
-    math.toDegrees(2.0 * math.asin(math.min(1.0, math.sqrt(h))))
+    val h = math.pow(math.sin(math.toRadians(dec1 - dec2) / 2), 2) +
+      math.cos(math.toRadians(dec1)) * math.cos(math.toRadians(dec2)) *
+        math.pow(math.sin(math.toRadians(ra1 - ra2) / 2), 2)
+    2.0 * math.toDegrees(math.asin(math.min(1.0, math.sqrt(h))))
   }
 
   /**

@@ -20,24 +20,23 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(Dedup.normalizeText(text), " ")
 
   /**
-   * Heuristic language ID: CJK character presence -> zh, otherwise
-   * argmax of stopword-hit counts (deterministic tiebreak by lang
-   * code order), "und" when nothing matches.
+   * Heuristic language ID as a `pred_lang` column: CJK character
+   * presence -> zh, otherwise argmax of stopword-hit counts
+   * (largest lang code wins ties, matching the SQL oracle's CASE
+   * ladder), "und" when nothing matches.
    */
-  def langId(text: Column): Column = {
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
     val toks = tokens(text)
     val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
-    when(col("__cjk") > 0, lit("zh")) // caller provides __cjk; see withLangId
-      .otherwise(when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")))
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    df.withColumn("pred_lang",
+      when(cjk > 0, lit("zh"))
+        .otherwise(when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))))
   }
-
-  def withLangId(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__cjk", length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", "")))
-      .withColumn("pred_lang", langId(col(textCol)))
-      .drop("__cjk")
 
   /**
    * Quality signals: token count, mean token length, punctuation

@@ -56,7 +56,7 @@ class StreamingSpec extends SparkSpecBase {
 
     // batch truth on the real events
     val batch = graft.streaming.Sessionize
-      .batchSessions(QueryRegistryTestAccess.events(spark, dir))
+      .batchSessions(QueryRegistry.events(spark, dir))
       .select("user_id", "session_seq", "session_start", "n_events", "sum_value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
       .sorted
@@ -97,15 +97,5 @@ class StreamingSpec extends SparkSpecBase {
 
     assert(streamed.toSeq == batch.toSeq)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
-  }
-}
-
-/** Test access to the registry's event-table normalization. */
-object QueryRegistryTestAccess {
-  def events(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
