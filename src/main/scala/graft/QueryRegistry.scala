@@ -117,6 +117,18 @@ object QueryRegistry {
       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** GROUP BY + HAVING pattern: customers with many high-value orders. */
+  private val q_having = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .filter(col("o_totalprice") > 100000.0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_big"), round(sum("o_totalprice"), 2).as("total"))
+      .filter(col("n_big") >= 3)
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_totalprice > 100000.0
+      GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey"""))
+
   /** Correlated scalar subquery (Catalyst decorrelation): orders 1.5x above their customer's average. */
   private val q_correlated = QueryDef(
     (s, dir) => {
@@ -468,6 +480,7 @@ object QueryRegistry {
     "q_sessionize" -> q_sessionize,
     "q_json" -> q_json,
     "q_rollup" -> q_rollup,
+    "q_having" -> q_having,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,
