@@ -117,6 +117,28 @@ object QueryRegistry {
       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /**
+   * Lightcurve phase-folding (time-series astronomy: fold event
+   * times at a fixed period, bin by phase, average the signal per
+   * object) — the events table stands in for per-object photometry.
+   */
+  private val q_phasefold = QueryDef(
+    (s, dir) => {
+      val period = 86400L // 1-day fold
+      events(s, dir)
+        .withColumn("phase_bin", expr(s"pmod(unix_timestamp(ts), $period) * 20 div $period"))
+        .groupBy("user_id", "phase_bin")
+        // floor-scaled integer: engine-policy-free (see TextAnalysis)
+        .agg(count(lit(1)).as("n"), floor(avg("value") * 10000).cast("long").as("mean_value_e4"))
+        .filter(col("n") >= 3)
+        .orderBy("user_id", "phase_bin")
+    },
+    Some("""SELECT user_id, phase_bin, n, mean_value_e4 FROM (
+      SELECT user_id, (epoch(ts)::BIGINT % 86400) * 20 // 86400 AS phase_bin,
+        count(*) AS n, CAST(floor(avg(value) * 10000) AS BIGINT) AS mean_value_e4
+      FROM events GROUP BY 1, 2)
+      WHERE n >= 3 ORDER BY user_id, phase_bin"""))
+
   /** GROUP BY + HAVING pattern: customers with many high-value orders. */
   private val q_having = QueryDef(
     (s, dir) => t(s, dir, "orders")
@@ -192,10 +214,10 @@ object QueryRegistry {
     (s, dir) => events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+      .agg(count(lit(1)).as("n"), floor(avg("k") * 10000).cast("long").as("avg_k_e4"),
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type"),
-    Some("""SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+    Some("""SELECT event_type, count(*) AS n, CAST(floor(avg(k) * 10000) AS BIGINT) AS avg_k_e4,
       min(k) AS min_k, max(k) AS max_k
       FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
       GROUP BY event_type ORDER BY event_type"""))
@@ -481,6 +503,7 @@ object QueryRegistry {
     "q_json" -> q_json,
     "q_rollup" -> q_rollup,
     "q_having" -> q_having,
+    "q_phasefold" -> q_phasefold,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,
