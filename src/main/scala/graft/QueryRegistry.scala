@@ -134,7 +134,7 @@ object QueryRegistry {
         .orderBy("user_id", "phase_bin")
     },
     Some("""SELECT user_id, phase_bin, n, mean_value_e4 FROM (
-      SELECT user_id, (epoch(ts)::BIGINT % 86400) * 20 // 86400 AS phase_bin,
+      SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) % 86400) * 20 // 86400 AS phase_bin,
         count(*) AS n, CAST(floor(avg(value) * 10000) AS BIGINT) AS mean_value_e4
       FROM events GROUP BY 1, 2)
       WHERE n >= 3 ORDER BY user_id, phase_bin"""))
