@@ -273,6 +273,45 @@ object QueryRegistry {
     Some(s"""SELECT c_custkey, cra, cdec, round($gcd, 6) AS dist
       FROM ${skySql("customer", "c_custkey")} WHERE $gcd < 20.0 ORDER BY c_custkey"""))
 
+  private val box_search = QueryDef(
+    (s, dir) => Spatial.boxSearch(withSky(t(s, dir, "customer"), "c_custkey"),
+        "cra", "cdec", raLo = 350.0, raHi = 40.0, decLo = -30.0, decHi = 30.0)
+      .select("c_custkey", "cra", "cdec").orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey, cra, cdec FROM ${skySql("customer", "c_custkey")}
+      WHERE cdec >= -30.0 AND cdec <= 30.0 AND (cra >= 350.0 OR cra <= 40.0)
+      ORDER BY c_custkey"""))
+
+  private val polygonVerts = Seq((150.0, -30.0), (210.0, -30.0), (180.0, 35.0))
+
+  private val polygon_search = QueryDef(
+    (s, dir) => Spatial.polygonSearch(withSky(t(s, dir, "customer"), "c_custkey"),
+        "cra", "cdec", polygonVerts, order = 3)
+      .select("c_custkey", "cra", "cdec").orderBy("c_custkey"),
+    Some {
+      // identical constants + operation order as Spatial.polygonSearch:
+      // bounding-cone filter (also the hemisphere guard — gnomonic
+      // projection mirrors far-hemisphere points into the polygon)
+      // AND the half-plane interior test
+      val (cra, cdec) = Spatial.polygonCentroid(polygonVerts)
+      val bound = polygonVerts.map { case (r, d) =>
+        graft.healpix.Healpix.gcDistDeg(cra, cdec, r, d) }.max * 1.001
+      val verts = polygonVerts.map { case (r, d) => Spatial.gnomonicPoint(r, d, cra, cdec) }
+      val signedArea = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        x1 * y2 - x2 * y1
+      }.sum
+      val ccw = if (signedArea >= 0) verts else verts.reverse
+      val px = sphere.gnomonicXSql("cra", "cdec", cra, cdec)
+      val py = sphere.gnomonicYSql("cra", "cdec", cra, cdec)
+      val inside = ccw.indices.map { i =>
+        val (x1, y1) = ccw(i); val (x2, y2) = ccw((i + 1) % ccw.length)
+        s"((${x2 - x1}) * (($py) - ($y1)) - (${y2 - y1}) * (($px) - ($x1))) >= 0.0"
+      }.mkString(" AND ")
+      val cone = s"${sphere.gcDistSql("cra", "cdec", cra.toString, cdec.toString)} < $bound"
+      s"""SELECT c_custkey, cra, cdec FROM ${skySql("customer", "c_custkey")}
+        WHERE $cone AND $inside ORDER BY c_custkey"""
+    })
+
   /** Brute-force kNN SQL shared by the xmatch oracles. */
   private def xmatchSql(dthresh: Double, k: Int): String = {
     val g = sphere.gcDistSql("cra", "cdec", "sra", "sdec")
@@ -510,6 +549,8 @@ object QueryRegistry {
     "gc_dist" -> gc_dist,
     "gnomonic" -> gnomonic,
     "cone_search" -> cone_search,
+    "box_search" -> box_search,
+    "polygon_search" -> polygon_search,
     "xmatch_knn" -> xmatch_knn,
     "xmatch_postfilter" -> xmatch_postfilter,
     "hpix_histogram" -> hpix_histogram,

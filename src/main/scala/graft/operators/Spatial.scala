@@ -59,6 +59,74 @@ object Spatial {
   }
 
   /**
+   * Box search: dec band plus an ra interval that may wrap 360->0
+   * (the box_search of the reference's successor API surface). Plain
+   * range predicates — they push straight to parquet row-group stats.
+   */
+  def boxSearch(df: DataFrame, raCol: String, decCol: String,
+                raLo: Double, raHi: Double, decLo: Double, decHi: Double): DataFrame = {
+    val decPred = col(decCol) >= decLo && col(decCol) <= decHi
+    val raPred =
+      if (raLo <= raHi) col(raCol) >= raLo && col(raCol) <= raHi
+      else col(raCol) >= raLo || col(raCol) <= raHi // wraps through 0
+    df.filter(decPred && raPred)
+  }
+
+  /**
+   * Convex spherical-polygon search: vertices (deg) are projected to
+   * the gnomonic plane about their centroid; a point is inside iff
+   * it lies on the interior side of every edge (cross-product sign).
+   * Pixel pruning comes from the polygon's bounding cone. Valid for
+   * polygons within a hemisphere (gnomonic domain), like the
+   * reference family's polygon_search.
+   */
+  def polygonSearch(df: DataFrame, raCol: String, decCol: String,
+                    vertices: Seq[(Double, Double)], order: Int = 4): DataFrame = {
+    require(vertices.length >= 3, "polygon needs >= 3 vertices")
+    val (cra, cdec) = polygonCentroid(vertices)
+    val boundRadius = vertices.map { case (r, d) => Healpix.gcDistDeg(cra, cdec, r, d) }.max * 1.001
+    val verts = vertices.map { case (r, d) => gnomonicPoint(r, d, cra, cdec) }
+    // orient counter-clockwise so all interior cross products are >= 0
+    val signedArea = verts.indices.map { i =>
+      val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+      x1 * y2 - x2 * y1
+    }.sum
+    val ccw = if (signedArea >= 0) verts else verts.reverse
+
+    val px = sphere.gnomonicX(col(raCol), col(decCol), cra, cdec)
+    val py = sphere.gnomonicY(col(raCol), col(decCol), cra, cdec)
+    val inside = ccw.indices.map { i =>
+      val (x1, y1) = ccw(i); val (x2, y2) = ccw((i + 1) % ccw.length)
+      (lit(x2 - x1) * (py - y1) - lit(y2 - y1) * (px - x1)) >= 0.0
+    }.reduce(_ && _)
+
+    coneSearch(df, raCol, decCol, cra, cdec, boundRadius, order)
+      .filter(inside)
+      .drop("_DIST")
+  }
+
+  /** Gnomonic projection of one point (driver-side twin of sphere.gnomonicX/Y). */
+  def gnomonicPoint(lonDeg: Double, latDeg: Double, clon: Double, clat: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg); val l = math.toRadians(lonDeg)
+    val phi1 = math.toRadians(clat); val l0 = math.toRadians(clon)
+    val cosc = math.sin(phi1) * math.sin(phi) + math.cos(phi1) * math.cos(phi) * math.cos(l - l0)
+    (math.toDegrees(math.cos(phi) * math.sin(l - l0) / cosc),
+      math.toDegrees((math.cos(phi1) * math.sin(phi) - math.sin(phi1) * math.cos(phi) * math.cos(l - l0)) / cosc))
+  }
+
+  /** Spherical centroid of vertices (mean of unit vectors). */
+  def polygonCentroid(vertices: Seq[(Double, Double)]): (Double, Double) = {
+    var x = 0.0; var y = 0.0; var z = 0.0
+    vertices.foreach { case (r, d) =>
+      val rr = math.toRadians(r); val dd = math.toRadians(d)
+      x += math.cos(dd) * math.cos(rr); y += math.cos(dd) * math.sin(rr); z += math.sin(dd)
+    }
+    val norm = math.sqrt(x * x + y * y + z * z)
+    val ra = math.toDegrees(math.atan2(y, x))
+    (if (ra < 0) ra + 360 else ra, math.toDegrees(math.asin(z / norm)))
+  }
+
+  /**
    * kNN cross-match (reference: catalog.py:144 + dask_utils.py:367):
    * for each left row, the `k` nearest right rows within
    * `dthreshDeg`, with `_DIST` (gc degrees), `hips_k`, `hips_pix`.

@@ -58,6 +58,21 @@ class SpatialSpec extends SparkSpecBase {
     }
   }
 
+  test("box search honors the ra wrap; polygon search contains/excludes known points") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 355.0, 0.0), (2L, 10.0, 0.0), (3L, 180.0, 0.0), // box: 1,2 in (wrap), 3 out
+      (4L, 180.0, -20.0), (5L, 180.0, 33.0), (6L, 100.0, 0.0) // triangle: 3,4,5 in, 6 out
+    ).toDF("id", "cra", "cdec")
+    val box = Spatial.boxSearch(pts, "cra", "cdec", 350.0, 40.0, -30.0, 30.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(box == Set(1L, 2L))
+    val tri = Spatial.polygonSearch(pts, "cra", "cdec",
+      Seq((150.0, -30.0), (210.0, -30.0), (180.0, 35.0)), order = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tri == Set(3L, 4L, 5L))
+  }
+
   test("cone search at the pole and across the ra wrap equals brute force") {
     for ((ra0, dec0, radius) <- Seq((100.0, 89.0, 3.0), (100.0, -88.5, 5.0),
         (0.5, 10.0, 8.0), (359.2, -30.0, 12.0), (180.0, 90.0, 2.0))) {
