@@ -47,11 +47,18 @@ object Spatial {
     val sinRatio = math.sin(math.toRadians(radiusDeg)) / math.cos(math.toRadians(math.min(89.9, maxAbsDec)))
     val boxed =
       if (maxAbsDec < 89.0 && sinRatio < 1.0) {
-        // exact meridian bound: max |Δra| = asin(sin r / cos decMax); +1e-6 deg guard
+        // exact meridian bound: max |Δra| = asin(sin r / cos decMax); +1e-6 deg guard.
+        // RA is periodic and the stored convention may be [0,360) or
+        // [-180,180): admit the k in {-1,0,1} aliases as a disjunction
+        // of plain ranges (scan-pushable, unlike pmod(ra, 360)).
+        val ra0n = ((raDeg % 360) + 360) % 360
         val raHalf = math.toDegrees(math.asin(sinRatio)) + 1e-6
-        if (raDeg - raHalf > 0 && raDeg + raHalf < 360) // skip on wrap-around
-          boxed0.filter(col(raCol) >= raDeg - raHalf && col(raCol) <= raDeg + raHalf)
-        else boxed0
+        if (ra0n - raHalf > 0 && ra0n + raHalf < 360) { // skip on wrap-around
+          def in(lo: Double, hi: Double): Column = col(raCol) >= lo && col(raCol) <= hi
+          boxed0.filter(in(ra0n - raHalf, ra0n + raHalf) ||
+            in(ra0n - raHalf - 360, ra0n + raHalf - 360) ||
+            in(ra0n - raHalf + 360, ra0n + raHalf + 360))
+        } else boxed0
       } else boxed0
     boxed
       .withColumn("_DIST", sphere.gcDist(col(raCol), col(decCol), lit(raDeg), lit(decDeg)))

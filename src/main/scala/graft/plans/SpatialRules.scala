@@ -70,12 +70,22 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] {
     val decBounds = Seq(GreaterThanOrEqual(dec, lit(decLo)), LessThanOrEqual(dec, lit(decHi)))
     val maxAbsDec = math.max(math.abs(decLo), math.abs(decHi))
     val sinRatio = math.sin(math.toRadians(r)) / math.cos(math.toRadians(math.min(89.9, maxAbsDec)))
+    // gc_dist is periodic in RA, so the stored column may use any
+    // 360-shifted convention ([0,360), [-180,180), ...). Bound with a
+    // disjunction of plain ranges over the k in {-1,0,1} aliases —
+    // still scan-pushable (parquet pushes Or-of-ranges), unlike
+    // pmod(ra,360) which would hide the attribute from stats pruning.
+    val ra0n = ((ra0 % 360) + 360) % 360
     val raBounds =
       if (maxAbsDec < 89.0 && sinRatio < 1.0) {
         val raHalf = math.toDegrees(math.asin(sinRatio)) + 1e-6
-        if (ra0 - raHalf > 0 && ra0 + raHalf < 360)
-          Seq(GreaterThanOrEqual(ra, lit(ra0 - raHalf)), LessThanOrEqual(ra, lit(ra0 + raHalf)))
-        else Nil
+        if (ra0n - raHalf > 0 && ra0n + raHalf < 360) {
+          def in(lo: Double, hi: Double): Expression =
+            And(GreaterThanOrEqual(ra, lit(lo)), LessThanOrEqual(ra, lit(hi)))
+          Seq(Or(Or(in(ra0n - raHalf, ra0n + raHalf),
+            in(ra0n - raHalf - 360, ra0n + raHalf - 360)),
+            in(ra0n - raHalf + 360, ra0n + raHalf + 360)))
+        } else Nil
       } else Nil
     decBounds ++ raBounds
   }

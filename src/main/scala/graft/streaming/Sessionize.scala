@@ -22,7 +22,7 @@ object Sessionize {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionOut(user_id: Long, session_seq: Long, session_start: String,
-                              n_events: Long, sum_value: Double)
+                              n_events: Long, sum_value_e2: Long)
   final case class UserBuf(events: List[(Long, Double)], emitted: Long) // (epochSec, value), #sessions emitted
 
   private val tsFmt = java.time.format.DateTimeFormatter
@@ -43,14 +43,17 @@ object Sessionize {
       .groupBy("user_id", "session_seq")
       .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // integer cents: `value` carries 2-dp data, so per-row round(v*100)
+        // is exact and the Long sum is order-independent — a double sum's
+        // round(x, 2) straddles .xx5 differently in Spark vs DuckDB
+        sum(round(col("value") * 100).cast("long")).as("sum_value_e2"))
   }
 
   /** DuckDB twin of batchSessions for the oracle. */
   val batchSessionsSql: String =
     s"""SELECT user_id, session_seq,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
        FROM (
          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
@@ -73,7 +76,7 @@ object Sessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Ev], state: GroupState[UserBuf]) =>
           val prev = state.getOption.getOrElse(UserBuf(Nil, 0L))
-          val incoming = rows.map(e => (e.ts.getTime / 1000, e.value)).toList
+          val incoming = rows.map(e => (e.ts.getTime / 1000, math.round(e.value * 100).toDouble)).toList
           val all = (prev.events ++ incoming).sortBy(x => x)
           val wmSec = state.getCurrentWatermarkMs() / 1000
           // split into sessions by the gap rule (events are sorted)
@@ -95,7 +98,7 @@ object Sessionize {
           closed.zipWithIndex.iterator.map { case (s, i) =>
             SessionOut(user, prev.emitted + i + 1, formatSec(s.head._1),
               s.length.toLong,
-              BigDecimal(s.map(_._2).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              s.map(_._2.toLong).sum)
           }
       }
   }

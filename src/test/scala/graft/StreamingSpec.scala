@@ -57,8 +57,8 @@ class StreamingSpec extends SparkSpecBase {
     // batch truth on the real events
     val batch = graft.streaming.Sessionize
       .batchSessions(QueryRegistry.events(spark, dir))
-      .select("user_id", "session_seq", "session_start", "n_events", "sum_value")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .select("user_id", "session_seq", "session_start", "n_events", "sum_value_e2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
       .sorted
 
     // file 1: the real events; file 2: far-future sentinels that push
@@ -92,7 +92,7 @@ class StreamingSpec extends SparkSpecBase {
 
     val streamed = spark.table("sess_test")
       .filter(col("user_id") >= 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
       .sorted
 
     assert(streamed.toSeq == batch.toSeq)
