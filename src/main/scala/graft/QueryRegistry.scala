@@ -22,6 +22,31 @@ object QueryRegistry {
   // derived pseudo-sky coordinates (SURVEY.md §3)
   private def withSky(df: DataFrame, key: String): DataFrame =
     df.withColumn("cra", sphere.raOf(col(key))).withColumn("cdec", sphere.decOf(col(key)))
+
+  /**
+   * Oracle aux tables: healpix pixel values precomputed once with the
+   * Scala kernel into small parquets that the DuckDB oracle JOINS —
+   * ang2pix itself is not SQL-expressible, but everything downstream
+   * of it (ranking, histogramming, the partition-map threshold walk)
+   * is, so those stages become independently hash-checked instead of
+   * rows-only. Written by Verify.main before the oracle dump.
+   */
+  val oracleAuxDir = "/tmp/graft_oracle_aux"
+  def writeOracleAux(s: SparkSession, dir: String): Unit = {
+    withSky(t(s, dir, "customer"), "c_custkey")
+      .select(col("c_custkey"),
+        sphere.hpix(col("cra"), col("cdec"), 2).as("pix2"),
+        // spatialIndex high bits (pix@20 << 20, signed wrap) computed
+        // here so the oracle's BIGINT arithmetic can't overflow
+        shiftleft(sphere.hpix(col("cra"), col("cdec"), 20), 20).as("idhigh20"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/hpix_customer.parquet")
+    val li = t(s, dir, "lineitem").withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
+    withSky(li, "k")
+      .select(col("k"), sphere.hpix(col("cra"), col("cdec"), 5).as("pix5"))
+      .distinct() // k -> pix5 is functional; k itself is NOT row-unique, so dedup for a clean N:1 join
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/pm_lineitem.parquet")
+  }
+  private def aux(name: String): String = s"read_parquet('$oracleAuxDir/$name.parquet/*.parquet')"
   private def skySql(table: String, key: String, extra: String = ""): String =
     s"(SELECT $table.*, ${sphere.raOfSql(key)} AS cra, ${sphere.decOfSql(key)} AS cdec$extra FROM $table)"
 
@@ -352,17 +377,25 @@ object QueryRegistry {
       SELECT c_custkey, s_suppkey, round(sqrt(pow(c_acctbal, 2) + pow(s_acctbal, 2)), 4) AS pm
       FROM ${xmatchSql(15.0, 2)}) WHERE pm > 5000.0 ORDER BY c_custkey, s_suppkey"""))
 
-  // rows-only (healpix-valued outputs are not DuckDB-expressible)
+  // healpix-valued outputs: ang2pix comes from the oracle aux parquet
+  // (Scala-kernel-computed); the downstream aggregation / ranking /
+  // threshold walk is recomputed independently by DuckDB.
 
   private val hpix_histogram = QueryDef(
     (s, dir) => Spatial.densityHistogram(withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 2)
       .orderBy("pix"),
-    None)
+    Some(s"""SELECT h.pix2 AS pix, count(*) AS cnt
+      FROM customer c JOIN ${aux("hpix_customer")} h USING (c_custkey)
+      GROUP BY 1 ORDER BY pix"""))
 
   private val hpix_index = QueryDef(
     (s, dir) => Spatial.spatialIndex(withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 20)
       .select("c_custkey", "_ID").orderBy("c_custkey"),
-    None)
+    Some(s"""SELECT c_custkey, idhigh20 + rn - 1 AS "_ID" FROM (
+      SELECT c.c_custkey, h.idhigh20,
+        row_number() OVER (PARTITION BY h.idhigh20 ORDER BY c.cra, c.cdec) AS rn
+      FROM ${skySql("customer", "c_custkey")} c JOIN ${aux("hpix_customer")} h USING (c_custkey))
+      ORDER BY c_custkey"""))
 
   private val partition_map = QueryDef(
     (s, dir) => {
@@ -374,7 +407,27 @@ object QueryRegistry {
         .groupBy("Norder", "Npix").agg(count(lit(1)).as("cnt"))
         .orderBy("Norder", "Npix")
     },
-    None)
+    // the adaptive walk, re-expressed: a row lands at the FIRST order
+    // (walking 0 -> 5) whose rebinned pixel count drops under the
+    // threshold, else at the max order — exactly
+    // HipsPartitioner.computePartitionMap's assignment rule.
+    Some(s"""WITH r AS (
+        SELECT a.pix5 FROM lineitem l
+        JOIN ${aux("pm_lineitem")} a ON a.k = l.l_orderkey * 8 + l.l_linenumber),
+      h0 AS (SELECT pix5 // 1024 AS p, count(*) AS c FROM r GROUP BY 1),
+      h1 AS (SELECT pix5 // 256 AS p, count(*) AS c FROM r GROUP BY 1),
+      h2 AS (SELECT pix5 // 64 AS p, count(*) AS c FROM r GROUP BY 1),
+      h3 AS (SELECT pix5 // 16 AS p, count(*) AS c FROM r GROUP BY 1),
+      h4 AS (SELECT pix5 // 4 AS p, count(*) AS c FROM r GROUP BY 1),
+      asn AS (SELECT
+        CASE WHEN h0.c < 2000 THEN 0 WHEN h1.c < 2000 THEN 1 WHEN h2.c < 2000 THEN 2
+             WHEN h3.c < 2000 THEN 3 WHEN h4.c < 2000 THEN 4 ELSE 5 END AS "Norder",
+        CASE WHEN h0.c < 2000 THEN r.pix5 // 1024 WHEN h1.c < 2000 THEN r.pix5 // 256
+             WHEN h2.c < 2000 THEN r.pix5 // 64 WHEN h3.c < 2000 THEN r.pix5 // 16
+             WHEN h4.c < 2000 THEN r.pix5 // 4 ELSE r.pix5 END AS "Npix"
+        FROM r JOIN h0 ON h0.p = r.pix5 // 1024 JOIN h1 ON h1.p = r.pix5 // 256
+        JOIN h2 ON h2.p = r.pix5 // 64 JOIN h3 ON h3.p = r.pix5 // 16 JOIN h4 ON h4.p = r.pix5 // 4)
+      SELECT "Norder", "Npix", count(*) AS cnt FROM asn GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------- LLM-pipeline
 
@@ -453,6 +506,10 @@ object QueryRegistry {
       FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q)
       WHERE rn <= 5 ORDER BY q_id, rn"""))
 
+  /** Sequential-fold dot product (matches DotProductExpr's double accumulation). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, v) -> acc + v)"
+
   private val ann_lsh = QueryDef(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -460,7 +517,30 @@ object QueryRegistry {
         "vec_id", "embedding", "q_id", "q_vec", k = 5, dim = 64)
         .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
     },
-    None)
+    // full independent replay: DuckDB regenerates the hyperplanes
+    // (integer-hash dyadic values — bit-identical), recomputes every
+    // signature bit, bands, the candidate join, and the cosine ranking
+    Some(s"""WITH planes AS (
+        SELECT j, ${Ann.hyperplanesSql(64, 42L)} AS plane FROM range(0, 12) t(j)),
+      sigs AS (
+        SELECT vec_id, sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+        FROM embeddings, planes GROUP BY vec_id),
+      bsig AS (
+        SELECT vec_id, b AS band, (sig // (CAST(1 AS BIGINT) << (4 * b))) % 16 AS bandsig
+        FROM sigs, range(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        FROM bsig c JOIN bsig q ON c.band = q.band AND c.bandsig = q.bandsig
+        WHERE q.vec_id < 10),
+      scored AS (
+        SELECT cand.q_id, cand.vec_id, ${cosSql("ce.embedding", "qe.embedding")} AS cos
+        FROM cand JOIN embeddings ce ON ce.vec_id = cand.vec_id
+                  JOIN embeddings qe ON qe.vec_id = cand.q_id)
+      SELECT q_id, vec_id, round(cos, 6) AS cos, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 9) DESC, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 5 ORDER BY q_id, rn"""))
 
   private val ann_ivf = QueryDef(
     (s, dir) => {
@@ -469,7 +549,31 @@ object QueryRegistry {
         "vec_id", "embedding", "q_id", "q_vec", k = 5)
         .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
     },
-    None)
+    // full independent replay: same Knuth-hash codebook sample, then
+    // nearest-cell assignment, nprobe probing, and candidate ranking
+    // recomputed from scratch in SQL
+    Some(s"""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+      asn AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM embeddings e CROSS JOIN cents c) WHERE crn = 1),
+      prb AS (
+        SELECT q_id, q_vec, cid FROM (
+          SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cents c) WHERE crn <= 4),
+      scored AS (
+        SELECT p.q_id, a.vec_id, ${cosSql("a.embedding", "p.q_vec")} AS cos
+        FROM asn a JOIN prb p USING (cid))
+      SELECT q_id, vec_id, round(cos, 6) AS cos, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 9) DESC, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 5 ORDER BY q_id, rn"""))
 
   private val text_langid = QueryDef(
     (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
@@ -521,7 +625,8 @@ object QueryRegistry {
   private val text_fingerprint = QueryDef(
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
-    None)
+    Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
+      FROM documents ORDER BY doc_id"""))
 
   private val multimodal_meta = QueryDef(
     (s, dir) => Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "text")

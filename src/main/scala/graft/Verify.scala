@@ -16,6 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // aux parquets (Scala-kernel healpix values) that some oracle SQL joins
+    try QueryRegistry.writeOracleAux(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[verify] oracle aux failed: ${e.getMessage}") }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -23,6 +23,8 @@ object native {
   def minhashSig(shingles: Column, numPerms: Column): Column = c2(MinHashSigExpr.apply)(shingles, numPerms)
   /** 64-bit SimHash of a token array (SimHashExpr). */
   def simhash(tokens: Column): Column = c1(SimHashExpr.apply)(tokens)
+  /** Portable rolling polynomial fingerprint of a string (Fingerprint64Expr). */
+  def fingerprint64(text: Column): Column = c1(Fingerprint64Expr.apply)(text)
   /** Sorted distinct element hashes (SortedHashesExpr). */
   def sortedHashes(elems: Column): Column = c1(SortedHashesExpr.apply)(elems)
   /** Linear-merge intersection count of sorted hash arrays (IntersectCountExpr). */

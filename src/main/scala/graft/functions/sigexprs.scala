@@ -107,6 +107,28 @@ object SigKernels {
     c
   }
 
+  /**
+   * Order-sensitive document fingerprint: two rolling polynomial
+   * hashes over the Unicode code points (h1: *131 mod 1e9+7,
+   * h2: *257 mod 998244353) packed as h1 * 2^31 + h2 (~2^60
+   * collision space). All intermediate values stay far below 2^63,
+   * so the SAME arithmetic runs exactly in DuckDB BIGINTs — making
+   * the fingerprint oracle-checkable (unlike xxhash64).
+   */
+  def fingerprint64(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 131 + cp) % 1000000007L
+      h2 = (h2 * 257 + cp) % 998244353L
+      i += Character.charCount(cp)
+    }
+    h1 * 2147483648L + h2
+  }
+
   /** 64-bit SimHash over a string array (sign of per-bit weighted counts). */
   def simhash(elems: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -190,6 +212,20 @@ case class MinHashSigExpr(left: Expression, right: Expression) extends BinaryExp
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** fingerprint64(string) -> long: portable rolling polynomial hash (codegen static call). */
+case class Fingerprint64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    SigKernels.fingerprint64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e => s"graft.functions.SigKernels.fingerprint64($e)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** simhash(array<string>) -> long (codegen static call). */

@@ -29,13 +29,30 @@ object Ann {
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded), as literal float-array columns. */
+  /**
+   * Deterministic pseudo-random hyperplanes as literal float arrays:
+   * dyadic uniform values in [-1, 1] derived from a Knuth
+   * multiplicative hash of the (plane, component) index. Dyadic
+   * (k/1024) so float and double representations are EXACT, and
+   * integer-hash-derived so plain SQL regenerates them bit-for-bit —
+   * which makes the LSH result oracle-checkable (a seeded Gaussian
+   * stream isn't). Uniform vs Gaussian direction bias is irrelevant
+   * for sign-random-projection quality at these dims (recall floor
+   * asserted in ScalaTest).
+   */
   private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
-    val rnd = new scala.util.Random(seed)
-    (0 until numPlanes).map { _ =>
-      typedLit((0 until dim).map(_ => rnd.nextGaussian().toFloat).toArray)
+    (0 until numPlanes).map { j =>
+      typedLit((0 until dim).map { i =>
+        val h = ((j.toLong * dim + i + seed) * 2654435761L) % 4294967296L
+        ((h % 2049L) - 1024L).toFloat / 1024f
+      }.toArray)
     }
   }
+
+  /** SQL twin of [[hyperplanes]] for DuckDB oracles (j = plane index column). */
+  def hyperplanesSql(dim: Int, seed: Long): String =
+    s"list_transform(range(0, $dim), i -> " +
+      s"((((j * $dim + i + $seed) * 2654435761) % 4294967296) % 2049 - 1024) / 1024.0)"
 
   /** Random-hyperplane signature (one bit per plane) of a vector column — codegen dot kernel. */
   def lshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
@@ -44,35 +61,62 @@ object Ann {
     }.reduce(_ + _)
 
   /**
+   * The IVF codebook: a deterministic hash-sample of corpus vectors,
+   * collected driver-side. Bounded by construction (nCells rows —
+   * same class of bounded collect as the partition-map walk), so the
+   * centroids can be INLINED as literals and the corpus-side cell
+   * assignment becomes a per-row argmax with no shuffle at all.
+   */
+  private def collectCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
+                              nCells: Int): Seq[(Column, Seq[Float])] = {
+    val cidType = corpus.schema(corpusId).dataType
+    corpus
+      // Knuth multiplicative hash (not xxhash64) so the DuckDB oracle
+      // can reproduce the sample with plain integer arithmetic
+      .withColumn("__h", (col(corpusId) * lit(2654435761L)) % lit(4294967296L))
+      .orderBy(col("__h"), col(corpusId)).limit(nCells)
+      .select(col(corpusId), col(corpusVec))
+      .collect()
+      .map { r =>
+        (org.apache.spark.sql.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), cidType)),
+          r.getSeq[Float](1))
+      }.toSeq
+  }
+
+  /**
+   * Per-row (negated-sim, cid) structs against every inlined
+   * centroid, sorted ascending = best cell first. Tie-break matches
+   * the r1 window ordering: (round(cos, 9) desc, cid asc); the
+   * `lit(0.0) - x` negation normalizes -0.0 so a zero-similarity tie
+   * orders identically. Map-only: no Exchange anywhere.
+   */
+  private def nearestCellStructs(vec: Column, codebook: Seq[(Column, Seq[Float])]): Column =
+    array_sort(array(codebook.map { case (cid, cvec) =>
+      struct((lit(0.0) - round(Dedup.cosine(vec, typedLit(cvec)), 9)).as("negsim"), cid.as("cid"))
+    }: _*))
+
+  /**
    * IVF (inverted-file) ANN: a deterministic sample of corpus
    * vectors acts as the centroid codebook; every corpus vector is
-   * assigned to its nearest centroid (one broadcast pass), queries
-   * probe the `nprobe` nearest cells and rank candidates by exact
-   * cosine. The 100 TB shape: the corpus is scanned once to build
-   * the cell assignment (which can be persisted alongside the data
-   * as a bucketing column), and each query touches only
-   * nprobe/nCells of the data.
+   * assigned to its nearest centroid (per-row argmax over the
+   * inlined codebook — map-only, the corpus is never shuffled),
+   * queries probe the `nprobe` nearest cells and rank candidates by
+   * exact cosine. The 100 TB shape: the corpus is scanned once to
+   * build the cell assignment (which can be persisted alongside the
+   * data as a bucketing column via [[ivfAssign]]), and each query
+   * touches only nprobe/nCells of the data.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String,
               k: Int, nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    // deterministic codebook: hash-sampled corpus vectors
-    val cents = corpus
-      .withColumn("__h", abs(xxhash64(col(corpusId))) % lit(1000000))
-      .orderBy(col("__h"), col(corpusId)).limit(nCells)
-      .select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+    val cb = collectCodebook(corpus, corpusId, corpusVec, nCells)
 
-    def nearestCells(df: DataFrame, idC: String, vec: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("__csim", Dedup.cosine(col(vec), col("__cvec")))
-        .withColumn("__crn", row_number().over(
-          Window.partitionBy(col(idC)).orderBy(round(col("__csim"), 9).desc, col("__cid").asc)))
-        .filter(col("__crn") <= n)
-        .drop("__cvec", "__csim", "__crn")
-
-    val assigned = nearestCells(corpus, corpusId, corpusVec, 1) // cell per corpus vector
-    val probed = nearestCells(queries, queryId, queryVec, nprobe) // nprobe cells per query
+    val assigned = ivfAssignWith(corpus, corpusVec, cb)
+    val probed = queries // nprobe cells per query: sorted slice + explode, still map-only
+      .withColumn("__cell", explode(slice(nearestCellStructs(col(queryVec), cb), 1, nprobe)))
+      .withColumn("__cid", col("__cell.cid"))
       .select(col("__cid"), col(queryId), col(queryVec))
 
     val cand = assigned.join(broadcast(probed), "__cid")
@@ -82,6 +126,22 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
+
+  /**
+   * Standalone map-only IVF cell assignment: adds `__cid` (nearest
+   * centroid id) to every corpus row without any shuffle — suitable
+   * for persisting as a partition/bucketing column next to the data.
+   */
+  def ivfAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
+                nCells: Int = 16): DataFrame =
+    ivfAssignWith(corpus, corpusVec, collectCodebook(corpus, corpusId, corpusVec, nCells))
+
+  private def ivfAssignWith(corpus: DataFrame, corpusVec: String,
+                            codebook: Seq[(Column, Seq[Float])]): DataFrame =
+    corpus.withColumn("__cid",
+      array_min(array(codebook.map { case (cid, cvec) =>
+        struct((lit(0.0) - round(Dedup.cosine(col(corpusVec), typedLit(cvec)), 9)).as("negsim"), cid.as("cid"))
+      }: _*)).getField("cid"))
 
   /**
    * LSH-bucketed ANN: candidates share the full signature bucket

@@ -86,12 +86,21 @@ object TextAnalysis {
       .withColumn("bpe_pieces", regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
 
   /**
-   * Order-sensitive document fingerprint: XOR-rotate rolling hash of
-   * the token-hash sequence (two texts with the same multiset but
-   * different order fingerprint differently). XOR+rotl instead of a
-   * polynomial so ANSI mode can't overflow.
+   * Order-sensitive document fingerprint: rolling polynomial hash of
+   * the normalized text's code points (two texts with the same token
+   * multiset but different order fingerprint differently). A codegen
+   * kernel with mod-prime bounded arithmetic — engine-portable, so
+   * the DuckDB oracle recomputes it exactly ([[fingerprintSql]]);
+   * the r1 xxhash64 rolling hash was not SQL-expressible.
    */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, x) =>
-      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(x)))
+    graft.functions.native.fingerprint64(Dedup.normalizeText(text))
+
+  /** DuckDB twin of [[fingerprint]] (identical bounded BIGINT arithmetic). */
+  def fingerprintSql(t: String): String = {
+    val norm = Dedup.normalizeTextSql(t)
+    val cps = s"list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($norm) + 1), i -> CAST(unicode($norm[i:i]) AS BIGINT)))"
+    s"(list_reduce($cps, (a, c) -> (a * 131 + c) % 1000000007) * 2147483648" +
+      s" + list_reduce($cps, (a, c) -> (a * 257 + c) % 998244353))"
+  }
 }

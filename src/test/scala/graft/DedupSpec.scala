@@ -85,6 +85,33 @@ class DedupSpec extends SparkSpecBase {
     info(f"recall@5: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f (vs exact)")
   }
 
+  test("IVF cell assignment is map-only (no Exchange) and picks the true nearest centroid") {
+    import graft.operators.Ann
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", nCells = 16)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"IVF corpus assignment must not shuffle:\n$plan")
+
+    // driver-side truth: same hash-sampled codebook, argmax by (round(cos,9) desc, cid asc)
+    val cents = emb
+      .withColumn("__h", (col("vec_id") * lit(2654435761L)) % lit(4294967296L))
+      .orderBy(col("__h"), col("vec_id")).limit(16)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r9(x: Double): Double = BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = assigned.select("vec_id", "embedding", "__cid").collect()
+    got.take(100).foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val want = cents.map { case (cid, cv) => (-r9(cos(v, cv)), cid) }.min._2
+      assert(r.getLong(2) == want, s"wrong cell for vec ${r.getLong(0)}")
+    }
+  }
+
   test("keepFirst keeps exactly one row per key, the earliest") {
     val df = Seq((1L, "a", 3L), (1L, "a", 1L), (1L, "b", 2L), (2L, "a", 9L))
       .toDF("uid", "etype", "ord")
