@@ -478,6 +478,20 @@ object QueryRegistry {
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  private val dedup_neardup = QueryDef(
+    (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 4)).orderBy("id_a", "id_b"),
+    // brute force over ALL pairs: the oracle checks both precision
+    // (emitted jaccards are exact) and recall (every true pair at
+    // J >= 0.8 was surfaced by the LSH banding)
+    Some(s"""SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM $jaccardShinglesSql a JOIN $jaccardShinglesSql b
+        ON a.doc_id < b.doc_id
+        AND least(len(a.sh), len(b.sh)) >= 0.8 * greatest(len(a.sh), len(b.sh)))
+      WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
+
   /** Explicit sequential-fold cosine (matches Spark's aggregate order). */
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -666,6 +680,7 @@ object QueryRegistry {
     "dedup_minhash" -> dedup_minhash,
     "dedup_simhash" -> dedup_simhash,
     "dedup_jaccard" -> dedup_jaccard,
+    "dedup_neardup" -> dedup_neardup,
     "dedup_cosine" -> dedup_cosine,
     "ann_bruteforce" -> ann_bruteforce,
     "ann_lsh" -> ann_lsh,

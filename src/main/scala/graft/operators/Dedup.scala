@@ -87,11 +87,76 @@ object Dedup {
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash"))
     a.join(b, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
+      // exactly-once per pair WITHOUT a distinct shuffle: a pair that
+      // matches in several bands is kept only at its first truly-
+      // matching band (a per-row predicate over the carried sigs)
+      .filter(col("band") === firstMatchingBand(col("sig_a"), col("sig_b"), bands, rowsPerBand))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .withColumn("est_sim",
         graft.functions.native.matchCount(col("sig_a"), col("sig_b")).cast("double") / numPerms)
       .filter(col("est_sim") >= minEstSim)
-      .select("id_a", "id_b", "est_sim").distinct()
+      .select("id_a", "id_b", "est_sim")
+  }
+
+  /**
+   * Index of the first band whose signature slices truly agree (null
+   * if none — i.e. the band join matched only via an xxhash64
+   * collision). Lets band-join outputs dedup per-row instead of with
+   * a full shuffle of all candidate pairs.
+   */
+  private def firstMatchingBand(sigA: Column, sigB: Column, bands: Int, rowsPerBand: Int): Column =
+    coalesce((0 until bands).map { b =>
+      when(slice(sigA, b * rowsPerBand + 1, rowsPerBand) === slice(sigB, b * rowsPerBand + 1, rowsPerBand),
+        lit(b))
+    }: _*)
+
+  /**
+   * The recommended near-duplicate pipeline at corpus scale:
+   * MinHash-LSH candidate generation (bounded band equi-join) feeding
+   * EXACT n-gram Jaccard verification (sorted-hash merge kernel).
+   * Unlike [[jaccardPairs]] with coarse blocking keys, candidates are
+   * bounded by the banding — never quadratic within a block — so this
+   * is the 100 TB path; jaccardPairs remains for small-domain keys.
+   *
+   * Recall: with the default 32 bands x 4 rows, a pair at the 0.8
+   * threshold is missed with probability (1 - 0.8^4)^32 ~ 5e-8, so
+   * the output matches brute force (the registry query's DuckDB
+   * oracle IS brute force over all pairs).
+   */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     minJaccard: Double = 0.8, numPerms: Int = 128, bands: Int = 32,
+                     shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    // one shingle scan: signature (for candidates) + sorted hashes
+    // (for exact verification) computed side by side, then persisted —
+    // both the band self-join and the two verification joins reuse it
+    val base = df.select(col(idCol), shingles(col(textCol), shingleN).as("__shg"))
+      .select(col(idCol),
+        graft.functions.native.minhashSig(col("__shg"), lit(numPerms)).as("sig"),
+        graft.functions.native.sortedHashes(col("__shg")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col(idCol), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    // slim candidate pairs (ids only — the heavy shingle-hash arrays
+    // do NOT ride through the band join's row multiplication)
+    val cand = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
+      .join(banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash")),
+        Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === firstMatchingBand(col("sig_a"), col("sig_b"), bands, rowsPerBand))
+      .select("id_a", "id_b")
+    cand
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      // size bound: J <= min/max, prune before the merge
+      .filter(least(col("sz_a"), col("sz_b")) >= lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("inter", graft.functions.native.intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash from token hashes (sign of per-bit weighted sums) — per-row kernel, map-only. */

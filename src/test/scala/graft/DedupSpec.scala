@@ -32,6 +32,35 @@ class DedupSpec extends SparkSpecBase {
       "near dup should share a band")
   }
 
+  test("minhashPairs emits each pair exactly once (min-band dedup, no distinct shuffle)") {
+    val pairs = Dedup.minhashPairs(docsWithPlants, "doc_id", "text", minEstSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size, "pairs must be unique without a distinct()")
+    val plan = Dedup.minhashPairs(docsWithPlants, "doc_id", "text", minEstSim = 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Deduplicate"), s"no distinct node expected:\n$plan")
+  }
+
+  test("nearDuplicates (LSH candidates + exact verify) equals brute-force Jaccard") {
+    val docs = docsWithPlants
+    val got = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // driver-side brute force on string shingle sets
+    def norm(s: String) = s.toLowerCase.replaceAll("[.,!?;:'\"]", "").replaceAll("\\s+", " ").trim
+    def sh(s: String): Set[String] = {
+      val t = norm(s).split(" ")
+      if (t.length < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.collect().map(r => (r.getLong(0), sh(r.getString(1))))
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5
+    } yield ((ia, ib), j)).toMap
+    assert(got.keySet == want.keySet, s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12, s"jaccard mismatch at $k") }
+  }
+
   test("simhashPairs: exact dup has hamming 0") {
     val pairs = Dedup.simhashPairs(docsWithPlants, "doc_id", "text", maxHamming = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
