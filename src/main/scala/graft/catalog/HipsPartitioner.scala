@@ -98,20 +98,15 @@ object HipsPartitioner {
    * intended integer bucketing.)
    */
   def withPartitionColumns(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(pm.orders)
-    val orderK = pm.orderK
-    val assign = udf { (ra: Double, dec: Double) =>
-      val pixK = Healpix.ang2pixNest(orderK, ra, dec)
-      val o = bc.value(pixK.toInt)
-      val pix = pixK >> (2 * (orderK - o))
-      (o, (pix / 10000L) * 10000L, pix)
-    }
-    df.withColumn("__p", assign(col(raCol).cast("double"), col(decCol).cast("double")))
-      .withColumn("Norder", col("__p._1"))
-      .withColumn("Dir", col("__p._2"))
-      .withColumn("Npix", col("__p._3"))
-      .drop("__p")
+    val bc = df.sparkSession.sparkContext.broadcast(pm.orders)
+    // codegen kernel (PackedPartitionPixelExpr), NOT a Scala UDF: this
+    // is the one expression every ingested row crosses, so it must
+    // stay inside WholeStageCodegen (asserted in CatalogSpec)
+    df.withColumn("__pp", graft.functions.native.packedPartitionPixel(col(raCol), col(decCol), pm.orderK, bc))
+      .withColumn("Norder", shiftright(col("__pp"), 48).cast("int"))
+      .withColumn("Dir", (col("__pp").bitwiseAND(lit(0xffffffffffffL)) / 10000L).cast("long") * 10000L)
+      .withColumn("Npix", col("__pp").bitwiseAND(lit(0xffffffffffffL)))
+      .drop("__pp")
   }
 
   /**
@@ -121,24 +116,14 @@ object HipsPartitioner {
    * that pixel's neighbor file).
    */
   def marginRows(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap, marginDeg: Double): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(pm.orders)
-    val orderK = pm.orderK
-    val marginPixels = udf { (ra: Double, dec: Double) =>
-      val own = {
-        val pk = Healpix.ang2pixNest(orderK, ra, dec)
-        val o = bc.value(pk.toInt)
-        (o, pk >> (2 * (orderK - o)))
-      }
-      // partition pixels overlapping the margin disc, minus our own
-      Healpix.queryDiscCover(orderK, ra, dec, marginDeg).map { pk =>
-        val o = bc.value(pk.toInt)
-        (o, pk >> (2 * (orderK - o)))
-      }.distinct.filter(_ != own).map { case (o, p) => Array(o.toLong, p) }
-    }
-    df.withColumn("__m", explode(marginPixels(col(raCol).cast("double"), col(decCol).cast("double"))))
-      .withColumn("Norder", col("__m").getItem(0).cast("int"))
-      .withColumn("Npix", col("__m").getItem(1))
+    val bc = df.sparkSession.sparkContext.broadcast(pm.orders)
+    // bounded explode of a codegen kernel (MarginPixelsExpr): packed
+    // foreign partition pixels overlapping the margin disc, minus the
+    // row's own pixel — no Scala UDF on the ingest path
+    df.withColumn("__m", explode(graft.functions.native.marginPixels(
+        col(raCol), col(decCol), pm.orderK, marginDeg, bc)))
+      .withColumn("Norder", shiftright(col("__m"), 48).cast("int"))
+      .withColumn("Npix", col("__m").bitwiseAND(lit(0xffffffffffffL)))
       .withColumn("Dir", (col("Npix") / 10000L).cast("long") * 10000L)
       .drop("__m")
   }
@@ -154,16 +139,54 @@ object HipsPartitioner {
    * (Spark removed summary-file support for this reason); the JSON
    * partition map + hive layout carry the same information.
    */
+  /**
+   * The reference's order-14 spatial index `[pix@14 | rank]`
+   * (dask_utils.py:167 compute_index) added WITHOUT a shuffle: after
+   * the repartition by partition pixel, every order-14 pixel's rows
+   * are complete within one partition (orderK <= 10 < 14), so the
+   * per-pixel rank is a partition-local running counter over rows
+   * sorted by (pix14, ra, dec, id). Rows come out sorted by `_ID`,
+   * so written files carry monotonic `_ID` (and clustered ra/dec) —
+   * parquet row-group min/max stats then prune stored-catalog cone
+   * searches at the ROW-GROUP level, not just the file level.
+   */
+  private def withSpatialId(df: DataFrame, raCol: String, decCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val order = 14
+    val shift = 64 - (4 + 2 * order)
+    val sorted = df
+      .withColumn("__pix14", sphere.hpix(col(raCol).cast("double"), col(decCol).cast("double"), order))
+      .sortWithinPartitions(col("__pix14"), col(raCol), col(decCol), col(idCol))
+    val pixIdx = sorted.schema.fieldIndex("__pix14")
+    val schema = sorted.schema.add(StructField("_ID", LongType, nullable = false))
+    sorted.mapPartitions { rows =>
+      var cur = Long.MinValue
+      var rank = -1L
+      rows.map { r =>
+        val p = r.getLong(pixIdx)
+        if (p != cur) { cur = p; rank = 0L } else rank += 1
+        Row.fromSeq(r.toSeq :+ ((p << shift) + rank))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema)).drop("__pix14")
+  }
+
   def write(df: DataFrame, raCol: String, decCol: String, idCol: String,
             outputDir: String, catname: String,
             orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1): PartitionMap = {
     val pm = computePartitionMap(df, raCol, decCol, orderK, threshold)
-    withPartitionColumns(df, raCol, decCol, pm)
-      .repartition(col("Norder"), col("Npix"))
+    // the trailing sortWithinPartitions puts the hive partition
+    // columns FIRST so FileFormatWriter's required ordering is already
+    // satisfied (no writer-inserted, stability-unspecified sort) and
+    // each written file stays _ID-ascending
+    withSpatialId(withPartitionColumns(df, raCol, decCol, pm)
+        .repartition(col("Norder"), col("Npix")), raCol, decCol, idCol)
+      .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
       .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
       .parquet(s"$outputDir/$catname/catalog")
-    marginRows(df, raCol, decCol, pm, marginDeg)
-      .repartition(col("Norder"), col("Npix"))
+    withSpatialId(marginRows(df, raCol, decCol, pm, marginDeg)
+        .repartition(col("Norder"), col("Npix")), raCol, decCol, idCol)
+      .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
       .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
       .parquet(s"$outputDir/$catname/neighbor")
 
@@ -271,19 +294,20 @@ object HipsCatalog {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.sphere
 
-    // assign each left row to the RIGHT catalog's partition pixel
+    // assign each left row to the RIGHT catalog's partition pixel —
+    // codegen kernel over the broadcast grid (was a Scala UDF in r1).
+    // The join key is the PACKED (order << 48 | pix) value: a bare
+    // pixel number is ambiguous across orders in an adaptive map
+    // ((2, 5) and (3, 5) can coexist), packing removes the hazard.
     val bc = spark.sparkContext.broadcast(partitionGrid(spark, outputDir, rightCat, orderK))
-    val toRightPixel = udf { (ra: Double, dec: Double) =>
-      val pixK = Healpix.ang2pixNest(orderK, ra, dec)
-      val o = bc.value(pixK.toInt)
-      if (o < 0) -1L else pixK >> (2 * (orderK - o))
-    }
     val lm = load(spark, outputDir, leftCat)
-      .withColumn("__jpix", toRightPixel(col(leftRa).cast("double"), col(leftDec).cast("double")))
+      .withColumn("__jpix", graft.functions.native.packedPartitionPixel(
+        col(leftRa), col(leftDec), orderK, bc))
 
     def prep(df: DataFrame): DataFrame = {
       val cols = df.columns.filterNot(Seq("Norder", "Dir", "Npix").contains)
-      df.select((cols.map(col) :+ col("Npix").as("__jpix")): _*)
+      df.select((cols.map(col) :+
+        shiftleft(col("Norder").cast("long"), 48).bitwiseOR(col("Npix")).as("__jpix")): _*)
     }
     // right candidates per pixel: home rows + stored margin replicas
     val r0 = prep(load(spark, outputDir, rightCat))

@@ -31,4 +31,16 @@ object native {
   def intersectCount(a: Column, b: Column): Column = c2(IntersectCountExpr.apply)(a, b)
   /** Positional signature agreement count (MatchCountExpr). */
   def matchCount(a: Column, b: Column): Column = c2(MatchCountExpr.apply)(a, b)
+
+  /** Packed (order << 48 | pix) partition assignment against a broadcast grid (PackedPartitionPixelExpr). */
+  def packedPartitionPixel(ra: Column, dec: Column, orderK: Int,
+                           grid: org.apache.spark.broadcast.Broadcast[Array[Int]]): Column =
+    GraftBridge.column(PackedPartitionPixelExpr(
+      GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")), orderK, grid))
+
+  /** Packed foreign partition pixels within a margin disc (MarginPixelsExpr). */
+  def marginPixels(ra: Column, dec: Column, orderK: Int, marginDeg: Double,
+                   grid: org.apache.spark.broadcast.Broadcast[Array[Int]]): Column =
+    GraftBridge.column(MarginPixelsExpr(
+      GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")), orderK, marginDeg, grid))
 }

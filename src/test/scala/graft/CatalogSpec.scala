@@ -88,6 +88,17 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("ingest path is UDF-free and stays inside WholeStageCodegen") {
+    val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
+    val assignPlan = HipsPartitioner.withPartitionColumns(li, "cra", "cdec", pm)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("UDF"), s"partition assignment must not use a Scala UDF:\n$assignPlan")
+    assert(assignPlan.contains("*("), s"assignment must be inside a WholeStageCodegen stage:\n$assignPlan")
+    val marginPlan = HipsPartitioner.marginRows(li, "cra", "cdec", pm, marginDeg = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!marginPlan.contains("UDF"), s"margin explode must not use a Scala UDF:\n$marginPlan")
+  }
+
   test("margin cache: rows land under foreign pixels within the margin") {
     val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
     val margins = HipsPartitioner.marginRows(li, "cra", "cdec", pm, marginDeg = 1.0)
