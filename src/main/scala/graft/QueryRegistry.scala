@@ -45,6 +45,12 @@ object QueryRegistry {
       .select(col("k"), sphere.hpix(col("cra"), col("cdec"), 5).as("pix5"))
       .distinct() // k -> pix5 is functional; k itself is NOT row-unique, so dedup for a clean N:1 join
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/pm_lineitem.parquet")
+    // minhash/simhash signatures (Scala kernels — the banding, est_sim
+    // and Hamming downstream of them are recomputed in SQL)
+    graft.operators.Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 64)
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/minhash_documents.parquet")
+    graft.operators.Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/simhash_documents.parquet")
   }
   private def aux(name: String): String = s"read_parquet('$oracleAuxDir/$name.parquet/*.parquet')"
   private def skySql(table: String, key: String, extra: String = ""): String =
@@ -448,14 +454,37 @@ object QueryRegistry {
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  // minhash/simhash signatures come from the oracle aux parquet
+  // (Scala-kernel-computed, like the healpix pixels); DuckDB then
+  // independently recomputes banding/chunking, est_sim and Hamming —
+  // so candidate RECALL is driver-checked, not just declared.
+
   private val dedup_minhash = QueryDef(
+    // no rounding: est_sim = k/64 is an exact dyadic double on both engines
     (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
-      .withColumn("est_sim", round(col("est_sim"), 4)).orderBy("id_a", "id_b"),
-    None)
+      .orderBy("id_a", "id_b"),
+    // a pair is emitted iff >=1 of the 16 4-long signature bands agrees
+    // exactly (the first-matching-band predicate drops collision-only
+    // joins, so band-hash choice is irrelevant) and positional
+    // agreement est_sim = matches/64 clears the 0.5 floor. Brute force
+    // over all pairs -> banding recall is checked too.
+    Some(s"""SELECT id_a, id_b, est / 64.0 AS est_sim FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS est,
+        len(list_filter(range(0, 16), k -> a.sig[4*k+1 : 4*k+4] = b.sig[4*k+1 : 4*k+4])) AS nbands
+      FROM ${aux("minhash_documents")} a JOIN ${aux("minhash_documents")} b ON a.doc_id < b.doc_id)
+      WHERE nbands > 0 AND est >= 32 ORDER BY id_a, id_b"""))
 
   private val dedup_simhash = QueryDef(
-    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text").orderBy("id_a", "id_b"),
-    None)
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("hamming", col("hamming").cast("long")).orderBy("id_a", "id_b"),
+    // 8x8-bit chunking is exhaustive to Hamming 7 (pigeonhole), so the
+    // oracle needs NO banding condition at all: plain all-pairs Hamming
+    // <= 6 — which makes the driver certify the recall contract.
+    Some(s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM ${aux("simhash_documents")} a JOIN ${aux("simhash_documents")} b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 ORDER BY id_a, id_b"""))
 
   private val jaccardShinglesSql: String = {
     val norm = Dedup.normalizeTextSql("text")

@@ -70,10 +70,20 @@ object Ann {
   private def collectCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
                               nCells: Int): Seq[(Column, Seq[Float])] = {
     val cidType = corpus.schema(corpusId).dataType
+    // Knuth multiplicative hash (not xxhash64) so the DuckDB oracle can
+    // reproduce the sample with plain integer arithmetic. Overflow-safe:
+    // the naive id*2654435761 wraps silently for ids >= ~3.5e9 (and
+    // errors under ANSI mode), so bound the id to 32 bits and split it
+    // into 16-bit halves — every intermediate stays < 2^49, and the
+    // result is value-identical to (id * C) % 2^32 for id in [0, 2^32).
+    val C = 2654435761L
+    val idm = pmod(col(corpusId).cast("long"), lit(4294967296L))
+    val knuth = pmod(
+      shiftleft(pmod(shiftright(idm, 16) * C, lit(4294967296L)), 16) +
+        idm.bitwiseAND(lit(0xffffL)) * C,
+      lit(4294967296L))
     corpus
-      // Knuth multiplicative hash (not xxhash64) so the DuckDB oracle
-      // can reproduce the sample with plain integer arithmetic
-      .withColumn("__h", (col(corpusId) * lit(2654435761L)) % lit(4294967296L))
+      .withColumn("__h", knuth)
       .orderBy(col("__h"), col(corpusId)).limit(nCells)
       .select(col(corpusId), col(corpusVec))
       .collect()
@@ -146,6 +156,13 @@ object Ann {
   /**
    * LSH-bucketed ANN: candidates share the full signature bucket
    * (optionally banded for higher recall), ranked by exact cosine.
+   *
+   * A (query, corpus) pair bucketed together in several bands is kept
+   * only at its FIRST matching band — a per-row predicate over the two
+   * carried signatures (the band join key is the band value itself, so
+   * every joined row is a true band match). No distinct: nothing after
+   * the broadcast join shuffles the embedding vectors; the only
+   * Exchange is the top-k window's, and it carries (qid, cid, cos).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
@@ -153,17 +170,22 @@ object Ann {
               k: Int, dim: Int, numPlanes: Int = 12, bands: Int = 3, seed: Long = 42L): DataFrame = {
     val planesPerBand = numPlanes / bands
     val mask = (1L << planesPerBand) - 1
+    def bandOf(sig: Column, b: Int): Column =
+      shiftrightunsigned(sig, b * planesPerBand).bitwiseAND(mask)
     def banded(df: DataFrame, vecCol: String): DataFrame = {
       val sig = lshSignature(col(vecCol), numPlanes, dim, seed)
       df.withColumn("__sig", sig)
-        .select(col("*"), posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("__sig"), b * planesPerBand).bitwiseAND(mask)): _*)))
+        .select(col("*"), posexplode(array((0 until bands).map(b => bandOf(col("__sig"), b)): _*)))
         .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
     }
     val c = banded(corpus, corpusVec)
-    val q = banded(queries, queryVec).select(col("__band"), col("__bsig"), col(queryId), col(queryVec))
+    val q = banded(queries, queryVec)
+      .select(col("__band"), col("__bsig"), col("__sig").as("__qsig"), col(queryId), col(queryVec))
+    val firstBand = coalesce((0 until bands).map { b =>
+      when(bandOf(col("__sig"), b) === bandOf(col("__qsig"), b), lit(b))
+    }: _*)
     val cand = c.join(broadcast(q), Seq("__band", "__bsig"))
-      .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec)).distinct()
+      .filter(col("__band") === firstBand)
       .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
     cand.withColumn("rn", row_number().over(w).cast("long"))

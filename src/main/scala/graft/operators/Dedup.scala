@@ -71,11 +71,21 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numPerms: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3): DataFrame =
+    minhashPairsWithCache(df, idCol, textCol, numPerms, bands, minEstSim, shingleN)._1
+
+  /** As [[minhashPairs]], additionally returning an unpersist handle for
+   *  the shared signature cache — call it once the result is
+   *  materialized; without it the cache lives until the session's
+   *  CacheManager is cleared (fine for one-shot jobs, a leak in
+   *  long-lived sessions). */
+  def minhashPairsWithCache(df: DataFrame, idCol: String, textCol: String,
+                            numPerms: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
+                            shingleN: Int = 3): (DataFrame, () => Unit) = {
     val rowsPerBand = numPerms / bands
     // signatures are tiny relative to the corpus (numPerms longs per
     // doc); persist so the banded self-join doesn't recompute the
-    // shingle scan twice (the ContextCleaner reclaims it on GC)
+    // shingle scan twice (the returned handle unpersists)
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
@@ -85,7 +95,7 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash"))
-    a.join(b, Seq("band", "bandhash"))
+    val out = a.join(b, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       // exactly-once per pair WITHOUT a distinct shuffle: a pair that
       // matches in several bands is kept only at its first truly-
@@ -96,6 +106,7 @@ object Dedup {
         graft.functions.native.matchCount(col("sig_a"), col("sig_b")).cast("double") / numPerms)
       .filter(col("est_sim") >= minEstSim)
       .select("id_a", "id_b", "est_sim")
+    (out, () => { sigs.unpersist(); () })
   }
 
   /**
@@ -125,7 +136,16 @@ object Dedup {
    */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      minJaccard: Double = 0.8, numPerms: Int = 128, bands: Int = 32,
-                     shingleN: Int = 3): DataFrame = {
+                     shingleN: Int = 3): DataFrame =
+    nearDuplicatesWithCache(df, idCol, textCol, minJaccard, numPerms, bands, shingleN)._1
+
+  /** As [[nearDuplicates]], additionally returning an unpersist handle
+   *  for the shared shingle-scan cache — call it once the result is
+   *  materialized so repeated calls in a long-lived session don't
+   *  accumulate cached partitions. */
+  def nearDuplicatesWithCache(df: DataFrame, idCol: String, textCol: String,
+                              minJaccard: Double = 0.8, numPerms: Int = 128, bands: Int = 32,
+                              shingleN: Int = 3): (DataFrame, () => Unit) = {
     val rowsPerBand = numPerms / bands
     // one shingle scan: signature (for candidates) + sorted hashes
     // (for exact verification) computed side by side, then persisted —
@@ -148,7 +168,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(col("band") === firstMatchingBand(col("sig_a"), col("sig_b"), bands, rowsPerBand))
       .select("id_a", "id_b")
-    cand
+    val out = cand
       .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
       .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
       // size bound: J <= min/max, prune before the merge
@@ -157,6 +177,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    (out, () => { base.unpersist(); () })
   }
 
   /** 64-bit SimHash from token hashes (sign of per-bit weighted sums) — per-row kernel, map-only. */
@@ -165,24 +186,64 @@ object Dedup {
       graft.functions.native.simhash(split(normalizeText(col(textCol)), " ")).as("simhash"))
   }
 
+  /** SimHash candidate chunking, adaptive to the requested radius: the
+   *  64 signature bits split into (maxHamming + 1) contiguous chunks.
+   *  By pigeonhole any pair at Hamming <= maxHamming leaves at least
+   *  one chunk untouched, so the chunk equi-join is LOSSLESS — and
+   *  using exactly maxHamming + 1 chunks keeps each chunk as wide
+   *  (and buckets as sparse) as the guarantee allows: e.g. the
+   *  default Hamming <= 6 gets 7 chunks of 9-10 bits, not 8 of 8.
+   *  Returns (shift, width) per chunk. */
+  private def simhashChunkLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    val n = maxHamming + 1
+    val widths = Seq.tabulate(n)(i => 64 / n + (if (i < 64 % n) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  private def simhashChunk(sig: Column, shift: Int, width: Int): Column =
+    if (width >= 64) sig
+    else shiftrightunsigned(sig, shift).bitwiseAND((1L << width) - 1)
+
+  /** Index of the first chunk where the two signatures agree (never
+   *  null for joined rows — the join key IS the chunk value). The
+   *  per-row predicate that makes multi-chunk matches emit exactly
+   *  once without a distinct shuffle (same trick as
+   *  [[firstMatchingBand]]). */
+  private def firstMatchingChunk(a: Column, b: Column, layout: Seq[(Int, Int)]): Column =
+    coalesce(layout.zipWithIndex.map { case ((shift, width), k) =>
+      when(simhashChunk(a, shift, width) === simhashChunk(b, shift, width), lit(k))
+    }: _*)
+
   /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming,
-   * candidate-generated by joining on 16-bit signature chunks (any
-   * pair within Hamming 3 shares at least one of 4 chunks).
+   * candidate-generated by joining on (maxHamming + 1) signature
+   * chunks. The chunking is exhaustive up to maxHamming by
+   * pigeonhole, so the output is EXACTLY all pairs at Hamming <=
+   * maxHamming — no recall loss (property-tested at Hamming 4..7,
+   * and the registry oracle brute-forces all pairs).
    */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 6): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 6): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol), idCol, maxHamming)
+
+  /** Pair generation over a precomputed (id, simhash) frame — the
+   *  persistable-signature entry point (and the oracle/property-test
+   *  seam). No distinct: a pair matching several chunks survives only
+   *  at its first matching chunk. */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (chunks need >= 4 bits to bucket usefully); got $maxHamming")
+    val layout = simhashChunkLayout(maxHamming)
     val chunked = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(k =>
-        shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xffffL)): _*)))
+      posexplode(array(layout.map { case (shift, width) =>
+        simhashChunk(col("simhash"), shift, width) }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkval")
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("chunkval"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("chunkval"))
     a.join(b, Seq("chunk", "chunkval"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("chunk") === firstMatchingChunk(col("sh_a"), col("sh_b"), layout))
       .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /**

@@ -51,7 +51,7 @@ object Sessionize {
 
   /** DuckDB twin of batchSessions for the oracle. */
   val batchSessionsSql: String =
-    s"""SELECT user_id, session_seq,
+    s"""SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
        FROM (

@@ -67,6 +67,43 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.get((100001L, 100002L)).contains(0))
   }
 
+  test("simhashPairsFromSigs finds ALL pairs at Hamming 4..7 and emits each exactly once") {
+    // planted signatures at known Hamming distances from a fixed base —
+    // including distances 4..7, the range the old 4x16-bit chunking
+    // silently missed. 8x8-bit chunks guarantee recall to Hamming 7.
+    val base = 0x0123456789abcdefL
+    def flip(x: Long, bits: Seq[Int]): Long = bits.foldLeft(x)((v, b) => v ^ (1L << b))
+    val rows = Seq(
+      (0L, base),
+      (1L, flip(base, Seq(0, 9, 18, 27))),          // hamming 4, spread over 4 chunks
+      (2L, flip(base, Seq(63, 55, 47, 39, 31))),    // hamming 5, high chunks
+      (3L, flip(base, Seq(1, 2, 3, 4, 5, 6))),      // hamming 6, concentrated
+      (4L, flip(base, Seq(0, 8, 16, 24, 32, 40, 48))), // hamming 7, 7 distinct chunks
+      (5L, flip(base, Seq(0, 1, 8, 9, 16, 17, 24, 25))) // hamming 8: must NOT pair with base
+    )
+    val sigs = spark.createDataFrame(rows).toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairsFromSigs(sigs, "doc_id", maxHamming = 7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(got.length == got.toSet.size, "each pair exactly once without a distinct()")
+    val gotMap = got.toMap
+    assert(gotMap.get((0L, 1L)).contains(4))
+    assert(gotMap.get((0L, 2L)).contains(5))
+    assert(gotMap.get((0L, 3L)).contains(6))
+    assert(gotMap.get((0L, 4L)).contains(7))
+    assert(!gotMap.contains((0L, 5L)), "hamming 8 exceeds maxHamming")
+    // same planted distances under the default radius (7 chunks of 9-10 bits)
+    val got6 = Dedup.simhashPairsFromSigs(sigs, "doc_id", maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got6.get((0L, 1L)).contains(4) && got6.get((0L, 2L)).contains(5) && got6.get((0L, 3L)).contains(6))
+    assert(!got6.contains((0L, 4L)), "hamming 7 exceeds maxHamming 6")
+    // recall is structural, not incidental: no Deduplicate node in the plan
+    val plan = Dedup.simhashPairsFromSigs(sigs, "doc_id").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Deduplicate"), s"no distinct node expected:\n$plan")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFromSigs(sigs, "doc_id", maxHamming = 16)
+    }
+  }
+
   test("jaccardPairs exact on planted texts") {
     val df = docsWithPlants.withColumn("blk", lit(1))
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", Seq("blk"), n = 3, minJaccard = 0.4)
@@ -112,6 +149,32 @@ class DedupSpec extends SparkSpecBase {
     assert(lshRecall >= 0.3, s"LSH recall too low: $lshRecall")
     assert(ivfRecall >= 0.3, s"IVF recall too low: $ivfRecall")
     info(f"recall@5: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f (vs exact)")
+  }
+
+  test("lshTopK dedups candidates per-row: no Exchange carries an embedding column") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // AQE off so Exchange nodes sit directly in the tree (not inside query stages)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val res = Ann.lshTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 5, dim = 64)
+      // broadcasting the (small) query side WITH its vectors is the
+      // design; what must not happen is a shuffle carrying either
+      // embedding column (the r2 distinct() did exactly that)
+      val exchanges = res.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected the top-k window Exchange")
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.exists(n => n == "embedding" || n == "q_vec"),
+          s"Exchange must not shuffle vectors, but outputs $names")
+      }
+      assert(res.queryExecution.optimizedPlan.collect {
+        case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d }.isEmpty,
+        "candidate dedup must be the per-row band predicate, not distinct()")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("IVF cell assignment is map-only (no Exchange) and picks the true nearest centroid") {
