@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // n >= 3 so the reported number is a median, not a draw from
+    // JIT/environment noise (r2 showed ~15% run-to-run drift on
+    // queries whose code had not changed)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(graft.plans.GraftExtensions.install)
       .master(s"local[$cpus]")
@@ -13,10 +17,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm up session: parquet footers, codegen, shuffle machinery
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
-    // best-of-2: first run includes per-query codegen compilation
-    // (constant cost, irrelevant at scale); report steady-state
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // run 0 is a discarded warm-up (per-query codegen compilation —
+    // constant cost, irrelevant at scale); report the median of the
+    // remaining nRuns steady-state runs
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (0 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast success
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -25,7 +34,7 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.contains(-1.0)) -1.0 else median(times.tail))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,6 +28,13 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
   def idKw: String = meta("id_kw")
   def orderK: Int = meta("order_k").toInt
 
+  /** The order-k density histogram persisted at import ((pix, cnt),
+   *  sparse — nonzero pixels only): the artifact behind the
+   *  reference's visualize_sources view ({cat}_order10_hpmap.fits,
+   *  lsd2_io.py:12). Read back, never recomputed. */
+  def densityMap(): DataFrame =
+    spark.read.parquet(s"$location/$catname/point_map.parquet")
+
   /** Load the catalog, optionally column-pruned (ra/dec/id always kept — catalog.py validate_user_input_cols). */
   def load(columns: Seq[String] = Nil): DataFrame = {
     val df = HipsCatalog.load(spark, location, catname)
@@ -35,18 +42,32 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
     else df.select((columns ++ Seq(raKw, decKw, idKw)).distinct.map(org.apache.spark.sql.functions.col): _*)
   }
 
-  /** Cone search with file-level pruning; adds `_DIST` (catalog.py:65). */
-  def coneSearch(ra: Double, dec: Double, radiusDeg: Double): DataFrame =
-    HipsCatalog.coneSearch(spark, location, catname, raKw, decKw, ra, dec, radiusDeg, orderK)
+  /** Cone search with file-level pruning; adds `_DIST` (catalog.py:65).
+   *  `columns` prunes the scan — ra/dec/id always kept
+   *  (util.py:276 validate_user_input_cols semantics). */
+  def coneSearch(ra: Double, dec: Double, radiusDeg: Double,
+                 columns: Seq[String] = Nil): DataFrame =
+    HipsCatalog.coneSearch(spark, location, catname, raKw, decKw, ra, dec, radiusDeg, orderK,
+      columns = if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct)
 
-  /** kNN cross-match against another written catalog using its stored margins (catalog.py:144). */
+  /**
+   * kNN cross-match against another written catalog using its stored
+   * margins (catalog.py:144 cross_match). Output convention follows
+   * the reference: every column of BOTH sides carries a
+   * `{catname}.{col}` prefix (util.py:299 frame_prefix_all_cols,
+   * delim '.'), plus unprefixed `hips_k`/`hips_pix`/`_DIST`/`_RANK`.
+   * `c1Cols`/`c2Cols` prune each side's scan before the join —
+   * ra/dec/id are always kept (util.py:276).
+   */
   def crossMatch(other: Catalog, nNeighbors: Int = 1, dthreshDeg: Double = 0.01,
-                 rightPrefix: String = ""): DataFrame = {
+                 c1Cols: Seq[String] = Nil, c2Cols: Seq[String] = Nil,
+                 delim: String = "."): DataFrame = {
     require(other.catname != catname, "cannot cross-match a catalog with itself")
     HipsCatalog.crossMatchStored(spark, location, catname, other.catname,
       raKw, decKw, idKw, other.raKw, other.decKw, other.idKw,
       k = nNeighbors, dthreshDeg = dthreshDeg, orderK = math.max(orderK, other.orderK),
-      rightPrefix = if (rightPrefix.nonEmpty) rightPrefix else other.catname + "_")
+      rightPrefix = other.catname + delim, leftPrefix = catname + delim,
+      leftCols = c1Cols, rightCols = c2Cols)
   }
 }
 

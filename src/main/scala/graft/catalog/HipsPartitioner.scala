@@ -154,6 +154,15 @@ object HipsPartitioner {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField}
     val order = 14
+    // NOTE: the reference computes this as uint64 (dask_utils.py:167);
+    // Spark has no unsigned long, so `_ID` is the same 64-bit pattern
+    // REINTERPRETED as signed — pixels >= 2^31 (~1/3 of the sky, the
+    // south) produce negative `_ID`s. Per-file monotonicity and
+    // row-group min/max pruning are unaffected (2^31 is 4^(14-o)
+    // aligned, so no partition straddles the sign flip), but GLOBAL
+    // comparisons/sorts across the sign boundary must use
+    // `_ID` unsigned (e.g. compare `_ID - Long.MinValue`, or
+    // shiftrightunsigned to recover pix14). Asserted in CatalogSpec.
     val shift = 64 - (4 + 2 * order)
     val sorted = df
       .withColumn("__pix14", sphere.hpix(col(raCol).cast("double"), col(decCol).cast("double"), order))
@@ -189,6 +198,19 @@ object HipsPartitioner {
       .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
       .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
       .parquet(s"$outputDir/$catname/neighbor")
+
+    // persist the order-k density histogram as a small parquet — the
+    // data product behind the reference's visualize_* views
+    // ({cat}_order10_hpmap.fits, lsd2_io.py:12,170) — straight from
+    // the already-collected pm.hist: ZERO extra scans at write time.
+    // Sparse (nonzero pixels only); readers treat missing pixels as 0.
+    {
+      val sess = df.sparkSession
+      import sess.implicits._
+      pm.hist.iterator.zipWithIndex.collect { case (c, p) if c > 0 => (p.toLong, c) }
+        .toSeq.toDF("pix", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outputDir/$catname/point_map.parquet")
+    }
 
     // metadata JSON with the reference's key set ({cat}_meta.json,
     // partitioner.py:350 write_structure_metadata) so downstream
@@ -290,7 +312,8 @@ object HipsCatalog {
                        leftRa: String, leftDec: String, leftId: String,
                        rightRa: String, rightDec: String, rightId: String,
                        k: Int, dthreshDeg: Double, orderK: Int,
-                       rightPrefix: String = "r_"): DataFrame = {
+                       rightPrefix: String = "r_", leftPrefix: String = "",
+                       leftCols: Seq[String] = Nil, rightCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.sphere
 
@@ -300,13 +323,25 @@ object HipsCatalog {
     // pixel number is ambiguous across orders in an adaptive map
     // ((2, 5) and (3, 5) can coexist), packing removes the hazard.
     val bc = spark.sparkContext.broadcast(partitionGrid(spark, outputDir, rightCat, orderK))
-    val lm = load(spark, outputDir, leftCat)
-      .withColumn("__jpix", graft.functions.native.packedPartitionPixel(
-        col(leftRa), col(leftDec), orderK, bc))
+    // column selection is applied BEFORE the join, on both stored
+    // sides, so the pruning reaches the parquet scans (ReadSchema) —
+    // ra/dec/id are always kept (util.py:276 validate_user_input_cols)
+    val l0 = load(spark, outputDir, leftCat)
+    val lSel =
+      if (leftCols.isEmpty) l0
+      else l0.select((leftCols ++ Seq(leftRa, leftDec, leftId)).distinct.map(col): _*)
+    val lm0 = lSel.withColumn("__jpix", graft.functions.native.packedPartitionPixel(
+      col(leftRa), col(leftDec), orderK, bc))
+    val lm = lm0.columns.filterNot(_ == "__jpix")
+      .foldLeft(lm0)((d, c) => d.withColumnRenamed(c, leftPrefix + c))
 
     def prep(df: DataFrame): DataFrame = {
-      val cols = df.columns.filterNot(Seq("Norder", "Dir", "Npix").contains)
-      df.select((cols.map(col) :+
+      val sel =
+        if (rightCols.isEmpty) df
+        else df.select((rightCols ++ Seq(rightRa, rightDec, rightId, "Norder", "Dir", "Npix"))
+          .distinct.map(col): _*)
+      val cols = sel.columns.filterNot(Seq("Norder", "Dir", "Npix").contains)
+      sel.select((cols.map(col) :+
         shiftleft(col("Norder").cast("long"), 48).bitwiseOR(col("Npix")).as("__jpix")): _*)
     }
     // right candidates per pixel: home rows + stored margin replicas
@@ -314,13 +349,21 @@ object HipsCatalog {
       .unionByName(prep(loadNeighbors(spark, outputDir, rightCat)))
     val rp = r0.columns.filterNot(_ == "__jpix").foldLeft(r0)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
 
+    // prefixed names may contain '.' (the reference's delim), which
+    // col() would parse as struct access — backtick-quote them
+    def qc(name: String) = col("`" + name + "`")
     val joined = lm.join(rp, "__jpix")
-      .withColumn("_DIST", sphere.gcDist(col(leftRa), col(leftDec),
-        col(rightPrefix + rightRa), col(rightPrefix + rightDec)))
+      .withColumn("_DIST", sphere.gcDist(qc(leftPrefix + leftRa), qc(leftPrefix + leftDec),
+        qc(rightPrefix + rightRa), qc(rightPrefix + rightDec)))
       .filter(col("_DIST") < dthreshDeg)
-    val w = Window.partitionBy(col(leftId))
-      .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
-    joined.withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k).drop("__jpix")
+    val w = Window.partitionBy(qc(leftPrefix + leftId))
+      .orderBy(round(col("_DIST"), 9).asc, qc(rightPrefix + rightId).asc)
+    joined.withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k)
+      // match-partition provenance, as in the in-flight crossMatchKnn
+      // and the reference output (catalog.py:232 hips_k/hips_pix)
+      .withColumn("hips_k", shiftright(col("__jpix"), 48).cast("int"))
+      .withColumn("hips_pix", col("__jpix").bitwiseAND(lit(0xffffffffffffL)))
+      .drop("__jpix")
   }
 
   /**
@@ -330,7 +373,8 @@ object HipsCatalog {
    */
   def coneSearch(spark: SparkSession, outputDir: String, catname: String,
                  raCol: String, decCol: String,
-                 raDeg: Double, decDeg: Double, radiusDeg: Double, orderK: Int): DataFrame = {
+                 raDeg: Double, decDeg: Double, radiusDeg: Double, orderK: Int,
+                 columns: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val coverK = Healpix.queryDiscCover(orderK, raDeg, decDeg, radiusDeg)
     // candidate partition pixels at every order (ancestors of the
@@ -340,9 +384,18 @@ object HipsCatalog {
     val candidates: Seq[Long] =
       (0 to orderK).flatMap(o => coverK.map(p => (o.toLong << 48) | (p >> (2 * (orderK - o)))).distinct)
     val df = load(spark, outputDir, catname)
-    df.filter((col("Norder").cast("long") * (1L << 48) + col("Npix"))
+    // user column selection BEFORE the distance compute so the pruning
+    // reaches the parquet scan (caller guarantees ra/dec present;
+    // Catalog.coneSearch appends ra/dec/id per the reference contract)
+    val sel = if (columns.isEmpty) df
+      else df.select((columns ++ Seq("Norder", "Npix")).distinct.map(col): _*)
+    val filtered = sel.filter((col("Norder").cast("long") * (1L << 48) + col("Npix"))
         .isin(candidates.map(Long.box): _*))
       .withColumn("_DIST", graft.functions.sphere.gcDist(col(raCol), col(decCol), lit(raDeg), lit(decDeg)))
       .filter(col("_DIST") < radiusDeg)
+    // the hive columns were only needed for the partition filter — if
+    // the user picked columns and didn't ask for them, don't return them
+    Seq("Norder", "Npix").filterNot(c => columns.isEmpty || columns.contains(c))
+      .foldLeft(filtered)(_.drop(_))
   }
 }

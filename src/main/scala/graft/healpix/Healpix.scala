@@ -71,12 +71,25 @@ object Healpix {
    * HEALPix NEST ang2pix. ra/dec in degrees (lonlat convention, as
    * healpy's `lonlat=True` used throughout the reference).
    */
+  // the healpy lonlat=True float pipeline, replicated operation by
+  // operation (lonlat2thetaphi + healpix_cxx ang2pix_z_phi): theta =
+  // pi/2 - lat*(pi/180), z = cos(theta), tt = fmod(phi*2/pi, 4). A
+  // point EXACTLY on a pixel boundary (dec = 0, seam longitudes)
+  // lands on the same side as the reference only if every rounding
+  // matches — e.g. sin(radians(dec)) gives z = +0.0 at dec = 0 where
+  // cos(pi/2 - 0) gives 6.1e-17, which flips order-1 pixel 19 to 17.
+  // Golden-value parity (HealpixSpec) pins this against an
+  // independent implementation of the same published pipeline.
+  private val Deg2Rad = math.Pi / 180.0
+  private val InvHalfPi = 2.0 / math.Pi
+
   def ang2pixNest(order: Int, raDeg: Double, decDeg: Double): Long = {
     val ns = nside(order)
-    val z = math.sin(math.toRadians(decDeg))
+    val theta = 0.5 * math.Pi - decDeg * Deg2Rad
+    val phi = raDeg * Deg2Rad
+    val z = math.cos(theta)
     val za = math.abs(z)
-    // tt in [0, 4): longitude in units of 90 degrees
-    var tt = (raDeg % 360.0) / 90.0
+    var tt = (phi * InvHalfPi) % 4.0
     if (tt < 0) tt += 4.0
 
     if (za <= 2.0 / 3.0) {
@@ -95,10 +108,13 @@ object Healpix {
       val iy = ns - 1 - (jp & (ns - 1))
       xyf2nest(ix, iy, face, order)
     } else {
-      // polar caps
+      // polar caps; za > 0.99 uses the sin(theta) form (healpix_cxx's
+      // have_sth refinement — sqrt(3(1-za)) loses precision at the pole)
       val ntt = math.min(3, tt.toInt)
       val tp = tt - ntt
-      val tmp = ns * math.sqrt(3.0 * (1.0 - za))
+      val tmp =
+        if (za < 0.99) ns * math.sqrt(3.0 * (1.0 - za))
+        else ns * math.sin(theta) / math.sqrt((1.0 + za) / 3.0)
       var jp = (tp * tmp).toLong
       var jm = ((1.0 - tp) * tmp).toLong
       if (jp >= ns) jp = ns - 1

@@ -49,9 +49,9 @@ class CatalogSpec extends SparkSpecBase {
     HipsPartitioner.write(cust, "cra", "cdec", "c_custkey", out, "c1", orderK = 2, threshold = 100, marginDeg = 12.0)
     HipsPartitioner.write(supp, "sra", "sdec", "s_suppkey", out, "c2", orderK = 2, threshold = 100, marginDeg = 12.0)
 
-    val stored = HipsCatalog.crossMatchStored(spark, out, "c1", "c2",
+    val storedDf = HipsCatalog.crossMatchStored(spark, out, "c1", "c2",
       "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey", k = 2, dthreshDeg = 10.0, orderK = 2)
-      .select("c_custkey", "r_s_suppkey")
+    val stored = storedDf.select("c_custkey", "r_s_suppkey")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
 
     val inflight = graft.operators.Spatial.crossMatchKnn(cust, supp,
@@ -61,6 +61,16 @@ class CatalogSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
 
     assert(stored.toSeq == inflight.toSeq)
+
+    // hips_k/hips_pix carry the match partition (the right catalog's
+    // adaptive pixel containing the left row) — reference catalog.py:232
+    val grid = HipsCatalog.partitionGrid(spark, out, "c2", 2)
+    storedDf.select("cra", "cdec", "hips_k", "hips_pix").collect().foreach { r =>
+      val pixK = graft.healpix.Healpix.ang2pixNest(2, r.getDouble(0), r.getDouble(1))
+      val o = grid(pixK.toInt)
+      assert(r.getInt(2) == o, s"hips_k mismatch at $r")
+      assert(r.getLong(3) == (pixK >> (2 * (2 - o))), s"hips_pix mismatch at $r")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
@@ -81,10 +91,64 @@ class CatalogSpec extends SparkSpecBase {
     assert(c1.raKw == "cra" && c1.orderK == 2)
     assert(c1.load(Seq("c_name")).columns.toSet == Set("c_name", "cra", "cdec", "c_custkey"))
     assert(c1.coneSearch(180.0, 0.0, 30.0).count() == 17)
+    // column-pruned cone search: requested + ra/dec/id + _DIST, no hive columns
+    val cone = c1.coneSearch(180.0, 0.0, 30.0, columns = Seq("c_name"))
+    assert(cone.columns.toSet == Set("c_name", "cra", "cdec", "c_custkey", "_DIST"))
+    assert(cone.count() == 17)
 
-    val xm = c1.crossMatch(c2, nNeighbors = 2, dthreshDeg = 10.0)
-    assert(xm.columns.contains("supp_s_suppkey") && xm.columns.contains("_DIST"))
+    // mirrors examples/hipscat_tests.py:74-119: import -> cross_match
+    // with per-side column selection -> post-filter on a prefixed column
+    val xm = c1.crossMatch(c2, nNeighbors = 2, dthreshDeg = 10.0,
+      c1Cols = Seq("c_name"), c2Cols = Seq("s_name"))
+    assert(xm.columns.contains("supp.s_suppkey") && xm.columns.contains("_DIST"))
+    assert(xm.columns.contains("cust.c_name") && xm.columns.contains("supp.s_name"))
+    assert(xm.columns.contains("hips_k") && xm.columns.contains("hips_pix"))
+    assert(!xm.columns.contains("cust.c_acctbal"), "unselected columns must not survive")
     assert(xm.count() > 0)
+    assert(xm.filter(col("`supp.s_suppkey`") % 5 > 3).count() > 0)
+    // the pruning must reach the parquet scans: no ReadSchema carries
+    // an unselected wide column on either side
+    val scans = xm.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scans.contains("c_acctbal") && !scans.contains("s_acctbal"),
+      s"unselected columns must be pruned from the scans:\n$scans")
+
+    val xmAll = c1.crossMatch(c2, nNeighbors = 2, dthreshDeg = 10.0)
+    assert(xmAll.columns.contains("cust.c_acctbal") && xmAll.columns.contains("supp.s_acctbal"),
+      "no selection means all columns, prefixed")
+
+    // density map persisted at import == an independent recompute
+    val dm = c1.densityMap().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recomputed = graft.operators.Spatial.densityHistogram(cust, "cra", "cdec", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dm == recomputed, "point_map.parquet must equal a recomputed density histogram")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("_ID bit layout survives the signed reinterpretation for high (southern) pixels") {
+    import graft.healpix.Healpix
+    val out = java.nio.file.Files.createTempDirectory("graft_south").toString
+    // deep-southern points: order-14 pixel >= 2^31, so (pix << 32) has
+    // the sign bit set — _ID must still carry the exact reference bit
+    // pattern (pix14 recoverable via unsigned shift) even though the
+    // signed Long value is negative
+    val sess = spark
+    import sess.implicits._
+    val pts = Seq((1L, 200.0, -75.0), (2L, 310.0, -88.0), (3L, 45.0, -60.0), (4L, 10.0, 40.0))
+      .toDF("id", "ra", "dec")
+    HipsPartitioner.write(pts, "ra", "dec", "id", out, "south", orderK = 0, threshold = 10)
+    val rows = HipsCatalog.load(spark, out, "south")
+      .select("id", "ra", "dec", "_ID").collect()
+    assert(rows.length == 4)
+    var sawNegative = false
+    rows.foreach { r =>
+      val id = r.getLong(3)
+      val pix14 = Healpix.ang2pixNest(14, r.getDouble(1), r.getDouble(2))
+      assert((id >>> 32) == pix14, s"pix14 must be recoverable by unsigned shift for ${r.getLong(0)}")
+      if (id < 0) sawNegative = true
+      if (pix14 >= (1L << 31)) assert(id < 0, "high pixel must wrap negative (signed reinterpretation)")
+    }
+    assert(sawNegative, "test must actually cover the sign-flip region")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 

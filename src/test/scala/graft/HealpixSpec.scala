@@ -27,6 +27,34 @@ class HealpixSpec extends AnyFunSuite {
     }
   }
 
+  test("golden-value parity: ang2pix/pix2ang match an independent NEST implementation") {
+    // 1836 (order, ra, dec, pix, center_ra, center_dec) rows generated
+    // by an independent Python implementation of the canonical NEST
+    // algorithm (Gorski et al. 2005 / healpy ang2pix_nest equations:
+    // z/tt regions, jp/jm diagonals, bit interleave) — written from
+    // the published equations, not from this repo's Scala, so a
+    // mirrored-axis or face-numbering bug in either implementation
+    // fails the compare. Covers all 12 faces, both polar caps, the
+    // equatorial belt, seam longitudes (45/90/180/270, +-0.1 deg) and
+    // near-pole latitudes at orders 0, 1, 3, 7, 14, 20.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/healpix_golden.csv"))
+    val rows = try src.getLines().toArray finally src.close()
+    assert(rows.length > 1800)
+    rows.foreach { line =>
+      val a = line.split(",")
+      val (o, ra, dec, pix) = (a(0).toInt, a(1).toDouble, a(2).toDouble, a(3).toLong)
+      val (cra, cdec) = (a(4).toDouble, a(5).toDouble)
+      assert(Healpix.ang2pixNest(o, ra, dec) == pix,
+        s"ang2pix mismatch: order=$o ra=$ra dec=$dec want=$pix got=${Healpix.ang2pixNest(o, ra, dec)}")
+      val (gra, gdec) = Healpix.pix2angNest(o, pix)
+      assert(math.abs(gra - cra) < 1e-9 || math.abs(math.abs(gra - cra) - 360.0) < 1e-9,
+        s"pix2ang ra mismatch: order=$o pix=$pix want=$cra got=$gra")
+      assert(math.abs(gdec - cdec) < 1e-9,
+        s"pix2ang dec mismatch: order=$o pix=$pix want=$cdec got=$gdec")
+    }
+  }
+
   test("nested hierarchy: pix(k) >> 2 == pix(k-1)") {
     val r = rng(3)
     (1 to 20).foreach { o =>
