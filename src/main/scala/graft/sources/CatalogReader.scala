@@ -44,14 +44,19 @@ object CatalogReader {
         if (spec.skipRows > 0) {
           // distributed skip: csv has no skiprows option; read as text,
           // drop the first rows of each FILE by line index, re-parse.
-          // Caveat: line numbering relies on per-file partition order,
-          // which holds for unsplittable inputs (csv.gz) and
-          // single-partition files — the reference's use case
-          // (skipping header metadata lines, partitioner.py skiprows).
+          // The per-file line index orders by (block byte offset, id):
+          // a splittable csv larger than maxPartitionBytes arrives as
+          // several splits whose PARTITIONS Spark may bin-pack out of
+          // file order, so monotonically_increasing_id alone is not
+          // file order — input_file_block_start() is (each line belongs
+          // to the split it starts in; splits order by offset), and
+          // within a split the monotonic id preserves reader order.
           val text = spark.read.textFile(paths: _*)
             .withColumn("__f", input_file_name())
+            .withColumn("__blk", input_file_block_start())
+            .withColumn("__id", monotonically_increasing_id())
           val w = org.apache.spark.sql.expressions.Window.partitionBy("__f")
-            .orderBy(monotonically_increasing_id())
+            .orderBy(col("__blk"), col("__id"))
           val body = text.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") > spec.skipRows)
             .select("value")

@@ -42,11 +42,21 @@ object Fits {
       else if (card.length > 10 && card(8) == '=') {
         val raw = card.substring(10)
         // quoted strings may contain '/', the comment delimiter only
-        // applies outside them (FITS 4.0 §4.1.2.3)
+        // applies outside them; a literal quote is escaped as ''
+        // (FITS 4.0 §4.1.2.3) — scan to the first UNdoubled quote
         val v =
           if (raw.trim.startsWith("'")) {
             val t = raw.trim.stripPrefix("'")
-            t.substring(0, t.indexOf('\'').max(0)).trim
+            val sb = new StringBuilder
+            var j = 0
+            var closed = false
+            while (j < t.length && !closed) {
+              if (t(j) == '\'') {
+                if (j + 1 < t.length && t(j + 1) == '\'') { sb += '\''; j += 2 }
+                else closed = true
+              } else { sb += t(j); j += 1 }
+            }
+            sb.result().trim
           } else raw.split("/")(0).trim
         cards(key) = v
       }
@@ -116,7 +126,13 @@ object Fits {
       val n = (1 to naxis).map(i => h0.getOrElse(s"NAXIS$i", "0").toLong).product
       if (naxis == 0 || n == 0) 0L else ((bitpix * n + BLOCK - 1) / BLOCK) * BLOCK
     }
-    val (h1, dataStart) = readHeader(bytes, afterPrimary + primaryData.toInt)
+    // this reader holds one file in a byte array, so HDU offsets are
+    // capped at 2 GiB — fail loudly rather than wrap a Long.toInt
+    // (a >2 GiB primary HDU would otherwise seek to garbage)
+    val bintableOff = afterPrimary.toLong + primaryData
+    require(bintableOff <= Int.MaxValue,
+      s"FITS: primary HDU too large for the in-memory reader (BINTABLE at byte $bintableOff > 2 GiB)")
+    val (h1, dataStart) = readHeader(bytes, bintableOff.toInt)
     require(h1.get("XTENSION").exists(_.startsWith("BINTABLE")),
       s"FITS: expected BINTABLE extension, got ${h1.get("XTENSION")}")
     (h1, dataStart)
@@ -150,6 +166,8 @@ object Fits {
         StructType(columns(h1).map(c => StructField(c.name, sparkType(c))))
       } catch {
         case _: IllegalArgumentException if take < fileLen =>
+          require(fileLen <= Int.MaxValue,
+            s"FITS: file too large for the in-memory reader ($fileLen bytes > 2 GiB)")
           take = fileLen.toInt
           bytes = new Array[Byte](take)
           in.readFully(0, bytes)
@@ -162,6 +180,11 @@ object Fits {
   /** Distributed read: one task per FITS file; all files must share the first file's schema. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val sc = spark.sparkContext
+    // binaryFiles (Hadoop setInputPaths) treats ',' as a path list
+    // separator at every level, so a path CONTAINING a comma would be
+    // silently split into two bogus paths — fail loudly instead
+    paths.find(_.contains(",")).foreach(p => throw new IllegalArgumentException(
+      s"FITS path contains a comma, which the Hadoop path-list API cannot represent: $p — rename the file"))
     val schema = peekSchema(spark, paths.head)
     val rows = sc.binaryFiles(paths.mkString(",")).flatMap { case (name, pds) =>
       val (s, it) = parseFile(pds.toArray())

@@ -38,6 +38,27 @@ class CatalogReaderSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((11.0, 22.0), (33.0, 44.0)))
   }
 
+  test("skiprows is exact on a SPLITTABLE csv read as many partitions") {
+    // a plain csv well over maxPartitionBytes splits into many file
+    // splits whose partitions Spark may bin-pack out of file order —
+    // the per-file line index must still drop exactly the first N
+    // lines (ordering key: block byte offset, then reader order)
+    val n = 20000
+    val content = "# meta line 1\n# meta line 2\n" +
+      (1 to n).map(i => s"$i.5,${-i}.25,$i").mkString("\n") + "\n"
+    val p = writeTemp("big.csv", content)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384") // ~25 splits
+    try {
+      val df = CatalogReader.read(spark, Seq(p),
+        CatalogSpec(fmt = "csv", header = false, raIdx = 0, decIdx = 1, idIdx = 2,
+          raKw = "_no", decKw = "_no", idKw = "_no", skipRows = 2))
+      assert(df.count() == n)
+      val ids = df.select("id").collect().map(_.getInt(0)).sorted
+      assert(ids.head == 1 && ids.last == n && ids.length == n,
+        "exactly the two meta lines must be dropped, nothing else")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("parquet ingest keeps native columns") {
     val df = CatalogReader.read(spark, Seq(sf("sf0.001") + "/customer.parquet"),
       CatalogSpec(fmt = "parquet", raKw = "c_acctbal", decKw = "c_acctbal", idKw = "c_custkey"))

@@ -133,6 +133,25 @@ class DedupSpec extends SparkSpecBase {
     assert(fps(1L) != fps(2L))
   }
 
+  test("fingerprint code-point iteration matches DuckDB on astral + combining chars") {
+    // DuckDB's length()/slice/unicode() iterate CODE POINTS, same as
+    // the kernel's codePointAt/charCount walk — pinned here with
+    // golden values computed by DuckDB itself on strings containing
+    // an astral-plane char (U+1D11E), an emoji (U+1F600), combining
+    // accents (e/i + U+0301/U+0308) and CJK. A desync in either
+    // engine's iteration unit breaks the equality.
+    val golden = Seq(
+      ("a\uD834\uDD1E clef, we\u0301ird: \u4F60\u597D!", 297562335549899824L),
+      ("nai\u0308ve \uD83D\uDE00 mix", 672476911841815817L))
+    val df = golden.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    golden.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(df(i.toLong) == want, s"fingerprint mismatch vs DuckDB golden for row $i")
+    }
+  }
+
   test("ANN approximations keep usable recall vs the brute-force baseline") {
     import graft.operators.Ann
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")

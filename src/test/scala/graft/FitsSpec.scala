@@ -98,6 +98,33 @@ class FitsSpec extends SparkSpecBase {
     assert(got == Seq((1L, Seq(1.5f, 2.5f, 3.5f)), (2L, Seq(4.0f, 5.0f, 6.0f))))
   }
 
+  test("doubled-quote escape in string cards unescapes (FITS 4.0 4.1.2.3)") {
+    // build a file whose TTYPE1 value contains an escaped quote and a
+    // slash inside the string (comment delim must not apply inside)
+    val out = new ByteArrayOutputStream()
+    out.write(card("SIMPLE", "T")); out.write(card("BITPIX", "8")); out.write(card("NAXIS", "0"))
+    out.write(endCard); pad(out)
+    out.write(card("XTENSION", "'BINTABLE'"))
+    out.write(card("BITPIX", "8")); out.write(card("NAXIS", "2"))
+    out.write(card("NAXIS1", "8")); out.write(card("NAXIS2", "1"))
+    out.write(card("PCOUNT", "0")); out.write(card("GCOUNT", "1"))
+    out.write(card("TFIELDS", "1"))
+    out.write(card("TTYPE1", "'it''s/ra'")); out.write(card("TFORM1", "'D       '"))
+    out.write(endCard); pad(out)
+    val bb = java.nio.ByteBuffer.allocate(8); bb.putDouble(1.5)
+    out.write(bb.array()); padZero(out)
+    val (schema, rows) = Fits.parseFile(out.toByteArray)
+    assert(schema.fieldNames.toSeq == Seq("it's/ra"))
+    assert(rows.next().getDouble(0) == 1.5)
+  }
+
+  test("comma in a FITS path is rejected loudly (Hadoop path-list limitation)") {
+    val e = intercept[IllegalArgumentException] {
+      Fits.read(spark, Seq("/tmp/bad,name.fits"))
+    }
+    assert(e.getMessage.contains("comma"))
+  }
+
   test("truncated file fails with the clear truncation message") {
     val full = buildFits(sample)
     val e = intercept[IllegalArgumentException](Fits.parseFile(full.take(100)))
