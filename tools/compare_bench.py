@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Grade a BENCH_r{N}.json against the committed DuckDB baseline
+(tools/baseline_duckdb.json) and the previous round's Spark medians.
+
+Usage:
+  python3 tools/compare_bench.py BENCH_r03.json [BENCH_r02.json]
+
+Prints the per-query table from BASELINE.md with the new numbers, and
+flags class-A queries >1.5x above the committed Spark median (the
+regression bar; +-15% run drift stays below it).
+"""
+import json, os, re, sys
+
+CLASSES = {
+    'A': ['q1_agg', 'q_join_agg', 'q_topk', 'q_window', 'q_antijoin', 'events_window',
+          'q_sessionize', 'q_json', 'q_rollup', 'q_having', 'q_phasefold', 'q_correlated',
+          'q3_shipping', 'q5_local', 'gc_dist', 'gnomonic', 'cone_search', 'box_search',
+          'polygon_search', 'hpix_histogram', 'hpix_index', 'partition_map', 'dedup_exact',
+          'dedup_keyed', 'text_tokens', 'multimodal_meta', 'xmatch_knn', 'xmatch_postfilter'],
+    'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash'],
+    'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
+          'vec_centroids', 'text_langid', 'text_quality', 'text_fingerprint'],
+}
+CLS = {q: k for k, qs in CLASSES.items() for q in qs}
+
+
+def load_bench(path):
+    line = open(path).read().strip()
+    return json.loads(re.sub(r'^\[info\] ', '', line))
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = json.load(open(os.path.join(here, 'baseline_duckdb.json')))['duckdb_sec']
+    bench = load_bench(sys.argv[1])['queries']
+    prev = load_bench(sys.argv[2])['queries'] if len(sys.argv) > 2 else None
+
+    print('| query | class | spark s | duckdb s | spark/duckdb |' + (' vs prev |' if prev else ''))
+    regressions = []
+    for name in sorted(bench):
+        s = bench[name]
+        d = base.get(name)
+        cls = CLS.get(name, '?')
+        row = f'| {name} | {cls} | {s:.3f} | ' + (f'{d:.3f} | {s/d:.2f} |' if d else ' n/a |  |')
+        if prev and name in prev:
+            row += f' {s/prev[name]:.2f}x |'
+            if cls == 'A' and s > 1.5 * prev[name] and s > 0.5:
+                regressions.append(name)
+        print(row)
+    for k in 'ABC':
+        qs = [q for q in CLASSES[k] if q in bench]
+        ss = sum(bench[q] for q in qs)
+        ds = sum(base[q] for q in qs if q in base)
+        print(f'| **total {k}** |  | **{ss:.2f}** | **{ds:.2f}** | **{ss/ds:.2f}** |')
+    if regressions:
+        print(f'\nREGRESSIONS (class A, >1.5x vs prev, >0.5 s): {regressions}')
+        sys.exit(1)
+
+
+main()
