@@ -79,4 +79,23 @@ object Catalog {
     HipsPartitioner.write(df, raKw, decKw, idKw, location, catname, orderK, threshold, marginDeg)
     Catalog(df.sparkSession, location, catname)
   }
+
+  /**
+   * Resumable import from source files (reference partitioner
+   * cache semantics, partitioner.py:27): files are parsed once into
+   * per-batch staging; a re-run after a failure skips completed
+   * batches. `batchFiles` controls how many files share one batch
+   * (one batch = one unit of resumable work).
+   */
+  def importResumable(spark: SparkSession, paths: Seq[String],
+                      spec: graft.sources.CatalogReader.CatalogSpec,
+                      location: String, catname: String,
+                      orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1,
+                      batchFiles: Int = 16, cleanStaging: Boolean = false): Catalog = {
+    val batches = paths.grouped(batchFiles).toSeq
+    HipsPartitioner.writeResumable(spark, batches,
+      files => graft.sources.CatalogReader.read(spark, files, spec),
+      "ra", "dec", "id", location, catname, orderK, threshold, marginDeg, cleanStaging)
+    Catalog(spark, location, catname)
+  }
 }

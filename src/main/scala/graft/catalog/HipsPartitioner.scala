@@ -61,7 +61,14 @@ object HipsPartitioner {
       .agg(count(lit(1)).as("cnt"))
       .collect()
       .foreach(r => hist(r.getLong(0).toInt) = r.getLong(1))
+    partitionMapFromHist(hist, orderK, threshold)
+  }
 
+  /** The threshold walk alone, over an already-materialized histogram —
+   *  lets resumable imports rebuild the (deterministic) map from
+   *  per-batch histogram artifacts without rescanning sources. */
+  def partitionMapFromHist(hist: Array[Long], orderK: Int, threshold: Long): PartitionMap = {
+    val n = hist.length
     val orders = Array.fill(n)(-1)
     var o = 0
     while (o <= orderK) {
@@ -182,8 +189,17 @@ object HipsPartitioner {
 
   def write(df: DataFrame, raCol: String, decCol: String, idCol: String,
             outputDir: String, catname: String,
-            orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1): PartitionMap = {
-    val pm = computePartitionMap(df, raCol, decCol, orderK, threshold)
+            orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1): PartitionMap =
+    writeWithMap(df, computePartitionMap(df, raCol, decCol, orderK, threshold),
+      raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg)
+
+  /** The write phases after the partition map is known — shared by
+   *  [[write]] (map from a direct scan) and [[writeResumable]] (map
+   *  from per-batch histogram artifacts). */
+  private[catalog] def writeWithMap(df: DataFrame, pm: PartitionMap,
+                                    raCol: String, decCol: String, idCol: String,
+                                    outputDir: String, catname: String,
+                                    orderK: Int, threshold: Long, marginDeg: Double): PartitionMap = {
     // the trailing sortWithinPartitions puts the hive partition
     // columns FIRST so FileFormatWriter's required ordering is already
     // satisfied (no writer-inserted, stability-unspecified sort) and
@@ -224,6 +240,64 @@ object HipsPartitioner {
          | "n_sources": ${pm.nSources}, "pix_threshold": $threshold, "order_k": $orderK,
          | "margin_deg": $marginDeg, "hips": $hips}""".stripMargin
     HipsCatalog.writeString(df.sparkSession, s"$outputDir/$catname/${catname}_meta.json", meta)
+    pm
+  }
+
+  /**
+   * Resumable import — the reference partitioner's per-URL cache
+   * machinery (partitioner.py:27,66) re-expressed Spark-first. A
+   * failed import resumes from the last completed batch instead of
+   * re-reading and re-parsing every source file:
+   *
+   *  - per input batch, ONE parse pass writes (a) the rows to
+   *    `_import/stage/batch=N` and (b) the order-k pixel histogram to
+   *    `_import/hist/batch=N`; Spark's atomic job commit (`_SUCCESS`)
+   *    is the completion marker, so a re-run skips finished batches
+   *    (csv/FITS parsing is the expensive part at catalog scale).
+   *  - the partition map is rebuilt deterministically by summing the
+   *    per-batch histograms (associative — identical to a direct
+   *    full-scan histogram), then the final catalog/ + neighbor/ +
+   *    meta write runs once over the columnar staging (itself an
+   *    atomic overwrite: a phase-2 failure just reruns phase 2).
+   *
+   * Output is row-identical (including `_ID`) to a single-shot
+   * [[write]] of the concatenated batches — asserted in ScalaTest.
+   */
+  def writeResumable(spark: SparkSession, batches: Seq[Seq[String]],
+                     readBatch: Seq[String] => DataFrame,
+                     raCol: String, decCol: String, idCol: String,
+                     outputDir: String, catname: String,
+                     orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1,
+                     cleanStaging: Boolean = false): PartitionMap = {
+    import org.apache.hadoop.fs.Path
+    require(orderK <= 10, s"partition histogram order $orderK too fine to collect (12*4^k entries)")
+    val importDir = s"$outputDir/$catname/_import"
+    val fs = new Path(importDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def done(dir: String) = fs.exists(new Path(s"$dir/_SUCCESS"))
+
+    batches.indices.foreach { i =>
+      val stage = s"$importDir/stage/batch=$i"
+      val hist = s"$importDir/hist/batch=$i"
+      if (!done(stage)) readBatch(batches(i)).write.mode("overwrite").parquet(stage)
+      if (!done(hist)) {
+        // histogram from the STAGED bytes (not the source) so the map
+        // always matches what phase 2 will actually read
+        spark.read.parquet(stage)
+          .groupBy(sphere.hpix(col(raCol), col(decCol), orderK).as("pix"))
+          .agg(count(lit(1)).as("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(hist)
+      }
+    }
+
+    val histArr = new Array[Long](Healpix.npix(orderK).toInt)
+    spark.read.parquet(batches.indices.map(i => s"$importDir/hist/batch=$i"): _*)
+      .groupBy("pix").agg(sum("cnt").as("cnt"))
+      .collect().foreach(r => histArr(r.getLong(0).toInt) = r.getLong(1))
+    val pm = partitionMapFromHist(histArr, orderK, threshold)
+
+    val staged = spark.read.parquet(batches.indices.map(i => s"$importDir/stage/batch=$i"): _*)
+    writeWithMap(staged, pm, raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg)
+    if (cleanStaging) fs.delete(new Path(importDir), true)
     pm
   }
 }

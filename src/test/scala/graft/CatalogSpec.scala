@@ -152,6 +152,62 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("resumable import: batch-identical to single-shot write, completed batches skipped on re-run") {
+    val out = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey")))
+      .withColumn("cdec", sphere.decOf(col("c_custkey")))
+    // three source "files" (parquet batches)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_resume_src").toString
+    (0 until 3).foreach { i =>
+      cust.filter(col("c_custkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/part$i")
+    }
+    val batches = (0 until 3).map(i => Seq(s"$srcDir/part$i"))
+
+    // single-shot reference output
+    HipsPartitioner.write(cust, "cra", "cdec", "c_custkey", out, "direct",
+      orderK = 2, threshold = 100, marginDeg = 5.0)
+    // resumable output over the same rows
+    HipsPartitioner.writeResumable(spark, batches,
+      files => spark.read.parquet(files: _*),
+      "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
+
+    def dump(cat: String) = HipsCatalog.load(spark, out, cat)
+      .select(col("c_custkey"), col("_ID"), col("Norder").cast("int"), col("Npix").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    assert(dump("resumed") == dump("direct"),
+      "resumable import must be row-identical (incl _ID) to the single-shot write")
+
+    // re-run: staged batches must be untouched (markers respected)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def stageMtimes: Map[String, Long] = (0 until 3).flatMap { i =>
+      val dir = new org.apache.hadoop.fs.Path(s"$out/resumed/_import/stage/batch=$i")
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.toString -> st.getModificationTime)
+    }.toMap
+    val before = stageMtimes
+    var reads = 0
+    HipsPartitioner.writeResumable(spark, batches,
+      files => { reads += 1; spark.read.parquet(files: _*) },
+      "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
+    assert(reads == 0, "a completed batch must not be re-read from source")
+    assert(stageMtimes == before, "staged parquet must not be rewritten on resume")
+    assert(dump("resumed") == dump("direct"), "re-run output still identical")
+
+    // partial resume: invalidate ONE batch's histogram marker — only
+    // that histogram is recomputed, staging is still reused
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/resumed/_import/hist/batch=1/_SUCCESS"), false)
+    HipsPartitioner.writeResumable(spark, batches,
+      files => { reads += 1; spark.read.parquet(files: _*) },
+      "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
+    assert(reads == 0, "hist recompute reads staging, not sources")
+    assert(dump("resumed") == dump("direct"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+  }
+
   test("ingest path is UDF-free and stays inside WholeStageCodegen") {
     val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
     val assignPlan = HipsPartitioner.withPartitionColumns(li, "cra", "cdec", pm)
