@@ -671,6 +671,55 @@ object QueryRegistry {
     Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** Per-language TF-IDF top terms — each language slice is its own corpus. */
+  private val text_tfidf = QueryDef(
+    (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "lang", "doc_id", "text", k = 10)
+      .orderBy("grp", "rank"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH toks AS (
+        SELECT lang AS grp, doc_id, tt.term
+        FROM documents, unnest(string_split($norm, ' ')) AS tt(term)
+        WHERE length(tt.term) > 0),
+      stats AS (SELECT grp, term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1, 2),
+      nd AS (SELECT lang AS grp, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1),
+      scored AS (SELECT s.grp, s.term, s.tf, s.df,
+          s.tf * (ln((n.n_docs::DOUBLE + 1) / (s.df::DOUBLE + 1)) + 1) AS tfidf
+        FROM stats s JOIN nd n USING (grp))
+      SELECT grp, term, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp ORDER BY round(tfidf, 6) DESC, term) AS rank
+        FROM scored)
+      WHERE rank <= 10 ORDER BY grp, rank"""
+    })
+
+  /** Deterministic 90/5/5 train/val/test assignment — pure id-hash function, map-only. */
+  private val sample_split = QueryDef(
+    (s, dir) => graft.operators.Sampling.withSplit(t(s, dir, "documents"), "doc_id")
+      .select("doc_id", "split").orderBy("doc_id"),
+    Some(s"""SELECT doc_id, ${graft.operators.Sampling.splitSql("doc_id")} AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: distinct-shingle overlap of every doc
+   *  against a deterministic pseudo-benchmark (doc_id % 50 = 0). */
+  private val decontaminate = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationCheck(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text")
+        .withColumn("contaminated", col("n_matched") * 2 >= col("n_shingles"))
+        .orderBy("doc_id")
+    },
+    // string-shingle replay: intersect counts match the hash-merge
+    // kernel exactly (same distinct-shingle sets; xxhash collisions
+    // would break dedup_neardup first)
+    Some(s"""WITH d AS (SELECT doc_id, sh FROM $jaccardShinglesSql),
+      b AS (SELECT list(DISTINCT u.s) AS bl
+            FROM (SELECT unnest(sh) AS s FROM d WHERE doc_id % 50 = 0) u)
+      SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_shingles,
+        CAST(len(list_intersect(d.sh, b.bl)) AS BIGINT) AS n_matched,
+        len(list_intersect(d.sh, b.bl)) * 2 >= len(d.sh) AS contaminated
+      FROM d, b ORDER BY doc_id"""))
+
   private val multimodal_meta = QueryDef(
     (s, dir) => Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "text")
       .select("id", "modality", "byte_len").orderBy("id"),
@@ -719,6 +768,9 @@ object QueryRegistry {
     "text_quality" -> text_quality,
     "text_tokens" -> text_tokens,
     "text_fingerprint" -> text_fingerprint,
+    "text_tfidf" -> text_tfidf,
+    "sample_split" -> sample_split,
+    "decontaminate" -> decontaminate,
     "multimodal_meta" -> multimodal_meta,
   )
 }

@@ -180,6 +180,31 @@ object Dedup {
     (out, () => { base.unpersist(); () })
   }
 
+  /**
+   * Benchmark decontamination: per document, how many of its distinct
+   * n-gram shingles appear in a benchmark/eval corpus. The benchmark's
+   * distinct shingle hashes are collected driver-side (bounded — eval
+   * suites are orders of magnitude smaller than the training corpus)
+   * and inlined as a sorted literal array, so the corpus pass is
+   * MAP-ONLY: per-row sorted-merge intersect (the jaccardPairs
+   * kernel), no join, no shuffle — the shape that holds at 100 TB.
+   * Returns (id, n_shingles, n_matched); thresholding is the
+   * caller's policy (e.g. `n_matched * 2 >= n_shingles`).
+   */
+  def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         shingleN: Int = 3): DataFrame = {
+    val bench = benchmark
+      .select(explode(graft.functions.native.sortedHashes(shingles(col(benchTextCol), shingleN))).as("h"))
+      .distinct().orderBy("h").collect().map(_.getLong(0))
+    docs.select(col(idCol),
+        graft.functions.native.sortedHashes(shingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("n_matched",
+        graft.functions.native.intersectCount(col("__sh"), typedLit(bench)).cast("long"))
+      .drop("__sh")
+  }
+
   /** 64-bit SimHash from token hashes (sign of per-bit weighted sums) — per-row kernel, map-only. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     df.select(col(idCol),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / dataset splitting for training-data
+ * pipelines. Every operator here is MAP-ONLY: assignment is a pure
+ * function of the row's id, so it is stable across runs, cluster
+ * sizes and partitionings — re-running a 100 TB split yields the
+ * same rows in the same splits, and adding data never reshuffles
+ * existing assignments (the property `df.sample()` lacks).
+ */
+object Sampling {
+
+  /** Overflow-safe Knuth multiplicative hash of an id column, mod
+   *  2^32 — the same 16-bit-split arithmetic the IVF codebook sample
+   *  uses, so plain BIGINT SQL (the DuckDB oracle) reproduces it
+   *  exactly and ids >= 2^31 neither wrap nor error under ANSI. */
+  private[operators] def knuthHash(id: Column): Column = {
+    val C = 2654435761L
+    val idm = pmod(id.cast("long"), lit(4294967296L))
+    pmod(
+      shiftleft(pmod(shiftright(idm, 16) * C, lit(4294967296L)), 16) +
+        idm.bitwiseAND(lit(0xffffL)) * C,
+      lit(4294967296L))
+  }
+
+  /** SQL twin of [[knuthHash]] for DuckDB oracles. */
+  def knuthHashSql(id: String): String =
+    s"((((($id % 4294967296) + 4294967296) % 4294967296 // 65536 * 2654435761) % 4294967296) * 65536" +
+      s" + (($id % 4294967296) + 4294967296) % 4294967296 % 65536 * 2654435761) % 4294967296"
+
+  /**
+   * Deterministic percentage split: buckets the id hash into 0..99
+   * and assigns the first split whose cumulative percentage exceeds
+   * the bucket. Percentages must sum to 100.
+   */
+  def withSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+    require(splits.map(_._2).sum == 100, s"split percentages must sum to 100: $splits")
+    val bucket = knuthHash(col(idCol)) % 100
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), rest) => when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** SQL twin of [[withSplit]]'s assignment for the default 90/5/5. */
+  def splitSql(id: String, splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): String = {
+    val bucket = s"(${knuthHashSql(id)}) % 100"
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val cases = splits.zip(cum).dropRight(1)
+      .map { case ((name, _), hi) => s"WHEN $bucket < $hi THEN '$name'" }.mkString(" ")
+    s"CASE $cases ELSE '${splits.last._1}' END"
+  }
+
+  /** Deterministic fractional sample: keeps rows whose hash bucket
+   *  (out of 10000) falls under fraction*10000. Map-only; a superset
+   *  sample at a larger fraction always CONTAINS the smaller one. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    df.filter(knuthHash(col(idCol)) % 10000 < math.round(fraction * 10000))
+  }
+}

@@ -103,4 +103,33 @@ object TextAnalysis {
     s"(list_reduce($cps, (a, c) -> (a * 131 + c) % 1000000007) * 2147483648" +
       s" + list_reduce($cps, (a, c) -> (a * 257 + c) % 998244353))"
   }
+
+  /**
+   * Corpus TF-IDF: top-k terms per group (e.g. language), each group
+   * treated as its own corpus. tf = term occurrences in the group,
+   * df = documents in the group containing the term, idf =
+   * ln((N+1)/(df+1)) + 1 (smoothed). At scale: one explode feeding
+   * a hash aggregate with map-side combine — only (group, term)
+   * pairs shuffle, never documents; the per-group doc counts are a
+   * tiny broadcast side; top-k is a bounded window per group.
+   */
+  def tfidfTopTerms(df: DataFrame, groupCol: String, idCol: String, textCol: String,
+                    k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol).as("grp"), col(idCol).as("__doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val stats = toks.groupBy("grp", "term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+    val nDocs = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = stats.join(broadcast(nDocs), "grp")
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs").cast("double") + 1) / (col("df").cast("double") + 1)) + 1))
+    val w = Window.partitionBy("grp").orderBy(round(col("tfidf"), 6).desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** TF-IDF / deterministic splits / decontamination — the round-3
+ *  additions to the training-data pipeline surface. */
+class PipelineOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tfidfTopTerms: ubiquitous terms score below group-specific terms") {
+    // 'shared' appears once in every doc (tf = df = N, idf floor);
+    // the rare repeated terms must outrank it on tf x idf
+    val docs = Seq(
+      (1L, "en", "shared unique_alpha unique_alpha unique_alpha one"),
+      (2L, "en", "shared filler two words other"),
+      (3L, "en", "shared filler three more words"),
+      (4L, "de", "shared gemeinsam wort wort wort"),
+      (5L, "de", "shared gemeinsam zwei drei vier")
+    ).toDF("doc_id", "lang", "text")
+    val res = TextAnalysis.tfidfTopTerms(docs, "lang", "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5))).toSeq
+    // 'shared' is in every doc of both groups -> minimal idf, must not
+    // beat the group-specific repeated terms
+    val enTop = res.filter(_._1 == "en").minBy(_._3)._2
+    val deTop = res.filter(_._1 == "de").minBy(_._3)._2
+    assert(enTop != "shared", s"ubiquitous term must not rank first: $res")
+    assert(deTop == "wort", s"tf=3 group term must rank first in de: $res")
+    assert(res.count(_._1 == "en") == 3 && res.count(_._1 == "de") == 3)
+  }
+
+  test("withSplit: deterministic, covers all rows, ~90/5/5, stable across runs") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val s1 = Sampling.withSplit(docs, "doc_id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.sum == docs.count())
+    assert(s1.keySet == Set("train", "val", "test"))
+    val n = s1.values.sum.toDouble
+    assert(math.abs(s1("train") / n - 0.90) < 0.05, s"train share off: $s1")
+    // determinism: identical assignment on a re-run
+    val a = Sampling.withSplit(docs, "doc_id").select("doc_id", "split").collect().toSet
+    val b = Sampling.withSplit(docs, "doc_id").select("doc_id", "split").collect().toSet
+    assert(a == b)
+  }
+
+  test("deterministicSample: monotone containment and exact determinism") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    def ids(frac: Double) = Sampling.deterministicSample(docs, "doc_id", frac)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = ids(0.1)
+    val s30 = ids(0.3)
+    assert(s10.subsetOf(s30), "larger fraction must contain the smaller sample")
+    assert(s10 == ids(0.1), "sample must be identical across runs")
+    val n = docs.count().toDouble
+    assert(math.abs(s30.size / n - 0.3) < 0.08, s"fraction off: ${s30.size / n}")
+  }
+
+  test("contaminationCheck: benchmark doc fully matched, disjoint doc untouched") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about query engines and pixels"),
+      (3L, "the quick brown fox jumps over something else entirely")
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox jumps over the lazy dog tonight").toDF("text")
+    val res = Dedup.contaminationCheck(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res(1L)._1 == res(1L)._2, "identical doc: every shingle matched")
+    assert(res(2L)._2 == 0L, "disjoint doc: zero matched")
+    assert(res(3L)._2 > 0 && res(3L)._2 < res(3L)._1, "partial overlap strictly between")
+  }
+}
