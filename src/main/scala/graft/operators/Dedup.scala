@@ -248,7 +248,17 @@ object Dedup {
    * and the registry oracle brute-forces all pairs).
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 6): DataFrame =
-    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol), idCol, maxHamming)
+    simhashPairsWithCache(df, idCol, textCol, maxHamming)._1
+
+  /** As [[simhashPairs]], additionally returning an unpersist handle:
+   *  the signature scan feeds both sides of the chunk self-join, so
+   *  persisting it halves the text-kernel work. */
+  def simhashPairsWithCache(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 6): (DataFrame, () => Unit) = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (simhashPairsFromSigs(sigs, idCol, maxHamming), () => { sigs.unpersist(); () })
+  }
 
   /** Pair generation over a precomputed (id, simhash) frame — the
    *  persistable-signature entry point (and the oracle/property-test
@@ -276,7 +286,13 @@ object Dedup {
    * (at 100 TB you never all-pairs; block, then set-compare).
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                   blockCols: Seq[String], n: Int = 3, minJaccard: Double = 0.5,
+                   maxBlockRows: Long = 1000000L): DataFrame = {
+    // quadratic-within-block: a coarse blocking key at corpus scale
+    // quietly explodes (10^8-row block = 10^16 comparisons). The guard
+    // costs one cheap 2-column aggregate; at real scale that is noise
+    // next to the join it prevents. Route big corpora to nearDuplicates.
+    guardBlockCardinality(df, blockCols, maxBlockRows, "jaccardPairs")
     // each doc's shingle set becomes a sorted array of 64-bit hashes
     // once; per-pair intersection is then a linear long-merge kernel
     // instead of a per-pair string hash set (profiled ~5x faster)
@@ -304,9 +320,26 @@ object Dedup {
    */
   def cosine(a: Column, b: Column): Column = graft.functions.native.cosineSim(a, b)
 
+  /** Largest block size must stay under the quadratic-blowup bound —
+   *  see [[jaccardPairs]]. One aggregate over the block columns only
+   *  (column-pruned scan). */
+  private def guardBlockCardinality(df: DataFrame, blockCols: Seq[String],
+                                    maxBlockRows: Long, op: String): Unit = {
+    val worst = df.groupBy(blockCols.map(col): _*).count()
+      .agg(max("count")).collect()(0)
+    if (!worst.isNullAt(0)) {
+      val m = worst.getLong(0)
+      require(m <= maxBlockRows,
+        s"$op: largest block has $m rows (> $maxBlockRows) — quadratic comparison would explode; " +
+          "use a finer blocking key, raise maxBlockRows explicitly, or use nearDuplicates (LSH) instead")
+    }
+  }
+
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                  blockCol: String, minCos: Double): DataFrame = {
+                  blockCol: String, minCos: Double,
+                  maxBlockRows: Long = 1000000L): DataFrame = {
+    guardBlockCardinality(df, Seq(blockCol), maxBlockRows, "cosinePairs")
     val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, blockCol)

@@ -112,6 +112,17 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((100001L, 100003L)))
   }
 
+  test("block-cardinality guard rejects a quadratic-blowup blocking key") {
+    val df = docsWithPlants.withColumn("blk", lit(1)) // every row in one block
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(df, "doc_id", "text", Seq("blk"), maxBlockRows = 100)
+    }
+    assert(e.getMessage.contains("nearDuplicates"))
+    // explicit opt-up still works
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", Seq("blk"), minJaccard = 0.9,
+      maxBlockRows = 10000).count() >= 1)
+  }
+
   test("cosine of identical unit vectors is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0),
