@@ -119,8 +119,13 @@ object TextAnalysis {
     val toks = df.select(col(groupCol).as("grp"), col(idCol).as("__doc"),
         explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-    val stats = toks.groupBy("grp", "term")
-      .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+    // two-level aggregate instead of count + countDistinct in one agg:
+    // the latter plans through an Expand (doubles every exploded row
+    // before the shuffle); per-doc partial counts first keeps the big
+    // shuffle map-side-combined and Expand-free
+    val stats = toks.groupBy("grp", "term", "__doc").agg(count(lit(1)).as("__tfd"))
+      .groupBy("grp", "term")
+      .agg(sum("__tfd").as("tf"), count(lit(1)).as("df"))
     val nDocs = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
     val scored = stats.join(broadcast(nDocs), "grp")

@@ -27,6 +27,11 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(enTop != "shared", s"ubiquitous term must not rank first: $res")
     assert(deTop == "wort", s"tf=3 group term must rank first in de: $res")
     assert(res.count(_._1 == "en") == 3 && res.count(_._1 == "de") == 3)
+    // the two-level aggregate must not plan through an Expand (the
+    // count + countDistinct single-agg shape doubles every exploded row)
+    val plan = TextAnalysis.tfidfTopTerms(docs, "lang", "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Expand"), s"tf/df aggregate must be Expand-free:\n$plan")
   }
 
   test("withSplit: deterministic, covers all rows, ~90/5/5, stable across runs") {
