@@ -8,6 +8,7 @@ object Bench {
     // JIT/environment noise (r2 showed ~15% run-to-run drift on
     // queries whose code had not changed)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1 (got $nRuns)")
     val spark = SparkSession.builder()
       .withExtensions(graft.plans.GraftExtensions.install)
       .master(s"local[$cpus]")

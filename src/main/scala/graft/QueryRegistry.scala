@@ -478,7 +478,8 @@ object QueryRegistry {
   private val dedup_simhash = QueryDef(
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
       .withColumn("hamming", col("hamming").cast("long")).orderBy("id_a", "id_b"),
-    // 8x8-bit chunking is exhaustive to Hamming 7 (pigeonhole), so the
+    // the (maxHamming+1)-chunk banding (7 chunks of 9-10 bits at the
+    // default radius) is exhaustive to Hamming 6 by pigeonhole, so the
     // oracle needs NO banding condition at all: plain all-pairs Hamming
     // <= 6 — which makes the driver certify the recall contract.
     Some(s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,

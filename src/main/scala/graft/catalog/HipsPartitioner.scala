@@ -275,6 +275,25 @@ object HipsPartitioner {
     val fs = new Path(importDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def done(dir: String) = fs.exists(new Path(s"$dir/_SUCCESS"))
 
+    // a resume with a DIFFERENT batch list — or sources regenerated
+    // under the same paths — would silently mix stale staged data into
+    // the new import. Pin path + size + mtime per source file in a
+    // manifest on the first attempt and refuse to resume on mismatch.
+    def fileSig(p: String): String =
+      try {
+        val st = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(new Path(p))
+        s"$p@${st.getLen}:${st.getModificationTime}"
+      } catch { case _: Exception => p } // non-stattable source: path-only pin
+    val manifest = batches.map(_.map(fileSig).mkString("\u0000")).mkString("\n")
+    val manifestPath = s"$importDir/manifest.txt"
+    if (fs.exists(new Path(manifestPath))) {
+      val prev = HipsCatalog.readString(spark, manifestPath)
+      require(prev == manifest,
+        s"resumable import found staging for a DIFFERENT batch list (paths, sizes or mtimes " +
+          s"changed) under $importDir — delete the _import directory to start over")
+    } else HipsCatalog.writeString(spark, manifestPath, manifest)
+
     batches.indices.foreach { i =>
       val stage = s"$importDir/stage/batch=$i"
       val hist = s"$importDir/hist/batch=$i"

@@ -29,6 +29,9 @@ object native {
   def sortedHashes(elems: Column): Column = c1(SortedHashesExpr.apply)(elems)
   /** Linear-merge intersection count of sorted hash arrays (IntersectCountExpr). */
   def intersectCount(a: Column, b: Column): Column = c2(IntersectCountExpr.apply)(a, b)
+  /** Intersection count against a broadcast sorted long[] (IntersectCountBcExpr). */
+  def intersectCountBc(a: Column, bench: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftBridge.column(IntersectCountBcExpr(GraftBridge.expression(a), bench))
   /** Positional signature agreement count (MatchCountExpr). */
   def matchCount(a: Column, b: Column): Column = c2(MatchCountExpr.apply)(a, b)
 

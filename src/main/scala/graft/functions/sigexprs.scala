@@ -96,6 +96,27 @@ object SigKernels {
     c
   }
 
+  /** As [[intersectCount]], against a plain sorted long[] (executor-
+   *  side broadcast value). The row side is typically much smaller
+   *  than the broadcast side, so each row binary-searches forward
+   *  through b instead of merging past millions of elements. */
+  def intersectCountArr(a: ArrayData, b: Array[Long]): Int = {
+    val na = a.numElements()
+    var i = 0; var lo = 0; var c = 0
+    while (i < na && lo < b.length) {
+      val x = a.getLong(i)
+      var hi = b.length // first index in [lo, len) with b(idx) >= x
+      var l = lo
+      while (l < hi) {
+        val mid = (l + hi) >>> 1
+        if (b(mid) < x) l = mid + 1 else hi = mid
+      }
+      if (l < b.length && b(l) == x) { c += 1; lo = l + 1 } else lo = l
+      i += 1
+    }
+    c
+  }
+
   /** Positional equal-element count of two equal-length long arrays. */
   def matchCount(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -164,6 +185,32 @@ case class SortedHashesExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, e =>
       s"${ev.value} = graft.functions.SigKernels.sortedHashes($e);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * intersect_count_bc(sortedA) -> int against a BROADCAST sorted long[]
+ * — the benchmark/reference set stays out of the expression tree
+ * (a typedLit literal would be re-serialized with every task binding
+ * and walked by plan canonicalization/codegen; broadcasts ship once
+ * per executor, like the partition-grid kernels).
+ */
+case class IntersectCountBcExpr(child: Expression,
+                                bench: org.apache.spark.broadcast.Broadcast[Array[Long]])
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_count_bc"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SigKernels.intersectCountArr(a.asInstanceOf[ArrayData], bench.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("bench", bench,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Long]]].getName)
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SigKernels.intersectCountArr($a, (long[])$b.value())")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -71,19 +71,10 @@ object Ann {
                               nCells: Int): Seq[(Column, Seq[Float])] = {
     val cidType = corpus.schema(corpusId).dataType
     // Knuth multiplicative hash (not xxhash64) so the DuckDB oracle can
-    // reproduce the sample with plain integer arithmetic. Overflow-safe:
-    // the naive id*2654435761 wraps silently for ids >= ~3.5e9 (and
-    // errors under ANSI mode), so bound the id to 32 bits and split it
-    // into 16-bit halves — every intermediate stays < 2^49, and the
-    // result is value-identical to (id * C) % 2^32 for id in [0, 2^32).
-    val C = 2654435761L
-    val idm = pmod(col(corpusId).cast("long"), lit(4294967296L))
-    val knuth = pmod(
-      shiftleft(pmod(shiftright(idm, 16) * C, lit(4294967296L)), 16) +
-        idm.bitwiseAND(lit(0xffffL)) * C,
-      lit(4294967296L))
+    // reproduce the sample with plain integer arithmetic — the shared
+    // overflow-safe 16-bit-split form (see Sampling.knuthHash/knuthHashSql)
     corpus
-      .withColumn("__h", knuth)
+      .withColumn("__h", Sampling.knuthHash(col(corpusId)))
       .orderBy(col("__h"), col(corpusId)).limit(nCells)
       .select(col(corpusId), col(corpusVec))
       .collect()

@@ -197,11 +197,16 @@ object Dedup {
     val bench = benchmark
       .select(explode(graft.functions.native.sortedHashes(shingles(col(benchTextCol), shingleN))).as("h"))
       .distinct().orderBy("h").collect().map(_.getLong(0))
+    // broadcast, NOT a typedLit literal: a 10M-hash eval suite as a
+    // Literal would ride inside the expression tree (re-serialized per
+    // task binding, walked by canonicalization/codegen); the broadcast
+    // ships once per executor
+    val bc = docs.sparkSession.sparkContext.broadcast(bench)
     docs.select(col(idCol),
         graft.functions.native.sortedHashes(shingles(col(textCol), shingleN)).as("__sh"))
       .withColumn("n_shingles", size(col("__sh")).cast("long"))
       .withColumn("n_matched",
-        graft.functions.native.intersectCount(col("__sh"), typedLit(bench)).cast("long"))
+        graft.functions.native.intersectCountBc(col("__sh"), bc).cast("long"))
       .drop("__sh")
   }
 

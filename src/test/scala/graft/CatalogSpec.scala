@@ -204,6 +204,26 @@ class CatalogSpec extends SparkSpecBase {
       "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
     assert(reads == 0, "hist recompute reads staging, not sources")
     assert(dump("resumed") == dump("direct"))
+
+    // resuming with a different batch list must be refused, not mixed
+    val e = intercept[IllegalArgumentException] {
+      HipsPartitioner.writeResumable(spark, batches.take(2),
+        files => spark.read.parquet(files: _*),
+        "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
+    }
+    assert(e.getMessage.contains("DIFFERENT batch list"))
+
+    // sources regenerated under the SAME paths must also be refused
+    // (manifest pins size + mtime, not just the path list)
+    Thread.sleep(1100) // ensure a distinct mtime even on coarse filesystems
+    cust.filter(col("c_custkey") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/part0")
+    val e2 = intercept[IllegalArgumentException] {
+      HipsPartitioner.writeResumable(spark, batches,
+        files => spark.read.parquet(files: _*),
+        "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
+    }
+    assert(e2.getMessage.contains("mtimes"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
   }

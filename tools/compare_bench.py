@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Grade a BENCH_r{N}.json against the committed DuckDB baseline
-(tools/baseline_duckdb.json) and the previous round's Spark medians.
+(tools/baseline_duckdb.json), and optionally against a previous
+round's Spark medians.
 
 Usage:
   python3 tools/compare_bench.py BENCH_r03.json [BENCH_r02.json]
 
-Prints the per-query table from BASELINE.md with the new numbers, and
-flags class-A queries >1.5x above the committed Spark median (the
-regression bar; +-15% run drift stays below it).
+Always prints the per-query table from BASELINE.md with the new
+numbers. Failed queries (Bench's -1.0 sentinel) are flagged and fail
+the run. When a previous BENCH json is passed, class-A queries >1.5x
+above the previous median (and >0.5 s) are flagged as regressions and
+fail the run; without it only the failure check applies.
 """
 import json, os, re, sys
 
@@ -37,24 +40,32 @@ def main():
     prev = load_bench(sys.argv[2])['queries'] if len(sys.argv) > 2 else None
 
     print('| query | class | spark s | duckdb s | spark/duckdb |' + (' vs prev |' if prev else ''))
-    regressions = []
+    regressions, failed = [], []
     for name in sorted(bench):
         s = bench[name]
-        d = base.get(name)
         cls = CLS.get(name, '?')
+        if s < 0:  # Bench's failure sentinel — never a valid timing
+            failed.append(name)
+            print(f'| {name} | {cls} | FAILED |  |  |' + ('  |' if prev else ''))
+            continue
+        d = base.get(name)
         row = f'| {name} | {cls} | {s:.3f} | ' + (f'{d:.3f} | {s/d:.2f} |' if d else ' n/a |  |')
-        if prev and name in prev:
+        if prev and prev.get(name, -1) > 0:
             row += f' {s/prev[name]:.2f}x |'
             if cls == 'A' and s > 1.5 * prev[name] and s > 0.5:
                 regressions.append(name)
         print(row)
     for k in 'ABC':
-        qs = [q for q in CLASSES[k] if q in bench]
+        qs = [q for q in CLASSES[k] if q in bench and bench[q] >= 0]
         ss = sum(bench[q] for q in qs)
         ds = sum(base[q] for q in qs if q in base)
-        print(f'| **total {k}** |  | **{ss:.2f}** | **{ds:.2f}** | **{ss/ds:.2f}** |')
+        ratio = f'{ss/ds:.2f}' if ds else 'n/a'
+        print(f'| **total {k}** |  | **{ss:.2f}** | **{ds:.2f}** | **{ratio}** |')
+    if failed:
+        print(f'\nFAILED QUERIES (bench sentinel -1.0): {failed}')
     if regressions:
         print(f'\nREGRESSIONS (class A, >1.5x vs prev, >0.5 s): {regressions}')
+    if failed or regressions:
         sys.exit(1)
 
 
