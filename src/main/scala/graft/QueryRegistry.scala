@@ -435,6 +435,37 @@ object QueryRegistry {
         JOIN h2 ON h2.p = r.pix5 // 64 JOIN h3 ON h3.p = r.pix5 // 16 JOIN h4 ON h4.p = r.pix5 // 4)
       SELECT "Norder", "Npix", count(*) AS cnt FROM asn GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Exact per-group percentiles (median / p90). Exact `percentile`
+   *  sorts within each group — right for bounded-cardinality group
+   *  keys like these; at unbounded scale swap in approx_percentile
+   *  (t-digest) and lose the oracle, not the API. */
+  private val q_percentile = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    // quantile_cont interpolates at p*(n-1) — the same definition as
+    // Spark's exact percentile
+    Some("""SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      round(quantile_cont(o_totalprice, 0.9), 2) AS p90, count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** PIVOT with explicit values — plans as ONE conditional aggregate
+   *  (no second pass to discover the pivot domain). */
+  private val q_pivot = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderstatus"),
+    Some {
+      val cols = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW").map(v =>
+        s"""round(sum(CASE WHEN o_orderpriority = '$v' THEN o_totalprice END), 2) AS "$v"""").mkString(", ")
+      s"""SELECT o_orderstatus, $cols FROM orders GROUP BY 1 ORDER BY 1"""
+    })
+
   // ---------------------------------------------------------------- LLM-pipeline
 
   import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
@@ -744,6 +775,8 @@ object QueryRegistry {
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,
+    "q_percentile" -> q_percentile,
+    "q_pivot" -> q_pivot,
     "gc_dist" -> gc_dist,
     "gnomonic" -> gnomonic,
     "cone_search" -> cone_search,
