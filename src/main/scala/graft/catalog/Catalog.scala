@@ -50,6 +50,20 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
     HipsCatalog.coneSearch(spark, location, catname, raKw, decKw, ra, dec, radiusDeg, orderK,
       columns = if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct)
 
+  /** Box search (wrap-aware ra interval x dec band) with the same
+   *  partition pruning and column contract as [[coneSearch]]. */
+  def boxSearch(raLo: Double, raHi: Double, decLo: Double, decHi: Double,
+                columns: Seq[String] = Nil): DataFrame =
+    HipsCatalog.boxSearch(spark, location, catname, raKw, decKw, raLo, raHi, decLo, decHi, orderK,
+      columns = if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct)
+
+  /** Convex polygon search (gnomonic half-planes) with the same
+   *  partition pruning and column contract as [[coneSearch]]. */
+  def polygonSearch(vertices: Seq[(Double, Double)],
+                    columns: Seq[String] = Nil): DataFrame =
+    HipsCatalog.polygonSearch(spark, location, catname, raKw, decKw, vertices, orderK,
+      columns = if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct)
+
   /**
    * kNN cross-match against another written catalog using its stored
    * margins (catalog.py:144 cross_match). Output convention follows

@@ -464,31 +464,67 @@ object HipsCatalog {
    * on (Norder, Npix) restricts the scan to overlapping partitions
    * before any row is read (catalog.py:65 semantics).
    */
+  /** The pruning machinery shared by every stored-catalog search:
+   *  column-pruned scan restricted to partitions overlapping the
+   *  bounding cone. Candidate partition pixels at every order
+   *  (ancestors of the order-k cover) are packed into one
+   *  (order, pixel) key so the filter is a flat InSet over the two
+   *  hive partition columns (file-level pruning), not a deep Or tree. */
+  private def prunedScan(spark: SparkSession, outputDir: String, catname: String,
+                         raDeg: Double, decDeg: Double, radiusDeg: Double, orderK: Int,
+                         columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val coverK = Healpix.queryDiscCover(orderK, raDeg, decDeg, radiusDeg)
+    val candidates: Seq[Long] =
+      (0 to orderK).flatMap(o => coverK.map(p => (o.toLong << 48) | (p >> (2 * (orderK - o)))).distinct)
+    val df = load(spark, outputDir, catname)
+    // user column selection BEFORE any predicate so the pruning
+    // reaches the parquet scan (caller guarantees ra/dec present;
+    // Catalog.* appends ra/dec/id per the reference contract)
+    val sel = if (columns.isEmpty) df
+      else df.select((columns ++ Seq("Norder", "Npix")).distinct.map(col): _*)
+    sel.filter((col("Norder").cast("long") * (1L << 48) + col("Npix"))
+      .isin(candidates.map(Long.box): _*))
+  }
+
+  /** The hive columns were only needed for the partition filter — if
+   *  the user picked columns and didn't ask for them, drop them. */
+  private def dropHive(df: DataFrame, columns: Seq[String]): DataFrame =
+    Seq("Norder", "Npix").filterNot(c => columns.isEmpty || columns.contains(c))
+      .foldLeft(df)(_.drop(_))
+
   def coneSearch(spark: SparkSession, outputDir: String, catname: String,
                  raCol: String, decCol: String,
                  raDeg: Double, decDeg: Double, radiusDeg: Double, orderK: Int,
                  columns: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
-    val coverK = Healpix.queryDiscCover(orderK, raDeg, decDeg, radiusDeg)
-    // candidate partition pixels at every order (ancestors of the
-    // order-k cover), packed into one (order, pixel) key so the
-    // filter is a flat InSet over the two hive partition columns
-    // (file-level pruning) instead of a deep Or tree.
-    val candidates: Seq[Long] =
-      (0 to orderK).flatMap(o => coverK.map(p => (o.toLong << 48) | (p >> (2 * (orderK - o)))).distinct)
-    val df = load(spark, outputDir, catname)
-    // user column selection BEFORE the distance compute so the pruning
-    // reaches the parquet scan (caller guarantees ra/dec present;
-    // Catalog.coneSearch appends ra/dec/id per the reference contract)
-    val sel = if (columns.isEmpty) df
-      else df.select((columns ++ Seq("Norder", "Npix")).distinct.map(col): _*)
-    val filtered = sel.filter((col("Norder").cast("long") * (1L << 48) + col("Npix"))
-        .isin(candidates.map(Long.box): _*))
+    val filtered = prunedScan(spark, outputDir, catname, raDeg, decDeg, radiusDeg, orderK, columns)
       .withColumn("_DIST", graft.functions.sphere.gcDist(col(raCol), col(decCol), lit(raDeg), lit(decDeg)))
       .filter(col("_DIST") < radiusDeg)
-    // the hive columns were only needed for the partition filter — if
-    // the user picked columns and didn't ask for them, don't return them
-    Seq("Norder", "Npix").filterNot(c => columns.isEmpty || columns.contains(c))
-      .foldLeft(filtered)(_.drop(_))
+    dropHive(filtered, columns)
+  }
+
+  /** Stored-path box search: partition pruning via the box's provable
+   *  bounding cone, then the exact wrap-aware range predicate. */
+  def boxSearch(spark: SparkSession, outputDir: String, catname: String,
+                raCol: String, decCol: String,
+                raLo: Double, raHi: Double, decLo: Double, decHi: Double, orderK: Int,
+                columns: Seq[String] = Nil): DataFrame = {
+    val ((cra, cdec), radius) = graft.operators.Spatial.boxBoundingCone(raLo, raHi, decLo, decHi)
+    dropHive(graft.operators.Spatial.boxSearch(
+      prunedScan(spark, outputDir, catname, cra, cdec, radius, orderK, columns),
+      raCol, decCol, raLo, raHi, decLo, decHi), columns)
+  }
+
+  /** Stored-path convex polygon search: partition pruning via the
+   *  polygon's bounding cone, then the exact gnomonic half-plane test. */
+  def polygonSearch(spark: SparkSession, outputDir: String, catname: String,
+                    raCol: String, decCol: String,
+                    vertices: Seq[(Double, Double)], orderK: Int,
+                    columns: Seq[String] = Nil): DataFrame = {
+    val ((cra, cdec), radius, inside) =
+      graft.operators.Spatial.polygonPredicate(raCol, decCol, vertices)
+    dropHive(prunedScan(spark, outputDir, catname, cra, cdec, radius, orderK, columns)
+      .filter(inside), columns)
   }
 }

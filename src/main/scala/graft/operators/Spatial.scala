@@ -89,6 +89,17 @@ object Spatial {
    */
   def polygonSearch(df: DataFrame, raCol: String, decCol: String,
                     vertices: Seq[(Double, Double)], order: Int = 4): DataFrame = {
+    val ((cra, cdec), boundRadius, inside) = polygonPredicate(raCol, decCol, vertices)
+    coneSearch(df, raCol, decCol, cra, cdec, boundRadius, order)
+      .filter(inside)
+      .drop("_DIST")
+  }
+
+  /** The polygon machinery alone: (bounding-cone center, bounding-cone
+   *  radius, exact inside predicate) — shared by the in-flight search
+   *  above and the stored-catalog pruned search (HipsCatalog). */
+  private[graft] def polygonPredicate(raCol: String, decCol: String,
+                                      vertices: Seq[(Double, Double)]): ((Double, Double), Double, org.apache.spark.sql.Column) = {
     require(vertices.length >= 3, "polygon needs >= 3 vertices")
     val (cra, cdec) = polygonCentroid(vertices)
     val boundRadius = vertices.map { case (r, d) => Healpix.gcDistDeg(cra, cdec, r, d) }.max * 1.001
@@ -106,10 +117,21 @@ object Spatial {
       val (x1, y1) = ccw(i); val (x2, y2) = ccw((i + 1) % ccw.length)
       (lit(x2 - x1) * (py - y1) - lit(y2 - y1) * (px - x1)) >= 0.0
     }.reduce(_ && _)
+    ((cra, cdec), boundRadius, inside)
+  }
 
-    coneSearch(df, raCol, decCol, cra, cdec, boundRadius, order)
-      .filter(inside)
-      .drop("_DIST")
+  /** A cone PROVABLY covering the box: center at the box midpoint,
+   *  radius = decRange/2 + raWidth/2 (spherical triangle inequality:
+   *  gc(c, p) <= |dec_p - dec_c| + raSep * cos(dec_p) <= that sum).
+   *  Within ~2x of tight for small boxes — only pruning efficiency,
+   *  never correctness, depends on the slack. */
+  private[graft] def boxBoundingCone(raLo: Double, raHi: Double,
+                                     decLo: Double, decHi: Double): ((Double, Double), Double) = {
+    val width = if (raLo <= raHi) raHi - raLo else 360.0 - raLo + raHi
+    val midRa = (raLo + width / 2) % 360.0
+    val midDec = (decLo + decHi) / 2
+    val radius = math.min(180.0, (decHi - decLo) / 2 + width / 2 + 1e-9)
+    ((midRa, midDec), radius)
   }
 
   /** Gnomonic projection of one point (driver-side twin of sphere.gnomonicX/Y). */

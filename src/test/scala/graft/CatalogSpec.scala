@@ -35,6 +35,24 @@ class CatalogSpec extends SparkSpecBase {
         .filter(col("d") < radius).select("k").collect().map(_.getLong(0)).sorted
       assert(cone.toSeq == brute.toSeq, s"radius=$radius")
     }
+
+    // stored box/polygon searches (pruned scan + exact predicate)
+    // equal the in-flight operators over the same rows — including an
+    // ra-wrapping box
+    for ((raLo, raHi, decLo, decHi) <- Seq((170.0, 190.0, -20.0, 20.0), (350.0, 10.0, -30.0, 5.0))) {
+      val stored = HipsCatalog.boxSearch(spark, out, "litest", "cra", "cdec",
+        raLo, raHi, decLo, decHi, orderK = 4).select("k").collect().map(_.getLong(0)).sorted
+      val inflight = graft.operators.Spatial.boxSearch(li, "cra", "cdec", raLo, raHi, decLo, decHi)
+        .select("k").collect().map(_.getLong(0)).sorted
+      assert(stored.toSeq == inflight.toSeq, s"box ($raLo,$raHi,$decLo,$decHi)")
+      assert(stored.nonEmpty, "box parity test must actually cover rows")
+    }
+    val poly = Seq((150.0, -25.0), (210.0, -25.0), (210.0, 25.0), (150.0, 25.0))
+    val storedPoly = HipsCatalog.polygonSearch(spark, out, "litest", "cra", "cdec", poly, orderK = 4)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val inflightPoly = graft.operators.Spatial.polygonSearch(li, "cra", "cdec", poly)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(storedPoly.toSeq == inflightPoly.toSeq && storedPoly.nonEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
