@@ -440,16 +440,24 @@ object QueryRegistry {
    *  keys like these; at unbounded scale swap in approx_percentile
    *  (t-digest) and lose the oracle, not the API. */
   private val q_percentile = QueryDef(
+    // integer CENTS, rounded to integers: midpoints at .5 are dyadic
+    // (exactly representable), so Spark's decimal-string HALF_UP and
+    // DuckDB's binary round cannot disagree — unlike round(x, 2),
+    // whose .xx5 midpoints are not representable and round by the
+    // accident of which side of the midpoint the nearest double sits
     (s, dir) => t(s, dir, "orders")
+      .withColumn("__cents", round(col("o_totalprice") * 100).cast("long"))
       .groupBy("o_orderpriority")
-      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+      .agg(round(expr("percentile(__cents, 0.5)")).cast("long").as("p50_cents"),
+        round(expr("percentile(__cents, 0.9)")).cast("long").as("p90_cents"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority"),
     // quantile_cont interpolates at p*(n-1) — the same definition as
     // Spark's exact percentile
-    Some("""SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-      round(quantile_cont(o_totalprice, 0.9), 2) AS p90, count(*) AS n
+    Some("""SELECT o_orderpriority,
+      CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS p50_cents,
+      CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)) AS BIGINT) AS p90_cents,
+      count(*) AS n
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
   /** PIVOT with explicit values — plans as ONE conditional aggregate

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /**
  * Scale probe for the training-data pipeline operators: inflates the
- * sf0.1 documents table ~100x (500k docs) with per-replica salt
+ * sf0.1 documents table (default 32x = 160k docs) with per-replica salt
  * tokens (so replicas of one doc sit at Jaccard ~0.74 — BELOW the 0.8
  * near-dup threshold — and the output stays bounded while candidate
  * volume scales realistically), then times the corpus-scale paths.

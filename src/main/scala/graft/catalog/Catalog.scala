@@ -42,27 +42,31 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
     else df.select((columns ++ Seq(raKw, decKw, idKw)).distinct.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  /** The reference column contract (util.py:276 validate_user_input_cols):
+   *  a non-empty selection always keeps ra/dec/id. */
+  private def withContractCols(columns: Seq[String]): Seq[String] =
+    if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct
+
   /** Cone search with file-level pruning; adds `_DIST` (catalog.py:65).
-   *  `columns` prunes the scan — ra/dec/id always kept
-   *  (util.py:276 validate_user_input_cols semantics). */
+   *  `columns` prunes the scan — ra/dec/id always kept. */
   def coneSearch(ra: Double, dec: Double, radiusDeg: Double,
                  columns: Seq[String] = Nil): DataFrame =
     HipsCatalog.coneSearch(spark, location, catname, raKw, decKw, ra, dec, radiusDeg, orderK,
-      columns = if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct)
+      columns = withContractCols(columns))
 
   /** Box search (wrap-aware ra interval x dec band) with the same
    *  partition pruning and column contract as [[coneSearch]]. */
   def boxSearch(raLo: Double, raHi: Double, decLo: Double, decHi: Double,
                 columns: Seq[String] = Nil): DataFrame =
     HipsCatalog.boxSearch(spark, location, catname, raKw, decKw, raLo, raHi, decLo, decHi, orderK,
-      columns = if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct)
+      columns = withContractCols(columns))
 
   /** Convex polygon search (gnomonic half-planes) with the same
    *  partition pruning and column contract as [[coneSearch]]. */
   def polygonSearch(vertices: Seq[(Double, Double)],
                     columns: Seq[String] = Nil): DataFrame =
     HipsCatalog.polygonSearch(spark, location, catname, raKw, decKw, vertices, orderK,
-      columns = if (columns.isEmpty) Nil else (columns ++ Seq(raKw, decKw, idKw)).distinct)
+      columns = withContractCols(columns))
 
   /**
    * kNN cross-match against another written catalog using its stored

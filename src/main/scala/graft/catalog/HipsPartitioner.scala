@@ -275,28 +275,48 @@ object HipsPartitioner {
     val fs = new Path(importDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def done(dir: String) = fs.exists(new Path(s"$dir/_SUCCESS"))
 
+    def stageDir(i: Int) = s"$importDir/stage/batch=$i"
+    def histDir(i: Int) = s"$importDir/hist/batch=$i"
+    def batchDone(i: Int) = done(stageDir(i)) && done(histDir(i))
+
     // a resume with a DIFFERENT batch list — or sources regenerated
     // under the same paths — would silently mix stale staged data into
     // the new import. Pin path + size + mtime per source file in a
-    // manifest on the first attempt and refuse to resume on mismatch.
+    // manifest on the first attempt. The PATH list must always match;
+    // size/mtime are validated only for batches whose staging is
+    // incomplete (those re-read their sources) — a COMPLETED batch's
+    // staging is the source of truth, so its sources may be archived,
+    // moved or touched without blocking the resume.
     def fileSig(p: String): String =
       try {
         val st = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getFileStatus(new Path(p))
-        s"$p@${st.getLen}:${st.getModificationTime}"
+        s"$p\u0001${st.getLen}:${st.getModificationTime}"
       } catch { case _: Exception => p } // non-stattable source: path-only pin
-    val manifest = batches.map(_.map(fileSig).mkString("\u0000")).mkString("\n")
+    def sigPath(sig: String): String = {
+      val k = sig.indexOf('\u0001'); if (k < 0) sig else sig.substring(0, k)
+    }
+    val current = batches.map(_.map(fileSig))
     val manifestPath = s"$importDir/manifest.txt"
     if (fs.exists(new Path(manifestPath))) {
       val prev = HipsCatalog.readString(spark, manifestPath)
-      require(prev == manifest,
-        s"resumable import found staging for a DIFFERENT batch list (paths, sizes or mtimes " +
-          s"changed) under $importDir — delete the _import directory to start over")
-    } else HipsCatalog.writeString(spark, manifestPath, manifest)
+        .split("\n", -1).toSeq.map(_.split("\u0000", -1).toSeq)
+      require(prev.length == current.length &&
+        prev.zip(current).forall { case (pv, cu) => pv.map(sigPath) == cu.map(sigPath) },
+        s"resumable import found staging for a DIFFERENT batch list under $importDir — " +
+          "delete the _import directory to start over")
+      batches.indices.foreach { i =>
+        if (!batchDone(i))
+          require(prev(i) == current(i),
+            s"resumable import: sources of UNFINISHED batch $i changed (sizes or mtimes) since " +
+              s"staging began — re-run with the original files, or delete $importDir to start over")
+      }
+    } else HipsCatalog.writeString(spark, manifestPath,
+      current.map(_.mkString("\u0000")).mkString("\n"))
 
     batches.indices.foreach { i =>
-      val stage = s"$importDir/stage/batch=$i"
-      val hist = s"$importDir/hist/batch=$i"
+      val stage = stageDir(i)
+      val hist = histDir(i)
       if (!done(stage)) readBatch(batches(i)).write.mode("overwrite").parquet(stage)
       if (!done(hist)) {
         // histogram from the STAGED bytes (not the source) so the map
@@ -466,25 +486,42 @@ object HipsCatalog {
    */
   /** The pruning machinery shared by every stored-catalog search:
    *  column-pruned scan restricted to partitions overlapping the
-   *  bounding cone. Candidate partition pixels at every order
-   *  (ancestors of the order-k cover) are packed into one
-   *  (order, pixel) key so the filter is a flat InSet over the two
-   *  hive partition columns (file-level pruning), not a deep Or tree. */
+   *  bounding cone.
+   *
+   *  The disc cover is computed at an ADAPTIVE order: the finest
+   *  order <= orderK whose expected cover stays <= ~8k pixels, so a
+   *  wide query (a full-RA dec band gives a 180-deg bounding cone)
+   *  cannot blow up the driver-side candidate list no matter how
+   *  fine the catalog's partition order is. A partition at order o
+   *  overlaps the disc iff its coverOrder-aligned pixel does:
+   *  ancestors for o <= coverOrder (InSet on rebinned cover),
+   *  descendants via a constant shift for o > coverOrder — one small
+   *  InSet per order, all over partition columns, so file-level
+   *  pruning still applies. Coarsening only loses selectivity, never
+   *  rows. */
   private def prunedScan(spark: SparkSession, outputDir: String, catname: String,
                          raDeg: Double, decDeg: Double, radiusDeg: Double, orderK: Int,
                          columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val coverK = Healpix.queryDiscCover(orderK, raDeg, decDeg, radiusDeg)
-    val candidates: Seq[Long] =
-      (0 to orderK).flatMap(o => coverK.map(p => (o.toLong << 48) | (p >> (2 * (orderK - o)))).distinct)
+    val discFrac = (1 - math.cos(math.toRadians(math.min(radiusDeg, 180.0)))) / 2
+    val coverOrder = (0 to orderK).reverse
+      .find(o => discFrac * Healpix.npix(o) <= 8192 || o == 0).getOrElse(0)
+    val cover = Healpix.queryDiscCover(coverOrder, raDeg, decDeg, radiusDeg)
+    val coverBoxed = cover.map(Long.box).toSeq
+    val pred = (0 to orderK).map { o =>
+      if (o <= coverOrder) {
+        val anc = cover.map(_ >> (2 * (coverOrder - o))).distinct.map(Long.box).toSeq
+        col("Norder") === o && col("Npix").isin(anc: _*)
+      } else
+        col("Norder") === o && shiftright(col("Npix"), 2 * (o - coverOrder)).isin(coverBoxed: _*)
+    }.reduce(_ || _)
     val df = load(spark, outputDir, catname)
     // user column selection BEFORE any predicate so the pruning
     // reaches the parquet scan (caller guarantees ra/dec present;
     // Catalog.* appends ra/dec/id per the reference contract)
     val sel = if (columns.isEmpty) df
       else df.select((columns ++ Seq("Norder", "Npix")).distinct.map(col): _*)
-    sel.filter((col("Norder").cast("long") * (1L << 48) + col("Npix"))
-      .isin(candidates.map(Long.box): _*))
+    sel.filter(pred)
   }
 
   /** The hive columns were only needed for the partition filter — if

@@ -119,6 +119,9 @@ object TextAnalysis {
     val toks = df.select(col(groupCol).as("grp"), col(idCol).as("__doc"),
         explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
+      // NULL doc ids don't count as a document (countDistinct semantics
+      // — the pre-aggregate below would otherwise count them as one)
+      .filter(col("__doc").isNotNull)
     // two-level aggregate instead of count + countDistinct in one agg:
     // the latter plans through an Expand (doubles every exploded row
     // before the shuffle); per-doc partial counts first keeps the big

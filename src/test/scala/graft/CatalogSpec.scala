@@ -56,6 +56,29 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("wide queries on a fine catalog: adaptive cover order keeps candidates bounded, results exact") {
+    // orderK = 6 catalog + wide queries force coverOrder < orderK
+    // (a 180-deg bounding cone at order 6 would enumerate half the
+    // 49k-pixel sky; the adaptive cover coarsens instead) — both the
+    // ancestor and the shifted-descendant pruning branches run here
+    val out = java.nio.file.Files.createTempDirectory("graft_wide").toString
+    HipsPartitioner.write(li, "cra", "cdec", "k", out, "wide", orderK = 6, threshold = 200, marginDeg = 0.5)
+
+    // full-RA dec band: bounding cone radius = 180 deg
+    val band = HipsCatalog.boxSearch(spark, out, "wide", "cra", "cdec", 0.0, 360.0, -10.0, 10.0, orderK = 6)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val bandBrute = li.filter(col("cdec") >= -10.0 && col("cdec") <= 10.0)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(band.toSeq == bandBrute.toSeq && band.nonEmpty)
+
+    val cone = HipsCatalog.coneSearch(spark, out, "wide", "cra", "cdec", 180.0, 0.0, 60.0, orderK = 6)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val coneBrute = li.withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)))
+      .filter(col("d") < 60.0).select("k").collect().map(_.getLong(0)).sorted
+    assert(cone.toSeq == coneBrute.toSeq && cone.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("stored cross-match (catalog + neighbor files) equals in-flight crossMatchKnn") {
     val out = java.nio.file.Files.createTempDirectory("graft_xm").toString
     val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
@@ -231,17 +254,26 @@ class CatalogSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("DIFFERENT batch list"))
 
-    // sources regenerated under the SAME paths must also be refused
-    // (manifest pins size + mtime, not just the path list)
+    // sources regenerated under the SAME paths: a COMPLETED batch's
+    // staging is the source of truth, so the resume still succeeds
+    // without re-reading sources and the output is unchanged...
     Thread.sleep(1100) // ensure a distinct mtime even on coarse filesystems
     cust.filter(col("c_custkey") % 3 === 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$srcDir/part0")
+    HipsPartitioner.writeResumable(spark, batches,
+      files => { reads += 1; spark.read.parquet(files: _*) },
+      "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
+    assert(reads == 0, "completed staging must not consult changed sources")
+    assert(dump("resumed") == dump("direct"))
+    // ...but an UNFINISHED batch whose sources changed must be refused
+    // (it would re-read the new bytes and silently mix generations)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/resumed/_import/stage/batch=0/_SUCCESS"), false)
     val e2 = intercept[IllegalArgumentException] {
       HipsPartitioner.writeResumable(spark, batches,
         files => spark.read.parquet(files: _*),
         "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
     }
-    assert(e2.getMessage.contains("mtimes"))
+    assert(e2.getMessage.contains("UNFINISHED batch 0"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
   }

@@ -50,10 +50,13 @@ def main():
             continue
         d = base.get(name)
         row = f'| {name} | {cls} | {s:.3f} | ' + (f'{d:.3f} | {s/d:.2f} |' if d else ' n/a |  |')
-        if prev and prev.get(name, -1) > 0:
-            row += f' {s/prev[name]:.2f}x |'
-            if cls == 'A' and s > 1.5 * prev[name] and s > 0.5:
-                regressions.append(name)
+        if prev:
+            if prev.get(name, -1) > 0:
+                row += f' {s/prev[name]:.2f}x |'
+                if cls == 'A' and s > 1.5 * prev[name] and s > 0.5:
+                    regressions.append(name)
+            else:
+                row += ' n/a |'  # absent or failed in prev — keep the table rectangular
         print(row)
     for k in 'ABC':
         qs = [q for q in CLASSES[k] if q in bench and bench[q] >= 0]
