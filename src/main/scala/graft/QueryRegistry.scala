@@ -766,6 +766,25 @@ object QueryRegistry {
     Some("""SELECT CAST(doc_id AS BIGINT) AS id, 'text' AS modality,
       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents ORDER BY id"""))
 
+  /** Frame-sampling plumbing over the media table: one row per
+   *  sampled frame with its byte window — the explode shape a real
+   *  demuxer feeds. The stub codec never matters here: indices and
+   *  window arithmetic ARE the Spark-side contract, and DuckDB
+   *  replays them exactly. */
+  private val multimodal_frames = QueryDef(
+    (s, dir) => Multimodal.sampleFrames(s,
+        Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "text"),
+        frameBytes = 128, stride = 2)
+      .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame_payload")).cast("long").as("frame_len"))
+      .orderBy("id", "frame_idx"),
+    Some("""SELECT id, frame_idx, least(blen, frame_idx * 128 + 128) - frame_idx * 128 AS frame_len
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS id, octet_length(encode(text)) AS blen,
+          unnest(range(0, greatest(octet_length(encode(text)) // 128, 1), 2)) AS frame_idx
+        FROM documents)
+      ORDER BY id, frame_idx"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -814,5 +833,6 @@ object QueryRegistry {
     "sample_split" -> sample_split,
     "decontaminate" -> decontaminate,
     "multimodal_meta" -> multimodal_meta,
+    "multimodal_frames" -> multimodal_frames,
   )
 }

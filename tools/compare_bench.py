@@ -19,7 +19,7 @@ CLASSES = {
           'q_sessionize', 'q_json', 'q_rollup', 'q_having', 'q_phasefold', 'q_correlated',
           'q3_shipping', 'q5_local', 'q_percentile', 'q_pivot', 'gc_dist', 'gnomonic', 'cone_search', 'box_search',
           'polygon_search', 'hpix_histogram', 'hpix_index', 'partition_map', 'dedup_exact',
-          'dedup_keyed', 'text_tokens', 'multimodal_meta', 'xmatch_knn', 'xmatch_postfilter',
+          'dedup_keyed', 'text_tokens', 'multimodal_meta', 'multimodal_frames', 'xmatch_knn', 'xmatch_postfilter',
           'text_tfidf', 'sample_split'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
