@@ -746,7 +746,10 @@ object QueryRegistry {
       val docs = t(s, dir, "documents")
       Dedup.contaminationCheck(docs, "doc_id", "text",
           docs.filter(col("doc_id") % 50 === 0), "text")
-        .withColumn("contaminated", col("n_matched") * 2 >= col("n_shingles"))
+        // n_shingles > 0 guard: a zero-shingle (empty/short) doc must
+        // not be flagged via the degenerate 0 >= 0 ratio
+        .withColumn("contaminated",
+          col("n_matched") * 2 >= col("n_shingles") && col("n_shingles") > 0)
         .orderBy("doc_id")
     },
     // string-shingle replay: intersect counts match the hash-merge
@@ -757,7 +760,7 @@ object QueryRegistry {
             FROM (SELECT unnest(sh) AS s FROM d WHERE doc_id % 50 = 0) u)
       SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_shingles,
         CAST(len(list_intersect(d.sh, b.bl)) AS BIGINT) AS n_matched,
-        len(list_intersect(d.sh, b.bl)) * 2 >= len(d.sh) AS contaminated
+        len(list_intersect(d.sh, b.bl)) * 2 >= len(d.sh) AND len(d.sh) > 0 AS contaminated
       FROM d, b ORDER BY doc_id"""))
 
   private val multimodal_meta = QueryDef(

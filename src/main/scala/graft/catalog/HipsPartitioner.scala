@@ -306,9 +306,13 @@ object HipsPartitioner {
         s"resumable import found staging for a DIFFERENT batch list under $importDir — " +
           "delete the _import directory to start over")
       batches.indices.foreach { i =>
-        if (!batchDone(i))
+        // gate on the STAGE marker only: a batch whose staging completed
+        // but whose histogram is missing recomputes the histogram from
+        // the staged bytes and never re-reads its sources — archiving or
+        // touching them after staging must not block the resume
+        if (!done(stageDir(i)))
           require(prev(i) == current(i),
-            s"resumable import: sources of UNFINISHED batch $i changed (sizes or mtimes) since " +
+            s"resumable import: sources of UNSTAGED batch $i changed (sizes or mtimes) since " +
               s"staging began — re-run with the original files, or delete $importDir to start over")
       }
     } else HipsCatalog.writeString(spark, manifestPath,
@@ -439,7 +443,10 @@ object HipsCatalog {
     // column selection is applied BEFORE the join, on both stored
     // sides, so the pruning reaches the parquet scans (ReadSchema) —
     // ra/dec/id are always kept (util.py:276 validate_user_input_cols)
-    val l0 = load(spark, outputDir, leftCat)
+    // left hive partition columns (Norder/Dir/Npix) are dropped before
+    // prefixing, mirroring prep() on the right — otherwise an unpruned
+    // call leaks `{cat}.Norder` etc. asymmetrically into the output
+    val l0 = load(spark, outputDir, leftCat).drop("Norder", "Dir", "Npix")
     val lSel =
       if (leftCols.isEmpty) l0
       else l0.select((leftCols ++ Seq(leftRa, leftDec, leftId)).distinct.map(col): _*)

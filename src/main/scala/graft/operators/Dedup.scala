@@ -189,7 +189,10 @@ object Dedup {
    * MAP-ONLY: per-row sorted-merge intersect (the jaccardPairs
    * kernel), no join, no shuffle — the shape that holds at 100 TB.
    * Returns (id, n_shingles, n_matched); thresholding is the
-   * caller's policy (e.g. `n_matched * 2 >= n_shingles`).
+   * caller's policy. NOTE: a ratio policy like
+   * `n_matched * 2 >= n_shingles` flags zero-shingle docs
+   * (empty/short/null text — 0 >= 0) as contaminated; guard it with
+   * `n_shingles > 0`. Null text yields n_shingles = 0, not null.
    */
   def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
@@ -203,7 +206,8 @@ object Dedup {
     // ships once per executor
     val bc = docs.sparkSession.sparkContext.broadcast(bench)
     docs.select(col(idCol),
-        graft.functions.native.sortedHashes(shingles(col(textCol), shingleN)).as("__sh"))
+        coalesce(graft.functions.native.sortedHashes(shingles(col(textCol), shingleN)),
+          array().cast("array<bigint>")).as("__sh"))
       .withColumn("n_shingles", size(col("__sh")).cast("long"))
       .withColumn("n_matched",
         graft.functions.native.intersectCountBc(col("__sh"), bc).cast("long"))

@@ -16,20 +16,33 @@ object Sampling {
   /** Overflow-safe Knuth multiplicative hash of an id column, mod
    *  2^32 — the same 16-bit-split arithmetic the IVF codebook sample
    *  uses, so plain BIGINT SQL (the DuckDB oracle) reproduces it
-   *  exactly and ids >= 2^31 neither wrap nor error under ANSI. */
+   *  exactly and ids >= 2^31 neither wrap nor error under ANSI.
+   *  The high 32 bits are folded in first (id XOR id>>>32) so 64-bit
+   *  ids sharing low words — e.g. the catalog `_ID` layout
+   *  `pix14<<32 | rank`, where row #n of EVERY pixel shares low
+   *  bits — don't collide into the same split/sample bucket. For ids
+   *  < 2^32 the fold is the identity, so small-key hashes (and their
+   *  committed oracles) are unchanged. */
   private[operators] def knuthHash(id: Column): Column = {
     val C = 2654435761L
-    val idm = pmod(id.cast("long"), lit(4294967296L))
+    val idl = id.cast("long")
+    val folded = idl.bitwiseXOR(shiftrightunsigned(idl, 32))
+    val idm = pmod(folded, lit(4294967296L))
     pmod(
       shiftleft(pmod(shiftright(idm, 16) * C, lit(4294967296L)), 16) +
         idm.bitwiseAND(lit(0xffffL)) * C,
       lit(4294967296L))
   }
 
-  /** SQL twin of [[knuthHash]] for DuckDB oracles. */
-  def knuthHashSql(id: String): String =
-    s"((((($id % 4294967296) + 4294967296) % 4294967296 // 65536 * 2654435761) % 4294967296) * 65536" +
-      s" + (($id % 4294967296) + 4294967296) % 4294967296 % 65536 * 2654435761) % 4294967296"
+  /** SQL twin of [[knuthHash]] for DuckDB oracles. Assumes a
+   *  nonnegative BIGINT id (DuckDB `>>` is arithmetic; Spark's fold
+   *  uses a logical shift — they agree on nonnegative inputs, and
+   *  every oracle-checked id column is nonnegative). */
+  def knuthHashSql(id: String): String = {
+    val f = s"xor($id, $id >> 32)"
+    s"((((($f % 4294967296) + 4294967296) % 4294967296 // 65536 * 2654435761) % 4294967296) * 65536" +
+      s" + (($f % 4294967296) + 4294967296) % 4294967296 % 65536 * 2654435761) % 4294967296"
+  }
 
   /**
    * Deterministic percentage split: buckets the id hash into 0..99

@@ -265,7 +265,16 @@ class CatalogSpec extends SparkSpecBase {
       "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
     assert(reads == 0, "completed staging must not consult changed sources")
     assert(dump("resumed") == dump("direct"))
-    // ...but an UNFINISHED batch whose sources changed must be refused
+    // ...including a batch with ONLY its histogram marker missing: the
+    // histogram recomputes from staged bytes, so changed sources must
+    // not block it (staleness gates on the STAGE marker alone)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/resumed/_import/hist/batch=0/_SUCCESS"), false)
+    HipsPartitioner.writeResumable(spark, batches,
+      files => { reads += 1; spark.read.parquet(files: _*) },
+      "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
+    assert(reads == 0, "hist-only recompute must not consult changed sources")
+    assert(dump("resumed") == dump("direct"))
+    // ...but an UNSTAGED batch whose sources changed must be refused
     // (it would re-read the new bytes and silently mix generations)
     fs.delete(new org.apache.hadoop.fs.Path(s"$out/resumed/_import/stage/batch=0/_SUCCESS"), false)
     val e2 = intercept[IllegalArgumentException] {
@@ -273,7 +282,7 @@ class CatalogSpec extends SparkSpecBase {
         files => spark.read.parquet(files: _*),
         "cra", "cdec", "c_custkey", out, "resumed", orderK = 2, threshold = 100, marginDeg = 5.0)
     }
-    assert(e2.getMessage.contains("UNFINISHED batch 0"))
+    assert(e2.getMessage.contains("UNSTAGED batch 0"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
   }
