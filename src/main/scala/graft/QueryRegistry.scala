@@ -561,6 +561,35 @@ object QueryRegistry {
         AND least(len(a.sh), len(b.sh)) >= 0.8 * greatest(len(a.sh), len(b.sh)))
       WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
+  /** Duplicate clustering: near-dup pairs → connected components →
+   *  one canonical doc per cluster. The oracle recomputes the pairs
+   *  by brute force and the components with a recursive CTE, so the
+   *  transitive closure (not just the pair set) is driver-checked. */
+  private val dedup_cluster = QueryDef(
+    (s, dir) => graft.operators.Graph.dedupClusters(
+        t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
+      .select("doc_id", "cluster_id", "is_canonical").orderBy("doc_id"),
+    // min-label fixed point via recursive CTE: the component minimum m
+    // propagates (m < every other member), so min(comp) per node is
+    // exactly the component's smallest id
+    Some(s"""WITH RECURSIVE pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM $jaccardShinglesSql a JOIN $jaccardShinglesSql b
+        ON a.doc_id < b.doc_id
+        AND least(len(a.sh), len(b.sh)) >= 0.8 * greatest(len(a.sh), len(b.sh))
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+      cc AS (
+        SELECT a AS id, a AS comp FROM edges
+        UNION
+        SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON e.a = cc.id WHERE cc.comp < e.b),
+      lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+      SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id,
+        coalesce(l.comp, d.doc_id) = d.doc_id AS is_canonical
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   /** Explicit sequential-fold cosine (matches Spark's aggregate order). */
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -835,6 +864,7 @@ object QueryRegistry {
     "text_tfidf" -> text_tfidf,
     "sample_split" -> sample_split,
     "decontaminate" -> decontaminate,
+    "dedup_cluster" -> dedup_cluster,
     "multimodal_meta" -> multimodal_meta,
     "multimodal_frames" -> multimodal_frames,
   )

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed graph operators for training-data pipelines — the stage
+ * AFTER near-duplicate pair generation: pairs are edges, duplicate
+ * GROUPS are connected components, and dedup keeps one canonical doc
+ * per component.
+ *
+ * Re-expresses the duplicate-clustering step standard corpus dedup
+ * pipelines bolt onto MinHash-LSH output (the reference engine stops
+ * at spatial cross-match pairs; LLM-corpus dedup needs the transitive
+ * closure too).
+ */
+object Graph {
+
+  /**
+   * Connected components by iterative min-label propagation: every
+   * node's label converges to the smallest node id in its component.
+   *
+   * Scale shape: each iteration is one equi-join (messages along
+   * edges) plus one map-side-combined min aggregate — standard
+   * shuffles on the node id, no collects, no explosion beyond |E|.
+   * Iterations are bounded by the component DIAMETER, which for
+   * near-duplicate graphs (small dense clusters of mutual dups) is
+   * tiny; `maxIter` guards pathological chains. Convergence is
+   * detected with a single scalar aggregate (labels only ever
+   * decrease, so an unchanged sum means a fixed point — no
+   * per-iteration anti-join needed).
+   *
+   * Returns (id, comp) for every node incident to an edge.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame =
+    connectedComponentsWithCache(pairs, aCol, bCol, maxIter)._1
+
+  /** Per-iteration lineage truncation. `labels` feeds the next
+   *  iteration TWICE (message join + self union), so without
+   *  truncation the logical plan DOUBLES every round — exponential
+   *  planning/analysis cost long before any data moves. Checkpointing
+   *  materializes the iteration and restarts the plan from the stored
+   *  blocks: reliable `.checkpoint` when the session has a checkpoint
+   *  dir (cluster fault tolerance), executor-local otherwise. */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** As [[connectedComponents]], additionally returning an unpersist
+   *  handle for the final label cache — call it once the result is
+   *  consumed. The result stays correct afterwards (recompute replays
+   *  the deterministic iteration), it just stops being cached. */
+  def connectedComponentsWithCache(pairs: DataFrame, aCol: String, bCol: String,
+                                   maxIter: Int = 30): (DataFrame, () => Unit) = {
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    val sym = pairs.select(col(aCol).cast("long").as("id"), col(bCol).cast("long").as("nb"))
+      .union(pairs.select(col(bCol).cast("long").as("id"), col(aCol).cast("long").as("nb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = truncate(
+      sym.groupBy("id").agg(min("nb").as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("comp")))
+    // labels are monotone non-increasing per node, so the label sum
+    // strictly decreases until the fixed point — convergence is one
+    // scalar aggregate over the checkpointed iteration, no anti-join
+    def checksum(df: DataFrame): Long = {
+      val r = df.agg(sum("comp")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = checksum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val msgs = sym.join(labels, "id").select(col("nb").as("id"), col("comp"))
+      val next = truncate(
+        msgs.union(labels.select("id", "comp"))
+          .groupBy("id").agg(min("comp").as("comp")))
+      val s = checksum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    sym.unpersist()
+    val out = labels
+    (out, () => { out.unpersist(); () })
+  }
+
+  /**
+   * Corpus-scale duplicate clustering: LSH near-duplicate pairs
+   * ([[Dedup.nearDuplicates]]) → connected components → one canonical
+   * doc (the min id) per duplicate cluster. Every input row comes back
+   * with its `cluster_id` (its own id when it has no near-dups) and an
+   * `is_canonical` flag — filtering on the flag IS the dedup.
+   */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    minJaccard: Double = 0.8, numPerms: Int = 128, bands: Int = 32,
+                    shingleN: Int = 3): DataFrame =
+    dedupClustersWithCache(df, idCol, textCol, minJaccard, numPerms, bands, shingleN)._1
+
+  /** As [[dedupClusters]], additionally returning an unpersist handle
+   *  for the component-label cache — call it once the result is
+   *  materialized (the pattern of [[Dedup.nearDuplicatesWithCache]]). */
+  def dedupClustersWithCache(df: DataFrame, idCol: String, textCol: String,
+                             minJaccard: Double = 0.8, numPerms: Int = 128, bands: Int = 32,
+                             shingleN: Int = 3): (DataFrame, () => Unit) = {
+    val (pairs, releasePairs) =
+      Dedup.nearDuplicatesWithCache(df, idCol, textCol, minJaccard, numPerms, bands, shingleN)
+    val (comp, releaseComp) = connectedComponentsWithCache(pairs, "id_a", "id_b")
+    // component labels are fully materialized by the iteration's own
+    // actions, so the (much heavier) pair/shingle cache can be dropped
+    // now — consuming the result only re-reads the label cache
+    releasePairs()
+    val out = df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col(idCol)))
+      .withColumn("is_canonical", col("cluster_id") === col(idCol))
+      .drop("comp")
+    (out, releaseComp)
+  }
+}

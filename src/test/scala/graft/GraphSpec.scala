@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: path graph needs diameter iterations, converges to min id") {
+    // 1-2-3-4-5-6 chain: labels must travel the whole chain
+    val m = comps(Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("connected components: disjoint star + triangle + isolated pair") {
+    val m = comps(Seq(
+      (10L, 11L), (10L, 12L), (10L, 13L), // star rooted above min
+      (20L, 21L), (21L, 22L), (22L, 20L), // triangle
+      (31L, 30L)))
+    assert(m(10L) == 10L && m(11L) == 10L && m(12L) == 10L && m(13L) == 10L)
+    assert(m(20L) == 20L && m(21L) == 20L && m(22L) == 20L)
+    assert(m(30L) == 30L && m(31L) == 30L)
+  }
+
+  test("connected components: empty edge set yields empty labels") {
+    assert(comps(Seq.empty) == Map.empty)
+  }
+
+  test("dedupClusters: transitive near-dups collapse to one canonical doc") {
+    // three mutually-similar texts (a->b->c transitively), one distinct
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val docs = Seq(
+      (1L, base + " one"),
+      (2L, base + " two"),
+      (3L, base + " three"),
+      (9L, "completely different text about spark catalyst optimizer internals and shuffles here")
+    ).toDF("doc_id", "text")
+    val out = Graph.dedupClusters(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
+  }
+
+  test("connected components: 50-iteration chain keeps a truncated lineage") {
+    // labels feed each iteration twice (join + union), so an
+    // untruncated plan doubles per round — 2^50 nodes by the end. The
+    // checkpointing must keep the returned plan CONSTANT-sized no
+    // matter how many iterations ran (this chain needs all 50).
+    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Graph.connectedComponents(edges, "a", "b", maxIter = 60)
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(plan.length < 10000, s"iteration lineage must be truncated, got ${plan.length} chars")
+    assert(labels.collect().forall(_.getLong(1) == 1L), "51-node chain collapses to min id 1")
+  }
+}
