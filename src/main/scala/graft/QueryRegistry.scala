@@ -687,6 +687,51 @@ object QueryRegistry {
         FROM scored)
       WHERE rn <= 5 ORDER BY q_id, rn"""))
 
+  /** SQL replay of the int8 quantization: f32→f64 widening is exact
+   *  and both engines evaluate the same IEEE double sequence, so the
+   *  quantized ints (and everything downstream) hash-match. */
+  private def quantSql(v: String): String = {
+    val sc = s"(list_max(list_transform($v, x -> abs(x::DOUBLE))) / 127.0)"
+    s"CASE WHEN $sc = 0 THEN list_transform($v, x -> CAST(0 AS BIGINT)) " +
+      s"ELSE list_transform($v, x -> CAST(floor(abs(x::DOUBLE) / $sc + 0.5) * " +
+      s"(CASE WHEN x < 0 THEN -1 ELSE 1 END) AS BIGINT)) END"
+  }
+
+  /** Two-stage quantized ANN: integer-cosine candidates (scales
+   *  cancel — no dequantization), exact rerank of the bounded
+   *  candidate list. Oracle replays the whole pipeline: quantization,
+   *  integer scoring, candidate cut, rerank. */
+  private val ann_quantized = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Quantize.quantizedTopK(emb,
+          emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "vec_id", "embedding", "q_id", "q_vec", k = 5, refineFactor = 4)
+        .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
+    },
+    Some(s"""WITH qz AS (SELECT vec_id, embedding, ${quantSql("embedding")} AS qv FROM embeddings),
+      pairs AS (
+        SELECT qq.vec_id AS q_id, c.vec_id AS vec_id, c.embedding AS cemb, qq.embedding AS qemb,
+          list_reduce(list_transform(range(1, 65), i -> c.qv[i] * qq.qv[i]), (a, b) -> a + b) AS d,
+          list_reduce(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i]), (a, b) -> a + b) AS na,
+          list_reduce(list_transform(range(1, 65), i -> qq.qv[i] * qq.qv[i]), (a, b) -> a + b) AS nb
+        FROM qz c CROSS JOIN (SELECT * FROM qz WHERE vec_id < 10) qq),
+      scored AS (
+        SELECT q_id, vec_id, cemb, qemb,
+          CASE WHEN na = 0 OR nb = 0 THEN 0.0
+               ELSE d / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) END AS qcos
+        FROM pairs),
+      cand AS (
+        SELECT q_id, vec_id, cemb, qemb,
+          row_number() OVER (PARTITION BY q_id ORDER BY round(qcos, 9) DESC, vec_id) AS qrn
+        FROM scored),
+      reranked AS (
+        SELECT q_id, vec_id, ${cosSql("cemb", "qemb")} AS cos FROM cand WHERE qrn <= 20)
+      SELECT q_id, vec_id, round(cos, 6) AS cos, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 9) DESC, vec_id) AS rn
+        FROM reranked)
+      WHERE rn <= 5 ORDER BY q_id, rn"""))
+
   private val text_langid = QueryDef(
     (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
       .select("doc_id", "lang", "pred_lang").orderBy("doc_id"),
@@ -767,6 +812,92 @@ object QueryRegistry {
       .select("doc_id", "split").orderBy("doc_id"),
     Some(s"""SELECT doc_id, ${graft.operators.Sampling.splitSql("doc_id")} AS split
       FROM documents ORDER BY doc_id"""))
+
+  /** Stratified deterministic sampling: per-language keep fractions,
+   *  map-only (the stratum picks a literal hash threshold). */
+  private val sample_stratified = QueryDef(
+    (s, dir) => graft.operators.Sampling.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+      .select("doc_id", "lang").orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang FROM documents
+      WHERE ${graft.operators.Sampling.stratifiedSampleSql(
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)}
+      ORDER BY doc_id"""))
+
+  /** As-of join: each event enriched with its user's most recent
+   *  'purchase' event at or before it. The engine side is the
+   *  union + single-window-shuffle shape; the oracle is the
+   *  brute-force theta join + rank, so the window semantics
+   *  (latest-at-or-before, max-id tie-break, null when none) are
+   *  independently replayed. */
+  private val q_asof = QueryDef(
+    (s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.operators.Temporal.asofJoin(
+          e.select("event_id", "user_id", "ts"), purchases,
+          "user_id", "ts", "p_user", "p_ts",
+          Seq("p_event_id", "p_value"), rightTieBreak = Some("p_event_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ets"),
+          col("asof_p_event_id"),
+          round(col("asof_p_value"), 2).as("asof_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ets,
+        p_event_id AS asof_p_event_id, round(p_value, 2) AS asof_value
+      FROM (SELECT e.event_id, e.user_id, e.ts, p.event_id AS p_event_id, p.value AS p_value,
+          row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        FROM events e LEFT JOIN events p
+          ON p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts <= e.ts)
+      WHERE rn = 1 ORDER BY event_id"""))
+
+  /** Range (point-in-interval) join with NO equi key: events counted
+   *  into 6-hour windows anchored at every 500th event. The engine
+   *  buckets intervals so the plan is an equi-join on the bucket id
+   *  (never a cartesian product); the oracle is the plain theta
+   *  join. */
+  private val q_rangejoin = QueryDef(
+    (s, dir) => {
+      val e = events(s, dir)
+      val pts = e.select(col("event_id"), col("value"), unix_micros(col("ts")).as("pt"))
+      val iv = e.filter(col("event_id") % 500 === 0)
+        .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("iv_start"),
+          unix_micros(col("ts") + expr("INTERVAL 6 HOURS")).as("iv_end"))
+      graft.operators.Temporal.rangeJoin(pts, iv, "pt", "iv_start", "iv_end",
+          bucketWidth = 21600000000L) // one bucket = the 6 h interval length, in micros
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("iv_id")
+    },
+    Some("""SELECT i.event_id AS iv_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+      FROM events i JOIN events e ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 6 HOUR
+      WHERE i.event_id % 500 = 0
+      GROUP BY i.event_id ORDER BY iv_id"""))
+
+  /** PII redaction: counts + masking of emails/phones/IPv4. PII is
+   *  synthesized deterministically in-query (every 7th doc) so the
+   *  redaction path is actually exercised on both sides. */
+  private val text_redact = QueryDef(
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("t2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 "),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" 4242 from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPii(d, "t2")
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted").orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id ||
+          '@example.com or +1 555 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+          ' 4242 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        ELSE text END AS t2 FROM documents)
+      SELECT doc_id, ${TextAnalysis.redactPiiSql("t2")} FROM d ORDER BY doc_id"""))
 
   /** Benchmark decontamination: distinct-shingle overlap of every doc
    *  against a deterministic pseudo-benchmark (doc_id % 50 = 0). */
@@ -863,8 +994,13 @@ object QueryRegistry {
     "text_fingerprint" -> text_fingerprint,
     "text_tfidf" -> text_tfidf,
     "sample_split" -> sample_split,
+    "sample_stratified" -> sample_stratified,
     "decontaminate" -> decontaminate,
     "dedup_cluster" -> dedup_cluster,
+    "q_asof" -> q_asof,
+    "q_rangejoin" -> q_rangejoin,
+    "text_redact" -> text_redact,
+    "ann_quantized" -> ann_quantized,
     "multimodal_meta" -> multimodal_meta,
     "multimodal_frames" -> multimodal_frames,
   )

@@ -34,6 +34,12 @@ object native {
     GraftBridge.column(IntersectCountBcExpr(GraftBridge.expression(a), bench))
   /** Positional signature agreement count (MatchCountExpr). */
   def matchCount(a: Column, b: Column): Column = c2(MatchCountExpr.apply)(a, b)
+  /** Symmetric per-vector int8 quantization (Int8QuantizeExpr). */
+  def int8Quantize(vec: Column): Column = c1(Int8QuantizeExpr.apply)(vec.cast("array<float>"))
+  /** Dequantization scale max|v|/127 (Int8ScaleExpr). */
+  def int8Scale(vec: Column): Column = c1(Int8ScaleExpr.apply)(vec.cast("array<float>"))
+  /** Cosine of two quantized byte vectors (QuantCosExpr). */
+  def quantCos(a: Column, b: Column): Column = c2(QuantCosExpr.apply)(a, b)
 
   /** Packed (order << 48 | pix) partition assignment against a broadcast grid (PackedPartitionPixelExpr). */
   def packedPartitionPixel(ra: Column, dec: Column, orderK: Int,

@@ -76,4 +76,33 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
     df.filter(knuthHash(col(idCol)) % 10000 < math.round(fraction * 10000))
   }
+
+  /**
+   * Stratified deterministic sample: a per-stratum keep fraction
+   * (e.g. downsample dominant languages, keep the rare ones whole).
+   * Still MAP-ONLY: the stratum only selects the hash threshold — a
+   * literal CASE over the (small) fraction map, no join, no
+   * per-group shuffle. Samples stay monotone within a stratum
+   * (raising its fraction only ADDS rows), so curriculum re-mixes
+   * never churn previously selected data.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0 && f <= 1, s"fractions must be in [0,1]: $f"))
+    val thr = fractions.toSeq.sortBy(_._1).foldRight(lit(math.round(defaultFraction * 10000)): Column) {
+      case ((k, f), rest) => when(col(strataCol) === k, lit(math.round(f * 10000))).otherwise(rest)
+    }
+    df.filter(knuthHash(col(idCol)) % 10000 < thr)
+  }
+
+  /** SQL twin of [[stratifiedSample]]'s predicate for DuckDB oracles. */
+  def stratifiedSampleSql(id: String, strata: String,
+                          fractions: Map[String, Double],
+                          defaultFraction: Double = 0.0): String = {
+    val cases = fractions.toSeq.sortBy(_._1)
+      .map { case (k, f) => s"WHEN $strata = '$k' THEN ${math.round(f * 10000)}" }.mkString(" ")
+    s"(${knuthHashSql(id)}) % 10000 < (CASE $cases ELSE ${math.round(defaultFraction * 10000)} END)"
+  }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark lacks as built-ins, composed so the
+ * physical plan stays a standard shuffle (no range explosion, no
+ * cartesian product):
+ *
+ *  - [[asofJoin]]: each left row picks up the LATEST right row at or
+ *    before its time (per key) — one union + one window over the key,
+ *    i.e. a SINGLE shuffle; never a per-row range probe.
+ *  - [[rangeJoin]]: point-in-interval join via interval bucketing —
+ *    intervals explode to the (bounded) set of covered buckets and
+ *    the join becomes an equi-join on the bucket id.
+ */
+object Temporal {
+
+  /**
+   * As-of join: for every left row, the columns of the single right
+   * row with the same key and the greatest `rightTime` <=  `leftTime`
+   * (ties broken by the greatest `rightTieBreak`). Left rows with no
+   * preceding right row keep nulls (left-join semantics).
+   *
+   * Scale shape: both sides are tagged and UNIONED, then a window
+   * partitioned by key and ordered by (time, tag, tiebreak) carries
+   * the last non-null right attributes forward — one shuffle total,
+   * cost O((|L|+|R|) log(rows per key)), independent of how many
+   * right rows precede each left row. The naive alternative (theta
+   * join on key + time range, then max-per-left-row) multiplies rows
+   * by the full history depth before pruning; this never does.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, leftTime: String,
+               rightKey: String, rightTime: String,
+               rightCols: Seq[String],
+               rightTieBreak: Option[String] = None,
+               prefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin: rightCols must name at least one right column to carry")
+    val tb = rightTieBreak.getOrElse(rightTime)
+    val lcols = left.columns.toSeq
+    val l = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+        lit(null).cast(right.schema(tb).dataType).as("__tb")) ++
+        lcols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+    val r = right.select(
+      Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+        col(tb).as("__tb")) ++
+        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(prefix + c)): _*)
+    // at equal time, right rows (__tag 0) sort BEFORE left rows, so
+    // `<=` semantics hold; among equal-time right rows the greatest
+    // tiebreak sorts last and wins the `last(...)` carry
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__tag").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__k", "__t", "__tag", "__tb")
+  }
+
+  /** Exact floor division for long columns (negative-safe: pmod keeps
+   *  the remainder nonnegative, unlike a double-precision floor). */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / w).cast("long")
+
+  /**
+   * Point-in-interval join: every (point, interval) pair with
+   * `start <= point < end`, with no equi-key required. Intervals
+   * explode to the buckets of width `bucketWidth` they cover, points
+   * map to their single bucket, and the match becomes an equi-join on
+   * the bucket id + an exact containment filter. Each true pair is
+   * emitted EXACTLY once (a point's bucket is unique, and an interval
+   * covers it at most once) — no distinct needed.
+   *
+   * Scale shape: the explode is bounded by interval length /
+   * bucketWidth (guarded by `maxBucketsPerInterval` — one cheap
+   * aggregate), and the join is a standard hash shuffle on the bucket
+   * id that AQE can re-plan; a plain theta join would plan as a
+   * broadcast-nested-loop or cartesian product and die at scale.
+   * Pick bucketWidth near the typical interval length.
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                ptCol: String, startCol: String, endCol: String,
+                bucketWidth: Long,
+                maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val worst = intervals
+      .agg(max(floorDiv(col(endCol) - 1, bucketWidth) - floorDiv(col(startCol), bucketWidth) + 1))
+      .collect()(0)
+    if (!worst.isNullAt(0))
+      require(worst.getLong(0) <= maxBucketsPerInterval,
+        s"rangeJoin: widest interval spans ${worst.getLong(0)} buckets (> $maxBucketsPerInterval) — " +
+          "raise bucketWidth (or maxBucketsPerInterval explicitly); an unbounded explode would blow up the join")
+    val ib = intervals
+      .filter(col(endCol) > col(startCol)) // empty intervals contain nothing
+      .withColumn("__b",
+        explode(sequence(floorDiv(col(startCol), bucketWidth), floorDiv(col(endCol) - 1, bucketWidth))))
+    val pb = points.withColumn("__b", floorDiv(col(ptCol), bucketWidth))
+    pb.join(ib, "__b")
+      .filter(col(startCol) <= col(ptCol) && col(ptCol) < col(endCol))
+      .drop("__b")
+  }
+}

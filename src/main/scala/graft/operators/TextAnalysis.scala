@@ -104,6 +104,43 @@ object TextAnalysis {
       s" + list_reduce($cps, (a, c) -> (a * 257 + c) % 998244353))"
   }
 
+  // PII patterns restricted to the regex subset Java and RE2 (DuckDB)
+  // interpret identically — no backrefs, no lookaround, no \d classes
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val phoneRe = "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{1,4}[ -][0-9]{4}"
+  private[operators] val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /**
+   * PII redaction for training corpora: counts and masks emails,
+   * international-format phone numbers and IPv4 addresses. Counts are
+   * taken on the ORIGINAL text; replacement is ordered email → phone
+   * → ip so an address inside an email is consumed by the email mask
+   * (the same fixed order the SQL twin replays). Map-only — a single
+   * codegen'd projection, the 100 TB shape.
+   */
+  def redactPii(df: DataFrame, textCol: String, outCol: String = "redacted"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(emailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(ipRe)).cast("long"))
+      .withColumn(outCol,
+        regexp_replace(regexp_replace(regexp_replace(t, emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"), ipRe, "[IP]"))
+  }
+
+  /** SQL twins of [[redactPii]]'s columns (text expr `t`, DuckDB
+   *  dialect — the patterns contain no quotes, so plain single-quote
+   *  wrapping is safe; RE2 and Java agree on this regex subset). */
+  def redactPiiSql(t: String): String = {
+    def q(re: String) = "'" + re + "'"
+    val (e, p, i) = (q(emailRe), q(phoneRe), q(ipRe))
+    s"""CAST(len(regexp_extract_all($t, $e)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all($t, $p)) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all($t, $i)) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace($t, $e, '[EMAIL]', 'g'),
+         $p, '[PHONE]', 'g'), $i, '[IP]', 'g') AS redacted"""
+  }
+
   /**
    * Corpus TF-IDF: top-k terms per group (e.g. language), each group
    * treated as its own corpus. tf = term occurrences in the group,

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Ann, Quantize}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ByteType}
+
+class QuantizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("int8 quantization: byte storage, values bounded, max element hits ±127, zero vector → zeros") {
+    val df = Quantize.withQuantized(
+      Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "embedding")
+    assert(df.schema("qvec").dataType == ArrayType(ByteType, containsNull = false),
+      "quantized vectors must be REAL byte arrays (4x smaller than f32)")
+    val rows = df.orderBy("vec_id").collect()
+    val q1 = rows(0).getSeq[Byte](rows(0).fieldIndex("qvec"))
+    assert(q1 == Seq[Byte](64, -127, 32), s"symmetric scaling: got $q1")
+    assert(rows(0).getDouble(rows(0).fieldIndex("qscale")) == 1.0 / 127.0)
+    assert(rows(1).getSeq[Byte](rows(1).fieldIndex("qvec")) == Seq[Byte](0, 0, 0))
+    assert(rows(1).getDouble(rows(1).fieldIndex("qscale")) == 0.0)
+  }
+
+  test("quantized cosine: self-similarity 1, quantization error small") {
+    val df = Quantize.withQuantized(vecs(50, 64, 3), "embedding")
+    val stats = df.select(
+        graft.functions.native.quantCos(col("qvec"), col("qvec")).as("self"),
+        graft.functions.native.cosineSim(col("embedding"), col("embedding")).as("exact"))
+      .agg(min("self"), max("self")).collect()(0)
+    assert(math.abs(stats.getDouble(0) - 1.0) < 1e-12 && math.abs(stats.getDouble(1) - 1.0) < 1e-12)
+    // cross-pair error bound: int8 keeps cosine within ~1e-2
+    val err = df.as("a").crossJoin(df.as("b"))
+      .select(abs(graft.functions.native.quantCos($"a.qvec", $"b.qvec") -
+        graft.functions.native.cosineSim($"a.embedding", $"b.embedding")).as("e"))
+      .agg(max("e")).collect()(0).getDouble(0)
+    assert(err < 0.02, s"quantized cosine drifted $err from exact")
+  }
+
+  test("quantizedTopK: top-1 is the query itself; refine recall vs brute force") {
+    val corpus = vecs(200, 64, 11)
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Quantize.quantizedTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec", k = 5)
+    val top1 = got.filter($"rn" === 1).collect()
+    assert(top1.forall(r => r.getLong(0) == r.getLong(1)), "rank 1 must be the query vector itself")
+    // with refineFactor 4 on random data the exact top-5 should match brute force
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("q_id", "vec_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fast = got.select("q_id", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert((exact intersect fast).size >= 20, s"expected >=20/25 agreement with brute force, got ${(exact intersect fast).size}")
+  }
+
+  test("quantizedTopK plan: no Exchange carries a vector column") {
+    val corpus = vecs(50, 16, 5)
+    val queries = corpus.limit(2).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val plan = Quantize.quantizedTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec", k = 3)
+      .queryExecution.executedPlan.toString
+    // every shuffle row must be (ids, scores) only — scan the Exchange
+    // lines for array-typed attributes
+    val offenders = plan.linesIterator.filter(_.contains("Exchange"))
+      .filter(l => l.contains("embedding") || l.contains("q_vec") || l.contains("__cq") || l.contains("__qq"))
+      .toSeq
+    assert(offenders.isEmpty, s"vector columns must not ride a shuffle:\n${offenders.mkString("\n")}")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("asofJoin: latest at-or-before per key, max-tiebreak on equal times, null when none") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 5L), (4L, 2L, 100L))
+      .toDF("eid", "k", "t")
+    val right = Seq(
+      (1L, 10L, 101L, "a"), // equal to left t=10 → counts (<=)
+      (1L, 10L, 102L, "b"), // same time, higher tiebreak → wins
+      (1L, 15L, 103L, "c"),
+      (9L, 1L, 900L, "z"))  // other key
+      .toDF("rk", "rt", "tb", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", "rk", "rt",
+        Seq("v"), rightTieBreak = Some("tb"))
+      .select("eid", "asof_v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "b", "equal-time right rows count, greatest tiebreak wins")
+    assert(out(2L) == "c", "latest at-or-before")
+    assert(out(3L) == null, "no preceding right row -> null")
+    assert(out(4L) == null, "key with no right rows at all -> null")
+  }
+
+  test("asofJoin matches the brute-force theta join + rank on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 300L).map(i => (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong)).toDF("eid", "k", "t")
+    val right = (1L to 200L).map(i => (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100)))
+      .toDF("rid", "rk", "rt", "v")
+    val fast = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("rid", "v"),
+        rightTieBreak = Some("rid"))
+      .select("eid", "asof_rid").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val slow = left.as("l").join(right.as("r"), $"l.k" === $"r.rk" && $"r.rt" <= $"l.t", "left")
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"l.eid").orderBy($"r.rt".desc_nulls_last, $"r.rid".desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"l.eid", $"r.rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == slow)
+  }
+
+  test("asofJoin plan: exactly one Exchange (the window's) — no range-join explosion") {
+    val left = Seq((1L, 1L, 10L)).toDF("eid", "k", "t")
+    val right = Seq((1L, 5L, 1L)).toDF("rk", "rt", "v")
+    val plan = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"asofJoin must shuffle exactly once, saw $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"asofJoin must not plan a product join:\n$plan")
+  }
+
+  test("rangeJoin: exact containment, each pair exactly once, empty intervals dropped") {
+    val pts = Seq((1L, 0L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, -5L)).toDF("pid", "p")
+    val ivs = Seq((100L, 0L, 20L), (200L, 15L, 16L), (300L, 7L, 7L)) // last is empty
+      .toDF("iid", "s", "e")
+    val out = Temporal.rangeJoin(pts, ivs, "p", "s", "e", bucketWidth = 4)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 100L), (2L, 100L), (3L, 100L)),
+      s"expected exact [s, e) containment, got $out")
+    // multi-bucket interval must not duplicate pairs
+    val dup = Temporal.rangeJoin(pts, ivs, "p", "s", "e", bucketWidth = 4)
+      .groupBy("pid", "iid").count().filter(col("count") > 1).count()
+    assert(dup == 0, "each (point, interval) pair must appear exactly once")
+  }
+
+  test("rangeJoin: negative coordinates use true floor division") {
+    val pts = Seq((1L, -1L), (2L, -9L)).toDF("pid", "p")
+    val ivs = Seq((100L, -10L, 0L)).toDF("iid", "s", "e")
+    val out = Temporal.rangeJoin(pts, ivs, "p", "s", "e", bucketWidth = 4)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("rangeJoin plan: equi-join on bucket, no cartesian; explode guard trips on wide intervals") {
+    val pts = (0L to 100L).map(i => (i, i)).toDF("pid", "p")
+    val ivs = Seq((1L, 0L, 50L)).toDF("iid", "s", "e")
+    val plan = Temporal.rangeJoin(pts, ivs, "p", "s", "e", bucketWidth = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rangeJoin must be an equi-join on the bucket id:\n$plan")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(pts, ivs, "p", "s", "e", bucketWidth = 10, maxBucketsPerInterval = 2)
+    }
+    assert(e.getMessage.contains("buckets"))
+  }
+}
