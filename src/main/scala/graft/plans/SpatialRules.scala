@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GcDistExpr, HpixCoverExpr, HpixExpr, CosineSimExpr, MinHashSigExpr, SimHashExpr, WordShinglesExpr}
+import graft.functions.{GcDistExpr, HpixCoverExpr, HpixExpr, CosineSimExpr, Int8QuantizeExpr, MinHashSigExpr, QuantCosExpr, SimHashExpr, WordShinglesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -136,5 +136,11 @@ object GraftExtensions {
     e.injectFunction((FunctionIdentifier("simhash"),
       info("simhash", "simhash(tokens) - 64-bit SimHash"),
       (args: Seq[Expression]) => SimHashExpr(args(0))))
+    e.injectFunction((FunctionIdentifier("int8_quantize"),
+      info("int8_quantize", "int8_quantize(vec) - symmetric per-vector int8 quantization"),
+      (args: Seq[Expression]) => Int8QuantizeExpr(fa(args(0)))))
+    e.injectFunction((FunctionIdentifier("quant_cos"),
+      info("quant_cos", "quant_cos(qvecA, qvecB) - cosine of int8-quantized vectors"),
+      (args: Seq[Expression]) => QuantCosExpr(args(0), args(1))))
   }
 }

@@ -57,6 +57,13 @@ class QuantizeSpec extends SparkSpecBase {
     assert((exact intersect fast).size >= 20, s"expected >=20/25 agreement with brute force, got ${(exact intersect fast).size}")
   }
 
+  test("int8_quantize / quant_cos are registered as SQL functions") {
+    val r = spark.sql(
+      "SELECT quant_cos(int8_quantize(array(1.0, 2.0, -3.0)), int8_quantize(array(1.0, 2.0, -3.0))) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("quantizedTopK plan: no Exchange carries a vector column") {
     val corpus = vecs(50, 16, 5)
     val queries = corpus.limit(2).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
