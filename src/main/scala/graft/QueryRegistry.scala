@@ -605,6 +605,35 @@ object QueryRegistry {
       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos > 0.35 ORDER BY id_a, id_b"""))
 
+  /** Semantic dedup (SemDeDup shape): embedding-space near-dups found
+   *  by blocking on the IVF cell (map-only assignment — no shuffle to
+   *  build the blocks) and comparing cosines only within a cell. The
+   *  100 TB form of cosinePairs: the blocking key comes from the data
+   *  itself instead of a curated label column. Cross-cell pairs are
+   *  out of scope by construction (blocking semantics, as with any
+   *  cluster-pruned dedup); the oracle replays the full codebook →
+   *  assignment → within-cell pair pipeline. */
+  private val dedup_semantic = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.cosinePairs(Ann.ivfAssign(emb, "vec_id", "embedding", nCells = 16),
+          "vec_id", "embedding", "__cid", minCos = 0.35)
+        .withColumn("cos", round(col("cos"), 6)).orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+      asn AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM embeddings e CROSS JOIN cents c) WHERE crn = 1)
+      SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      WHERE cos > 0.35 ORDER BY id_a, id_b"""))
+
   private val ann_bruteforce = QueryDef(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1001,6 +1030,7 @@ object QueryRegistry {
     "q_rangejoin" -> q_rangejoin,
     "text_redact" -> text_redact,
     "ann_quantized" -> ann_quantized,
+    "dedup_semantic" -> dedup_semantic,
     "multimodal_meta" -> multimodal_meta,
     "multimodal_frames" -> multimodal_frames,
   )

@@ -60,12 +60,61 @@ object ScaleProbe {
     time("contaminationCheck")(graft.operators.Dedup.contaminationCheck(
       big, "doc_id", "text", base.limit(500), "text").filter(col("n_matched") > 0).count())
 
+    time("redactPii")(graft.operators.TextAnalysis.redactPii(big, "text")
+      .agg(sum("n_emails")).count())
+    time("stratifiedSample")(graft.operators.Sampling.stratifiedSample(
+      big, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1).count())
+
+    // duplicate clustering over a synthetic pair set with long chains:
+    // 100k two-node pairs plus 200 chains of length 50 (diameter
+    // stress — each iteration is one join + one min-aggregate; the
+    // checkpoint truncation keeps plan size constant)
+    val pairEdges = spark.range(100000L)
+      .select((col("id") * 2 + 1000000L).as("id_a"), (col("id") * 2 + 1000001L).as("id_b"))
+    val chainEdges = spark.range(200).as("c").crossJoin(spark.range(49).as("s"))
+      .select((col("c.id") * 1000L + col("s.id")).as("id_a"),
+        (col("c.id") * 1000L + col("s.id") + 1).as("id_b"))
+    time("connectedComponents (100k pair + 200x50 chain edges)")(
+      graft.operators.Graph.connectedComponents(
+        pairEdges.unionByName(chainEdges), "id_a", "id_b").count())
+
+    // temporal joins over the replicated events table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val bigEv = spark.range(replicas).crossJoin(ev)
+      .select((col("event_id") + col("id") * 100000000L).as("event_id"),
+        col("user_id"), col("ts"), col("event_type"), col("value"))
+      .repartition(cpus.toInt * 4)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    println(s"[probe] events: ${bigEv.count()} rows")
+    val purch = bigEv.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    time(s"asofJoin over ${replicas}x events")(
+      graft.operators.Temporal.asofJoin(
+        bigEv.select("event_id", "user_id", "ts"), purch,
+        "user_id", "ts", "p_user", "p_ts", Seq("p_id"), Some("p_id")).count())
+    val iv = ev.filter(col("event_id") % 100 === 0)
+      .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 21600000000L).as("e"))
+    time(s"rangeJoin ${replicas}x events vs 1k intervals")(
+      graft.operators.Temporal.rangeJoin(
+        bigEv.select(col("event_id"), unix_micros(col("ts")).as("pt")), iv,
+        "pt", "s", "e", bucketWidth = 21600000000L).count())
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bigEmb = spark.range(replicas).crossJoin(emb)
       .select((col("vec_id") + col("id") * 10000000L).as("vec_id"), col("embedding"))
       .repartition(cpus.toInt * 4)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    println(s"[probe] embeddings: ${bigEmb.count()} vectors")
     time(s"ivfAssign over ${replicas}x embeddings")(
       graft.operators.Ann.ivfAssign(bigEmb, "vec_id", "embedding").count())
+    val qs = emb.limit(16).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    time(s"quantizedTopK 16 queries over ${replicas}x corpus")(
+      graft.operators.Quantize.quantizedTopK(bigEmb, qs,
+        "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
     spark.stop()
   }
 }

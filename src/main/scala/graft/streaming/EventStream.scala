@@ -51,6 +51,30 @@ object EventStream {
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
   /**
+   * Watermarked stream-stream interval join — the streaming face of
+   * Temporal.rangeJoin: each event pairs with the same user's
+   * 'purchase' events from the preceding `lookbackHours`. The
+   * time-range condition plus both watermarks bound the join state
+   * (Spark evicts buffered rows once the other side's watermark
+   * passes the range), so state stays O(rate x lookback), not
+   * O(stream length).
+   */
+  def purchaseIntervalJoin(events: DataFrame, lookbackHours: Int = 6): DataFrame = {
+    val e = events.withWatermark("ts", "2 hours")
+    val p = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    e.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") <= col("ts") &&
+        col("p_ts") >= col("ts") - expr(s"INTERVAL $lookbackHours HOURS"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_event_id"), col("p_value"))
+  }
+
+  /**
    * Run the windowed aggregation over whatever is in `dir` right now
    * (AvailableNow trigger) into an in-memory table; returns the
    * result. Used by tests to assert batch parity.

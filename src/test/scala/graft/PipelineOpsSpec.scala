@@ -60,6 +60,47 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(math.abs(s30.size / n - 0.3) < 0.08, s"fraction off: ${s30.size / n}")
   }
 
+  test("stratifiedSample: per-stratum fractions, monotone within a stratum, map-only plan") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    def ids(fr: Map[String, Double]) =
+      Sampling.stratifiedSample(docs, "doc_id", "lang", fr, defaultFraction = 0.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val en25 = ids(Map("en" -> 0.25))
+    val en50 = ids(Map("en" -> 0.5))
+    assert(en25.subsetOf(en50), "raising a stratum fraction must only ADD rows")
+    assert(ids(Map("en" -> 0.0)).isEmpty, "zero fraction + zero default keeps nothing")
+    // stratum independence: adding a de fraction never changes the en rows
+    val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.25, "de" -> 0.9), 0.0)
+      .filter(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixed == en25)
+    val plan = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5), 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"stratified sampling must stay map-only:\n$plan")
+  }
+
+  test("redactPii: ordered masking, counts on original text") {
+    val docs = Seq(
+      (1L, "write to a.b@c.org or b@example.co.uk now"),
+      (2L, "server 10.0.0.1 and gateway 192.168.1.254"),
+      (3L, "call +1 555 123 4567 thanks"),
+      (4L, "user@192.168.7.9 mixes forms"), // IP-domain address: not an email (no alpha TLD)
+      (5L, "nothing to hide here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._4 == "write to [EMAIL] or [EMAIL] now")
+    assert(r(2L)._3 == 2 && r(2L)._4 == "server [IP] and gateway [IP]")
+    assert(r(3L)._2 == 1 && r(3L)._4 == "call [PHONE] thanks")
+    // the email pattern demands an alphabetic TLD, so an IP-domain
+    // address is not an email — its embedded IP is still caught
+    assert(r(4L)._1 == 0 && r(4L)._4 == "user@[IP] mixes forms")
+    assert(r(5L) == ((0L, 0L, 0L, "nothing to hide here")))
+  }
+
   test("contaminationCheck: benchmark doc fully matched, disjoint doc untouched") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

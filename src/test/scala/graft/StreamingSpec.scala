@@ -48,6 +48,35 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("stream-stream interval join matches the batch theta join") {
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ij").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+
+    val q = EventStream.purchaseIntervalJoin(EventStream.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("ij_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ij_test")
+      .select("event_id", "p_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val ev = QueryRegistry.events(spark, dir)
+    val batch = ev.as("e").join(
+        ev.filter(col("event_type") === "purchase").as("p"),
+        col("e.user_id") === col("p.user_id") &&
+          col("p.ts") <= col("e.ts") &&
+          col("p.ts") >= col("e.ts") - expr("INTERVAL 6 HOURS"))
+      .select(col("e.event_id"), col("p.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("stateful streaming sessionization matches the batch query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

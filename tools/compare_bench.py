@@ -20,10 +20,12 @@ CLASSES = {
           'q3_shipping', 'q5_local', 'q_percentile', 'q_pivot', 'gc_dist', 'gnomonic', 'cone_search', 'box_search',
           'polygon_search', 'hpix_histogram', 'hpix_index', 'partition_map', 'dedup_exact',
           'dedup_keyed', 'text_tokens', 'multimodal_meta', 'multimodal_frames', 'xmatch_knn', 'xmatch_postfilter',
-          'text_tfidf', 'sample_split'],
-    'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash'],
+          'text_tfidf', 'sample_split', 'sample_stratified', 'text_redact'],
+    'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
+          'q_asof', 'q_rangejoin'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
-          'vec_centroids', 'text_langid', 'text_quality', 'text_fingerprint', 'decontaminate'],
+          'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
+          'text_fingerprint', 'decontaminate'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
