@@ -46,7 +46,10 @@ object Temporal {
         lit(null).cast(right.schema(tb).dataType).as("__tb")) ++
         lcols.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
-    val r = right.select(
+    // a null right time can never satisfy `rightTime <= leftTime`, but
+    // nulls-first ordering would park such a row at the window's start
+    // and carry its values into every later row — drop them up front
+    val r = right.filter(col(rightTime).isNotNull).select(
       Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
         col(tb).as("__tb")) ++
         lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

@@ -41,6 +41,17 @@ class TemporalSpec extends SparkSpecBase {
     assert(fast == slow)
   }
 
+  test("asofJoin: null right times never match (theta-join semantics)") {
+    val left = Seq((1L, 1L, 10L)).toDF("eid", "k", "t")
+    val right = Seq((1L, Option.empty[Long], 5L, "nulltime"), (1L, Some(3L), 4L, "real"))
+      .toDF("rk", "rt", "tb", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("v"),
+        rightTieBreak = Some("tb"))
+      .select("eid", "asof_v").collect()
+    assert(out(0).getString(1) == "real",
+      "a null-time right row must not be carried into later rows")
+  }
+
   test("asofJoin plan: exactly one Exchange (the window's) — no range-join explosion") {
     val left = Seq((1L, 1L, 10L)).toDF("eid", "k", "t")
     val right = Seq((1L, 5L, 1L)).toDF("rk", "rt", "v")
