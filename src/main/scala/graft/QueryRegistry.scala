@@ -928,6 +928,32 @@ object QueryRegistry {
         ELSE text END AS t2 FROM documents)
       SELECT doc_id, ${TextAnalysis.redactPiiSql("t2")} FROM d ORDER BY doc_id"""))
 
+  /** Repetition quality signals: duplicate-token fraction +
+   *  most-common-bigram fraction (Gopher rules). The engine side is
+   *  one map-only kernel pass; the oracle replays it with an
+   *  explode + per-(doc, bigram) aggregate — string identity, so the
+   *  kernel's hash-identity counting is independently certified. */
+  private val text_repetition = QueryDef(
+    (s, dir) => TextAnalysis.withRepetitionStats(t(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "dup_token_ratio_e4", "top_bigram_ratio_e4")
+      .orderBy("doc_id"),
+    Some(s"""WITH tk AS (SELECT doc_id, string_split(${Dedup.normalizeTextSql("text")}, ' ') AS toks
+        FROM documents),
+      bg AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM tk),
+      bc AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS nbg FROM (
+          SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+        GROUP BY doc_id)
+      SELECT tk.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) > 0
+          THEN CAST(floor((1.0 - len(list_distinct(toks))::DOUBLE / len(toks)) * 10000) AS BIGINT)
+          ELSE 0 END AS dup_token_ratio_e4,
+        CASE WHEN coalesce(nbg, 0) > 0
+          THEN CAST(floor(topc::DOUBLE / nbg * 10000) AS BIGINT)
+          ELSE 0 END AS top_bigram_ratio_e4
+      FROM tk LEFT JOIN bc USING (doc_id) ORDER BY doc_id"""))
+
   /** Benchmark decontamination: distinct-shingle overlap of every doc
    *  against a deterministic pseudo-benchmark (doc_id % 50 = 0). */
   private val decontaminate = QueryDef(
@@ -1029,6 +1055,7 @@ object QueryRegistry {
     "q_asof" -> q_asof,
     "q_rangejoin" -> q_rangejoin,
     "text_redact" -> text_redact,
+    "text_repetition" -> text_repetition,
     "ann_quantized" -> ann_quantized,
     "dedup_semantic" -> dedup_semantic,
     "multimodal_meta" -> multimodal_meta,

@@ -69,6 +69,17 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
       columns = withContractCols(columns))
 
   /**
+   * Incremental append: add rows to this catalog without
+   * re-importing — frozen partition map, `_ID` ranks continued,
+   * margins and density map folded in (see [[HipsPartitioner.append]]).
+   * Columns must carry the catalog's ra/dec/id keywords.
+   */
+  def append(df: DataFrame): Catalog = {
+    HipsPartitioner.append(df, raKw, decKw, idKw, location, catname)
+    this
+  }
+
+  /**
    * kNN cross-match against another written catalog using its stored
    * margins (catalog.py:144 cross_match). Output convention follows
    * the reference: every column of BOTH sides carries a

@@ -220,27 +220,140 @@ object HipsPartitioner {
     // ({cat}_order10_hpmap.fits, lsd2_io.py:12,170) — straight from
     // the already-collected pm.hist: ZERO extra scans at write time.
     // Sparse (nonzero pixels only); readers treat missing pixels as 0.
+    // Written twice: point_map is the CURRENT density (appends update
+    // it); import_hist is the FROZEN import-time histogram from which
+    // [[append]] deterministically rebuilds the partition map (the
+    // map must never be recomputed from grown counts, or the layout
+    // would drift from the directories already on disk).
     {
       val sess = df.sparkSession
       import sess.implicits._
-      pm.hist.iterator.zipWithIndex.collect { case (c, p) if c > 0 => (p.toLong, c) }
-        .toSeq.toDF("pix", "cnt")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outputDir/$catname/point_map.parquet")
+      val sparse = pm.hist.iterator.zipWithIndex.collect { case (c, p) if c > 0 => (p.toLong, c) }
+        .toSeq.toDF("pix", "cnt").coalesce(1)
+      sparse.write.mode("overwrite").parquet(s"$outputDir/$catname/point_map.parquet")
+      sparse.write.mode("overwrite").parquet(s"$outputDir/$catname/import_hist.parquet")
     }
 
-    // metadata JSON with the reference's key set ({cat}_meta.json,
-    // partitioner.py:350 write_structure_metadata) so downstream
-    // hipscat tooling can read the layout; counts come from the
-    // already-computed histogram (no extra scan), hips lists only
-    // pixels that actually hold data
+    writeMeta(df.sparkSession, pm, raCol, decCol, idCol, outputDir, catname, threshold, marginDeg)
+    pm
+  }
+
+  /** Metadata JSON with the reference's key set ({cat}_meta.json,
+   *  partitioner.py:350 write_structure_metadata) so downstream
+   *  hipscat tooling can read the layout; counts come from the
+   *  already-computed histogram (no extra scan), hips lists only
+   *  pixels that actually hold data. */
+  private def writeMeta(spark: SparkSession, pm: PartitionMap,
+                        raCol: String, decCol: String, idCol: String,
+                        outputDir: String, catname: String,
+                        threshold: Long, marginDeg: Double): Unit = {
     val hips = pm.pixelsAtOrders.toSeq.sortBy(_._1)
       .map { case (o, ps) => s""""$o": [${ps.mkString(",")}]""" }.mkString("{", ",", "}")
     val meta =
       s"""{"cat_name": "$catname", "ra_kw": "$raCol", "dec_kw": "$decCol", "id_kw": "$idCol",
-         | "n_sources": ${pm.nSources}, "pix_threshold": $threshold, "order_k": $orderK,
+         | "n_sources": ${pm.nSources}, "pix_threshold": $threshold, "order_k": ${pm.orderK},
          | "margin_deg": $marginDeg, "hips": $hips}""".stripMargin
-    HipsCatalog.writeString(df.sparkSession, s"$outputDir/$catname/${catname}_meta.json", meta)
-    pm
+    HipsCatalog.writeString(spark, s"$outputDir/$catname/${catname}_meta.json", meta)
+  }
+
+  /** Sparse (pix, cnt) parquet -> dense histogram array. */
+  private def readHist(spark: SparkSession, path: String, n: Int): Array[Long] = {
+    val h = new Array[Long](n)
+    spark.read.parquet(path).collect().foreach(r => h(r.getLong(0).toInt) = r.getLong(1))
+    h
+  }
+
+  /** Per-order-14-pixel `_ID` rank continuation: joins each new row's
+   *  pix14 against the tree's current max rank so appended ranks
+   *  start where the existing ones stop. A standard shuffle join on
+   *  the pixel — the offsets frame is one row per occupied pix14,
+   *  never collected. */
+  private def withRankOffsets(ids: DataFrame, existingTree: DataFrame): DataFrame = {
+    val base = existingTree
+      .select(shiftrightunsigned(col("_ID"), 32).as("__pix14"),
+        col("_ID").bitwiseAND(lit(0xffffffffL)).as("__rk"))
+      .groupBy("__pix14").agg((max("__rk") + 1).as("__base"))
+    ids.withColumn("__pix14", shiftrightunsigned(col("_ID"), 32))
+      .join(base, Seq("__pix14"), "left")
+      .withColumn("_ID", col("_ID") + coalesce(col("__base"), lit(0L)))
+      .drop("__pix14", "__base")
+  }
+
+  /**
+   * Incremental append into an EXISTING catalog — the operation the
+   * reference importer lacks (partitioner.py is one-shot; growing a
+   * survey means re-importing everything). New rows are:
+   *
+   *  - assigned with the FROZEN import-time partition map
+   *    (deterministically rebuilt from `import_hist.parquet` — never
+   *    from current counts, which would drift the layout away from
+   *    the directories already on disk);
+   *  - written `mode(append)` as new parquet files inside the
+   *    existing `catalog/` and `neighbor/` hive dirs (readers see
+   *    extra files per partition, nothing is rewritten);
+   *  - `_ID`-ranked CONTINUING each order-14 pixel's existing rank
+   *    (per-tree offset join), so `_ID` stays unique and every file
+   *    remains internally `_ID`-sorted;
+   *  - folded into `point_map.parquet` (current density) and the
+   *    meta JSON (n_sources, hips lists).
+   *
+   * The partition map is frozen, so pixels grow past the import
+   * threshold as data accumulates — that is inherent to append (the
+   * same trade the reference would face); when the returned map's
+   * `hist` shows pixels far beyond threshold, re-import to re-split.
+   */
+  def append(df: DataFrame, raCol: String, decCol: String, idCol: String,
+             outputDir: String, catname: String): PartitionMap = {
+    val spark = df.sparkSession
+    val metaRaw = HipsCatalog.readString(spark, s"$outputDir/$catname/${catname}_meta.json")
+    def metaNum(key: String): String =
+      s""""$key":\\s*([-\\d.]+)""".r.findFirstMatchIn(metaRaw)
+        .getOrElse(throw new IllegalArgumentException(s"$key missing from ${catname}_meta.json"))
+        .group(1)
+    val orderK = metaNum("order_k").toInt
+    val threshold = metaNum("pix_threshold").toLong
+    val marginDeg = metaNum("margin_deg").toDouble
+    val n = Healpix.npix(orderK).toInt
+
+    val importHist = readHist(spark, s"$outputDir/$catname/import_hist.parquet", n)
+    val frozen = partitionMapFromHist(importHist, orderK, threshold)
+    val histOld = readHist(spark, s"$outputDir/$catname/point_map.parquet", n)
+    val histNew = new Array[Long](n)
+    df.groupBy(sphere.hpix(col(raCol), col(decCol), orderK).as("pix"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().foreach(r => histNew(r.getLong(0).toInt) = r.getLong(1))
+    val merged = Array.tabulate(n)(i => histOld(i) + histNew(i))
+
+    def appendTree(rows: DataFrame, existing: DataFrame, tree: String): Unit =
+      withRankOffsets(
+        withSpatialId(rows.repartition(col("Norder"), col("Npix")), raCol, decCol, idCol),
+        existing)
+        .repartition(col("Norder"), col("Npix"))
+        .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
+        .write.mode("append").partitionBy("Norder", "Dir", "Npix")
+        .parquet(s"$outputDir/$catname/$tree")
+
+    appendTree(withPartitionColumns(df, raCol, decCol, frozen),
+      HipsCatalog.load(spark, outputDir, catname), "catalog")
+    appendTree(marginRows(df, raCol, decCol, frozen, marginDeg),
+      HipsCatalog.loadNeighbors(spark, outputDir, catname), "neighbor")
+    // the session FileStatusCache still holds the PRE-append listings
+    // of partition dirs that already existed — without invalidation a
+    // same-session reader sees only the old files of old dirs (new
+    // dirs list fresh), silently dropping appended rows
+    spark.catalog.refreshByPath(s"$outputDir/$catname/catalog")
+    spark.catalog.refreshByPath(s"$outputDir/$catname/neighbor")
+
+    val out = PartitionMap(orderK, frozen.orders, merged)
+    locally {
+      val sess = spark
+      import sess.implicits._
+      merged.iterator.zipWithIndex.collect { case (c, p) if c > 0 => (p.toLong, c) }
+        .toSeq.toDF("pix", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outputDir/$catname/point_map.parquet")
+    }
+    writeMeta(spark, out, raCol, decCol, idCol, outputDir, catname, threshold, marginDeg)
+    out
   }
 
   /**

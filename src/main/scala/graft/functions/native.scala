@@ -34,6 +34,8 @@ object native {
     GraftBridge.column(IntersectCountBcExpr(GraftBridge.expression(a), bench))
   /** Positional signature agreement count (MatchCountExpr). */
   def matchCount(a: Column, b: Column): Column = c2(MatchCountExpr.apply)(a, b)
+  /** One-pass repetition stats of a token array (RepetitionStatsExpr). */
+  def repetitionStats(tokens: Column): Column = c1(RepetitionStatsExpr.apply)(tokens)
   /** Symmetric per-vector int8 quantization (Int8QuantizeExpr). */
   def int8Quantize(vec: Column): Column = c1(Int8QuantizeExpr.apply)(vec.cast("array<float>"))
   /** Dequantization scale max|v|/127 (Int8ScaleExpr). */

@@ -55,6 +55,45 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /**
+   * Per-row repetition statistics of a token array in ONE pass:
+   * [nTokens, nDistinctTokens, nBigrams, topBigramCount]. Token and
+   * bigram identity is by 64-bit hash (sort + run-count — no boxing,
+   * no per-row hash map); a collision merging two identities is
+   * ~2^-64-scale, the same accepted risk as the shingle pipeline.
+   */
+  def repetitionStats(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = SigKernels.hash64(tokens.getUTF8String(i)); i += 1 }
+    val hs = h.clone()
+    java.util.Arrays.sort(hs)
+    var distinct = 0
+    i = 0
+    while (i < n) { if (i == 0 || hs(i) != hs(i - 1)) distinct += 1; i += 1 }
+    val nb = math.max(0, n - 1)
+    val bg = new Array[Long](nb)
+    i = 0
+    while (i < nb) {
+      // order-sensitive combine + splitmix finisher (h(a)+h(b) swaps collide otherwise)
+      var x = h(i) * 0x9e3779b97f4a7c15L + h(i + 1)
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      bg(i) = x ^ (x >>> 31)
+      i += 1
+    }
+    java.util.Arrays.sort(bg)
+    var top = 0
+    var run = 0
+    i = 0
+    while (i < nb) {
+      if (i == 0 || bg(i) != bg(i - 1)) run = 1 else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    new GenericArrayData(Array[Long](n, distinct, nb, top))
+  }
+
   /** Dot product of two float vectors, double accumulation. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -96,6 +135,22 @@ case class WordShinglesExpr(left: Expression, right: Expression) extends BinaryE
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** repetition_stats(array<string>) -> array<long> [nTokens, nDistinct, nBigrams, topBigramCount]. */
+case class RepetitionStatsExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    TextKernels.repetitionStats(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.repetitionStats($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** dot(array<float>, array<float>) -> double (codegen static call). */

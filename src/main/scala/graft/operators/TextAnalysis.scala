@@ -104,6 +104,30 @@ object TextAnalysis {
       s" + list_reduce($cps, (a, c) -> (a * 257 + c) % 998244353))"
   }
 
+  /**
+   * Repetition signals (the Gopher/MassiveText quality-rule family):
+   * duplicate-token fraction and most-common-bigram fraction. A
+   * single-pass per-row codegen kernel — MAP-ONLY, unlike the
+   * explode + per-(doc, bigram) aggregate formulation, which
+   * shuffles every bigram occurrence (the shape the oracle replays).
+   * Ratios are floor(x * 1e4) integers (engine-policy-free rounding,
+   * same convention as [[withQuality]]).
+   */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val rs = graft.functions.native.repetitionStats(tokens(col(textCol)))
+    df.withColumn("__rs", rs)
+      .withColumn("n_tokens", col("__rs").getItem(0))
+      .withColumn("dup_token_ratio_e4",
+        when(col("__rs").getItem(0) > 0,
+          floor((lit(1.0) - col("__rs").getItem(1).cast("double") / col("__rs").getItem(0)) * 10000))
+          .otherwise(0).cast("long"))
+      .withColumn("top_bigram_ratio_e4",
+        when(col("__rs").getItem(2) > 0,
+          floor(col("__rs").getItem(3).cast("double") / col("__rs").getItem(2) * 10000))
+          .otherwise(0).cast("long"))
+      .drop("__rs")
+  }
+
   // PII patterns restricted to the regex subset Java and RE2 (DuckDB)
   // interpret identically — no backrefs, no lookaround, no \d classes
   private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -287,6 +287,56 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
   }
 
+  test("incremental append: frozen map, _ID continuation, search + margin parity, density fold") {
+    val out = java.nio.file.Files.createTempDirectory("graft_append").toString
+    val first = li.filter(col("k") % 2 === 0)
+    val second = li.filter(col("k") % 2 =!= 0)
+    HipsPartitioner.write(first, "cra", "cdec", "k", out, "grow", orderK = 4, threshold = 500, marginDeg = 1.0)
+    val pm = HipsPartitioner.append(second, "cra", "cdec", "k", out, "grow")
+
+    // every row present exactly once; merged histogram is the full count
+    val loaded = HipsCatalog.load(spark, out, "grow")
+    assert(loaded.count() == li.count())
+    assert(pm.nSources == li.count())
+    // k is NOT row-unique in the synthetic lineitem — compare distincts
+    assert(loaded.select("k").distinct().count() == li.select("k").distinct().count())
+
+    // _ID continuation: unique across old + new files
+    assert(loaded.select("_ID").distinct().count() == li.count(),
+      "appended _IDs must continue, not collide with, existing ranks")
+
+    // cone search on the appended catalog equals brute force over ALL rows
+    val cone = HipsCatalog.coneSearch(spark, out, "grow", "cra", "cdec", 180.0, 0.0, 30.0, orderK = 4)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val brute = li.withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)))
+      .filter(col("d") < 30.0).select("k").collect().map(_.getLong(0)).sorted
+    assert(cone.toSeq == brute.toSeq && cone.nonEmpty)
+
+    // margin cache grows too: stored cross-match against the appended
+    // catalog equals the in-flight cross-match over the union
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey"))).withColumn("cdec", sphere.decOf(col("c_custkey")))
+    HipsPartitioner.write(cust, "cra", "cdec", "c_custkey", out, "qcat", orderK = 4, threshold = 500, marginDeg = 1.0)
+    val stored = HipsCatalog.crossMatchStored(spark, out, "qcat", "grow",
+        "cra", "cdec", "c_custkey", "cra", "cdec", "k", k = 2, dthreshDeg = 0.8, orderK = 4)
+      .select(col("c_custkey"), col("r_k"), col("_RANK")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val inflight = graft.operators.Spatial.crossMatchKnn(cust, li, "cra", "cdec", "c_custkey",
+        "cra", "cdec", "k", k = 2, dthreshDeg = 0.8, leftPrefix = "", rightPrefix = "r_")
+      .select(col("c_custkey"), col("r_k"), col("_RANK")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(stored.toSeq == inflight.toSeq && stored.nonEmpty,
+      "stored margins must cover appended rows")
+
+    // density artifact folded: point_map == histogram of the union
+    val cat = Catalog(spark, out, "grow")
+    val dm = cat.densityMap().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = li.groupBy(sphere.hpix(col("cra"), col("cdec"), 4).as("pix")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dm == truth)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("ingest path is UDF-free and stays inside WholeStageCodegen") {
     val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
     val assignPlan = HipsPartitioner.withPartitionColumns(li, "cra", "cdec", pm)

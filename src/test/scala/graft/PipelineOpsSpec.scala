@@ -101,6 +101,26 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(r(5L) == ((0L, 0L, 0L, "nothing to hide here")))
   }
 
+  test("withRepetitionStats: duplicate-token and top-bigram fractions, map-only plan") {
+    val docs = Seq(
+      (1L, "a b c d e"),                 // all distinct, all bigrams unique
+      (2L, "spam spam spam spam"),       // 4 tokens, 1 distinct; bigram 'spam spam' x3 of 3
+      (3L, "go stop go stop go"),        // 5 tokens, 2 distinct; 'go stop' x2 of 4 bigrams
+      (4L, "single")                     // no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionStats(docs, "text")
+      .select("doc_id", "n_tokens", "dup_token_ratio_e4", "top_bigram_ratio_e4")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((5L, 0L, 2500L)))          // 1/4 bigrams = 0.25
+    assert(r(2L) == ((4L, 7500L, 10000L)))      // 3/4 dup tokens; bigram 3/3
+    assert(r(3L) == ((5L, 6000L, 5000L)))       // 3/5 dup; 'go stop' 2/4
+    assert(r(4L) == ((1L, 0L, 0L)))
+    val plan = TextAnalysis.withRepetitionStats(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"repetition stats must be a single map-only pass (no explode/shuffle):\n$plan")
+  }
+
   test("contaminationCheck: benchmark doc fully matched, disjoint doc untouched") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

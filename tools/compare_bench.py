@@ -22,7 +22,7 @@ CLASSES = {
           'dedup_keyed', 'text_tokens', 'multimodal_meta', 'multimodal_frames', 'xmatch_knn', 'xmatch_postfilter',
           'text_tfidf', 'sample_split', 'sample_stratified', 'text_redact'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
-          'q_asof', 'q_rangejoin'],
+          'q_asof', 'q_rangejoin', 'text_repetition'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate'],
