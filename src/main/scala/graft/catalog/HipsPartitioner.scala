@@ -301,10 +301,20 @@ object HipsPartitioner {
    * threshold as data accumulates — that is inherent to append (the
    * same trade the reference would face); when the returned map's
    * `hist` shows pixels far beyond threshold, re-import to re-split.
+   *
+   * Appends must be SERIALIZED (one writer at a time): the `_ID`
+   * offsets are read from the current tree, so concurrent appends
+   * would mint colliding ranks — the usual contract for file-based
+   * tables without a transaction log.
    */
   def append(df: DataFrame, raCol: String, decCol: String, idCol: String,
              outputDir: String, catname: String): PartitionMap = {
     val spark = df.sparkSession
+    // drop any stale cached listing BEFORE reading rank offsets — a
+    // listing cached before an external writer's files landed would
+    // mint colliding _IDs
+    spark.catalog.refreshByPath(s"$outputDir/$catname/catalog")
+    spark.catalog.refreshByPath(s"$outputDir/$catname/neighbor")
     val metaRaw = HipsCatalog.readString(spark, s"$outputDir/$catname/${catname}_meta.json")
     def metaNum(key: String): String =
       s""""$key":\\s*([-\\d.]+)""".r.findFirstMatchIn(metaRaw)

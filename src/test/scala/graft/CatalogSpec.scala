@@ -334,6 +334,14 @@ class CatalogSpec extends SparkSpecBase {
     val truth = li.groupBy(sphere.hpix(col("cra"), col("cdec"), 4).as("pix")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dm == truth)
+
+    // a SECOND append (even of duplicate rows) keeps _ID unique —
+    // ranks continue from the post-first-append maxima
+    cat.append(li.limit(137))
+    val again = HipsCatalog.load(spark, out, "grow")
+    assert(again.count() == li.count() + 137)
+    assert(again.select("_ID").distinct().count() == li.count() + 137,
+      "second append must continue ranks, not restart them")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
