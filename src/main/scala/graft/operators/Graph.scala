@@ -63,10 +63,12 @@ object Graph {
         .select(col("id"), least(col("id"), col("mn")).as("comp")))
     // labels are monotone non-increasing per node, so the label sum
     // strictly decreases until the fixed point — convergence is one
-    // scalar aggregate over the checkpointed iteration, no anti-join
-    def checksum(df: DataFrame): Long = {
-      val r = df.agg(sum("comp")).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // scalar aggregate over the checkpointed iteration, no anti-join.
+    // decimal(38,0) accumulation: a Long sum could overflow-collide on
+    // a 10^10-node graph and fake convergence while labels still move
+    def checksum(df: DataFrame): String = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString
     }
     var prevSum = checksum(labels)
     var it = 0
@@ -79,7 +81,7 @@ object Graph {
       val s = checksum(next)
       labels.unpersist()
       labels = next
-      converged = s == prevSum
+      converged = s == prevSum // String compare of exact decimals
       prevSum = s
       it += 1
     }
