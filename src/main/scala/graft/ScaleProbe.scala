@@ -60,8 +60,11 @@ object ScaleProbe {
     time("contaminationCheck")(graft.operators.Dedup.contaminationCheck(
       big, "doc_id", "text", base.limit(500), "text").filter(col("n_matched") > 0).count())
 
+    // consume EVERY computed column — a count()-only sink lets column
+    // pruning delete the redaction/window work and time an empty plan
     time("redactPii")(graft.operators.TextAnalysis.redactPii(big, "text")
-      .agg(sum("n_emails")).count())
+      .agg(sum(col("n_emails") + col("n_phones") + col("n_ips")),
+        sum(length(col("redacted")))).count())
     time("stratifiedSample")(graft.operators.Sampling.stratifiedSample(
       big, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1).count())
 
@@ -76,7 +79,7 @@ object ScaleProbe {
         (col("c.id") * 1000L + col("s.id") + 1).as("id_b"))
     time("connectedComponents (100k pair + 200x50 chain edges)")(
       graft.operators.Graph.connectedComponents(
-        pairEdges.unionByName(chainEdges), "id_a", "id_b").count())
+        pairEdges.unionByName(chainEdges), "id_a", "id_b", maxIter = 60).count())
 
     // temporal joins over the replicated events table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -94,7 +97,8 @@ object ScaleProbe {
     time(s"asofJoin over ${replicas}x events")(
       graft.operators.Temporal.asofJoin(
         bigEv.select("event_id", "user_id", "ts"), purch,
-        "user_id", "ts", "p_user", "p_ts", Seq("p_id"), Some("p_id")).count())
+        "user_id", "ts", "p_user", "p_ts", Seq("p_id"), Some("p_id"))
+        .filter(col("asof_p_id").isNotNull).count()) // consume the carry — keep the window alive
     val iv = ev.filter(col("event_id") % 100 === 0)
       .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"),
         (unix_micros(col("ts")) + 21600000000L).as("e"))

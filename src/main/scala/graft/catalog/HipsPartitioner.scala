@@ -316,8 +316,10 @@ object HipsPartitioner {
     spark.catalog.refreshByPath(s"$outputDir/$catname/catalog")
     spark.catalog.refreshByPath(s"$outputDir/$catname/neighbor")
     val metaRaw = HipsCatalog.readString(spark, s"$outputDir/$catname/${catname}_meta.json")
+    // exponent-aware: a small marginDeg (e.g. 1 arcsec) stringifies as
+    // 2.77...E-4 — a digits-only pattern would silently read 2.77 deg
     def metaNum(key: String): String =
-      s""""$key":\\s*([-\\d.]+)""".r.findFirstMatchIn(metaRaw)
+      s""""$key":\\s*([-+\\d.eE]+)""".r.findFirstMatchIn(metaRaw)
         .getOrElse(throw new IllegalArgumentException(s"$key missing from ${catname}_meta.json"))
         .group(1)
     val orderK = metaNum("order_k").toInt
@@ -362,6 +364,9 @@ object HipsPartitioner {
         .toSeq.toDF("pix", "cnt")
         .coalesce(1).write.mode("overwrite").parquet(s"$outputDir/$catname/point_map.parquet")
     }
+    // the overwrite DELETED the old part file — a cached listing would
+    // make a same-session densityMap() read a missing file
+    spark.catalog.refreshByPath(s"$outputDir/$catname/point_map.parquet")
     writeMeta(spark, out, raCol, decCol, idCol, outputDir, catname, threshold, marginDeg)
     out
   }

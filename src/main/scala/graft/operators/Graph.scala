@@ -48,10 +48,25 @@ object Graph {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
-  /** As [[connectedComponents]], additionally returning an unpersist
-   *  handle for the final label cache — call it once the result is
-   *  consumed. The result stays correct afterwards (recompute replays
-   *  the deterministic iteration), it just stops being cached. */
+  /** The materialized RDD behind a checkpointed iteration, freed
+   *  explicitly when the next iteration supersedes it —
+   *  `Dataset.unpersist` is a NO-OP for checkpointed plans (their
+   *  blocks live outside the CacheManager), so without this the
+   *  per-iteration block sets pile up until a JVM GC happens to
+   *  collect the old RDD objects. */
+  private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** As [[connectedComponents]], additionally returning a release
+   *  handle that frees the final label blocks. Call it only once the
+   *  result is no longer needed (or has been written/persisted
+   *  elsewhere): checkpointing truncates lineage, so a released
+   *  result cannot be recomputed. Throws IllegalStateException if the
+   *  propagation has not converged within `maxIter` rounds (component
+   *  diameter exceeds the bound) — silently returning partial labels
+   *  would corrupt downstream dedup. */
   def connectedComponentsWithCache(pairs: DataFrame, aCol: String, bCol: String,
                                    maxIter: Int = 30): (DataFrame, () => Unit) = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
@@ -79,15 +94,20 @@ object Graph {
         msgs.union(labels.select("id", "comp"))
           .groupBy("id").agg(min("comp").as("comp")))
       val s = checksum(next)
-      labels.unpersist()
+      backingRdd(labels).foreach(_.unpersist(false))
       labels = next
       converged = s == prevSum // String compare of exact decimals
       prevSum = s
       it += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds — a component's " +
+          "diameter exceeds the bound; raise maxIter (near-dup clusters are shallow, but chain-" +
+          "shaped graphs need ~diameter rounds)")
     val out = labels
-    (out, () => { out.unpersist(); () })
+    (out, () => { backingRdd(out).foreach(_.unpersist(false)); () })
   }
 
   /**
@@ -102,9 +122,10 @@ object Graph {
                     shingleN: Int = 3): DataFrame =
     dedupClustersWithCache(df, idCol, textCol, minJaccard, numPerms, bands, shingleN)._1
 
-  /** As [[dedupClusters]], additionally returning an unpersist handle
-   *  for the component-label cache — call it once the result is
-   *  materialized (the pattern of [[Dedup.nearDuplicatesWithCache]]). */
+  /** As [[dedupClusters]], additionally returning a release handle
+   *  for the component-label blocks — call it only once the result is
+   *  no longer needed (checkpoint lineage is truncated, so released
+   *  labels cannot be recomputed). */
   def dedupClustersWithCache(df: DataFrame, idCol: String, textCol: String,
                              minJaccard: Double = 0.8, numPerms: Int = 128, bands: Int = 32,
                              shingleN: Int = 3): (DataFrame, () => Unit) = {

@@ -97,12 +97,17 @@ object Sampling {
     df.filter(knuthHash(col(idCol)) % 10000 < thr)
   }
 
-  /** SQL twin of [[stratifiedSample]]'s predicate for DuckDB oracles. */
+  /** SQL twin of [[stratifiedSample]]'s predicate for DuckDB oracles
+   *  (empty-map-safe; stratum keys with quotes escaped). */
   def stratifiedSampleSql(id: String, strata: String,
                           fractions: Map[String, Double],
                           defaultFraction: Double = 0.0): String = {
-    val cases = fractions.toSeq.sortBy(_._1)
-      .map { case (k, f) => s"WHEN $strata = '$k' THEN ${math.round(f * 10000)}" }.mkString(" ")
-    s"(${knuthHashSql(id)}) % 10000 < (CASE $cases ELSE ${math.round(defaultFraction * 10000)} END)"
+    val dflt = math.round(defaultFraction * 10000)
+    val thr =
+      if (fractions.isEmpty) dflt.toString // a WHEN-less CASE is a syntax error
+      else fractions.toSeq.sortBy(_._1)
+        .map { case (k, f) => s"WHEN $strata = '${k.replace("'", "''")}' THEN ${math.round(f * 10000)}" }
+        .mkString("CASE ", " ", s" ELSE $dflt END")
+    s"(${knuthHashSql(id)}) % 10000 < ($thr)"
   }
 }

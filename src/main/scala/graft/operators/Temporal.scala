@@ -39,37 +39,47 @@ object Temporal {
                rightTieBreak: Option[String] = None,
                prefix: String = "asof_"): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin: rightCols must name at least one right column to carry")
+    require(rightCols.distinct == rightCols, s"asofJoin: duplicate rightCols: $rightCols")
     val tb = rightTieBreak.getOrElse(rightTime)
     val lcols = left.columns.toSeq
+    // the carried right attributes travel as ONE struct: carrying each
+    // column independently with last(ignoreNulls) would splice values
+    // from DIFFERENT right rows whenever a carried column is null in
+    // the winning row (the struct itself is non-null for every right
+    // row, so ignoreNulls skips only the left placeholders)
+    val rvType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
     val l = left.select(
       Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
-        lit(null).cast(right.schema(tb).dataType).as("__tb")) ++
-        lcols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+        lit(null).cast(right.schema(tb).dataType).as("__tb"),
+        lit(null).cast(rvType).as("__rv")) ++
+        lcols.map(col): _*)
     // a null right time can never satisfy `rightTime <= leftTime`, but
     // nulls-first ordering would park such a row at the window's start
     // and carry its values into every later row — drop them up front
     val r = right.filter(col(rightTime).isNotNull).select(
       Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
-        col(tb).as("__tb")) ++
-        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(prefix + c)): _*)
+        col(tb).as("__tb"),
+        struct(rightCols.map(col): _*).as("__rv")) ++
+        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // at equal time, right rows (__tag 0) sort BEFORE left rows, so
     // `<=` semantics hold; among equal-time right rows the greatest
     // tiebreak sorts last and wins the `last(...)` carry
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__k", "__t", "__tag", "__tb")
+    l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(lcols.map(col) ++
+        rightCols.map(c => col("__rv").getField(c).as(prefix + c)): _*)
   }
 
-  /** Exact floor division for long columns (negative-safe: pmod keeps
-   *  the remainder nonnegative, unlike a double-precision floor). */
+  /** Exact floor division for long columns: pmod keeps the remainder
+   *  nonnegative (negative-safe), and the division runs in decimal —
+   *  Column `/` on longs is IEEE double division, which misplaces
+   *  buckets for magnitudes above 2^53 (e.g. nanosecond epochs). */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 
   /**
    * Point-in-interval join: every (point, interval) pair with

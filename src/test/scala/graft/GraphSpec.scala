@@ -30,6 +30,14 @@ class GraphSpec extends SparkSpecBase {
     assert(comps(Seq.empty) == Map.empty)
   }
 
+  test("connected components: refuses to return partial labels when maxIter is too low") {
+    val chain = (1L to 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, "a", "b", maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupClusters: transitive near-dups collapse to one canonical doc") {
     // three mutually-similar texts (a->b->c transitively), one distinct
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"

@@ -41,6 +41,19 @@ class TemporalSpec extends SparkSpecBase {
     assert(fast == slow)
   }
 
+  test("asofJoin: a null in one carried column must not splice values from an older row") {
+    val left = Seq((1L, 1L, 10L)).toDF("eid", "k", "t")
+    val right = Seq(
+      (1L, 5L, 1L, Some("old"), Some(10.0)),
+      (1L, 6L, 2L, Some("new"), Option.empty[Double])) // winner has a null value col
+      .toDF("rk", "rt", "tb", "v", "x")
+    val out = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("v", "x"),
+        rightTieBreak = Some("tb"))
+      .select("asof_v", "asof_x").collect()(0)
+    assert(out.getString(0) == "new" && out.isNullAt(1),
+      "all carried columns must come from the SAME (winning) right row")
+  }
+
   test("asofJoin: null right times never match (theta-join semantics)") {
     val left = Seq((1L, 1L, 10L)).toDF("eid", "k", "t")
     val right = Seq((1L, Option.empty[Long], 5L, "nulltime"), (1L, Some(3L), 4L, "real"))
