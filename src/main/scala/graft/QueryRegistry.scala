@@ -868,7 +868,7 @@ object QueryRegistry {
       graft.operators.Temporal.asofJoin(
           e.select("event_id", "user_id", "ts"), purchases,
           "user_id", "ts", "p_user", "p_ts",
-          Seq("p_event_id", "p_value"), rightTieBreak = Some("p_event_id"))
+          Seq("p_event_id", "p_value"), rightTieBreak = "p_event_id")
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ets"),
           col("asof_p_event_id"),

@@ -97,7 +97,7 @@ object ScaleProbe {
     time(s"asofJoin over ${replicas}x events")(
       graft.operators.Temporal.asofJoin(
         bigEv.select("event_id", "user_id", "ts"), purch,
-        "user_id", "ts", "p_user", "p_ts", Seq("p_id"), Some("p_id"))
+        "user_id", "ts", "p_user", "p_ts", Seq("p_id"), "p_id")
         .filter(col("asof_p_id").isNotNull).count()) // consume the carry — keep the window alive
     val iv = ev.filter(col("event_id") % 100 === 0)
       .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"),

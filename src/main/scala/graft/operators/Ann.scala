@@ -69,6 +69,7 @@ object Ann {
    */
   private def collectCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
                               nCells: Int): Seq[(Column, Seq[Float])] = {
+    Sampling.requireIntegralId(corpus, corpusId, "ivf codebook sample")
     val cidType = corpus.schema(corpusId).dataType
     // Knuth multiplicative hash (not xxhash64) so the DuckDB oracle can
     // reproduce the sample with plain integer arithmetic — the shared
@@ -159,6 +160,10 @@ object Ann {
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String,
               k: Int, dim: Int, numPlanes: Int = 12, bands: Int = 3, seed: Long = 42L): DataFrame = {
+    // a zero-width band would make every band value 0 and the band
+    // join a full cross product — the exact blowup LSH exists to avoid
+    require(bands >= 1 && numPlanes % bands == 0 && numPlanes / bands >= 1 && numPlanes / bands <= 63,
+      s"numPlanes must be a positive multiple of bands with <= 63 planes per band: numPlanes=$numPlanes bands=$bands")
     val planesPerBand = numPlanes / bands
     val mask = (1L << planesPerBand) - 1
     def bandOf(sig: Column, b: Int): Column =

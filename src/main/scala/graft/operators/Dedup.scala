@@ -82,31 +82,48 @@ object Dedup {
   def minhashPairsWithCache(df: DataFrame, idCol: String, textCol: String,
                             numPerms: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
                             shingleN: Int = 3): (DataFrame, () => Unit) = {
-    val rowsPerBand = numPerms / bands
+    val rowsPerBand = bandLayout(numPerms, bands)
     // signatures are tiny relative to the corpus (numPerms longs per
     // doc); persist so the banded self-join doesn't recompute the
     // shingle scan twice (the returned handle unpersists)
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(
-      col(idCol), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash"))
-    val out = a.join(b, Seq("band", "bandhash"))
-      .filter(col("id_a") < col("id_b"))
-      // exactly-once per pair WITHOUT a distinct shuffle: a pair that
-      // matches in several bands is kept only at its first truly-
-      // matching band (a per-row predicate over the carried sigs)
-      .filter(col("band") === firstMatchingBand(col("sig_a"), col("sig_b"), bands, rowsPerBand))
+    val out = bandedCandidates(sigs, idCol, bands, rowsPerBand)
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .withColumn("est_sim",
         graft.functions.native.matchCount(col("sig_a"), col("sig_b")).cast("double") / numPerms)
       .filter(col("est_sim") >= minEstSim)
       .select("id_a", "id_b", "est_sim")
     (out, () => { sigs.unpersist(); () })
+  }
+
+  /** Validated band geometry. A zero-width band would hash an empty
+   *  slice to a CONSTANT key and turn the band self-join into a full
+   *  cross product — the exact blowup the banding exists to prevent —
+   *  and a non-divisible remainder would silently ignore the trailing
+   *  signature components. */
+  private def bandLayout(numPerms: Int, bands: Int): Int = {
+    require(bands >= 1 && numPerms % bands == 0 && numPerms / bands >= 1,
+      s"numPerms must be a positive multiple of bands: numPerms=$numPerms bands=$bands")
+    numPerms / bands
+  }
+
+  /** Banded LSH candidate pairs over a (id, sig) frame: per-band
+   *  xxhash64 bucket keys, bounded self-join, ordered-pair filter,
+   *  exactly-once emission at the first truly-matching band (no
+   *  distinct shuffle). Shared by [[minhashPairsWithCache]] and
+   *  [[nearDuplicatesWithCache]]. */
+  private def bandedCandidates(sigs: DataFrame, idCol: String,
+                               bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
+      .join(banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash")),
+        Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === firstMatchingBand(col("sig_a"), col("sig_b"), bands, rowsPerBand))
   }
 
   /**
@@ -146,7 +163,7 @@ object Dedup {
   def nearDuplicatesWithCache(df: DataFrame, idCol: String, textCol: String,
                               minJaccard: Double = 0.8, numPerms: Int = 128, bands: Int = 32,
                               shingleN: Int = 3): (DataFrame, () => Unit) = {
-    val rowsPerBand = numPerms / bands
+    val rowsPerBand = bandLayout(numPerms, bands)
     // one shingle scan: signature (for candidates) + sorted hashes
     // (for exact verification) computed side by side, then persisted —
     // both the band self-join and the two verification joins reuse it
@@ -156,17 +173,9 @@ object Dedup {
         graft.functions.native.sortedHashes(col("__shg")).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col(idCol), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
     // slim candidate pairs (ids only — the heavy shingle-hash arrays
     // do NOT ride through the band join's row multiplication)
-    val cand = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
-      .join(banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash")),
-        Seq("band", "bandhash"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstMatchingBand(col("sig_a"), col("sig_b"), bands, rowsPerBand))
+    val cand = bandedCandidates(base.select(col(idCol), col("sig")), idCol, bands, rowsPerBand)
       .select("id_a", "id_b")
     val out = cand
       .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")

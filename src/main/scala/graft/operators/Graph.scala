@@ -59,6 +59,21 @@ object Graph {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Free a superseded iteration: cached blocks (local checkpoints)
+   *  AND the reliable-checkpoint files — Spark only deletes those at
+   *  shutdown when `spark.cleaner.referenceTracking.cleanCheckpoints`
+   *  is set, so a long-lived session running repeated clusterings
+   *  would otherwise fill the checkpoint filesystem. */
+  private def free(df: DataFrame)(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    rdd.unpersist(false)
+    rdd.getCheckpointFile.foreach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(path, true)
+      } catch { case _: Exception => () } // best effort — the cleaner's job otherwise
+    }
+  }
+
   /** As [[connectedComponents]], additionally returning a release
    *  handle that frees the final label blocks. Call it only once the
    *  result is no longer needed (or has been written/persisted
@@ -70,6 +85,15 @@ object Graph {
   def connectedComponentsWithCache(pairs: DataFrame, aCol: String, bCol: String,
                                    maxIter: Int = 30): (DataFrame, () => Unit) = {
     require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    // non-numeric ids would cast to null, never equi-join, and return
+    // every node as its own singleton component with no error
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents: edge column '$c' must be integral (found $dt) — " +
+          "map string ids to numeric ids first")
+    }
     val sym = pairs.select(col(aCol).cast("long").as("id"), col(bCol).cast("long").as("nb"))
       .union(pairs.select(col(bCol).cast("long").as("id"), col(aCol).cast("long").as("nb")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -94,7 +118,7 @@ object Graph {
         msgs.union(labels.select("id", "comp"))
           .groupBy("id").agg(min("comp").as("comp")))
       val s = checksum(next)
-      backingRdd(labels).foreach(_.unpersist(false))
+      backingRdd(labels).foreach(free(labels))
       labels = next
       converged = s == prevSum // String compare of exact decimals
       prevSum = s
@@ -107,7 +131,7 @@ object Graph {
           "diameter exceeds the bound; raise maxIter (near-dup clusters are shallow, but chain-" +
           "shaped graphs need ~diameter rounds)")
     val out = labels
-    (out, () => { backingRdd(out).foreach(_.unpersist(false)); () })
+    (out, () => { backingRdd(out).foreach(free(out)); () })
   }
 
   /**

@@ -96,6 +96,9 @@ object Multimodal {
    * demuxer would feed.
    */
   def sampleFrames(spark: SparkSession, media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
+    // fail at call time, not as an ArithmeticException inside a task
+    require(frameBytes > 0 && stride > 0,
+      s"frameBytes and stride must be positive: frameBytes=$frameBytes stride=$stride")
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
       val nFrames = math.max(1, r.payload.length / frameBytes)

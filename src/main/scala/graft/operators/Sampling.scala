@@ -34,6 +34,19 @@ object Sampling {
       lit(4294967296L))
   }
 
+  /** Guard for every id-hash entry point: a non-numeric id column
+   *  would cast to null and hash to null — silently assigning all
+   *  rows to the last split / dropping every sampled row instead of
+   *  erroring. String ids must be pre-hashed to a numeric column by
+   *  the caller (with a hash whose SQL twin they control). */
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be integral (found $dt) — a cast-to-null would " +
+        "silently corrupt the assignment; pre-hash string ids to a numeric column")
+  }
+
   /** SQL twin of [[knuthHash]] for DuckDB oracles. Assumes a
    *  nonnegative BIGINT id (DuckDB `>>` is arithmetic; Spark's fold
    *  uses a logical shift — they agree on nonnegative inputs, and
@@ -52,6 +65,7 @@ object Sampling {
   def withSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
     require(splits.map(_._2).sum == 100, s"split percentages must sum to 100: $splits")
+    requireIntegralId(df, idCol, "withSplit")
     val bucket = knuthHash(col(idCol)) % 100
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val assign = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
@@ -74,6 +88,7 @@ object Sampling {
    *  sample at a larger fraction always CONTAINS the smaller one. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    requireIntegralId(df, idCol, "deterministicSample")
     df.filter(knuthHash(col(idCol)) % 10000 < math.round(fraction * 10000))
   }
 
@@ -91,6 +106,7 @@ object Sampling {
                        defaultFraction: Double = 0.0): DataFrame = {
     (fractions.values ++ Seq(defaultFraction)).foreach(f =>
       require(f >= 0 && f <= 1, s"fractions must be in [0,1]: $f"))
+    requireIntegralId(df, idCol, "stratifiedSample")
     val thr = fractions.toSeq.sortBy(_._1).foldRight(lit(math.round(defaultFraction * 10000)): Column) {
       case ((k, f), rest) => when(col(strataCol) === k, lit(math.round(f * 10000))).otherwise(rest)
     }

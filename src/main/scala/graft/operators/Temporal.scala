@@ -22,7 +22,13 @@ object Temporal {
    * As-of join: for every left row, the columns of the single right
    * row with the same key and the greatest `rightTime` <=  `leftTime`
    * (ties broken by the greatest `rightTieBreak`). Left rows with no
-   * preceding right row keep nulls (left-join semantics).
+   * preceding right row keep nulls (left-join semantics); null keys
+   * never match (SQL equi-join semantics on both sides).
+   *
+   * `rightTieBreak` is REQUIRED and must make (key, time, tiebreak)
+   * unique among right rows — with a degenerate tiebreak, equal-time
+   * right rows tie completely in the window order and the carried
+   * winner depends on shuffle order (nondeterministic output).
    *
    * Scale shape: both sides are tagged and UNIONED, then a window
    * partitioned by key and ordered by (time, tag, tiebreak) carries
@@ -36,11 +42,11 @@ object Temporal {
                leftKey: String, leftTime: String,
                rightKey: String, rightTime: String,
                rightCols: Seq[String],
-               rightTieBreak: Option[String] = None,
+               rightTieBreak: String,
                prefix: String = "asof_"): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin: rightCols must name at least one right column to carry")
     require(rightCols.distinct == rightCols, s"asofJoin: duplicate rightCols: $rightCols")
-    val tb = rightTieBreak.getOrElse(rightTime)
+    val tb = rightTieBreak
     val lcols = left.columns.toSeq
     // the carried right attributes travel as ONE struct: carrying each
     // column independently with last(ignoreNulls) would splice values
@@ -55,8 +61,12 @@ object Temporal {
         lcols.map(col): _*)
     // a null right time can never satisfy `rightTime <= leftTime`, but
     // nulls-first ordering would park such a row at the window's start
-    // and carry its values into every later row — drop them up front
-    val r = right.filter(col(rightTime).isNotNull).select(
+    // and carry its values into every later row — drop them up front.
+    // Null right KEYS would land in the window's null partition and
+    // wrongly enrich null-key left rows (partitionBy groups nulls;
+    // an equi-join would not match them) — drop those too. Null-key
+    // LEFT rows then see no right rows and correctly carry null.
+    val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull).select(
       Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
         col(tb).as("__tb"),
         struct(rightCols.map(col): _*).as("__rv")) ++

@@ -16,7 +16,7 @@ class TemporalSpec extends SparkSpecBase {
       (9L, 1L, 900L, "z"))  // other key
       .toDF("rk", "rt", "tb", "v")
     val out = Temporal.asofJoin(left, right, "k", "t", "rk", "rt",
-        Seq("v"), rightTieBreak = Some("tb"))
+        Seq("v"), rightTieBreak = "tb")
       .select("eid", "asof_v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "b", "equal-time right rows count, greatest tiebreak wins")
     assert(out(2L) == "c", "latest at-or-before")
@@ -30,7 +30,7 @@ class TemporalSpec extends SparkSpecBase {
     val right = (1L to 200L).map(i => (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100)))
       .toDF("rid", "rk", "rt", "v")
     val fast = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("rid", "v"),
-        rightTieBreak = Some("rid"))
+        rightTieBreak = "rid")
       .select("eid", "asof_rid").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     val slow = left.as("l").join(right.as("r"), $"l.k" === $"r.rk" && $"r.rt" <= $"l.t", "left")
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
@@ -48,7 +48,7 @@ class TemporalSpec extends SparkSpecBase {
       (1L, 6L, 2L, Some("new"), Option.empty[Double])) // winner has a null value col
       .toDF("rk", "rt", "tb", "v", "x")
     val out = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("v", "x"),
-        rightTieBreak = Some("tb"))
+        rightTieBreak = "tb")
       .select("asof_v", "asof_x").collect()(0)
     assert(out.getString(0) == "new" && out.isNullAt(1),
       "all carried columns must come from the SAME (winning) right row")
@@ -59,7 +59,7 @@ class TemporalSpec extends SparkSpecBase {
     val right = Seq((1L, Option.empty[Long], 5L, "nulltime"), (1L, Some(3L), 4L, "real"))
       .toDF("rk", "rt", "tb", "v")
     val out = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("v"),
-        rightTieBreak = Some("tb"))
+        rightTieBreak = "tb")
       .select("eid", "asof_v").collect()
     assert(out(0).getString(1) == "real",
       "a null-time right row must not be carried into later rows")
@@ -68,7 +68,7 @@ class TemporalSpec extends SparkSpecBase {
   test("asofJoin plan: exactly one Exchange (the window's) — no range-join explosion") {
     val left = Seq((1L, 1L, 10L)).toDF("eid", "k", "t")
     val right = Seq((1L, 5L, 1L)).toDF("rk", "rt", "v")
-    val plan = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("v"))
+    val plan = Temporal.asofJoin(left, right, "k", "t", "rk", "rt", Seq("v"), rightTieBreak = "rt")
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"asofJoin must shuffle exactly once, saw $exchanges:\n$plan")
