@@ -35,6 +35,12 @@ object Bench {
           -1.0
         }
       }
+      // registry queries that persist intermediates (minhash/neardup
+      // signature caches) have no post-materialization unpersist hook,
+      // so cached blocks accumulate across the 50+ query sweep; clear
+      // between queries so storage-memory pressure from earlier
+      // queries can't evict/spill and distort later measurements
+      spark.sharedState.cacheManager.clearCache()
       name -> (if (times.contains(-1.0)) -1.0 else median(times.tail))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -853,6 +853,18 @@ object QueryRegistry {
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)}
       ORDER BY doc_id"""))
 
+  /** Per-source quota cap: at most 40 docs per source, picked by id
+   *  hash (a uniform within-group sample) — the domain-balancing op
+   *  for training mixes. One bounded window shuffle. */
+  private val sample_quota = QueryDef(
+    (s, dir) => graft.operators.Sampling.quotaSample(t(s, dir, "documents"),
+        "doc_id", "source", maxPerGroup = 40)
+      .select("doc_id", "source").orderBy("doc_id"),
+    Some(s"""SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        ORDER BY (${graft.operators.Sampling.knuthHashSql("doc_id")}), doc_id) AS r
+      FROM documents) WHERE r <= 40 ORDER BY doc_id"""))
+
   /** As-of join: each event enriched with its user's most recent
    *  'purchase' event at or before it. The engine side is the
    *  union + single-window-shuffle shape; the oracle is the
@@ -1050,6 +1062,7 @@ object QueryRegistry {
     "text_tfidf" -> text_tfidf,
     "sample_split" -> sample_split,
     "sample_stratified" -> sample_stratified,
+    "sample_quota" -> sample_quota,
     "decontaminate" -> decontaminate,
     "dedup_cluster" -> dedup_cluster,
     "q_asof" -> q_asof,

@@ -113,6 +113,37 @@ object Sampling {
     df.filter(knuthHash(col(idCol)) % 10000 < thr)
   }
 
+  /**
+   * Per-group quota cap: keep at most `maxPerGroup` rows per group,
+   * chosen by id hash rather than arrival order — the kept set is a
+   * uniform-within-group sample, stable across runs, partitionings
+   * and cluster sizes. The balancing op for training mixes (cap
+   * dominant domains/sources; rare groups pass through whole).
+   *
+   * One window shuffle keyed by the group column (row_number over the
+   * hash order), with map-side work only before it. For a pathological
+   * hot group (billions of rows in ONE group) the sort inside that
+   * group serializes into one task; the scale-out there is a two-phase
+   * prefilter — per-group counts (tiny, map-side-combined), then a
+   * hash-threshold filter keeping ~2x maxPerGroup expected survivors
+   * before the exact rank — which preserves exactness because the rank
+   * ordering IS the hash the threshold cuts on. Not applied by default:
+   * it doubles the passes for a regime (quota << group size on a
+   * single group) that domain-capped corpora rarely hit.
+   */
+  def quotaSample(df: DataFrame, idCol: String, groupCol: String, maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 0, s"maxPerGroup must be >= 0: $maxPerGroup")
+    requireIntegralId(df, idCol, "quotaSample")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      // id tie-break: distinct ids can share a 32-bit hash; without it
+      // the kept set would be partitioning-dependent for those ties
+      .orderBy(knuthHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__qrank", row_number().over(w))
+      .filter(col("__qrank") <= maxPerGroup)
+      .drop("__qrank")
+  }
+
   /** SQL twin of [[stratifiedSample]]'s predicate for DuckDB oracles
    *  (empty-map-safe; stratum keys with quotes escaped). */
   def stratifiedSampleSql(id: String, strata: String,

@@ -80,6 +80,28 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"stratified sampling must stay map-only:\n$plan")
   }
 
+  test("quotaSample: per-group cap, whole small groups, partitioning-invariant") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val kept = Sampling.quotaSample(docs, "doc_id", "source", maxPerGroup = 30)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (src, n) =>
+      assert(bySrc.getOrElse(src, 0L) == math.min(n, 30L),
+        s"group $src: expected min($n,30), got ${bySrc.get(src)}")
+    }
+    // the kept set is a function of ids, not of physical layout
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaSample(docs.repartition(13), "doc_id", "source", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "quota selection must be partitioning-invariant")
+    // quota monotonicity: a larger cap keeps a superset
+    val c = Sampling.quotaSample(docs, "doc_id", "source", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(c), "raising the cap must only ADD rows")
+  }
+
   test("redactPii: ordered masking, counts on original text") {
     val docs = Seq(
       (1L, "write to a.b@c.org or b@example.co.uk now"),
