@@ -25,7 +25,11 @@ object Bench {
     // run 0 is a discarded warm-up (per-query codegen compilation —
     // constant cost, irrelevant at scale); report the median of the
     // remaining nRuns steady-state runs
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (0 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast success

@@ -794,6 +794,47 @@ object QueryRegistry {
     Some("""SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS v
       FROM embeddings, range(1, 65) t(i) GROUP BY label, i ORDER BY label, i"""))
 
+  /** Distributed Lloyd k-means codebook training (2 iterations over a
+   *  Knuth-hash-sampled init). Map-only assignment per pass; the only
+   *  shuffle per iteration carries nCells x dim partial sums. The
+   *  oracle replays init + BOTH iterations from scratch in SQL —
+   *  possible because the centroid means are fixed-point e6 (exact,
+   *  aggregation-order-independent). */
+  private val vec_kmeans = QueryDef(
+    (s, dir) => Ann.kmeansCodebook(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, iters = 2)
+      .orderBy("cid", "i"),
+    Some {
+      // one Lloyd step in SQL: nearest-centroid assignment (same
+      // round-9 cosine + cid tie-break as the Spark kernel), then
+      // fixed-point element-wise means rebuilt into float vectors,
+      // empty cells carrying the previous centroid
+      def asnSql(cents: String) =
+        s"""SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM embeddings e CROSS JOIN $cents c) WHERE crn = 1"""
+      def statsSql(asn: String) =
+        s"""SELECT cid, i,
+          floor(sum(floor(embedding[i]::DOUBLE * 1000000)) / count(*)) AS m, count(*) AS n
+          FROM $asn, range(1, 65) t(i) GROUP BY cid, i"""
+      s"""WITH cents0 AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+      asn1 AS (${asnSql("cents0")}),
+      stats1 AS (${statsSql("asn1")}),
+      cvec1 AS (
+        SELECT cid, list(CAST(m / 1000000.0 AS FLOAT) ORDER BY i) AS cvec
+        FROM stats1 GROUP BY cid),
+      cents1 AS (
+        SELECT c0.cid, COALESCE(c1.cvec, c0.cvec) AS cvec
+        FROM cents0 c0 LEFT JOIN cvec1 c1 USING (cid)),
+      asn2 AS (${asnSql("cents1")}),
+      stats2 AS (${statsSql("asn2")})
+      SELECT cid, i, CAST(m AS BIGINT) AS v_e6, n FROM stats2 ORDER BY cid, i"""
+    })
+
   private val text_quality = QueryDef(
     (s, dir) => TextAnalysis.withQuality(t(s, dir, "documents"), "text")
       .select("doc_id", "n_tokens", "avg_token_len_e4", "punct_ratio_e4", "stopword_ratio_e4", "quality_score_e4")
@@ -1056,6 +1097,7 @@ object QueryRegistry {
     "ann_ivf" -> ann_ivf,
     "text_langid" -> text_langid,
     "vec_centroids" -> vec_centroids,
+    "vec_kmeans" -> vec_kmeans,
     "text_quality" -> text_quality,
     "text_tokens" -> text_tokens,
     "text_fingerprint" -> text_fingerprint,

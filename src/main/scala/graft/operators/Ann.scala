@@ -69,8 +69,21 @@ object Ann {
    */
   private def collectCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
                               nCells: Int): Seq[(Column, Seq[Float])] = {
-    Sampling.requireIntegralId(corpus, corpusId, "ivf codebook sample")
     val cidType = corpus.schema(corpusId).dataType
+    sampleCodebookValues(corpus, corpusId, corpusVec, nCells).map { case (v, vec) =>
+      (cidLit(v, cidType), vec)
+    }
+  }
+
+  private def cidLit(v: Any, dt: org.apache.spark.sql.types.DataType): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt))
+
+  /** The raw (cid value, vector) rows of the codebook hash-sample —
+   *  shared by the inline-literal path and k-means init. */
+  private def sampleCodebookValues(corpus: DataFrame, corpusId: String, corpusVec: String,
+                                   nCells: Int): Seq[(Any, Seq[Float])] = {
+    Sampling.requireIntegralId(corpus, corpusId, "ivf codebook sample")
     // Knuth multiplicative hash (not xxhash64) so the DuckDB oracle can
     // reproduce the sample with plain integer arithmetic — the shared
     // overflow-safe 16-bit-split form (see Sampling.knuthHash/knuthHashSql)
@@ -79,12 +92,88 @@ object Ann {
       .orderBy(col("__h"), col(corpusId)).limit(nCells)
       .select(col(corpusId), col(corpusVec))
       .collect()
-      .map { r =>
-        (org.apache.spark.sql.GraftBridge.column(
-          org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), cidType)),
-          r.getSeq[Float](1))
-      }.toSeq
+      .map(r => (r.get(0), r.getSeq[Float](1)))
+      .toSeq
   }
+
+  /**
+   * Distributed Lloyd k-means over an embedding column — the trained
+   * upgrade of the hash-sample IVF codebook (the sample is the init;
+   * re-expresses the codebook-training step the reference's IVF-style
+   * partitioning presumes). Each iteration is ONE corpus pass: a
+   * map-only nearest-centroid assignment against centroids inlined as
+   * literals (cosine similarity, the ivfAssign kernel — the corpus is
+   * never shuffled), then an element-wise mean whose shuffle carries
+   * only nCells x dim partial aggregates, independent of corpus size.
+   * Driver state is bounded at nCells x dim values per iteration —
+   * the same bounded-collect class as the partition-map walk.
+   *
+   * Centroid means use fixed-point e6 accumulation — per-element
+   * floor(x * 1e6) BIGINT sums, then floor(sum / n) — so the trained
+   * codebook is EXACT, independent of aggregation order across
+   * partitions/executors, and replayable in plain SQL (the registry
+   * oracle recomputes init + every iteration from scratch in DuckDB).
+   * Float accumulation would make the result nondeterministic across
+   * partitionings; the e6 truncation costs < 1e-6 per component and
+   * buys bit-stable training. Cells that lose every member keep their
+   * previous centroid.
+   *
+   * Returns the post-training per-cell stats in long format:
+   * (cid, i, v_e6, n) — cell id (the id of the init-sample row that
+   * seeded it), 1-based component index, fixed-point e6 centroid
+   * component, member count. Cells with no members after the final
+   * assignment are omitted. Use [[kmeansCentroids]] for the codebook
+   * as float vectors (e.g. to feed a persisted `__cid` bucketing
+   * column via [[ivfAssign]]'s shape).
+   *
+   * At 100 TB: train on a [[Sampling.deterministicSample]] of the
+   * corpus (k-means quality saturates far below full-corpus n), then
+   * apply the frozen codebook map-only to everything.
+   */
+  def kmeansCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     nCells: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val cidType = corpus.schema(corpusId).dataType
+    var cb = sampleCodebookValues(corpus, corpusId, corpusVec, nCells)
+    require(cb.nonEmpty, "kmeansCodebook: empty corpus")
+    // one Lloyd pass: assign to nearest inlined centroid, fixed-point
+    // element-wise sums — (cid, i, sfix, n), nCells x dim rows
+    def passStats(centroids: Seq[(Any, Seq[Float])]): DataFrame =
+      ivfAssignWith(corpus, corpusVec,
+          centroids.map { case (v, vec) => (cidLit(v, cidType), vec) })
+        .select(col("__cid").as("cid"), posexplode(col(corpusVec)))
+        .groupBy(col("cid"), (col("pos") + 1).cast("long").as("i"))
+        .agg(sum(floor(col("col").cast("double") * 1e6)).cast("long").as("sfix"),
+          count(lit(1)).as("n"))
+    for (_ <- 1 until iters) {
+      val byCid = passStats(cb).collect().groupBy(_.get(0))
+      cb = cb.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = old.toArray.clone()
+            rows.foreach { r =>
+              arr(r.getLong(1).toInt - 1) =
+                (math.floor(r.getLong(2).toDouble / r.getLong(3)) / 1e6).toFloat
+            }
+            (cid, arr.toSeq)
+          case None => (cid, old) // empty cell: carry the previous centroid
+        }
+      }
+    }
+    passStats(cb).select(col("cid"), col("i"),
+      floor(col("sfix").cast("double") / col("n")).cast("long").as("v_e6"), col("n"))
+  }
+
+  /** The trained codebook of [[kmeansCodebook]] as (cid, centroid)
+   *  float vectors — collect of an nCells x dim frame. */
+  def kmeansCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      nCells: Int = 8, iters: Int = 2): Seq[(Any, Seq[Float])] =
+    kmeansCodebook(corpus, corpusId, corpusVec, nCells, iters)
+      .orderBy("cid", "i").collect()
+      .groupBy(_.get(0)).toSeq.sortBy(_._1.toString)
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getLong(1)).map(r => (r.getLong(2) / 1e6).toFloat).toSeq)
+      }
 
   /**
    * Per-row (negated-sim, cid) structs against every inlined

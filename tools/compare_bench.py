@@ -31,8 +31,23 @@ CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
 
 def load_bench(path):
-    line = open(path).read().strip()
-    return json.loads(re.sub(r'^\[info\] ', '', line))
+    text = open(path).read().strip()
+    # Three accepted shapes: the raw one-line JSON Bench prints, that line
+    # with an sbt "[info] " prefix, or the driver's wrapper object whose
+    # "parsed" field (or failing that, "tail" text) carries the bench line.
+    try:
+        obj = json.loads(re.sub(r'^\[info\] ', '', text))
+    except json.JSONDecodeError:
+        obj = None
+    if isinstance(obj, dict) and 'queries' in obj:
+        return obj
+    if isinstance(obj, dict):
+        if isinstance(obj.get('parsed'), dict) and 'queries' in obj['parsed']:
+            return obj['parsed']
+        m = re.search(r'\{"metric":.*?"queries":\{.*?\}.*?\}', obj.get('tail', ''))
+        if m:
+            return json.loads(m.group(0))
+    raise SystemExit(f'{path}: no bench JSON line found')
 
 
 def main():
