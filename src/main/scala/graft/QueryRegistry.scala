@@ -876,6 +876,57 @@ object QueryRegistry {
       WHERE rank <= 10 ORDER BY grp, rank"""
     })
 
+  /** Set operations (EXCEPT / INTERSECT with set semantics): customer
+   *  cohort movement across order years. */
+  private val q_setops = QueryDef(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+      val (y95, y96) = (yr(1995), yr(1996))
+      y95.except(y96).withColumn("op", lit("only_1995"))
+        .unionByName(y96.except(y95).withColumn("op", lit("only_1996")))
+        .unionByName(y95.intersect(y96).withColumn("op", lit("both")))
+        .orderBy("op", "o_custkey")
+    },
+    Some("""WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT o_custkey, 'only_1995' AS op FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+      UNION ALL SELECT o_custkey, 'only_1996' AS op FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+      UNION ALL SELECT o_custkey, 'both' AS op FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+      ORDER BY op, o_custkey"""))
+
+  /** Inverted index over the document corpus: df + sorted posting
+   *  lists, hapax tail pruned, stop-grade terms (df > maxDf) kept as
+   *  df-only rows with NULL postings. */
+  private val text_inverted = QueryDef(
+    (s, dir) => TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 3, maxDf = 390)
+      .orderBy("term"),
+    Some(TextAnalysis.invertedIndexSql("documents", "doc_id", "text",
+      minDf = 3, maxDf = 390) + " ORDER BY term"))
+
+  /** Character-level (Levenshtein) near-dup pairs, language-blocked,
+   *  over an ASCII-projected prefix (cross-engine-pinned semantics). */
+  private val text_editdist = QueryDef(
+    (s, dir) => TextAnalysis.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang"), maxDist = 40)
+      .orderBy("id_a", "id_b"),
+    Some(TextAnalysis.editDistancePairsSql("documents", "doc_id", "text",
+      blockCols = Seq("lang"), maxDist = 40) + " ORDER BY id_a, id_b"))
+
+  /** Portable HyperLogLog distinct-count sketch per group, next to
+   *  the exact count. Registers + estimate are bit-replayed by the
+   *  oracle (integer register sums, comparison-chain msb, no
+   *  transcendentals) — the property Spark's approx_count_distinct
+   *  can't give. The register table is the persistable/mergeable
+   *  sketch state for incremental 100 TB counting. */
+  private val q_hll = QueryDef(
+    (s, dir) => graft.operators.Sketch.hllDistinct(
+        t(s, dir, "lineitem"), "l_returnflag", "l_orderkey")
+      .orderBy("grp"),
+    Some(graft.operators.Sketch.hllDistinctSql("lineitem", "l_returnflag", "l_orderkey")
+      + " ORDER BY grp"))
+
   /** Deterministic 90/5/5 train/val/test assignment — pure id-hash function, map-only. */
   private val sample_split = QueryDef(
     (s, dir) => graft.operators.Sampling.withSplit(t(s, dir, "documents"), "doc_id")
@@ -1102,6 +1153,10 @@ object QueryRegistry {
     "text_tokens" -> text_tokens,
     "text_fingerprint" -> text_fingerprint,
     "text_tfidf" -> text_tfidf,
+    "q_hll" -> q_hll,
+    "q_setops" -> q_setops,
+    "text_inverted" -> text_inverted,
+    "text_editdist" -> text_editdist,
     "sample_split" -> sample_split,
     "sample_stratified" -> sample_stratified,
     "sample_quota" -> sample_quota,

@@ -201,4 +201,87 @@ object TextAnalysis {
       .select(col("grp"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
   }
+
+  /**
+   * Inverted index: per term, its document frequency and the sorted
+   * posting list (as a comma-joined string — a stable scalar the
+   * driver's hash compares across engines). The corpus-side shape is
+   * ONE hash aggregate: explode to (term, doc), per-(term, doc)
+   * partial counts combine map-side, then `collect_set` builds the
+   * postings — only distinct (term, doc) pairs ride the shuffle,
+   * never documents. `minDf` prunes the hapax tail (the vocabulary's
+   * long tail is most of its rows and none of its retrieval value).
+   *
+   * At 100 TB: posting lists for stopword-grade terms are the skew
+   * hazard (one term = billions of docs). The production layout
+   * shards a hot term's postings across rows (term, shard) — here
+   * `maxDf` drops such terms entirely (a stop list), which is both
+   * the retrieval-quality and the skew answer; rows with df > maxDf
+   * carry a NULL posting list rather than a multi-GB cell.
+   */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1, maxDf: Long = Long.MaxValue): DataFrame = {
+    val td = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0 && col("doc").isNotNull)
+      .groupBy("term", "doc").agg(count(lit(1)).as("__n")) // map-side combined dedup
+    td.groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_set(col("doc"))).as("__p"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"),
+        when(col("df") <= maxDf,
+          array_join(transform(col("__p"), _.cast("string")), ",")).as("postings"))
+  }
+
+  /** SQL twin of [[invertedIndex]] for DuckDB oracles. */
+  def invertedIndexSql(table: String, idCol: String, textCol: String,
+                       minDf: Long = 1, maxDf: Long = Long.MaxValue): String =
+    s"""WITH td AS (
+      SELECT DISTINCT tt.term AS term, $idCol AS doc
+      FROM $table, unnest(string_split(${Dedup.normalizeTextSql(textCol)}, ' ')) tt(term)
+      WHERE length(tt.term) > 0 AND $idCol IS NOT NULL),
+    agg AS (
+      SELECT term, count(*) AS df,
+        string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+      FROM td GROUP BY term)
+    SELECT term, df,
+      CASE WHEN df <= $maxDf THEN postings ELSE NULL END AS postings
+    FROM agg WHERE df >= $minDf"""
+
+  /**
+   * Edit-distance (Levenshtein) near-duplicate pairs within blocks —
+   * the fuzzy-match complement to token-level Jaccard: catches
+   * character-level mutations (typos, OCR noise) that reshuffle
+   * shingles. Distance is computed over an ASCII projection of the
+   * first `prefixLen` characters: the prefix bounds the O(len^2) DP
+   * cost per pair, and the ASCII projection pins byte-vs-codepoint
+   * semantics so any engine (the DuckDB oracle included) scores
+   * identically. Same blocking contract as jaccardPairs: quadratic
+   * WITHIN a block, so keys must keep blocks small — at corpus scale
+   * route through [[Dedup.nearDuplicates]] banding instead and use
+   * this as the verify kernel.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], maxDist: Int, prefixLen: Int = 80): DataFrame = {
+    require(blockCols.nonEmpty, "editDistancePairs: blocking keys required — unblocked is O(n^2) over the corpus")
+    val prefix = substring(regexp_replace(col(textCol), "[^\\x20-\\x7e]", ""), 1, prefixLen)
+    val slim = df.select(col(idCol).as("id") +: prefix.as("pfx") +: blockCols.map(col): _*)
+    val a = slim.toDF(slim.columns.map(c => if (c == "id" || c == "pfx") s"${c}_a" else c): _*)
+    val b = slim.toDF(slim.columns.map(c => if (c == "id" || c == "pfx") s"${c}_b" else c): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** SQL twin of [[editDistancePairs]]. */
+  def editDistancePairsSql(table: String, idCol: String, textCol: String,
+                           blockCols: Seq[String], maxDist: Int, prefixLen: Int = 80): String = {
+    val bj = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
+    val pfx = s"substring(regexp_replace($textCol, '[^\\x20-\\x7e]', '', 'g'), 1, $prefixLen)"
+    s"""WITH slim AS (SELECT $idCol AS id, $pfx AS pfx, ${blockCols.mkString(", ")} FROM $table)
+    SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+    FROM slim a JOIN slim b ON $bj AND a.id < b.id
+    WHERE levenshtein(a.pfx, b.pfx) <= $maxDist"""
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("inverted index: numeric posting order, hapax pruning, stop-list NULLs") {
+    val docs = Seq(
+      (2L, "alpha beta"), (10L, "alpha gamma"), (30L, "alpha beta beta"),
+      (4L, "delta")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", minDf = 2, maxDf = 2)
+      .orderBy("term").collect()
+    assert(idx.map(_.getString(0)).toSeq == Seq("alpha", "beta"), "hapax terms pruned")
+    val alpha = idx(0)
+    assert(alpha.getLong(1) == 3 && alpha.isNullAt(2),
+      "df > maxDf keeps the df row but NULLs the posting list (stop-list + skew guard)")
+    val beta = idx(1)
+    // 2 < 10 < 30 numerically — a lexicographic sort would give "10,2,30"...
+    assert(beta.getString(2) == "2,30", s"postings sorted by doc id: ${beta.getString(2)}")
+    assert(beta.getLong(1) == 2, "df counts documents, not occurrences")
+  }
+
+  test("edit-distance pairs: scores, block isolation, ASCII projection") {
+    val docs = Seq(
+      (1L, "kitten in the yard", "en"),
+      (2L, "sitting in the yard", "en"),
+      (3L, "kitten in the yard", "de"), // other block: never compared with 1
+      (4L, "something entirely different and long", "en")).toDF("doc_id", "text", "lang")
+    val pairs = TextAnalysis.editDistancePairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), maxDist = 5).orderBy("id_a", "id_b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 3L)), "kitten->sitting = 3 edits; cross-block and distant pairs excluded")
+    // non-ASCII characters are projected out before scoring
+    val uni = Seq((1L, "café au lait", "fr"), (2L, "caf au lait", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val d = TextAnalysis.editDistancePairs(uni, "doc_id", "text", Seq("lang"), maxDist = 5)
+      .select("dist").as[Long].head()
+    assert(d == 0, "é is stripped on both sides, so the projected prefixes are equal")
+  }
+
+  test("edit-distance refuses unblocked corpora") {
+    val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.editDistancePairs(docs, "doc_id", "text", Seq.empty, 5))
+    assert(e.getMessage.contains("block"))
+  }
+}
