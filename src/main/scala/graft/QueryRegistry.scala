@@ -914,6 +914,49 @@ object QueryRegistry {
     Some(TextAnalysis.editDistancePairsSql("documents", "doc_id", "text",
       blockCols = Seq("lang"), maxDist = 40) + " ORDER BY id_a, id_b"))
 
+  /** Bloom-filter pruned semi-join: a blocklist (suppliers of one
+   *  nation) becomes a 4 KB bit array built in one bounded
+   *  aggregation; the fact-side pass is MAP-ONLY (no join, no
+   *  shuffle) — the 100 TB blocklist-filtering shape. The oracle
+   *  replays build + probe bit-for-bit, so the (deterministic) false
+   *  positives match too; `is_member` makes them visible in-result. */
+  private val q_bloom = QueryDef(
+    (s, dir) => {
+      val block = t(s, dir, "supplier").filter(col("s_nationkey") === 3).select("s_suppkey")
+      val words = graft.operators.Sketch.bloomBuild(block, "s_suppkey", logM = 12, k = 4)
+      t(s, dir, "lineitem")
+        .filter(graft.operators.Sketch.bloomProbe(col("l_suppkey"), words, logM = 12, k = 4))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+        .join(broadcast(block.withColumn("is_member", lit(true))),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .select(col("l_suppkey"), col("n_rows"),
+          coalesce(col("is_member"), lit(false)).as("is_member"))
+        .orderBy("l_suppkey")
+    },
+    Some {
+      val (h1, h2) = graft.operators.Sketch.bloomHashSql("id")
+      s"""WITH bl AS (SELECT s_suppkey AS id FROM supplier WHERE s_nationkey = 3),
+      bl_h AS (SELECT $h1 AS h1, $h2 AS h2 FROM bl),
+      bits AS (SELECT (h1 + j * h2) % 4096 AS bit FROM bl_h, range(0, 4) t(j)),
+      words AS (SELECT bit // 64 AS w,
+        -- bit 63 spelled as MIN_BIGINT: DuckDB raises on 1 << 63 where
+        -- Spark's shiftleft wraps to the sign bit
+        bit_or(CASE WHEN bit % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+               ELSE CAST(1 AS BIGINT) << CAST(bit % 64 AS INT) END) AS bits
+        FROM bits GROUP BY 1),
+      keys AS (SELECT l_suppkey AS id, count(*) AS n_rows FROM lineitem GROUP BY 1),
+      k_h AS (SELECT id, n_rows, $h1 AS h1, $h2 AS h2 FROM keys),
+      tests AS (
+        SELECT k.id, k.n_rows,
+          bool_and(((COALESCE(w.bits, 0) >> CAST(((h1 + j * h2) % 4096) % 64 AS INT)) & 1) = 1) AS might
+        FROM k_h k CROSS JOIN range(0, 4) t(j)
+        LEFT JOIN words w ON w.w = ((h1 + j * h2) % 4096) // 64
+        GROUP BY k.id, k.n_rows)
+      SELECT t.id AS l_suppkey, t.n_rows, (bl.id IS NOT NULL) AS is_member
+      FROM tests t LEFT JOIN bl ON bl.id = t.id
+      WHERE t.might ORDER BY l_suppkey"""
+    })
+
   /** Portable HyperLogLog distinct-count sketch per group, next to
    *  the exact count. Registers + estimate are bit-replayed by the
    *  oracle (integer register sums, comparison-chain msb, no
@@ -1154,6 +1197,7 @@ object QueryRegistry {
     "text_fingerprint" -> text_fingerprint,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
+    "q_bloom" -> q_bloom,
     "q_setops" -> q_setops,
     "text_inverted" -> text_inverted,
     "text_editdist" -> text_editdist,

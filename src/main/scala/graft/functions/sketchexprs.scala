@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * Sketch probe kernels. The Bloom membership test is a pure function
+ * of (id, filter words): one codegen'd expression keeps the whole
+ * k-probe loop inside WholeStageCodegen — the Column-composed
+ * equivalent (k x two two-round mixer trees) grows past Janino's
+ * method limits and silently falls back to interpreted eval, the
+ * exact failure mode that doesn't survive a 100 TB map-only filter
+ * pass.
+ */
+object SketchKernels {
+  final val KnuthC = 2654435761L
+  final val BloomSalt = 0x9e3779b9L
+  private final val M32 = (1L << 32) - 1
+
+  /** JVM twin of Sampling.knuthHash (overflow-safe 16-bit split,
+   *  high-word fold) — must stay bit-identical to the Column form
+   *  and its DuckDB SQL twin. */
+  def knuth(id: Long): Long = {
+    val f = id ^ (id >>> 32)
+    val m = f & M32 // f mod 2^32 for any sign pattern of the folded word
+    val hi = ((m >>> 16) * KnuthC) & M32
+    ((hi << 16) + (m & 0xffffL) * KnuthC) & M32
+  }
+
+  /** Two-round mixer (Sketch.mixCol twin). */
+  def mix2(id: Long): Long = {
+    val h = knuth(id)
+    knuth(h ^ (h >>> 16))
+  }
+
+  /** The k probed bit positions of an id (build-side explode input). */
+  def bloomBits(id: Long, logM: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h1 = mix2(id)
+    val h2 = mix2(id ^ BloomSalt)
+    val mask = (1L << logM) - 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate(k)(j => (h1 + j * h2) & mask))
+  }
+
+  /** All-k-bits-set Bloom membership test. */
+  def bloomProbe(id: Long, words: Array[Long], logM: Int, k: Int): Boolean = {
+    val h1 = mix2(id)
+    val h2 = mix2(id ^ BloomSalt)
+    val mask = (1L << logM) - 1
+    var j = 0
+    while (j < k) {
+      val bit = (h1 + j * h2) & mask // h1,h2 < 2^32, k <= 8: no overflow; & = mod for power-of-two m
+      if (((words((bit >>> 6).toInt) >>> (bit & 63L).toInt) & 1L) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}
+
+/** bloom_bits(id) — the k probed bit positions, for the build-side
+  * explode. Same kernel arithmetic as the probe. */
+case class BloomBitsExpr(child: Expression, logM: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_bits"
+
+  override protected def nullSafeEval(id: Any): Any =
+    SketchKernels.bloomBits(id.asInstanceOf[Long], logM, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.functions.SketchKernels.bloomBits($id, $logM, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** bloom_probe(id) over a bound filter — boolean, null for null id. */
+case class BloomProbeExpr(child: Expression, words: Array[Long], logM: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_probe"
+
+  override protected def nullSafeEval(id: Any): Any =
+    SketchKernels.bloomProbe(id.asInstanceOf[Long], words, logM, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.functions.SketchKernels.bloomProbe($id, $w, $logM, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -130,6 +130,69 @@ object Sketch {
           / col("reg_sum").cast("double") * lit(100.0)).cast("long"))
   }
 
+  // ------------------------------------------------------------ Bloom
+
+  /** Bloom geometry: m = 2^logM bits as m/64 longs, k probes via
+   *  double hashing (h1 + j*h2 two independent two-round mixes —
+   *  Kirsch-Mitzenmacher). All integer arithmetic: the DuckDB twin
+   *  replays build and probe exactly. */
+  private val bloomSalt = graft.functions.SketchKernels.BloomSalt // golden-ratio offset decorrelates h2 from h1
+
+  /**
+   * Build a Bloom filter over a key column: the returned array of
+   * m/64 longs is the whole filter, built by ONE aggregation whose
+   * shuffle carries at most (k x keys, but combined map-side to)
+   * m/64 word rows. Collect it (bounded: 2^logM bits = 2^(logM-6)
+   * longs — 8 KB at the logM=16 default) and feed [[bloomProbe]].
+   *
+   * The 100 TB pattern this enables: membership-filter a corpus
+   * against a large blocklist (contaminated URLs, opted-out domains,
+   * previously-emitted doc hashes) WITHOUT a join — the filter
+   * builds in one pass over the blocklist, ships once per executor,
+   * and the corpus pass is map-only with zero shuffle. False
+   * positives at the classic (1 - e^(-kn/m))^k rate (documented by
+   * the spec's measured-rate test) — acceptable for over-blocking
+   * filters; route exactness-critical cases through the
+   * [[Dedup.contaminationCheck]] broadcast-intersect instead.
+   */
+  def bloomBuild(keys: DataFrame, idCol: String, logM: Int = 16, k: Int = 4): Array[Long] = {
+    require(logM >= 6 && logM <= 26, s"logM must be in [6, 26] (got $logM)")
+    require(k >= 1 && k <= 8, s"k must be in [1, 8] (got $k)")
+    Sampling.requireIntegralId(keys, idCol, "bloomBuild")
+    import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+    val words = new Array[Long](1 << (logM - 6))
+    keys.select(explode(toCol(graft.functions.BloomBitsExpr(
+        toExpr(col(idCol).cast("long")), logM, k))).as("bit"))
+      .select((col("bit") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Map-only membership probe against a built filter: true when all
+   *  k probed bits are set (possible false positive, never false
+   *  negative). One codegen'd kernel call per row — a Column-composed
+   *  form of the same math (k x two mixer trees) exceeds Janino's
+   *  method limits and silently drops to interpreted eval. */
+  def bloomProbe(id: Column, words: Array[Long], logM: Int = 16, k: Int = 4): Column = {
+    import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.BloomProbeExpr(toExpr(id.cast("long")), words, logM, k))
+  }
+
+  /** SQL pieces for the DuckDB twin: the two-round mixer pair
+   *  (h1, h2) over an id expression, for a `SELECT ..., $h1 AS h1,
+   *  $h2 AS h2` staging CTE; bit j is then
+   *  `(h1 + j*h2) % 2^logM` and the word table is
+   *  `bit // 64 -> bit_or(1 << bit % 64)` — see the q_bloom oracle. */
+  def bloomHashSql(idExpr: String): (String, String) = {
+    def mix2(e: String) = {
+      val h1 = s"(${Sampling.knuthHashSql(e)})"
+      Sampling.knuthHashSql(s"xor($h1, $h1 // 65536)")
+    }
+    (s"(${mix2(idExpr)})", s"(${mix2(s"xor($idExpr, $bloomSalt)")})")
+  }
+
   /** Per-group HLL distinct estimate next to the exact count (the
    *  demo/validation composition; at scale you keep the registers and
    *  skip the exact side). */

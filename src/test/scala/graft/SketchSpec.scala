@@ -50,6 +50,40 @@ class SketchSpec extends SparkSpecBase {
     assert(math.abs(est / 5000.0 - 1) < 0.30)
   }
 
+  test("bloom filter: no false negatives, FP rate near theory, plan stays codegen'd") {
+    val members = idsDF((1L to 400L).map(_ * 7919)) // spread keys
+    val words = Sketch.bloomBuild(members, "id", logM = 12, k = 4)
+    // every member must pass (no false negatives — the Bloom contract)
+    val kept = members.filter(Sketch.bloomProbe(col("id"), words, logM = 12, k = 4)).count()
+    assert(kept == 400, s"false negatives are impossible by construction, got $kept/400")
+    // non-members pass at ~(1 - e^(-kn/m))^k = (1 - e^-0.39)^4 ~ 1.1%
+    // (spark.range, not a LocalTableScan — local relations get
+    // constant-folded through the filter, hiding the codegen span)
+    val probes = spark.range(1, 20001).select(($"id" * 7919 + 3).as("id"))
+    val fp = probes.filter(Sketch.bloomProbe(col("id"), words, logM = 12, k = 4)).count()
+    assert(fp > 0 && fp < 20000 * 0.05,
+      s"FP rate wildly off theory (~1.1% at this load): $fp/20000")
+    // the probe is a single codegen'd kernel — the composed-Column form
+    // of the same math broke Janino and fell back to interpreted eval
+    val plan = probes.filter(Sketch.bloomProbe(col("id"), words, logM = 12, k = 4))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter bloom_probe""".r.findFirstIn(plan).isDefined,
+      s"probe filter must sit inside a WholeStageCodegen span (the *(n) prefix):\n$plan")
+  }
+
+  test("bloom kernel hash matches the Column-side knuth hash bit-for-bit") {
+    // the kernel reimplements Sampling.knuthHash in JVM arithmetic; the
+    // DuckDB oracle replays the Column/SQL form — they must agree or
+    // build and probe silently diverge from the oracle
+    val ids = Seq(0L, 1L, 42L, 65535L, 65536L, Int.MaxValue.toLong,
+      (1L << 32) - 1, 1L << 32, (1L << 45) + 12345L, Long.MaxValue)
+    val viaColumn = ids.toDF("id")
+      .select(graft.operators.SamplingTestAccess.knuthHash(col("id")).as("h"))
+      .as[Long].collect().toSeq
+    val viaKernel = ids.map(graft.functions.SketchKernels.knuth)
+    assert(viaColumn == viaKernel)
+  }
+
   test("non-integral id column is rejected loudly") {
     val df = Seq(("g", "abc")).toDF("grp", "id")
     val e = intercept[IllegalArgumentException](Sketch.hllRegisters(df, "grp", "id"))

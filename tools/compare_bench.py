@@ -20,12 +20,13 @@ CLASSES = {
           'q3_shipping', 'q5_local', 'q_percentile', 'q_pivot', 'gc_dist', 'gnomonic', 'cone_search', 'box_search',
           'polygon_search', 'hpix_histogram', 'hpix_index', 'partition_map', 'dedup_exact',
           'dedup_keyed', 'text_tokens', 'multimodal_meta', 'multimodal_frames', 'xmatch_knn', 'xmatch_postfilter',
-          'text_tfidf', 'sample_split', 'sample_stratified', 'text_redact'],
+          'text_tfidf', 'sample_split', 'sample_stratified', 'text_redact',
+          'sample_quota', 'q_setops', 'q_hll', 'q_bloom', 'text_inverted'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
-          'q_asof', 'q_rangejoin', 'text_repetition'],
+          'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
-          'text_fingerprint', 'decontaminate'],
+          'text_fingerprint', 'decontaminate', 'vec_kmeans'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
