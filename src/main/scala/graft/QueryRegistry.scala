@@ -1000,6 +1000,49 @@ object QueryRegistry {
         ORDER BY (${graft.operators.Sampling.knuthHashSql("doc_id")}), doc_id) AS r
       FROM documents) WHERE r <= 40 ORDER BY doc_id"""))
 
+  /** Per-source token-budget sample: keep docs in id-hash order while
+   *  each source's cumulative whitespace-token count stays <= 2000 —
+   *  the mixture op when training targets are token shares. One
+   *  window shuffle; the oracle replays the cumulative cut. */
+  private val sample_tokenbudget = QueryDef(
+    (s, dir) => graft.operators.Sampling.tokenBudgetSample(
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+        "doc_id", "source", "n_tok", budget = 2000L)
+      .select("doc_id", "source", "n_tok").orderBy("doc_id"),
+    Some(s"""SELECT doc_id, source, n_tok FROM (
+      SELECT doc_id, source, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+        sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) OVER (PARTITION BY source
+          ORDER BY (${graft.operators.Sampling.knuthHashSql("doc_id")}), doc_id) AS cum
+      FROM documents) WHERE cum <= 2000 ORDER BY doc_id"""))
+
+  /** Greedy next-fit sequence packing: docs -> <=512-token training
+   *  sequences over 8 independent bucket streams (id-hash spread,
+   *  ONE shuffle + a streaming per-partition scan). The oracle walks
+   *  the same running-total recurrence as a recursive CTE. */
+  private val pack_greedy = QueryDef(
+    (s, dir) => graft.operators.Packing.packGreedy(
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+        "doc_id", "n_tok", budget = 512L, nBuckets = 8)
+      .orderBy("doc_id"),
+    Some(graft.operators.Packing.packGreedySql(
+        "documents", "doc_id",
+        raw"len(regexp_split_to_array(trim(text), '\s+'))",
+        budget = 512L, nBuckets = 8)
+      + " ORDER BY doc_id"))
+
+  /** Overlapping token-window chunking (window 64, overlap 16) —
+   *  map-only bounded explode; chunk boundaries AND chunk text
+   *  replayed by the oracle via the same pinned whitespace split. */
+  private val text_chunk = QueryDef(
+    (s, dir) => graft.operators.Packing.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", window = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id"),
+    Some(graft.operators.Packing.chunkTokensSql(
+        "documents", "doc_id", "text", window = 64, overlap = 16)
+      + " ORDER BY doc_id, chunk_id"))
+
   /** As-of join: each event enriched with its user's most recent
    *  'purchase' event at or before it. The engine side is the
    *  union + single-window-shuffle shape; the oracle is the
@@ -1204,6 +1247,9 @@ object QueryRegistry {
     "sample_split" -> sample_split,
     "sample_stratified" -> sample_stratified,
     "sample_quota" -> sample_quota,
+    "sample_tokenbudget" -> sample_tokenbudget,
+    "pack_greedy" -> pack_greedy,
+    "text_chunk" -> text_chunk,
     "decontaminate" -> decontaminate,
     "dedup_cluster" -> dedup_cluster,
     "q_asof" -> q_asof,

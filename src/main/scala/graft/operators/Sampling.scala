@@ -144,6 +144,32 @@ object Sampling {
       .drop("__qrank")
   }
 
+  /**
+   * Per-group token-budget sample: keep documents, in deterministic
+   * id-hash order, while the group's cumulative token count stays
+   * within `budget` — the mixture op when training targets are token
+   * shares rather than document counts ("at most N tokens of web, M
+   * of code"). The kept set is a prefix of the group's hash order
+   * (cumulative sums are nondecreasing), so it is stable across runs
+   * and partitionings and monotone in the budget: raising a group's
+   * budget only ADDS documents.
+   *
+   * One window shuffle keyed by the group column; map-side work only
+   * before it. Same hot-group caveat (and the same two-phase
+   * prefilter escape hatch) as [[quotaSample]].
+   */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    requireIntegralId(df, idCol, "tokenBudgetSample")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(knuthHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** SQL twin of [[stratifiedSample]]'s predicate for DuckDB oracles
    *  (empty-map-safe; stratum keys with quotes escaped). */
   def stratifiedSampleSql(id: String, strata: String,
