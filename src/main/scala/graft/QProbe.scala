@@ -8,12 +8,14 @@ object QProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = args(0).split(",")
+    val qs = QueryRegistry.all.toMap
+    def q(n: String) = qs.getOrElse(n, sys.error(s"unknown query '$n' — names: ${qs.keys.toSeq.sorted.mkString(", ")}"))
     names.foreach { n =>
-      QueryRegistry.all.toMap.apply(n).run(spark, args(1))
+      q(n).run(spark, args(1))
         .coalesce(1).write.mode("overwrite").parquet(s"/tmp/qprobe/$n")
       println(s"PROBE_OK $n")
     }
-    val oj = names.map(n => "\"" + n + "\": " + QueryRegistry.all.toMap.apply(n).oracle.map(s => "\"" + s.flatMap {
+    val oj = names.map(n => "\"" + n + "\": " + q(n).oracle.map(s => "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\"").getOrElse("null")).mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/qprobe/oracle_sql.json"), oj)

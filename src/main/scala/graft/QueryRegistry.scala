@@ -1007,7 +1007,7 @@ object QueryRegistry {
   private val sample_tokenbudget = QueryDef(
     (s, dir) => graft.operators.Sampling.tokenBudgetSample(
         t(s, dir, "documents")
-          .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+          .withColumn("n_tok", graft.operators.TextAnalysis.wsTokenCount(col("text"))),
         "doc_id", "source", "n_tok", budget = 2000L)
       .select("doc_id", "source", "n_tok").orderBy("doc_id"),
     Some(s"""SELECT doc_id, source, n_tok FROM (
@@ -1023,7 +1023,7 @@ object QueryRegistry {
   private val pack_greedy = QueryDef(
     (s, dir) => graft.operators.Packing.packGreedy(
         t(s, dir, "documents")
-          .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+          .withColumn("n_tok", graft.operators.TextAnalysis.wsTokenCount(col("text"))),
         "doc_id", "n_tok", budget = 512L, nBuckets = 8)
       .orderBy("doc_id"),
     Some(graft.operators.Packing.packGreedySql(

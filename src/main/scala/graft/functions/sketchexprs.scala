@@ -75,17 +75,24 @@ case class BloomBitsExpr(child: Expression, logM: Int, k: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
-/** bloom_probe(id) over a bound filter — boolean, null for null id. */
-case class BloomProbeExpr(child: Expression, words: Array[Long], logM: Int, k: Int)
+/** bloom_probe(id) over a bound filter — boolean, null for null id.
+  * `words` is a Seq (not Array) so case-class equality is structural:
+  * two probes of equal-content filters canonicalize/CSE together
+  * instead of comparing array references. */
+case class BloomProbeExpr(child: Expression, words: Seq[Long], logM: Int, k: Int)
     extends UnaryExpression {
+  require(words.length == 1 << (logM - 6),
+    s"BloomProbeExpr: ${words.length} words but logM=$logM implies ${1 << (logM - 6)}")
+  private lazy val wordsArr: Array[Long] = words.toArray
+
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_probe"
 
   override protected def nullSafeEval(id: Any): Any =
-    SketchKernels.bloomProbe(id.asInstanceOf[Long], words, logM, k)
+    SketchKernels.bloomProbe(id.asInstanceOf[Long], wordsArr, logM, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val w = ctx.addReferenceObj("bloomWords", wordsArr, "long[]")
     nullSafeCodeGen(ctx, ev, id =>
       s"${ev.value} = graft.functions.SketchKernels.bloomProbe($id, $w, $logM, $k);")
   }

@@ -121,7 +121,7 @@ object Packing {
     require(overlap >= 0 && overlap < window,
       s"overlap must be in [0, window): $overlap (window $window)")
     val stride = window - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = TextAnalysis.wsTokens(col(textCol))
     val n = size(toks).cast("long")
     // chunks fully cover [0, n): 1 + ceil(max(n - window, 0) / stride)
     val nc = lit(1L) + floor((greatest(n - window, lit(0L)) + (stride - 1)) / lit(stride)).cast("long")

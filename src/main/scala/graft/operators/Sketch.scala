@@ -176,8 +176,14 @@ object Sketch {
    *  form of the same math (k x two mixer trees) exceeds Janino's
    *  method limits and silently drops to interpreted eval. */
   def bloomProbe(id: Column, words: Array[Long], logM: Int = 16, k: Int = 4): Column = {
+    // a geometry desync (logM defaults on build and probe are
+    // independent) would silently produce FALSE NEGATIVES — blocked
+    // keys passing the filter — or an index crash; fail loudly instead
+    require(words.length == 1 << (logM - 6),
+      s"bloomProbe: filter has ${words.length} words but logM=$logM implies ${1 << (logM - 6)} — " +
+        "build and probe must use the same logM")
     import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
-    toCol(graft.functions.BloomProbeExpr(toExpr(id.cast("long")), words, logM, k))
+    toCol(graft.functions.BloomProbeExpr(toExpr(id.cast("long")), words.toIndexedSeq, logM, k))
   }
 
   /** SQL pieces for the DuckDB twin: the two-round mixer pair

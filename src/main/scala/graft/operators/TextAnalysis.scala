@@ -81,8 +81,19 @@ object TextAnalysis {
   }
 
   /** Whitespace tokens + BPE-ish regex piece count (letters runs / digit runs / other). */
+  /** The pinned whitespace tokenization (engine-portable: DuckDB twin
+    * is `regexp_split_to_array(trim(x), '\s+')`). Every operator that
+    * tokenizes by whitespace — token counts, chunking, packing — must
+    * route through this one definition so the Spark side can't drift
+    * from the committed oracles. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count with the [[wsTokens]] semantics (an empty
+    * document counts one empty token, matching the SQL twin). */
+  def wsTokenCount(text: Column): Column = size(wsTokens(text)).cast("long")
+
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("ws_tokens", size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    df.withColumn("ws_tokens", wsTokenCount(col(textCol)))
       .withColumn("bpe_pieces", regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
 
   /**
@@ -224,12 +235,26 @@ object TextAnalysis {
     val td = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0 && col("doc").isNotNull)
       .groupBy("term", "doc").agg(count(lit(1)).as("__n")) // map-side combined dedup
-    td.groupBy("term")
+    // stop-grade terms are identified by a df-only pre-pass BEFORE any
+    // posting list is built: a `when(df <= maxDf, ...)` projection over
+    // a collect_set aggregate would still materialize the full
+    // multi-GB posting buffer for a billion-doc stopword in one task
+    // and only then NULL it out. The stop list is small by
+    // construction (terms above maxDf), so the anti-join broadcasts
+    // under AQE; the df pre-pass is a plain count aggregate over the
+    // same shuffle keys. Costs a second pass over the (term, doc)
+    // pairs — boundedness at scale is worth the extra scan (persist
+    // upstream of this call if the tokenize dominates).
+    val stats = td.groupBy("term").agg(count(lit(1)).as("df")).filter(col("df") >= minDf)
+    val stop = stats.filter(col("df") > maxDf)
+    val posted = td.join(stop.select("term"), Seq("term"), "left_anti")
+      .groupBy("term")
       .agg(count(lit(1)).as("df"), sort_array(collect_set(col("doc"))).as("__p"))
       .filter(col("df") >= minDf)
       .select(col("term"), col("df"),
-        when(col("df") <= maxDf,
-          array_join(transform(col("__p"), _.cast("string")), ",")).as("postings"))
+        array_join(transform(col("__p"), _.cast("string")), ",").as("postings"))
+    posted.unionByName(
+      stop.select(col("term"), col("df"), lit(null).cast("string").as("postings")))
   }
 
   /** SQL twin of [[invertedIndex]] for DuckDB oracles. */
@@ -280,8 +305,9 @@ object TextAnalysis {
     val bj = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
     val pfx = s"substring(regexp_replace($textCol, '[^\\x20-\\x7e]', '', 'g'), 1, $prefixLen)"
     s"""WITH slim AS (SELECT $idCol AS id, $pfx AS pfx, ${blockCols.mkString(", ")} FROM $table)
-    SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
-    FROM slim a JOIN slim b ON $bj AND a.id < b.id
-    WHERE levenshtein(a.pfx, b.pfx) <= $maxDist"""
+    SELECT id_a, id_b, dist FROM (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      FROM slim a JOIN slim b ON $bj AND a.id < b.id)
+    WHERE dist <= $maxDist"""
   }
 }

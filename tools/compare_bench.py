@@ -21,9 +21,10 @@ CLASSES = {
           'polygon_search', 'hpix_histogram', 'hpix_index', 'partition_map', 'dedup_exact',
           'dedup_keyed', 'text_tokens', 'multimodal_meta', 'multimodal_frames', 'xmatch_knn', 'xmatch_postfilter',
           'text_tfidf', 'sample_split', 'sample_stratified', 'text_redact',
-          'sample_quota', 'q_setops', 'q_hll', 'q_bloom', 'text_inverted'],
+          'sample_quota', 'q_setops', 'q_hll', 'q_bloom', 'text_inverted',
+          'text_chunk', 'sample_tokenbudget'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
-          'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist'],
+          'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans'],
