@@ -957,6 +957,39 @@ object QueryRegistry {
       WHERE t.might ORDER BY l_suppkey"""
     })
 
+  /** Count-min frequency sketch: d x 2^logW mergeable counter table
+   *  over the lineitem supplier stream, probed for one nation's
+   *  suppliers next to the exact counts. Every cell and estimate is
+   *  integer-replayed by the oracle; `cm_est >= n_exact` always. */
+  private val q_cms = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cells = graft.operators.Sketch.cmsCells(li, "l_suppkey", d = 4, logW = 10)
+      val probe = t(s, dir, "supplier").select("s_suppkey")
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_exact"))
+      graft.operators.Sketch.cmsEstimate(cells, probe, "s_suppkey", d = 4, logW = 10)
+        .join(exact, col("s_suppkey") === col("l_suppkey"), "left")
+        .select(col("s_suppkey"), col("cm_est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy("s_suppkey")
+    },
+    Some {
+      val (h1, h2) = graft.operators.Sketch.bloomHashSql("id")
+      s"""WITH lk AS (SELECT l_suppkey AS id FROM lineitem),
+      lh AS (SELECT $h1 AS h1, $h2 AS h2 FROM lk),
+      cells AS (SELECT j AS row, (h1 + j * h2) % 1024 AS cell, count(*) AS cnt
+                FROM lh, range(0, 4) t(j) GROUP BY 1, 2),
+      probe AS (SELECT s_suppkey AS id FROM supplier),
+      ph AS (SELECT id, $h1 AS h1, $h2 AS h2 FROM probe),
+      est AS (SELECT p.id, min(COALESCE(c.cnt, 0)) AS cm_est
+              FROM ph p CROSS JOIN range(0, 4) t(j)
+              LEFT JOIN cells c ON c.row = j AND c.cell = (p.h1 + j * p.h2) % 1024
+              GROUP BY p.id),
+      exact AS (SELECT l_suppkey AS id, count(*) AS n_exact FROM lineitem GROUP BY 1)
+      SELECT e.id AS s_suppkey, e.cm_est, COALESCE(x.n_exact, CAST(0 AS BIGINT)) AS n_exact
+      FROM est e LEFT JOIN exact x ON x.id = e.id ORDER BY s_suppkey"""
+    })
+
   /** Portable HyperLogLog distinct-count sketch per group, next to
    *  the exact count. Registers + estimate are bit-replayed by the
    *  oracle (integer register sums, comparison-chain msb, no
@@ -1241,6 +1274,7 @@ object QueryRegistry {
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
     "q_bloom" -> q_bloom,
+    "q_cms" -> q_cms,
     "q_setops" -> q_setops,
     "text_inverted" -> text_inverted,
     "text_editdist" -> text_editdist,

@@ -68,6 +68,29 @@ object ScaleProbe {
     time("stratifiedSample")(graft.operators.Sampling.stratifiedSample(
       big, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1).count())
 
+    // sequence assembly + mixture ops over the inflated corpus
+    val withTok = big.withColumn("n_tok", graft.operators.TextAnalysis.wsTokenCount(col("text")))
+    time("quotaSample (cap 2000/source)")(
+      graft.operators.Sampling.quotaSample(big, "doc_id", "source", 2000).count())
+    time("tokenBudgetSample (1M tok/source)")(
+      graft.operators.Sampling.tokenBudgetSample(withTok, "doc_id", "source", "n_tok", 1000000L).count())
+    time("packGreedy (budget 2048, 256 buckets)")(
+      graft.operators.Packing.packGreedy(withTok, "doc_id", "n_tok", budget = 2048L, nBuckets = 256)
+        .groupBy("bucket", "seq").agg(sum("n_tok").as("t")).agg(sum("t")).count())
+    time("chunkTokens (window 64, overlap 16)")(
+      graft.operators.Packing.chunkTokens(big, "doc_id", "text", 64, 16)
+        .agg(sum(length(col("chunk"))), sum("n_tok")).count()) // consume the chunk text
+    time("invertedIndex (minDf 3)")(
+      graft.operators.TextAnalysis.invertedIndex(big, "doc_id", "text",
+          minDf = 3, maxDf = total / 10)
+        .agg(sum(length(col("postings"))), sum("df")).count())
+    time("hllDistinct by lang")(
+      graft.operators.Sketch.hllDistinct(big, "lang", "doc_id").count())
+    time("bloomBuild(5k keys) + map-only corpus probe") {
+      val words = graft.operators.Sketch.bloomBuild(base.select("doc_id"), "doc_id", logM = 16, k = 4)
+      big.filter(graft.operators.Sketch.bloomProbe(col("doc_id"), words, logM = 16, k = 4)).count()
+    }
+
     // duplicate clustering over a synthetic pair set with long chains:
     // 100k two-node pairs plus 200 chains of length 50 (diameter
     // stress — each iteration is one join + one min-aggregate; the
@@ -119,6 +142,9 @@ object ScaleProbe {
     time(s"quantizedTopK 16 queries over ${replicas}x corpus")(
       graft.operators.Quantize.quantizedTopK(bigEmb, qs,
         "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
+    time(s"kmeansCodebook 64 cells x 2 iters over ${replicas}x corpus")(
+      graft.operators.Ann.kmeansCodebook(bigEmb, "vec_id", "embedding",
+        nCells = 64, iters = 2).count())
     spark.stop()
   }
 }

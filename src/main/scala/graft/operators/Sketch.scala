@@ -199,6 +199,65 @@ object Sketch {
     (s"(${mix2(idExpr)})", s"(${mix2(s"xor($idExpr, $bloomSalt)")})")
   }
 
+  // -------------------------------------------------------- Count-min
+
+  /**
+   * Count-min sketch: a d x 2^logW counter table estimating key
+   * frequencies from bounded state — the heavy-hitter / frequency
+   * primitive when the key domain is too large to count exactly and
+   * the stream too large to re-scan. Same deterministic double
+   * hashing as the Bloom filter (h1 + j*h2, Kirsch-Mitzenmacher) and
+   * plain integer sums, so the DuckDB oracle replays every cell and
+   * estimate exactly.
+   *
+   * The cell table IS the sketch: d x 2^logW rows independent of
+   * input size, built by ONE map-side-combined aggregation (rows
+   * shrink to cells before the shuffle). Shards merge by cell-wise
+   * SUM ([[cmsMerge]]) — the incremental shape: keep yesterday's
+   * cells, aggregate today's, sum. Estimates ([[cmsEstimate]]) are
+   * min over the d addressed cells: never below the true count,
+   * above it with probability <= e^-d by more than (e/2^logW) x N.
+   */
+  def cmsCells(df: DataFrame, idCol: String, d: Int = 4, logW: Int = 10): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be in [1, 8] (got $d)")
+    require(logW >= 4 && logW <= 22, s"logW must be in [4, 22] (got $logW)")
+    Sampling.requireIntegralId(df, idCol, "cmsCells")
+    val w = 1L << logW
+    df.select(mixCol(col(idCol)).as("__h1"),
+        mixCol(col(idCol).bitwiseXOR(lit(bloomSalt))).as("__h2"))
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"),
+          pmod(col("__h1") + lit(j.toLong) * col("__h2"), lit(w)).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Merge cell tables from disjoint shards: cell-wise sum. */
+  def cmsMerge(cells: DataFrame*): DataFrame =
+    cells.reduce(_ unionByName _).groupBy("row", "cell")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Frequency estimates for a (bounded) probe-key set: min over the
+   *  d addressed cells, 0 for keys hashing only to empty cells. The
+   *  cell table is bounded (d x 2^logW rows) so the join broadcasts;
+   *  the probe side never shuffles. */
+  def cmsEstimate(cells: DataFrame, keys: DataFrame, idCol: String,
+                  d: Int = 4, logW: Int = 10): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be in [1, 8] (got $d)")
+    Sampling.requireIntegralId(keys, idCol, "cmsEstimate")
+    val w = 1L << logW
+    keys.select(col(idCol),
+        mixCol(col(idCol)).as("__h1"),
+        mixCol(col(idCol).bitwiseXOR(lit(bloomSalt))).as("__h2"))
+      .select(col(idCol), explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"),
+          pmod(col("__h1") + lit(j.toLong) * col("__h2"), lit(w)).as("cell"))): _*)).as("rc"))
+      .join(broadcast(cells),
+        col("rc.row") === cells("row") && col("rc.cell") === cells("cell"), "left")
+      .groupBy(idCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
   /** Per-group HLL distinct estimate next to the exact count (the
    *  demo/validation composition; at scale you keep the registers and
    *  skip the exact side). */

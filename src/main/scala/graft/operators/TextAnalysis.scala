@@ -290,12 +290,24 @@ object TextAnalysis {
     require(blockCols.nonEmpty, "editDistancePairs: blocking keys required — unblocked is O(n^2) over the corpus")
     val prefix = substring(regexp_replace(col(textCol), "[^\\x20-\\x7e]", ""), 1, prefixLen)
     val slim = df.select(col(idCol).as("id") +: prefix.as("pfx") +: blockCols.map(col): _*)
+      // the quadratic DP parallelizes by PROBE-side partition, and a
+      // compact input (one parquet file) is one partition — the whole
+      // block join would run in a single task regardless of cluster
+      // size. The slim projection (id + bounded prefix + keys) is
+      // cheap to spread; the DP it fans out is not.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val a = slim.toDF(slim.columns.map(c => if (c == "id" || c == "pfx") s"${c}_a" else c): _*)
     val b = slim.toDF(slim.columns.map(c => if (c == "id" || c == "pfx") s"${c}_b" else c): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // |len(a) - len(b)| lower-bounds the edit distance: a codegen'd
+      // subtraction prunes pairs before any DP runs
+      .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
+      // thresholded levenshtein: banded O(len x maxDist) DP with early
+      // exit (-1 when the distance exceeds the bound) instead of the
+      // full O(len^2) table per pair
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -307,7 +319,8 @@ object TextAnalysis {
     s"""WITH slim AS (SELECT $idCol AS id, $pfx AS pfx, ${blockCols.mkString(", ")} FROM $table)
     SELECT id_a, id_b, dist FROM (
       SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
-      FROM slim a JOIN slim b ON $bj AND a.id < b.id)
+      FROM slim a JOIN slim b ON $bj AND a.id < b.id
+        AND abs(length(a.pfx) - length(b.pfx)) <= $maxDist)
     WHERE dist <= $maxDist"""
   }
 }

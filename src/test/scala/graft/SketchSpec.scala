@@ -84,6 +84,30 @@ class SketchSpec extends SparkSpecBase {
     assert(viaColumn == viaKernel)
   }
 
+  test("cms: estimates never undercount, sharded cells merge to the single pass, state is bounded") {
+    // skewed stream: key k appears k times (1..120), plus a heavy 5000-count key
+    val stream = ((1 to 120).flatMap(k => Seq.fill(k)(k.toLong)) ++ Seq.fill(5000)(777L))
+      .toDF("id")
+    val cells = Sketch.cmsCells(stream, "id", d = 4, logW = 8).cache()
+    assert(cells.count() <= 4L * 256L, "cell table must be bounded at d x 2^logW")
+    val probe = ((1L to 120L) :+ 777L :+ 999999L).toDF("id") // 999999 never seen
+    val est = Sketch.cmsEstimate(cells, probe, "id", d = 4, logW = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ((1 to 120).map(k => k.toLong -> k.toLong) :+ (777L -> 5000L) :+ (999999L -> 0L)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted key $k: ${est(k)} < $n — impossible by construction")
+    }
+    // heavy key is estimated tightly (collision error is bounded by the light tail)
+    assert(est(777L) <= 5000L + stream.count() / 16, s"heavy-key estimate far off: ${est(777L)}")
+    // shard merge == single pass (the incremental-counting contract)
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsCells(stream.filter(col("id") % 2 === 0), "id", d = 4, logW = 8),
+      Sketch.cmsCells(stream.filter(col("id") % 2 =!= 0), "id", d = 4, logW = 8))
+    assert(merged.orderBy("row", "cell").collect().toSeq ==
+      cells.orderBy("row", "cell").collect().toSeq)
+    cells.unpersist()
+  }
+
   test("non-integral id column is rejected loudly") {
     val df = Seq(("g", "abc")).toDF("grp", "id")
     val e = intercept[IllegalArgumentException](Sketch.hllRegisters(df, "grp", "id"))
