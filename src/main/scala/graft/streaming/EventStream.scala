@@ -75,6 +75,24 @@ object EventStream {
   }
 
   /**
+   * Streaming face of the HLL sketch: per-event-type distinct-user
+   * registers as streaming aggregation state. No watermark is needed
+   * because the state is BOUNDED BY CONSTRUCTION at groups x 2^p
+   * rows — the defining property of a sketch, and what makes it the
+   * right continuous distinct-count: an exact streaming
+   * `count(DISTINCT user)` would hold every user id ever seen.
+   * The same [[graft.operators.Sketch.hllRegisters]] column program
+   * runs on the stream unchanged (a declarative plan is
+   * batch/stream-portable); complete-mode output IS the mergeable
+   * register table, so a consumer can [[graft.operators.Sketch.hllMerge]]
+   * it with historical shards and [[graft.operators.Sketch.hllEstimate]]
+   * the union.
+   */
+  def hllUserRegisters(events: DataFrame, p: Int = 6): DataFrame =
+    graft.operators.Sketch.hllRegisters(
+      events.select(col("event_type"), col("user_id")), "event_type", "user_id", p)
+
+  /**
    * Run the windowed aggregation over whatever is in `dir` right now
    * (AvailableNow trigger) into an in-memory table; returns the
    * result. Used by tests to assert batch parity.

@@ -23,6 +23,40 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming HLL registers equal the batch sketch (bounded sketch state, no watermark)") {
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_hll_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val q = EventStream.hllUserRegisters(EventStream.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("hll_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("hll_test").orderBy("grp", "bucket").collect().toSeq
+    val batch = graft.operators.Sketch.hllRegisters(
+        spark.read.parquet(s"$dir/events.parquet").select("event_type", "user_id"),
+        "event_type", "user_id")
+      .orderBy("grp", "bucket").collect().toSeq
+    assert(streamed == batch,
+      "streaming registers must be bit-identical to the batch sketch")
+    // and the estimate path consumes the streamed state directly,
+    // bit-identical to the batch pipeline (sf0.001 cardinalities sit
+    // far below the raw estimator's ~2.5m accuracy regime — the
+    // envelope itself is SketchSpec's concern at real cardinalities;
+    // parity of the full streamed pipeline is this test's)
+    val streamedEst = graft.operators.Sketch.hllEstimate(spark.table("hll_test"))
+      .orderBy("grp").collect().toSeq
+    val batchEst = graft.operators.Sketch.hllEstimate(
+        graft.operators.Sketch.hllRegisters(
+          spark.read.parquet(s"$dir/events.parquet").select("event_type", "user_id"),
+          "event_type", "user_id"))
+      .orderBy("grp").collect().toSeq
+    assert(streamedEst == batchEst)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming dedup drops duplicate event ids (watermark-bounded state)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
