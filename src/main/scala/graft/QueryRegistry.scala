@@ -990,6 +990,31 @@ object QueryRegistry {
       FROM est e LEFT JOIN exact x ON x.id = e.id ORDER BY s_suppkey"""
     })
 
+  /** Histogram quantile sketch: per-event-type p50/p90/p99 from a
+   *  bounded 256-bin table (width 2.0 — an exact binary double, so
+   *  bins match across engines). The cumulative cut is pure integer
+   *  arithmetic (100*cum >= n*p); the oracle replays bins, cut and
+   *  edges exactly. The bin table is the mergeable sketch state. */
+  private val q_qsketch = QueryDef(
+    (s, dir) => {
+      val bins = graft.operators.Sketch.histBins(
+        events(s, dir), "event_type", "value", lo = 0.0, hi = 512.0, nBins = 256)
+      graft.operators.Sketch.histQuantiles(bins, Seq(50, 90, 99), 0.0, 512.0, 256)
+        .orderBy("grp", "p")
+    },
+    Some("""WITH bins AS (
+        SELECT event_type AS grp,
+          CAST(least(greatest(floor(value / 2.0), 0), 255) AS BIGINT) AS bin, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      cum AS (SELECT grp, bin, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum FROM bins),
+      tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+      px AS (SELECT unnest([50, 90, 99]) AS p),
+      hit AS (SELECT c.grp, px.p, min(c.bin) AS qbin
+              FROM cum c JOIN tot t USING (grp) CROSS JOIN px
+              WHERE c.cum * 100 >= t.n * px.p GROUP BY 1, 2)
+      SELECT grp, p, qbin, (qbin + 1) * 2.0 AS q_edge FROM hit ORDER BY grp, p"""))
+
   /** Portable HyperLogLog distinct-count sketch per group, next to
    *  the exact count. Registers + estimate are bit-replayed by the
    *  oracle (integer register sums, comparison-chain msb, no
@@ -1275,6 +1300,7 @@ object QueryRegistry {
     "q_hll" -> q_hll,
     "q_bloom" -> q_bloom,
     "q_cms" -> q_cms,
+    "q_qsketch" -> q_qsketch,
     "q_setops" -> q_setops,
     "text_inverted" -> text_inverted,
     "text_editdist" -> text_editdist,

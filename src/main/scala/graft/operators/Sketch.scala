@@ -258,6 +258,64 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 
+  // ------------------------------------------------------- Histogram
+
+  /**
+   * Fixed-bin histogram sketch: per-(group, bin) counts over a value
+   * range — the mergeable quantile/distribution state (approximate
+   * percentiles from bounded rows where `percentile_approx`'s
+   * internal digest can't be persisted, merged across jobs, or
+   * replayed by another engine). Out-of-range values clamp into the
+   * edge bins, so totals are conserved. Pick `lo`/`hi`/`nBins` so
+   * the bin width is an exact binary double (e.g. 1000/256) and
+   * every engine computes identical bins.
+   *
+   * ONE map-side-combined aggregation; rows bounded at
+   * groups x nBins. Shards merge by bin-wise sum ([[histMerge]]).
+   */
+  def histBins(df: DataFrame, groupCol: String, valueCol: String,
+               lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"nBins must be in [2, 65536] (got $nBins)")
+    require(hi > lo, s"need hi > lo (got [$lo, $hi))")
+    val width = (hi - lo) / nBins
+    df.select(col(groupCol).as("grp"),
+        least(greatest(floor((col(valueCol) - lo) / width), lit(0L)), lit(nBins - 1L))
+          .cast("long").as("bin"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Merge histogram shards: bin-wise sum. */
+  def histMerge(bins: DataFrame*): DataFrame =
+    bins.reduce(_ unionByName _).groupBy("grp", "bin")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /**
+   * Percentile estimates from a histogram sketch: for each percent p
+   * the first bin whose cumulative count reaches ceil(n*p/100) —
+   * spelled `100*cum >= n*p` so the comparison is pure integer
+   * arithmetic (no ceil, no float thresholds). Returns
+   * (grp, p, qbin, q_edge): the bin index and its upper value edge
+   * (true percentile <= q_edge, within one bin width above its bin's
+   * lower edge). One window pass over the (bounded) bin table.
+   */
+  def histQuantiles(bins: DataFrame, percents: Seq[Int],
+                    lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100]: $percents")
+    val width = (hi - lo) / nBins
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("bin")
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = bins.groupBy("grp").agg(sum(col("cnt")).cast("long").as("n"))
+    cum.join(broadcast(tot), "grp")
+      .select(col("grp"), col("bin"), col("cum"), col("n"),
+        explode(array(percents.map(lit): _*)).as("p"))
+      .filter(col("cum") * 100 >= col("n") * col("p"))
+      .groupBy("grp", "p")
+      .agg(min(col("bin")).as("qbin"))
+      .withColumn("q_edge", lit(lo) + (col("qbin") + 1) * lit(width))
+  }
+
   /** Per-group HLL distinct estimate next to the exact count (the
    *  demo/validation composition; at scale you keep the registers and
    *  skip the exact side). */

@@ -108,6 +108,36 @@ class SketchSpec extends SparkSpecBase {
     cells.unpersist()
   }
 
+  test("histogram sketch: quantile edges bracket the exact percentile, shards merge, state bounded") {
+    // two skewed groups over [0, 64) with 32 bins (width 2.0)
+    val vals = ((1 to 1000).map(i => ("a", (i % 50) + 0.5)) ++
+      (1 to 400).map(i => ("b", math.min(63.9, i / 10.0)))).toDF("g", "v")
+    val bins = Sketch.histBins(vals, "g", "v", 0.0, 64.0, 32).cache()
+    assert(bins.count() <= 2L * 32L)
+    val qs = Sketch.histQuantiles(bins, Seq(50, 90, 99), 0.0, 64.0, 32)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // exact percentiles (nearest-rank): estimate's bin must CONTAIN it
+    val rows = vals.collect().map(r => (r.getString(0), r.getDouble(1)))
+    for (g <- Seq("a", "b"); p <- Seq(50, 90, 99)) {
+      val sorted = rows.filter(_._1 == g).map(_._2).sorted
+      val exact = sorted((math.ceil(sorted.length * p / 100.0) - 1).toInt.max(0))
+      val (qbin, edge) = qs((g, p))
+      assert(exact <= edge && exact >= edge - 2.0,
+        s"$g p$p: exact $exact outside estimated bin (qbin=$qbin edge=$edge)")
+    }
+    // shard merge == single pass
+    val merged = Sketch.histMerge(
+      Sketch.histBins(vals.filter($"v" < 20), "g", "v", 0.0, 64.0, 32),
+      Sketch.histBins(vals.filter($"v" >= 20), "g", "v", 0.0, 64.0, 32))
+    assert(merged.orderBy("grp", "bin").collect().toSeq ==
+      bins.orderBy("grp", "bin").collect().toSeq)
+    // out-of-range values clamp (totals conserved)
+    val clamped = Sketch.histBins(Seq(("c", -5.0), ("c", 1e9)).toDF("g", "v"), "g", "v", 0.0, 64.0, 32)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(clamped == Map(0L -> 1L, 31L -> 1L))
+    bins.unpersist()
+  }
+
   test("non-integral id column is rejected loudly") {
     val df = Seq(("g", "abc")).toDF("grp", "id")
     val e = intercept[IllegalArgumentException](Sketch.hllRegisters(df, "grp", "id"))

@@ -22,7 +22,7 @@ CLASSES = {
           'dedup_keyed', 'text_tokens', 'multimodal_meta', 'multimodal_frames', 'xmatch_knn', 'xmatch_postfilter',
           'text_tfidf', 'sample_split', 'sample_stratified', 'text_redact',
           'sample_quota', 'q_setops', 'q_hll', 'q_bloom', 'text_inverted',
-          'text_chunk', 'sample_tokenbudget', 'q_cms'],
+          'text_chunk', 'sample_tokenbudget', 'q_cms', 'q_qsketch'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
