@@ -51,6 +51,42 @@ class PackingSpec extends SparkSpecBase {
     }
   }
 
+  test("packGreedy: randomized trials hold the packing invariants (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(150)
+      val budget = 16L + rnd.nextInt(64)
+      val buckets = 1 + rnd.nextInt(5)
+      // token counts skewed: mostly small, some oversize (> budget)
+      val rows = (1 to n).map { i =>
+        val tok = if (rnd.nextInt(10) == 0) budget + 1 + rnd.nextInt(20)
+                  else 1L + rnd.nextInt(budget.toInt)
+        (i.toLong * 7919, tok)
+      }
+      val df = rows.toDF("doc_id", "n_tok")
+      val out = Packing.packGreedy(df, "doc_id", "n_tok", budget, buckets)
+      val collected = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(collected.length == n && collected.map(_._1).distinct.length == n,
+        s"trial $trial: docs lost or duplicated")
+      // multi-doc sequences fit the budget; seq ids contiguous from 1
+      collected.groupBy(r => (r._2, r._3)).foreach { case ((b, s), docs) =>
+        assert(docs.length == 1 || docs.map(_._5).sum <= budget,
+          s"trial $trial: over-budget multi-doc seq ($b, $s)")
+        assert(docs.map(_._4).sorted.toSeq == (1L to docs.length).toSeq,
+          s"trial $trial: seq_pos not contiguous in ($b, $s)")
+      }
+      collected.groupBy(_._2).foreach { case (b, docs) =>
+        val seqs = docs.map(_._3).distinct.sorted.toSeq
+        assert(seqs == (1L to seqs.length).toSeq, s"trial $trial: seq ids not contiguous in bucket $b")
+      }
+      // partitioning invariance
+      val again = Packing.packGreedy(df.repartition(3 + trial), "doc_id", "n_tok", budget, buckets)
+      assert(out.except(again).count() == 0L && again.except(out).count() == 0L,
+        s"trial $trial: result depends on input partitioning")
+    }
+  }
+
   test("chunkTokens: full coverage, overlap contract, short and empty docs") {
     val out = Packing.chunkTokens(docs, "doc_id", "text", window = 4, overlap = 1)
     // short doc (2 tokens) -> one chunk, text preserved
