@@ -958,8 +958,8 @@ object QueryRegistry {
     })
 
   /** Count-min frequency sketch: d x 2^logW mergeable counter table
-   *  over the lineitem supplier stream, probed for one nation's
-   *  suppliers next to the exact counts. Every cell and estimate is
+   *  over the lineitem supplier stream, probed for every supplier key
+   *  next to the exact counts. Every cell and estimate is
    *  integer-replayed by the oracle; `cm_est >= n_exact` always. */
   private val q_cms = QueryDef(
     (s, dir) => {
@@ -996,16 +996,14 @@ object QueryRegistry {
    *  arithmetic (100*cum >= n*p); the oracle replays bins, cut and
    *  edges exactly. The bin table is the mergeable sketch state. */
   private val q_qsketch = QueryDef(
-    (s, dir) => {
-      val bins = graft.operators.Sketch.histBins(
+    (s, dir) => graft.operators.Sketch.histSketch(
         events(s, dir), "event_type", "value", lo = 0.0, hi = 512.0, nBins = 256)
-      graft.operators.Sketch.histQuantiles(bins, Seq(50, 90, 99), 0.0, 512.0, 256)
-        .orderBy("grp", "p")
-    },
+      .quantiles(Seq(50, 90, 99))
+      .orderBy("grp", "p"),
     Some("""WITH bins AS (
         SELECT event_type AS grp,
           CAST(least(greatest(floor(value / 2.0), 0), 255) AS BIGINT) AS bin, count(*) AS cnt
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
       cum AS (SELECT grp, bin, cnt,
           CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum FROM bins),
       tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),

@@ -218,16 +218,28 @@ object Sketch {
    * min over the d addressed cells: never below the true count,
    * above it with probability <= e^-d by more than (e/2^logW) x N.
    */
-  def cmsCells(df: DataFrame, idCol: String, d: Int = 4, logW: Int = 10): DataFrame = {
+  /** The d (row, cell) addresses of an id — the ONE definition of the
+   *  Kirsch-Mitzenmacher double-hash geometry shared by build
+   *  ([[cmsCells]]) and probe ([[cmsEstimate]]): a drift between the
+   *  two would produce silent undercounts, the one failure mode a
+   *  count-min sketch promises away. */
+  private def cmsAddresses(id: Column, d: Int, logW: Int): Column = {
+    val w = 1L << logW
+    val h1 = mixCol(id)
+    val h2 = mixCol(id.bitwiseXOR(lit(bloomSalt)))
+    explode(array((0 until d).map(j =>
+      struct(lit(j).as("row"), pmod(h1 + lit(j.toLong) * h2, lit(w)).as("cell"))): _*))
+  }
+
+  private def requireCmsGeom(d: Int, logW: Int): Unit = {
     require(d >= 1 && d <= 8, s"d must be in [1, 8] (got $d)")
     require(logW >= 4 && logW <= 22, s"logW must be in [4, 22] (got $logW)")
+  }
+
+  def cmsCells(df: DataFrame, idCol: String, d: Int = 4, logW: Int = 10): DataFrame = {
+    requireCmsGeom(d, logW)
     Sampling.requireIntegralId(df, idCol, "cmsCells")
-    val w = 1L << logW
-    df.select(mixCol(col(idCol)).as("__h1"),
-        mixCol(col(idCol).bitwiseXOR(lit(bloomSalt))).as("__h2"))
-      .select(explode(array((0 until d).map(j =>
-        struct(lit(j).as("row"),
-          pmod(col("__h1") + lit(j.toLong) * col("__h2"), lit(w)).as("cell"))): _*)).as("rc"))
+    df.select(cmsAddresses(col(idCol), d, logW).as("rc"))
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
@@ -243,15 +255,9 @@ object Sketch {
    *  the probe side never shuffles. */
   def cmsEstimate(cells: DataFrame, keys: DataFrame, idCol: String,
                   d: Int = 4, logW: Int = 10): DataFrame = {
-    require(d >= 1 && d <= 8, s"d must be in [1, 8] (got $d)")
+    requireCmsGeom(d, logW)
     Sampling.requireIntegralId(keys, idCol, "cmsEstimate")
-    val w = 1L << logW
-    keys.select(col(idCol),
-        mixCol(col(idCol)).as("__h1"),
-        mixCol(col(idCol).bitwiseXOR(lit(bloomSalt))).as("__h2"))
-      .select(col(idCol), explode(array((0 until d).map(j =>
-        struct(lit(j).as("row"),
-          pmod(col("__h1") + lit(j.toLong) * col("__h2"), lit(w)).as("cell"))): _*)).as("rc"))
+    keys.select(col(idCol), cmsAddresses(col(idCol), d, logW).as("rc"))
       .join(broadcast(cells),
         col("rc.row") === cells("row") && col("rc.cell") === cells("cell"), "left")
       .groupBy(idCol)
@@ -278,12 +284,42 @@ object Sketch {
     require(nBins >= 2 && nBins <= 65536, s"nBins must be in [2, 65536] (got $nBins)")
     require(hi > lo, s"need hi > lo (got [$lo, $hi))")
     val width = (hi - lo) / nBins
-    df.select(col(groupCol).as("grp"),
-        least(greatest(floor((col(valueCol) - lo) / width), lit(0L)), lit(nBins - 1L))
+    val v = col(valueCol).cast("double")
+    // NULL/NaN are not values: without the filter, Spark's null-skipping
+    // greatest/least would count a NULL into bin 0 (silently dragging
+    // quantiles toward lo), and NaN bins differently across engines
+    // (Spark NaN.toLong = 0; SQL greatest/least propagate NaN -> top
+    // bin) — excluded on both sides so the sketch only ever counts
+    // finite values
+    df.filter(v.isNotNull && !isnan(v))
+      .select(col(groupCol).as("grp"),
+        least(greatest(floor((v - lo) / width), lit(0L)), lit(nBins - 1L))
           .cast("long").as("bin"))
       .groupBy("grp", "bin")
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
+
+  /**
+   * Geometry-carrying wrapper over the raw histogram state: prevents
+   * the silent-wrong-edges mismatch of calling [[histQuantiles]] with
+   * a different (lo, hi, nBins) than the bins were built with. Use
+   * the raw table functions when persisting sketch state across jobs
+   * (then the geometry must be stored alongside it, like the HLL p).
+   */
+  final case class HistSketch(bins: DataFrame, lo: Double, hi: Double, nBins: Int) {
+    def merge(other: HistSketch): HistSketch = {
+      require(lo == other.lo && hi == other.hi && nBins == other.nBins,
+        s"histogram geometry mismatch: [$lo,$hi)/$nBins vs [${other.lo},${other.hi})/${other.nBins}")
+      HistSketch(histMerge(bins, other.bins), lo, hi, nBins)
+    }
+    def quantiles(percents: Seq[Int]): DataFrame =
+      histQuantiles(bins, percents, lo, hi, nBins)
+  }
+
+  /** [[histBins]] packaged with its geometry. */
+  def histSketch(df: DataFrame, groupCol: String, valueCol: String,
+                 lo: Double, hi: Double, nBins: Int): HistSketch =
+    HistSketch(histBins(df, groupCol, valueCol, lo, hi, nBins), lo, hi, nBins)
 
   /** Merge histogram shards: bin-wise sum. */
   def histMerge(bins: DataFrame*): DataFrame =

@@ -131,10 +131,19 @@ class SketchSpec extends SparkSpecBase {
       Sketch.histBins(vals.filter($"v" >= 20), "g", "v", 0.0, 64.0, 32))
     assert(merged.orderBy("grp", "bin").collect().toSeq ==
       bins.orderBy("grp", "bin").collect().toSeq)
-    // out-of-range values clamp (totals conserved)
-    val clamped = Sketch.histBins(Seq(("c", -5.0), ("c", 1e9)).toDF("g", "v"), "g", "v", 0.0, 64.0, 32)
+    // out-of-range values clamp (totals conserved); NULL and NaN are
+    // excluded — they are not values and must not drag quantiles
+    val clamped = Sketch.histBins(
+        Seq(("c", Some(-5.0)), ("c", Some(1e9)), ("c", None), ("c", Some(Double.NaN)))
+          .toDF("g", "v"), "g", "v", 0.0, 64.0, 32)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(clamped == Map(0L -> 1L, 31L -> 1L))
+    // geometry-carrying wrapper refuses mismatched merges
+    val sk = Sketch.histSketch(vals, "g", "v", 0.0, 64.0, 32)
+    val e = intercept[IllegalArgumentException](
+      sk.merge(Sketch.histSketch(vals, "g", "v", 0.0, 128.0, 32)))
+    assert(e.getMessage.contains("geometry mismatch"))
+    assert(sk.merge(sk).quantiles(Seq(50)).count() == 2L) // self-merge is idempotent (sums double but cuts at the same bins)
     bins.unpersist()
   }
 

@@ -17,6 +17,10 @@ spark = load_bench(sys.argv[1])['queries']
 missing = sorted(set(spark) ^ set(duck))
 if missing:
     print(f"WARNING: asymmetric coverage: {missing}", file=sys.stderr)
+failed = sorted(q for q, v in spark.items() if v < 0)
+if failed:
+    sys.exit(f"FAILED queries in bench json (sentinel -1.0) — not committing "
+             f"a corrupted table: {failed}")
 
 print('| query | class | spark s | duckdb s | spark/duckdb |')
 print('|---|---|---|---|---|')
