@@ -1056,6 +1056,22 @@ object QueryRegistry {
         ORDER BY (${graft.operators.Sampling.knuthHashSql("doc_id")}), doc_id) AS r
       FROM documents) WHERE r <= 40 ORDER BY doc_id"""))
 
+  /** Quality-weighted deterministic sample: keep each doc with
+   *  probability = its quality score (operator composition:
+   *  withQuality feeds weightedSample) — map-only, monotone in the
+   *  score. The oracle replays scoring + threshold. */
+  private val sample_weighted = QueryDef(
+    (s, dir) => {
+      val scored = TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+        .withColumn("score", col("quality_score_e4") / 10000.0)
+      graft.operators.Sampling.weightedSample(scored, "doc_id", "score")
+        .select("doc_id", "quality_score_e4").orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, quality_score_e4 FROM (
+        SELECT doc_id, ${TextAnalysis.qualitySql("text")} FROM documents)
+      WHERE ${graft.operators.Sampling.weightedSampleSql("doc_id", "quality_score_e4 / 10000.0")}
+      ORDER BY doc_id"""))
+
   /** Per-source token-budget sample: keep docs in id-hash order while
    *  each source's cumulative whitespace-token count stays <= 2000 —
    *  the mixture op when training targets are token shares. One
@@ -1305,6 +1321,7 @@ object QueryRegistry {
     "sample_split" -> sample_split,
     "sample_stratified" -> sample_stratified,
     "sample_quota" -> sample_quota,
+    "sample_weighted" -> sample_weighted,
     "sample_tokenbudget" -> sample_tokenbudget,
     "pack_greedy" -> pack_greedy,
     "text_chunk" -> text_chunk,

@@ -170,6 +170,27 @@ object Sampling {
       .drop("__cum")
   }
 
+  /**
+   * Weighted (importance) deterministic sample: keep each row with
+   * probability equal to a per-row score column in [0, 1] — quality-
+   * weighted corpus selection ("keep high-quality docs, downsample
+   * the tail proportionally"). MAP-ONLY like every sampler here: the
+   * decision is `hash(id) % 10000 < round(score * 10000)`, so it is
+   * reproducible, partitioning-invariant, and monotone in the score
+   * (raising a doc's score can only flip it from dropped to kept —
+   * quality-threshold curricula never churn). Scores outside [0, 1]
+   * clamp; NULL scores drop the row (a NULL comparison is false).
+   */
+  def weightedSample(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    requireIntegralId(df, idCol, "weightedSample")
+    val thr = round(least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0)) * 10000)
+    df.filter(knuthHash(col(idCol)) % 10000 < thr)
+  }
+
+  /** SQL twin of [[weightedSample]]'s predicate for DuckDB oracles. */
+  def weightedSampleSql(id: String, score: String): String =
+    s"(${knuthHashSql(id)}) % 10000 < round(least(greatest(CAST(($score) AS DOUBLE), 0.0), 1.0) * 10000)"
+
   /** SQL twin of [[stratifiedSample]]'s predicate for DuckDB oracles
    *  (empty-map-safe; stratum keys with quotes escaped). */
   def stratifiedSampleSql(id: String, strata: String,

@@ -93,6 +93,17 @@ object EventStream {
       events.select(col("event_type"), col("user_id")), "event_type", "user_id", p)
 
   /**
+   * Streaming count-min cells over the user-id stream — same
+   * bounded-by-construction aggregation-state story as
+   * [[hllUserRegisters]] (d x 2^logW rows, no watermark), so the
+   * whole sketch family (distinct / membership / frequency /
+   * quantiles) has a continuous face: complete-mode output merges
+   * with historical shards by [[graft.operators.Sketch.cmsMerge]].
+   */
+  def cmsUserCells(events: DataFrame, d: Int = 4, logW: Int = 10): DataFrame =
+    graft.operators.Sketch.cmsCells(events.select(col("user_id")), "user_id", d, logW)
+
+  /**
    * Run the windowed aggregation over whatever is in `dir` right now
    * (AvailableNow trigger) into an in-memory table; returns the
    * result. Used by tests to assert batch parity.

@@ -60,6 +60,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(math.abs(s30.size / n - 0.3) < 0.08, s"fraction off: ${s30.size / n}")
   }
 
+  test("weightedSample: keep rate tracks the score, monotone in score, clamp and NULL handling") {
+    import spark.implicits._
+    val n = 4000
+    // half the rows at score 0.2, half at 0.8, plus clamp/NULL edges
+    val rows = (1 to n).map(i => (i.toLong, if (i % 2 == 0) 0.2 else 0.8)) ++
+      Seq((100001L, 1.5), (100002L, -0.5), (100003L, Double.NaN))
+    val df = rows.toDF("doc_id", "score")
+    val kept = Sampling.weightedSample(df, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    val lowRate = (1 to n).count(i => i % 2 == 0 && kept(i.toLong)) / (n / 2.0)
+    val highRate = (1 to n).count(i => i % 2 == 1 && kept(i.toLong)) / (n / 2.0)
+    assert(math.abs(lowRate - 0.2) < 0.05, s"score-0.2 keep rate: $lowRate")
+    assert(math.abs(highRate - 0.8) < 0.05, s"score-0.8 keep rate: $highRate")
+    assert(kept(100001L), "score > 1 clamps to always-keep")
+    assert(!kept(100002L), "score < 0 clamps to never-keep")
+    // monotone: raising every score to 0.8 only ADDS rows
+    val raised = Sampling.weightedSample(
+        df.withColumn("score", lit(0.8)), "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert((kept - 100001L).subsetOf(raised + 100003L),
+      "raising scores must never drop a previously kept row")
+    // NULL score drops the row
+    val withNull = Sampling.weightedSample(
+      Seq((1L, Some(0.9)), (2L, None)).toDF("doc_id", "score"), "doc_id", "score")
+    assert(!withNull.select("doc_id").as[Long].collect().contains(2L))
+  }
+
   test("stratifiedSample: per-stratum fractions, monotone within a stratum, map-only plan") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     def ids(fr: Map[String, Double]) =

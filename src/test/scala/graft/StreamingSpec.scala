@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming CMS cells equal the batch sketch") {
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val q = EventStream.cmsUserCells(EventStream.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("cms_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_test").orderBy("row", "cell").collect().toSeq
+    val batch = graft.operators.Sketch.cmsCells(
+        spark.read.parquet(s"$dir/events.parquet").select("user_id"), "user_id")
+      .orderBy("row", "cell").collect().toSeq
+    assert(streamed == batch, "streaming cells must be bit-identical to the batch sketch")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming dedup drops duplicate event ids (watermark-bounded state)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
