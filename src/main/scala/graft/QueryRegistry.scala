@@ -273,6 +273,32 @@ object QueryRegistry {
       FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority"""))
 
+  /** CUBE subtotals over region x order-year with `grouping_id` kept
+   *  as an explicit output column — all 2^2 grouping sets in one
+   *  pass (the partial-aggregate expansion shuffles once), vs four
+   *  separate scans a user would otherwise union. */
+  private val q_cube = QueryDef(
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("oyear", year(col("o_orderdate")))
+      .cube(col("r_name"), col("oyear"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("oyear"), lit(-1)).as("oyear"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("region", "oyear"),
+    Some("""SELECT coalesce(r_name, '(all)') AS region, coalesce(oyear, -1) AS oyear,
+        CAST(grouping(r_name) * 2 + grouping(oyear) AS BIGINT) AS gid,
+        count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      FROM (SELECT r_name, CAST(year(o_orderdate) AS INT) AS oyear, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey)
+      GROUP BY CUBE(r_name, oyear) ORDER BY region, oyear"""))
+
   // ---------------------------------------------------------------- spatial
 
   private val gcd = sphere.gcDistSql("cra", "cdec", "180.0", "0.0")
@@ -1277,6 +1303,7 @@ object QueryRegistry {
     "q_sessionize" -> q_sessionize,
     "q_json" -> q_json,
     "q_rollup" -> q_rollup,
+    "q_cube" -> q_cube,
     "q_having" -> q_having,
     "q_phasefold" -> q_phasefold,
     "q_correlated" -> q_correlated,

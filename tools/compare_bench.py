@@ -16,7 +16,7 @@ import json, os, re, sys
 
 CLASSES = {
     'A': ['q1_agg', 'q_join_agg', 'q_topk', 'q_window', 'q_antijoin', 'events_window',
-          'q_sessionize', 'q_json', 'q_rollup', 'q_having', 'q_phasefold', 'q_correlated',
+          'q_sessionize', 'q_json', 'q_rollup', 'q_cube', 'q_having', 'q_phasefold', 'q_correlated',
           'q3_shipping', 'q5_local', 'q_percentile', 'q_pivot', 'gc_dist', 'gnomonic', 'cone_search', 'box_search',
           'polygon_search', 'hpix_histogram', 'hpix_index', 'partition_map', 'dedup_exact',
           'dedup_keyed', 'text_tokens', 'multimodal_meta', 'multimodal_frames', 'xmatch_knn', 'xmatch_postfilter',
