@@ -88,13 +88,15 @@ object ScaleProbe {
       graft.operators.Sketch.hllDistinct(big, "lang", "doc_id").count())
     time("cmsCells + 5k-key estimate")(
       graft.operators.Sketch.cmsEstimate(
-        graft.operators.Sketch.cmsCells(big, "doc_id"),
-        base.select("doc_id"), "doc_id").count())
+          graft.operators.Sketch.cmsCells(big, "doc_id"),
+          base.select("doc_id"), "doc_id")
+        .agg(sum("cm_est")).count()) // consume the estimate — keep the min-agg in the timed plan
     time("histSketch p50/p90/p99 by lang")(
       graft.operators.Sketch.histSketch(
           big.withColumn("len", length(col("text")).cast("double")),
           "lang", "len", 0.0, 8192.0, 1024)
-        .quantiles(Seq(50, 90, 99)).count())
+        .quantiles(Seq(50, 90, 99))
+        .agg(sum("qbin"), sum("q_edge")).count())
     time("bloomBuild(5k keys) + map-only corpus probe") {
       val words = graft.operators.Sketch.bloomBuild(base.select("doc_id"), "doc_id", logM = 16, k = 4)
       big.filter(graft.operators.Sketch.bloomProbe(col("doc_id"), words, logM = 16, k = 4)).count()

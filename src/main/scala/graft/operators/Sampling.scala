@@ -179,17 +179,22 @@ object Sampling {
    * reproducible, partitioning-invariant, and monotone in the score
    * (raising a doc's score can only flip it from dropped to kept —
    * quality-threshold curricula never churn). Scores outside [0, 1]
-   * clamp; NULL scores drop the row (a NULL comparison is false).
+   * clamp; NULL and NaN scores DROP the row (explicit filters — a
+   * broken scorer must not flood the sample: null-skipping
+   * greatest/least would clamp NULL to 0 but NaN to 1, the opposite
+   * failure mode a quality sampler wants).
    */
   def weightedSample(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     requireIntegralId(df, idCol, "weightedSample")
-    val thr = round(least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0)) * 10000)
-    df.filter(knuthHash(col(idCol)) % 10000 < thr)
+    val s = col(scoreCol).cast("double")
+    val thr = round(least(greatest(s, lit(0.0)), lit(1.0)) * 10000)
+    df.filter(s.isNotNull && !isnan(s) && knuthHash(col(idCol)) % 10000 < thr)
   }
 
   /** SQL twin of [[weightedSample]]'s predicate for DuckDB oracles. */
   def weightedSampleSql(id: String, score: String): String =
-    s"(${knuthHashSql(id)}) % 10000 < round(least(greatest(CAST(($score) AS DOUBLE), 0.0), 1.0) * 10000)"
+    s"(($score) IS NOT NULL AND NOT isnan(CAST(($score) AS DOUBLE)) AND " +
+      s"(${knuthHashSql(id)}) % 10000 < round(least(greatest(CAST(($score) AS DOUBLE), 0.0), 1.0) * 10000))"
 
   /** SQL twin of [[stratifiedSample]]'s predicate for DuckDB oracles
    *  (empty-map-safe; stratum keys with quotes escaped). */

@@ -75,11 +75,12 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(math.abs(highRate - 0.8) < 0.05, s"score-0.8 keep rate: $highRate")
     assert(kept(100001L), "score > 1 clamps to always-keep")
     assert(!kept(100002L), "score < 0 clamps to never-keep")
+    assert(!kept(100003L), "NaN score must DROP the row — a broken scorer must not flood the sample")
     // monotone: raising every score to 0.8 only ADDS rows
     val raised = Sampling.weightedSample(
         df.withColumn("score", lit(0.8)), "doc_id", "score")
       .select("doc_id").as[Long].collect().toSet
-    assert((kept - 100001L).subsetOf(raised + 100003L),
+    assert((kept - 100001L).subsetOf(raised),
       "raising scores must never drop a previously kept row")
     // NULL score drops the row
     val withNull = Sampling.weightedSample(
