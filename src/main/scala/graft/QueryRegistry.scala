@@ -983,6 +983,38 @@ object QueryRegistry {
       WHERE t.might ORDER BY l_suppkey"""
     })
 
+  /** Incremental exact dedup: a simulated re-crawl (every third doc,
+   *  new ids, same text) plus genuinely fresh docs deduped against
+   *  the full corpus as history. Bloom prefilter at its real use
+   *  site: map-only for bloom-negative rows, anti-join only for the
+   *  positive sliver. The oracle is the plain fingerprint anti-join —
+   *  identical results by the no-false-negative contract. */
+  private val dedup_incremental = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val recrawl = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh"), col("doc_id")).as("text"))
+      graft.operators.Dedup.incrementalDedup(
+          recrawl.unionByName(fresh), docs, "text", logM = 14)
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some {
+      val fp = graft.operators.TextAnalysis.fingerprintSql("text")
+      s"""WITH newbatch AS (
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' fresh' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 3 = 1),
+      hist_fp AS (SELECT $fp AS fp FROM documents),
+      batch_fp AS (SELECT doc_id, $fp AS fp FROM newbatch)
+      SELECT doc_id FROM batch_fp b
+      WHERE NOT EXISTS (SELECT 1 FROM hist_fp h WHERE h.fp = b.fp)
+      ORDER BY doc_id"""
+    })
+
   /** Count-min frequency sketch: d x 2^logW mergeable counter table
    *  over the lineitem supplier stream, probed for every supplier key
    *  next to the exact counts. Every cell and estimate is
@@ -1354,6 +1386,7 @@ object QueryRegistry {
     "text_chunk" -> text_chunk,
     "decontaminate" -> decontaminate,
     "dedup_cluster" -> dedup_cluster,
+    "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_rangejoin" -> q_rangejoin,
     "text_redact" -> text_redact,

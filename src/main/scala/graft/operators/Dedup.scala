@@ -353,6 +353,38 @@ object Dedup {
     }
   }
 
+  /**
+   * Incremental exact dedup: drop new-batch documents whose content
+   * already exists in a (much larger) historical corpus — the
+   * recurring-ingest dedup every growing training corpus runs, where
+   * re-deduplicating history from scratch is off the table. The
+   * dedup key is the portable content fingerprint
+   * ([[TextAnalysis.fingerprint]] over normalized text), so the
+   * decision is engine-replayable.
+   *
+   * The 100 TB shape is a Bloom prefilter at its real use site: one
+   * bounded aggregation over history builds the filter
+   * ([[Sketch.bloomBuild]]); the batch pass is then MAP-ONLY for
+   * every bloom-negative row (provably novel — no false negatives),
+   * and only the positive sliver (true duplicates + the documented
+   * FP rate) rides an anti-join against history's slim fingerprint
+   * column. History itself is never joined full-width and never
+   * shuffled with text aboard.
+   */
+  def incrementalDedup(newBatch: DataFrame, history: DataFrame,
+                       textCol: String,
+                       logM: Int = 16, k: Int = 4): DataFrame = {
+    import graft.operators.{Sketch, TextAnalysis}
+    val hist = history.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val words = Sketch.bloomBuild(hist, "__fp", logM, k)
+    val batch = newBatch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val hit = Sketch.bloomProbe(col("__fp"), words, logM, k)
+    val novel = batch.filter(!hit) // map-only: no false negatives => provably not in history
+    val survivors = batch.filter(hit) // bounded sliver: dups + FPs
+      .join(hist, Seq("__fp"), "left_anti")
+    novel.unionByName(survivors).drop("__fp")
+  }
+
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, minCos: Double,

@@ -234,6 +234,28 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incrementalDedup: drops re-ingested content, keeps novel docs, survives normalization variants") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox"), (2L, "pack my box with jugs"), (3L, "sphinx of black quartz"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox"),        // exact re-ingest -> dropped
+      (11L, "The  quick BROWN fox!"),      // normalization variant of history -> dropped
+      (12L, "a genuinely new document"),   // novel -> kept
+      (13L, "pack my box with jugs"),      // re-ingest -> dropped
+      (14L, "another new one"))            // novel -> kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, history, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 14L))
+    // idempotence: deduping the survivors against history again changes nothing
+    val again = Dedup.incrementalDedup(
+        batch.filter(col("doc_id").isin(12L, 14L)), history, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == Set(12L, 14L))
+  }
+
   test("keepFirst keeps exactly one row per key, the earliest") {
     val df = Seq((1L, "a", 3L), (1L, "a", 1L), (1L, "b", 2L), (2L, "a", 9L))
       .toDF("uid", "etype", "ord")

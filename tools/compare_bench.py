@@ -27,7 +27,7 @@ CLASSES = {
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
-          'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted'],
+          'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
