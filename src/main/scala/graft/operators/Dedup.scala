@@ -370,6 +370,10 @@ object Dedup {
    * FP rate) rides an anti-join against history's slim fingerprint
    * column. History itself is never joined full-width and never
    * shuffled with text aboard.
+   *
+   * NULL-text rows are dropped (their fingerprint is NULL, which
+   * fails both filter branches) — filter them out or assign content
+   * upstream if they must survive.
    */
   def incrementalDedup(newBatch: DataFrame, history: DataFrame,
                        textCol: String,
