@@ -377,16 +377,28 @@ object Dedup {
    */
   def incrementalDedup(newBatch: DataFrame, history: DataFrame,
                        textCol: String,
-                       logM: Int = 16, k: Int = 4): DataFrame = {
+                       logM: Int = 16, k: Int = 4): DataFrame =
+    incrementalDedupWithCache(newBatch, history, textCol, logM, k)._1
+
+  /** As [[incrementalDedup]], additionally returning an unpersist
+   *  handle for the history fingerprint cache — the Bloom build
+   *  materializes the fingerprints immediately, so without the
+   *  persist the verify anti-join would RE-FINGERPRINT the entire
+   *  history text (the expensive pass the slim long column exists to
+   *  avoid). Call the handle once the result is materialized. */
+  def incrementalDedupWithCache(newBatch: DataFrame, history: DataFrame,
+                                textCol: String,
+                                logM: Int = 16, k: Int = 4): (DataFrame, () => Unit) = {
     import graft.operators.{Sketch, TextAnalysis}
     val hist = history.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-    val words = Sketch.bloomBuild(hist, "__fp", logM, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = Sketch.bloomBuild(hist, "__fp", logM, k) // materializes (and caches) hist
     val batch = newBatch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
     val hit = Sketch.bloomProbe(col("__fp"), words, logM, k)
     val novel = batch.filter(!hit) // map-only: no false negatives => provably not in history
     val survivors = batch.filter(hit) // bounded sliver: dups + FPs
       .join(hist, Seq("__fp"), "left_anti")
-    novel.unionByName(survivors).drop("__fp")
+    (novel.unionByName(survivors).drop("__fp"), () => { hist.unpersist(); () })
   }
 
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
