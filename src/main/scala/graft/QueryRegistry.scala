@@ -1011,7 +1011,8 @@ object QueryRegistry {
       hist_fp AS (SELECT $fp AS fp FROM documents),
       batch_fp AS (SELECT doc_id, $fp AS fp FROM newbatch)
       SELECT doc_id FROM batch_fp b
-      WHERE NOT EXISTS (SELECT 1 FROM hist_fp h WHERE h.fp = b.fp)
+      WHERE b.fp IS NOT NULL -- pin the operator's documented NULL-text drop: NOT EXISTS alone would KEEP a NULL-fp row
+        AND NOT EXISTS (SELECT 1 FROM hist_fp h WHERE h.fp = b.fp)
       ORDER BY doc_id"""
     })
 

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -76,23 +77,38 @@ case class BloomBitsExpr(child: Expression, logM: Int, k: Int) extends UnaryExpr
 }
 
 /** bloom_probe(id) over a bound filter — boolean, null for null id.
-  * `words` is a Seq (not Array) so case-class equality is structural:
-  * two probes of equal-content filters canonicalize/CSE together
-  * instead of comparing array references. */
-case class BloomProbeExpr(child: Expression, words: Seq[Long], logM: Int, k: Int)
+  * The filter words ride a `Broadcast[Array[Long]]`, NOT the
+  * expression tree: the expression (serialized per task binding,
+  * walked by canonicalization) carries only the broadcast handle —
+  * a few hundred bytes regardless of logM — while the word array
+  * ships once per executor via the block manager. At logM=30 that
+  * is the difference between 128 MB per task and 128 MB per
+  * executor. Two probes of the SAME broadcast still canonicalize
+  * together (reference equality on the handle); equal-content but
+  * separately-broadcast filters intentionally don't — comparing
+  * 2^24-word arrays structurally is the cost this design removes. */
+case class BloomProbeExpr(child: Expression, wordsBc: Broadcast[Array[Long]], logM: Int, k: Int)
     extends UnaryExpression {
-  require(words.length == 1 << (logM - 6),
-    s"BloomProbeExpr: ${words.length} words but logM=$logM implies ${1 << (logM - 6)}")
-  private lazy val wordsArr: Array[Long] = words.toArray
+  require(logM >= 6 && logM <= 30, s"BloomProbeExpr: logM must be in [6, 30] (got $logM)")
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_probe"
+
+  @transient private lazy val wordsArr: Array[Long] = {
+    val w = wordsBc.value
+    require(w.length == 1 << (logM - 6),
+      s"BloomProbeExpr: ${w.length} words but logM=$logM implies ${1 << (logM - 6)}")
+    w
+  }
 
   override protected def nullSafeEval(id: Any): Any =
     SketchKernels.bloomProbe(id.asInstanceOf[Long], wordsArr, logM, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val w = ctx.addReferenceObj("bloomWords", wordsArr, "long[]")
+    val bc = ctx.addReferenceObj("bloomBc", wordsBc, classOf[Broadcast[Array[Long]]].getName)
+    // fetch the broadcast value once per task (mutable state), not per row
+    val w = ctx.addMutableState("long[]", "bloomWords",
+      v => s"$v = (long[]) $bc.value();", forceInline = true)
     nullSafeCodeGen(ctx, ev, id =>
       s"${ev.value} = graft.functions.SketchKernels.bloomProbe($id, $w, $logM, $k);")
   }

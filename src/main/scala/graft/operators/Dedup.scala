@@ -385,20 +385,33 @@ object Dedup {
    *  materializes the fingerprints immediately, so without the
    *  persist the verify anti-join would RE-FINGERPRINT the entire
    *  history text (the expensive pass the slim long column exists to
-   *  avoid). Call the handle once the result is materialized. */
+   *  avoid). Call the handle for deterministic release; a discarded
+   *  handle (the plain [[incrementalDedup]] path) does NOT leak: the
+   *  cache is an RDD-level persist, and Spark's ContextCleaner
+   *  unpersists an RDD once the driver drops its last reference (the
+   *  result plan holds one) — unlike `df.persist`, whose blocks the
+   *  CacheManager pins until an explicit unpersist. Recurring-ingest
+   *  callers therefore shed each call's cache with its result. */
   def incrementalDedupWithCache(newBatch: DataFrame, history: DataFrame,
                                 textCol: String,
                                 logM: Int = 16, k: Int = 4): (DataFrame, () => Unit) = {
     import graft.operators.{Sketch, TextAnalysis}
-    val hist = history.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val spark = newBatch.sparkSession
+    import spark.implicits._
+    val histFpRdd = history
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      // NULL fp (NULL text) can match nothing on either branch; dropping it keeps the cache slim and the RDD encodable as Long
+      .filter(col("__fp").isNotNull)
+      .as[Long].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val words = Sketch.bloomBuild(hist, "__fp", logM, k) // materializes (and caches) hist
+    val hist = histFpRdd.toDF("__fp")
+    val words = Sketch.bloomBuild(hist, "__fp", logM, k) // materializes (and caches) the fingerprints
     val batch = newBatch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
     val hit = Sketch.bloomProbe(col("__fp"), words, logM, k)
     val novel = batch.filter(!hit) // map-only: no false negatives => provably not in history
     val survivors = batch.filter(hit) // bounded sliver: dups + FPs
       .join(hist, Seq("__fp"), "left_anti")
-    (novel.unionByName(survivors).drop("__fp"), () => { hist.unpersist(); () })
+    (novel.unionByName(survivors).drop("__fp"), () => { histFpRdd.unpersist(blocking = false); () })
   }
 
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */

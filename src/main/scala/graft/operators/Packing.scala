@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /**
@@ -48,10 +48,16 @@ object Packing {
     Sampling.requireIntegralId(df, idCol, "packGreedy")
     val spark = df.sparkSession
     import spark.implicits._
+    // fail loudly (operator-named) on NULL id/token — the tuple
+    // encoder below would otherwise throw a bare NullPointerException
+    // from deep inside the task with no hint which operator or column
+    def failNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"packGreedy: NULL $what — filter NULLs or assign values upstream"))).otherwise(c)
     val keyed = df.select(
-        col(idCol).cast("long").as("__id"),
+        failNull(col(idCol).cast("long"), s"id ('$idCol')").as("__id"),
         Sampling.knuthHash(col(idCol)).as("__h"),
-        col(tokenCol).cast("long").as("__tok"))
+        failNull(col(tokenCol).cast("long"), s"token count ('$tokenCol')").as("__tok"))
       .withColumn("__bucket", col("__h") % nBuckets)
       .repartition(col("__bucket"))
       .sortWithinPartitions(col("__bucket"), col("__h"), col("__id"))

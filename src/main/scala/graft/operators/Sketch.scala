@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -156,7 +156,10 @@ object Sketch {
    * [[Dedup.contaminationCheck]] broadcast-intersect instead.
    */
   def bloomBuild(keys: DataFrame, idCol: String, logM: Int = 16, k: Int = 4): Array[Long] = {
-    require(logM >= 6 && logM <= 26, s"logM must be in [6, 26] (got $logM)")
+    // logM=30 means a 128 MB dense word array on the driver — the
+    // probe side no longer cares (words ride a broadcast, not the
+    // expression tree), so the cap is driver memory, not task size
+    require(logM >= 6 && logM <= 30, s"logM must be in [6, 30] (got $logM)")
     require(k >= 1 && k <= 8, s"k must be in [1, 8] (got $k)")
     Sampling.requireIntegralId(keys, idCol, "bloomBuild")
     import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
@@ -176,14 +179,28 @@ object Sketch {
    *  form of the same math (k x two mixer trees) exceeds Janino's
    *  method limits and silently drops to interpreted eval. */
   def bloomProbe(id: Column, words: Array[Long], logM: Int = 16, k: Int = 4): Column = {
+    // mirror bloomBuild's geometry validation BEFORE the word-count
+    // check: logM < 6 would wrap the shift (1 << -2 = 2^30) and turn
+    // the error message into nonsense
+    require(logM >= 6 && logM <= 30, s"bloomProbe: logM must be in [6, 30] (got $logM)")
+    require(k >= 1 && k <= 8, s"bloomProbe: k must be in [1, 8] (got $k)")
     // a geometry desync (logM defaults on build and probe are
     // independent) would silently produce FALSE NEGATIVES — blocked
     // keys passing the filter — or an index crash; fail loudly instead
     require(words.length == 1 << (logM - 6),
       s"bloomProbe: filter has ${words.length} words but logM=$logM implies ${1 << (logM - 6)} — " +
         "build and probe must use the same logM")
+    bloomProbeBc(id, SparkSession.active.sparkContext.broadcast(words), logM, k)
+  }
+
+  /** [[bloomProbe]] over an already-broadcast filter — use when the
+   *  same filter probes several queries so it ships once. The word
+   *  array never enters the expression tree (see BloomProbeExpr). */
+  def bloomProbeBc(id: Column, wordsBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                   logM: Int = 16, k: Int = 4): Column = {
+    require(logM >= 6 && logM <= 30, s"bloomProbeBc: logM must be in [6, 30] (got $logM)")
     import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
-    toCol(graft.functions.BloomProbeExpr(toExpr(id.cast("long")), words.toIndexedSeq, logM, k))
+    toCol(graft.functions.BloomProbeExpr(toExpr(id.cast("long")), wordsBc, logM, k))
   }
 
   /** SQL pieces for the DuckDB twin: the two-round mixer pair

@@ -141,4 +141,15 @@ class PackingSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(fewer.subsetOf(keptIds))
   }
+
+  test("packGreedy fails loudly (operator-named) on NULL token counts, not with a bare NPE") {
+    val src = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L)))
+      .toDF("doc_id", "n_tok")
+    val e = intercept[Exception](
+      Packing.packGreedy(src, "doc_id", "n_tok", budget = 10L, nBuckets = 2).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("packGreedy") && m.contains("NULL")),
+      s"expected an operator-named NULL error, got: $e")
+  }
 }

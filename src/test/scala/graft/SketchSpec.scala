@@ -152,4 +152,40 @@ class SketchSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](Sketch.hllRegisters(df, "grp", "id"))
     assert(e.getMessage.contains("integral"))
   }
+
+  test("bloom probe at logM=26: words ride the broadcast, not the task binary; contract holds") {
+    // 2^26 bits = 8 MB of filter words. The probe EXPRESSION must stay
+    // tiny regardless — the words ship once per executor via the
+    // broadcast manager, never per task inside the expression tree.
+    val members = idsDF((1L to 2000L).map(_ * 104729))
+    val words = Sketch.bloomBuild(members, "id", logM = 26, k = 4)
+    assert(words.length == 1 << 20)
+    val probeCol = Sketch.bloomProbe(col("id"), words, logM = 26, k = 4)
+    val exprBytes = {
+      import org.apache.spark.sql.GraftBridge.{expression => toExpr}
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(toExpr(probeCol)); oos.close()
+      bos.size()
+    }
+    assert(exprBytes < 100 * 1024,
+      s"probe expression serialized to $exprBytes bytes — the 8 MB word array is riding " +
+        "the expression tree instead of the broadcast")
+    // contract still holds at this geometry: zero false negatives,
+    // and the huge filter makes false positives ~impossible at n=2000
+    val kept = members.filter(probeCol).count()
+    assert(kept == 2000, s"false negatives at logM=26: $kept/2000")
+    val fp = spark.range(1, 50001).select(($"id" * 104729 + 17).as("id"))
+      .filter(Sketch.bloomProbe(col("id"), words, logM = 26, k = 4)).count()
+    assert(fp < 50, s"FP count at logM=26 with n=2000 should be ~0, got $fp/50000")
+  }
+
+  test("bloom probe validates geometry before the word-count check (logM<6 must not wrap)") {
+    // geometry must be rejected up front — a wrapped `1 << (4-6)` shift
+    // would "expect" 2^30 words and give a nonsense error (or pass a
+    // crafted array of that length)
+    val e = intercept[IllegalArgumentException](
+      Sketch.bloomProbe(col("id"), new Array[Long](8), logM = 4, k = 4))
+    assert(e.getMessage.contains("[6, 30]"))
+  }
 }
