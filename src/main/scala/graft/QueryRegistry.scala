@@ -1324,6 +1324,37 @@ object QueryRegistry {
         FROM documents)
       ORDER BY id, frame_idx"""))
 
+  /** REAL PNG encode→decode round trip, distributed end to end:
+   *  synthesize a deterministic RGB pattern per doc, encode to PNG
+   *  bytes, decode through the javax.imageio codec, and emit each
+   *  decoded raster's dims + position-weighted pixel checksum. DuckDB
+   *  cannot decode PNG — it replays the PATTERN (linear channel
+   *  formulas in (id, x, y)) and the checksum arithmetic directly,
+   *  so a hash match proves the decoded pixels are exactly the
+   *  encoded ones: real codec work, independently verified. */
+  private val multimodal_decode = QueryDef(
+    (s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id")
+      Multimodal.decodeMedia(s, Multimodal.synthesizePngs(s, ids, "doc_id").toDF())
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pix_hash"))
+        .orderBy("id")
+    },
+    Some("""WITH imgs AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 200),
+      pix AS (
+        SELECT i.id, i.w, i.h, x.x, y.y,
+               (i.id * 31 + x.x * 7 + y.y * 13) % 256 AS r,
+               (i.id * 17 + x.x * 11 + y.y * 5) % 256 AS g,
+               (i.id * 7 + x.x * 3 + y.y * 29) % 256 AS b
+        FROM imgs i
+        JOIN generate_series(0, 11) AS x(x) ON x.x < i.w
+        JOIN generate_series(0, 13) AS y(y) ON y.y < i.h)
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(SUM((r + 256*g + 65536*b) * (1 + x + y*w)) AS BIGINT) AS pix_hash
+      FROM pix GROUP BY id, w, h ORDER BY id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -1396,5 +1427,6 @@ object QueryRegistry {
     "dedup_semantic" -> dedup_semantic,
     "multimodal_meta" -> multimodal_meta,
     "multimodal_frames" -> multimodal_frames,
+    "multimodal_decode" -> multimodal_decode,
   )
 }

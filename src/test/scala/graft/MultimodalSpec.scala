@@ -50,4 +50,51 @@ class MultimodalSpec extends SparkSpecBase {
       .select(col("byte_len"), col("text")).collect()
     joined.foreach(r => assert(r.getLong(0) == r.getString(1).getBytes("UTF-8").length))
   }
+
+  test("PNG encode->decode round trip is pixel-identical (real javax.imageio codec)") {
+    // driver-side identity: every synthesized pixel survives the codec exactly
+    for (id <- Seq(0L, 7L, 123L)) {
+      val (w, h) = Multimodal.synthDims(id)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, Multimodal.synthPixel(id, x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val d = Multimodal.ImageIoCodec.decode(bos.toByteArray)
+      assert(d.width == w && d.height == h)
+      val expected = for (y <- 0 until h; x <- 0 until w) yield Multimodal.synthPixel(id, x, y)
+      assert(d.pixels.toSeq == expected, s"decoded raster differs for id=$id")
+    }
+  }
+
+  test("distributed decode: imageio dims/hash/features from real pixels; registry dispatches stub for non-image") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val media = Multimodal.synthesizePngs(spark, ids, "doc_id")
+    val decoded = Multimodal.decodeMedia(spark, media.toDF()).collect()
+    assert(decoded.length == 40)
+    decoded.foreach { d =>
+      val (w, h) = Multimodal.synthDims(d.id)
+      assert(d.width == w && d.height == h)
+      // hash must equal the formula-computed value (what the DuckDB oracle replays)
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.synthPixel(d.id, x, y)
+        expect += (((p >> 16) & 0xff) + 256L * ((p >> 8) & 0xff) + 65536L * (p & 0xff)) *
+          (1L + x + y.toLong * w)
+      }
+      assert(d.pix_hash == expect, s"pix_hash mismatch for id=${d.id}")
+      assert(d.features.length == 8 && d.features.forall(f => !f.isNaN))
+    }
+    // non-image modalities flow through the stub codec seam unchanged
+    val stub = Multimodal.decodeMedia(spark,
+      Seq((1L, "audio", Array[Byte](1, 2, 3), 3L)).toDF("id", "modality", "payload", "byte_len"))
+      .collect().head
+    assert(stub.width == 16 + 3 && stub.height == 16)
+  }
+
+  test("imageio codec fails loudly on undecodable bytes") {
+    val e = intercept[IllegalArgumentException](
+      Multimodal.ImageIoCodec.decode("definitely not a PNG".getBytes("UTF-8")))
+    assert(e.getMessage.contains("not a decodable image"))
+  }
 }
