@@ -1324,6 +1324,28 @@ object QueryRegistry {
         FROM documents)
       ORDER BY id, frame_idx"""))
 
+  /** BPE tokenizer, trained distributedly (6 merges over the
+   *  doc_id<300 slice: one corpus pass, then vocabulary-bounded pair
+   *  aggregations) and applied map-only to EVERY document with the
+   *  merge table broadcast. The oracle replays both phases: training
+   *  unrolled one CTE block per merge (pair counts -> argmax with
+   *  the same tie-break -> fixpoint-replace application), then the
+   *  encode fold — so a hash match pins the learned merges AND the
+   *  per-doc token counts. Text is pre-cleaned to [a-z ] (pinned on
+   *  both sides) so the oracle's `|` symbol delimiter cannot collide. */
+  private val text_bpe = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), regexp_replace(lower(col("text")), "[^a-z]+", " ").as("clean"))
+      val merges = graft.operators.Bpe.train(
+        docs.filter(col("doc_id") < 300), "clean", nMerges = 6, maxWordLen = 12)
+      graft.operators.Bpe.encodeCounts(docs, "doc_id", "clean", merges, maxWordLen = 12)
+        .orderBy("doc_id")
+    },
+    Some(graft.operators.Bpe.trainEncodeSql(
+      cleanSql = "regexp_replace(lower(text), '[^a-z]+', ' ', 'g')",
+      trainFilter = "doc_id < 300", nMerges = 6, maxWordLen = 12)))
+
   /** REAL PNG encode→decode round trip, distributed end to end:
    *  synthesize a deterministic RGB pattern per doc, encode to PNG
    *  bytes, decode through the javax.imageio codec, and emit each
@@ -1428,5 +1450,6 @@ object QueryRegistry {
     "multimodal_meta" -> multimodal_meta,
     "multimodal_frames" -> multimodal_frames,
     "multimodal_decode" -> multimodal_decode,
+    "text_bpe" -> text_bpe,
   )
 }
