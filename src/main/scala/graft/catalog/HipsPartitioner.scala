@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.functions.sphere
+import graft.functions.{sphere, PartitionGrid}
 import graft.healpix.Healpix
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
  *
  *  1. histogram the catalog on an order-k healpix map
  *     (gather_statistics, partitioner.py:94) — a single map-side-
- *     combined groupBy; the result is bounded by 12*4^k entries
- *     regardless of data size, so collecting it to the driver is
- *     safe even at 100 TB.
+ *     combined groupBy; the collected result is SPARSE (occupied
+ *     pixels only), so driver memory is data-bounded and the order
+ *     can rise to 14 even at 100 TB.
  *  2. top-down threshold walk (compute_partitioning_map,
  *     partitioner.py:136): from order 0 down to k, assign every
  *     still-active pixel whose rebinned count < threshold.
@@ -31,73 +31,106 @@ import org.apache.spark.sql.functions._
  */
 object HipsPartitioner {
 
-  /** order-k pixel -> assigned order; derived partition pixel = pixK >> 2*(k-order). */
-  final case class PartitionMap(orderK: Int, orders: Array[Int], hist: Array[Long]) {
-    def assignedOrder(pixK: Long): Int = orders(pixK.toInt)
-    def partitionPixel(pixK: Long): Long = pixK >> (2 * (orderK - orders(pixK.toInt)))
-    def nSources: Long = hist.sum
+  /** Adaptive partition map: a SPARSE sky tiling ([[PartitionGrid]])
+   *  plus the sparse order-k histogram (occupied pixels only, sorted).
+   *  Driver memory is bounded by OCCUPIED pixels and tiles — never by
+   *  12*4^k — so the histogram order can rise to the `_ID` index
+   *  order (14) on realistic skies. */
+  final case class PartitionMap(orderK: Int, grid: PartitionGrid,
+                                histPix: Array[Long], histCnt: Array[Long]) {
+    def assignedOrder(pixK: Long): Int = grid.order(pixK)
+    def partitionPixel(pixK: Long): Long = pixK >> (2 * (orderK - grid.order(pixK)))
+    def nSources: Long = histCnt.sum
     /** (order, pixel) pairs that actually hold data (empty sky excluded). */
     def pixelsAtOrders: Map[Int, Array[Long]] = {
       val m = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Long]]
       var i = 0
-      while (i < orders.length) {
-        if (hist(i) > 0) {
-          val o = orders(i)
-          m.getOrElseUpdate(o, scala.collection.mutable.Set.empty) += (i.toLong >> (2 * (orderK - o)))
-        }
+      while (i < histPix.length) {
+        val o = grid.order(histPix(i))
+        m.getOrElseUpdate(o, scala.collection.mutable.Set.empty) += (histPix(i) >> (2 * (orderK - o)))
         i += 1
       }
       m.map { case (o, s) => o -> s.toArray.sorted }.toMap
     }
   }
 
-  /** Step 1+2: histogram at order k and run the top-down threshold walk. */
+  /** The reference caps its gather at order 10 (partitioner.py:94,
+   *  dense 12*4^10 array); the sparse walk lifts that to the `_ID`
+   *  rank order 14 — the hard ceiling for the shuffle-free rank
+   *  computation in withSpatialId (orderK <= 14 keeps every order-14
+   *  pixel inside one partition). */
+  private[catalog] def requireOrderK(orderK: Int): Unit =
+    require(orderK >= 0 && orderK <= 14,
+      s"orderK must be in [0, 14] (got $orderK) — 14 is the _ID rank order; finer partition " +
+        "pixels would split an order-14 pixel across partitions and break rank locality")
+
+  /** Step 1+2: histogram at order k and run the top-down threshold
+   *  walk. The groupBy returns one row per OCCUPIED pixel (map-side
+   *  combined), so the collect is data-bounded, not 4^k-bounded. */
   def computePartitionMap(df: DataFrame, raCol: String, decCol: String,
                           orderK: Int, threshold: Long): PartitionMap = {
-    require(orderK <= 10, s"partition histogram order $orderK too fine to collect (12*4^k entries)")
-    val n = Healpix.npix(orderK).toInt
-    val hist = new Array[Long](n)
-    df.groupBy(sphere.hpix(col(raCol), col(decCol), orderK).as("pix"))
+    requireOrderK(orderK)
+    val rows = df.groupBy(sphere.hpix(col(raCol), col(decCol), orderK).as("pix"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
-      .foreach(r => hist(r.getLong(0).toInt) = r.getLong(1))
-    partitionMapFromHist(hist, orderK, threshold)
+    val pix = new Array[Long](rows.length)
+    val cnt = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { pix(i) = rows(i).getLong(0); cnt(i) = rows(i).getLong(1); i += 1 }
+    partitionMapFromSparseHist(pix, cnt, orderK, threshold)
   }
 
-  /** The threshold walk alone, over an already-materialized histogram —
-   *  lets resumable imports rebuild the (deterministic) map from
-   *  per-batch histogram artifacts without rescanning sources. */
+  /** Dense-histogram adapter (small orders / tests). */
   def partitionMapFromHist(hist: Array[Long], orderK: Int, threshold: Long): PartitionMap = {
-    val n = hist.length
-    val orders = Array.fill(n)(-1)
-    var o = 0
-    while (o <= orderK) {
-      val k2o = 1 << (2 * (orderK - o))
-      var p = 0
-      while (p < (n / k2o)) {
-        val lo = p * k2o
-        var active = false
-        var sum = 0L
-        var i = lo
-        while (i < lo + k2o) {
-          if (orders(i) == -1) active = true
-          sum += hist(i)
-          i += 1
-        }
-        if (active && (sum < threshold || o == orderK)) {
-          var j = lo
-          while (j < lo + k2o) { if (orders(j) == -1) orders(j) = o; j += 1 }
-        }
-        p += 1
-      }
-      o += 1
+    val pix = new scala.collection.mutable.ArrayBuffer[Long]
+    val cnt = new scala.collection.mutable.ArrayBuffer[Long]
+    var i = 0
+    while (i < hist.length) { if (hist(i) > 0) { pix += i.toLong; cnt += hist(i) }; i += 1 }
+    partitionMapFromSparseHist(pix.toArray, cnt.toArray, orderK, threshold)
+  }
+
+  /**
+   * The top-down threshold walk over a SPARSE histogram: recurse a
+   * subtree only while its occupied count reaches the threshold, emit
+   * a tile otherwise — identical assignment to the dense walk (a
+   * pixel lands at the FIRST order whose subtree count drops under
+   * the threshold, else at order k; empty siblings join the coarse
+   * tile), with work and output bounded by occupied pixels. Lets
+   * resumable imports rebuild the (deterministic) map from per-batch
+   * histogram artifacts without rescanning sources.
+   */
+  def partitionMapFromSparseHist(pixIn: Array[Long], cntIn: Array[Long],
+                                 orderK: Int, threshold: Long): PartitionMap = {
+    requireOrderK(orderK)
+    require(pixIn.length == cntIn.length, "pix/cnt length mismatch")
+    val order = pixIn.indices.sortBy(pixIn).toArray
+    val pix = order.map(pixIn)
+    val cnt = order.map(cntIn)
+    val prefix = new Array[Long](pix.length + 1)
+    var i = 0
+    while (i < pix.length) { prefix(i + 1) = prefix(i) + cnt(i); i += 1 }
+    def lowerBound(x: Long): Int = {
+      var lo = 0; var hi = pix.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (pix(m) < x) lo = m + 1 else hi = m }
+      lo
     }
-    PartitionMap(orderK, orders, hist)
+    def rangeCount(lo: Long, hi: Long): Long = prefix(lowerBound(hi)) - prefix(lowerBound(lo))
+    val starts = new scala.collection.mutable.ArrayBuffer[Long]
+    val ords = new scala.collection.mutable.ArrayBuffer[Int]
+    def walk(o: Int, p: Long): Unit = {
+      val span = 1L << (2 * (orderK - o))
+      val lo = p * span
+      if (rangeCount(lo, lo + span) < threshold || o == orderK) { starts += lo; ords += o }
+      else { var c = 0L; while (c < 4) { walk(o + 1, p * 4 + c); c += 1 } }
+    }
+    var b = 0L
+    while (b < 12) { walk(0, b); b += 1 }
+    PartitionMap(orderK, PartitionGrid(orderK, starts.toArray, ords.toArray), pix, cnt)
   }
 
   /**
    * Columns (Norder, Dir, Npix) for each row given a partition map.
-   * The map is broadcast via the closure (bounded: 12*4^k ints).
+   * The map is broadcast via the closure (bounded by occupied tiles).
    *
    * Dir = floor(Npix / 10000) * 10000 — the hipscat layout intent.
    * (The reference's float expression `(pix / 10_000) * 10_000`
@@ -105,7 +138,7 @@ object HipsPartitioner {
    * intended integer bucketing.)
    */
   def withPartitionColumns(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(pm.orders)
+    val bc = df.sparkSession.sparkContext.broadcast(pm.grid)
     // codegen kernel (PackedPartitionPixelExpr), NOT a Scala UDF: this
     // is the one expression every ingested row crosses, so it must
     // stay inside WholeStageCodegen (asserted in CatalogSpec)
@@ -123,7 +156,7 @@ object HipsPartitioner {
    * that pixel's neighbor file).
    */
   def marginRows(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap, marginDeg: Double): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(pm.orders)
+    val bc = df.sparkSession.sparkContext.broadcast(pm.grid)
     // bounded explode of a codegen kernel (MarginPixelsExpr): packed
     // foreign partition pixels overlapping the margin disc, minus the
     // row's own pixel — no Scala UDF on the ingest path
@@ -228,8 +261,7 @@ object HipsPartitioner {
     {
       val sess = df.sparkSession
       import sess.implicits._
-      val sparse = pm.hist.iterator.zipWithIndex.collect { case (c, p) if c > 0 => (p.toLong, c) }
-        .toSeq.toDF("pix", "cnt").coalesce(1)
+      val sparse = pm.histPix.zip(pm.histCnt).toSeq.toDF("pix", "cnt").coalesce(1)
       sparse.write.mode("overwrite").parquet(s"$outputDir/$catname/point_map.parquet")
       sparse.write.mode("overwrite").parquet(s"$outputDir/$catname/import_hist.parquet")
     }
@@ -256,11 +288,16 @@ object HipsPartitioner {
     HipsCatalog.writeString(spark, s"$outputDir/$catname/${catname}_meta.json", meta)
   }
 
-  /** Sparse (pix, cnt) parquet -> dense histogram array. */
-  private def readHist(spark: SparkSession, path: String, n: Int): Array[Long] = {
-    val h = new Array[Long](n)
-    spark.read.parquet(path).collect().foreach(r => h(r.getLong(0).toInt) = r.getLong(1))
-    h
+  /** Sparse (pix, cnt) parquet -> sparse (pix -> cnt) map. */
+  private def readHistSparse(spark: SparkSession, path: String): scala.collection.mutable.LongMap[Long] = {
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    spark.read.parquet(path).collect().foreach(r => m(r.getLong(0)) = r.getLong(1))
+    m
+  }
+
+  private def sparseToArrays(m: scala.collection.Map[Long, Long]): (Array[Long], Array[Long]) = {
+    val pix = m.keysIterator.toArray.sorted
+    (pix, pix.map(m))
   }
 
   /** Per-order-14-pixel `_ID` rank continuation: joins each new row's
@@ -325,16 +362,13 @@ object HipsPartitioner {
     val orderK = metaNum("order_k").toInt
     val threshold = metaNum("pix_threshold").toLong
     val marginDeg = metaNum("margin_deg").toDouble
-    val n = Healpix.npix(orderK).toInt
 
-    val importHist = readHist(spark, s"$outputDir/$catname/import_hist.parquet", n)
-    val frozen = partitionMapFromHist(importHist, orderK, threshold)
-    val histOld = readHist(spark, s"$outputDir/$catname/point_map.parquet", n)
-    val histNew = new Array[Long](n)
+    val (ihPix, ihCnt) = sparseToArrays(readHistSparse(spark, s"$outputDir/$catname/import_hist.parquet"))
+    val frozen = partitionMapFromSparseHist(ihPix, ihCnt, orderK, threshold)
+    val merged = readHistSparse(spark, s"$outputDir/$catname/point_map.parquet")
     df.groupBy(sphere.hpix(col(raCol), col(decCol), orderK).as("pix"))
       .agg(count(lit(1)).as("cnt"))
-      .collect().foreach(r => histNew(r.getLong(0).toInt) = r.getLong(1))
-    val merged = Array.tabulate(n)(i => histOld(i) + histNew(i))
+      .collect().foreach(r => merged(r.getLong(0)) = merged.getOrElse(r.getLong(0), 0L) + r.getLong(1))
 
     def appendTree(rows: DataFrame, existing: DataFrame, tree: String): Unit =
       withRankOffsets(
@@ -356,12 +390,12 @@ object HipsPartitioner {
     spark.catalog.refreshByPath(s"$outputDir/$catname/catalog")
     spark.catalog.refreshByPath(s"$outputDir/$catname/neighbor")
 
-    val out = PartitionMap(orderK, frozen.orders, merged)
+    val (mPix, mCnt) = sparseToArrays(merged)
+    val out = PartitionMap(orderK, frozen.grid, mPix, mCnt)
     locally {
       val sess = spark
       import sess.implicits._
-      merged.iterator.zipWithIndex.collect { case (c, p) if c > 0 => (p.toLong, c) }
-        .toSeq.toDF("pix", "cnt")
+      mPix.zip(mCnt).toSeq.toDF("pix", "cnt")
         .coalesce(1).write.mode("overwrite").parquet(s"$outputDir/$catname/point_map.parquet")
     }
     // the overwrite DELETED the old part file — a cached listing would
@@ -398,7 +432,7 @@ object HipsPartitioner {
                      orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1,
                      cleanStaging: Boolean = false): PartitionMap = {
     import org.apache.hadoop.fs.Path
-    require(orderK <= 10, s"partition histogram order $orderK too fine to collect (12*4^k entries)")
+    requireOrderK(orderK)
     val importDir = s"$outputDir/$catname/_import"
     val fs = new Path(importDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def done(dir: String) = fs.exists(new Path(s"$dir/_SUCCESS"))
@@ -460,11 +494,11 @@ object HipsPartitioner {
       }
     }
 
-    val histArr = new Array[Long](Healpix.npix(orderK).toInt)
-    spark.read.parquet(batches.indices.map(i => s"$importDir/hist/batch=$i"): _*)
+    val histRows = spark.read.parquet(batches.indices.map(i => s"$importDir/hist/batch=$i"): _*)
       .groupBy("pix").agg(sum("cnt").as("cnt"))
-      .collect().foreach(r => histArr(r.getLong(0).toInt) = r.getLong(1))
-    val pm = partitionMapFromHist(histArr, orderK, threshold)
+      .collect()
+    val pm = partitionMapFromSparseHist(
+      histRows.map(_.getLong(0)), histRows.map(_.getLong(1)), orderK, threshold)
 
     val staged = spark.read.parquet(batches.indices.map(i => s"$importDir/stage/batch=$i"): _*)
     writeWithMap(staged, pm, raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg)
@@ -508,14 +542,15 @@ object HipsCatalog {
   }
 
   /**
-   * Partition grid of a written catalog as an order-k lookup array
-   * (order-k pixel -> assigned order), reconstructed from the hive
+   * Partition grid of a written catalog (SPARSE tiling, see
+   * [[graft.functions.PartitionGrid]]), reconstructed from the hive
    * directory structure — catalog/ AND neighbor/ trees, so sky
    * regions that hold only margin replicas (empty home pixel,
-   * populated border) still resolve. Bounded: 12*4^k ints.
+   * populated border) still resolve. Regions with no files at all
+   * become -1 gap tiles (no partition). Bounded by directory count.
    */
-  def partitionGrid(spark: SparkSession, outputDir: String, catname: String, orderK: Int): Array[Int] = {
-    val orders = Array.fill(Healpix.npix(orderK).toInt)(-1)
+  def partitionGrid(spark: SparkSession, outputDir: String, catname: String, orderK: Int): PartitionGrid = {
+    val tiles = scala.collection.mutable.Set.empty[(Long, Int)]
     for (tree <- Seq("catalog", "neighbor")) {
       val root = new Path(s"$outputDir/$catname/$tree")
       val f = fs(spark, root.toString)
@@ -528,15 +563,10 @@ object HipsCatalog {
           pd <- f.listStatus(dd.getPath)
           if pd.getPath.getName.startsWith("Npix=")
           p = pd.getPath.getName.stripPrefix("Npix=").toLong
-        } {
-          val lo = (p << (2 * (orderK - o))).toInt
-          val n = 1 << (2 * (orderK - o))
-          var i = 0
-          while (i < n) { orders(lo + i) = o; i += 1 }
-        }
+        } tiles += ((p << (2 * (orderK - o)), o))
       }
     }
-    orders
+    PartitionGrid.fromTiles(orderK, tiles.toSeq)
   }
 
   /**
@@ -560,7 +590,7 @@ object HipsCatalog {
                        rightPrefix: String = "r_", leftPrefix: String = "",
                        leftCols: Seq[String] = Nil, rightCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.sphere
+    import graft.functions.{sphere, PartitionGrid}
 
     // assign each left row to the RIGHT catalog's partition pixel —
     // codegen kernel over the broadcast grid (was a Scala UDF in r1).

@@ -45,13 +45,13 @@ object native {
 
   /** Packed (order << 48 | pix) partition assignment against a broadcast grid (PackedPartitionPixelExpr). */
   def packedPartitionPixel(ra: Column, dec: Column, orderK: Int,
-                           grid: org.apache.spark.broadcast.Broadcast[Array[Int]]): Column =
+                           grid: org.apache.spark.broadcast.Broadcast[PartitionGrid]): Column =
     GraftBridge.column(PackedPartitionPixelExpr(
       GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")), orderK, grid))
 
   /** Packed foreign partition pixels within a margin disc (MarginPixelsExpr). */
   def marginPixels(ra: Column, dec: Column, orderK: Int, marginDeg: Double,
-                   grid: org.apache.spark.broadcast.Broadcast[Array[Int]]): Column =
+                   grid: org.apache.spark.broadcast.Broadcast[PartitionGrid]): Column =
     GraftBridge.column(MarginPixelsExpr(
       GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")), orderK, marginDeg, grid))
 }

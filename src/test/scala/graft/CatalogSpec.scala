@@ -13,12 +13,73 @@ class CatalogSpec extends SparkSpecBase {
 
   test("adaptive partition map: every pixel assigned, dense regions subdivide") {
     val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
-    assert(pm.orders.forall(o => o >= 0 && o <= 4))
+    // the walk tiles the WHOLE sky (no -1 gaps) with orders in [0, k]
+    assert(pm.grid.tileOrders.forall(o => o >= 0 && o <= 4))
+    assert(pm.grid.tileStarts.head == 0L)
     // partition counts respect the threshold (except possibly at order k)
     val counts = HipsPartitioner.withPartitionColumns(li, "cra", "cdec", pm)
       .groupBy("Norder", "Npix").count().collect()
     counts.filter(_.getInt(0) < 4).foreach(r => assert(r.getLong(2) < 500, s"partition over threshold: $r"))
     assert(counts.map(_.getLong(2)).sum == li.count())
+  }
+
+  test("sparse threshold walk matches the dense reference walk on every sky pixel") {
+    // oracle: the dense order 0 -> k walk exactly as the reference
+    // runs it (compute_partitioning_map, partitioner.py:136) — kept
+    // here as an independent reimplementation after the production
+    // path went sparse
+    val orderK = 6
+    val threshold = 500L
+    val n = graft.healpix.Healpix.npix(orderK).toInt
+    val hist = new Array[Long](n)
+    li.groupBy(sphere.hpix(col("cra"), col("cdec"), orderK).as("pix"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .foreach(r => hist(r.getLong(0).toInt) = r.getLong(1))
+    val dense = Array.fill(n)(-1)
+    var o = 0
+    while (o <= orderK) {
+      val k2o = 1 << (2 * (orderK - o))
+      var p = 0
+      while (p < n / k2o) {
+        val lo = p * k2o
+        var active = false; var sum = 0L; var i = lo
+        while (i < lo + k2o) { if (dense(i) == -1) active = true; sum += hist(i); i += 1 }
+        if (active && (sum < threshold || o == orderK)) {
+          var j = lo
+          while (j < lo + k2o) { if (dense(j) == -1) dense(j) = o; j += 1 }
+        }
+        p += 1
+      }
+      o += 1
+    }
+    val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK, threshold)
+    var pix = 0
+    while (pix < n) {
+      assert(pm.assignedOrder(pix.toLong) == dense(pix),
+        s"pixel $pix: sparse=${pm.assignedOrder(pix.toLong)} dense=${dense(pix)}")
+      pix += 1
+    }
+    // and the tiling is data-bounded, not 4^k-bounded
+    assert(pm.grid.tileStarts.length < n / 4, s"tile count ${pm.grid.tileStarts.length} not sparse")
+  }
+
+  test("orderK=12 import: data-bounded driver state, cone search parity") {
+    // the reference caps gather_statistics at order 10 (dense 12*4^10
+    // array); the sparse walk runs order 12 (201M sky pixels) with
+    // driver state bounded by OCCUPIED pixels
+    val out = java.nio.file.Files.createTempDirectory("graft_o12").toString
+    val pm = HipsPartitioner.write(li, "cra", "cdec", "k", out, "fine12",
+      orderK = 12, threshold = 200, marginDeg = 0.1)
+    assert(pm.histPix.length <= li.count(), "sparse hist bounded by row count")
+    assert(pm.grid.tileStarts.length.toLong < 40L * pm.histPix.length + 12,
+      s"tiles ${pm.grid.tileStarts.length} must be data-bounded (occupied=${pm.histPix.length})")
+    assert(pm.grid.tileOrders.forall(o => o >= 0 && o <= 12))
+    val cone = HipsCatalog.coneSearch(spark, out, "fine12", "cra", "cdec", 180.0, 0.0, 30.0, orderK = 12)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val brute = li.withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)))
+      .filter(col("d") < 30.0).select("k").collect().map(_.getLong(0)).sorted
+    assert(cone.toSeq == brute.toSeq && cone.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
   test("write + load round-trips all rows; hive cone search equals brute force") {
@@ -108,7 +169,7 @@ class CatalogSpec extends SparkSpecBase {
     val grid = HipsCatalog.partitionGrid(spark, out, "c2", 2)
     storedDf.select("cra", "cdec", "hips_k", "hips_pix").collect().foreach { r =>
       val pixK = graft.healpix.Healpix.ang2pixNest(2, r.getDouble(0), r.getDouble(1))
-      val o = grid(pixK.toInt)
+      val o = grid.order(pixK)
       assert(r.getInt(2) == o, s"hips_k mismatch at $r")
       assert(r.getLong(3) == (pixK >> (2 * (2 - o))), s"hips_pix mismatch at $r")
     }
