@@ -1324,6 +1324,60 @@ object QueryRegistry {
         FROM documents)
       ORDER BY id, frame_idx"""))
 
+  /** Incremental near-dup dedup of a synthetic re-ingest batch
+   *  (exact re-crawls under new ids, lightly-edited near-dups, and
+   *  genuinely fresh docs) against the documents corpus as history.
+   *  The engine works from history's slim MinHash/shingle-hash state
+   *  (band join + exact verify); the oracle is BRUTE FORCE over all
+   *  batch x history pairs — checking both precision (every dropped
+   *  row really has a >= 0.8 Jaccard historical twin) and recall
+   *  (banding surfaced every such pair). */
+  private val dedup_incremental_near = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val nearEdit = docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" appended tail")).as("text"))
+      val fresh = docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("wholly unrelated fresh content block number "),
+            col("doc_id").cast("string")).as("text"))
+      graft.operators.Dedup.incrementalNearDedup(
+          recrawl.unionByName(nearEdit).unionByName(fresh), docs, "doc_id", "text",
+          minJaccard = 0.8)
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some {
+      def shOf(src: String) = {
+        val norm = Dedup.normalizeTextSql("text")
+        s"""(SELECT doc_id, list_distinct(
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+          FROM (SELECT doc_id, string_split($norm, ' ') AS toks FROM $src))"""
+      }
+      s"""WITH newbatch AS (
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' appended tail' AS text
+        FROM documents WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+          'wholly unrelated fresh content block number ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 5 = 2),
+      bsh AS (SELECT * FROM ${shOf("newbatch")}),
+      hsh AS (SELECT * FROM ${shOf("documents")} WHERE sh IS NOT NULL),
+      dup AS (
+        SELECT DISTINCT b.doc_id FROM bsh b JOIN hsh h
+          ON least(len(b.sh), len(h.sh)) >= 0.8 * greatest(len(b.sh), len(h.sh))
+         AND len(list_intersect(b.sh, h.sh))::DOUBLE
+             / len(list_distinct(list_concat(b.sh, h.sh))) >= 0.8)
+      SELECT doc_id FROM newbatch
+      WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+      ORDER BY doc_id"""
+    })
+
   /** BPE tokenizer, trained distributedly (6 merges over the
    *  doc_id<300 slice: one corpus pass, then vocabulary-bounded pair
    *  aggregations) and applied map-only to EVERY document with the
@@ -1451,5 +1505,6 @@ object QueryRegistry {
     "multimodal_frames" -> multimodal_frames,
     "multimodal_decode" -> multimodal_decode,
     "text_bpe" -> text_bpe,
+    "dedup_incremental_near" -> dedup_incremental_near,
   )
 }

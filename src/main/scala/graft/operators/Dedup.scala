@@ -113,11 +113,18 @@ object Dedup {
    *  exactly-once emission at the first truly-matching band (no
    *  distinct shuffle). Shared by [[minhashPairsWithCache]] and
    *  [[nearDuplicatesWithCache]]. */
+  /** The band bucket keys of a signature column — ONE definition of
+   *  the banding geometry shared by the self-join path and the
+   *  incremental batch-vs-history path (a drift between the two would
+   *  silently lose candidates). */
+  private def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)
+
   private def bandedCandidates(sigs: DataFrame, idCol: String,
                                bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sigs.select(col(idCol), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
+      posexplode(bandHashes(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
     banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bandhash"))
       .join(banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bandhash")),
@@ -412,6 +419,101 @@ object Dedup {
     val survivors = batch.filter(hit) // bounded sliver: dups + FPs
       .join(hist, Seq("__fp"), "left_anti")
     (novel.unionByName(survivors).drop("__fp"), () => { histFpRdd.unpersist(blocking = false); () })
+  }
+
+  /**
+   * Near-dup summary state of a corpus: one row per document with its
+   * MinHash signature, sorted shingle hashes, and shingle count —
+   * ONE shingle scan. This is what recurring ingest PERSISTS (write
+   * it to parquet next to the corpus, refresh it as batches land) so
+   * history text is never re-shingled: [[incrementalNearDedup]] needs
+   * only this slim state, not the history text. NULL-text rows are
+   * excluded (no shingles → can never match; keeping them would also
+   * give every one the same degenerate band key).
+   */
+  def nearDupState(df: DataFrame, idCol: String, textCol: String,
+                   numPerms: Int = 128, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("__hist_id"), shingles(col(textCol), shingleN).as("__shg"))
+      .select(col("__hist_id"),
+        graft.functions.native.minhashSig(col("__shg"), lit(numPerms)).as("sig"),
+        graft.functions.native.sortedHashes(col("__shg")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+
+  /**
+   * Incremental NEAR-duplicate dedup: drop new-batch documents whose
+   * exact n-gram Jaccard with ANY historical document reaches
+   * `minJaccard` — the recurring-ingest shape of [[nearDuplicates]],
+   * where re-deduplicating history against itself is off the table.
+   *
+   * The 100 TB shape: history participates ONLY through its slim
+   * [[nearDupState]] (signatures + sorted shingle hashes — stored
+   * once, reused every ingest; text never re-shingled). Candidates
+   * come from a bounded band equi-join of the (small) batch's band
+   * keys against history's; each candidate pair is verified with the
+   * exact sorted-hash merge before it can drop a batch row, so false
+   * band collisions never delete data. Batch rows with NULL/shingle-
+   * free text survive (no positive Jaccard is definable for them).
+   *
+   * Recall is the banding curve: with the default 128 perms x 32
+   * bands a true pair at J >= 0.8 is missed with p ~ 5e-8 (see
+   * [[nearDuplicates]]); at lower thresholds widen bands accordingly.
+   */
+  def incrementalNearDedup(newBatch: DataFrame, history: DataFrame,
+                           idCol: String, textCol: String,
+                           minJaccard: Double = 0.8, numPerms: Int = 128,
+                           bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    val spark = newBatch.sparkSession
+    val st = nearDupState(history, idCol, textCol, numPerms, shingleN)
+    // GC-tracked RDD persist (not df.persist — see incrementalDedupWithCache):
+    // the state is consumed twice (band join + verify join); the cache
+    // frees itself when the result plan is dropped
+    val stRdd = st.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalNearDedupWithState(newBatch, spark.createDataFrame(stRdd, st.schema),
+      idCol, textCol, minJaccard, numPerms, bands, shingleN)
+  }
+
+  /** As [[incrementalNearDedup]] against a PRE-BUILT (and ideally
+   *  persisted/stored) [[nearDupState]] — the entry point for real
+   *  recurring ingest. `state` is consumed twice (band join + exact
+   *  verify); materialize it or the state recomputes per consumer. */
+  def incrementalNearDedupWithState(newBatch: DataFrame, state: DataFrame,
+                                    idCol: String, textCol: String,
+                                    minJaccard: Double = 0.8, numPerms: Int = 128,
+                                    bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0, s"minJaccard must be in (0, 1]: $minJaccard")
+    val rowsPerBand = bandLayout(numPerms, bands)
+    Sampling.requireIntegralId(newBatch, idCol, "incrementalNearDedup")
+    val spark = newBatch.sparkSession
+    val bb = newBatch
+      .select(col(idCol).as("__bid"), shingles(col(textCol), shingleN).as("__shg"))
+      .select(col("__bid"),
+        graft.functions.native.minhashSig(col("__shg"), lit(numPerms)).as("bsig"),
+        graft.functions.native.sortedHashes(col("__shg")).as("bsh"))
+      .withColumn("bsz", size(col("bsh")))
+      .filter(col("bsz") > 0)
+    // batch state is consumed twice as well; same GC-tracked cache
+    val bbRdd = bb.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBase = spark.createDataFrame(bbRdd, bb.schema)
+    val bBand = batchBase.select(col("__bid"), col("bsig"),
+        posexplode(bandHashes(col("bsig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val hBand = state.select(col("__hist_id"), col("sig"),
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    // exactly-once candidate emission per (batch, hist) pair — the
+    // first truly-matching band, not a distinct shuffle of all pairs
+    val cand = bBand.join(hBand, Seq("band", "bandhash"))
+      .filter(col("band") === firstMatchingBand(col("bsig"), col("sig"), bands, rowsPerBand))
+      .select("__bid", "__hist_id")
+    val dupIds = cand
+      .join(batchBase.select(col("__bid"), col("bsh"), col("bsz")), "__bid")
+      .join(state.select(col("__hist_id"), col("sh"), col("sz")), "__hist_id")
+      .filter(least(col("bsz"), col("sz")) >= lit(minJaccard) * greatest(col("bsz"), col("sz")))
+      .withColumn("inter", graft.functions.native.intersectCount(col("bsh"), col("sh")))
+      .filter(col("inter").cast("double") / (col("bsz") + col("sz") - col("inter")) >= minJaccard)
+      .select(col("__bid").as(idCol))
+    newBatch.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */

@@ -256,6 +256,46 @@ class DedupSpec extends SparkSpecBase {
     assert(again == Set(12L, 14L))
   }
 
+  test("incrementalNearDedup: drops near-dups of history, keeps fresh + NULL docs, idempotent, state-reusable") {
+    import spark.implicits._
+    val history = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    // batch: exact re-crawls (J=1), light edits (J ~ 0.95), fresh docs, a NULL
+    val recrawl = history.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    // edits only on LONG docs: appending 3 tokens to a T-token doc
+    // keeps J ~ (T-2)/(T+2), which clears 0.8 only for T >~ 20
+    val edited = history.filter(col("doc_id") % 3 === 1)
+      .filter(size(split(col("text"), "\\s+")) >= 40)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat(col("text"), lit(" tiny appended tail")).as("text"))
+    val fresh = Seq((30001L, "an entirely unrelated fresh document about nothing in history"),
+      (30002L, null: String)).toDF("doc_id", "text")
+    val batch = recrawl.unionByName(edited).unionByName(fresh)
+    val kept = Dedup.incrementalNearDedup(batch, history, "doc_id", "text", minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // every exact re-crawl dropped; fresh + NULL kept
+    assert(recrawl.select("doc_id").as[Long].collect().forall(id => !kept.contains(id)),
+      "exact re-crawls must be dropped")
+    assert(kept.contains(30001L) && kept.contains(30002L), s"fresh/NULL docs must survive: $kept")
+    // the edits are near-dups of long docs -> dropped (J >> 0.8)
+    val editedIds = edited.select("doc_id").as[Long].collect().toSet
+    assert(editedIds.forall(id => !kept.contains(id)), "lightly-edited re-crawls must be dropped")
+    // idempotence: survivors re-deduped against the same history all survive again
+    val again = Dedup.incrementalNearDedup(
+        batch.filter(col("doc_id").isin(kept.toSeq: _*)), history, "doc_id", "text", minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+    // the stored-state path (parquet round trip) gives identical results
+    val stDir = java.nio.file.Files.createTempDirectory("graft_ndstate").toString
+    Dedup.nearDupState(history, "doc_id", "text").write.mode("overwrite").parquet(stDir)
+    val viaState = Dedup.incrementalNearDedupWithState(
+        batch, spark.read.parquet(stDir), "doc_id", "text", minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaState == kept, "pre-built state must reproduce the inline result")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stDir))
+  }
+
   test("keepFirst keeps exactly one row per key, the earliest") {
     val df = Seq((1L, "a", 3L), (1L, "a", 1L), (1L, "b", 2L), (2L, "a", 9L))
       .toDF("uid", "etype", "ord")
