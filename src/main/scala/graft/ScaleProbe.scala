@@ -102,6 +102,58 @@ object ScaleProbe {
       big.filter(graft.operators.Sketch.bloomProbe(col("doc_id"), words, logM = 16, k = 4)).count()
     }
 
+    // sketch mergeability at probe scale: build HLL/CMS/histogram
+    // state over 16M+ rows as 4 INDEPENDENT shards, merge, and
+    // bit-compare against the single-pass sketch of the union — the
+    // incremental/mergeable-state contract proven beyond unit scale
+    // (the shape that lets 100 TB split into per-day shards whose
+    // sketches fold without ever re-scanning history)
+    locally {
+      val rows = 16L * 1024 * 1024
+      val wide = spark.range(rows)
+        .select(col("id"),
+          (col("id") % 7).cast("string").as("grp"),
+          // skewed long-tail key domain + heavy hitters for CMS
+          when(col("id") % 3 === 0, col("id") % 100).otherwise(col("id") % 1000000).as("key"),
+          (pmod(col("id") * 2654435761L, lit(8192L))).cast("double").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[probe] sketch corpus: ${wide.count()} rows, 4 shards")
+      val shards = (0 until 4).map(s => wide.filter(col("id") % 4 === s))
+      def assertSame(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+                     keys: Seq[String], what: String): Unit = {
+        val d = a.exceptAll(b).count() + b.exceptAll(a).count()
+        require(d == 0, s"$what: merged shards differ from single pass in $d rows")
+        println(s"[probe] $what: merge(4 shards) == single pass (${a.count()} state rows)")
+      }
+      time("hll: 4-shard build + merge (16M rows)") {
+        val merged = graft.operators.Sketch.hllMerge(
+          shards.map(s => graft.operators.Sketch.hllRegisters(s, "grp", "id")): _*)
+        val direct = graft.operators.Sketch.hllRegisters(wide, "grp", "id")
+        assertSame(merged, direct, Seq("grp", "bucket"), "hll")
+        merged.count()
+      }
+      time("cms: 4-shard build + merge (16M rows)") {
+        val merged = graft.operators.Sketch.cmsMerge(
+          shards.map(s => graft.operators.Sketch.cmsCells(s, "key", d = 4, logW = 12)): _*)
+        val direct = graft.operators.Sketch.cmsCells(wide, "key", d = 4, logW = 12)
+        assertSame(merged, direct, Seq("row", "cell"), "cms")
+        merged.count()
+      }
+      time("histogram: 4-shard build + merge (16M rows)") {
+        val merged = shards.map(s =>
+            graft.operators.Sketch.histSketch(s, "grp", "v", 0.0, 8192.0, 1024))
+          .reduce(_ merge _)
+        val direct = graft.operators.Sketch.histSketch(wide, "grp", "v", 0.0, 8192.0, 1024)
+        assertSame(merged.bins, direct.bins, Seq("grp", "bin"), "histogram")
+        // and the derived quantiles agree bit-for-bit
+        val qm = merged.quantiles(Seq(50, 99)).orderBy("grp", "q").collect().toSeq
+        val qd = direct.quantiles(Seq(50, 99)).orderBy("grp", "q").collect().toSeq
+        require(qm == qd, "histogram quantiles diverged after merge")
+        merged.bins.count()
+      }
+      wide.unpersist()
+    }
+
     // duplicate clustering over a synthetic pair set with long chains:
     // 100k two-node pairs plus 200 chains of length 50 (diameter
     // stress — each iteration is one join + one min-aggregate; the

@@ -176,6 +176,65 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("polar caps + RA seam: stored cross-match equals brute force — zero lost matches") {
+    // the adversarial margin geometry: points hugging BOTH poles
+    // (including pairs whose great-circle path crosses the pole,
+    // i.e. different base faces) and points straddling the ra=0/360
+    // seam. The reference dedicates ~200 lines to polar margins
+    // (margin_utils.py:307-375); graft's disc-cover margins handle
+    // poles by construction — this pins it against brute force.
+    import spark.implicits._
+    val dthresh = 0.15
+    def wrap(ra: Double): Double = (ra % 360.0 + 360.0) % 360.0
+    val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    var id = 1000L
+    // polar rings, both hemispheres; the 89.95 ring's points are all
+    // within dthresh of each other THROUGH the pole
+    for (sign <- Seq(1, -1); (dec, step) <- Seq((88.5, 30), (89.2, 30), (89.95, 90));
+         ra <- 0 until 360 by step) {
+      left += ((id, ra.toDouble, sign * dec)); id += 1
+    }
+    // seam straddlers on both sides of ra=0
+    for (dec <- Seq(-45.0, 0.0, 45.0); ra <- Seq(359.95, 0.02)) {
+      left += ((id, ra, dec)); id += 1
+    }
+    // right catalog: each left point gets a twin shifted ~0.08 deg in
+    // ra (wrapping through the seam for the straddlers)
+    val right = left.map { case (i, ra, dec) => (i + 100000L, wrap(ra + 0.08), dec) }
+    val lDf = left.toSeq.toDF("lid", "lra", "ldec")
+    val rDf = right.toSeq.toDF("rid", "rra", "rdec")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_polar").toString
+    HipsPartitioner.write(lDf, "lra", "ldec", "lid", out, "pl", orderK = 4, threshold = 4, marginDeg = 0.2)
+    HipsPartitioner.write(rDf, "rra", "rdec", "rid", out, "pr", orderK = 4, threshold = 4, marginDeg = 0.2)
+
+    val brute = lDf.crossJoin(rDf)
+      .withColumn("d", sphere.gcDist(col("lra"), col("ldec"), col("rra"), col("rdec")))
+      .filter(col("d") < dthresh)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // every left point must have found its twin, and the through-pole
+    // pairs (different base faces at the 89.95 ring) must be present —
+    // otherwise this test isn't exercising the polar margin at all
+    assert(brute.size >= left.size, "every left point has at least its shifted twin in range")
+    val polarRing = left.filter { case (_, _, dec) => math.abs(dec) > 89.9 }.map(_._1).toSet
+    val crossPole = brute.filter { case (l, r) => polarRing(l) && r - 100000L != l }
+    assert(crossPole.nonEmpty, "through-pole pairs must exist for the margin to be exercised")
+
+    val stored = HipsCatalog.crossMatchStored(spark, out, "pl", "pr",
+      "lra", "ldec", "lid", "rra", "rdec", "rid", k = 10, dthreshDeg = dthresh, orderK = 4)
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+    assert(stored == brute,
+      s"stored cross-match lost ${(brute -- stored).size} matches (extra: ${(stored -- brute).size}) " +
+        s"— missing: ${(brute -- stored).take(5)}")
+
+    val inflight = graft.operators.Spatial.crossMatchKnn(lDf, rDf,
+      "lra", "ldec", "lid", "rra", "rdec", "rid",
+      k = 10, dthreshDeg = dthresh, leftPrefix = "", rightPrefix = "x_")
+      .select("lid", "x_rid").as[(Long, Long)].collect().toSet
+    assert(inflight == brute, "in-flight cross-match must also equal brute force")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("Catalog object API: import, load with pruning, cone search, cross-match") {
     val out = java.nio.file.Files.createTempDirectory("graft_oo").toString
     val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
