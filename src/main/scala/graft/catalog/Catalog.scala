@@ -101,6 +101,37 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
 }
 
 object Catalog {
+
+  /**
+   * Open a catalog at any Hadoop-FileSystem location (local path,
+   * HDFS, `s3a://`, `abfs://`, `gs://`), applying per-store
+   * configuration before the first read — the reference's
+   * `storage_options` threading (lsd2_io.py:43-67, `_get_azure_fs`):
+   * where lsd2 hand-builds an adlfs/s3fs filesystem per reader call,
+   * Spark's Hadoop connectors already speak every scheme, so
+   * credentials/endpoints are plain Hadoop conf keys:
+   * {{{
+   * Catalog.open(spark, "s3a://bucket/hips", "gaia", Map(
+   *   "fs.s3a.endpoint"   -> "s3.example.com",
+   *   "fs.s3a.access.key" -> sys.env("AWS_ACCESS_KEY_ID")))
+   * Catalog.open(spark, "abfs://c@acct.dfs.core.windows.net/hips", "gaia",
+   *   Map("fs.azure.account.key.acct.dfs.core.windows.net" -> key))
+   * }}}
+   * Keys apply to the session's hadoopConfiguration (Hadoop conf is
+   * session-scoped — the standard Spark model), so one `open` covers
+   * every subsequent read of that store. Every graft filesystem
+   * access (metadata JSON, histograms, hive trees) already goes
+   * through the Hadoop FileSystem API (see HipsCatalog.fs), so cloud
+   * and local catalogs take the identical code path; the cloud
+   * schemes themselves are untestable in this zero-egress sandbox.
+   */
+  def open(spark: SparkSession, location: String, catname: String,
+           storageOptions: Map[String, String] = Map.empty): Catalog = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    storageOptions.foreach { case (k, v) => hc.set(k, v) }
+    Catalog(spark, location, catname)
+  }
+
   /** Import (partition + write) a source dataframe as a new catalog, then open it. */
   def importFrom(df: DataFrame, location: String, catname: String,
                  raKw: String, decKw: String, idKw: String,

@@ -283,6 +283,15 @@ class CatalogSpec extends SparkSpecBase {
     val recomputed = graft.operators.Spatial.densityHistogram(cust, "cra", "cdec", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dm == recomputed, "point_map.parquet must equal a recomputed density histogram")
+
+    // Catalog.open threads storage options into the session's hadoop
+    // conf (the reference's storage_options surface, lsd2_io.py:43);
+    // the local-FS read takes the identical Hadoop FileSystem path
+    val opened = Catalog.open(spark, out, "cust",
+      Map("fs.s3a.endpoint" -> "s3.example.test"))
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint") == "s3.example.test")
+    assert(opened.load().count() == cust.count())
+    spark.sparkContext.hadoopConfiguration.unset("fs.s3a.endpoint")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
