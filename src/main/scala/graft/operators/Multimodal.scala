@@ -71,16 +71,20 @@ object Multimodal {
   final case class ResizedMedia(id: Long, modality: String, width: Int, height: Int, payload: Array[Byte])
 
   /**
-   * STUB resize: stands in for an image resampler. The Spark shape
-   * is the real thing — per-partition batched transform producing a
-   * new payload column; the "pixels" are a deterministic byte
-   * decimation to the target WxH budget.
+   * Resize: REAL bilinear resampling for images (Java2D — in the
+   * JDK, headless-safe), re-encoded as PNG; non-image modalities keep
+   * the deterministic byte-decimation stand-in until a real demuxer
+   * exists. Same per-partition batched transform either way.
    */
   def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        if (r.payload.isEmpty) ResizedMedia(r.id, r.modality, targetW, targetH, Array.emptyByteArray)
+        if (r.modality == "image") {
+          val d = resizeImage(r.payload, targetW, targetH)
+          ResizedMedia(r.id, r.modality, targetW, targetH, d)
+        } else if (r.payload.isEmpty) ResizedMedia(r.id, r.modality, targetW, targetH, Array.emptyByteArray)
         else {
           val budget = math.max(1, targetW * targetH)
           val step = math.max(1, r.payload.length / budget)
@@ -91,6 +95,23 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Decode -> bilinear rescale -> PNG re-encode, all in-JDK. */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(src != null, s"resizeImage: ${payload.length}-byte payload is not a decodable image")
+    val dst = new java.awt.image.BufferedImage(targetW, targetH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
   }
 
   // ------------------------------------------------------ codec registry

@@ -92,6 +92,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(stub.width == 16 + 3 && stub.height == 16)
   }
 
+  test("image resize is a real bilinear resample (Java2D), not the byte stub") {
+    import spark.implicits._
+    // constant-color image: bilinear of a constant is the constant,
+    // so the resize is exactly checkable through the PNG round trip
+    val rgb = (200 << 16) | (120 << 8) | 40
+    val img = new java.awt.image.BufferedImage(32, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 32) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, "image", bos.toByteArray, bos.size.toLong))
+      .toDF("id", "modality", "payload", "byte_len")
+    val out = Multimodal.resize(spark, media, 8, 8).collect().head
+    val d = Multimodal.ImageIoCodec.decode(out.payload)
+    assert(d.width == 8 && d.height == 8, "resized payload must decode to the target dims")
+    assert(d.pixels.forall(_ == rgb), "constant image must stay constant through bilinear resize")
+  }
+
   test("imageio codec fails loudly on undecodable bytes") {
     val e = intercept[IllegalArgumentException](
       Multimodal.ImageIoCodec.decode("definitely not a PNG".getBytes("UTF-8")))

@@ -180,4 +180,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.toSeq == batch.toSeq)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
+
+  test("streaming incremental dedup equals the batch operator (append mode, stateless stream side)") {
+    import spark.implicits._
+    val history = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    // the arriving batch: re-crawls under new ids + genuinely new docs
+    val incoming = history.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 50000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionByName(Seq(
+        (90001L, "a stream-novel document", "en", "s", 23L),
+        (90002L, null: String, "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_docstream").toString
+    incoming.coalesce(1).write.mode("overwrite").parquet(streamDir)
+
+    val fps = graft.streaming.DocIngest.historyFingerprints(history, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = graft.streaming.DocIngest.incrementalDedupStream(
+        graft.streaming.DocIngest.readDocs(spark, streamDir), fps, "text")
+      .writeStream.format("memory").queryName("docingest_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("docingest_test").select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Dedup.incrementalDedup(incoming, history, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, "streamed dedup must equal the batch operator")
+    assert(streamed.contains(90001L) && !streamed.contains(90002L),
+      "novel doc kept, NULL-text doc dropped (the batch operator's documented semantics)")
+    assert(streamed.forall(id => id >= 90001L), "every re-crawl (5xxxx id block) must be dropped")
+    fps.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
 }
