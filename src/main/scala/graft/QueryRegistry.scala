@@ -519,6 +519,29 @@ object QueryRegistry {
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** Segment-level exact dedup (C4-style boilerplate removal): 20-word
+   *  windows, drop any window shared by >1 distinct docs, reassemble.
+   *  The oracle recomputes windowing, the distinct-doc HAVING, and the
+   *  ordered reassembly from scratch on the segment TEXT (the Spark
+   *  side keys the shuffle on a 256-bit hash — same content, slim key). */
+  private val dedup_paragraph = QueryDef(
+    (s, dir) => Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        segmentWords = 20, maxDocs = 1)
+      .orderBy("doc_id"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
+        idxs AS (SELECT doc_id, tk,
+          unnest(range(0, greatest((len(tk) + 19) // 20, 1))) AS idx FROM toks),
+        segs AS (SELECT doc_id, idx,
+          array_to_string(tk[idx * 20 + 1 : idx * 20 + 20], ' ') AS seg FROM idxs),
+        dups AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 1)
+        SELECT s.doc_id, count(*) AS n_segs, count(d.seg) AS n_dropped,
+          coalesce(string_agg(CASE WHEN d.seg IS NULL THEN s.seg END, ' ' ORDER BY s.idx), '') AS clean_text
+        FROM segs s LEFT JOIN dups d USING (seg)
+        GROUP BY s.doc_id ORDER BY s.doc_id"""
+    })
+
   // minhash/simhash signatures come from the oracle aux parquet
   // (Scala-kernel-computed, like the healpix pixels); DuckDB then
   // independently recomputes banding/chunking, est_sim and Hamming —
@@ -1506,5 +1529,6 @@ object QueryRegistry {
     "multimodal_decode" -> multimodal_decode,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
+    "dedup_paragraph" -> dedup_paragraph,
   )
 }

@@ -516,6 +516,60 @@ object Dedup {
     newBatch.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Segment-level exact dedup (the C4 / RefinedWeb line-dedup family,
+   * reference has no analog — LLM-pipeline surface): split every
+   * document into fixed word-window segments, drop each segment whose
+   * normalized content occurs in more than `maxDocs` DISTINCT
+   * documents (boilerplate, license headers, navigation chrome), and
+   * reassemble the surviving text in original order. Returns one row
+   * per input doc: (idCol, n_segs, n_dropped, clean_text).
+   *
+   * Real corpora would segment on newlines/sentence breaks; a fixed
+   * `segmentWords` window is used so single-line documents still dedup
+   * at sub-document granularity, and windowing keeps every segment's
+   * size (and thus the group-key cardinality) bounded by construction.
+   *
+   * Scale shape: segments shuffle ONCE, keyed by a 256-bit content
+   * hash (never the text — same convention as [[exactDedup]], so
+   * collision risk is negligible and shuffle keys stay fixed-width).
+   * The dup-segment side of the back-join is output of a HAVING
+   * count-distinct — tiny relative to the corpus by construction, so
+   * AQE converts the join to broadcast at runtime; the final per-doc
+   * reassembly is the same single groupBy the explode already paid
+   * for. Within-doc repeats are NOT dropped (count is per distinct
+   * doc) — repetition inside one doc is [[TextAnalysis.withRepetitionStats]]'s
+   * job, not dedup's.
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segmentWords: Int = 20, maxDocs: Int = 1): DataFrame = {
+    require(segmentWords >= 1, s"segmentWords must be >= 1 (got $segmentWords)")
+    require(maxDocs >= 1, s"maxDocs must be >= 1 (got $maxDocs)")
+    val toks = split(normalizeText(coalesce(col(textCol), lit(""))), " ")
+    // ceil(nToks / W) windows, at least one (empty text = one "" segment,
+    // mirroring the single-empty-token split semantics on both engines)
+    val nSeg = greatest(ceil(size(toks).cast("double") / segmentWords).cast("int"), lit(1))
+    val segsArr = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(toks, i * segmentWords + 1, lit(segmentWords)), " "))
+    val segs = df.select(col(idCol), posexplode(segsArr).as(Seq("__idx", "__seg")))
+      .withColumn("__h", sha2(col("__seg"), 256))
+    val dup = segs.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("__h"), lit(1).as("__dup"))
+    segs.join(dup, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(col("__dup")).as("n_dropped"),
+        // collect only survivors (when() yields null for dropped rows and
+        // collect_list skips nulls); __idx is unique per doc, so the
+        // struct sort is a total order and reassembly is deterministic
+        array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull, struct(col("__idx"), col("__seg"))))),
+          s => s.getField("__seg")), " ").as("clean_text"))
+  }
+
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, minCos: Double,

@@ -303,4 +303,42 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
     assert(res == Map((1L, "a") -> 1L, (1L, "b") -> 2L, (2L, "a") -> 9L))
   }
+
+  test("segmentDedup drops shared windows, keeps order, leaves within-doc repeats") {
+    // w=3 windows; docs 1+2 share "shared boilerplate header"; doc 3 repeats
+    // its own window twice (within-doc repeat must survive: count is per
+    // DISTINCT doc); doc 4 is empty text
+    val df = Seq(
+      (1L, "shared boilerplate header alpha beta gamma"),
+      (2L, "shared boilerplate header delta epsilon zeta"),
+      (3L, "eta theta iota eta theta iota"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val res = Dedup.segmentDedup(df, "doc_id", "text", segmentWords = 3, maxDocs = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res(1L) == ((2L, 1L, "alpha beta gamma")))
+    assert(res(2L) == ((2L, 1L, "delta epsilon zeta")))
+    assert(res(3L) == ((2L, 0L, "eta theta iota eta theta iota")))
+    assert(res(4L) == ((1L, 0L, "")), "empty text = one empty segment, kept")
+  }
+
+  test("segmentDedup reassembly preserves original segment order") {
+    // 9 windows of 2 words; none duplicated across docs -> clean_text == normalized input
+    val text = (1 to 18).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(df, "doc_id", "text", segmentWords = 2).collect().head
+    assert(r.getLong(1) == 9L && r.getLong(2) == 0L && r.getString(3) == text)
+  }
+
+  test("segmentDedup is idempotent on its own output") {
+    val df = Seq(
+      (1L, "shared boilerplate header alpha beta gamma"),
+      (2L, "shared boilerplate header delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val once = Dedup.segmentDedup(df, "doc_id", "text", segmentWords = 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = Dedup.segmentDedup(once, "doc_id", "text", segmentWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(twice == Map(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta"))
+  }
 }
