@@ -810,6 +810,64 @@ object QueryRegistry {
         FROM reranked)
       WHERE rn <= 5 ORDER BY q_id, rn"""))
 
+  /** Product-quantization ANN (Jegou et al. 2011): sampled per-subspace
+   *  codebooks, map-only encode to m codes per vector, ADC candidate
+   *  scan over codes only, exact squared-L2 rerank of the bounded
+   *  candidate list. The oracle replays EVERYTHING — the Knuth-hash
+   *  codebook sample, the per-subspace argmin encode, the s-ordered
+   *  ADC fold, the candidate cut, and the rerank. */
+  private val ann_pq = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Quantize.pqTopK(emb,
+          emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "vec_id", "embedding", "q_id", "q_vec", k = 5, m = 4, ksub = 16, refineFactor = 4)
+        .withColumn("l2", round(col("l2"), 6)).orderBy("q_id", "rn")
+    },
+    Some {
+      // squared L2 over subspace s (16 dims each) / the full 64 dims:
+      // cast to DOUBLE before subtracting, left-to-right fold — the
+      // exact arithmetic of the Spark kernel
+      def l2sub(a: String, b: String, s: String) =
+        s"""list_reduce(list_transform(range(1, 17),
+          i -> (($a)[$s*16+i]::DOUBLE - ($b)[$s*16+i]::DOUBLE) * (($a)[$s*16+i]::DOUBLE - ($b)[$s*16+i]::DOUBLE)),
+          (x, y) -> x + y)"""
+      def l2full(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+          i -> (($a)[i]::DOUBLE - ($b)[i]::DOUBLE) * (($a)[i]::DOUBLE - ($b)[i]::DOUBLE)),
+          (x, y) -> x + y)"""
+      s"""WITH cb AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, embedding AS cw FROM (
+          SELECT vec_id, embedding, ${graft.operators.Sampling.knuthHashSql("vec_id")} AS h
+          FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+      encd AS (
+        SELECT e.vec_id, t.s, c.j, round(${l2sub("e.embedding", "c.cw", "t.s")}, 9) AS d
+        FROM embeddings e CROSS JOIN range(0, 4) t(s) CROSS JOIN cb c),
+      enc AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM encd)
+        WHERE rn = 1),
+      persub AS (
+        SELECT q.vec_id AS q_id, en.vec_id AS vec_id, en.s,
+          ${l2sub("q.embedding", "c.cw", "en.s")} AS ds
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        CROSS JOIN enc en JOIN cb c ON c.j = en.code),
+      adc AS (
+        SELECT q_id, vec_id, list_reduce(list(ds ORDER BY s), (x, y) -> x + y) AS adc
+        FROM persub GROUP BY q_id, vec_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY round(adc, 9), vec_id) AS qrn FROM adc)
+        WHERE qrn <= 20),
+      rer AS (
+        SELECT c.q_id, c.vec_id, ${l2full("ce.embedding", "qe.embedding")} AS l2
+        FROM cand c JOIN embeddings ce ON ce.vec_id = c.vec_id
+                    JOIN embeddings qe ON qe.vec_id = c.q_id)
+      SELECT q_id, vec_id, round(l2, 6) AS l2, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY round(l2, 9), vec_id) AS rn FROM rer)
+      WHERE rn <= 5 ORDER BY q_id, rn"""
+    })
+
   private val text_langid = QueryDef(
     (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
       .select("doc_id", "lang", "pred_lang").orderBy("doc_id"),
@@ -1530,5 +1588,6 @@ object QueryRegistry {
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,
+    "ann_pq" -> ann_pq,
   )
 }

@@ -58,4 +58,107 @@ object Quantize {
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
+
+  // ------------------------------------------------------------ product quantization
+
+  /** Elementwise squared-L2 between two float arrays, accumulated in
+   *  double left-to-right (cast BEFORE subtracting — float-precision
+   *  deltas would diverge from the oracle's double arithmetic). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /**
+   * Sampled product-quantization codebook: `ksub` corpus vectors are
+   * drawn by the same deterministic Knuth-hash sample the IVF/k-means
+   * paths use, and each is sliced into `m` subvectors — codeword j of
+   * subspace s is sample j's s-th slice. Returns [m][ksub][dim/m].
+   * Driver-side state is m * ksub * dim/m = ksub * dim floats — tiny
+   * and independent of corpus size. At 100 TB you'd refine these with
+   * [[Ann.kmeansCodebook]] per subspace on a sample; the encode/ADC
+   * machinery below is identical either way.
+   */
+  def pqCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 m: Int = 4, ksub: Int = 16): Seq[Seq[Seq[Float]]] = {
+    require(m >= 1 && ksub >= 2, s"need m >= 1, ksub >= 2 (got $m, $ksub)")
+    Sampling.requireIntegralId(corpus, corpusId, "pq codebook sample")
+    val rows = corpus
+      .withColumn("__h", Sampling.knuthHash(col(corpusId)))
+      .orderBy(col("__h"), col(corpusId)).limit(ksub)
+      .select(col(corpusVec)).collect().map(_.getSeq[Float](0))
+    require(rows.nonEmpty, "pqCodebook: empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    Seq.tabulate(m)(s => rows.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq).toSeq)
+  }
+
+  /**
+   * MAP-ONLY PQ encode: per subspace, nearest codeword by squared L2
+   * (round-9 tie-broken on the lower codeword id — the argmin is the
+   * same sorted-struct trick as IVF assignment, no shuffle, codebook
+   * inlined). Adds `codesCol` as array<int> of length m. The encoded
+   * corpus stores m bytes-worth of codes per vector instead of
+   * 4*dim bytes of float32 — at dim=64, m=4 that is a 64x smaller
+   * scan for candidate generation.
+   */
+  def pqEncode(df: DataFrame, vecCol: String, codebook: Seq[Seq[Seq[Float]]],
+               codesCol: String = "pq_codes"): DataFrame = {
+    val dsub = codebook.head.head.length
+    val codes = array(codebook.indices.map { s =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val sorted = array_sort(array(codebook(s).zipWithIndex.map { case (cw, j) =>
+        struct(round(l2sq(sub, typedLit(cw)), 9).as("d"), lit(j).as("j"))
+      }: _*))
+      element_at(sorted, 1).getField("j")
+    }: _*)
+    df.withColumn(codesCol, codes)
+  }
+
+  /**
+   * PQ ANN with asymmetric distance computation (ADC): the corpus is
+   * scanned as codes only (never the float vectors), each query
+   * scores a row as the sum over subspaces of squared L2 between the
+   * query's EXACT subvector and the row's reconstructed codeword —
+   * the classic Jegou et al. 2011 search shape. Top k*refineFactor
+   * candidates per query by ADC are exact-reranked by full squared
+   * L2. Queries and candidate ids broadcast; the corpus never
+   * shuffles — the only Exchange carries (q_id, corpus_id, adc).
+   * Output: (queryId, corpusId, l2, rn), l2 = exact squared distance.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             corpusId: String, corpusVec: String,
+             queryId: String, queryVec: String,
+             k: Int, m: Int = 4, ksub: Int = 16, refineFactor: Int = 4): DataFrame = {
+    require(k >= 1 && refineFactor >= 1, s"k and refineFactor must be >= 1: $k, $refineFactor")
+    val cb = pqCodebook(corpus, corpusId, corpusVec, m, ksub)
+    val dsub = cb.head.head.length
+    val enc = pqEncode(corpus.select(col(corpusId), col(corpusVec)), corpusVec, cb)
+      .select(col(corpusId), col("pq_codes"))
+    // ADC accumulates subspace distances in fixed s = 0..m-1 order
+    // (reduce, not a shuffle aggregate) — reproducible double sums
+    val adc = cb.indices.map { s =>
+      val qsub = slice(col(queryVec), s * dsub + 1, dsub)
+      val cw = element_at(typedLit(cb(s)), element_at(col("pq_codes"), s + 1) + 1)
+      l2sq(qsub, cw)
+    }.reduce(_ + _)
+    val scored = enc.crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
+      .withColumn("adc", adc)
+      .select(col(queryId), col(corpusId), col("adc"))
+    val wq = Window.partitionBy(col(queryId)).orderBy(round(col("adc"), 9).asc, col(corpusId).asc)
+    val cand = scored.withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= k * refineFactor)
+      .select(col(queryId), col(corpusId))
+    val withVecs = corpus.select(col(corpusId), col(corpusVec))
+      .join(broadcast(cand), corpusId)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+      .withColumn("l2", l2sq(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(round(col("l2"), 9).asc, col(corpusId).asc)
+    withVecs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("l2"), col("rn"))
+  }
 }

@@ -64,6 +64,52 @@ class QuantizeSpec extends SparkSpecBase {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("pqEncode: codes bounded by ksub, deterministic, sampled rows encode to themselves") {
+    val corpus = vecs(100, 64, 7)
+    val cb = Quantize.pqCodebook(corpus, "vec_id", "embedding", m = 4, ksub = 16)
+    assert(cb.length == 4 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 16)))
+    val enc = Quantize.pqEncode(corpus, "embedding", cb)
+      .select($"vec_id", $"pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.size == 100 && enc.values.forall(c => c.length == 4 && c.forall(j => j >= 0 && j < 16)))
+    // a vector that IS codeword j in every subspace must encode to (j,j,j,j):
+    // its subspace distance to itself is exactly 0
+    val sampled = corpus.withColumn("__h", graft.operators.SamplingTestAccess.knuthHash($"vec_id"))
+      .orderBy($"__h", $"vec_id").limit(16).select("vec_id").as[Long].collect()
+    sampled.zipWithIndex.foreach { case (id, j) =>
+      assert(enc(id) == Seq(j, j, j, j), s"sample row $id must self-encode to codeword $j")
+    }
+  }
+
+  test("pqTopK: top-1 is the query itself; candidate recall vs brute force") {
+    val corpus = vecs(200, 64, 13)
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Quantize.pqTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+      k = 5, m = 4, ksub = 16, refineFactor = 8)
+    val rows = got.collect()
+    assert(rows.length == 25, s"5 queries x k=5: got ${rows.length}")
+    val top1 = rows.filter(_.getLong(3) == 1L)
+    assert(top1.forall(r => r.getLong(0) == r.getLong(1)),
+      "rank 1 must be the query vector itself (its own codes minimize ADC to 0-reconstruction error)")
+    // l2 must be nonneg and nondecreasing within each query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ds.head >= 0 && ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+  }
+
+  test("pqTopK plan: no Exchange carries a vector column (codes-only candidate scan)") {
+    val corpus = vecs(60, 64, 17)
+    val queries = corpus.limit(2).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val plan = Quantize.pqTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec", k = 3)
+      .queryExecution.executedPlan.toString
+    val offenders = plan.linesIterator.filter(_.contains("Exchange"))
+      .filter(l => l.contains("embedding") || l.contains("q_vec") || l.contains("pq_codes"))
+      .toSeq
+    assert(offenders.isEmpty, s"vectors/codes must not ride a shuffle:\n${offenders.mkString("\n")}")
+  }
+
   test("quantizedTopK plan: no Exchange carries a vector column") {
     val corpus = vecs(50, 16, 5)
     val queries = corpus.limit(2).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
