@@ -519,6 +519,53 @@ object QueryRegistry {
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** Collocation mining: top-k adjacent word pairs by PMI with the
+   *  Church & Hanks min-count floor. The oracle recomputes bigram and
+   *  unigram counts, the PMI arithmetic and the global rank. */
+  private val text_collocations = QueryDef(
+    (s, dir) => TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 20, k = 25)
+      .orderBy("rank"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH toks AS (SELECT list_filter(string_split($norm, ' '), x -> len(x) > 0) AS tk FROM documents),
+        idxs AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2),
+        big AS (SELECT tk[i] AS term_a, tk[i+1] AS term_b, count(*) AS n_ab FROM idxs GROUP BY 1, 2),
+        uni AS (SELECT u.t AS term, count(*) AS n FROM toks, unnest(tk) AS u(t) GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn FROM uni),
+        scored AS (
+          SELECT b.term_a, b.term_b, b.n_ab,
+            ln((b.n_ab::DOUBLE * t.nn::DOUBLE) / (ua.n::DOUBLE * ub.n::DOUBLE)) AS pmi
+          FROM big b JOIN uni ua ON ua.term = b.term_a
+                     JOIN uni ub ON ub.term = b.term_b, tot t
+          WHERE b.n_ab >= 20)
+        SELECT term_a, term_b, n_ab, round(pmi, 6) AS pmi, rank FROM (
+          SELECT *, row_number() OVER (ORDER BY round(pmi, 6) DESC, term_a, term_b) AS rank FROM scored)
+        WHERE rank <= 25 ORDER BY rank"""
+    })
+
+  /** Z-order (Morton) clustering diagnostics: bucket events on two
+   *  dims, interleave to a z-value, and report per-z-range row counts
+   *  and per-dim min/max — the footer stats a parquet pruner sees
+   *  after a writeZOrdered layout. The oracle recomputes the bit
+   *  interleave and the range stats in plain integer SQL. */
+  private val q_zorder = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("u", pmod(col("user_id"), lit(256L)))
+        .withColumn("v", pmod(floor(coalesce(col("value"), lit(0.0)) * 10).cast("long"), lit(256L)))
+      graft.operators.Layout.zClusterStats(ev, Seq("u", "v"), bits = 8, bucketBits = 6)
+        .orderBy("zbucket")
+    },
+    Some("""WITH z AS (SELECT ((user_id % 256) + 256) % 256 AS u,
+        ((CAST(floor(coalesce(value, 0) * 10) AS BIGINT) % 256) + 256) % 256 AS v FROM events),
+      zz AS (SELECT u, v,
+        CAST(list_sum(list_transform(range(0, 8), i ->
+          (((u >> i) & 1) << (2*i)) + (((v >> i) & 1) << (2*i+1)))) AS BIGINT) AS zv FROM z)
+      SELECT zv >> 10 AS zbucket, count(*) AS n,
+        min(u) AS min_u, max(u) AS max_u, min(v) AS min_v, max(v) AS max_v
+      FROM zz GROUP BY 1 ORDER BY 1"""))
+
   /** Segment-level exact dedup (C4-style boilerplate removal): 20-word
    *  windows, drop any window shared by >1 distinct docs, reassemble.
    *  The oracle recomputes windowing, the distinct-doc HAVING, and the
@@ -1589,5 +1636,7 @@ object QueryRegistry {
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,
     "ann_pq" -> ann_pq,
+    "q_zorder" -> q_zorder,
+    "text_collocations" -> text_collocations,
   )
 }

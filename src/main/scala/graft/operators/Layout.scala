@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-layout operators: write-time clustering so that read-time
+ * predicates prune storage instead of scanning it.
+ *
+ * Z-ordering (bit-interleaved space-filling curve — the Morton curve
+ * Delta/Iceberg `OPTIMIZE ZORDER BY` uses) maps n bucketed dimensions
+ * to one sort key whose contiguous ranges are small hyper-rectangles
+ * in dimension space. Range-partitioning + sorting parquet output by
+ * the z-value makes every file's min/max footer stats tight in EVERY
+ * clustered dimension at once — a multi-dimensional predicate then
+ * skips row groups on all of them, where a plain single-column sort
+ * bounds only its own column. This is the 100 TB answer to "my scans
+ * filter on two columns and neither is the partition key".
+ */
+object Layout {
+
+  /**
+   * Morton z-value: interleave the low `bits` bits of each column
+   * (column 0 owns bit positions i*n, column 1 owns i*n+1, ...).
+   * Inputs are masked to `bits` bits — callers bucket dimensions
+   * first (modulo, width bucketing, rank); the mask only guards
+   * against stray high bits. Pure shift/mask arithmetic on longs:
+   * codegen-friendly, map-only, and replayable in ANSI SQL.
+   */
+  def zvalue(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 1, "zvalue needs at least one column")
+    require(bits >= 1 && bits * n <= 62, s"bits * nCols must fit a long: $bits * $n")
+    cols.zipWithIndex.map { case (c, ci) =>
+      val m = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(m, i).bitwiseAND(lit(1L)), i * n + ci)
+      }.reduce(_ + _) // disjoint bit positions: + == bitwise OR
+    }.reduce(_ + _)
+  }
+
+  /**
+   * Write `df` as parquet clustered on the z-order of `dims`
+   * (already-bucketed non-negative int columns): range-partition by
+   * z-value into `numFiles` output tasks, sort within each, drop the
+   * helper column. One range-exchange total; every output file covers
+   * a contiguous z-range, so its footer min/max on each dim column
+   * spans ~(2^bits / numFiles^(1/n)) values instead of the full
+   * domain.
+   */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+                    bits: Int, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1 (got $numFiles)")
+    df.withColumn("__z", zvalue(dims.map(col), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Clustering diagnostics: group rows by the top `bucketBits` bits
+   * of their z-value ("file-sized" z-ranges) and report each range's
+   * row count and per-dimension min/max — the exact quantity parquet
+   * footers expose to the row-group pruner. Tight ranges here = real
+   * skipping at read time.
+   */
+  def zClusterStats(df: DataFrame, dims: Seq[String], bits: Int, bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= bits * dims.length,
+      s"bucketBits must be in [1, ${bits * dims.length}] (got $bucketBits)")
+    val shift = bits * dims.length - bucketBits
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    df.withColumn("__z", zvalue(dims.map(col), bits))
+      .groupBy(shiftright(col("__z"), shift).as("zbucket"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+}

@@ -323,4 +323,44 @@ object TextAnalysis {
         AND abs(length(a.pfx) - length(b.pfx)) <= $maxDist)
     WHERE dist <= $maxDist"""
   }
+
+  /**
+   * Collocation mining: top-k adjacent word pairs by pointwise mutual
+   * information, PMI = ln(n_ab * N / (n_a * n_b)), with a minimum
+   * pair-count floor (hapax pairs have unboundedly inflated PMI — the
+   * floor is the standard Church & Hanks guard). Corpus shape: one
+   * map-side-combined bigram aggregate (the big shuffle), a unigram
+   * aggregate bounded by vocabulary size and BROADCAST to both join
+   * sides, and a final rank over the floor-filtered pair-stats table
+   * — bounded by vocab^2 and in practice by the floor, so the
+   * single-partition ranking window never sees corpus-sized data.
+   */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && k >= 1, s"minCount and k must be >= 1: $minCount, $k")
+    val toksNE = filter(tokens(col(textCol)), t => length(t) > 0)
+    val base = df.select(toksNE.as("__tk"))
+    // adjacent pairs: i and i+1 over the filtered token array
+    val pairs = base.filter(size(col("__tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__tk")) - 2),
+        i => struct(element_at(col("__tk"), i + 1).as("term_a"),
+          element_at(col("__tk"), i + 2).as("term_b")))).as("p"))
+      .select(col("p.term_a"), col("p.term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+    val uni = base.select(explode(col("__tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum("n").as("nn"))
+    val scored = pairs.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("term").as("term_a"), col("n").as("n_a"))), "term_a")
+      .join(broadcast(uni.select(col("term").as("term_b"), col("n").as("n_b"))), "term_b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", log((col("n_ab").cast("double") * col("nn").cast("double")) /
+        (col("n_a").cast("double") * col("n_b").cast("double"))))
+    val w = Window.orderBy(round(col("pmi"), 6).desc, col("term_a").asc, col("term_b").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round(col("pmi"), 6).as("pmi"), col("rank"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("zvalue: golden bit interleave, mask, and column bit ownership") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L), (256L, 0L))
+      .toDF("u", "v")
+      .withColumn("z", Layout.zvalue(Seq(col("u"), col("v")), bits = 8))
+    val z = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1L, 0L)) == 1L, "column 0 owns even bit positions")
+    assert(z((0L, 1L)) == 2L, "column 1 owns odd bit positions")
+    // u=3 (011) -> bits 0,2 ; v=5 (101) -> bits 1,5 => 1+4+2+32 = 39
+    assert(z((3L, 5L)) == 39L)
+    assert(z((255L, 255L)) == 65535L, "max bucket fills all 16 bits")
+    assert(z((256L, 0L)) == 0L, "inputs masked to the low `bits` bits")
+  }
+
+  test("zvalue: contiguous z-ranges are small hyper-rectangles (locality)") {
+    // full 32x32 grid at bits=5: each aligned 64-value z-range must span
+    // exactly an 8x8 tile of (u, v) space
+    val grid = (for { u <- 0 until 32; v <- 0 until 32 } yield (u.toLong, v.toLong))
+      .toDF("u", "v")
+    val stats = Layout.zClusterStats(grid, Seq("u", "v"), bits = 5, bucketBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4)))
+    assert(stats.length == 16, "1024 cells / 64 per bucket = 16 buckets")
+    stats.foreach { case (b, n, du, dv) =>
+      assert(n == 64L, s"bucket $b holds $n rows")
+      assert(du == 7L && dv == 7L, s"bucket $b spans ${du + 1}x${dv + 1}, want 8x8")
+    }
+  }
+
+  test("writeZOrdered: per-file min/max tight on BOTH dims; single-dim sort is not") {
+    val grid = (for { u <- 0 until 64; v <- 0 until 64 } yield (u.toLong, v.toLong))
+      .toDF("u", "v")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    Layout.writeZOrdered(grid, zDir, Seq("u", "v"), bits = 6, numFiles = 16)
+    grid.repartitionByRange(16, col("u")).sortWithinPartitions("u")
+      .write.mode("overwrite").parquet(sDir)
+    def perFileMaxRange(dir: String): (Long, Long) = {
+      val byFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("u") - min("u")).as("du"), (max("v") - min("v")).as("dv"))
+        .agg(max("du"), max("dv")).collect()(0)
+      (byFile.getLong(0), byFile.getLong(1))
+    }
+    val (zdu, zdv) = perFileMaxRange(zDir)
+    val (sdu, sdv) = perFileMaxRange(sDir)
+    // z-order: every file covers a contiguous z range ~ a few 16x16
+    // tiles -> both dims bounded well under the 0..63 domain
+    assert(zdu <= 31 && zdv <= 31, s"z-ordered per-file ranges must be tight: du=$zdu dv=$zdv")
+    // single-dim sort bounds u but leaves v spanning the full domain
+    assert(sdu <= 7, s"u-sorted layout should bound u (got $sdu)")
+    assert(sdv == 63, s"u-sorted layout cannot bound v (got $sdv)")
+    assert(zdv < sdv, "z-order must beat single-dim sort on the second dimension")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sDir))
+  }
+
+  test("zClusterStats validates bucketBits; zvalue validates width") {
+    val df = Seq((1L, 1L)).toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      Layout.zClusterStats(df, Seq("u", "v"), bits = 8, bucketBits = 17)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zvalue(Seq(col("u"), col("v")), bits = 32)
+    }
+  }
+}

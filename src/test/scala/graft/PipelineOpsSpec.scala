@@ -184,4 +184,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(res(2L)._2 == 0L, "disjoint doc: zero matched")
     assert(res(3L)._2 > 0 && res(3L)._2 < res(3L)._1, "partial overlap strictly between")
   }
+
+  test("collocations: bound pairs outrank frequent-but-independent pairs; floor applies") {
+    // "hong kong" always co-occurs (PMI high); "the cat"/"the dog" are
+    // frequent but 'the' pairs with everything (PMI ~ 0); "rare gem"
+    // occurs once -> excluded by the minCount floor
+    val docs = Seq.tabulate(20)(i =>
+        (i.toLong, s"hong kong visit number $i the cat and the dog met rare${if (i == 0) " gem" else ""}"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(res.nonEmpty && res.map(_._5).toSeq == (1L to res.length).toSeq, "dense ranks from 1")
+    val byPair = res.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair.contains(("hong", "kong")), "perfectly bound pair must rank")
+    assert(!res.exists(r => r._1 == "rare" && r._2 == "gem"), "hapax pair excluded by floor")
+    val hk = byPair(("hong", "kong"))
+    assert(byPair.filterKeys(p => p._1 == "the" || p._2 == "the").values.forall(_ < hk),
+      "'the X' pairs must score below the bound pair")
+    // PMI must be nonincreasing with rank
+    val ordered = res.sortBy(_._5).map(_._4)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
 }
