@@ -137,6 +137,14 @@ object QueryRegistry {
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events with ts as RAW epoch nanos (BIGINT) — for operators whose
+   *  strict time comparisons must not be reordered by the micros
+   *  truncation above (the source has true nano precision). */
+  private[graft] def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
   private val events_window = QueryDef(
     (s, dir) => events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -518,6 +526,53 @@ object QueryRegistry {
     Some("""SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** Ordered funnel (view -> click -> purchase, strictly in sequence)
+   *  over raw-nano timestamps: per-user furthest stage, counted. One
+   *  shuffle — the three step columns stack on a single window sort. */
+  private val q_funnel = QueryDef(
+    (s, dir) => graft.operators.Temporal.funnelStages(
+        // first two days only — with the full month every user
+        // completes the funnel and the query degenerates to one row
+        eventsRaw(s, dir).filter(col("ts") < lit(1704240000000000000L)),
+        "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users")).orderBy("stage"),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events
+        WHERE epoch_ns(ts) < 1704240000000000000),
+      s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tns END)
+          OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS q0 FROM e),
+      s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND q0 < tns THEN tns END)
+          OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS q1 FROM s1),
+      s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND q1 < tns THEN tns END)
+          OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS q2 FROM s2),
+      per AS (SELECT user_id,
+          max(CASE WHEN q0 IS NOT NULL THEN 1 ELSE 0 END)
+        + max(CASE WHEN q1 IS NOT NULL THEN 1 ELSE 0 END)
+        + max(CASE WHEN q2 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        FROM s3 GROUP BY user_id)
+      SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users FROM per GROUP BY 1 ORDER BY 1"""))
+
+  /** Weekly cohort retention: cohort = week of first activity,
+   *  n_active distinct users per (cohort, offset). Distinct activity
+   *  pre-aggregates map-side; the user-keyed join is co-partitioned. */
+  private val q_retention = QueryDef(
+    (s, dir) => {
+      val wk = floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7).cast("long")
+      val activity = events(s, dir).select(col("user_id"), wk.as("week")).distinct()
+      val cohort = activity.groupBy("user_id").agg(min("week").as("cohort_week"))
+      activity.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+        date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week FROM events),
+      c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        count(DISTINCT a.user_id) AS n_active
+      FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Collocation mining: top-k adjacent word pairs by PMI with the
    *  Church & Hanks min-count floor. The oracle recomputes bigram and
@@ -1638,5 +1693,7 @@ object QueryRegistry {
     "ann_pq" -> ann_pq,
     "q_zorder" -> q_zorder,
     "text_collocations" -> text_collocations,
+    "q_funnel" -> q_funnel,
+    "q_retention" -> q_retention,
   )
 }

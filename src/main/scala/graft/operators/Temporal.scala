@@ -128,4 +128,42 @@ object Temporal {
       .filter(col(startCol) <= col(ptCol) && col(ptCol) < col(endCol))
       .drop("__b")
   }
+
+  /**
+   * Ordered funnel: per entity, how far it progressed through `steps`
+   * in sequence — step i counts only if it happens STRICTLY after the
+   * first qualifying occurrence of step i-1. Returns (entityCol,
+   * stage) with stage in 0..steps.length.
+   *
+   * Scale shape: ONE shuffle. Every step is a cumulative
+   * `min(when(qualifies, t))` over the same (entity, time-ordered)
+   * window frame, so Catalyst stacks the step columns on a single
+   * Exchange + Sort — cost is O(rows) per step after the sort, never
+   * a self-join per step (the naive k-step funnel is k-1 self-joins).
+   * Strict `<` on the time column makes the result independent of
+   * sort-tie order among equal timestamps, but `orderCol` is still
+   * required to pin a total order (determinism by construction, not
+   * by luck).
+   *
+   * `timeCol` must be totally ordered and comparable on both engines
+   * — pass raw integer timestamps (e.g. epoch nanos) when the source
+   * has sub-microsecond precision, so no truncation reorders ties.
+   */
+  def funnelStages(df: DataFrame, entityCol: String, timeCol: String, orderCol: String,
+                   steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnelStages needs at least one step predicate")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(timeCol).asc, col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = steps.zipWithIndex.foldLeft(df) { case (cur, (pred, i)) =>
+      val qual = if (i == 0) pred else pred && col(s"__q${i - 1}") < col(timeCol)
+      cur.withColumn(s"__q$i", min(when(qual, col(timeCol))).over(w))
+    }
+    // reaching step i implies step i-1 (the qualifier chains), so the
+    // sum of reached-flags IS the furthest stage
+    staged.groupBy(col(entityCol))
+      .agg(steps.indices
+        .map(i => max(col(s"__q$i").isNotNull.cast("long")))
+        .reduce(_ + _).as("stage"))
+  }
 }

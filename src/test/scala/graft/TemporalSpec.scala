@@ -110,4 +110,43 @@ class TemporalSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("buckets"))
   }
+
+  test("funnelStages: strict in-sequence progress, out-of-order steps don't count") {
+    val ev = Seq(
+      // user 1: full funnel in order -> 3
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      // user 2: purchase BEFORE click -> stops at 2 (view, click)
+      (2L, 10L, 4L, "view"), (2L, 15L, 5L, "purchase"), (2L, 20L, 6L, "click"),
+      // user 3: click before any view -> only the later view counts -> 1
+      (3L, 5L, 7L, "click"), (3L, 10L, 8L, "view"),
+      // user 4: no step-1 event at all -> 0
+      (4L, 10L, 9L, "error"),
+      // user 5: click at the SAME time as view -> strict < rejects it -> 1
+      (5L, 10L, 10L, "view"), (5L, 10L, 11L, "click")
+    ).toDF("uid", "t", "eid", "etype")
+    val res = Temporal.funnelStages(ev, "uid", "t", "eid",
+        Seq(col("etype") === "view", col("etype") === "click", col("etype") === "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("funnelStages: later qualifying pair still completes after an early false start") {
+    // view(10), purchase(15) [blocked: no click yet], click(20), purchase(25) -> 3
+    val ev = Seq((1L, 10L, 1L, "view"), (1L, 15L, 2L, "purchase"),
+      (1L, 20L, 3L, "click"), (1L, 25L, 4L, "purchase")).toDF("uid", "t", "eid", "etype")
+    val res = Temporal.funnelStages(ev, "uid", "t", "eid",
+        Seq(col("etype") === "view", col("etype") === "click", col("etype") === "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 3L))
+  }
+
+  test("funnelStages plan: one Exchange total — step columns stack on a single window sort") {
+    val ev = Seq((1L, 10L, 1L, "view")).toDF("uid", "t", "eid", "etype")
+    val plan = Temporal.funnelStages(ev, "uid", "t", "eid",
+        Seq(col("etype") === "view", col("etype") === "click", col("etype") === "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"window + final agg must share partitioning (got $exchanges):\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window [")) >= 1, s"expected a Window operator:\n$plan")
+  }
 }
