@@ -42,6 +42,15 @@ object native {
   def int8Scale(vec: Column): Column = c1(Int8ScaleExpr.apply)(vec.cast("array<float>"))
   /** Cosine of two quantized byte vectors (QuantCosExpr). */
   def quantCos(a: Column, b: Column): Column = c2(QuantCosExpr.apply)(a, b)
+  /** Squared L2 distance of float vectors (L2SqExpr). */
+  def l2Sq(a: Column, b: Column): Column = c2(L2SqExpr.apply)(a.cast("array<float>"), b.cast("array<float>"))
+  /** Per-(subspace, codeword) squared L2 against an inlined PQ codebook (PqSubDistsExpr). */
+  def pqSubDists(vec: Column, cb: Seq[Float], m: Int): Column =
+    GraftBridge.column(PqSubDistsExpr(GraftBridge.expression(vec.cast("array<float>")), cb, m))
+  /** Asymmetric PQ distance query-to-codes against an inlined codebook (PqAdcExpr). */
+  def pqAdc(q: Column, codes: Column, cb: Seq[Float], m: Int): Column =
+    GraftBridge.column(PqAdcExpr(GraftBridge.expression(q.cast("array<float>")),
+      GraftBridge.expression(codes), cb, m))
 
   /** Packed (order << 48 | pix) partition assignment against a broadcast grid (PackedPartitionPixelExpr). */
   def packedPartitionPixel(ra: Column, dec: Column, orderK: Int,

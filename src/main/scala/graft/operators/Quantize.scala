@@ -61,15 +61,18 @@ object Quantize {
 
   // ------------------------------------------------------------ product quantization
 
-  /** Elementwise squared-L2 between two float arrays, accumulated in
-   *  double left-to-right (cast BEFORE subtracting — float-precision
-   *  deltas would diverge from the oracle's double arithmetic). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+  /** The [m][ksub][dsub] codebook flattened to the [ksub][dim]
+   *  row-major sample matrix the native kernels index. */
+  private def flatCodebook(codebook: Seq[Seq[Seq[Float]]]): Seq[Float] = {
+    val m = codebook.length
+    val ksub = codebook.head.length
+    val dsub = codebook.head.head.length
+    val dim = m * dsub
+    val flat = new Array[Float](ksub * dim)
+    for (s <- 0 until m; j <- 0 until ksub; i <- 0 until dsub)
+      flat(j * dim + s * dsub + i) = codebook(s)(j)(i)
+    flat.toSeq
+  }
 
   /**
    * Sampled product-quantization codebook: `ksub` corpus vectors are
@@ -107,15 +110,20 @@ object Quantize {
    */
   def pqEncode(df: DataFrame, vecCol: String, codebook: Seq[Seq[Seq[Float]]],
                codesCol: String = "pq_codes"): DataFrame = {
-    val dsub = codebook.head.head.length
+    val m = codebook.length
+    val ksub = codebook.head.length
+    // distances come from ONE native kernel call per row (codegen'd,
+    // the hot loop of the whole encode); only the m argmins over the
+    // returned m*ksub array stay in Column land, so the round-9 +
+    // lower-j tie-break is the same expression the oracle replays
+    val withD = df.withColumn("__pqd",
+      graft.functions.native.pqSubDists(col(vecCol), flatCodebook(codebook), m))
     val codes = array(codebook.indices.map { s =>
-      val sub = slice(col(vecCol), s * dsub + 1, dsub)
-      val sorted = array_sort(array(codebook(s).zipWithIndex.map { case (cw, j) =>
-        struct(round(l2sq(sub, typedLit(cw)), 9).as("d"), lit(j).as("j"))
-      }: _*))
+      val sorted = array_sort(transform(sequence(lit(0), lit(ksub - 1)),
+        j => struct(round(element_at(col("__pqd"), j + s * ksub + 1), 9).as("d"), j.as("j"))))
       element_at(sorted, 1).getField("j")
     }: _*)
-    df.withColumn(codesCol, codes)
+    withD.withColumn(codesCol, codes).drop("__pqd")
   }
 
   /**
@@ -135,18 +143,14 @@ object Quantize {
              k: Int, m: Int = 4, ksub: Int = 16, refineFactor: Int = 4): DataFrame = {
     require(k >= 1 && refineFactor >= 1, s"k and refineFactor must be >= 1: $k, $refineFactor")
     val cb = pqCodebook(corpus, corpusId, corpusVec, m, ksub)
-    val dsub = cb.head.head.length
     val enc = pqEncode(corpus.select(col(corpusId), col(corpusVec)), corpusVec, cb)
       .select(col(corpusId), col("pq_codes"))
-    // ADC accumulates subspace distances in fixed s = 0..m-1 order
-    // (reduce, not a shuffle aggregate) — reproducible double sums
-    val adc = cb.indices.map { s =>
-      val qsub = slice(col(queryVec), s * dsub + 1, dsub)
-      val cw = element_at(typedLit(cb(s)), element_at(col("pq_codes"), s + 1) + 1)
-      l2sq(qsub, cw)
-    }.reduce(_ + _)
+    // ADC is one native kernel call per (row, query) — subspace
+    // distances accumulate in fixed s = 0..m-1 order inside the
+    // kernel (reproducible double sums, same fold as the oracle)
     val scored = enc.crossJoin(broadcast(queries.select(col(queryId), col(queryVec))))
-      .withColumn("adc", adc)
+      .withColumn("adc",
+        graft.functions.native.pqAdc(col(queryVec), col("pq_codes"), flatCodebook(cb), cb.length))
       .select(col(queryId), col(corpusId), col("adc"))
     val wq = Window.partitionBy(col(queryId)).orderBy(round(col("adc"), 9).asc, col(corpusId).asc)
     val cand = scored.withColumn("qrn", row_number().over(wq))
@@ -155,7 +159,7 @@ object Quantize {
     val withVecs = corpus.select(col(corpusId), col(corpusVec))
       .join(broadcast(cand), corpusId)
       .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
-      .withColumn("l2", l2sq(col(corpusVec), col(queryVec)))
+      .withColumn("l2", graft.functions.native.l2Sq(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(round(col("l2"), 9).asc, col(corpusId).asc)
     withVecs.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
