@@ -970,6 +970,42 @@ object QueryRegistry {
       WHERE rn <= 5 ORDER BY q_id, rn"""
     })
 
+  /** MMR diversity selection over a bounded candidate pool: 8 greedy
+   *  picks at lambda = 0.5 (exact-binary constant on both engines).
+   *  The oracle UNROLLS the recurrence — one CTE block per pick, the
+   *  same discipline as text_bpe's unrolled merges. */
+  private val ann_mmr = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding").collect()(0).getSeq[Float](0)
+      val cands = emb.filter(col("vec_id") < 200)
+        .withColumn("rel", Dedup.cosine(col("embedding"), typedLit(qvec)))
+      Ann.mmrSelect(cands, "vec_id", "embedding", "rel", k = 8, lambda = 0.5)
+        .withColumn("rel", round(col("rel"), 6)).orderBy("rank")
+    },
+    Some {
+      val steps = 8
+      val sb = new StringBuilder
+      sb ++= s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cand0 AS (SELECT vec_id AS id, embedding AS v,
+          ${cosSql("embedding", "q.qv")} AS rel, 0.0 AS ms
+          FROM embeddings, q WHERE vec_id < 200)"""
+      for (i <- 1 to steps) {
+        sb ++= s""", sel$i AS (SELECT id, v, rel FROM cand${i - 1}
+          ORDER BY round(0.5 * rel - 0.5 * ms, 9) DESC, id LIMIT 1)"""
+        if (i < steps)
+          sb ++= s""", cand$i AS (SELECT c.id, c.v, c.rel,
+            greatest(c.ms, ${cosSql("c.v", "s.v")}) AS ms
+            FROM cand${i - 1} c, sel$i s WHERE c.id <> s.id)"""
+      }
+      sb ++= " SELECT * FROM ("
+      sb ++= (1 to steps).map(i =>
+        s"SELECT id AS vec_id, round(rel, 6) AS rel, CAST($i AS BIGINT) AS rank FROM sel$i")
+        .mkString(" UNION ALL ")
+      sb ++= ") ORDER BY rank"
+      sb.toString
+    })
+
   private val text_langid = QueryDef(
     (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
       .select("doc_id", "lang", "pred_lang").orderBy("doc_id"),
@@ -1695,5 +1731,6 @@ object QueryRegistry {
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,
+    "ann_mmr" -> ann_mmr,
   )
 }

@@ -277,4 +277,59 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
+
+  /**
+   * Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+   * greedily pick k rows maximizing
+   * `lambda * relevance - (1 - lambda) * max cosine to already-picked`
+   * — the standard diversity re-rank between retrieval and use
+   * (diverse few-shot pools, dedup'd top-k, coverage sampling).
+   *
+   * Candidates MUST be a bounded retrieval result (top-N of an ANN
+   * query), never a corpus: the recurrence is inherently sequential
+   * in k, so each of the k steps is one tiny argmax job over the
+   * candidate frame with the newest pick's vector inlined — k
+   * driver round-trips of one row each, nothing corpus-sized ever
+   * moves. `maxCandidates` enforces the contract loudly.
+   *
+   * Ties break by (round(score, 9) desc, id asc) — deterministic and
+   * SQL-replayable. Pass `lambda` as an exactly-representable double
+   * (0.5, 0.25, ...) so `1 - lambda` is exact on both engines.
+   * Returns (idCol, rel, rank) in pick order.
+   */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String, relCol: String,
+                k: Int, lambda: Double = 0.5, maxCandidates: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1] (got $lambda)")
+    val n = candidates.count()
+    require(n <= maxCandidates,
+      s"mmrSelect: $n candidates (> $maxCandidates) — MMR is a re-rank of a bounded " +
+        "retrieval result; run an ANN top-N first, or raise maxCandidates explicitly")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    var cur = candidates.select(col(idCol), col(vecCol).cast("array<float>").as("__v"),
+        col(relCol).cast("double").as("__rel"))
+      .withColumn("__ms", lit(0.0))
+    cur.persist()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
+    for (_ <- 1 to math.min(k, n).toInt) {
+      val best = cur
+        .withColumn("__score", lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
+        .orderBy(round(col("__score"), 9).desc, col(idCol).asc)
+        .limit(1).select(col(idCol), col("__rel"), col("__v")).collect()(0)
+      picked += ((best.get(0), best.getDouble(1)))
+      val bvec = best.getSeq[Float](2)
+      val prev = cur
+      cur = cur.filter(col(idCol) =!= lit(best.get(0)))
+        .withColumn("__ms", greatest(col("__ms"), Dedup.cosine(col("__v"), typedLit(bvec))))
+      cur.persist()
+      prev.unpersist()
+    }
+    cur.unpersist()
+    val idType = candidates.schema(idCol).dataType
+    spark.createDataset(picked.toSeq.zipWithIndex
+        .map { case ((id, rel), i) => (id.toString, rel, (i + 1).toLong) })
+      .toDF(idCol, "rel", "rank")
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
 }

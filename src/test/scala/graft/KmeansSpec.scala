@@ -48,4 +48,34 @@ class KmeansSpec extends SparkSpecBase {
     val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", nCells = 2, iters = 2)
     assert(cents.length == 1 && cents.head._2 == Seq(1f, 0f))
   }
+
+  test("mmrSelect: diversity penalty beats raw relevance; lambda=1 is pure relevance") {
+    // two tight clusters on orthogonal axes; all of cluster A slightly
+    // more relevant than cluster B
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), 0.99),
+      (2L, Array(0.999f, 0.04f, 0f), 0.98),
+      (3L, Array(0.999f, -0.04f, 0f), 0.97),
+      (4L, Array(0f, 1f, 0f), 0.60),
+      (5L, Array(0f, 0.999f, 0.04f), 0.59)
+    ).toDF("id", "v", "rel")
+    val picks = Ann.mmrSelect(df, "id", "v", "rel", k = 2, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(picks == Seq(1L, 4L),
+      s"second pick must jump to the other cluster, got $picks")
+    val pure = Ann.mmrSelect(df, "id", "v", "rel", k = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(pure == Seq(1L, 2L, 3L), s"lambda=1 ignores diversity, got $pure")
+  }
+
+  test("mmrSelect: k > candidates returns all; candidate-bound guard trips") {
+    val df = Seq((1L, Array(1f, 0f), 0.9), (2L, Array(0f, 1f), 0.8)).toDF("id", "v", "rel")
+    val all = Ann.mmrSelect(df, "id", "v", "rel", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sortBy(_._2)
+    assert(all == Seq((1L, 1L), (2L, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      Ann.mmrSelect(df, "id", "v", "rel", k = 1, maxCandidates = 1)
+    }
+    assert(e.getMessage.contains("bounded"))
+  }
 }
