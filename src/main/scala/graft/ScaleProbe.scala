@@ -215,6 +215,27 @@ object ScaleProbe {
         bigEv.select(col("event_id"), unix_micros(col("ts")).as("pt")), iv,
         "pt", "s", "e", bucketWidth = 21600000000L).count())
 
+    // r6 ops over the inflated corpora. segmentDedup here is the
+    // ADVERSARIAL case: every base segment recurs in all replicas, so
+    // the "dup side is tiny" assumption is inverted — the probe times
+    // the worst-case back-join, not the friendly one
+    time(s"segmentDedup over ${replicas}x docs (all-dup worst case)")(
+      graft.operators.Dedup.segmentDedup(big, "doc_id", "text")
+        .agg(sum("n_dropped"), sum(length(col("clean_text")))).count())
+    time(s"collocations over ${replicas}x docs")(
+      graft.operators.TextAnalysis.collocations(big, "doc_id", "text",
+        minCount = 20 * replicas, k = 25).count())
+    time(s"funnelStages over ${replicas}x events")(
+      graft.operators.Temporal.funnelStages(bigEv, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .groupBy("stage").count().count())
+    time(s"zClusterStats over ${replicas}x events")(
+      graft.operators.Layout.zClusterStats(
+        bigEv.withColumn("u", pmod(col("user_id"), lit(256L)))
+          .withColumn("v", pmod(floor(coalesce(col("value"), lit(0.0)) * 10).cast("long"), lit(256L))),
+        Seq("u", "v"), bits = 8, bucketBits = 6).count())
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bigEmb = spark.range(replicas).crossJoin(emb)
       .select((col("vec_id") + col("id") * 10000000L).as("vec_id"), col("embedding"))
@@ -230,6 +251,15 @@ object ScaleProbe {
     time(s"kmeansCodebook 64 cells x 2 iters over ${replicas}x corpus")(
       graft.operators.Ann.kmeansCodebook(bigEmb, "vec_id", "embedding",
         nCells = 64, iters = 2).count())
+    locally {
+      val cb = graft.operators.Quantize.pqCodebook(bigEmb, "vec_id", "embedding", m = 4, ksub = 16)
+      time(s"pqEncode (map-only) over ${replicas}x embeddings")(
+        graft.operators.Quantize.pqEncode(bigEmb, "embedding", cb)
+          .agg(sum(element_at(col("pq_codes"), 1))).count())
+      time(s"pqTopK 16 queries over ${replicas}x corpus")(
+        graft.operators.Quantize.pqTopK(bigEmb, qs,
+          "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
+    }
     spark.stop()
   }
 }

@@ -214,4 +214,66 @@ class StreamingSpec extends SparkSpecBase {
     fps.unpersist()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
+
+  test("streaming funnel final stages match the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+
+    // batch truth on the SAME micros-truncated timestamps the stream sees
+    val batch = graft.operators.Temporal.funnelStages(
+        QueryRegistry.events(spark, dir), "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/00_events.parquet"))
+    val maxNanos = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(col("ts").cast("long"))).collect()(0).getLong(0)
+    spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxNanos + 86400L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.parquet(s"$streamDir/zz_sentinel")
+    val sent = new java.io.File(s"$streamDir/zz_sentinel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(sent.toPath, java.nio.file.Paths.get(s"$streamDir/01_sentinel.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$streamDir/zz_sentinel"))
+
+    val src = graft.streaming.EventStream.readEvents(spark, streamDir)
+      .withWatermark("ts", "0 seconds")
+      .withColumn("step",
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2).otherwise(-1))
+    val q = graft.streaming.FunnelStream.streamFunnel(spark, src, nSteps = 3)
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("funnel_test").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one row per stage increase, no duplicates
+    assert(rows.length == rows.toSet.size, "each (user, stage) emitted exactly once")
+    val streamedStage = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    // stream emits only progressing users; everyone else is batch stage 0
+    streamedStage.foreach { case (u, st) =>
+      assert(batch(u) == st, s"user $u: stream stage $st != batch ${batch(u)}")
+    }
+    batch.filter(_._2 > 0).keys.foreach(u =>
+      assert(streamedStage.contains(u), s"user $u progressed in batch but emitted nothing"))
+    // intermediate stages present: a stage-3 user emitted 1, 2 and 3
+    val byUser = rows.groupBy(_._1)
+    streamedStage.filter(_._2 == 3L).keys.take(5).foreach { u =>
+      assert(byUser(u).map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
 }
