@@ -1650,6 +1650,49 @@ object QueryRegistry {
              CAST(SUM((r + 256*g + 65536*b) * (1 + x + y*w)) AS BIGINT) AS pix_hash
       FROM pix GROUP BY id, w, h ORDER BY id"""))
 
+  /** REAL WAV encode→decode round trip, distributed end to end:
+   *  synthesize a deterministic PCM16 signal per doc (pure integer
+   *  function of the two-round mixer), encode to RIFF/WAVE bytes,
+   *  decode through [[Multimodal.WavCodec]]'s chunk walk, and emit
+   *  integer-exact per-clip features (duration, magnitudes, energy,
+   *  zero crossings). DuckDB cannot parse WAV — it replays the SIGNAL
+   *  formula and the feature arithmetic directly, so a hash match
+   *  proves the decoded samples are exactly the encoded ones. The
+   *  whole Spark side is MAP-ONLY (one clip per row; no shuffle). */
+  private val multimodal_audio = QueryDef(
+    (s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id")
+      Multimodal.wavFeatures(s, Multimodal.synthesizeWavs(s, ids, "doc_id").toDF())
+        .toDF().orderBy("id")
+    },
+    Some {
+      val h1 = graft.operators.Sampling.knuthHashSql("(id * 4096 + i)")
+      val h = graft.operators.Sampling.knuthHashSql("xor(h1, h1 // 65536)")
+      s"""WITH clips AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, 256 + (doc_id % 7) * 64 AS n
+        FROM documents WHERE doc_id < 200),
+      keyed AS (
+        SELECT c.id, t.i FROM clips c
+        JOIN generate_series(0, 639) AS t(i) ON t.i < c.n),
+      r1 AS (SELECT id, i, $h1 AS h1 FROM keyed),
+      r2 AS (SELECT id, i, $h AS h FROM r1),
+      samp AS (
+        SELECT id, i,
+          ((h % 9999) + 1) * (CASE WHEN (h // 16384) % 2 = 0 THEN 1 ELSE -1 END) AS v
+        FROM r2),
+      lagged AS (
+        SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM samp)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_samples,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(count(*) * 125 AS BIGINT) AS duration_us,
+        CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        CAST(max(abs(v)) AS BIGINT) AS peak,
+        CAST(sum(v * v) AS BIGINT) AS energy,
+        CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+          AS zero_crossings
+      FROM lagged GROUP BY id ORDER BY id"""
+    })
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -1722,6 +1765,7 @@ object QueryRegistry {
     "dedup_semantic" -> dedup_semantic,
     "multimodal_meta" -> multimodal_meta,
     "multimodal_frames" -> multimodal_frames,
+    "multimodal_audio" -> multimodal_audio,
     "multimodal_decode" -> multimodal_decode,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
  *
  * Codecs dispatch per modality through [[codecFor]]: images decode
  * FOR REAL via `javax.imageio` (PNG/JPEG/BMP/GIF ship with the JDK —
- * zero new dependencies); audio/video demux — whose libraries are
- * genuinely absent here — keeps a deterministic stub behind the same
- * seam, so swapping in a real demuxer is a one-line registry change
- * and touches none of the distributed plumbing.
+ * zero new dependencies), and audio decodes FOR REAL via [[WavCodec]]
+ * (RIFF/PCM16 is a length-prefixed chunk list — a pure byte walk
+ * needs no library). Video demux — whose libraries are genuinely
+ * absent here — keeps a deterministic stub behind the same seam, so
+ * swapping in a real demuxer is a one-line registry change and
+ * touches none of the distributed plumbing.
  *
  * Reference analog: the binary-payload handling in lsd2_io.py:163
  * reads real FITS blobs; graft reads FITS in sources/Fits.scala, and
@@ -146,9 +148,10 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for the modalities whose codecs are NOT
-   *  in the JDK (audio demux, video frames): same geometry as
-   *  [[decodeStub]], grayscale "pixels" from byte content. */
+  /** Deterministic stand-in for the one modality whose codec is NOT
+   *  in the JDK (video frame demux — audio has the real [[WavCodec]]
+   *  path via [[wavFeatures]]): same geometry as [[decodeStub]],
+   *  grayscale "pixels" from byte content. */
   object ByteStubCodec extends MediaCodec {
     val name = "byte-stub"
     def decode(payload: Array[Byte]): Decoded = {
@@ -267,6 +270,177 @@ object Multimodal {
         javax.imageio.ImageIO.write(img, "png", bos)
         val bytes = bos.toByteArray
         MediaRow(id, "image", bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  // --------------------------------------------------------- real audio
+
+  /** Decoded PCM audio: the audio analog of [[Decoded]]. Samples are
+   *  signed 16-bit values widened to Int. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /**
+   * REAL WAV (RIFF/PCM16) codec — pure chunk-walk over the byte
+   * layout, no library needed at all: WAV is a length-prefixed chunk
+   * list, so audio joins images as a real-bytes modality with zero
+   * new dependencies. Fails loudly on anything that is not
+   * PCM 16-bit (a silent fallback would poison features downstream).
+   */
+  object WavCodec extends Serializable {
+    val name = "wav-pcm16"
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Encode mono PCM16 samples at `sampleRate` into canonical
+     *  RIFF/WAVE bytes (44-byte header + little-endian data). */
+    def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)                 // PCM
+        .putShort(1.toShort)                 // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)              // byte rate
+        .putShort(2.toShort)                 // block align
+        .putShort(16.toShort)                // bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) {
+        require(samples(i) >= Short.MinValue && samples(i) <= Short.MaxValue,
+          s"wav encode: sample $i (${samples(i)}) outside 16-bit range")
+        bb.putShort(samples(i).toShort); i += 1
+      }
+      bb.array()
+    }
+
+    /** Decode RIFF/WAVE PCM16 bytes. Walks the chunk list (honoring
+     *  the odd-size pad byte), so extra chunks (LIST/INFO) between
+     *  fmt and data are fine. */
+    def decode(payload: Array[Byte]): DecodedAudio = {
+      require(payload.length >= 44 && tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE",
+        s"wav decode: ${payload.length}-byte payload is not a RIFF/WAVE stream")
+      var off = 12
+      var rate = -1; var channels = -1; var bits = -1
+      var samples: Array[Int] = null
+      while (off + 8 <= payload.length) {
+        val id = tag(payload, off); val size = le32(payload, off + 4)
+        require(size >= 0 && off + 8 + size <= payload.length,
+          s"wav decode: chunk '$id' at $off claims $size bytes past end of payload")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"wav decode: fmt chunk too short ($size bytes)")
+            val fmt = le16(payload, off + 8)
+            require(fmt == 1, s"wav decode: only PCM (format 1) supported, got format $fmt")
+            channels = le16(payload, off + 10)
+            rate = le32(payload, off + 12)
+            bits = le16(payload, off + 22)
+            require(bits == 16, s"wav decode: only 16-bit PCM supported, got $bits-bit")
+            require(channels == 1, s"wav decode: only mono supported, got $channels channels")
+          case "data" =>
+            require(rate > 0, "wav decode: data chunk before fmt chunk")
+            val n = size / 2
+            samples = new Array[Int](n)
+            var i = 0
+            while (i < n) { samples(i) = le16(payload, off + 8 + 2 * i).toShort.toInt; i += 1 }
+          case _ => // skip LIST/INFO/etc.
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(samples != null, "wav decode: no data chunk found")
+      DecodedAudio(rate, channels, samples)
+    }
+  }
+
+  /** Plain-Long twin of the column-level two-round mixer
+   *  (`Sketch.mixCol` / `Sampling.knuthHash`) — byte-building code
+   *  runs per sample inside a tight loop where constructing Columns
+   *  is impossible. MUST stay in lockstep with `Sampling.knuthHash`
+   *  and `Sampling.knuthHashSql`; `MultimodalSpec` pins the three-way
+   *  agreement over a key sweep. */
+  private[operators] def mixLong(key: Long): Long = {
+    def knuth32(x: Long): Long = {
+      val C = 2654435761L
+      val folded = x ^ (x >>> 32)
+      val idm = ((folded % 4294967296L) + 4294967296L) % 4294967296L
+      ((((idm >> 16) * C % 4294967296L) << 16) + (idm & 0xffffL) * C) % 4294967296L
+    }
+    val h1 = knuth32(key)
+    knuth32(h1 ^ (h1 >>> 16))
+  }
+
+  /** Deterministic PCM test signal: sample i of clip id is a pure
+   *  integer function of mix(id * 4096 + i) — nonzero by construction
+   *  (zero-crossing counts stay sign-unambiguous), exactly replayable
+   *  in SQL, so the encode→decode→feature path is verifiable by an
+   *  engine that cannot parse WAV at all. Requires i < 4096. */
+  def synthSample(id: Long, i: Int): Int = {
+    val h = mixLong(id * 4096L + i)
+    val mag = (h % 9999L).toInt + 1
+    if (((h >> 14) & 1L) == 0L) mag else -mag
+  }
+
+  /** Sample-count schedule for a synthesized clip (shared with the
+   *  SQL twin): 256..640 samples, well under the 4096 key-packing
+   *  bound. */
+  def synthNumSamples(id: Long): Int = 256 + (id % 7).toInt * 64
+
+  /** Sample rate of every synthesized clip: 8 kHz mono. 125 us per
+   *  sample exactly, so durations are integer microseconds. */
+  val SynthSampleRate = 8000
+
+  /** Encode the [[synthSample]] signal to REAL WAV bytes, one clip
+   *  per id — distributed (mapPartitions), deterministic, the input
+   *  the `multimodal_audio` oracle round-trips. */
+  def synthesizeWavs(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+    Sampling.requireIntegralId(ids, idCol, "synthesizeWavs")
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        require(id >= 0, s"synthesizeWavs: negative id $id — the SQL sample twin assumes nonnegative")
+        val n = synthNumSamples(id)
+        val samples = Array.tabulate(n)(i => synthSample(id, i))
+        val bytes = WavCodec.encode(samples, SynthSampleRate)
+        MediaRow(id, "audio", bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Integer-exact per-clip audio features, all from DECODED samples:
+   *  duration, total/peak magnitude, energy, zero crossings. Longs
+   *  throughout so any engine hashes identically. */
+  final case class AudioFeats(id: Long, n_samples: Long, sample_rate: Long, duration_us: Long,
+                              sum_abs: Long, peak: Long, energy: Long, zero_crossings: Long)
+
+  /**
+   * Batched WAV decode + feature extraction: each row is one clip, so
+   * the whole operator is MAP-ONLY — decode and the per-clip fold
+   * happen in one pass with nothing shuffled (the 100 TB shape: audio
+   * feature extraction is embarrassingly parallel and must stay so).
+   */
+  def wavFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val d = WavCodec.decode(r.payload)
+        var sumAbs = 0L; var peak = 0L; var energy = 0L; var zc = 0L
+        var i = 0
+        while (i < d.samples.length) {
+          val v = d.samples(i); val a = math.abs(v).toLong
+          sumAbs += a; if (a > peak) peak = a; energy += v.toLong * v
+          if (i > 0 && (d.samples(i - 1) < 0) != (v < 0)) zc += 1
+          i += 1
+        }
+        AudioFeats(r.id, d.samples.length.toLong, d.sampleRate.toLong,
+          d.samples.length.toLong * 1000000L / d.sampleRate, sumAbs, peak, energy, zc)
       }
     }
   }

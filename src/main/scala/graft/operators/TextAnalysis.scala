@@ -286,20 +286,50 @@ object TextAnalysis {
    * this as the verify kernel.
    */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[String], maxDist: Int, prefixLen: Int = 80): DataFrame = {
+                        blockCols: Seq[String], maxDist: Int, prefixLen: Int = 80,
+                        gridBuckets: Int = 8): DataFrame = {
     require(blockCols.nonEmpty, "editDistancePairs: blocking keys required — unblocked is O(n^2) over the corpus")
+    require(gridBuckets >= 1 && gridBuckets <= 64,
+      s"gridBuckets must be in [1, 64] (got $gridBuckets): replication is ~gridBuckets copies of the slim rows")
     val prefix = substring(regexp_replace(col(textCol), "[^\\x20-\\x7e]", ""), 1, prefixLen)
+    // A join keyed on blockCols alone re-hashes BOTH sides by the
+    // block key, so a corpus with few distinct blocks runs its entire
+    // quadratic DP in that many tasks — a handful of stragglers no
+    // matter how wide the cluster. The triangle grid restores
+    // parallelism WITHOUT changing the pair set: each row gets a
+    // deterministic bucket b in [0, B); every unordered pair lands in
+    // exactly one grid cell (min(b1,b2), max(b1,b2)); the join key is
+    // (block, cell), so each block's DP fans out over B(B+1)/2 cells.
+    // Replication is ~B copies of the SLIM projection (id + bounded
+    // prefix + keys) — cheap to spread; the DP it fans out is not.
     val slim = df.select(col(idCol).as("id") +: prefix.as("pfx") +: blockCols.map(col): _*)
-      // the quadratic DP parallelizes by PROBE-side partition, and a
-      // compact input (one parquet file) is one partition — the whole
-      // block join would run in a single task regardless of cluster
-      // size. The slim projection (id + bounded prefix + keys) is
-      // cheap to spread; the DP it fans out is not.
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val a = slim.toDF(slim.columns.map(c => if (c == "id" || c == "pfx") s"${c}_a" else c): _*)
-    val b = slim.toDF(slim.columns.map(c => if (c == "id" || c == "pfx") s"${c}_b" else c): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
+      .withColumn("__b", pmod(hash(col("id")), lit(gridBuckets)))
+    // a-side of cell (i, j) holds the bucket-i rows; b-side the
+    // bucket-j rows — so a cross-bucket pair materializes exactly
+    // once, in its own (min, max) cell
+    val a = slim.withColumn("__ci", col("__b"))
+      .withColumn("__cj", explode(sequence(col("__b"), lit(gridBuckets - 1))))
+      .drop("__b")
+    val b = slim.withColumn("__cj", col("__b"))
+      .withColumn("__ci", explode(sequence(lit(0), col("__b"))))
+      .drop("__b")
+    // co-partition BOTH sides by (block, cell): the join then runs one
+    // cell per task slot whether Spark picks a shuffled or a broadcast
+    // strategy (under broadcast, probe-side partitioning is the ONLY
+    // source of parallelism — an unpartitioned probe would run every
+    // cell's DP in one task, measured 10x slower at sf0.1)
+    val par = math.max(df.sparkSession.sparkContext.defaultParallelism,
+      gridBuckets * (gridBuckets + 1) / 2)
+    val partKeys = (blockCols ++ Seq("__ci", "__cj")).map(col)
+    val ar = a.toDF(a.columns.map(c => if (c == "id" || c == "pfx") s"${c}_a" else c): _*)
+      .repartition(par, partKeys: _*)
+    val br = b.toDF(b.columns.map(c => if (c == "id" || c == "pfx") s"${c}_b" else c): _*)
+      .repartition(par, partKeys: _*)
+    ar.join(br, blockCols ++ Seq("__ci", "__cj"))
+      // diagonal cells pair a bucket with itself: keep one ordering.
+      // Off-diagonal cells hold each pair once already (id order
+      // arbitrary) — normalized below.
+      .filter(col("__ci") < col("__cj") || col("id_a") < col("id_b"))
       // |len(a) - len(b)| lower-bounds the edit distance: a codegen'd
       // subtraction prunes pairs before any DP runs
       .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
@@ -308,7 +338,8 @@ object TextAnalysis {
       // full O(len^2) table per pair
       .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
   }
 
   /** SQL twin of [[editDistancePairs]]. */

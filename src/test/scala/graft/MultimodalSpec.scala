@@ -114,4 +114,75 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.ImageIoCodec.decode("definitely not a PNG".getBytes("UTF-8")))
     assert(e.getMessage.contains("not a decodable image"))
   }
+
+  test("mixLong is the exact plain-Long twin of the column mixer") {
+    import spark.implicits._
+    // sweep covers small keys, the 2^32 boundary, and the audio key
+    // packing range (id * 4096 + i)
+    val keys = Seq(0L, 1L, 5L, 65535L, 65536L, 4096L, 199L * 4096 + 639,
+      4294967295L, 4294967296L, (1L << 40) + 17, 123456789012L)
+    val kh = graft.operators.SamplingTestAccess.knuthHash _
+    val viaColumn = keys.toDF("k")
+      .select(kh(kh(col("k")).bitwiseXOR(shiftrightunsigned(kh(col("k")), 16))))
+      .as[Long].collect()
+    keys.zip(viaColumn).foreach { case (k, expect) =>
+      assert(graft.operators.SamplingTestAccess.mixLong(k) == expect,
+        s"mixLong($k) diverges from the column mixer")
+    }
+  }
+
+  test("wav codec: encode→decode round trip is the identity, chunk walk skips extras") {
+    val samples = Array(1, -1, 9999, -9999, 32767, -32768, 5, 0)
+    val bytes = Multimodal.WavCodec.encode(samples, 8000)
+    val d = Multimodal.WavCodec.decode(bytes)
+    assert(d.sampleRate == 8000 && d.channels == 1)
+    assert(d.samples.toSeq == samples.toSeq, "PCM16 samples must survive exactly")
+    // an extra LIST chunk between fmt and data must be skipped, and an
+    // ODD-sized one must honor the RIFF pad byte
+    for (extraLen <- Seq(4, 5)) {
+      val bb = java.nio.ByteBuffer.allocate(bytes.length + 8 + extraLen + (extraLen & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(bytes, 0, 36) // RIFF header + fmt chunk
+      bb.put("LIST".getBytes("US-ASCII")).putInt(extraLen)
+        .put(new Array[Byte](extraLen + (extraLen & 1)))
+      bb.put(bytes, 36, bytes.length - 36) // data chunk
+      val withExtra = bb.array()
+      // patch RIFF size for the inserted chunk
+      val riffLen = bytes.length - 8 + 8 + extraLen + (extraLen & 1)
+      withExtra(4) = (riffLen & 0xff).toByte; withExtra(5) = ((riffLen >> 8) & 0xff).toByte
+      withExtra(6) = ((riffLen >> 16) & 0xff).toByte; withExtra(7) = ((riffLen >> 24) & 0xff).toByte
+      assert(Multimodal.WavCodec.decode(withExtra).samples.toSeq == samples.toSeq,
+        s"decode must skip a $extraLen-byte LIST chunk")
+    }
+  }
+
+  test("wav codec fails loudly on non-WAV and non-PCM16 payloads") {
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode("RIFFxxxxJUNK".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("not a RIFF/WAVE"))
+    // 8-bit PCM: bits field = 8
+    val ok = Multimodal.WavCodec.encode(Array(1, 2), 8000)
+    ok(34) = 8 // bits/sample lives at offset 34 in the canonical header
+    val e2 = intercept[IllegalArgumentException](Multimodal.WavCodec.decode(ok))
+    assert(e2.getMessage.contains("16-bit"))
+  }
+
+  test("distributed wav features equal the signal formula (what the oracle replays)") {
+    import spark.implicits._
+    val ids = (0L until 25L).toDF("doc_id")
+    val feats = Multimodal.wavFeatures(spark,
+      Multimodal.synthesizeWavs(spark, ids, "doc_id").toDF()).collect()
+    assert(feats.length == 25)
+    feats.foreach { f =>
+      val n = Multimodal.synthNumSamples(f.id)
+      val vs = Array.tabulate(n)(i => Multimodal.synthSample(f.id, i))
+      assert(f.n_samples == n && f.sample_rate == 8000 && f.duration_us == n.toLong * 125)
+      assert(f.sum_abs == vs.map(v => math.abs(v).toLong).sum, s"sum_abs id=${f.id}")
+      assert(f.peak == vs.map(v => math.abs(v).toLong).max, s"peak id=${f.id}")
+      assert(f.energy == vs.map(v => v.toLong * v).sum, s"energy id=${f.id}")
+      val zc = (1 until n).count(i => (vs(i - 1) < 0) != (vs(i) < 0))
+      assert(f.zero_crossings == zc, s"zero_crossings id=${f.id}")
+      assert(vs.forall(_ != 0), "signal is nonzero by construction")
+    }
+  }
 }

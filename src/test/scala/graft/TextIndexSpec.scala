@@ -40,6 +40,23 @@ class TextIndexSpec extends SparkSpecBase {
     assert(d == 0, "é is stripped on both sides, so the projected prefixes are equal")
   }
 
+  test("edit-distance grid self-join: pair set invariant across bucket counts") {
+    // enough near-dup structure that many pairs survive, spread over
+    // buckets so diagonal AND off-diagonal cells are exercised
+    val docs = (0L until 40L).map { i =>
+      val base = s"shared prefix text block number ${i % 4} with tail"
+      (i, if (i % 3 == 0) base else base + s" variant $i", if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    def pairs(buckets: Int) = TextAnalysis.editDistancePairs(
+        docs, "doc_id", "text", blockCols = Seq("lang"), maxDist = 12, gridBuckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val serial = pairs(1)
+    assert(serial.nonEmpty, "test corpus must produce pairs")
+    assert(serial.forall { case (a, b, _) => a < b }, "ids normalized ascending")
+    assert(pairs(8) == serial, "8-bucket grid emits exactly the serial pair set")
+    assert(pairs(3) == serial, "3-bucket grid emits exactly the serial pair set")
+  }
+
   test("edit-distance refuses unblocked corpora") {
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
     val e = intercept[IllegalArgumentException](
