@@ -1650,6 +1650,22 @@ object QueryRegistry {
              CAST(SUM((r + 256*g + 65536*b) * (1 + x + y*w)) AS BIGINT) AS pix_hash
       FROM pix GROUP BY id, w, h ORDER BY id"""))
 
+  /** Bigram-LM perplexity scoring (the CCNet-style quality filter):
+   *  train add-one-smoothed bigram counts on the doc_id<300 reference
+   *  slice, score EVERY document's per-word cross-entropy with the
+   *  model broadcast — corpus side is a map-side bigram explode plus
+   *  one partially-aggregated groupBy. The oracle replays training
+   *  and scoring in full; 6-dp rounding (the collocations convention)
+   *  pins the float hash across engines. */
+  private val text_perplexity = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      graft.operators.Lm.crossEntropy(docs, "doc_id", "text", lm).orderBy("doc_id")
+    },
+    Some(graft.operators.Lm.perplexitySql("documents", "doc_id", "text",
+      trainFilter = "doc_id < 300") + " ORDER BY doc_id"))
+
   /** REAL WAV encode→decode round trip, distributed end to end:
    *  synthesize a deterministic PCM16 signal per doc (pure integer
    *  function of the two-round mixer), encode to RIFF/WAVE bytes,
@@ -1766,6 +1782,7 @@ object QueryRegistry {
     "multimodal_meta" -> multimodal_meta,
     "multimodal_frames" -> multimodal_frames,
     "multimodal_audio" -> multimodal_audio,
+    "text_perplexity" -> text_perplexity,
     "multimodal_decode" -> multimodal_decode,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Word-bigram language model for perplexity-based quality filtering —
+ * the CCNet-style pipeline stage: train counts on a trusted reference
+ * slice, score every candidate document's per-word cross-entropy, and
+ * let the caller threshold/bucket on the score (low = reference-like,
+ * high = noise). lsd2 has no LM stage; this is part of the
+ * training-data surface this engine adds on top of reference parity.
+ *
+ * Model: add-one-smoothed bigram conditional
+ * `p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)` where `c(w1)` is the
+ * bigram-context count (`sum_w2 c(w1,w2)`, so the conditional
+ * normalizes exactly) and `V` the prediction vocabulary
+ * (`count(distinct w2)` in training). Unseen contexts and pairs fall
+ * back to `1 / (0 + V)` — every score is finite, no special cases.
+ *
+ * Scale shape: the model is bounded by the REFERENCE slice's observed
+ * bigrams (the caller picks the slice; keep it bounded — a model from
+ * a 100 TB corpus belongs in a feature store, not a broadcast), so
+ * both model joins BROADCAST; the corpus pass is a map-side bigram
+ * explode plus ONE partially-aggregated groupBy(doc) — nothing
+ * corpus-sized shuffles. Cross-entropy is rounded to 6 dp on both
+ * engines (the collocations convention) so summation-order ulp drift
+ * cannot flip a hash.
+ */
+object Lm {
+
+  final case class BigramLm(bi: DataFrame, ctx: DataFrame, vocab: DataFrame)
+
+  /** Adjacent-token bigrams of normalized text: one row per (id, w1,
+   *  w2). Same tokenization as collocations ([[TextAnalysis.tokens]],
+   *  empties dropped). */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksNE = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol), toksNE.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(col("__tk")) - 2),
+        i => struct(element_at(col("__tk"), i + 1).as("w1"),
+          element_at(col("__tk"), i + 2).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+  }
+
+  /** Train on a reference slice: bigram counts, context counts
+   *  (`sum_w2` of the bigram table, so the smoothed conditional
+   *  normalizes), and the prediction vocabulary as a 1-row frame
+   *  (kept declarative — no driver action at train time). */
+  def trainBigram(ref: DataFrame, idCol: String, textCol: String): BigramLm = {
+    val bg = bigrams(ref, idCol, textCol)
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
+    val vocab = bi.agg(countDistinct("w2").as("v"))
+    BigramLm(bi, ctx, vocab)
+  }
+
+  /** Per-document cross-entropy under the model:
+   *  `-avg(ln p(w2|w1))` over the doc's bigrams, rounded to 6 dp.
+   *  Documents with fewer than two tokens produce no row (no bigrams
+   *  to score — pinned on both engines). */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String, lm: BigramLm): DataFrame = {
+    val sbg = bigrams(docs, idCol, textCol)
+    sbg.join(broadcast(lm.bi), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(lm.vocab))
+      .withColumn("__lp", log(
+        (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("__lp")), 6).as("cross_entropy"))
+  }
+
+  /** SQL twin of train + score for the DuckDB oracle: `trainFilter`
+   *  picks the reference slice, `cleanSql` must match the Spark-side
+   *  normalization ([[Dedup.normalizeTextSql]] when the Spark side
+   *  used [[TextAnalysis.tokens]]). */
+  def perplexitySql(table: String, idCol: String, textCol: String, trainFilter: String): String = {
+    val norm = Dedup.normalizeTextSql(textCol)
+    s"""WITH ttoks AS (
+      SELECT list_filter(string_split($norm, ' '), x -> len(x) > 0) AS tk
+      FROM $table WHERE $trainFilter),
+    tidx AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM ttoks WHERE len(tk) >= 2),
+    bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c12 FROM tidx GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+    voc AS (SELECT count(DISTINCT w2) AS v FROM bi),
+    stoks AS (
+      SELECT $idCol, list_filter(string_split($norm, ' '), x -> len(x) > 0) AS tk
+      FROM $table),
+    sidx AS (SELECT $idCol, tk, unnest(range(1, len(tk))) AS i FROM stoks WHERE len(tk) >= 2),
+    sbg AS (SELECT $idCol, tk[i] AS w1, tk[i+1] AS w2 FROM sidx),
+    scored AS (
+      SELECT s.$idCol,
+        ln((coalesce(b.c12, 0) + 1)::DOUBLE / (coalesce(c.c1, 0) + v.v)::DOUBLE) AS lp
+      FROM sbg s
+      LEFT JOIN bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+      LEFT JOIN ctx c ON s.w1 = c.w1, voc v)
+    SELECT $idCol, CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(-avg(lp), 6) AS cross_entropy
+    FROM scored GROUP BY $idCol"""
+  }
+}
