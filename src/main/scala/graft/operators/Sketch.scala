@@ -228,25 +228,35 @@ object Sketch {
    * estimate exactly.
    *
    * The cell table IS the sketch: d x 2^logW rows independent of
-   * input size, built by ONE map-side-combined aggregation (rows
-   * shrink to cells before the shuffle). Shards merge by cell-wise
+   * input size, built by d unioned codegen-only passes each
+   * map-side-combined to <= 2^logW cells before the shuffle (see
+   * [[cmsCells]] for why NOT one exploded aggregation). Shards merge
+   * by cell-wise
    * SUM ([[cmsMerge]]) — the incremental shape: keep yesterday's
    * cells, aggregate today's, sum. Estimates ([[cmsEstimate]]) are
    * min over the d addressed cells: never below the true count,
    * above it with probability <= e^-d by more than (e/2^logW) x N.
    */
-  /** The d (row, cell) addresses of an id — the ONE definition of the
+  /** The row-j cell address of an id — the ONE definition of the
    *  Kirsch-Mitzenmacher double-hash geometry shared by build
    *  ([[cmsCells]]) and probe ([[cmsEstimate]]): a drift between the
    *  two would produce silent undercounts, the one failure mode a
    *  count-min sketch promises away. */
-  private def cmsAddresses(id: Column, d: Int, logW: Int): Column = {
+  private def cmsCell(id: Column, j: Int, logW: Int): Column = {
     val w = 1L << logW
     val h1 = mixCol(id)
     val h2 = mixCol(id.bitwiseXOR(lit(bloomSalt)))
-    explode(array((0 until d).map(j =>
-      struct(lit(j).as("row"), pmod(h1 + lit(j.toLong) * h2, lit(w)).as("cell"))): _*))
+    pmod(h1 + lit(j.toLong) * h2, lit(w))
   }
+
+  /** The d (row, cell) addresses of an id, as an exploded generator —
+   *  for BOUNDED probe-key sets only ([[cmsEstimate]]). The corpus-
+   *  side build must NOT use this: `explode` drops the aggregation
+   *  out of whole-stage codegen (measured 40x slower than the
+   *  union-of-d build shape at 16M rows). */
+  private def cmsAddresses(id: Column, d: Int, logW: Int): Column =
+    explode(array((0 until d).map(j =>
+      struct(lit(j).as("row"), cmsCell(id, j, logW).as("cell"))): _*))
 
   private def requireCmsGeom(d: Int, logW: Int): Unit = {
     require(d >= 1 && d <= 8, s"d must be in [1, 8] (got $d)")
@@ -256,8 +266,16 @@ object Sketch {
   def cmsCells(df: DataFrame, idCol: String, d: Int = 4, logW: Int = 10): DataFrame = {
     requireCmsGeom(d, logW)
     Sampling.requireIntegralId(df, idCol, "cmsCells")
-    df.select(cmsAddresses(col(idCol), d, logW).as("rc"))
-      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+    // one codegen-only pass per sketch row, unioned: each branch
+    // partially aggregates map-side to <= 2^logW cells BEFORE the
+    // shuffle, and none of them leaves whole-stage codegen. The
+    // "obvious" explode(d addresses)->groupBy build runs the entire
+    // corpus through a Generate that breaks codegen — measured 40x
+    // slower at 16M rows for d=4.
+    (0 until d).map(j =>
+        df.select(lit(j).as("row"), cmsCell(col(idCol), j, logW).as("cell")))
+      .reduce(_ unionByName _)
+      .groupBy("row", "cell")
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
 
