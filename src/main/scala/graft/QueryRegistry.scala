@@ -1006,28 +1006,32 @@ object QueryRegistry {
       sb.toString
     })
 
+  /** SQL for the langid CASE ladder over `documents`, emitting
+   *  (doc_id, lang, pred_lang) — shared by `text_langid` and the
+   *  composed `pipeline_c4` oracle. */
+  private def langIdSql: String = {
+    val toks = s"string_split(${Dedup.normalizeTextSql("text")}, ' ')"
+    def sw(lang: String) = graft.operators.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+    s"""SELECT doc_id, lang,
+      CASE WHEN cjk > 0 THEN 'zh'
+           WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+           WHEN sfr = greatest(sde, sen, ses, sfr) THEN 'fr'
+           WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+           WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+           ELSE 'de' END AS pred_lang
+      FROM (SELECT doc_id, lang,
+        length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+        len(list_intersect($toks, ${sw("de")})) AS sde,
+        len(list_intersect($toks, ${sw("en")})) AS sen,
+        len(list_intersect($toks, ${sw("es")})) AS ses,
+        len(list_intersect($toks, ${sw("fr")})) AS sfr
+        FROM documents)"""
+  }
+
   private val text_langid = QueryDef(
     (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
       .select("doc_id", "lang", "pred_lang").orderBy("doc_id"),
-    Some {
-      val toks = s"string_split(${Dedup.normalizeTextSql("text")}, ' ')"
-      def sw(lang: String) = graft.operators.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
-      s"""SELECT doc_id, lang,
-        CASE WHEN cjk > 0 THEN 'zh'
-             WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
-             WHEN sfr = greatest(sde, sen, ses, sfr) THEN 'fr'
-             WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
-             WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
-             ELSE 'de' END AS pred_lang
-        FROM (SELECT doc_id, lang,
-          length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
-          len(list_intersect($toks, ${sw("de")})) AS sde,
-          len(list_intersect($toks, ${sw("en")})) AS sen,
-          len(list_intersect($toks, ${sw("es")})) AS ses,
-          len(list_intersect($toks, ${sw("fr")})) AS sfr
-          FROM documents)
-        ORDER BY doc_id"""
-    })
+    Some(langIdSql + " ORDER BY doc_id"))
 
   /** Per-cluster embedding centroids (element-wise mean) — the building block of k-means / IVF training. */
   private val vec_centroids = QueryDef(
@@ -1650,6 +1654,50 @@ object QueryRegistry {
              CAST(SUM((r + 256*g + 65536*b) * (1 + x + y*w)) AS BIGINT) AS pix_hash
       FROM pix GROUP BY id, w, h ORDER BY id"""))
 
+  /** End-to-end C4/CCNet-style curation pipeline, composed from the
+   *  engine's own stages: language ID + quality score + repetition
+   *  ratio FUSE into ONE corpus scan (all per-row expressions);
+   *  perplexity (bounded model broadcast, one groupBy(doc)) and
+   *  exact-dedup keep-first join back on doc_id. Catalyst pushes the
+   *  per-row threshold filters below the joins, so the doc_id-keyed
+   *  joins see only survivors. The oracle recomputes every stage and
+   *  the same thresholds. */
+  private val pipeline_c4 = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val sig = TextAnalysis.withRepetitionStats(
+          TextAnalysis.withQuality(TextAnalysis.withLangId(docs, "text"), "text"), "text")
+        .select(col("doc_id"), col("pred_lang"), col("quality_score_e4"), col("dup_token_ratio_e4"))
+        .filter(col("pred_lang") === "en" && col("quality_score_e4") >= 4000 &&
+          col("dup_token_ratio_e4") <= 6500)
+      val ppl = graft.operators.Lm.crossEntropy(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("cross_entropy"))
+        .filter(col("cross_entropy") <= 3.45)
+      val keep = Dedup.exactDedup(docs, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      sig.join(keep, "doc_id").join(ppl, "doc_id").orderBy("doc_id")
+    },
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH plang AS ($langIdSql),
+      pqual AS (SELECT doc_id, ${TextAnalysis.qualitySql("text")} FROM documents),
+      ptk AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+      prep AS (SELECT doc_id,
+        CASE WHEN len(toks) > 0
+          THEN CAST(floor((1.0 - len(list_distinct(toks))::DOUBLE / len(toks)) * 10000) AS BIGINT)
+          ELSE 0 END AS dup_token_ratio_e4 FROM ptk),
+      pkeep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY $norm),
+      pppl AS (SELECT * FROM (${graft.operators.Lm.perplexitySql("documents", "doc_id", "text",
+        trainFilter = "doc_id < 300")}))
+      SELECT l.doc_id, l.pred_lang, q.quality_score_e4, r.dup_token_ratio_e4, p.cross_entropy
+      FROM plang l
+      JOIN pkeep USING (doc_id) JOIN pqual q USING (doc_id)
+      JOIN prep r USING (doc_id) JOIN pppl p USING (doc_id)
+      WHERE l.pred_lang = 'en' AND q.quality_score_e4 >= 4000
+        AND r.dup_token_ratio_e4 <= 6500 AND p.cross_entropy <= 3.45
+      ORDER BY doc_id"""
+    })
+
   /** Bigram-LM perplexity scoring (the CCNet-style quality filter):
    *  train add-one-smoothed bigram counts on the doc_id<300 reference
    *  slice, score EVERY document's per-word cross-entropy with the
@@ -1783,6 +1831,7 @@ object QueryRegistry {
     "multimodal_frames" -> multimodal_frames,
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
+    "pipeline_c4" -> pipeline_c4,
     "multimodal_decode" -> multimodal_decode,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,

@@ -235,6 +235,19 @@ object ScaleProbe {
         bigEv.withColumn("u", pmod(col("user_id"), lit(256L)))
           .withColumn("v", pmod(floor(coalesce(col("value"), lit(0.0)) * 10).cast("long"), lit(256L))),
         Seq("u", "v"), bits = 8, bucketBits = 6).count())
+    // WAV synth->encode->decode->features, one clip per doc id: the
+    // whole path is map-only, so this times raw per-row codec work
+    time(s"wav encode+decode+features over ${replicas}x clips")(
+      graft.operators.Multimodal.wavFeatures(spark,
+        graft.operators.Multimodal.synthesizeWavs(spark,
+          big.select(col("doc_id")), "doc_id").toDF())
+        .agg(sum("energy"), sum("zero_crossings")).count())
+    // bigram-LM: model trained on the BASE slice (bounded, broadcast),
+    // scoring fans over the full replicated corpus
+    time(s"lm crossEntropy over ${replicas}x docs")(
+      graft.operators.Lm.crossEntropy(big, "doc_id", "text",
+        graft.operators.Lm.trainBigram(base.filter(col("doc_id") < 300), "doc_id", "text"))
+        .agg(sum("n_bigrams"), avg("cross_entropy")).count())
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bigEmb = spark.range(replicas).crossJoin(emb)

@@ -19,7 +19,11 @@ object Verify {
     // aux parquets (Scala-kernel healpix values) that some oracle SQL joins
     try QueryRegistry.writeOracleAux(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[verify] oracle aux failed: ${e.getMessage}") }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter for targeted iteration; the
+    // driver sets no filter and dumps everything
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
