@@ -1654,6 +1654,23 @@ object QueryRegistry {
              CAST(SUM((r + 256*g + 65536*b) * (1 + x + y*w)) AS BIGINT) AS pix_hash
       FROM pix GROUP BY id, w, h ORDER BY id"""))
 
+  /** DSIR importance resampling: target model from the curated slice
+   *  (doc_id < 300), source model from a corpus sample (doc_id % 7 =
+   *  0), keep each doc with probability min(1, p_tgt/p_src) —
+   *  deterministic in doc id, both scoring passes map-only with
+   *  models broadcast. The oracle replays both trainings, both
+   *  scorings, the weight arithmetic and the acceptance predicate. */
+  private val sample_dsir = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tgt = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val src = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      graft.operators.Lm.importanceSample(docs, "doc_id", "text", tgt, src).orderBy("doc_id")
+    },
+    Some(graft.operators.Lm.importanceSql("documents", "doc_id", "text",
+      targetFilter = "doc_id < 300", sourceFilter = "doc_id % 7 = 0",
+      sampled = true) + " ORDER BY doc_id"))
+
   /** End-to-end C4/CCNet-style curation pipeline, composed from the
    *  engine's own stages: language ID + quality score + repetition
    *  ratio FUSE into ONE corpus scan (all per-row expressions);
@@ -1832,6 +1849,7 @@ object QueryRegistry {
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
     "pipeline_c4" -> pipeline_c4,
+    "sample_dsir" -> sample_dsir,
     "multimodal_decode" -> multimodal_decode,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,

@@ -72,6 +72,57 @@ object Lm {
       .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("__lp")), 6).as("cross_entropy"))
   }
 
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling", simplified to
+   * bigram LMs): weight = min(1, p_target(doc) / p_source(doc)) with
+   * both likelihoods under add-one-smoothed bigram models. Since
+   * cross-entropy is -avg(ln p), the log ratio is
+   * `n_bigrams * (ce_source - ce_target)` — documents that look more
+   * like the target slice than the raw corpus get weight near 1.
+   * Weight is rounded to 6 dp (the cross-engine float convention).
+   *
+   * Both scoring passes are map-only with their models broadcast;
+   * the final join is doc_id-keyed against the co-partitioned
+   * groupBy(doc) outputs. Compose with
+   * [[Sampling.weightedSample]] (deterministic, monotone in the
+   * weight) for the actual resampling — see [[importanceSample]].
+   */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        target: BigramLm, source: BigramLm): DataFrame = {
+    val t = crossEntropy(docs, idCol, textCol, target)
+      .withColumnRenamed("cross_entropy", "ce_target")
+    val s = crossEntropy(docs, idCol, textCol, source)
+      .select(col(idCol), col("cross_entropy").as("ce_source"))
+    t.join(s, Seq(idCol))
+      .withColumn("weight", round(
+        least(lit(1.0), exp(col("n_bigrams") * (col("ce_source") - col("ce_target")))), 6))
+  }
+
+  /** DSIR resampling: keep each document with probability equal to
+   *  its importance weight, deterministically in doc id. */
+  def importanceSample(docs: DataFrame, idCol: String, textCol: String,
+                       target: BigramLm, source: BigramLm): DataFrame =
+    Sampling.weightedSample(importanceWeights(docs, idCol, textCol, target, source),
+      idCol, "weight")
+
+  /** SQL twin of [[importanceWeights]] (+ the weightedSample
+   *  predicate when `sampled`) over `table`, with the two models
+   *  trained in-query on `targetFilter` / `sourceFilter` slices. */
+  def importanceSql(table: String, idCol: String, textCol: String,
+                    targetFilter: String, sourceFilter: String,
+                    sampled: Boolean): String = {
+    val keep =
+      if (sampled) " WHERE " + Sampling.weightedSampleSql(idCol, "weight") else ""
+    s"""WITH dtgt AS (SELECT * FROM (${perplexitySql(table, idCol, textCol, targetFilter)})),
+    dsrc AS (SELECT * FROM (${perplexitySql(table, idCol, textCol, sourceFilter)})),
+    dw AS (
+      SELECT t.$idCol, t.n_bigrams, t.cross_entropy AS ce_target, s.cross_entropy AS ce_source,
+        round(least(1.0, exp(t.n_bigrams * (s.cross_entropy - t.cross_entropy))), 6) AS weight
+      FROM dtgt t JOIN dsrc s USING ($idCol))
+    SELECT * FROM dw$keep"""
+  }
+
   /** SQL twin of train + score for the DuckDB oracle: `trainFilter`
    *  picks the reference slice, `cleanSql` must match the Spark-side
    *  normalization ([[Dedup.normalizeTextSql]] when the Spark side

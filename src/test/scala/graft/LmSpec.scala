@@ -36,6 +36,34 @@ class LmSpec extends SparkSpecBase {
     assert(out(14L) == ((3L, r6(ce14))))
   }
 
+  test("DSIR importance weights: target-like docs weigh 1, source-like docs decay, sample is monotone") {
+    import graft.operators.Sampling
+    // target: "alpha beta" language; source: "gamma delta" language
+    val tgt = Lm.trainBigram(Seq((1L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+    val src = Lm.trainBigram(Seq((2L, "gamma delta gamma delta gamma delta")).toDF("doc_id", "text"), "doc_id", "text")
+    val docs = Seq(
+      (10L, "alpha beta alpha beta"), // target-like: p_tgt >> p_src
+      // source-like, long enough that the per-bigram ratio compounds
+      // to a vanishing weight (tiny vocab V=2 keeps the per-step
+      // unseen penalty at only 1/2)
+      (11L, Array.fill(8)("gamma delta").mkString(" ")),
+      (12L, "alpha beta gamma delta")). // mixed
+      toDF("doc_id", "text")
+    val w = Lm.importanceWeights(docs, "doc_id", "text", tgt, src)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(w(10L) == 1.0, s"target-like doc must clamp to weight 1 (got ${w(10L)})")
+    assert(w(11L) < 0.01, s"source-like doc must get a vanishing weight (got ${w(11L)})")
+    assert(w(11L) < w(12L) && w(12L) <= 1.0, "mixed doc sits between the extremes")
+    // the sample keeps exactly the docs whose weight clears their id hash draw
+    val kept = Lm.importanceSample(docs, "doc_id", "text", tgt, src)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(10L), "weight-1 docs are always kept")
+    val wdf = Lm.importanceWeights(docs, "doc_id", "text", tgt, src)
+    val expect = Sampling.weightedSample(wdf, "doc_id", "weight")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expect, "importanceSample == weightedSample over importanceWeights")
+  }
+
   test("model joins broadcast; corpus never shuffles before the doc aggregate") {
     val ref = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val docs = (0L until 50L).map(i => (i, s"the quick fox number $i runs")).toDF("doc_id", "text")
