@@ -188,6 +188,15 @@ object ScaleProbe {
     time("connectedComponents (100k pair + 200x50 chain edges)")(
       graft.operators.Graph.connectedComponents(
         pairEdges.unionByName(chainEdges), "id_a", "id_b", maxIter = 60).count())
+    // diameter stress: 200 chains x 5000 hops (1M nodes). Min-label
+    // propagation needs one round PER HOP (5000 full-edge shuffles —
+    // would just throw at any sane maxIter); star contraction closes
+    // it in ~log rounds
+    val deepChains = spark.range(200).as("c").crossJoin(spark.range(4999).as("s"))
+      .select((col("c.id") * 10000L + col("s.id")).as("id_a"),
+        (col("c.id") * 10000L + col("s.id") + 1).as("id_b"))
+    time("connectedComponents (200 chains x 5000 hops, diameter 5000)")(
+      graft.operators.Graph.connectedComponents(deepChains, "id_a", "id_b", maxIter = 60).count())
 
     // temporal joins over the replicated events table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

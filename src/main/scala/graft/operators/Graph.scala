@@ -18,20 +18,25 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   /**
-   * Connected components by iterative min-label propagation: every
-   * node's label converges to the smallest node id in its component.
+   * Connected components by alternating large-star / small-star
+   * rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+   * and Beyond"): every node converges to a direct edge to the
+   * smallest id in its component.
    *
-   * Scale shape: each iteration is one equi-join (messages along
-   * edges) plus one map-side-combined min aggregate — standard
-   * shuffles on the node id, no collects, no explosion beyond |E|.
-   * Iterations are bounded by the component DIAMETER, which for
-   * near-duplicate graphs (small dense clusters of mutual dups) is
-   * tiny; `maxIter` guards pathological chains. Convergence is
-   * detected with a single scalar aggregate (labels only ever
-   * decrease, so an unchanged sum means a fixed point — no
-   * per-iteration anti-join needed).
+   * Scale shape: each round is two (groupBy-min + equi-join) passes
+   * over the edge set — standard shuffles on the node id, no
+   * collects, no blowup beyond |E| (both operators only ever REWIRE
+   * existing adjacencies toward smaller ids). Rounds are
+   * O(log n) — NOT diameter-bound: min-label propagation needs one
+   * round per hop, so a chain-shaped duplicate graph (transcript
+   * families, crawl mirrors) of diameter 10^4 means 10^4 full-edge
+   * shuffles; star contraction collapses the same chain in ~log
+   * rounds. `maxIter` bounds the alternations; convergence is an
+   * exact edge-set fixed-point check (count + one-sided exceptAll —
+   * both sets are distinct), not a checksum that could collide.
    *
-   * Returns (id, comp) for every node incident to an edge.
+   * Returns (id, comp) for every node incident to an edge
+   * (self-loop-only nodes label themselves).
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30): DataFrame =
@@ -94,43 +99,69 @@ object Graph {
         s"connectedComponents: edge column '$c' must be integral (found $dt) — " +
           "map string ids to numeric ids first")
     }
-    val sym = pairs.select(col(aCol).cast("long").as("id"), col(bCol).cast("long").as("nb"))
-      .union(pairs.select(col(bCol).cast("long").as("id"), col(aCol).cast("long").as("nb")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = truncate(
-      sym.groupBy("id").agg(min("nb").as("mn"))
-        .select(col("id"), least(col("id"), col("mn")).as("comp")))
-    // labels are monotone non-increasing per node, so the label sum
-    // strictly decreases until the fixed point — convergence is one
-    // scalar aggregate over the checkpointed iteration, no anti-join.
-    // decimal(38,0) accumulation: a Long sum could overflow-collide on
-    // a 10^10-node graph and fake convergence while labels still move
-    def checksum(df: DataFrame): String = {
-      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
-      if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString
-    }
-    var prevSum = checksum(labels)
+    val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    // node universe (the output contract) — self-loop-only nodes
+    // carry no star edge but must still label themselves
+    val nodes = pairs.select(a.as("id")).union(pairs.select(b.as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    // canonical undirected edges, oriented hi > lo; both star
+    // operators preserve the orientation (they only rewire toward
+    // smaller ids), so every round's edge set stays canonical and
+    // the fixed-point compare needs no normalization
+    var edges = truncate(
+      pairs.select(greatest(a, b).as("hi"), least(a, b).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val msgs = sym.join(labels, "id").select(col("nb").as("id"), col("comp"))
-      val next = truncate(
-        msgs.union(labels.select("id", "comp"))
-          .groupBy("id").agg(min("comp").as("comp")))
-      val s = checksum(next)
-      backingRdd(labels).foreach(free(labels))
-      labels = next
-      converged = s == prevSum // String compare of exact decimals
-      prevSum = s
+      // LARGE-STAR: each node n connects its strictly-larger
+      // neighbors to m = min(neighbors(n) ∪ {n})
+      val sym = edges.select(col("hi").as("n"), col("lo").as("nb"))
+        .union(edges.select(col("lo").as("n"), col("hi").as("nb")))
+      val lmins = sym.groupBy("n").agg(min("nb").as("mn"))
+        .select(col("n"), least(col("n"), col("mn")).as("m"))
+      val afterLarge = truncate(
+        sym.join(lmins, "n").filter(col("nb") > col("n"))
+          .select(col("nb").as("hi"), col("m").as("lo")).distinct())
+      // SMALL-STAR: edges now point hi -> lo; each hi rewires its
+      // (all smaller) neighbors and itself to m = min of them
+      val joined = afterLarge.join(
+        afterLarge.groupBy("hi").agg(min("lo").as("m")), "hi")
+      val afterSmall = truncate(
+        joined.filter(col("lo") > col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .union(joined.select(col("hi"), col("m").as("lo")))
+          .distinct())
+      // exact fixed-point check, per the paper's termination rule:
+      // BOTH operators must leave the edge set unchanged (a fixed
+      // point of only the composition is not proven star-form). All
+      // sets are distinct, so equal counts + an empty one-sided
+      // difference means identical sets.
+      def same(x: DataFrame, y: DataFrame): Boolean =
+        x.count() == y.count() && x.exceptAll(y).isEmpty
+      converged = same(afterLarge, edges) && same(afterSmall, afterLarge)
+      backingRdd(afterLarge).foreach(free(afterLarge))
+      backingRdd(edges).foreach(free(edges))
+      edges = afterSmall
       it += 1
     }
-    sym.unpersist()
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within maxIter=$maxIter rounds — a component's " +
-          "diameter exceeds the bound; raise maxIter (near-dup clusters are shallow, but chain-" +
-          "shaped graphs need ~diameter rounds)")
-    val out = labels
+        s"connectedComponents did not converge within maxIter=$maxIter star rounds — " +
+          "this bound is O(log n), not diameter; raise maxIter only for astronomically " +
+          "deep graphs (2^30 ids need ~30 rounds)")
+    // at the fixed point the edge set is a star per component rooted
+    // at its min id: edges ARE the labels for non-min nodes, roots
+    // and self-loop-only nodes label themselves
+    val starLabels = edges.select(col("hi").as("id"), col("lo").as("comp"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+    val out = truncate(
+      nodes.join(starLabels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp")))
+    backingRdd(edges).foreach(free(edges))
+    nodes.unpersist(blocking = false)
     (out, () => { backingRdd(out).foreach(free(out)); () })
   }
 

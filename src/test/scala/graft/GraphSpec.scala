@@ -10,8 +10,8 @@ class GraphSpec extends SparkSpecBase {
     Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("connected components: path graph needs diameter iterations, converges to min id") {
-    // 1-2-3-4-5-6 chain: labels must travel the whole chain
+  test("connected components: path graph converges to min id") {
+    // 1-2-3-4-5-6 chain: the star contraction must bridge every hop
     val m = comps(Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L)))
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
   }
@@ -31,11 +31,35 @@ class GraphSpec extends SparkSpecBase {
   }
 
   test("connected components: refuses to return partial labels when maxIter is too low") {
-    val chain = (1L to 20L).map(i => (i, i + 1)).toDF("a", "b")
+    // star rounds are O(log n): a 2000-node chain at maxIter = 1
+    // cannot have contracted fully (one large+small round only
+    // shortens chains by a constant factor)
+    val chain = (1L to 2000L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Graph.connectedComponents(chain, "a", "b", maxIter = 3).collect()
+      Graph.connectedComponents(chain, "a", "b", maxIter = 1).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: randomized parity with driver-side union-find") {
+    // deterministic pseudo-random multigraph with self-loops, chains
+    // and dense pockets — labels must equal exact union-find on
+    // every node incident to any edge
+    def mix(x: Long): Long = { val a = x * 2654435761L % 104729; a }
+    val edges = (0L until 600L).map { i =>
+      val u = mix(i) % 150; val v = if (i % 11 == 0) u else mix(i * 31 + 7) % 150
+      (u, v)
+    }
+    val uf = new Array[Long](150); (0 until 150).foreach(i => uf(i) = i)
+    def find(x: Long): Long = { var r = x; while (uf(r.toInt) != r) r = uf(r.toInt); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) uf(math.max(ra, rb).toInt) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    assert(comps(edges) == expect,
+      "star-contraction labels must match exact union-find")
   }
 
   test("dedupClusters: transitive near-dups collapse to one canonical doc") {
