@@ -1683,11 +1683,8 @@ object QueryRegistry {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val lm = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") < 300), "doc_id", "text")
-      val sig = TextAnalysis.withRepetitionStats(
-          TextAnalysis.withQuality(TextAnalysis.withLangId(docs, "text"), "text"), "text")
-        .select(col("doc_id"), col("pred_lang"), col("quality_score_e4"), col("dup_token_ratio_e4"))
-        .filter(col("pred_lang") === "en" && col("quality_score_e4") >= 4000 &&
-          col("dup_token_ratio_e4") <= 6500)
+      val sig = TextAnalysis.signalFilter(docs,
+        minQualityE4 = 4000, maxDupRatioE4 = 6500, lang = "en")
       val ppl = graft.operators.Lm.crossEntropy(docs, "doc_id", "text", lm)
         .select(col("doc_id"), col("cross_entropy"))
         .filter(col("cross_entropy") <= 3.45)

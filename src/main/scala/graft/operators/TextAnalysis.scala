@@ -366,6 +366,18 @@ object TextAnalysis {
    * — bounded by vocab^2 and in practice by the floor, so the
    * single-partition ranking window never sees corpus-sized data.
    */
+  /** Fused per-row curation signals + thresholds — the signal stage
+   *  of `pipeline_c4`: language ID, quality score, and repetition
+   *  ratio composed into ONE scan (all per-row expressions, so this
+   *  works UNCHANGED on a streaming DataFrame — see
+   *  [[graft.streaming.Curation]]). */
+  def signalFilter(docs: DataFrame, minQualityE4: Long, maxDupRatioE4: Long,
+                   lang: String): DataFrame =
+    withRepetitionStats(withQuality(withLangId(docs, "text"), "text"), "text")
+      .select(col("doc_id"), col("pred_lang"), col("quality_score_e4"), col("dup_token_ratio_e4"))
+      .filter(col("pred_lang") === lang && col("quality_score_e4") >= minQualityE4 &&
+        col("dup_token_ratio_e4") <= maxDupRatioE4)
+
   def collocations(df: DataFrame, idCol: String, textCol: String,
                    minCount: Int = 5, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -215,6 +215,36 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming curation signal filter matches the batch operator") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val batch = graft.operators.TextAnalysis.signalFilter(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        minQualityE4 = 4000, maxDupRatioE4 = 6500, lang = "en")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "threshold config must keep some sf0.001 docs")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/00_documents.parquet"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(streamDir)
+    // the EXACT batch operator applied to a stream — per-row
+    // expressions only, so no state/watermark/output-mode friction
+    val q = graft.streaming.Curation.signalFilter(src,
+        minQualityE4 = 4000, maxDupRatioE4 = 6500, lang = "en")
+      .writeStream.format("memory").queryName("curation_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("curation_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, "streamed signal filter must equal the batch operator")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming funnel final stages match the batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
