@@ -24,7 +24,7 @@ CLASSES = {
           'sample_quota', 'q_setops', 'q_hll', 'q_bloom', 'text_inverted',
           'text_chunk', 'sample_tokenbudget', 'q_cms', 'q_qsketch',
           'dedup_paragraph', 'q_zorder', 'text_collocations', 'q_funnel', 'q_retention',
-          'multimodal_audio', 'text_perplexity', 'pipeline_c4'],
+          'multimodal_audio', 'text_perplexity', 'pipeline_c4', 'sample_dsir'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near'],
