@@ -94,15 +94,29 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         name -> med
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2 KB of stdout and parses one
+    // JSON line out of it. Round 6 lost its bench signal because the
+    // line (83 full-precision timings + the load map) outgrew that
+    // window. So: every diagnostic (load map, rerun records, full-
+    // precision timings) goes to STDERR, and stdout gets exactly one
+    // compact line — 3-decimal timings, nothing else — printed LAST.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val loadJson = loads.map { case (k, (a, b)) => s"\"$k\":[$a,$b]" }.mkString("{", ",", "}")
     val rerunJson = reruns
       .map { case (k, (first, b)) => s"""\"$k\":{\"first_median\":$first,\"baseline\":$b}""" }
       .mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    System.err.println(s"""[bench-diag] {"load_start":$loadStart,"load_end":${loadavg()},""" +
+      s""""load":$loadJson,"reruns":$rerunJson,"queries_full":$fullQs}""")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""load_start":$loadStart,"load_end":${loadavg()},"load":$loadJson,"reruns":$rerunJson}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the " +
+        "driver's 2000-char tail-capture window; shorten query names or drop precision")
+    println(line)
     spark.stop()
   }
 }
