@@ -27,6 +27,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated section filter for targeted iteration
+    // (docs, sketch, graph, temporal, embeddings, ann); default all
+    val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def section(name: String): Boolean = sections.forall(_.contains(name))
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = base.count()
     // per-replica salt: ~18 unique trigram-generating tokens appended,
@@ -44,11 +50,13 @@ object ScaleProbe {
     val total = big.count()
     println(s"[probe] corpus: $total docs (${n} x $replicas)")
 
-    def time[T](name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $rows rows")
-    }
+    def time[T](name: String, sec: String = "docs")(f: => Long): Unit =
+      if (!section(sec)) println(s"[probe] skip [$sec] $name")
+      else {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $rows rows")
+      }
 
     time("exactDedup")(graft.operators.Dedup.exactDedup(big, "doc_id", "text").count())
     time("minhashPairs")(graft.operators.Dedup.minhashPairs(big, "doc_id", "text").count())
@@ -108,7 +116,7 @@ object ScaleProbe {
     // incremental/mergeable-state contract proven beyond unit scale
     // (the shape that lets 100 TB split into per-day shards whose
     // sketches fold without ever re-scanning history)
-    locally {
+    if (section("sketch")) locally {
       val rows = 16L * 1024 * 1024
       val wide = spark.range(rows)
         .select(col("id"),
@@ -185,7 +193,7 @@ object ScaleProbe {
     val chainEdges = spark.range(200).as("c").crossJoin(spark.range(49).as("s"))
       .select((col("c.id") * 1000L + col("s.id")).as("id_a"),
         (col("c.id") * 1000L + col("s.id") + 1).as("id_b"))
-    time("connectedComponents (100k pair + 200x50 chain edges)")(
+    time("connectedComponents (100k pair + 200x50 chain edges)", "graph")(
       graft.operators.Graph.connectedComponents(
         pairEdges.unionByName(chainEdges), "id_a", "id_b", maxIter = 60).count())
     // diameter stress: 200 chains x 5000 hops (1M nodes). Min-label
@@ -195,7 +203,7 @@ object ScaleProbe {
     val deepChains = spark.range(200).as("c").crossJoin(spark.range(4999).as("s"))
       .select((col("c.id") * 10000L + col("s.id")).as("id_a"),
         (col("c.id") * 10000L + col("s.id") + 1).as("id_b"))
-    time("connectedComponents (200 chains x 5000 hops, diameter 5000)")(
+    time("connectedComponents (200 chains x 5000 hops, diameter 5000)", "graph")(
       graft.operators.Graph.connectedComponents(deepChains, "id_a", "id_b", maxIter = 60).count())
 
     // temporal joins over the replicated events table
@@ -211,7 +219,7 @@ object ScaleProbe {
     val purch = bigEv.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("p_id"), col("value").as("p_value"))
-    time(s"asofJoin over ${replicas}x events")(
+    time(s"asofJoin over ${replicas}x events", "temporal")(
       graft.operators.Temporal.asofJoin(
         bigEv.select("event_id", "user_id", "ts"), purch,
         "user_id", "ts", "p_user", "p_ts", Seq("p_id"), "p_id")
@@ -219,7 +227,7 @@ object ScaleProbe {
     val iv = ev.filter(col("event_id") % 100 === 0)
       .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"),
         (unix_micros(col("ts")) + 21600000000L).as("e"))
-    time(s"rangeJoin ${replicas}x events vs 1k intervals")(
+    time(s"rangeJoin ${replicas}x events vs 1k intervals", "temporal")(
       graft.operators.Temporal.rangeJoin(
         bigEv.select(col("event_id"), unix_micros(col("ts")).as("pt")), iv,
         "pt", "s", "e", bucketWidth = 21600000000L).count())
@@ -234,12 +242,12 @@ object ScaleProbe {
     time(s"collocations over ${replicas}x docs")(
       graft.operators.TextAnalysis.collocations(big, "doc_id", "text",
         minCount = 20 * replicas, k = 25).count())
-    time(s"funnelStages over ${replicas}x events")(
+    time(s"funnelStages over ${replicas}x events", "temporal")(
       graft.operators.Temporal.funnelStages(bigEv, "user_id", "ts", "event_id",
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"))
         .groupBy("stage").count().count())
-    time(s"zClusterStats over ${replicas}x events")(
+    time(s"zClusterStats over ${replicas}x events", "temporal")(
       graft.operators.Layout.zClusterStats(
         bigEv.withColumn("u", pmod(col("user_id"), lit(256L)))
           .withColumn("v", pmod(floor(coalesce(col("value"), lit(0.0)) * 10).cast("long"), lit(256L))),
@@ -264,23 +272,44 @@ object ScaleProbe {
       .repartition(cpus.toInt * 4)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     println(s"[probe] embeddings: ${bigEmb.count()} vectors")
-    time(s"ivfAssign over ${replicas}x embeddings")(
+    time(s"ivfAssign over ${replicas}x embeddings", "embeddings")(
       graft.operators.Ann.ivfAssign(bigEmb, "vec_id", "embedding").count())
     val qs = emb.limit(16).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    time(s"quantizedTopK 16 queries over ${replicas}x corpus")(
+    time(s"quantizedTopK 16 queries over ${replicas}x corpus", "embeddings")(
       graft.operators.Quantize.quantizedTopK(bigEmb, qs,
         "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
-    time(s"kmeansCodebook 64 cells x 2 iters over ${replicas}x corpus")(
+    time(s"kmeansCodebook 64 cells x 2 iters over ${replicas}x corpus", "embeddings")(
       graft.operators.Ann.kmeansCodebook(bigEmb, "vec_id", "embedding",
         nCells = 64, iters = 2).count())
-    locally {
+    if (section("embeddings")) locally {
       val cb = graft.operators.Quantize.pqCodebook(bigEmb, "vec_id", "embedding", m = 4, ksub = 16)
-      time(s"pqEncode (map-only) over ${replicas}x embeddings")(
+      time(s"pqEncode (map-only) over ${replicas}x embeddings", "embeddings")(
         graft.operators.Quantize.pqEncode(bigEmb, "embedding", cb)
           .agg(sum(element_at(col("pq_codes"), 1))).count())
-      time(s"pqTopK 16 queries over ${replicas}x corpus")(
+      time(s"pqTopK 16 queries over ${replicas}x corpus", "embeddings")(
         graft.operators.Quantize.pqTopK(bigEmb, qs,
           "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
+    }
+
+    // ANN ranking at >= 1M corpus rows: the r6 verdict flagged the
+    // per-query ranking window as a one-task-per-query sort; with the
+    // bounded-heap combiner (TopK.partitionTopK) the window input is
+    // <= partitions * k(*refine) rows per query regardless of corpus
+    // size. 512 x 2000 = 1.024M vectors; 16 queries.
+    if (section("ann")) locally {
+      val annReplicas = sys.env.getOrElse("SPARK_GRAFT_PROBE_ANN_REPLICAS", "512").toInt
+      val hugeEmb = spark.range(annReplicas).crossJoin(emb)
+        .select((col("vec_id") + col("id") * 10000000L).as("vec_id"), col("embedding"))
+        .repartition(cpus.toInt * 4)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[probe] ann corpus: ${hugeEmb.count()} vectors")
+      time(s"bruteForceTopK 16 queries over ${annReplicas}x corpus (1M+)", "ann")(
+        graft.operators.Ann.bruteForceTopK(hugeEmb, qs,
+          "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
+      time(s"quantizedTopK 16 queries over ${annReplicas}x corpus (1M+)", "ann")(
+        graft.operators.Quantize.quantizedTopK(hugeEmb, qs,
+          "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
+      hugeEmb.unpersist()
     }
     spark.stop()
   }

@@ -17,14 +17,25 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  /** Exact top-k by cosine for each query vector (queries must be small/broadcastable). */
+  /** Exact top-k by cosine for each query vector (queries must be small/broadcastable).
+   *
+   *  The scoring pass is map-only (corpus scan x broadcast queries);
+   *  selection runs the shared two-phase shape: a per-partition
+   *  bounded-heap combiner ([[TopK.partitionTopK]]) pre-filters to k
+   *  candidates per query per partition — lossless, same
+   *  (round(cos, 9) desc, id) ordering — so the exact ranking window
+   *  receives at most partitions x k rows per query instead of
+   *  |corpus|. Without the combiner the window is a one-task,
+   *  corpus-sized sort per query — the part that dies at 10^9 rows. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      corpusId: String, corpusVec: String,
                      queryId: String, queryVec: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cos"))
+    val pre = TopK.maybePartitionTopK(scored, queryId, corpusId, "cos", k, ascending = false)
     val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
-    joined.withColumn("rn", row_number().over(w).cast("long"))
+    pre.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
@@ -212,8 +223,12 @@ object Ann {
 
     val cand = assigned.join(broadcast(probed), "__cid")
       .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cos"))
+    // bounded selection: cell candidate lists are corpus-fraction-sized,
+    // not k-sized — same combiner-then-window shape as bruteForceTopK
+    val pre = TopK.maybePartitionTopK(cand, queryId, corpusId, "cos", k, ascending = false)
     val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
-    cand.withColumn("rn", row_number().over(w).cast("long"))
+    pre.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
@@ -272,8 +287,12 @@ object Ann {
     val cand = c.join(broadcast(q), Seq("__band", "__bsig"))
       .filter(col("__band") === firstBand)
       .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cos"))
+    // bounded selection: a hot bucket can hold a corpus-scale slice —
+    // same combiner-then-window shape as bruteForceTopK
+    val pre = TopK.maybePartitionTopK(cand, queryId, corpusId, "cos", k, ascending = false)
     val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
-    cand.withColumn("rn", row_number().over(w).cast("long"))
+    pre.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("cos"), col("rn"))
   }
@@ -326,10 +345,17 @@ object Ann {
       prev.unpersist()
     }
     cur.unpersist()
+    // build typed Rows so the picked ids keep their NATIVE value and
+    // DataType — a toString round-trip would corrupt non-parseable id
+    // types (binary ids stringify as "[B@..." and cast back to null)
     val idType = candidates.schema(idCol).dataType
-    spark.createDataset(picked.toSeq.zipWithIndex
-        .map { case ((id, rel), i) => (id.toString, rel, (i + 1).toLong) })
-      .toDF(idCol, "rel", "rank")
-      .withColumn(idCol, col(idCol).cast(idType))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField("rel", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType)))
+    val rows = picked.toSeq.zipWithIndex.map { case ((id, rel), i) =>
+      org.apache.spark.sql.Row(id, rel, (i + 1).toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
   }
 }

@@ -65,9 +65,16 @@ object Lm {
     sbg.join(broadcast(lm.bi), Seq("w1", "w2"), "left")
       .join(broadcast(lm.ctx), Seq("w1"), "left")
       .crossJoin(broadcast(lm.vocab))
+      // a degenerate reference slice (no >= 2-token docs) gives v=0,
+      // which would make every score log(x/0) = Infinity SILENTLY;
+      // fail loudly instead (declarative guard — training stays
+      // action-free, the error fires on first scoring evaluation)
+      .withColumn("__v", when(col("v") > 0, col("v")).otherwise(raise_error(lit(
+        "Lm.crossEntropy: reference slice produced no bigrams (vocab v=0) — " +
+          "train on a slice with at least one document of >= 2 tokens"))))
       .withColumn("__lp", log(
         (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+          (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("__lp")), 6).as("cross_entropy"))
   }

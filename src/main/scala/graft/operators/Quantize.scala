@@ -42,8 +42,13 @@ object Quantize {
     val scored = qc.crossJoin(broadcast(qq))
       .withColumn("qcos", graft.functions.native.quantCos(col("__cq"), col("__qq")))
       .select(col(queryId), col(corpusId), col("qcos"))
+    // per-partition bounded-heap combiner before the candidate window:
+    // without it the window sorts |corpus| rows on one task per query
+    // (the combiner is lossless — same (round, 9) desc + id ordering)
+    val preQ = TopK.maybePartitionTopK(scored, queryId, corpusId, "qcos",
+      k * refineFactor, ascending = false)
     val wq = Window.partitionBy(col(queryId)).orderBy(round(col("qcos"), 9).desc, col(corpusId).asc)
-    val cand = scored.withColumn("qrn", row_number().over(wq))
+    val cand = preQ.withColumn("qrn", row_number().over(wq))
       .filter(col("qrn") <= k * refineFactor)
       .select(col(queryId), col(corpusId))
     // exact rerank touches full-precision vectors only for the bounded
@@ -152,8 +157,12 @@ object Quantize {
       .withColumn("adc",
         graft.functions.native.pqAdc(col(queryVec), col("pq_codes"), flatCodebook(cb), cb.length))
       .select(col(queryId), col(corpusId), col("adc"))
+    // same bounded-heap combiner as quantizedTopK's candidate stage
+    // (ascending: ADC is a distance)
+    val preQ = TopK.maybePartitionTopK(scored, queryId, corpusId, "adc",
+      k * refineFactor, ascending = true)
     val wq = Window.partitionBy(col(queryId)).orderBy(round(col("adc"), 9).asc, col(corpusId).asc)
-    val cand = scored.withColumn("qrn", row_number().over(wq))
+    val cand = preQ.withColumn("qrn", row_number().over(wq))
       .filter(col("qrn") <= k * refineFactor)
       .select(col(queryId), col(corpusId))
     val withVecs = corpus.select(col(corpusId), col(corpusVec))

@@ -199,6 +199,12 @@ object Sketch {
   def bloomProbeBc(id: Column, wordsBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
                    logM: Int = 16, k: Int = 4): Column = {
     require(logM >= 6 && logM <= 30, s"bloomProbeBc: logM must be in [6, 30] (got $logM)")
+    // geometry desync = silent false negatives; validate here on the
+    // driver (broadcast value is local), because the codegen path
+    // reads the words straight off the broadcast without re-checking
+    require(wordsBc.value.length == 1 << (logM - 6),
+      s"bloomProbeBc: filter has ${wordsBc.value.length} words but logM=$logM implies " +
+        s"${1 << (logM - 6)} — build and probe must use the same logM")
     import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
     toCol(graft.functions.BloomProbeExpr(toExpr(id.cast("long")), wordsBc, logM, k))
   }

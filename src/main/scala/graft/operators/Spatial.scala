@@ -240,33 +240,13 @@ object Spatial {
    * Ids must be LongType (validated).
    */
   private[graft] def partitionTopK(joined: DataFrame, leftIdCol: String, rightIdCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val inSchema = joined.schema
     require(inSchema(leftIdCol).dataType == LongType && inSchema(rightIdCol).dataType == LongType,
       s"partition top-k requires LongType ids; got ${inSchema(leftIdCol).dataType}/${inSchema(rightIdCol).dataType}" +
         " — use rankShuffle = true for other id types")
-    val liIdx = inSchema.fieldIndex(leftIdCol)
-    val riIdx = inSchema.fieldIndex(rightIdCol)
-    val dIdx = inSchema.fieldIndex("_DIST")
-    // heap orders worst-first so the (k+1)th candidate evicts in O(log k)
-    implicit val ord: Ordering[(Double, Long, Row)] =
-      Ordering.by[(Double, Long, Row), (Double, Long)](t => (t._1, t._2))
-    joined.mapPartitions { rows =>
-      val best = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Row)]]
-      rows.foreach { r =>
-        // rounded EXACTLY like Spark's round(_, 9) (HALF_UP on the
-        // decimal rendering): the combiner is lossless only if its
-        // ordering equals the final window's ordering bit for bit
-        val d = BigDecimal.decimal(r.getDouble(dIdx))
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val key = (d, r.getLong(riIdx), r)
-        val q = best.getOrElseUpdate(r.getLong(liIdx), scala.collection.mutable.PriorityQueue.empty[(Double, Long, Row)])
-        if (q.size < k) q.enqueue(key)
-        else if (ord.lt(key, q.head)) { q.dequeue(); q.enqueue(key) }
-      }
-      best.valuesIterator.flatMap(_.iterator.map(_._3))
-    }(org.apache.spark.sql.Encoders.row(inSchema))
+    // shared bounded-heap combiner (TopK.scala) — also the ANN paths'
+    TopK.partitionTopK(joined, leftIdCol, rightIdCol, "_DIST", k, ascending = true)
   }
 
   /** Largest order whose pixels are still ≥ ~2x dthresh wide (arcsec thresholds reach order ~18). */

@@ -21,6 +21,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  * On a bounded input the final per-user max stage equals the batch
  * operator's stage (ScalaTest-asserted).
+ *
+ * State lifetime: a user's state is REMOVED as soon as the funnel
+ * completes (stage == nSteps with nothing buffered — the emit range
+ * is empty forever after), and an event-time TTL (`idleTtlMs`, 24 h
+ * default) drops users idle past the watermark horizon, so long-run
+ * state is O(users active within the TTL), not O(all users ever).
+ * The trade, same loss class as watermark lateness: an event arriving
+ * after its user's state was dropped restarts that funnel from
+ * scratch (completed users could re-emit stages on post-completion
+ * re-entry; idle users lose pre-TTL progress).
  */
 object FunnelStream {
 
@@ -38,9 +48,11 @@ object FunnelStream {
    * calling; -1 / out-of-range rows are ignored). `nSteps` fixes the
    * state width.
    */
-  def streamFunnel(spark: SparkSession, events: DataFrame, nSteps: Int): Dataset[FunnelProgress] = {
+  def streamFunnel(spark: SparkSession, events: DataFrame, nSteps: Int,
+                   idleTtlMs: Long = 86400000L): Dataset[FunnelProgress] = {
     import spark.implicits._
     require(nSteps >= 1, s"nSteps must be >= 1 (got $nSteps)")
+    require(idleTtlMs > 0, s"idleTtlMs must be > 0 (got $idleTtlMs)")
     events.selectExpr("user_id", "ts", "event_id", "step").as[FEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelBuf, FunnelProgress](
@@ -63,9 +75,18 @@ object FunnelStream {
             case -1 => nSteps
             case i  => i
           }
-          state.update(FunnelBuf(q.toList, hold, math.max(stage, prev.emitted)))
-          if (hold.nonEmpty)
-            state.setTimeoutTimestamp(hold.map(_._1).max + 1000)
+          val emitted = math.max(stage, prev.emitted)
+          // drop state when it can never produce output again
+          // (completed, nothing buffered) or the idle TTL expired with
+          // an empty buffer; otherwise keep it and always arm a
+          // timeout so idle users get cleaned up on watermark advance
+          if (hold.isEmpty && (emitted >= nSteps || state.hasTimedOut)) state.remove()
+          else {
+            state.update(FunnelBuf(q.toList, hold, emitted))
+            state.setTimeoutTimestamp(
+              if (hold.nonEmpty) hold.map(_._1).max + 1000
+              else math.max(wm, 0L) + idleTtlMs)
+          }
           ((prev.emitted + 1) to stage).iterator.map(st =>
             FunnelProgress(user, st.toLong, Sessionize.formatSec(q(st - 1) / 1000)))
       }

@@ -78,4 +78,18 @@ class KmeansSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("bounded"))
   }
+
+  test("mmrSelect: non-parseable id types survive the round trip natively") {
+    // binary ids stringify as "[B@..." — the old toString + cast-back
+    // path silently nulled them; picks must come back byte-identical
+    val df = Seq(
+      (Array[Byte](1, 2), Array(1f, 0f), 0.9),
+      (Array[Byte](3, 4), Array(0f, 1f), 0.8)
+    ).toDF("id", "v", "rel")
+    val out = Ann.mmrSelect(df, "id", "v", "rel", k = 2)
+      .orderBy("rank").collect()
+    assert(out.forall(!_.isNullAt(0)), "binary ids must not null out")
+    assert(out.map(_.getAs[Array[Byte]](0).toSeq).toSet ==
+      Set(Seq[Byte](1, 2), Seq[Byte](3, 4)))
+  }
 }

@@ -74,4 +74,18 @@ class LmSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side bigrams must not shuffle into a merge join:\n$plan")
   }
+
+  test("degenerate reference slice (no bigrams, v=0) fails loudly instead of scoring Infinity") {
+    // every ref doc has < 2 tokens -> zero bigrams -> vocab v = 0
+    val ref = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val lm = Lm.trainBigram(ref, "doc_id", "text")
+    val e = intercept[Exception] {
+      Lm.crossEntropy(docs, "doc_id", "text", lm).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("Lm.crossEntropy")),
+      s"expected the operator-named vocab guard, got: ${messages(e).mkString(" | ")}")
+  }
 }

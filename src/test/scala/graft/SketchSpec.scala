@@ -69,6 +69,14 @@ class SketchSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert("""\*\(\d+\) Filter bloom_probe""".r.findFirstIn(plan).isDefined,
       s"probe filter must sit inside a WholeStageCodegen span (the *(n) prefix):\n$plan")
+    // geometry desync through the broadcast face must fail driver-side
+    // (the codegen path reads the broadcast directly and would
+    // otherwise probe the wrong geometry — silent false negatives)
+    val bc = spark.sparkContext.broadcast(words)
+    val e = intercept[IllegalArgumentException] {
+      Sketch.bloomProbeBc(col("id"), bc, logM = 14, k = 4)
+    }
+    assert(e.getMessage.contains("same logM"), e.getMessage)
   }
 
   test("bloom kernel hash matches the Column-side knuth hash bit-for-bit") {
