@@ -1654,6 +1654,42 @@ object QueryRegistry {
              CAST(SUM((r + 256*g + 65536*b) * (1 + x + y*w)) AS BIGINT) AS pix_hash
       FROM pix GROUP BY id, w, h ORDER BY id"""))
 
+  /** Real AVI mux→demux round trip, frame-level: synthesized
+   *  uncompressed-DIB videos (2..5 frames each) demuxed by the pure
+   *  chunk-walk [[Multimodal.AviCodec]], every 2nd frame emitted with
+   *  its position-weighted raster checksum. The oracle cannot parse
+   *  AVI — it replays the synthesized pixel pattern per (id, frame)
+   *  directly in SQL, so a hash match proves the container encode,
+   *  the chunk walk, the bottom-up padded-BGR conversion and the
+   *  stride sampling are all EXACT. */
+  private val multimodal_video = QueryDef(
+    (s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id")
+      Multimodal.decodeVideoFrames(s, Multimodal.synthesizeAvis(s, ids, "doc_id").toDF(), stride = 2)
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("pix_hash"))
+        .orderBy("id", "frame_idx")
+    },
+    Some("""WITH vids AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h,
+               2 + doc_id % 4 AS nf
+        FROM documents WHERE doc_id < 200),
+      frames AS (
+        SELECT id, w, h, unnest(range(0, nf, 2)) AS f FROM vids),
+      pix AS (
+        SELECT fr.id, fr.f, fr.w, fr.h, x.x, y.y,
+               (fr.id * 31 + fr.f * 19 + x.x * 7 + y.y * 13) % 256 AS r,
+               (fr.id * 17 + fr.f * 23 + x.x * 11 + y.y * 5) % 256 AS g,
+               (fr.id * 7 + fr.f * 37 + x.x * 3 + y.y * 29) % 256 AS b
+        FROM frames fr
+        JOIN generate_series(0, 11) AS x(x) ON x.x < fr.w
+        JOIN generate_series(0, 13) AS y(y) ON y.y < fr.h)
+      SELECT id, CAST(f AS BIGINT) AS frame_idx, CAST(w AS BIGINT) AS width,
+             CAST(h AS BIGINT) AS height,
+             CAST(SUM((r + 256*g + 65536*b) * (1 + x + y*w)) AS BIGINT) AS pix_hash
+      FROM pix GROUP BY id, f, w, h ORDER BY id, frame_idx"""))
+
   /** DSIR importance resampling: target model from the curated slice
    *  (doc_id < 300), source model from a corpus sample (doc_id % 7 =
    *  0), keep each doc with probability min(1, p_tgt/p_src) —
@@ -1848,6 +1884,7 @@ object QueryRegistry {
     "pipeline_c4" -> pipeline_c4,
     "sample_dsir" -> sample_dsir,
     "multimodal_decode" -> multimodal_decode,
+    "multimodal_video" -> multimodal_video,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

@@ -259,6 +259,13 @@ object ScaleProbe {
         graft.operators.Multimodal.synthesizeWavs(spark,
           big.select(col("doc_id")), "doc_id").toDF())
         .agg(sum("energy"), sum("zero_crossings")).count())
+    // AVI mux->demux->per-frame hash+features, 2-5 frames per doc id:
+    // map-only like the WAV path (frame explode happens in-task)
+    time(s"avi mux+demux+frame features over ${replicas}x clips")(
+      graft.operators.Multimodal.decodeVideoFrames(spark,
+        graft.operators.Multimodal.synthesizeAvis(spark,
+          big.select(col("doc_id")), "doc_id").toDF())
+        .agg(sum("pix_hash")).count())
     // bigram-LM: model trained on the BASE slice (bounded, broadcast),
     // scoring fans over the full replicated corpus
     time(s"lm crossEntropy over ${replicas}x docs")(

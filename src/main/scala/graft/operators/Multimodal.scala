@@ -10,18 +10,20 @@ import org.apache.spark.sql.functions._
  * analog of `mapInPandas`), so codec work amortizes per partition
  * and never touches the driver.
  *
- * Codecs dispatch per modality through [[codecFor]]: images decode
- * FOR REAL via `javax.imageio` (PNG/JPEG/BMP/GIF ship with the JDK —
- * zero new dependencies), and audio decodes FOR REAL via [[WavCodec]]
- * (RIFF/PCM16 is a length-prefixed chunk list — a pure byte walk
- * needs no library). Video demux — whose libraries are genuinely
- * absent here — keeps a deterministic stub behind the same seam, so
- * swapping in a real demuxer is a one-line registry change and
- * touches none of the distributed plumbing.
+ * Codecs dispatch per modality through [[codecFor]], and every
+ * modality is REAL BYTES now: images decode via `javax.imageio`
+ * (PNG/JPEG/BMP/GIF ship with the JDK — zero new dependencies),
+ * audio via [[WavCodec]] (RIFF/PCM16 — a pure byte walk), and video
+ * via [[AviCodec]] — an uncompressed RIFF/AVI (BI_RGB 24-bit DIB
+ * frames) container demuxer/muxer in the same chunk-walk style as
+ * WAV, lossless by construction so frame pixels round-trip exactly
+ * and the decode is SQL-oracle-verifiable. Unknown modalities fail
+ * loudly instead of faking a raster.
  *
  * Reference analog: the binary-payload handling in lsd2_io.py:163
  * reads real FITS blobs; graft reads FITS in sources/Fits.scala, and
- * [[ImageIoCodec]] makes images the second real-bytes modality.
+ * the imageio/WAV/AVI codecs make images, audio and video real-bytes
+ * modalities the same way.
  */
 object Multimodal {
 
@@ -38,34 +40,18 @@ object Multimodal {
       .withColumn("byte_len", octet_length(col("payload")).cast("long"))
 
   /**
-   * STUB decoder: stands in for an image/audio codec. Deterministic:
-   * fakes a WxH from the byte length and an 8-dim feature vector
-   * from byte content. Replace with a real codec binding on a
-   * cluster with native libs.
-   */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val w = 16 + (payload.length % 64)
-    val h = 16 + ((payload.length / 64) % 64)
-    val feats = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      feats(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    (w, h, feats)
-  }
-
-  /**
-   * Batched decode/feature-extract: typed mapPartitions so a real
-   * codec could hold per-partition native state (decoder context,
-   * GPU handle) exactly as a `mapInPandas` batch would.
+   * Batched decode/feature-extract over REAL codecs: typed
+   * mapPartitions so a codec could hold per-partition native state
+   * (decoder context, GPU handle) exactly as a `mapInPandas` batch
+   * would. Dispatches through [[codecFor]] — image and video rows
+   * decode their actual bytes; anything else fails loudly.
    */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.payload)
-        MediaFeatures(r.id, r.modality, r.byte_len, w, h, f)
+        val d = codecFor(r.modality).decode(r.payload)
+        MediaFeatures(r.id, r.modality, r.byte_len, d.width, d.height, rasterFeatures(d))
       }
     }
   }
@@ -73,30 +59,48 @@ object Multimodal {
   final case class ResizedMedia(id: Long, modality: String, width: Int, height: Int, payload: Array[Byte])
 
   /**
-   * Resize: REAL bilinear resampling for images (Java2D — in the
-   * JDK, headless-safe), re-encoded as PNG; non-image modalities keep
-   * the deterministic byte-decimation stand-in until a real demuxer
-   * exists. Same per-partition batched transform either way.
+   * Resize: REAL bilinear resampling (Java2D — in the JDK,
+   * headless-safe). Images re-encode as PNG; videos demux, resize
+   * every frame, and re-mux as uncompressed AVI at the original
+   * frame rate. Same per-partition batched transform either way.
    */
   def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        if (r.modality == "image") {
-          val d = resizeImage(r.payload, targetW, targetH)
-          ResizedMedia(r.id, r.modality, targetW, targetH, d)
-        } else if (r.payload.isEmpty) ResizedMedia(r.id, r.modality, targetW, targetH, Array.emptyByteArray)
-        else {
-          val budget = math.max(1, targetW * targetH)
-          val step = math.max(1, r.payload.length / budget)
-          val out = new Array[Byte](math.min(budget, math.max(1, r.payload.length / step)))
-          var i = 0
-          while (i < out.length) { out(i) = r.payload(i * step); i += 1 }
-          ResizedMedia(r.id, r.modality, targetW, targetH, out)
+        val out = r.modality match {
+          case "image" => resizeImage(r.payload, targetW, targetH)
+          case "video" =>
+            val v = AviCodec.decode(r.payload)
+            AviCodec.encode(v.frames.map(resizeRaster(_, targetW, targetH)), v.fps)
+          case m => throw new IllegalArgumentException(
+            s"resize: unsupported modality '$m' (image and video resize; audio has no raster)")
         }
+        ResizedMedia(r.id, r.modality, targetW, targetH, out)
       }
     }
+  }
+
+  /** Bilinear raster-to-raster resize via Java2D (shared by the image
+   *  and per-video-frame paths). */
+  def resizeRaster(src: Decoded, targetW: Int, targetH: Int): Decoded = {
+    val img = new java.awt.image.BufferedImage(src.width, src.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, src.width, src.height, src.pixels, 0, src.width)
+    val dst = new java.awt.image.BufferedImage(targetW, targetH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val px = new Array[Int](targetW * targetH)
+    dst.getRGB(0, 0, targetW, targetH, px, 0, targetW)
+    var i = 0
+    while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+    Decoded(targetW, targetH, px)
   }
 
   /** Decode -> bilinear rescale -> PNG re-encode, all in-JDK. */
@@ -148,29 +152,20 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for the one modality whose codec is NOT
-   *  in the JDK (video frame demux — audio has the real [[WavCodec]]
-   *  path via [[wavFeatures]]): same geometry as [[decodeStub]],
-   *  grayscale "pixels" from byte content. */
-  object ByteStubCodec extends MediaCodec {
-    val name = "byte-stub"
-    def decode(payload: Array[Byte]): Decoded = {
-      val w = 16 + (payload.length % 64)
-      val h = 16 + ((payload.length / 64) % 64)
-      val px = new Array[Int](w * h)
-      var i = 0
-      while (i < px.length) {
-        val v = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
-        px(i) = (v << 16) | (v << 8) | v
-        i += 1
-      }
-      Decoded(w, h, px)
-    }
+  /** REAL video-as-raster face: first frame of the AVI payload (the
+   *  thumbnail/keyframe convention). Full-sequence demux is
+   *  [[decodeVideoFrames]]. */
+  object AviFirstFrameCodec extends MediaCodec {
+    val name = "avi-first-frame"
+    def decode(payload: Array[Byte]): Decoded = AviCodec.decode(payload).frames.head
   }
 
   def codecFor(modality: String): MediaCodec = modality match {
     case "image" => ImageIoCodec
-    case _       => ByteStubCodec
+    case "video" => AviFirstFrameCodec
+    case m => throw new IllegalArgumentException(
+      s"codecFor: no raster codec for modality '$m' — image and video decode to rasters; " +
+        "audio goes through wavFeatures")
   }
 
   /** Position-weighted checksum of a decoded raster — the
@@ -219,10 +214,10 @@ object Multimodal {
                                 pix_hash: Long, features: Array[Float])
 
   /** Batched decode through the codec registry: REAL `javax.imageio`
-   *  for `modality = "image"`, the stub raster otherwise. Same
-   *  mapPartitions shape as [[extractFeatures]] — a codec holding
-   *  per-partition native state (demuxer context, GPU handle) slots
-   *  in without touching this. */
+   *  for `modality = "image"`, REAL AVI first-frame demux for
+   *  `"video"`. Same mapPartitions shape as [[extractFeatures]] — a
+   *  codec holding per-partition native state (demuxer context, GPU
+   *  handle) slots in without touching this. */
   def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -448,10 +443,12 @@ object Multimodal {
   final case class Frame(id: Long, frame_idx: Int, frame_payload: Array[Byte])
 
   /**
-   * STUB frame sampling: treats the payload as a "video" of
-   * fixed-size frames and emits every `stride`-th frame — the
-   * explode-shaped plumbing (one row per sampled frame) a real
-   * demuxer would feed.
+   * Byte-window frame sampling: slices the payload into fixed-size
+   * windows and emits every `stride`-th one — the explode-shaped
+   * plumbing (one row per sampled frame) for formats with flat
+   * fixed-stride layouts (raw planar buffers, fixed-block sensor
+   * dumps). Container formats with real frame boundaries use
+   * [[decodeVideoFrames]] instead.
    */
   def sampleFrames(spark: SparkSession, media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
     // fail at call time, not as an ArithmeticException inside a task
@@ -464,6 +461,253 @@ object Multimodal {
         val from = fi * frameBytes
         val until = math.min(r.payload.length, from + frameBytes)
         Frame(r.id, fi, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
+  // --------------------------------------------------------- real video
+
+  /** A demuxed video: frame rasters in presentation order. */
+  final case class DecodedVideo(fps: Int, frames: Seq[Decoded])
+
+  /**
+   * REAL AVI (RIFF 'AVI ') container codec for uncompressed BI_RGB
+   * 24-bit DIB frames — the same pure chunk-walk style as
+   * [[WavCodec]], zero libraries: RIFF is a length-prefixed chunk
+   * tree, and uncompressed DIB frames are bottom-up BGR rows padded
+   * to 4 bytes. Lossless by construction (no DCT), so demuxed pixels
+   * equal the muxed pixels EXACTLY and the decode is verifiable by an
+   * engine that cannot parse AVI at all (the `multimodal_video`
+   * oracle replays the synthesized pattern in SQL). Encode writes the
+   * standard hdrl (avih + strl/strh/strf) headers plus an idx1 index,
+   * so players and other demuxers read the output too. Fails loudly
+   * on compressed or non-24-bit payloads — a silent fallback would
+   * poison downstream features.
+   */
+  object AviCodec extends Serializable {
+    val name = "avi-dib24"
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def rowBytes(w: Int): Int = (3 * w + 3) & ~3 // DIB rows pad to 4 bytes
+
+    /** Mux same-sized rasters as an uncompressed AVI at `fps`. */
+    def encode(frames: Seq[Decoded], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty, "avi encode: no frames")
+      require(fps > 0, s"avi encode: fps must be positive (got $fps)")
+      val w = frames.head.width; val h = frames.head.height
+      require(frames.forall(f => f.width == w && f.height == h),
+        "avi encode: all frames must share one geometry")
+      val rb = rowBytes(w)
+      val frameBytes = rb * h
+      val n = frames.length
+      val moviData = 4 + n * (8 + frameBytes)          // "movi" + chunks
+      val idx1Data = 16 * n
+      val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // "hdrl" avih LIST(strl strh strf)
+      val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Data)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffData)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fourcc("RIFF"); bb.putInt(riffData); fourcc("AVI ")
+      fourcc("LIST"); bb.putInt(hdrlData); fourcc("hdrl")
+      fourcc("avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps)                          // usPerFrame
+        .putInt(frameBytes * fps)                       // maxBytesPerSec
+        .putInt(0)                                      // padding granularity
+        .putInt(0x10)                                   // AVIF_HASINDEX
+        .putInt(n).putInt(0).putInt(1)                  // totalFrames, initialFrames, streams
+        .putInt(frameBytes)                             // suggestedBufferSize
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)        // reserved
+      fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+      fourcc("strh"); bb.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      bb.putInt(0).putShort(0.toShort).putShort(0.toShort).putInt(0) // flags, prio, lang, initial
+        .putInt(1).putInt(fps)                          // scale, rate -> rate/scale fps
+        .putInt(0).putInt(n)                            // start, length (frames)
+        .putInt(frameBytes).putInt(-1).putInt(0)        // bufSize, quality, sampleSize
+        .putShort(0.toShort).putShort(0.toShort)        // rcFrame
+        .putShort(w.toShort).putShort(h.toShort)
+      fourcc("strf"); bb.putInt(40)
+      bb.putInt(40).putInt(w).putInt(h)                 // biSize, width, height (bottom-up)
+        .putShort(1.toShort).putShort(24.toShort)       // planes, bitCount
+        .putInt(0)                                      // BI_RGB
+        .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); bb.putInt(moviData); fourcc("movi")
+      frames.foreach { f =>
+        fourcc("00db"); bb.putInt(frameBytes)
+        var y = h - 1                                   // bottom-up rows
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val p = f.pixels(y * w + x)
+            bb.put((p & 0xff).toByte)                   // B
+              .put(((p >> 8) & 0xff).toByte)            // G
+              .put(((p >> 16) & 0xff).toByte)           // R
+            x += 1
+          }
+          var pad = rb - 3 * w
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+      }
+      fourcc("idx1"); bb.putInt(idx1Data)
+      var i = 0
+      while (i < n) {
+        fourcc("00db"); bb.putInt(0x10)                 // AVIIF_KEYFRAME
+        bb.putInt(4 + i * (8 + frameBytes)).putInt(frameBytes)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Demux an uncompressed AVI back to rasters. Walks the chunk
+     *  tree (word-aligned, extra chunks skipped), validates the strf
+     *  geometry (BI_RGB, 24-bit), then converts each 00db/00dc frame
+     *  from bottom-up padded BGR to the row-major 0xRRGGBB raster
+     *  contract. */
+    def decode(payload: Array[Byte]): DecodedVideo = {
+      require(payload.length >= 12 && tag(payload, 0) == "RIFF" && tag(payload, 8) == "AVI ",
+        s"avi decode: ${payload.length}-byte payload is not a RIFF/AVI stream")
+      var w = -1; var h = -1; var fps = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+
+      def walkStrl(off0: Int, end: Int): Unit = {
+        var off = off0
+        var scale = 1; var rate = -1
+        while (off + 8 <= end) {
+          val id = tag(payload, off); val size = le32(payload, off + 4)
+          require(size >= 0 && off + 8 + size <= end,
+            s"avi decode: chunk '$id' at $off claims $size bytes past its list")
+          id match {
+            case "strh" =>
+              require(size >= 56, s"avi decode: strh too short ($size)")
+              if (tag(payload, off + 8) == "vids") {
+                // strh: fccType(4) fccHandler(4) flags(4) prio(2)
+                // lang(2) initialFrames(4) -> scale at 20, rate at 24
+                scale = le32(payload, off + 8 + 20); rate = le32(payload, off + 8 + 24)
+                require(scale > 0 && rate > 0, s"avi decode: bad vids rate $rate/$scale")
+                fps = rate / scale
+              }
+            case "strf" if fps > 0 && w < 0 =>
+              require(size >= 40, s"avi decode: strf too short ($size)")
+              w = le32(payload, off + 8 + 4); h = le32(payload, off + 8 + 8)
+              val bits = le16(payload, off + 8 + 14); val comp = le32(payload, off + 8 + 16)
+              require(comp == 0, s"avi decode: only uncompressed BI_RGB supported, got compression $comp")
+              require(bits == 24, s"avi decode: only 24-bit DIB supported, got $bits-bit")
+              require(w > 0 && h > 0, s"avi decode: bad geometry ${w}x$h")
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+
+      def walkList(off0: Int, end: Int): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          val id = tag(payload, off); val size = le32(payload, off + 4)
+          require(size >= 0 && off + 8 + size <= end,
+            s"avi decode: chunk '$id' at $off claims $size bytes past its list")
+          if (id == "LIST") {
+            val kind = tag(payload, off + 8)
+            if (kind == "hdrl" || kind == "movi") walkList(off + 12, off + 8 + size)
+            else if (kind == "strl") walkStrl(off + 12, off + 8 + size)
+          } else if (id == "00db" || id == "00dc") {
+            require(w > 0, "avi decode: frame chunk before the strf geometry header")
+            val rb = rowBytes(w)
+            require(size >= rb * h, s"avi decode: frame chunk $size bytes < ${rb * h} for ${w}x$h")
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val ro = off + 8 + (h - 1 - y) * rb        // bottom-up source row
+              var x = 0
+              while (x < w) {
+                val o = ro + 3 * x
+                px(y * w + x) = ((payload(o + 2) & 0xff) << 16) |
+                  ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            frames += Decoded(w, h, px)
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+
+      walkList(12, math.min(payload.length, 8 + le32(payload, 4)))
+      require(frames.nonEmpty, "avi decode: no frame chunks found")
+      DecodedVideo(if (fps > 0) fps else 1, frames.toSeq)
+    }
+  }
+
+  /** Deterministic per-frame RGB test pattern — [[synthPixel]] with a
+   *  frame term, linear mod 256, exactly replayable in SQL so the
+   *  mux→demux round trip is verifiable by an engine that cannot
+   *  parse AVI at all. */
+  def synthVideoPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val r = ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + f * 23 + x * 11 + y * 5) % 256).toInt
+    val b = ((id * 7 + f * 37 + x * 3 + y * 29) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Frame-count schedule for a synthesized clip (shared with the SQL
+   *  twin): 2..5 frames. Dims reuse [[synthDims]]. */
+  def synthNumFrames(id: Long): Int = 2 + (id % 4).toInt
+
+  /** Frame rate of every synthesized clip. */
+  val SynthFps = 8
+
+  /** Mux the [[synthVideoPixel]] pattern to REAL AVI bytes, one clip
+   *  per id — distributed (mapPartitions), deterministic, the input
+   *  the `multimodal_video` oracle round-trips. */
+  def synthesizeAvis(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+    Sampling.requireIntegralId(ids, idCol, "synthesizeAvis")
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        require(id >= 0, s"synthesizeAvis: negative id $id — the SQL pixel twin assumes nonnegative")
+        val (w, h) = synthDims(id)
+        val frames = (0 until synthNumFrames(id)).map { f =>
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = synthVideoPixel(id, f, x, y); x += 1 }
+            y += 1
+          }
+          Decoded(w, h, px)
+        }
+        val bytes = AviCodec.encode(frames, SynthFps)
+        MediaRow(id, "video", bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  final case class VideoFrame(id: Long, frame_idx: Int, width: Int, height: Int,
+                              pix_hash: Long, features: Array[Float])
+
+  /**
+   * REAL frame demux: every `stride`-th frame of each AVI payload as
+   * one row with its raster checksum + features — the explode shape
+   * frame-level training pipelines consume (frame dedup, per-frame
+   * captioning, keyframe selection). MAP-ONLY: demux and the
+   * per-frame folds run in one pass, nothing shuffles — at 100 TB,
+   * frame extraction is embarrassingly parallel and must stay so.
+   */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame, stride: Int = 1): Dataset[VideoFrame] = {
+    require(stride > 0, s"decodeVideoFrames: stride must be positive (got $stride)")
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val v = AviCodec.decode(r.payload)
+      (0 until v.frames.length by stride).map { fi =>
+        val d = v.frames(fi)
+        VideoFrame(r.id, fi, d.width, d.height, pixHash(d), rasterFeatures(d))
       }
     }
   }

@@ -6,34 +6,26 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpecBase {
 
   test("media table plumbing: binary payloads, metadata, batched feature extraction") {
+    import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
 
-    val feats = Multimodal.extractFeatures(spark, media)
-    val rows = feats.collect()
-    assert(rows.length == docs.count())
-    rows.foreach { f =>
-      assert(f.features.length == 8)
-      assert(f.width >= 16 && f.width < 80 && f.height >= 16 && f.height < 80)
+    // feature extraction decodes REAL bytes through the codec registry
+    val ids = (0L until 30L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.synthesizePngs(spark, ids, "doc_id").toDF()).collect()
+    assert(feats.length == 30)
+    feats.foreach { f =>
+      val (w, h) = Multimodal.synthDims(f.id)
+      assert(f.features.length == 8 && f.width == w && f.height == h)
       assert(f.modality == "image")
     }
-    // deterministic: same payload -> same features
-    val f1 = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
-    val f2 = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
-    assert(f1._3.toSeq == f2._3.toSeq && f1._1 == f2._1)
   }
 
-  test("resize bounds payloads to the target budget; frame sampling strides the payload") {
+  test("byte-window frame sampling strides the payload") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "video")
-
-    val resized = Multimodal.resize(spark, media, 8, 8).collect()
-    resized.foreach { r =>
-      assert(r.payload.length <= 64 && r.payload.nonEmpty)
-      assert(r.width == 8 && r.height == 8)
-    }
-
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text")
     val frames = Multimodal.sampleFrames(spark, media, frameBytes = 32, stride = 2)
     val byDoc = frames.collect().groupBy(_.id)
     assert(byDoc.nonEmpty)
@@ -66,7 +58,7 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
-  test("distributed decode: imageio dims/hash/features from real pixels; registry dispatches stub for non-image") {
+  test("distributed decode: imageio dims/hash/features from real pixels; no codec = loud failure") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")
     val media = Multimodal.synthesizePngs(spark, ids, "doc_id")
@@ -85,11 +77,15 @@ class MultimodalSpec extends SparkSpecBase {
       assert(d.pix_hash == expect, s"pix_hash mismatch for id=${d.id}")
       assert(d.features.length == 8 && d.features.forall(f => !f.isNaN))
     }
-    // non-image modalities flow through the stub codec seam unchanged
-    val stub = Multimodal.decodeMedia(spark,
-      Seq((1L, "audio", Array[Byte](1, 2, 3), 3L)).toDF("id", "modality", "payload", "byte_len"))
-      .collect().head
-    assert(stub.width == 16 + 3 && stub.height == 16)
+    // modalities without a raster codec fail loudly, not fake a raster
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMedia(spark,
+        Seq((1L, "audio", Array[Byte](1, 2, 3), 3L)).toDF("id", "modality", "payload", "byte_len"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no raster codec")))
   }
 
   test("image resize is a real bilinear resample (Java2D), not the byte stub") {
@@ -183,6 +179,100 @@ class MultimodalSpec extends SparkSpecBase {
       val zc = (1 until n).count(i => (vs(i - 1) < 0) != (vs(i) < 0))
       assert(f.zero_crossings == zc, s"zero_crossings id=${f.id}")
       assert(vs.forall(_ != 0), "signal is nonzero by construction")
+    }
+  }
+
+  test("avi codec: mux→demux round trip is pixel-identical, fps survives, extra chunks skipped") {
+    val frames = (0 until 3).map { f =>
+      val px = Array.tabulate(5 * 4)(i => Multimodal.synthVideoPixel(9L, f, i % 5, i / 5))
+      Multimodal.Decoded(5, 4, px) // odd width: exercises the 4-byte row pad
+    }
+    val bytes = Multimodal.AviCodec.encode(frames, 8)
+    val v = Multimodal.AviCodec.decode(bytes)
+    assert(v.fps == 8 && v.frames.length == 3)
+    v.frames.zip(frames).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got.width == 5 && got.height == 4)
+      assert(got.pixels.toSeq == want.pixels.toSeq, s"frame $i pixels must survive exactly")
+    }
+    // a JUNK chunk inserted before the movi list must be skipped
+    val moviAt = {
+      var o = 12; var found = -1
+      while (found < 0 && o + 12 <= bytes.length) {
+        if (new String(bytes, o, 4, "US-ASCII") == "LIST" &&
+          new String(bytes, o + 8, 4, "US-ASCII") == "movi") found = o
+        else o += 1
+      }
+      found
+    }
+    assert(moviAt > 0)
+    val bb = java.nio.ByteBuffer.allocate(bytes.length + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(bytes, 0, moviAt)
+    bb.put("JUNK".getBytes("US-ASCII")).putInt(4).put(new Array[Byte](4))
+    bb.put(bytes, moviAt, bytes.length - moviAt)
+    val withJunk = bb.array()
+    val riffLen = bytes.length - 8 + 12
+    withJunk(4) = (riffLen & 0xff).toByte; withJunk(5) = ((riffLen >> 8) & 0xff).toByte
+    withJunk(6) = ((riffLen >> 16) & 0xff).toByte; withJunk(7) = ((riffLen >> 24) & 0xff).toByte
+    assert(Multimodal.AviCodec.decode(withJunk).frames.length == 3,
+      "decode must skip an unknown chunk before movi")
+  }
+
+  test("avi codec fails loudly on non-AVI and compressed payloads") {
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.AviCodec.decode("RIFFxxxxWAVE not a video".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("not a RIFF/AVI"))
+    val ok = Multimodal.AviCodec.encode(Seq(Multimodal.Decoded(2, 2, Array(0, 1, 2, 3))), 4)
+    // biCompression lives 16 bytes into the BITMAPINFOHEADER; find strf
+    var o = 12; var strfAt = -1
+    while (strfAt < 0 && o + 8 <= ok.length) {
+      if (new String(ok, o, 4, "US-ASCII") == "strf") strfAt = o
+      else o += 1
+    }
+    ok(strfAt + 8 + 16) = 1 // BI_RLE8
+    val e2 = intercept[IllegalArgumentException](Multimodal.AviCodec.decode(ok))
+    assert(e2.getMessage.contains("uncompressed"))
+  }
+
+  test("distributed video demux: frame hashes equal the pattern formula (what the oracle replays)") {
+    import spark.implicits._
+    val ids = (0L until 25L).toDF("doc_id")
+    val frames = Multimodal.decodeVideoFrames(spark,
+      Multimodal.synthesizeAvis(spark, ids, "doc_id").toDF(), stride = 2).collect()
+    val byId = frames.groupBy(_.id)
+    assert(byId.keySet == (0L until 25L).toSet)
+    frames.foreach { fr =>
+      val (w, h) = Multimodal.synthDims(fr.id)
+      assert(fr.width == w && fr.height == h)
+      assert(fr.frame_idx % 2 == 0 && fr.frame_idx < Multimodal.synthNumFrames(fr.id))
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.synthVideoPixel(fr.id, fr.frame_idx, x, y)
+        expect += (((p >> 16) & 0xff) + 256L * ((p >> 8) & 0xff) + 65536L * (p & 0xff)) *
+          (1L + x + y.toLong * w)
+      }
+      assert(fr.pix_hash == expect, s"pix_hash mismatch id=${fr.id} frame=${fr.frame_idx}")
+      assert(fr.features.length == 8 && fr.features.forall(f => !f.isNaN))
+    }
+    byId.foreach { case (id, fs) =>
+      val want = (0 until Multimodal.synthNumFrames(id) by 2).toSet
+      assert(fs.map(_.frame_idx).toSet == want, s"id=$id sampled frames")
+    }
+  }
+
+  test("video resize demuxes, resizes every frame, re-muxes at the original rate") {
+    import spark.implicits._
+    // constant-color frames: bilinear of a constant is the constant
+    val rgb = (10 << 16) | (200 << 8) | 99
+    val frames = (0 until 4).map(_ => Multimodal.Decoded(16, 12, Array.fill(16 * 12)(rgb)))
+    val avi = Multimodal.AviCodec.encode(frames, 6)
+    val media = Seq((3L, "video", avi, avi.length.toLong))
+      .toDF("id", "modality", "payload", "byte_len")
+    val out = Multimodal.resize(spark, media, 8, 8).collect().head
+    val v = Multimodal.AviCodec.decode(out.payload)
+    assert(v.fps == 6 && v.frames.length == 4)
+    v.frames.foreach { f =>
+      assert(f.width == 8 && f.height == 8)
+      assert(f.pixels.forall(_ == rgb), "constant frames must stay constant through resize")
     }
   }
 }
