@@ -169,15 +169,20 @@ object HipsPartitioner {
   }
 
   /**
-   * Full partitioned-catalog write: catalog/ + neighbor/ hive trees
-   * plus a `{cat}_meta.json` (reference: write_structure_metadata,
-   * partitioner.py:350).
+   * Full partitioned-catalog write: catalog/ + neighbor/ hive trees,
+   * a `{cat}_meta.json` (reference: write_structure_metadata,
+   * partitioner.py:350), and parquet `_metadata`/`_common_metadata`
+   * summary sidecars per tree (partitioner.py:373, consumed by the
+   * reference reader's read_parquet_metadata, lsd2_io.py:324).
    *
-   * Deviation: no parquet `_metadata`/`_common_metadata` summary
-   * files (partitioner.py:373) — those serialize every footer
-   * through one writer, which is exactly what breaks at 100 TB
-   * (Spark removed summary-file support for this reason); the JSON
-   * partition map + hive layout carry the same information.
+   * Scale note on the sidecars: they serialize every footer through
+   * one writer — the reason Spark dropped summary-file support — so
+   * graft itself NEVER reads them (the JSON partition map + hive
+   * layout + footer stats carry the same information); they exist so
+   * a reference-side reader pointed at a graft-written catalog finds
+   * the files it expects. Emission cost is one recursive listing +
+   * a pooled parallel footer read; at a file count where that is the
+   * import's long pole, drop them with `summaryFiles = false`.
    */
   /**
    * The reference's order-14 spatial index `[pix@14 | rank]`
@@ -222,9 +227,10 @@ object HipsPartitioner {
 
   def write(df: DataFrame, raCol: String, decCol: String, idCol: String,
             outputDir: String, catname: String,
-            orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1): PartitionMap =
+            orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1,
+            summaryFiles: Boolean = true): PartitionMap =
     writeWithMap(df, computePartitionMap(df, raCol, decCol, orderK, threshold),
-      raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg)
+      raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg, summaryFiles)
 
   /** The write phases after the partition map is known — shared by
    *  [[write]] (map from a direct scan) and [[writeResumable]] (map
@@ -232,7 +238,8 @@ object HipsPartitioner {
   private[catalog] def writeWithMap(df: DataFrame, pm: PartitionMap,
                                     raCol: String, decCol: String, idCol: String,
                                     outputDir: String, catname: String,
-                                    orderK: Int, threshold: Long, marginDeg: Double): PartitionMap = {
+                                    orderK: Int, threshold: Long, marginDeg: Double,
+                                    summaryFiles: Boolean = true): PartitionMap = {
     // the trailing sortWithinPartitions puts the hive partition
     // columns FIRST so FileFormatWriter's required ordering is already
     // satisfied (no writer-inserted, stability-unspecified sort) and
@@ -247,6 +254,10 @@ object HipsPartitioner {
       .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
       .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
       .parquet(s"$outputDir/$catname/neighbor")
+    if (summaryFiles) {
+      writeSummaryFiles(df.sparkSession, s"$outputDir/$catname/catalog")
+      writeSummaryFiles(df.sparkSession, s"$outputDir/$catname/neighbor")
+    }
 
     // persist the order-k density histogram as a small parquet — the
     // data product behind the reference's visualize_* views
@@ -286,6 +297,37 @@ object HipsPartitioner {
          | "n_sources": ${pm.nSources}, "pix_threshold": $threshold, "order_k": ${pm.orderK},
          | "margin_deg": $marginDeg, "hips": $hips}""".stripMargin
     HipsCatalog.writeString(spark, s"$outputDir/$catname/${catname}_meta.json", meta)
+  }
+
+  /**
+   * Parquet `_metadata` (all row groups) + `_common_metadata` (schema
+   * only) summary sidecars for one written tree — the byte-level
+   * layout the reference emits (partitioner.py:373) and its reader
+   * consumes (lsd2_io.py:324 read_parquet_metadata). Footers are read
+   * through parquet-hadoop's pooled parallel reader and merged by its
+   * own summary writer, so the sidecar is exactly what a
+   * pyarrow/parquet-mr consumer expects. Graft never reads these
+   * back — see the scale note on [[write]].
+   */
+  private[catalog] def writeSummaryFiles(spark: SparkSession, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) files += f
+    }
+    if (files.nonEmpty) {
+      val footers = org.apache.parquet.hadoop.ParquetFileReader
+        .readAllFootersInParallel(conf, files.toList.asJava)
+      org.apache.parquet.hadoop.ParquetFileWriter.writeMetadataFile(
+        conf, root, footers,
+        org.apache.parquet.hadoop.ParquetOutputFormat.JobSummaryLevel.ALL)
+    }
   }
 
   /** Sparse (pix, cnt) parquet -> sparse (pix -> cnt) map. */
@@ -345,7 +387,8 @@ object HipsPartitioner {
    * tables without a transaction log.
    */
   def append(df: DataFrame, raCol: String, decCol: String, idCol: String,
-             outputDir: String, catname: String): PartitionMap = {
+             outputDir: String, catname: String,
+             summaryFiles: Boolean = true): PartitionMap = {
     val spark = df.sparkSession
     // drop any stale cached listing BEFORE reading rank offsets — a
     // listing cached before an external writer's files landed would
@@ -389,6 +432,12 @@ object HipsPartitioner {
     // dirs list fresh), silently dropping appended rows
     spark.catalog.refreshByPath(s"$outputDir/$catname/catalog")
     spark.catalog.refreshByPath(s"$outputDir/$catname/neighbor")
+    // refresh the sidecars so the reference reader's footer view
+    // includes the appended files
+    if (summaryFiles) {
+      writeSummaryFiles(spark, s"$outputDir/$catname/catalog")
+      writeSummaryFiles(spark, s"$outputDir/$catname/neighbor")
+    }
 
     val (mPix, mCnt) = sparseToArrays(merged)
     val out = PartitionMap(orderK, frozen.grid, mPix, mCnt)
@@ -430,7 +479,7 @@ object HipsPartitioner {
                      raCol: String, decCol: String, idCol: String,
                      outputDir: String, catname: String,
                      orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1,
-                     cleanStaging: Boolean = false): PartitionMap = {
+                     cleanStaging: Boolean = false, summaryFiles: Boolean = true): PartitionMap = {
     import org.apache.hadoop.fs.Path
     requireOrderK(orderK)
     val importDir = s"$outputDir/$catname/_import"
@@ -501,7 +550,8 @@ object HipsPartitioner {
       histRows.map(_.getLong(0)), histRows.map(_.getLong(1)), orderK, threshold)
 
     val staged = spark.read.parquet(batches.indices.map(i => s"$importDir/stage/batch=$i"): _*)
-    writeWithMap(staged, pm, raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg)
+    writeWithMap(staged, pm, raCol, decCol, idCol, outputDir, catname, orderK, threshold,
+      marginDeg, summaryFiles)
     if (cleanStaging) fs.delete(new Path(importDir), true)
     pm
   }

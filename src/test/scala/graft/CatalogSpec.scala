@@ -114,7 +114,35 @@ class CatalogSpec extends SparkSpecBase {
     val inflightPoly = graft.operators.Spatial.polygonSearch(li, "cra", "cdec", poly)
       .select("k").collect().map(_.getLong(0)).sorted
     assert(storedPoly.toSeq == inflightPoly.toSeq && storedPoly.nonEmpty)
+
+    // parquet summary sidecars (the reference reader's
+    // read_parquet_metadata input): _metadata aggregates EVERY part
+    // file's row groups — total rows and file count must match the
+    // written tree exactly; _common_metadata carries the schema
+    for (tree <- Seq("catalog", "neighbor")) {
+      val (nFiles, nRows, sidecarFiles) = summaryStats(s"$out/litest/$tree")
+      val treeRows = spark.read.parquet(s"$out/litest/$tree").count()
+      val partFiles = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(s"$out/litest/$tree"), Array("parquet"), true)
+        .size()
+      assert(nRows == treeRows, s"$tree: _metadata row total $nRows != $treeRows")
+      assert(nFiles == partFiles, s"$tree: _metadata covers $nFiles files, tree has $partFiles")
+      assert(Set("_metadata", "_common_metadata").subsetOf(sidecarFiles))
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  /** (#files covered, total rows, sidecar names present) from a
+   *  tree's `_metadata` summary file. */
+  private def summaryStats(dir: String): (Int, Long, Set[String]) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, new org.apache.hadoop.fs.Path(s"$dir/_metadata"))
+    val blocks = meta.getBlocks.asScala
+    val present = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_")).map(_.getName).toSet
+    (blocks.map(_.getPath).distinct.size, blocks.map(_.getRowCount).sum, present)
   }
 
   test("wide queries on a fine catalog: adaptive cover order keeps candidates bounded, results exact") {
@@ -440,6 +468,12 @@ class CatalogSpec extends SparkSpecBase {
     val brute = li.withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)))
       .filter(col("d") < 30.0).select("k").collect().map(_.getLong(0)).sorted
     assert(cone.toSeq == brute.toSeq && cone.nonEmpty)
+
+    // the append refreshed the summary sidecars: _metadata's row total
+    // must cover old + appended files, not the import-time snapshot
+    val (_, sidecarRows, _) = summaryStats(s"$out/grow/catalog")
+    assert(sidecarRows == li.count(),
+      s"_metadata after append covers $sidecarRows rows, tree has ${li.count()}")
 
     // margin cache grows too: stored cross-match against the appended
     // catalog equals the in-flight cross-match over the union
