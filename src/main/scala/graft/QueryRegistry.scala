@@ -228,10 +228,18 @@ object QueryRegistry {
 
   /** TPC-H Q5 pattern: revenue by nation across a 6-table star join. */
   private val q5_local = QueryDef(
-    (s, dir) => t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+    // join order + hints leave ONE big shuffle (orders |><| lineitem
+    // on orderkey): customer and supplier are 100x and 400x smaller
+    // than lineitem at every TPC-H SF, so they ride broadcasts like
+    // nation/region do — without the hints this ran as FOUR chained
+    // shuffle joins, each paying the full per-stage floor. The hints
+    // assume the dims fit the broadcast budget (they do up to
+    // multi-TB SFs); past that, drop them and AQE reverts the plan
+    // to shuffle joins with the same semantics.
+    (s, dir) => t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))

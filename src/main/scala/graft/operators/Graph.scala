@@ -109,26 +109,37 @@ object Graph {
     // operators preserve the orientation (they only rewire toward
     // smaller ids), so every round's edge set stays canonical and
     // the fixed-point compare needs no normalization
-    var edges = truncate(
-      pairs.select(greatest(a, b).as("hi"), least(a, b).as("lo"))
-        .filter(col("hi") =!= col("lo")).distinct())
+    var edges = pairs.select(greatest(a, b).as("hi"), least(a, b).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct() // truncated below, with phi observed on the same job
     // convergence witness: (count, sum of hi+lo) as exact decimals.
     // Every rewire either operator performs points an endpoint at a
     // STRICTLY smaller id, and the post-op distinct only removes
     // rows — so the pair is monotone non-increasing through BOTH ops
     // and unchanged across a round IFF the round was the identity
-    // (which is the paper's two-operator termination rule, witnessed
-    // by ONE scalar aggregate per round). A monotone exact potential
-    // cannot collide the way a hash checksum could, and it replaces
-    // two count + exceptAll set compares per round — measured 25%
-    // faster end-to-end on shallow near-dup graphs where per-round
-    // job cost dominates.
-    def phi(e: DataFrame): (Long, String) = {
-      val r = e.agg(count(lit(1)),
-        sum(col("hi").cast("decimal(38,0)") + col("lo").cast("decimal(38,0)"))).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    // (which is the paper's two-operator termination rule). A
+    // monotone exact potential cannot collide the way a hash checksum
+    // could. The aggregate is OBSERVED (CollectMetrics) on the frame
+    // the round checkpoints anyway, so the witness rides the round's
+    // own materialization job instead of re-reading the checkpoint as
+    // a separate per-round aggregate job — exact under task retries
+    // (observed metrics count only successful tasks), and on shallow
+    // near-dup graphs where per-round job cost dominates it removes
+    // one of three jobs per round.
+    def phiObserved(e: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = new org.apache.spark.sql.Observation()
+      (e.observe(obs, count(lit(1)).as("n"),
+        sum(col("hi").cast("decimal(38,0)") + col("lo").cast("decimal(38,0)")).as("s")), obs)
     }
-    var phiPrev = phi(edges)
+    def phiOf(obs: org.apache.spark.sql.Observation): (Long, String) = {
+      val m = obs.get
+      (m("n").asInstanceOf[Long],
+        Option(m("s")).map(_.asInstanceOf[java.math.BigDecimal].toPlainString).getOrElse("0"))
+    }
+    var phiPrev = {
+      val (df0, obs0) = phiObserved(edges)
+      edges = truncate(df0)
+      phiOf(obs0)
+    }
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -145,15 +156,16 @@ object Graph {
       // (all smaller) neighbors and itself to m = min of them
       val joined = afterLarge.join(
         afterLarge.groupBy("hi").agg(min("lo").as("m")), "hi")
-      val afterSmall = truncate(
+      // phi is monotone through both ops, so equality across the
+      // whole round proves BOTH were the identity — the paper's
+      // termination rule, observed on the checkpoint job itself
+      val (smallObserved, obsS) = phiObserved(
         joined.filter(col("lo") > col("m"))
           .select(col("lo").as("hi"), col("m").as("lo"))
           .union(joined.select(col("hi"), col("m").as("lo")))
           .distinct())
-      // phi is monotone through both ops, so equality across the
-      // whole round proves BOTH were the identity — the paper's
-      // termination rule from one aggregate
-      val phiS = phi(afterSmall)
+      val afterSmall = truncate(smallObserved)
+      val phiS = phiOf(obsS)
       converged = phiS == phiPrev
       phiPrev = phiS
       backingRdd(afterLarge).foreach(free(afterLarge))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
  */
 object Lm {
 
-  final case class BigramLm(bi: DataFrame, ctx: DataFrame, vocab: DataFrame)
+  final case class BigramLm(bi: DataFrame, ctx: DataFrame, vocab: DataFrame) {
+    /** Release the cached bigram table (see [[trainBigram]]). */
+    def unpersist(): Unit = { bi.unpersist(); () }
+  }
 
   /** Adjacent-token bigrams of normalized text: one row per (id, w1,
    *  w2). Same tokenization as collocations ([[TextAnalysis.tokens]],
@@ -47,10 +50,16 @@ object Lm {
   /** Train on a reference slice: bigram counts, context counts
    *  (`sum_w2` of the bigram table, so the smoothed conditional
    *  normalizes), and the prediction vocabulary as a 1-row frame
-   *  (kept declarative — no driver action at train time). */
+   *  (kept declarative — no driver action at train time). The bigram
+   *  table is marked persisted (lazily): all three model faces derive
+   *  from it, and scoring broadcasts each face separately — without
+   *  the cache the reference-slice explode+aggregate would re-run per
+   *  broadcast (3x per model). Call [[BigramLm.unpersist]] when done
+   *  with a model in a long-lived session. */
   def trainBigram(ref: DataFrame, idCol: String, textCol: String): BigramLm = {
     val bg = bigrams(ref, idCol, textCol)
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = bi.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
     val vocab = bi.agg(countDistinct("w2").as("v"))
     BigramLm(bi, ctx, vocab)
@@ -89,19 +98,38 @@ object Lm {
    * like the target slice than the raw corpus get weight near 1.
    * Weight is rounded to 6 dp (the cross-engine float convention).
    *
-   * Both scoring passes are map-only with their models broadcast;
-   * the final join is doc_id-keyed against the co-partitioned
-   * groupBy(doc) outputs. Compose with
+   * FUSED scoring: the corpus is scanned and bigram-exploded ONCE,
+   * with BOTH broadcast models joined onto the same bigram stream and
+   * both cross-entropies computed in one groupBy(doc) — instead of
+   * two full explode+score passes plus a doc_id join of their
+   * outputs. Same arithmetic per model (left joins, add-one smoothing,
+   * round-6), so the result is value-identical to scoring each model
+   * separately; the per-model 6-dp rounding absorbs summation-order
+   * ulp drift exactly as in [[crossEntropy]]. Compose with
    * [[Sampling.weightedSample]] (deterministic, monotone in the
    * weight) for the actual resampling — see [[importanceSample]].
    */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         target: BigramLm, source: BigramLm): DataFrame = {
-    val t = crossEntropy(docs, idCol, textCol, target)
-      .withColumnRenamed("cross_entropy", "ce_target")
-    val s = crossEntropy(docs, idCol, textCol, source)
-      .select(col(idCol), col("cross_entropy").as("ce_source"))
-    t.join(s, Seq(idCol))
+    def lp(c12: Column, c1: Column, v: Column): Column =
+      log((coalesce(c12, lit(0L)) + 1).cast("double") / (coalesce(c1, lit(0L)) + v).cast("double"))
+    def guarded(v: Column, which: String): Column =
+      when(v > 0, v).otherwise(raise_error(lit(
+        s"Lm.importanceWeights: $which reference slice produced no bigrams (vocab v=0) — " +
+          "train on a slice with at least one document of >= 2 tokens")))
+    bigrams(docs, idCol, textCol)
+      .join(broadcast(target.bi.withColumnRenamed("c12", "__c12_t")), Seq("w1", "w2"), "left")
+      .join(broadcast(target.ctx.withColumnRenamed("c1", "__c1_t")), Seq("w1"), "left")
+      .join(broadcast(source.bi.withColumnRenamed("c12", "__c12_s")), Seq("w1", "w2"), "left")
+      .join(broadcast(source.ctx.withColumnRenamed("c1", "__c1_s")), Seq("w1"), "left")
+      .crossJoin(broadcast(target.vocab.select(col("v").as("__v_t"))))
+      .crossJoin(broadcast(source.vocab.select(col("v").as("__v_s"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(lp(col("__c12_t"), col("__c1_t"), guarded(col("__v_t"), "target"))), 6)
+          .as("ce_target"),
+        round(-avg(lp(col("__c12_s"), col("__c1_s"), guarded(col("__v_s"), "source"))), 6)
+          .as("ce_source"))
       .withColumn("weight", round(
         least(lit(1.0), exp(col("n_bigrams") * (col("ce_source") - col("ce_target")))), 6))
   }
