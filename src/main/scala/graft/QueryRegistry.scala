@@ -652,6 +652,50 @@ object QueryRegistry {
         GROUP BY s.doc_id ORDER BY s.doc_id"""
     })
 
+  /** Substring-level duplication coverage: stride-1 10-word shingles,
+   *  a shingle is duplicated when its content appears in >1 distinct
+   *  docs, overlapping duplicated spans merged exactly per doc
+   *  (gaps-and-islands). The oracle recomputes shingling, the
+   *  distinct-doc HAVING, and the interval merge from the segment
+   *  TEXT (Spark keys the shuffle on a 256-bit hash — same content,
+   *  slim fixed-width key). */
+  private val dedup_substring = QueryDef(
+    (s, dir) => Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
+        windowWords = 10, maxDocs = 1)
+      .orderBy("doc_id"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH base AS (SELECT doc_id, tk, len(tk) AS ntok FROM
+          (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents)),
+        sh AS (SELECT doc_id, ntok,
+          unnest(CASE WHEN ntok < 10 THEN [CAST(0 AS BIGINT)] ELSE range(0, ntok - 9) END) AS pos,
+          tk FROM base),
+        shs AS (SELECT doc_id, ntok, pos,
+          array_to_string(tk[pos + 1 : pos + 10], ' ') AS sg FROM sh),
+        dups AS (SELECT sg FROM shs GROUP BY sg HAVING count(DISTINCT doc_id) > 1),
+        flagged AS (SELECT s.doc_id, s.ntok, s.pos, d.sg AS dup
+          FROM shs s LEFT JOIN dups d USING (sg)),
+        stats AS (SELECT doc_id, any_value(ntok) AS n_tokens, count(*) AS n_shingles,
+          count(dup) AS n_dup_shingles FROM flagged GROUP BY doc_id),
+        spans AS (SELECT doc_id, pos, pos + least(10, ntok) AS e
+          FROM flagged WHERE dup IS NOT NULL),
+        isl AS (SELECT doc_id, pos, e, CASE WHEN
+            max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS ni FROM spans),
+        isl2 AS (SELECT doc_id, pos, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS isle FROM isl),
+        merged AS (SELECT doc_id, isle, max(e) - min(pos) AS covered
+          FROM isl2 GROUP BY doc_id, isle),
+        cov AS (SELECT doc_id, sum(covered) AS dup_tokens FROM merged GROUP BY doc_id)
+        SELECT s.doc_id, s.n_tokens, s.n_shingles, s.n_dup_shingles,
+          CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          round(coalesce(c.dup_tokens, 0)::DOUBLE / s.n_tokens, 6) AS dup_fraction
+        FROM stats s LEFT JOIN cov c USING (doc_id) ORDER BY s.doc_id"""
+    })
+
   // minhash/simhash signatures come from the oracle aux parquet
   // (Scala-kernel-computed, like the healpix pixels); DuckDB then
   // independently recomputes banding/chunking, est_sim and Hamming —
@@ -1896,6 +1940,7 @@ object QueryRegistry {
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,
+    "dedup_substring" -> dedup_substring,
     "ann_pq" -> ann_pq,
     "q_zorder" -> q_zorder,
     "text_collocations" -> text_collocations,

@@ -570,6 +570,74 @@ object Dedup {
           s => s.getField("__seg")), " ").as("clean_text"))
   }
 
+  /**
+   * Substring-level duplication coverage (the "deduplicating training
+   * data" exact-substring family; reference has no analog —
+   * LLM-pipeline surface): slide a `windowWords`-word shingle at
+   * stride 1 over every document, mark each shingle whose normalized
+   * content occurs in more than `maxDocs` DISTINCT documents, merge
+   * the overlapping duplicated shingle spans per document
+   * (gaps-and-islands), and report exact duplicated-token coverage:
+   * (idCol, n_tokens, n_shingles, n_dup_shingles, dup_tokens,
+   * dup_fraction). Unlike [[segmentDedup]]'s fixed windows, stride-1
+   * shingles catch a copied span at ANY token offset — the signal
+   * behind "drop or trim documents that are mostly boilerplate".
+   *
+   * Scale shape: shingles shuffle ONCE keyed by a 256-bit content
+   * hash (fixed-width keys, never the text). The dup-shingle side of
+   * the back-join is a HAVING-filtered aggregate — small by
+   * construction, AQE broadcasts it. The interval merge is a window
+   * PARTITIONED BY DOCUMENT over only that doc's duplicated shingle
+   * positions — bounded by document length, never corpus-sized. A
+   * document shorter than the window contributes one whole-text
+   * shingle (the [[shingles]] kernel's convention), so short dups
+   * still count.
+   */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        windowWords: Int = 10, maxDocs: Int = 1): DataFrame = {
+    require(windowWords >= 1, s"windowWords must be >= 1 (got $windowWords)")
+    require(maxDocs >= 1, s"maxDocs must be >= 1 (got $maxDocs)")
+    val w = windowWords
+    val toks = split(normalizeText(coalesce(col(textCol), lit(""))), " ")
+    val base = df.select(col(idCol), toks.as("__tk")).withColumn("__ntok", size(col("__tk")))
+    // stride-1 positions 0 .. ntok-w (short docs: the single position 0)
+    val posArr = when(col("__ntok") < w, array(lit(0)))
+      .otherwise(sequence(lit(0), col("__ntok") - w))
+    val sh = base.select(col(idCol), col("__ntok"),
+        explode(posArr).as("__pos"),
+        col("__tk"))
+      .withColumn("__sg", array_join(slice(col("__tk"), col("__pos") + 1, lit(w)), " "))
+      .withColumn("__h", sha2(col("__sg"), 256))
+      .drop("__tk", "__sg")
+    val dup = sh.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("__h"), lit(1).as("__dup"))
+    val flagged = sh.join(dup, Seq("__h"), "left")
+    val stats = flagged.groupBy(col(idCol))
+      .agg(first(col("__ntok")).as("n_tokens"),
+        count(lit(1)).as("n_shingles"),
+        count(col("__dup")).as("n_dup_shingles"))
+    // merge overlapping [pos, pos+len) spans per doc: island starts where
+    // pos exceeds the running max end of all earlier spans; union length
+    // of an island is max(end) - min(pos) (contiguous by construction)
+    val dupSpans = flagged.filter(col("__dup").isNotNull)
+      .withColumn("__e", col("__pos") + least(lit(w), col("__ntok")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevMax = max(col("__e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupSpans
+      .withColumn("__ni", when(prevMax.isNull || col("__pos") > prevMax, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__ni")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max(col("__e")) - min(col("__pos"))).as("__covered"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__covered")).as("dup_tokens"))
+    stats.join(islands, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, minCos: Double,

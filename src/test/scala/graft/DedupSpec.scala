@@ -330,6 +330,40 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getLong(1) == 9L && r.getLong(2) == 0L && r.getString(3) == text)
   }
 
+  test("substringDupStats merges overlapping spans and counts islands exactly") {
+    // w=3. doc1/doc2 share "p q r" and "q r s"; doc3 shares "p q r" and
+    // "s t u" with doc1 at DISJOINT offsets (two islands); doc6 has no
+    // shared shingle at all.
+    val df = Seq(
+      (1L, "p q r s t u"),
+      (2L, "z p q r s w"),
+      (3L, "p q r k k k s t u"),
+      (6L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val res = Dedup.substringDupStats(df, "doc_id", "text", windowWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // doc1: dup shingles at pos 0,1,3 -> [0,3)+[1,4)+[3,6) merge to [0,6)
+    assert(res(1L) == ((6, 4L, 3L, 6L, 1.0)))
+    // doc2: dup at pos 1,2 -> [1,4)+[2,5) merge to [1,5) = 4 of 6 tokens
+    assert(res(2L) == ((6, 4L, 2L, 4L, 0.666667)))
+    // doc3: dup at pos 0 and 6 -> two islands of 3 tokens each
+    assert(res(3L) == ((9, 7L, 2L, 6L, 0.666667)))
+    // doc6: nothing duplicated
+    assert(res(6L) == ((6, 4L, 0L, 0L, 0.0)))
+  }
+
+  test("substringDupStats short-doc whole-text shingle still dedups") {
+    val df = Seq((1L, "hi there"), (2L, "hi there"), (3L, "different")).toDF("doc_id", "text")
+    val res = Dedup.substringDupStats(df, "doc_id", "text", windowWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // 2 tokens < w: one whole-text shingle, span end clamps to ntok
+    assert(res(1L) == ((2, 1L, 1L, 2L, 1.0)))
+    assert(res(2L) == ((2, 1L, 1L, 2L, 1.0)))
+    assert(res(3L) == ((1, 1L, 0L, 0L, 0.0)))
+  }
+
   test("segmentDedup is idempotent on its own output") {
     val df = Seq(
       (1L, "shared boilerplate header alpha beta gamma"),
