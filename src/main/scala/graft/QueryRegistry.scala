@@ -1378,6 +1378,24 @@ object QueryRegistry {
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)}
       ORDER BY doc_id"""))
 
+  /** Temperature mixture sampling (alpha=0.5): per-source keep rate
+   *  proportional to sqrt(count), renormalized to a 40% global
+   *  target — flattens dominant sources. The oracle recomputes the
+   *  count^alpha weights (float sum pinned to lexicographic source
+   *  order on both engines), thresholds, and the hash acceptance. */
+  private val sample_mixture = QueryDef(
+    (s, dir) => graft.operators.Sampling.mixtureSample(t(s, dir, "documents"),
+        "doc_id", "source", temperature = 0.5, targetFraction = 0.4)
+      .select("doc_id", "source").orderBy("doc_id"),
+    Some(s"""WITH cnt AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY source),
+      tot AS (SELECT sum(c) AS n, sum(sqrt(c) ORDER BY source) AS denom FROM cnt),
+      thr AS (SELECT source, round(least(1.0, 0.4 * t.n * sqrt(c) / t.denom / c) * 10000) AS thr
+        FROM cnt, tot t)
+      SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+      WHERE (${graft.operators.Sampling.knuthHashSql("d.doc_id")}) % 10000 < thr.thr
+      ORDER BY d.doc_id"""))
+
   /** Per-source quota cap: at most 40 docs per source, picked by id
    *  hash (a uniform within-group sample) — the domain-balancing op
    *  for training mixes. One bounded window shuffle. */
@@ -1947,5 +1965,6 @@ object QueryRegistry {
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,
     "ann_mmr" -> ann_mmr,
+    "sample_mixture" -> sample_mixture,
   )
 }

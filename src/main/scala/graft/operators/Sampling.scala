@@ -191,6 +191,60 @@ object Sampling {
     df.filter(s.isNotNull && !isnan(s) && knuthHash(col(idCol)) % 10000 < thr)
   }
 
+  /**
+   * Temperature-based source-mixture sampling (the multilingual
+   * alpha-sampling recipe: keep probability per source proportional
+   * to count^temperature, renormalized to a global target fraction —
+   * flattens dominant sources, upweights rare ones). Per-source keep
+   * fraction: f_s = min(1, T * c_s^a / sum_t(c_t^a) / c_s) with
+   * T = targetFraction * N; rows kept by the same deterministic
+   * id-hash acceptance every sampler here uses, so the kept set is
+   * stable across runs/partitionings and monotone in targetFraction.
+   *
+   * Two jobs: a per-source count aggregate (map-side combined, tiny —
+   * guarded at `maxSources` distinct values) collected to the driver,
+   * then a MAP-ONLY filter with the thresholds inlined as a literal
+   * CASE — no join touches the corpus.
+   *
+   * Cross-engine determinism: temperature 0.5 and 1.0 use sqrt /
+   * identity (IEEE-exact on every engine); other temperatures go
+   * through pow, which is only ~1-ulp reproducible across libms — fine
+   * for sampling, but oracle hash checks should stick to 0.5/1.0. The
+   * power sum is folded in lexicographic source order so any SQL twin
+   * can pin the same float-sum order (ordered-aggregate).
+   */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    temperature: Double = 0.5, targetFraction: Double = 0.5,
+                    maxSources: Int = 100000): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0: $temperature")
+    require(targetFraction >= 0 && targetFraction <= 1,
+      s"targetFraction must be in [0,1]: $targetFraction")
+    requireIntegralId(df, idCol, "mixtureSample")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
+    require(counts.length <= maxSources,
+      s"mixtureSample: ${counts.length} distinct sources exceeds maxSources=$maxSources — " +
+        "a high-cardinality source column would overflow the driver-side threshold table")
+    val powed = counts.sortBy(_._1).map { case (s, c) =>
+      val p = temperature match {
+        case 0.5 => math.sqrt(c.toDouble)
+        case 1.0 => c.toDouble
+        case a   => math.pow(c.toDouble, a)
+      }
+      (s, c, p)
+    }
+    val n = counts.map(_._2).sum.toDouble
+    val denom = powed.foldLeft(0.0)(_ + _._3) // lexicographic order — SQL twins must match
+    val thr = powed.map { case (s, c, p) =>
+      s -> math.round(math.min(1.0, targetFraction * n * p / denom / c) * 10000)
+    }
+    val assign = thr.foldRight(lit(0L): Column) { case ((s, t), rest) =>
+      if (s == null) when(col(sourceCol).isNull, lit(t)).otherwise(rest)
+      else when(col(sourceCol) === s, lit(t)).otherwise(rest)
+    }
+    df.filter(knuthHash(col(idCol)) % 10000 < assign)
+  }
+
   /** SQL twin of [[weightedSample]]'s predicate for DuckDB oracles. */
   def weightedSampleSql(id: String, score: String): String =
     s"(($score) IS NOT NULL AND NOT isnan(CAST(($score) AS DOUBLE)) AND " +

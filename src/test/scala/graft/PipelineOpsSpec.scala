@@ -108,6 +108,39 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"stratified sampling must stay map-only:\n$plan")
   }
 
+  test("mixtureSample: temperature flattening, proportional at alpha=1, monotone, map-only filter") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    // alpha=1 degenerates to a uniform global fraction: every source's
+    // keep rate is targetFraction, so the kept set equals the plain
+    // deterministic sample at the same fraction
+    val a1 = Sampling.mixtureSample(docs, "doc_id", "source", temperature = 1.0, targetFraction = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flat = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 == flat, "alpha=1 mixture must equal the uniform deterministic sample")
+    // alpha=0.5 upweights rare sources: rare keep RATE >= dominant keep rate
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept05 = Sampling.mixtureSample(docs, "doc_id", "source", temperature = 0.5, targetFraction = 0.3)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = total.map { case (s, c) => s -> kept05.getOrElse(s, 0L).toDouble / c }
+    val (rare, dom) = (total.minBy(_._2)._1, total.maxBy(_._2)._1)
+    if (rare != dom && total(dom) > 2L * total(rare))
+      assert(rates(rare) > rates(dom),
+        s"sqrt-temperature must upweight the rare source: $rates vs counts $total")
+    // monotone in targetFraction (same hash order, higher thresholds)
+    val lo = Sampling.mixtureSample(docs, "doc_id", "source", 0.5, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.mixtureSample(docs, "doc_id", "source", 0.5, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "raising targetFraction must only ADD rows")
+    // the corpus-side plan is a literal-CASE filter: no join, no shuffle
+    val plan = Sampling.mixtureSample(docs, "doc_id", "source", 0.5, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"mixture sampling's corpus pass must stay map-only:\n$plan")
+  }
+
   test("quotaSample: per-group cap, whole small groups, partitioning-invariant") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val kept = Sampling.quotaSample(docs, "doc_id", "source", maxPerGroup = 30)
