@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Minimal command-line entry point — the reference ships a vestigial
+ * `__main__.py` (it raises NotImplementedError); this one wires the
+ * library's real surfaces so a catalog can be imported, searched,
+ * queried and visualized without writing Scala:
+ *
+ * {{{
+ * graft.Cli import <src.parquet> <location> <catname> <raCol> <decCol> <idCol> [orderK] [threshold]
+ * graft.Cli cone <location> <catname> <ra> <dec> <radiusDeg>
+ * graft.Cli query <name> <sfDir>       // any SparkEntry.queries entry
+ * graft.Cli list                       // query names
+ * graft.Cli viz sources|partitions <location> <catname> <out.png>
+ * graft.Cli viz cone <location> <catname> <out.png> <ra> <dec> <radiusDeg>
+ * }}}
+ *
+ * `SPARK_GRAFT_CPUS` sizes local parallelism (same contract as
+ * Verify/Bench); on a real cluster run the jar through spark-submit
+ * and the master/conf come from the submit environment instead.
+ */
+object Cli {
+
+  private val usage: String =
+    """usage:
+      |  import <src.parquet> <location> <catname> <raCol> <decCol> <idCol> [orderK] [threshold]
+      |  cone <location> <catname> <ra> <dec> <radiusDeg>
+      |  query <name> <sfDir>
+      |  list
+      |  viz sources|partitions <location> <catname> <out.png>
+      |  viz cone <location> <catname> <out.png> <ra> <dec> <radiusDeg>""".stripMargin
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions.install)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Pure dispatch (unit-testable): returns the action to run, or an
+   *  error message when the arguments don't parse. */
+  private[graft] def parse(args: Array[String]): Either[String, SparkSession => Unit] =
+    try parseImpl(args)
+    catch { case _: NumberFormatException => Left(usage) }
+
+  private def parseImpl(args: Array[String]): Either[String, SparkSession => Unit] =
+    args.toList match {
+      case "import" :: src :: loc :: cat :: ra :: dec :: id :: rest if rest.length <= 2 =>
+        val orderK = rest.headOption.map(_.toInt).getOrElse(6)
+        val threshold = rest.lift(1).map(_.toLong).getOrElse(1000000L)
+        Right { spark =>
+          val c = graft.catalog.Catalog.importFrom(
+            spark.read.parquet(src), loc, cat, ra, dec, id, orderK, threshold)
+          println(s"imported $cat at $loc (order_k=${c.orderK})")
+        }
+      case "cone" :: loc :: cat :: ra :: dec :: r :: Nil =>
+        val (raD, decD, rD) = (ra.toDouble, dec.toDouble, r.toDouble) // eager: bad numbers -> usage
+        Right { spark =>
+          val res = graft.catalog.Catalog.open(spark, loc, cat).coneSearch(raD, decD, rD)
+          res.show(20, truncate = false)
+          println(s"${res.count()} rows")
+        }
+      case "query" :: name :: sfDir :: Nil =>
+        SparkEntry.queries.get(name) match {
+          case None => Left(s"unknown query '$name' — see `list`")
+          case Some(fn) => Right { spark =>
+            val res = fn(spark, sfDir)
+            res.show(20, truncate = false)
+            println(s"${res.count()} rows")
+          }
+        }
+      case "list" :: Nil =>
+        Right(_ => SparkEntry.queries.keys.toSeq.sorted.foreach(println))
+      case "viz" :: kind :: loc :: cat :: out :: rest =>
+        Right { spark =>
+          val c = graft.catalog.Catalog.open(spark, loc, cat)
+          val img = (kind, rest) match {
+            case ("sources", Nil) => c.visualizeSources()
+            case ("partitions", Nil) => c.visualizePartitions()
+            case ("cone", ra :: dec :: r :: Nil) =>
+              c.visualizeConeSearch(ra.toDouble, dec.toDouble, r.toDouble)
+            case _ => throw new IllegalArgumentException(usage)
+          }
+          graft.viz.Mollweide.writePng(spark, img, out)
+          println(s"wrote $out")
+        }
+      case _ => Left(usage)
+    }
+
+  def main(args: Array[String]): Unit =
+    parse(args) match {
+      case Left(msg) =>
+        System.err.println(msg)
+        sys.exit(2)
+      case Right(action) =>
+        val spark = session()
+        try action(spark) finally spark.stop()
+    }
+}

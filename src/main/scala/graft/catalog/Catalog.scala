@@ -98,6 +98,37 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
       rightPrefix = other.catname + delim, leftPrefix = catname + delim,
       leftCols = c1Cols, rightCols = c2Cols)
   }
+
+  private def densityArrays(): (Array[Long], Array[Long]) = {
+    val rows = densityMap().collect()
+    (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+  }
+
+  /** Log-density Mollweide view of the persisted point map — the
+   *  reference's visualize_sources (catalog.py:256). */
+  def visualizeSources(width: Int = 800, height: Int = 400): java.awt.image.BufferedImage = {
+    val (pix, cnt) = densityArrays()
+    graft.viz.Mollweide.sources(orderK, pix, cnt, width, height)
+  }
+
+  /** Partition-order Mollweide view — the reference's
+   *  visualize_partitions (catalog.py:271); the map is rebuilt from
+   *  the FROZEN import histogram, matching the directories on disk
+   *  even after appends. */
+  def visualizePartitions(width: Int = 800, height: Int = 400): java.awt.image.BufferedImage = {
+    val rows = spark.read.parquet(s"$location/$catname/import_hist.parquet").collect()
+    val pm = HipsPartitioner.partitionMapFromSparseHist(
+      rows.map(_.getLong(0)), rows.map(_.getLong(1)), orderK, meta("pix_threshold").toLong)
+    graft.viz.Mollweide.partitions(pm, width, height)
+  }
+
+  /** Density view with the cone's pixel cover painted at full scale —
+   *  the reference's visualize_cone_search (catalog.py:302). */
+  def visualizeConeSearch(ra: Double, dec: Double, radiusDeg: Double,
+                          width: Int = 800, height: Int = 400): java.awt.image.BufferedImage = {
+    val (pix, cnt) = densityArrays()
+    graft.viz.Mollweide.coneSearch(orderK, pix, cnt, ra, dec, radiusDeg, width, height)
+  }
 }
 
 object Catalog {

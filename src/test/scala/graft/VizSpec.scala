@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.sphere
+import graft.healpix.Healpix
+import graft.viz.Mollweide
+
+class VizSpec extends SparkSpecBase {
+
+  test("inverse Mollweide: center, quadrant meridians, ellipse boundary") {
+    // center of the plot = (ra 0, dec 0)
+    val Some((ra0, dec0)) = graft.viz.MollweideTestAccess.invert(0.0, 0.0)
+    assert(math.abs(ra0) < 1e-9 && math.abs(dec0) < 1e-9)
+    // astro convention: ra grows LEFTWARD — px=+1 on the equator is ra 270
+    val Some((raR, _)) = graft.viz.MollweideTestAccess.invert(1.0, 0.0)
+    assert(math.abs(raR - 270.0) < 1e-9)
+    val Some((raL, _)) = graft.viz.MollweideTestAccess.invert(-1.0, 0.0)
+    assert(math.abs(raL - 90.0) < 1e-9)
+    // top of the ellipse is the north pole
+    val Some((_, decTop)) = graft.viz.MollweideTestAccess.invert(0.0, 0.9999999)
+    assert(decTop > 89.0)
+    // outside the ellipse: no sky
+    assert(graft.viz.MollweideTestAccess.invert(2.0, 1.0).isEmpty)
+    assert(graft.viz.MollweideTestAccess.invert(1.9, 0.9).isEmpty)
+  }
+
+  test("render probes: known pixel colors, background corners, PNG round trip") {
+    // order-0 map: value = pixel id, vmax = 11
+    val img = Mollweide.render(0, p => p.toDouble, width = 200, height = 100,
+      vmin = 0.0, vmax = 11.0)
+    assert(img.getWidth == 200 && img.getHeight == 100)
+    // corners are outside the ellipse
+    assert(img.getRGB(0, 0) == 0xff202020 && img.getRGB(199, 99) == 0xff202020)
+    // center of the image: the pixel covering (ra 0, dec 0)
+    val centerPix = Healpix.ang2pixNest(0, 0.0, 0.0)
+    val expected = graft.viz.MollweideTestAccess.ramp(centerPix.toDouble / 11.0)
+    assert(img.getRGB(100, 50) == expected)
+    // PNG bytes decode back to the identical raster
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Mollweide.pngBytes(img)))
+    assert(decoded.getRGB(100, 50) == img.getRGB(100, 50))
+    assert(decoded.getRGB(0, 0) == img.getRGB(0, 0))
+  }
+
+  test("cone view paints the disc cover at full ramp scale") {
+    // density: one populated pixel far from the cone; cone at (ra 0, dec 0)
+    val firPix = Healpix.ang2pixNest(3, 180.0, 45.0)
+    val img = Mollweide.coneSearch(3, Array(firPix), Array(99L),
+      raDeg = 0.0, decDeg = 0.0, radiusDeg = 15.0, width = 400, height = 200)
+    // image center sits inside the cone -> exactly the ramp top
+    assert(img.getRGB(200, 100) == graft.viz.MollweideTestAccess.ramp(1.0))
+  }
+
+  test("catalog visualizations render from a real import; CLI viz writes the PNG") {
+    val out = java.nio.file.Files.createTempDirectory("graft_viz").toString
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey")))
+      .withColumn("cdec", sphere.decOf(col("c_custkey")))
+    val cat = graft.catalog.Catalog.importFrom(cust, out, "cust", "cra", "cdec", "c_custkey",
+      orderK = 2, threshold = 100, marginDeg = 12.0)
+
+    val src = cat.visualizeSources(width = 240, height = 120)
+    val colors = (for (x <- 0 until 240; y <- 0 until 120) yield src.getRGB(x, y)).toSet
+    // background + no-data + at least one data color
+    assert(colors.contains(0xff202020) && colors.size > 2,
+      s"sources view should show data: ${colors.size} distinct colors")
+
+    val parts = cat.visualizePartitions(width = 240, height = 120)
+    val pcolors = (for (x <- 0 until 240; y <- 0 until 120) yield parts.getRGB(x, y)).toSet
+    assert(pcolors.size > 2, "partitions view should show occupied partitions")
+
+    val cone = cat.visualizeConeSearch(180.0, 0.0, 30.0, width = 240, height = 120)
+    assert((for (x <- 0 until 240; y <- 0 until 120) yield cone.getRGB(x, y))
+      .contains(graft.viz.MollweideTestAccess.ramp(1.0)), "cone beam must reach ramp top")
+
+    // CLI dispatch end-to-end for the viz path
+    val png = s"$out/sources.png"
+    Cli.parse(Array("viz", "sources", out, "cust", png)) match {
+      case Right(action) => action(spark)
+      case Left(msg) => fail(msg)
+    }
+    val decoded = javax.imageio.ImageIO.read(new java.io.File(png))
+    assert(decoded.getWidth == 800 && decoded.getHeight == 400)
+  }
+
+  test("CLI parse: dispatch table and error surface") {
+    assert(Cli.parse(Array.empty).isLeft)
+    assert(Cli.parse(Array("bogus")).isLeft)
+    assert(Cli.parse(Array("query", "no_such_query", "/tmp")).isLeft)
+    assert(Cli.parse(Array("query", "q1_agg", "/tmp")).isRight)
+    assert(Cli.parse(Array("list")).isRight)
+    assert(Cli.parse(Array("cone", "/tmp", "c", "1.0", "2.0", "3.0")).isRight)
+    assert(Cli.parse(Array("import", "a.parquet", "/tmp", "c", "ra", "dec", "id")).isRight)
+    assert(Cli.parse(Array("import", "a.parquet", "/tmp", "c", "ra", "dec", "id", "4", "500")).isRight)
+    assert(Cli.parse(Array("import", "a.parquet", "/tmp", "c", "ra", "dec", "id", "4", "500", "x")).isLeft)
+    assert(Cli.parse(Array("import", "a.parquet", "/tmp", "c", "ra", "dec", "id", "notanum")).isLeft)
+    assert(Cli.parse(Array("cone", "/tmp", "c", "1.0", "2.0", "wide")).isLeft)
+  }
+}
