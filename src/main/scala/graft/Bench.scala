@@ -99,9 +99,13 @@ object Bench {
     // line (83 full-precision timings + the load map) outgrew that
     // window. So: every diagnostic (load map, rerun records, full-
     // precision timings) goes to STDERR, and stdout gets exactly one
-    // compact line — 3-decimal timings, nothing else — printed LAST.
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // compact line printed LAST. With 86+ queries even 3-decimal
+    // timings can overflow the window, so precision ADAPTS: start at
+    // 3 dp and coarsen (3 → 2 → 1 dp) until the line fits in 1800
+    // chars — a parse-able 100 ms-granularity line beats a precise
+    // unparsed one, and full precision is always on the stderr diag.
+    def rd(v: Double, dp: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val loadJson = loads.map { case (k, (a, b)) => s"\"$k\":[$a,$b]" }.mkString("{", ",", "}")
     val rerunJson = reruns
       .map { case (k, (first, b)) => s"""\"$k\":{\"first_median\":$first,\"baseline\":$b}""" }
@@ -109,13 +113,15 @@ object Bench {
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     System.err.println(s"""[bench-diag] {"load_start":$loadStart,"load_end":${loadavg()},""" +
       s""""load":$loadJson,"reruns":$rerunJson,"queries_full":$fullQs}""")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def summaryLine(dp: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + rd(v, dp) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rd(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = (3 to 1 by -1).map(summaryLine).find(_.length <= 1800).getOrElse(summaryLine(1))
     if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: summary line ${line.length} chars — nearing the " +
-        "driver's 2000-char tail-capture window; shorten query names or drop precision")
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars even at 1 dp — " +
+        "nearing the driver's 2000-char tail-capture window; shorten query names")
     println(line)
     spark.stop()
   }
