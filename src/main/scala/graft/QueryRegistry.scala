@@ -128,22 +128,16 @@ object QueryRegistry {
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
       ORDER BY c_custkey"""))
 
-  /**
-   * events.parquet carries TIMESTAMP(NANOS) which Spark only reads
-   * as a long (legacy flag); convert to micros for the window.
-   */
-  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Events with `ts` as TimestampType — schema-agnostic over the
+   *  driver's nanos/micros on-disk encodings (see [[EventsTable]]). */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    EventsTable.normalizeTs(EventsTable.read(s, s"$dir/events.parquet"))
 
-  /** Events with ts as RAW epoch nanos (BIGINT) — for operators whose
-   *  strict time comparisons must not be reordered by the micros
-   *  truncation above (the source has true nano precision). */
-  private[graft] def eventsRaw(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
+  /** Events with `ts` as RAW epoch nanos (BIGINT) — for operators
+   *  whose nano-literal cutoffs and tie-breaks must match the
+   *  oracle's `epoch_ns(ts)` exactly (see [[EventsTable.rawNanosTs]]). */
+  private[graft] def eventsRaw(s: SparkSession, dir: String): DataFrame =
+    EventsTable.rawNanosTs(EventsTable.read(s, s"$dir/events.parquet"))
 
   private val events_window = QueryDef(
     (s, dir) => events(s, dir)

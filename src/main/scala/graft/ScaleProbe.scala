@@ -207,9 +207,7 @@ object ScaleProbe {
       graft.operators.Graph.connectedComponents(deepChains, "id_a", "id_b", maxIter = 60).count())
 
     // temporal joins over the replicated events table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = EventsTable.normalizeTs(EventsTable.read(spark, s"$sfDir/events.parquet"))
     val bigEv = spark.range(replicas).crossJoin(ev)
       .select((col("event_id") + col("id") * 100000000L).as("event_id"),
         col("user_id"), col("ts"), col("event_type"), col("value"))

@@ -17,20 +17,18 @@ import org.apache.spark.sql.types._
  */
 object EventStream {
 
-  /** events.parquet schema (ts is TIMESTAMP(NANOS) -> read as long). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming DF over a directory of events parquet files. */
+  /**
+   * Streaming DF over a directory of events parquet files. The file
+   * source needs an explicit schema, which we take from a one-off
+   * batch scan of the same directory (driver-side metadata read, no
+   * data pass) — so the stream tracks whatever `ts` encoding the
+   * testdata generator shipped (nanos-as-long or TIMESTAMP), and
+   * [[graft.EventsTable.normalizeTs]] presents TimestampType to every
+   * downstream query exactly as the batch path does.
+   */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk: StructType = graft.EventsTable.read(spark, dir).schema
+    graft.EventsTable.normalizeTs(spark.readStream.schema(onDisk).parquet(dir))
   }
 
   /** Tumbling 1h window x event_type aggregation with a 2h watermark. */

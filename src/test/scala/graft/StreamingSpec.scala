@@ -148,13 +148,7 @@ class StreamingSpec extends SparkSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/00_events.parquet"))
-    val maxNanos = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(col("ts").cast("long"))).collect()(0).getLong(0)
-    spark.range(1).select(
-      lit(-1L).as("event_id"),
-      lit(maxNanos + 86400L * 1000000000L).as("ts"),
-      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-      lit(0.0).as("value"), lit("").as("props"))
+    EventsTable.farFutureSentinel(spark, s"$dir/events.parquet")
       .coalesce(1).write.parquet(s"$streamDir/zz_sentinel")
     // move sentinel parquet up (file source reads the dir non-recursively per glob)
     val sent = new java.io.File(s"$streamDir/zz_sentinel").listFiles()
@@ -261,13 +255,7 @@ class StreamingSpec extends SparkSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/00_events.parquet"))
-    val maxNanos = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(col("ts").cast("long"))).collect()(0).getLong(0)
-    spark.range(1).select(
-      lit(-1L).as("event_id"),
-      lit(maxNanos + 86400L * 1000000000L).as("ts"),
-      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-      lit(0.0).as("value"), lit("").as("props"))
+    EventsTable.farFutureSentinel(spark, s"$dir/events.parquet")
       .coalesce(1).write.parquet(s"$streamDir/zz_sentinel")
     val sent = new java.io.File(s"$streamDir/zz_sentinel").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
