@@ -11,10 +11,14 @@ import org.apache.spark.sql.SparkSession
  * {{{
  * graft.Cli import <src.parquet> <location> <catname> <raCol> <decCol> <idCol> [orderK] [threshold]
  * graft.Cli cone <location> <catname> <ra> <dec> <radiusDeg>
+ * graft.Cli box <location> <catname> <raLo> <raHi> <decLo> <decHi>
+ * graft.Cli polygon <location> <catname> <ra1> <dec1> <ra2> <dec2> <ra3> <dec3> [...]
+ * graft.Cli xmatch <location> <cat1> <cat2> [k] [dthreshDeg]
  * graft.Cli query <name> <sfDir>       // any SparkEntry.queries entry
  * graft.Cli list                       // query names
  * graft.Cli viz sources|partitions <location> <catname> <out.png>
  * graft.Cli viz cone <location> <catname> <out.png> <ra> <dec> <radiusDeg>
+ * graft.Cli viz xmatch <location> <cat1> <cat2> <out.png> [k] [dthreshDeg]
  * }}}
  *
  * `SPARK_GRAFT_CPUS` sizes local parallelism (same contract as
@@ -27,10 +31,14 @@ object Cli {
     """usage:
       |  import <src.parquet> <location> <catname> <raCol> <decCol> <idCol> [orderK] [threshold]
       |  cone <location> <catname> <ra> <dec> <radiusDeg>
+      |  box <location> <catname> <raLo> <raHi> <decLo> <decHi>
+      |  polygon <location> <catname> <ra1> <dec1> <ra2> <dec2> <ra3> <dec3> [...]
+      |  xmatch <location> <cat1> <cat2> [k] [dthreshDeg]
       |  query <name> <sfDir>
       |  list
       |  viz sources|partitions <location> <catname> <out.png>
-      |  viz cone <location> <catname> <out.png> <ra> <dec> <radiusDeg>""".stripMargin
+      |  viz cone <location> <catname> <out.png> <ra> <dec> <radiusDeg>
+      |  viz xmatch <location> <cat1> <cat2> <out.png> [k] [dthreshDeg]""".stripMargin
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,6 +76,30 @@ object Cli {
           res.show(20, truncate = false)
           println(s"${res.count()} rows")
         }
+      case "box" :: loc :: cat :: raLo :: raHi :: decLo :: decHi :: Nil =>
+        val (a, b, c, d) = (raLo.toDouble, raHi.toDouble, decLo.toDouble, decHi.toDouble)
+        Right { spark =>
+          val res = graft.catalog.Catalog.open(spark, loc, cat).boxSearch(a, b, c, d)
+          res.show(20, truncate = false)
+          println(s"${res.count()} rows")
+        }
+      case "polygon" :: loc :: cat :: rest if rest.length >= 6 && rest.length % 2 == 0 =>
+        val vs = rest.map(_.toDouble).grouped(2).map(p => (p(0), p(1))).toSeq
+        Right { spark =>
+          val res = graft.catalog.Catalog.open(spark, loc, cat).polygonSearch(vs)
+          res.show(20, truncate = false)
+          println(s"${res.count()} rows")
+        }
+      case "xmatch" :: loc :: cat1 :: cat2 :: rest if rest.length <= 2 =>
+        val k = rest.headOption.map(_.toInt).getOrElse(1)
+        val dthresh = rest.lift(1).map(_.toDouble).getOrElse(0.01)
+        Right { spark =>
+          val c1 = graft.catalog.Catalog.open(spark, loc, cat1)
+          val c2 = graft.catalog.Catalog.open(spark, loc, cat2)
+          val res = c1.crossMatch(c2, nNeighbors = k, dthreshDeg = dthresh)
+          res.show(20, truncate = false)
+          println(s"${res.count()} rows")
+        }
       case "query" :: name :: sfDir :: Nil =>
         SparkEntry.queries.get(name) match {
           case None => Left(s"unknown query '$name' — see `list`")
@@ -79,6 +111,16 @@ object Cli {
         }
       case "list" :: Nil =>
         Right(_ => SparkEntry.queries.keys.toSeq.sorted.foreach(println))
+      case "viz" :: "xmatch" :: loc :: cat1 :: cat2 :: out :: rest if rest.length <= 2 =>
+        val k = rest.headOption.map(_.toInt).getOrElse(1)
+        val dthresh = rest.lift(1).map(_.toDouble).getOrElse(0.01)
+        Right { spark =>
+          val c1 = graft.catalog.Catalog.open(spark, loc, cat1)
+          val c2 = graft.catalog.Catalog.open(spark, loc, cat2)
+          val img = c1.visualizeCrossMatch(c2, nNeighbors = k, dthreshDeg = dthresh)
+          graft.viz.Mollweide.writePng(spark, img, out)
+          println(s"wrote $out")
+        }
       case "viz" :: kind :: loc :: cat :: out :: rest =>
         Right { spark =>
           val c = graft.catalog.Catalog.open(spark, loc, cat)

@@ -99,16 +99,30 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
       leftCols = c1Cols, rightCols = c2Cols)
   }
 
-  private def densityArrays(): (Array[Long], Array[Long]) = {
-    val rows = densityMap().collect()
-    (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+  /** Density views render at most this order — the reference's own
+   *  map order ({cat}_order10_hpmap.fits): a DENSE sky at order 10 is
+   *  already a 12.6M-entry driver pull, and one order higher
+   *  quadruples it, all for pixels far below image resolution. Above
+   *  it the sparse map is downsampled (child-sum) in Spark BEFORE
+   *  the collect. */
+  private val maxVizOrder = 10
+
+  private def densityArrays(): (Int, Array[Long], Array[Long]) = {
+    import org.apache.spark.sql.functions.{col, shiftright, sum}
+    val (ord, dm) =
+      if (orderK <= maxVizOrder) (orderK, densityMap())
+      else (maxVizOrder, densityMap()
+        .groupBy(shiftright(col("pix"), 2 * (orderK - maxVizOrder)).as("pix"))
+        .agg(sum("cnt").as("cnt")))
+    val rows = dm.collect()
+    (ord, rows.map(_.getLong(0)), rows.map(_.getLong(1)))
   }
 
   /** Log-density Mollweide view of the persisted point map — the
    *  reference's visualize_sources (catalog.py:256). */
   def visualizeSources(width: Int = 800, height: Int = 400): java.awt.image.BufferedImage = {
-    val (pix, cnt) = densityArrays()
-    graft.viz.Mollweide.sources(orderK, pix, cnt, width, height)
+    val (ord, pix, cnt) = densityArrays()
+    graft.viz.Mollweide.sources(ord, pix, cnt, width, height)
   }
 
   /** Partition-order Mollweide view — the reference's
@@ -126,8 +140,28 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
    *  the reference's visualize_cone_search (catalog.py:302). */
   def visualizeConeSearch(ra: Double, dec: Double, radiusDeg: Double,
                           width: Int = 800, height: Int = 400): java.awt.image.BufferedImage = {
-    val (pix, cnt) = densityArrays()
-    graft.viz.Mollweide.coneSearch(orderK, pix, cnt, ra, dec, radiusDeg, width, height)
+    val (ord, pix, cnt) = densityArrays()
+    graft.viz.Mollweide.coneSearch(ord, pix, cnt, ra, dec, radiusDeg, width, height)
+  }
+
+  /**
+   * Mollweide log-density of MATCH counts per right-partition tile —
+   * the reference's visualize_cross_match (catalog.py:336; upstream
+   * raises NotImplementedError, its docstring asks for a "mollview of
+   * the overlap"). Both scans are pruned to the positional columns
+   * before the join; the driver collect is one row per MATCHED
+   * partition tile — bounded by the right catalog's partition count,
+   * not the data.
+   */
+  def visualizeCrossMatch(other: Catalog, nNeighbors: Int = 1, dthreshDeg: Double = 0.01,
+                          width: Int = 800, height: Int = 400): java.awt.image.BufferedImage = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val rows = crossMatch(other, nNeighbors, dthreshDeg,
+        c1Cols = Seq(raKw), c2Cols = Seq(other.raKw))
+      .groupBy("hips_k", "hips_pix").agg(count(lit(1)).as("cnt"))
+      .collect()
+    graft.viz.Mollweide.crossMatch(math.max(orderK, other.orderK),
+      rows.map(_.getInt(0)), rows.map(_.getLong(1)), rows.map(_.getLong(2)), width, height)
   }
 }
 

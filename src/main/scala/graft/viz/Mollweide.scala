@@ -101,7 +101,7 @@ object Mollweide {
   def sources(order: Int, pix: Array[Long], cnt: Array[Long],
               width: Int = 800, height: Int = 400): BufferedImage = {
     require(pix.length == cnt.length, "pix/cnt length mismatch")
-    val m = new java.util.HashMap[Long, Double](pix.length * 2)
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Double](pix.length * 2)
     var i = 0
     var vmax = 0.0
     while (i < pix.length) {
@@ -110,7 +110,7 @@ object Mollweide {
       if (v > vmax) vmax = v
       i += 1
     }
-    render(order, p => { val v = m.get(p); if (v == null) Double.NaN else v },
+    render(order, p => { val v = m.get(p); if (v == null) Double.NaN else v.doubleValue },
       width, height, 0.0, math.max(vmax, 1e-9))
   }
 
@@ -133,7 +133,7 @@ object Mollweide {
                  raDeg: Double, decDeg: Double, radiusDeg: Double,
                  width: Int = 800, height: Int = 400): BufferedImage = {
     require(pix.length == cnt.length, "pix/cnt length mismatch")
-    val m = new java.util.HashMap[Long, Double](pix.length * 2)
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Double](pix.length * 2)
     var i = 0
     var vmax = 0.0
     while (i < pix.length) {
@@ -144,8 +144,45 @@ object Mollweide {
     }
     val beam = vmax + 1.0
     Healpix.queryDiscCover(order, raDeg, decDeg, radiusDeg).foreach(p => m.put(p, beam))
-    render(order, p => { val v = m.get(p); if (v == null) Double.NaN else v },
+    render(order, p => { val v = m.get(p); if (v == null) Double.NaN else v.doubleValue },
       width, height, 0.0, beam)
+  }
+
+  /**
+   * Log-density of cross-match results per right-catalog partition
+   * tile — the reference's visualize_cross_match intent
+   * (catalog.py:336 — "mollview of the overlap"; upstream it raises
+   * NotImplementedError, so this completes the visualize_* family).
+   * Tiles live at MIXED orders (the adaptive partition map), keyed
+   * (k, pixAtK); each rendered order-`orderK` pixel looks its
+   * ancestor up per represented order — at most a handful of probes
+   * per pixel, no dense map materialized.
+   */
+  def crossMatch(orderK: Int, tileK: Array[Int], tilePix: Array[Long], cnt: Array[Long],
+                 width: Int = 800, height: Int = 400): BufferedImage = {
+    require(tileK.length == tilePix.length && tilePix.length == cnt.length,
+      "tile arrays length mismatch")
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Double](tilePix.length * 2)
+    var vmax = 0.0
+    var i = 0
+    while (i < tilePix.length) {
+      val v = math.log10(cnt(i).toDouble + 1.0)
+      m.put((tileK(i).toLong << 48) | tilePix(i), v)
+      if (v > vmax) vmax = v
+      i += 1
+    }
+    val orders = tileK.distinct.sorted
+    render(orderK, { pixK =>
+      var res = Double.NaN
+      var j = 0
+      while (j < orders.length && res.isNaN) {
+        val o = orders(j)
+        val v = m.get((o.toLong << 48) | (pixK >> (2 * (orderK - o))))
+        if (v != null) res = v
+        j += 1
+      }
+      res
+    }, width, height, 0.0, math.max(vmax, 1e-9))
   }
 
   /** Deterministic PNG bytes (javax.imageio, in-JDK). */

@@ -50,6 +50,67 @@ class VizSpec extends SparkSpecBase {
       raDeg = 0.0, decDeg = 0.0, radiusDeg = 15.0, width = 400, height = 200)
     // image center sits inside the cone -> exactly the ramp top
     assert(img.getRGB(200, 100) == graft.viz.MollweideTestAccess.ramp(1.0))
+    // sky with neither data nor beam must be the noData gray, NOT
+    // ramp(0) — pins the boxed-HashMap null handling (a bare
+    // java.util.HashMap[Long, Double].get would unbox null to 0.0)
+    assert(img.getRGB(200, 197) == 0xff3a3a3a)
+  }
+
+  test("cross-match view: tile lookup walks the adaptive orders, max tile at ramp top") {
+    // one coarse tile (order 1) holding the max count, one fine tile
+    // (order 2) with a smaller count — the renderer must resolve each
+    // sky position through the MIXED-order key set. Tiles are derived
+    // from the EXACT inverse projection of the probed image pixels so
+    // HEALPix boundary assignment cannot flip the expectation.
+    def skyAt(x: Int, y: Int): (Double, Double) = {
+      val px = 4.0 * (x + 0.5) / 400 - 2.0
+      val py = 1.0 - 2.0 * (y + 0.5) / 200
+      graft.viz.MollweideTestAccess.invert(px, py).get
+    }
+    val (raC, decC) = skyAt(200, 100) // image center ~ (ra 0, dec 0)
+    val (raF, decF) = skyAt(100, 100) // ~ (ra 90, dec 0)
+    val coarse = Healpix.ang2pixNest(1, raC, decC)
+    val fine = Healpix.ang2pixNest(2, raF, decF)
+    assume(Healpix.ang2pixNest(1, raF, decF) != coarse, "probe points must land in distinct coarse tiles")
+    val img = Mollweide.crossMatch(2,
+      Array(1, 2), Array(coarse, fine), Array(99L, 9L), width = 400, height = 200)
+    // the coarse tile holds the log-max -> ramp top
+    assert(img.getRGB(200, 100) == graft.viz.MollweideTestAccess.ramp(1.0))
+    // the fine tile: log10(10)/log10(100) = 0.5 up the ramp
+    assert(img.getRGB(100, 100) == graft.viz.MollweideTestAccess.ramp(0.5))
+    // south pole: no tile -> noData gray
+    assert(img.getRGB(200, 197) == 0xff3a3a3a)
+  }
+
+  test("visualizeCrossMatch renders match density from two real imports; CLI viz xmatch writes the PNG") {
+    val out = java.nio.file.Files.createTempDirectory("graft_vxm").toString
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey")))
+      .withColumn("cdec", sphere.decOf(col("c_custkey")))
+    val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
+      .withColumn("sra", sphere.raOf(col("s_suppkey")))
+      .withColumn("sdec", sphere.decOf(col("s_suppkey")))
+    val c1 = graft.catalog.Catalog.importFrom(cust, out, "cust", "cra", "cdec", "c_custkey",
+      orderK = 2, threshold = 100, marginDeg = 12.0)
+    val c2 = graft.catalog.Catalog.importFrom(supp, out, "supp", "sra", "sdec", "s_suppkey",
+      orderK = 2, threshold = 100, marginDeg = 12.0)
+
+    val img = c1.visualizeCrossMatch(c2, nNeighbors = 2, dthreshDeg = 10.0,
+      width = 240, height = 120)
+    val colors = (for (x <- 0 until 240; y <- 0 until 120) yield img.getRGB(x, y)).toSet
+    assert(colors.contains(0xff202020) && colors.size > 2,
+      s"xmatch view should show matched tiles: ${colors.size} distinct colors")
+    // the densest matched tile renders at exactly the ramp top
+    assert(colors.contains(graft.viz.MollweideTestAccess.ramp(1.0)))
+
+    val png = s"$out/xm.png"
+    Cli.parse(Array("viz", "xmatch", out, "cust", "supp", png, "2", "10.0")) match {
+      case Right(action) => action(spark)
+      case Left(msg) => fail(msg)
+    }
+    val decoded = javax.imageio.ImageIO.read(new java.io.File(png))
+    assert(decoded.getWidth == 800 && decoded.getHeight == 400)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
   test("catalog visualizations render from a real import; CLI viz writes the PNG") {
@@ -96,5 +157,20 @@ class VizSpec extends SparkSpecBase {
     assert(Cli.parse(Array("import", "a.parquet", "/tmp", "c", "ra", "dec", "id", "4", "500", "x")).isLeft)
     assert(Cli.parse(Array("import", "a.parquet", "/tmp", "c", "ra", "dec", "id", "notanum")).isLeft)
     assert(Cli.parse(Array("cone", "/tmp", "c", "1.0", "2.0", "wide")).isLeft)
+    // the search/match surfaces added alongside viz xmatch
+    assert(Cli.parse(Array("box", "/tmp", "c", "10", "20", "-5", "5")).isRight)
+    assert(Cli.parse(Array("box", "/tmp", "c", "10", "20", "-5")).isLeft)
+    assert(Cli.parse(Array("box", "/tmp", "c", "10", "20", "-5", "high")).isLeft)
+    assert(Cli.parse(Array("polygon", "/tmp", "c", "0", "0", "10", "0", "5", "8")).isRight)
+    assert(Cli.parse(Array("polygon", "/tmp", "c", "0", "0", "10", "0", "5")).isLeft, "odd coord count")
+    assert(Cli.parse(Array("polygon", "/tmp", "c", "0", "0", "10", "0")).isLeft, "< 3 vertices")
+    assert(Cli.parse(Array("polygon", "/tmp", "c", "0", "0", "10", "0", "5", "east")).isLeft)
+    assert(Cli.parse(Array("xmatch", "/tmp", "a", "b")).isRight)
+    assert(Cli.parse(Array("xmatch", "/tmp", "a", "b", "3", "0.5")).isRight)
+    assert(Cli.parse(Array("xmatch", "/tmp", "a", "b", "three")).isLeft)
+    assert(Cli.parse(Array("xmatch", "/tmp", "a", "b", "3", "0.5", "x")).isLeft)
+    assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b", "o.png")).isRight)
+    assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b", "o.png", "2", "1.0")).isRight)
+    assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b", "o.png", "two")).isLeft)
   }
 }
