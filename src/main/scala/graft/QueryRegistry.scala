@@ -1354,6 +1354,31 @@ object QueryRegistry {
     Some(graft.operators.Sketch.hllDistinctSql("lineitem", "l_returnflag", "l_orderkey")
       + " ORDER BY grp"))
 
+  /** KMV distinct sketch vs exact distinct per event type — the
+   *  all-integer threshold estimator ([[graft.operators.Sketch.kmvSketch]]). */
+  private val q_kmv = QueryDef(
+    (s, dir) => graft.operators.Sketch.kmvDistinct(
+        events(s, dir), "event_type", "user_id", k = 256)
+      .orderBy("grp"),
+    Some(graft.operators.Sketch.kmvDistinctSql("events", "event_type", "user_id", 256)
+      + " ORDER BY grp"))
+
+  /** KMV set-operation face: estimated distinct-user overlap between
+   *  the view and purchase event streams from two bounded sketches —
+   *  the intersection HLL registers cannot express. */
+  private val q_kmv_jaccard = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir).withColumn("g", lit("view_x_purchase"))
+      val a = graft.operators.Sketch.kmvSketch(
+        ev.filter(col("event_type") === "view"), "g", "user_id", k = 256)
+      val b = graft.operators.Sketch.kmvSketch(
+        ev.filter(col("event_type") === "purchase"), "g", "user_id", k = 256)
+      graft.operators.Sketch.kmvIntersectEstimate(a, b, k = 256)
+        .select("n_union_kept", "rho", "union_est_e2", "inter_est_e2", "jaccard_e4")
+    },
+    Some(graft.operators.Sketch.kmvIntersectSql("events", "user_id",
+      "event_type = 'view'", "event_type = 'purchase'", 256)))
+
   /** Deterministic 90/5/5 train/val/test assignment — pure id-hash function, map-only. */
   private val sample_split = QueryDef(
     (s, dir) => graft.operators.Sampling.withSplit(t(s, dir, "documents"), "doc_id")
@@ -1919,6 +1944,8 @@ object QueryRegistry {
     "text_fingerprint" -> text_fingerprint,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
+    "q_kmv" -> q_kmv,
+    "q_kmv_jaccard" -> q_kmv_jaccard,
     "q_bloom" -> q_bloom,
     "q_cms" -> q_cms,
     "q_qsketch" -> q_qsketch,

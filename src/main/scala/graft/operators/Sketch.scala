@@ -393,6 +393,182 @@ object Sketch {
       .withColumn("q_edge", lit(lo) + (col("qbin") + 1) * lit(width))
   }
 
+  // ------------------------------------------------------------- KMV
+
+  private def requireKmvK(k: Int): Unit =
+    require(k >= 2 && k <= 4096, s"k must be in [2, 4096] (got $k)")
+
+  /**
+   * K-minimum-values distinct sketch (Bar-Yossef et al. 2002; Beyer
+   * et al. 2007's unbiased threshold estimator): per group, the k
+   * smallest DISTINCT values of the same two-round 32-bit mix the HLL
+   * uses. Complements [[hllRegisters]] on two axes the register
+   * sketch cannot cover:
+   *
+   *  - the estimator is PURE INTEGER arithmetic end to end
+   *    (`(k-1) * 2^32 * 100 div h_k`, exact `n * 100` when the group
+   *    holds fewer than k distinct values — the sketch then IS the
+   *    distinct set), so there is no IEEE division to keep
+   *    deterministic across engines;
+   *  - the kept hashes are a uniform SAMPLE of the distinct domain,
+   *    so sketches support SET OPERATIONS: the k smallest of a union
+   *    of sketches is exactly the union's sketch
+   *    ([[kmvMerge]]), and scanning A∩B membership over the union's
+   *    kept sample yields distinct-INTERSECTION estimates
+   *    ([[kmvIntersectEstimate]]) — structurally impossible on HLL
+   *    registers. Expected relative error ~1/sqrt(k-2) (6% at
+   *    k=256).
+   *
+   * Scale shape: ONE map-side-combined distinct on (grp, h) — the
+   * only corpus-sized stage, and it shrinks in the combiners — then
+   * [[TopK.partitionTopK]] bounds every post-shuffle partition to k
+   * rows per group before the exact ranking window, so no
+   * single-task corpus-sized sort exists at any cardinality (the r6
+   * ANN lesson applied to sketches). State: <= groups x k rows,
+   * persistable and mergeable like the other sketch tables.
+   */
+  def kmvSketch(df: DataFrame, groupCol: String, idCol: String, k: Int = 256): DataFrame = {
+    requireKmvK(k)
+    Sampling.requireIntegralId(df, idCol, "kmvSketch")
+    val distinctHashes = df
+      .select(col(groupCol).as("grp"), mixCol(col(idCol)).as("h"))
+      .distinct()
+    kmvSelect(distinctHashes, k)
+  }
+
+  /** The bounded k-smallest selection shared by build and merge:
+   *  local heap bound, then the exact window over <= k rows per
+   *  group per partition. Hashes are distinct here, so the
+   *  (score, id) = (h, h) tie-break never fires. */
+  private def kmvSelect(distinctHashes: DataFrame, k: Int): DataFrame = {
+    val bounded = TopK.partitionTopK(
+      distinctHashes.withColumn("__hd", col("h").cast("double")),
+      "grp", "h", "__hd", k, ascending = true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy(col("h").asc)
+    bounded.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("grp", "rank", "h")
+  }
+
+  /** Merge KMV sketches (same k): distinct union of kept hashes,
+   *  re-select the k smallest. Input is bounded (shards x k rows per
+   *  group), and the result equals the sketch of the unioned inputs
+   *  exactly — max is to HLL what min-k is to KMV. */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame = {
+    requireKmvK(k)
+    kmvSelect(sketches.map(_.select("grp", "h")).reduce(_ unionByName _).distinct(), k)
+  }
+
+  /** Distinct estimate from a sketch: (grp, n_kept, theta, kmv_est_e2)
+   *  with theta = the largest kept hash and
+   *  kmv_est_e2 = floor(estimate * 100) — exact `n_kept * 100` for
+   *  under-full groups, else the threshold estimator, all in BIGINT
+   *  arithmetic ((k-1) * 2^32 * 100 < 2^63 for k <= 4096). */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame = {
+    requireKmvK(k)
+    sketch.groupBy("grp")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+      .withColumn("kmv_est_e2",
+        when(col("n_kept") < k, col("n_kept") * 100L)
+          .otherwise(expr(s"${(k - 1).toLong * 4294967296L * 100L}L div theta")))
+  }
+
+  /**
+   * Distinct-intersection (and Jaccard) estimate from two sketches
+   * with the same k (Beyer et al. 2007 §4): take the union's k
+   * smallest over both kept-hash sets (bounded: <= 2k rows per group
+   * enter the window), count rho = how many of them appear in BOTH
+   * sketches, and scale the union estimate by rho/k. Returns
+   * (grp, n_union_kept, rho, union_est_e2, inter_est_e2,
+   * jaccard_e4) — all integer until the final e-scaled floors.
+   */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    requireKmvK(k)
+    val u = a.select(col("grp"), col("h"), lit(1L).as("ina"))
+      .join(b.select(col("grp"), col("h"), lit(1L).as("inb")), Seq("grp", "h"), "full_outer")
+      .select(col("grp"), col("h"),
+        coalesce(col("ina"), lit(0L)).as("ina"), coalesce(col("inb"), lit(0L)).as("inb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy(col("h").asc)
+    val kept = u.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+    kept.groupBy("grp")
+      .agg(count(lit(1)).as("n_union_kept"), max(col("h")).as("theta"),
+        sum(col("ina") * col("inb")).as("rho"))
+      .withColumn("union_est_e2",
+        when(col("n_union_kept") < k, col("n_union_kept") * 100L)
+          .otherwise(expr(s"${(k - 1).toLong * 4294967296L * 100L}L div theta")))
+      .withColumn("inter_est_e2", expr(s"(rho * union_est_e2) div $k"))
+      .withColumn("jaccard_e4", expr(s"(rho * 10000L) div n_union_kept"))
+      .select("grp", "n_union_kept", "rho", "union_est_e2", "inter_est_e2", "jaccard_e4")
+  }
+
+  /** SQL twin of kmvSketch + kmvEstimate (+ the exact count) for the
+   *  DuckDB oracle — the same distinct-hash, rank-<=-k, integer-
+   *  estimator pipeline in window SQL. */
+  def kmvDistinctSql(table: String, groupCol: String, idCol: String, k: Int): String = {
+    requireKmvK(k)
+    s"""WITH h1t AS (
+      SELECT DISTINCT $groupCol AS grp, (${Sampling.knuthHashSql(idCol)}) AS h1 FROM $table),
+    ht AS (
+      SELECT DISTINCT grp, ($mixSqlFromH1) AS h FROM h1t),
+    ranked AS (
+      SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rank FROM ht),
+    sk AS (SELECT grp, h FROM ranked WHERE rank <= $k),
+    est AS (
+      SELECT grp, count(*) AS n_kept, max(h) AS theta,
+        CASE WHEN count(*) < $k THEN count(*) * 100
+             ELSE ${(k - 1).toLong * 4294967296L * 100L} // max(h) END AS kmv_est_e2
+      FROM sk GROUP BY grp),
+    exact AS (
+      SELECT $groupCol AS grp, count(DISTINCT $idCol) AS n_exact FROM $table GROUP BY 1)
+    SELECT exact.grp, CAST(n_kept AS BIGINT) AS n_kept, CAST(theta AS BIGINT) AS theta,
+      CAST(kmv_est_e2 AS BIGINT) AS kmv_est_e2, CAST(n_exact AS BIGINT) AS n_exact
+    FROM exact JOIN est USING (grp)"""
+  }
+
+  /** SQL twin of two filtered single-group [[kmvSketch]]es fed to
+   *  [[kmvIntersectEstimate]] (grp dropped — one row out), replaying
+   *  sketch build, union ranking, rho and the integer estimators. */
+  def kmvIntersectSql(table: String, idCol: String,
+                      filterA: String, filterB: String, k: Int): String = {
+    requireKmvK(k)
+    def side(name: String, filt: String) =
+      s"""${name}1 AS (
+        SELECT DISTINCT (${Sampling.knuthHashSql(idCol)}) AS h1 FROM $table WHERE $filt),
+      ${name}h AS (SELECT DISTINCT ($mixSqlFromH1) AS h FROM ${name}1),
+      $name AS (SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS r FROM ${name}h) WHERE r <= $k)"""
+    s"""WITH ${side("ska", filterA)}, ${side("skb", filterB)},
+    u AS (
+      SELECT coalesce(a.h, b.h) AS h,
+        CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS ina,
+        CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS inb
+      FROM ska a FULL OUTER JOIN skb b ON a.h = b.h),
+    kept AS (SELECT * FROM (
+      SELECT h, ina, inb, row_number() OVER (ORDER BY h) AS r FROM u) WHERE r <= $k),
+    agg AS (
+      SELECT count(*) AS n_union_kept, max(h) AS theta, sum(ina * inb) AS rho FROM kept),
+    est AS (
+      SELECT n_union_kept, rho,
+        CASE WHEN n_union_kept < $k THEN n_union_kept * 100
+             ELSE ${(k - 1).toLong * 4294967296L * 100L} // theta END AS union_est_e2
+      FROM agg)
+    SELECT CAST(n_union_kept AS BIGINT) AS n_union_kept, CAST(rho AS BIGINT) AS rho,
+      CAST(union_est_e2 AS BIGINT) AS union_est_e2,
+      CAST((rho * union_est_e2) // $k AS BIGINT) AS inter_est_e2,
+      CAST((rho * 10000) // n_union_kept AS BIGINT) AS jaccard_e4
+    FROM est"""
+  }
+
+  /** Per-group KMV distinct estimate next to the exact count — the
+   *  validation composition mirroring [[hllDistinct]]. */
+  def kmvDistinct(df: DataFrame, groupCol: String, idCol: String, k: Int = 256): DataFrame = {
+    val est = kmvEstimate(kmvSketch(df, groupCol, idCol, k), k)
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(idCol)).as("n_exact"))
+    exact.join(est, "grp")
+      .select("grp", "n_kept", "theta", "kmv_est_e2", "n_exact")
+  }
+
   /** Per-group HLL distinct estimate next to the exact count (the
    *  demo/validation composition; at scale you keep the registers and
    *  skip the exact side). */

@@ -196,4 +196,64 @@ class SketchSpec extends SparkSpecBase {
       Sketch.bloomProbe(col("id"), new Array[Long](8), logM = 4, k = 4))
     assert(e.getMessage.contains("[6, 30]"))
   }
+
+  test("kmv: exact below k, inside the 1/sqrt(k-2) envelope above, partitioning-invariant") {
+    // under-full group: the sketch IS the distinct set -> exact * 100
+    val small = idsDF((1L to 100L) ++ (1L to 100L)) // duplicates must not inflate
+    val se = Sketch.kmvEstimate(Sketch.kmvSketch(small, "grp", "id", k = 256), k = 256)
+      .select("n_kept", "kmv_est_e2").as[(Long, Long)].head()
+    assert(se == ((100L, 10000L)), s"under-full group must be exact: $se")
+    // full sketches: threshold estimator within ~3 sigma of 1/sqrt(k-2)
+    for ((n, stride) <- Seq((5000, 1L), (20000, 7L))) {
+      val est = Sketch.kmvEstimate(
+          Sketch.kmvSketch(idsDF((0 until n).map(i => 1 + i * stride)), "grp", "id", k = 256),
+          k = 256)
+        .select("kmv_est_e2").as[Long].head() / 100.0
+      val err = math.abs(est / n - 1)
+      assert(err < 0.20, f"n=$n stride=$stride: est=$est%.0f err=${err * 100}%.1f%%")
+    }
+    // bit-identical across partitionings (the heap combiner is lossless)
+    val df = idsDF((1L to 9000L).map(_ * 13), "a").union(idsDF(1L to 300L, "b"))
+    val one = Sketch.kmvSketch(df, "grp", "id", k = 64).orderBy("grp", "rank").collect().toSeq
+    val other = Sketch.kmvSketch(df.repartition(11), "grp", "id", k = 64)
+      .orderBy("grp", "rank").collect().toSeq
+    assert(one == other, "kmv sketch must be bit-identical across partitionings")
+    assert(one.size <= 2 * 64, "state bounded at groups x k")
+  }
+
+  test("kmv: sharded sketches merge to exactly the single-pass sketch") {
+    val all = idsDF(1L to 6000L)
+    val s1 = Sketch.kmvSketch(idsDF(1L to 3500L), "grp", "id", k = 128)
+    val s2 = Sketch.kmvSketch(idsDF(3000L to 6000L), "grp", "id", k = 128) // overlap: min-k idempotent
+    val merged = Sketch.kmvMerge(128, s1, s2).orderBy("rank").collect().toSeq
+    val single = Sketch.kmvSketch(all, "grp", "id", k = 128).orderBy("rank").collect().toSeq
+    assert(merged == single, "merge(shards) must equal the one-pass sketch bit-for-bit")
+  }
+
+  test("kmv intersection: estimates track exact overlap; disjoint sets give rho=0") {
+    def grouped(ids: Seq[Long]) = ids.map(("g", _)).toDF("grp", "id")
+    // |A|=4000, |B|=3000, |A∩B|=2000, |A∪B|=5000 -> jaccard 0.4
+    val a = Sketch.kmvSketch(grouped(1L to 4000L), "grp", "id", k = 256)
+    val b = Sketch.kmvSketch(grouped(2001L to 5000L), "grp", "id", k = 256)
+    val r = Sketch.kmvIntersectEstimate(a, b, k = 256)
+      .select("rho", "union_est_e2", "inter_est_e2", "jaccard_e4")
+      .as[(Long, Long, Long, Long)].head()
+    assert(math.abs(r._2 / 100.0 / 5000.0 - 1) < 0.20, s"union est off: $r")
+    assert(math.abs(r._3 / 100.0 / 2000.0 - 1) < 0.35, s"intersection est off: $r")
+    assert(math.abs(r._4 / 10000.0 - 0.4) < 0.12, s"jaccard est off: $r")
+    // disjoint sets: rho must be exactly 0 (no false intersection)
+    val d = Sketch.kmvIntersectEstimate(
+      Sketch.kmvSketch(grouped(1L to 2000L), "grp", "id", k = 128),
+      Sketch.kmvSketch(grouped(100000L to 102000L), "grp", "id", k = 128), k = 128)
+      .select("rho", "inter_est_e2").as[(Long, Long)].head()
+    assert(d == ((0L, 0L)), s"disjoint sketches must report zero intersection: $d")
+  }
+
+  test("kmv geometry and id-type guards fail loudly") {
+    val df = Seq(("g", "abc")).toDF("grp", "id")
+    assert(intercept[IllegalArgumentException](
+      Sketch.kmvSketch(df, "grp", "id")).getMessage.contains("integral"))
+    assert(intercept[IllegalArgumentException](
+      Sketch.kmvSketch(idsDF(1L to 10L), "grp", "id", k = 1)).getMessage.contains("[2, 4096]"))
+  }
 }
