@@ -1144,6 +1144,15 @@ object QueryRegistry {
       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_pieces
       FROM documents ORDER BY doc_id"""))
 
+  /** Winnowing fingerprint selection (MOSS) — position-robust
+   *  near-dup evidence at ~2/(w+1) storage density. */
+  private val text_winnow = QueryDef(
+    (s, dir) => TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4)
+      .orderBy("doc_id", "pos"),
+    Some(TextAnalysis.winnowSql("documents", "doc_id", "text", k = 5, w = 4)
+      + " ORDER BY doc_id, pos"))
+
   private val text_fingerprint = QueryDef(
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
@@ -1942,6 +1951,7 @@ object QueryRegistry {
     "text_quality" -> text_quality,
     "text_tokens" -> text_tokens,
     "text_fingerprint" -> text_fingerprint,
+    "text_winnow" -> text_winnow,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
     "q_kmv" -> q_kmv,

@@ -94,6 +94,76 @@ object TextKernels {
     new GenericArrayData(Array[Long](n, distinct, nb, top))
   }
 
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+   * 2003 — the MOSS algorithm) over an already-normalized,
+   * single-space text: hash every k-token gram with the portable
+   * mod-prime polynomial (the `h1` lane of [[SigKernels.fingerprint64]],
+   * < 2^30 so `(pos << 32) | fp` packs into one long and DuckDB
+   * BIGINT arithmetic replays it), then keep the RIGHTMOST MINIMUM
+   * of every w-gram window, recording each pick once. The winnowing
+   * guarantee: any copied span of >= w + k - 1 tokens shares at
+   * least one fingerprint, at an expected density of ~2/(w+1) of
+   * the gram hashes. Fewer than k tokens -> one whole-text gram.
+   */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    var starts = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    var atStart = true
+    while (i < s.length) {
+      if (atStart) {
+        if (nTok == starts.length) starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        starts(nTok) = i
+        nTok += 1
+        atStart = false
+      }
+      if (s.charAt(i) == ' ') atStart = true
+      i += 1
+    }
+    val m = if (nTok >= k) nTok - k + 1 else 1
+    val fps = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val from = if (nTok == 0) 0 else starts(j)
+      val until =
+        if (j + k - 1 < nTok - 1) starts(j + k) - 1 // char before the next token's leading space
+        else s.length
+      var h = 0L
+      var p = from
+      while (p < until) {
+        val cp = s.codePointAt(p)
+        h = (h * 131 + cp) % 1000000007L
+        p += Character.charCount(cp)
+      }
+      fps(j) = h
+      j += 1
+    }
+    val nWin = math.max(1, m - w + 1)
+    val out = new Array[Long](nWin) // picks are monotone; <= one per window
+    var nOut = 0
+    var lastPos = -1
+    j = 0
+    while (j < nWin) {
+      val end = math.min(j + w, m)
+      var best = Long.MaxValue
+      var bestPos = -1
+      var t = j
+      while (t < end) {
+        if (fps(t) <= best) { best = fps(t); bestPos = t } // <=: rightmost wins ties
+        t += 1
+      }
+      if (bestPos != lastPos) {
+        out(nOut) = (bestPos.toLong << 32) | best
+        nOut += 1
+        lastPos = bestPos
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** Dot product of two float vectors, double accumulation. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -149,6 +219,23 @@ case class RepetitionStatsExpr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.TextKernels.repetitionStats($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** winnow(normalizedText) -> array<long> of (pos << 32 | gramFp) picks
+ *  (codegen static call; k and w are plan-time geometry, not children). */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.winnow(text.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.winnow($t, $k, $w);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
