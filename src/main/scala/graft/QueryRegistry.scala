@@ -1363,6 +1363,18 @@ object QueryRegistry {
     Some(graft.operators.Sketch.hllDistinctSql("lineitem", "l_returnflag", "l_orderkey")
       + " ORDER BY grp"))
 
+  /** Robust (median/MAD modified-z) outlier detection over event
+   *  values — stats broadcast back for a map-only scoring pass,
+   *  integer cross-multiplied decisions ([[graft.operators.Outliers]]). */
+  private val q_anomaly = QueryDef(
+    (s, dir) => graft.operators.Outliers.robustOutliers(
+        events(s, dir).withColumn("v_e3", round(col("value") * 1000).cast("long")),
+        "event_type", "event_id", "v_e3", zThresholdE4 = 35000L)
+      .orderBy("grp", "event_id"),
+    Some(graft.operators.Outliers.robustOutliersSql(
+        "events", "event_type", "event_id", "round(value * 1000)", zThresholdE4 = 35000L)
+      + " ORDER BY grp, event_id"))
+
   /** KMV distinct sketch vs exact distinct per event type — the
    *  all-integer threshold estimator ([[graft.operators.Sketch.kmvSketch]]). */
   private val q_kmv = QueryDef(
@@ -1954,6 +1966,7 @@ object QueryRegistry {
     "text_winnow" -> text_winnow,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
+    "q_anomaly" -> q_anomaly,
     "q_kmv" -> q_kmv,
     "q_kmv_jaccard" -> q_kmv_jaccard,
     "q_bloom" -> q_bloom,
