@@ -63,6 +63,11 @@ object ScaleProbe {
     time("simhashPairs")(graft.operators.Dedup.simhashPairs(big, "doc_id", "text").count())
     time("nearDuplicates")(graft.operators.Dedup.nearDuplicates(big, "doc_id", "text").count())
     time("tfidfTopTerms")(graft.operators.TextAnalysis.tfidfTopTerms(big, "lang", "doc_id", "text").count())
+    time("winnowFingerprints (map-only)")(
+      graft.operators.TextAnalysis.winnowFingerprints(big, "doc_id", "text").count())
+    time("winnowMatches (banded fp join, hot-fp capped)")(
+      graft.operators.TextAnalysis.winnowMatches(big, "doc_id", "text",
+        minShared = 3, maxDocFreq = 50).count())
     time("withSplit")(graft.operators.Sampling.withSplit(big, "doc_id")
       .groupBy("split").count().count())
     time("contaminationCheck")(graft.operators.Dedup.contaminationCheck(
@@ -162,6 +167,22 @@ object ScaleProbe {
           merged.count()
         }
         assertSame(merged, direct, "cms")
+      }
+      locally {
+        var merged: org.apache.spark.sql.DataFrame = null
+        var direct: org.apache.spark.sql.DataFrame = null
+        time("kmv: 4-shard build + merge (16M rows, k=256)") {
+          merged = materialize(graft.operators.Sketch.kmvMerge(256,
+            shards.map(s => graft.operators.Sketch.kmvSketch(s, "grp", "id", 256)): _*))
+          direct = materialize(graft.operators.Sketch.kmvSketch(wide, "grp", "id", 256))
+          merged.count()
+        }
+        assertSame(merged, direct, "kmv")
+      }
+      time("robustOutliers (16M rows, 7 groups)") {
+        graft.operators.Outliers.robustOutliers(
+          wide.select(col("grp"), col("id"), col("v").cast("long").as("vi")),
+          "grp", "id", "vi").count()
       }
       locally {
         var merged: graft.operators.Sketch.HistSketch = null

@@ -24,14 +24,16 @@ CLASSES = {
           'sample_quota', 'q_setops', 'q_hll', 'q_bloom', 'text_inverted',
           'text_chunk', 'sample_tokenbudget', 'q_cms', 'q_qsketch',
           'dedup_paragraph', 'q_zorder', 'text_collocations', 'q_funnel', 'q_retention',
-          'multimodal_audio', 'text_perplexity', 'pipeline_c4', 'sample_dsir'],
+          'multimodal_audio', 'text_perplexity', 'pipeline_c4', 'sample_dsir',
+          'dedup_substring', 'sample_mixture', 'multimodal_video',
+          'q_kmv', 'q_kmv_jaccard', 'q_anomaly'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
-          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr'],
+          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
