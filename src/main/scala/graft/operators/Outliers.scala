@@ -73,6 +73,28 @@ object Outliers {
       .select(col("grp"), col(idCol), col("val"), col("z_e4"))
   }
 
+  /**
+   * Streaming face: score an event STREAM against robust stats
+   * computed once from history ([[robustStats]] on a static frame) —
+   * a stream-static broadcast join plus the same integer decision,
+   * so the scoring pass stays stateless and map-only per micro-batch
+   * (no watermark, no state store; the stats table is the only
+   * "model" and it ships once per executor). The batch/stream parity
+   * is exact by construction: identical expressions over identical
+   * stats (asserted in StreamingSpec).
+   */
+  def scoreStream(stream: DataFrame, stats: DataFrame,
+                  groupCol: String, idCol: String, valueCol: String,
+                  zThresholdE4: Long = 35000L): DataFrame = {
+    require(zThresholdE4 > 0, s"zThresholdE4 must be positive (got $zThresholdE4)")
+    stream.select(col(groupCol).as("grp"), col(idCol), col(valueCol).as("val"))
+      .join(broadcast(stats), "grp")
+      .withColumn("__d", abs(col("val") * 2L - col("med2")))
+      .filter(col("mad4") > 0 && col("__d") * 13490L > lit(zThresholdE4) * col("mad4"))
+      .withColumn("z_e4", expr("(__d * 13490) div mad4"))
+      .select(col("grp"), col(idCol), col("val"), col("z_e4"))
+  }
+
   /** DuckDB twin of [[robustOutliers]] — quantile_cont matches
    *  Spark's exact `percentile` interpolation, and the scaled-unit
    *  integer arithmetic carries over verbatim. */

@@ -239,6 +239,35 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming outlier scoring equals the batch operator (stream-static stats join)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val ev = QueryRegistry.events(spark, dir)
+      .withColumn("v_e3", round(col("value") * 1000).cast("long"))
+    val stats = graft.operators.Outliers.robustStats(ev, "event_type", "v_e3")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = graft.operators.Outliers.robustOutliers(ev, "event_type", "event_id", "v_e3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "sf0.001 events must contain some robust outliers")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_outlier").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val src = graft.streaming.EventStream.readEvents(spark, streamDir)
+      .withColumn("v_e3", round(col("value") * 1000).cast("long"))
+    val q = graft.operators.Outliers.scoreStream(src, stats, "event_type", "event_id", "v_e3")
+      .writeStream.format("memory").queryName("outlier_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("outlier_test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, "streamed outlier scoring must equal the batch operator")
+    stats.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming funnel final stages match the batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
