@@ -149,7 +149,7 @@ object ScaleProbe {
       locally {
         var merged: org.apache.spark.sql.DataFrame = null
         var direct: org.apache.spark.sql.DataFrame = null
-        time("hll: 4-shard build + merge (16M rows)") {
+        time("hll: 4-shard build + merge (16M rows)", "sketch") {
           merged = materialize(graft.operators.Sketch.hllMerge(
             shards.map(s => graft.operators.Sketch.hllRegisters(s, "grp", "id")): _*))
           direct = materialize(graft.operators.Sketch.hllRegisters(wide, "grp", "id"))
@@ -160,7 +160,7 @@ object ScaleProbe {
       locally {
         var merged: org.apache.spark.sql.DataFrame = null
         var direct: org.apache.spark.sql.DataFrame = null
-        time("cms: 4-shard build + merge (16M rows)") {
+        time("cms: 4-shard build + merge (16M rows)", "sketch") {
           merged = materialize(graft.operators.Sketch.cmsMerge(
             shards.map(s => graft.operators.Sketch.cmsCells(s, "key", d = 4, logW = 12)): _*))
           direct = materialize(graft.operators.Sketch.cmsCells(wide, "key", d = 4, logW = 12))
@@ -171,7 +171,7 @@ object ScaleProbe {
       locally {
         var merged: org.apache.spark.sql.DataFrame = null
         var direct: org.apache.spark.sql.DataFrame = null
-        time("kmv: 4-shard build + merge (16M rows, k=256)") {
+        time("kmv: 4-shard build + merge (16M rows, k=256)", "sketch") {
           merged = materialize(graft.operators.Sketch.kmvMerge(256,
             shards.map(s => graft.operators.Sketch.kmvSketch(s, "grp", "id", 256)): _*))
           direct = materialize(graft.operators.Sketch.kmvSketch(wide, "grp", "id", 256))
@@ -179,7 +179,7 @@ object ScaleProbe {
         }
         assertSame(merged, direct, "kmv")
       }
-      time("robustOutliers (16M rows, 7 groups)") {
+      time("robustOutliers (16M rows, 7 groups)", "sketch") {
         graft.operators.Outliers.robustOutliers(
           wide.select(col("grp"), col("id"), col("v").cast("long").as("vi")),
           "grp", "id", "vi").count()
@@ -187,7 +187,7 @@ object ScaleProbe {
       locally {
         var merged: graft.operators.Sketch.HistSketch = null
         var direct: graft.operators.Sketch.HistSketch = null
-        time("histogram: 4-shard build + merge (16M rows)") {
+        time("histogram: 4-shard build + merge (16M rows)", "sketch") {
           merged = shards.map(s =>
               graft.operators.Sketch.histSketch(s, "grp", "v", 0.0, 8192.0, 1024))
             .reduce(_ merge _)
