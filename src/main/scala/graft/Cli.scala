@@ -121,7 +121,9 @@ object Cli {
           graft.viz.Mollweide.writePng(spark, img, out)
           println(s"wrote $out")
         }
-      case "viz" :: kind :: loc :: cat :: out :: rest =>
+      // kind != xmatch: a malformed `viz xmatch` must fall to usage,
+      // not bind cat2 as this case's output path
+      case "viz" :: kind :: loc :: cat :: out :: rest if kind != "xmatch" =>
         Right { spark =>
           val c = graft.catalog.Catalog.open(spark, loc, cat)
           val img = (kind, rest) match {

@@ -172,5 +172,7 @@ class VizSpec extends SparkSpecBase {
     assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b", "o.png")).isRight)
     assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b", "o.png", "2", "1.0")).isRight)
     assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b", "o.png", "two")).isLeft)
+    assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b")).isLeft,
+      "malformed viz xmatch must be usage, not a runtime throw from the generic viz case")
   }
 }
