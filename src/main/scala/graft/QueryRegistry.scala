@@ -1144,6 +1144,15 @@ object QueryRegistry {
       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_pieces
       FROM documents ORDER BY doc_id"""))
 
+  /** Content-defined chunking — boundaries from local content, so
+   *  edits resynchronize and downstream chunk fingerprints survive. */
+  private val text_cdc = QueryDef(
+    (s, dir) => TextAnalysis.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        g = 4, targetTok = 32)
+      .orderBy("doc_id", "chunk_seq"),
+    Some(TextAnalysis.cdcChunksSql("documents", "doc_id", "text", g = 4, targetTok = 32)
+      + " ORDER BY doc_id, chunk_seq"))
+
   /** Winnowing fingerprint selection (MOSS) — position-robust
    *  near-dup evidence at ~2/(w+1) storage density. */
   private val text_winnow = QueryDef(
@@ -1964,6 +1973,7 @@ object QueryRegistry {
     "text_tokens" -> text_tokens,
     "text_fingerprint" -> text_fingerprint,
     "text_winnow" -> text_winnow,
+    "text_cdc" -> text_cdc,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
     "q_anomaly" -> q_anomaly,

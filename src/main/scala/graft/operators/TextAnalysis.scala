@@ -192,6 +192,88 @@ object TextAnalysis {
     SELECT DISTINCT $idCol, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp FROM picks"""
   }
 
+  /**
+   * Content-defined chunking (the Rabin/CDC family, token
+   * granularity): a chunk boundary falls AFTER token i whenever the
+   * fingerprint of the trailing `g`-token gram is ≡ 0 mod
+   * `targetTok` — boundaries are functions of local CONTENT, so
+   * inserting or deleting text resynchronizes within ~g tokens and
+   * every downstream chunk fingerprint is UNCHANGED. Fixed windows
+   * ([[graft.operators.Packing.chunkTokens]]) shift every window
+   * after an edit; CDC is what makes chunk-level dedup storage
+   * incremental under edits. Expected chunk length = targetTok
+   * tokens (geometric; no min/max clamps — the clamped variant
+   * needs a sequential scan that neither engine can express
+   * relationally, and the unclamped boundary rule is what the
+   * oracle replays exactly).
+   *
+   * Returns (id, chunk_seq, first_pos, n_tok, chunk_fp) — the
+   * chunk-hash index you dedup/join on. Scale shape: map-only gram
+   * hashing (the token array rides alongside its posexplode), one
+   * per-DOC window (bounded by document length, the
+   * substringDupStats precedent) and one aggregation; nothing
+   * corpus-sized sorts on a single task.
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                g: Int = 4, targetTok: Int = 32): DataFrame = {
+    require(g >= 1 && g <= 16, s"cdc: g must be in [1, 16] (got $g)")
+    require(targetTok >= 2 && targetTok <= 4096,
+      s"cdc: targetTok must be in [2, 4096] (got $targetTok)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val toksNE = filter(tokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol), toksNE.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col(idCol), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .withColumn("gram", concat_ws(" ",
+        expr(s"slice(collect_list(tok) OVER (PARTITION BY $idCol ORDER BY pos " +
+          s"ROWS BETWEEN ${g - 1} PRECEDING AND CURRENT ROW), 1, $g)")))
+      .withColumn("b",
+        (pmod(graft.functions.native.fingerprint64(col("gram")), lit(targetTok.toLong)) === 0)
+          .cast("long"))
+      .withColumn("chunk_seq", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_seq"))
+      .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("n_tok"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("__chunk"))
+      .withColumn("chunk_fp", graft.functions.native.fingerprint64(col("__chunk")))
+      .select(col(idCol), col("chunk_seq"), col("first_pos"), col("n_tok"), col("chunk_fp"))
+  }
+
+  /** DuckDB twin of the whole [[cdcChunks]] pipeline. */
+  def cdcChunksSql(table: String, idCol: String, textCol: String,
+                   g: Int, targetTok: Int): String = {
+    val norm = Dedup.normalizeTextSql(textCol)
+    s"""WITH toks AS (
+      SELECT $idCol, list_filter(string_split($norm, ' '), x -> len(x) > 0) AS tk
+      FROM $table),
+    pos AS (
+      SELECT $idCol, tk, CAST(pp.j AS BIGINT) - 1 AS pos, tk[pp.j] AS tok
+      FROM toks, unnest(range(1, len(tk) + 1)) AS pp(j) WHERE len(tk) > 0),
+    grams AS (
+      SELECT $idCol, pos, tok,
+        array_to_string(tk[greatest(1, pos + 2 - $g):pos + 1], ' ') AS gram
+      FROM pos),
+    bs AS (
+      SELECT $idCol, pos, tok,
+        CASE WHEN (${fingerprintSql("gram")}) % $targetTok = 0 THEN 1 ELSE 0 END AS b
+      FROM grams),
+    seqd AS (
+      SELECT $idCol, pos, tok, COALESCE(sum(b) OVER (
+        PARTITION BY $idCol ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_seq
+      FROM bs),
+    chunks AS (
+      SELECT $idCol, chunk_seq, min(pos) AS first_pos, count(*) AS n_tok,
+        string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM seqd GROUP BY $idCol, chunk_seq)
+    SELECT $idCol, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+      CAST(first_pos AS BIGINT) AS first_pos, CAST(n_tok AS BIGINT) AS n_tok,
+      CAST((${fingerprintSql("chunk")}) AS BIGINT) AS chunk_fp
+    FROM chunks"""
+  }
+
   /** DuckDB twin of [[fingerprint]] (identical bounded BIGINT arithmetic). */
   def fingerprintSql(t: String): String = {
     val norm = Dedup.normalizeTextSql(t)
