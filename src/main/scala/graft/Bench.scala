@@ -37,6 +37,10 @@ object Bench {
       .withExtensions(graft.plans.GraftExtensions.install)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NTZ events timestamps resolve through the session zone — an
+      // unpinned JVM-default zone would make Bench time a DIFFERENT
+      // workload than the UTC-pinned Verify measures
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

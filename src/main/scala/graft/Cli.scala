@@ -122,19 +122,27 @@ object Cli {
           println(s"wrote $out")
         }
       // kind != xmatch: a malformed `viz xmatch` must fall to usage,
-      // not bind cat2 as this case's output path
+      // not bind cat2 as this case's output path. Kind/arity/number
+      // validation is EAGER (parse time -> Left(usage)), matching
+      // every other subcommand — no runtime throw after the session
+      // is already up
       case "viz" :: kind :: loc :: cat :: out :: rest if kind != "xmatch" =>
-        Right { spark =>
-          val c = graft.catalog.Catalog.open(spark, loc, cat)
-          val img = (kind, rest) match {
-            case ("sources", Nil) => c.visualizeSources()
-            case ("partitions", Nil) => c.visualizePartitions()
+        val render: Option[graft.catalog.Catalog => java.awt.image.BufferedImage] =
+          (kind, rest) match {
+            case ("sources", Nil) => Some(_.visualizeSources())
+            case ("partitions", Nil) => Some(_.visualizePartitions())
             case ("cone", ra :: dec :: r :: Nil) =>
-              c.visualizeConeSearch(ra.toDouble, dec.toDouble, r.toDouble)
-            case _ => throw new IllegalArgumentException(usage)
+              val (raD, decD, rD) = (ra.toDouble, dec.toDouble, r.toDouble) // eager: bad numbers -> usage
+              Some(_.visualizeConeSearch(raD, decD, rD))
+            case _ => None
           }
-          graft.viz.Mollweide.writePng(spark, img, out)
-          println(s"wrote $out")
+        render match {
+          case None => Left(usage)
+          case Some(f) => Right { spark =>
+            val img = f(graft.catalog.Catalog.open(spark, loc, cat))
+            graft.viz.Mollweide.writePng(spark, img, out)
+            println(s"wrote $out")
+          }
         }
       case _ => Left(usage)
     }

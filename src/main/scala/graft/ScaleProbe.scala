@@ -23,6 +23,7 @@ object ScaleProbe {
       .withExtensions(graft.plans.GraftExtensions.install)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // NTZ events resolve through the session zone
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

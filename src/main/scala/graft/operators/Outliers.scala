@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
  * convention). Internally every quantity stays integral — values are
  * doubled so exact-percentile midpoints are whole numbers, and the
  * flag/score use cross-multiplied integer comparisons
- * (`13490 * d > T_e4 * mad2`) instead of IEEE division, so Spark and
+ * (`13490 * d > T_e4 * mad4`) instead of IEEE division, so Spark and
  * the DuckDB oracle agree bit for bit.
  *
  * Scale shape: two exact-percentile aggregations over (group, value)
@@ -62,16 +62,10 @@ object Outliers {
    * Assumes |scaled values| < 2^45 so `d * 13490` cannot overflow.
    */
   def robustOutliers(df: DataFrame, groupCol: String, idCol: String, valueCol: String,
-                     zThresholdE4: Long = 35000L): DataFrame = {
-    require(zThresholdE4 > 0, s"zThresholdE4 must be positive (got $zThresholdE4)")
-    val stats = robustStats(df, groupCol, valueCol)
-    df.select(col(groupCol).as("grp"), col(idCol), col(valueCol).as("val"))
-      .join(broadcast(stats), "grp")
-      .withColumn("__d", abs(col("val") * 2L - col("med2")))
-      .filter(col("mad4") > 0 && col("__d") * 13490L > lit(zThresholdE4) * col("mad4"))
-      .withColumn("z_e4", expr("(__d * 13490) div mad4"))
-      .select(col("grp"), col(idCol), col("val"), col("z_e4"))
-  }
+                     zThresholdE4: Long = 35000L): DataFrame =
+    // batch == the streaming face scoring against self-derived stats,
+    // BY CONSTRUCTION — one scoring pipeline, not two hand-synced copies
+    scoreStream(df, robustStats(df, groupCol, valueCol), groupCol, idCol, valueCol, zThresholdE4)
 
   /**
    * Streaming face: score an event STREAM against robust stats

@@ -478,7 +478,10 @@ object Sketch {
    * with the same k (Beyer et al. 2007 §4): take the union's k
    * smallest over both kept-hash sets (bounded: <= 2k rows per group
    * enter the window), count rho = how many of them appear in BOTH
-   * sketches, and scale the union estimate by rho/k. Returns
+   * sketches, and scale the union estimate by rho/n_union_kept (=
+   * rho/k for full sketches; for an UNDER-full union the kept sample
+   * IS the whole union, so the scaling degenerates to the exact
+   * rho — dividing by k there would shrink an exact answer). Returns
    * (grp, n_union_kept, rho, union_est_e2, inter_est_e2,
    * jaccard_e4) — all integer until the final e-scaled floors.
    */
@@ -496,7 +499,7 @@ object Sketch {
       .withColumn("union_est_e2",
         when(col("n_union_kept") < k, col("n_union_kept") * 100L)
           .otherwise(expr(s"${(k - 1).toLong * 4294967296L * 100L}L div theta")))
-      .withColumn("inter_est_e2", expr(s"(rho * union_est_e2) div $k"))
+      .withColumn("inter_est_e2", expr("(rho * union_est_e2) div n_union_kept"))
       .withColumn("jaccard_e4", expr(s"(rho * 10000L) div n_union_kept"))
       .select("grp", "n_union_kept", "rho", "union_est_e2", "inter_est_e2", "jaccard_e4")
   }
@@ -554,7 +557,7 @@ object Sketch {
       FROM agg)
     SELECT CAST(n_union_kept AS BIGINT) AS n_union_kept, CAST(rho AS BIGINT) AS rho,
       CAST(union_est_e2 AS BIGINT) AS union_est_e2,
-      CAST((rho * union_est_e2) // $k AS BIGINT) AS inter_est_e2,
+      CAST((rho * union_est_e2) // n_union_kept AS BIGINT) AS inter_est_e2,
       CAST((rho * 10000) // n_union_kept AS BIGINT) AS jaccard_e4
     FROM est"""
   }

@@ -241,6 +241,16 @@ class SketchSpec extends SparkSpecBase {
     assert(math.abs(r._2 / 100.0 / 5000.0 - 1) < 0.20, s"union est off: $r")
     assert(math.abs(r._3 / 100.0 / 2000.0 - 1) < 0.35, s"intersection est off: $r")
     assert(math.abs(r._4 / 10000.0 - 0.4) < 0.12, s"jaccard est off: $r")
+    // UNDER-full sketches: the kept sample IS the whole union, so the
+    // intersection estimate must be EXACT rho, not rho-scaled-by-k
+    // (the bug class: dividing by k shrinks an exact answer ~3x)
+    val ua = Sketch.kmvSketch(grouped(1L to 50L), "grp", "id", k = 256)
+    val ub = Sketch.kmvSketch(grouped(26L to 75L), "grp", "id", k = 256)
+    val u = Sketch.kmvIntersectEstimate(ua, ub, k = 256)
+      .select("n_union_kept", "rho", "union_est_e2", "inter_est_e2", "jaccard_e4")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(u == ((75L, 25L, 7500L, 2500L, 3333L)),
+      s"under-full union must report EXACT counts (75 union, 25 inter): $u")
     // disjoint sets: rho must be exactly 0 (no false intersection)
     val d = Sketch.kmvIntersectEstimate(
       Sketch.kmvSketch(grouped(1L to 2000L), "grp", "id", k = 128),

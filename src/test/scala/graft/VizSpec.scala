@@ -174,5 +174,11 @@ class VizSpec extends SparkSpecBase {
     assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b", "o.png", "two")).isLeft)
     assert(Cli.parse(Array("viz", "xmatch", "/tmp", "a", "b")).isLeft,
       "malformed viz xmatch must be usage, not a runtime throw from the generic viz case")
+    // generic viz kinds validate eagerly too: bad kind, bad arity, bad number
+    assert(Cli.parse(Array("viz", "bogus", "/tmp", "c", "o.png")).isLeft)
+    assert(Cli.parse(Array("viz", "sources", "/tmp", "c", "o.png", "extra")).isLeft)
+    assert(Cli.parse(Array("viz", "cone", "/tmp", "c", "o.png", "1.0", "2.0", "wide")).isLeft)
+    assert(Cli.parse(Array("viz", "cone", "/tmp", "c", "o.png", "1.0", "2.0")).isLeft)
+    assert(Cli.parse(Array("viz", "cone", "/tmp", "c", "o.png", "1.0", "2.0", "3.0")).isRight)
   }
 }
