@@ -1144,6 +1144,22 @@ object QueryRegistry {
       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_pieces
       FROM documents ORDER BY doc_id"""))
 
+  /** MOSS-style winnow match ranking — document pairs by shared
+   *  fingerprints, boilerplate fps dropped by the doc-freq cap. */
+  private val dedup_winnow = QueryDef(
+    (s, dir) => TextAnalysis.winnowMatches(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDocFreq = 50)
+      .orderBy("id_a", "id_b"),
+    Some {
+      val fps = TextAnalysis.winnowSql("documents", "doc_id", "text", k = 5, w = 4)
+      s"""WITH fps0 AS (SELECT DISTINCT doc_id AS id, fp FROM ($fps) w),
+      rare AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 50),
+      pruned AS (SELECT id, fp FROM fps0 JOIN rare USING (fp))
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
+      FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"""
+    })
+
   /** Content-defined chunking — boundaries from local content, so
    *  edits resynchronize and downstream chunk fingerprints survive. */
   private val text_cdc = QueryDef(
@@ -1974,6 +1990,7 @@ object QueryRegistry {
     "text_fingerprint" -> text_fingerprint,
     "text_winnow" -> text_winnow,
     "text_cdc" -> text_cdc,
+    "dedup_winnow" -> dedup_winnow,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
     "q_anomaly" -> q_anomaly,
