@@ -67,6 +67,42 @@ class WinnowSpec extends SparkSpecBase {
       s"boilerplate-only overlap must not create pairs (hot-fp guard): $m")
   }
 
+  test("kernel equals a transparent reference implementation on 300 random inputs") {
+    // independent re-derivation of the algorithm: gram hashes by the
+    // documented mod-prime fold, every window scanned with an
+    // explicit rightmost-min, picks deduped by position change
+    def reference(tokens: Seq[String], k: Int, w: Int): Seq[Long] = {
+      val s = tokens.mkString(" ")
+      val grams: Seq[String] =
+        if (tokens.size >= k) (0 to tokens.size - k).map(j => tokens.slice(j, j + k).mkString(" "))
+        else Seq(s)
+      val fps = grams.map(g => g.foldLeft(0L)((a, c) => (a * 131 + c.toInt) % 1000000007L))
+      val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (j <- 0 until math.max(1, fps.size - w + 1)) {
+        val win = fps.slice(j, j + w)
+        val best = win.min
+        val pos = j + win.lastIndexOf(best)
+        val packed = (pos.toLong << 32) | best
+        if (picks.isEmpty || (picks.last >>> 32) != pos) picks += packed
+      }
+      picks.toSeq
+    }
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 300) {
+      val n = 1 + rnd.nextInt(60)
+      val vocab = 1 + rnd.nextInt(8) // small vocab -> frequent hash ties
+      val toks = Seq.fill(n)(s"w${rnd.nextInt(vocab)}")
+      val k = 1 + rnd.nextInt(6)
+      val w = 1 + rnd.nextInt(6)
+      val got = graft.functions.TextKernels
+        .winnow(org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" ")), k, w)
+        .toLongArray().toSeq
+      val want = reference(toks, k, w)
+      assert(got == want,
+        s"trial $trial (n=$n k=$k w=$w vocab=$vocab): kernel $got != reference $want")
+    }
+  }
+
   test("geometry guards fail loudly") {
     assert(intercept[IllegalArgumentException](
       TextAnalysis.winnowFingerprints(docs(1L -> "x"), "doc_id", "text", k = 0))
