@@ -744,6 +744,22 @@ object QueryRegistry {
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** Asymmetric containment — superset/quotation duplicates that
+   *  symmetric Jaccard structurally misses. */
+  private val dedup_containment = QueryDef(
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), n = 3, minContainment = 0.6)
+      .withColumn("cont_a", round(col("cont_a"), 4))
+      .withColumn("cont_b", round(col("cont_b"), 4))
+      .orderBy("id_a", "id_b"),
+    Some(s"""SELECT id_a, id_b, round(cont_a, 4) AS cont_a, round(cont_b, 4) AS cont_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS cont_a,
+        len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) AS cont_b
+      FROM $jaccardShinglesSql a JOIN $jaccardShinglesSql b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE greatest(cont_a, cont_b) >= 0.6 ORDER BY id_a, id_b"""))
+
   private val dedup_neardup = QueryDef(
     (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
       .withColumn("jaccard", round(col("jaccard"), 4)).orderBy("id_a", "id_b"),
@@ -1991,6 +2007,7 @@ object QueryRegistry {
     "text_winnow" -> text_winnow,
     "text_cdc" -> text_cdc,
     "dedup_winnow" -> dedup_winnow,
+    "dedup_containment" -> dedup_containment,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
     "q_anomaly" -> q_anomaly,

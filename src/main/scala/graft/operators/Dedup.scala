@@ -339,6 +339,39 @@ object Dedup {
   }
 
   /**
+   * Asymmetric shingle CONTAINMENT (Broder 1997's second resemblance
+   * measure): c(A in B) = |A ∩ B| / |A|. The dedup case symmetric
+   * Jaccard structurally misses: a short document quoted whole
+   * inside a much longer one has J ≈ |A|/|B| (arbitrarily small)
+   * but containment 1.0 — superset/quotation duplicates. Emits one
+   * row per blocked pair with BOTH directed containments
+   * (cont_a = containment of a in b, cont_b vice versa), filtered
+   * on the larger of the two; no size-ratio prune exists here (any
+   * size gap can still contain), which is exactly why the measure
+   * sees what the Jaccard size bound prunes away. Same
+   * blocked-quadratic shape and cardinality guard as
+   * [[jaccardPairs]] — route unblocked corpora to the banded paths.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], n: Int = 3, minContainment: Double = 0.8,
+                       maxBlockRows: Long = 1000000L): DataFrame = {
+    guardBlockCardinality(df, blockCols, maxBlockRows, "containmentPairs")
+    val sh = df.select((blockCols :+ idCol).map(col) :+
+        graft.functions.native.sortedHashes(shingles(col(textCol), n)).as("sh"): _*)
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a") :+ col("sz").as("sz_a"): _*)
+    val b = sh.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b") :+ col("sz").as("sz_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", graft.functions.native.intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("cont_a", col("inter").cast("double") / col("sz_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+  }
+
+  /**
    * Cosine similarity of two float-vector columns: single-pass
    * codegen kernel with double accumulation (sequential element
    * order — matches the DuckDB oracle's explicit fold).

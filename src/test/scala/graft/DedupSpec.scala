@@ -375,4 +375,23 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(twice == Map(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta"))
   }
+
+  test("containment catches a whole-quoted short doc that symmetric jaccard misses") {
+    val short = (1 to 40).map(i => s"quoted$i").mkString(" ")
+    val long = (1 to 400).map(i => s"body$i").mkString(" ") + " " + short
+    val other = (1 to 300).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, short, "en", "s"), (2L, long, "en", "s"), (3L, other, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", Seq("lang", "source"),
+        minContainment = 0.9)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)), s"only the quoted pair: ${cont.toSeq}")
+    val (_, _, ca, cb) = cont.head
+    assert(ca == 1.0, s"the short doc is FULLY contained: cont_a = $ca")
+    assert(cb < 0.2, s"the long doc is mostly novel: cont_b = $cb")
+    // the same pair is invisible to symmetric jaccard at any useful threshold
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), minJaccard = 0.5)
+    assert(j.count() == 0, "symmetric jaccard must miss the quotation pair (the operator's point)")
+  }
 }

@@ -33,7 +33,7 @@ CLASSES = {
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
-          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow'],
+          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
