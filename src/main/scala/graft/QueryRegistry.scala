@@ -1441,6 +1441,18 @@ object QueryRegistry {
     Some(graft.operators.Sketch.kmvIntersectSql("events", "user_id",
       "event_type = 'view'", "event_type = 'purchase'", 256)))
 
+  /** Leakage-safe split: assignment keyed on the exact-dup group
+   *  representative — copies of one document never straddle splits. */
+  private val sample_leakage_safe = QueryDef(
+    (s, dir) => graft.operators.Sampling.withLeakageSafeSplit(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "split").orderBy("doc_id"),
+    Some(s"""WITH reps AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY ${Dedup.normalizeTextSql("text")}) AS rep
+      FROM documents)
+      SELECT doc_id, ${graft.operators.Sampling.splitSql("rep")} AS split
+      FROM reps ORDER BY doc_id"""))
+
   /** Deterministic 90/5/5 train/val/test assignment — pure id-hash function, map-only. */
   private val sample_split = QueryDef(
     (s, dir) => graft.operators.Sampling.withSplit(t(s, dir, "documents"), "doc_id")
@@ -2020,6 +2032,7 @@ object QueryRegistry {
     "text_inverted" -> text_inverted,
     "text_editdist" -> text_editdist,
     "sample_split" -> sample_split,
+    "sample_leakage_safe" -> sample_leakage_safe,
     "sample_stratified" -> sample_stratified,
     "sample_quota" -> sample_quota,
     "sample_weighted" -> sample_weighted,

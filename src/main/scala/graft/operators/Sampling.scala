@@ -62,16 +62,22 @@ object Sampling {
    * and assigns the first split whose cumulative percentage exceeds
    * the bucket. Percentages must sum to 100.
    */
-  def withSplit(df: DataFrame, idCol: String,
-                splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+  /** The one split-assignment expression (hash bucket -> first split
+   *  whose cumulative percentage exceeds it), shared by every split
+   *  face so id-keyed and rep-keyed splits cannot drift. */
+  private def splitCol(id: Column, splits: Seq[(String, Int)]): Column = {
     require(splits.map(_._2).sum == 100, s"split percentages must sum to 100: $splits")
-    requireIntegralId(df, idCol, "withSplit")
-    val bucket = knuthHash(col(idCol)) % 100
+    val bucket = knuthHash(id) % 100
     val cum = splits.scanLeft(0)(_ + _._2).tail
-    val assign = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+    splits.zip(cum).foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), rest) => when(bucket < hi, lit(name)).otherwise(rest)
     }
-    df.withColumn("split", assign)
+  }
+
+  def withSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+    requireIntegralId(df, idCol, "withSplit")
+    df.withColumn("split", splitCol(col(idCol), splits))
   }
 
   /** SQL twin of [[withSplit]]'s assignment for the default 90/5/5. */
@@ -81,6 +87,34 @@ object Sampling {
     val cases = splits.zip(cum).dropRight(1)
       .map { case ((name, _), hi) => s"WHEN $bucket < $hi THEN '$name'" }.mkString(" ")
     s"CASE $cases ELSE '${splits.last._1}' END"
+  }
+
+  /**
+   * Leakage-safe split: the split is a function of the document's
+   * DUPLICATE-GROUP representative, not the document id, so copies
+   * of the same content can never straddle train/test — the
+   * eval-contamination failure mode a per-id split has by
+   * construction (one copy of a test document in train leaks the
+   * answer). Groups here are EXACT-duplicate classes (the 256-bit
+   * normalized-content hash, [[Dedup.exactDedup]]'s key; rep = min
+   * id). For NEAR-dup-safe splits feed [[withSplit]] the cluster
+   * root from [[Graph.connectedComponents]] over near-dup pairs
+   * instead — same composition, tested in ScalaTest; this operator
+   * keeps the oracle-checkable exact-group form.
+   *
+   * Scale shape: ONE shuffle on the content hash; the rep is a
+   * min-window whose partitions are duplicate GROUPS (bounded by
+   * copy count, not corpus size), and the split itself stays the
+   * map-only hash CASE.
+   */
+  def withLeakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                           splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+    requireIntegralId(df, idCol, "withLeakageSafeSplit")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(Dedup.normalizeText(col(textCol)), 256))
+    df.withColumn("__rep", min(col(idCol)).over(w))
+      .withColumn("split", splitCol(col("__rep"), splits))
+      .drop("__rep")
   }
 
   /** Deterministic fractional sample: keeps rows whose hash bucket

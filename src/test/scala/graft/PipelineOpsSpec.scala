@@ -238,4 +238,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     val ordered = res.sortBy(_._5).map(_._4)
     assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b - 1e-9 })
   }
+
+  test("leakage-safe split: exact copies never straddle splits; near-dup composition via CC roots") {
+    import graft.operators.{Dedup, Graph, Sampling}
+    // many distinct docs + exact copies under different ids
+    val base = (1L to 400L).map(i => (i, s"document body number $i with words ${i % 7}"))
+    val copies = (1L to 400L by 3).map(i => (i + 10000L, s"document body number $i with words ${i % 7}"))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val split = Sampling.withLeakageSafeSplit(docs, "doc_id", "text")
+      .withColumn("__h", org.apache.spark.sql.functions.sha2(Dedup.normalizeText(col("text")), 256))
+    // every duplicate group is split-pure
+    val impure = split.groupBy("__h").agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(impure == 0, s"$impure duplicate groups straddle splits")
+    // and the split is still a real 90/5/5-ish partition of the GROUPS
+    val perSplit = split.select("split").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSplit.keySet == Set("train", "val", "test") && perSplit("train") > perSplit("val"))
+    // near-dup-safe composition: split by the connected-component root
+    // of near-dup pairs — same splitCol, cluster-pure by construction
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+    val roots = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val withRoot = docs.join(roots.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("comp"), col("doc_id")))
+    val nd = Sampling.withSplit(withRoot, "root")
+    val ndImpure = nd.groupBy("root").agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(ndImpure == 0, "near-dup clusters must be split-pure under the CC-root composition")
+  }
 }

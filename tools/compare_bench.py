@@ -26,7 +26,7 @@ CLASSES = {
           'dedup_paragraph', 'q_zorder', 'text_collocations', 'q_funnel', 'q_retention',
           'multimodal_audio', 'text_perplexity', 'pipeline_c4', 'sample_dsir',
           'dedup_substring', 'sample_mixture', 'multimodal_video',
-          'q_kmv', 'q_kmv_jaccard', 'q_anomaly'],
+          'q_kmv', 'q_kmv_jaccard', 'q_anomaly', 'sample_leakage_safe'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near'],
