@@ -132,11 +132,25 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + rd(v, dp) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${rd(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
+    // Last resort when even 1 dp overflows (the surface keeps
+    // growing): keep every failure (-1 is the loudest signal) and the
+    // slowest timings, drop the fastest entries until the line fits,
+    // and say how many were dropped — "total" still sums ALL queries
+    // and the full map is always on the stderr [bench-diag] line.
+    def truncatedLine(keep: Int): String = {
+      val ordered = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      val keepSet = ordered.take(keep).map(_._1).toSet
+      val qs = results.collect { case (k, v) if keepSet(k) => "\"" + k + "\":" + rd(v, 1) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rd(total, 1)},"unit":"sec","queries":$qs,""" +
+        s""""dropped":${results.size - keep},"sf":"$sfDir"}"""
+    }
     val line = (3 to 1 by -1).iterator.map(summaryLine).find(_.length <= 1800)
-      .getOrElse(summaryLine(1))
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: summary line ${line.length} chars even at 1 dp — " +
-        "nearing the driver's 2000-char tail-capture window; shorten query names")
+      .orElse((results.size to 1 by -1).iterator.map(truncatedLine).find(_.length <= 1800))
+      .getOrElse(truncatedLine(1))
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars after every " +
+        "fallback — nearing the driver's 2000-char tail-capture window")
     println(line)
     spark.stop()
   }

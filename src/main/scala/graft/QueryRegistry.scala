@@ -1441,6 +1441,29 @@ object QueryRegistry {
     Some(graft.operators.Sketch.kmvIntersectSql("events", "user_id",
       "event_type = 'view'", "event_type = 'purchase'", 256)))
 
+  /** Exact heavy hitters via two-pass Misra-Gries (capacity 32):
+   *  pass 1 per-partition MG summaries (bounded candidate superset,
+   *  no full-keyspace shuffle), pass 2 exact recount of candidates
+   *  only. Deterministic output — exactly the terms with
+   *  cnt * (k+1) > N — so the oracle is a plain HAVING threshold. */
+  private val q_heavyhitters = QueryDef(
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      graft.operators.Sketch.heavyHitters(toks, "term", k = 32)
+        .orderBy(desc("cnt"), col("term"))
+    },
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM toks),
+        cnts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1)
+        SELECT term, cnt FROM cnts, tot WHERE cnt * 33 > n
+        ORDER BY cnt DESC, term"""
+    })
+
   /** Leakage-safe split: assignment keyed on the exact-dup group
    *  representative — copies of one document never straddle splits. */
   private val sample_leakage_safe = QueryDef(
@@ -2025,6 +2048,7 @@ object QueryRegistry {
     "q_anomaly" -> q_anomaly,
     "q_kmv" -> q_kmv,
     "q_kmv_jaccard" -> q_kmv_jaccard,
+    "q_heavyhitters" -> q_heavyhitters,
     "q_bloom" -> q_bloom,
     "q_cms" -> q_cms,
     "q_qsketch" -> q_qsketch,

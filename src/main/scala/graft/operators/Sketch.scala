@@ -582,6 +582,91 @@ object Sketch {
     exact.join(est, "grp")
   }
 
+  // --------------------------------- Heavy hitters (Misra-Gries)
+
+  /**
+   * Per-partition Misra-Gries summaries, capacity `k`: at most k
+   * (term, wt) counters per partition, plus one `(NULL, n_items)`
+   * sentinel row per partition carrying the partition's item count
+   * (so the caller gets the exact stream length N without a second
+   * scan). MG guarantee (Misra & Gries 1982): any term whose count
+   * within the partition exceeds n_p/(k+1) survives in that
+   * partition's summary — so a term with GLOBAL count > N/(k+1)
+   * exceeds the local threshold in >=1 partition (pigeonhole over
+   * N = sum n_p) and is guaranteed present in the union of
+   * summaries. That union (<= partitions x k rows, a few thousand
+   * at 1000 executors) is the candidate superset for the exact
+   * second pass; nothing the size of the key space is ever
+   * shuffled or collected.
+   *
+   * Genuine per-partition imperative state, so this is one of the
+   * rare mapPartitions operators (same rationale as the multimodal
+   * codecs): the decrement-all step has no Column expression.
+   */
+  def mgSummaries(items: DataFrame, termCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"heavyHitters: Misra-Gries capacity k must be >= 1, got $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(termCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]()
+        var n = 0L
+        while (it.hasNext) {
+          val term = it.next()
+          if (term != null) {
+            n += 1L
+            val cur = m.get(term)
+            if (cur != 0L || m.containsKey(term)) m.put(term, cur + 1L)
+            else if (m.size < k) m.put(term, 1L)
+            else {
+              // decrement-all: amortized O(1) per item (each of the k
+              // decrements retires one prior increment)
+              val itr = m.entrySet().iterator()
+              while (itr.hasNext) {
+                val e = itr.next()
+                if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+              }
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Long)]
+        m.forEach((t, w) => out += ((Some(t), w)))
+        out += ((None, n))
+        out.iterator
+      }
+      .toDF("term", "wt")
+  }
+
+  /**
+   * Exact heavy hitters, two passes, no full-keyspace shuffle:
+   * pass 1 builds per-partition [[mgSummaries]] (union of keys =
+   * provable candidate superset of every term with count >
+   * N/(k+1)); pass 2 broadcast-semi-joins the stream against the
+   * candidate table and takes EXACT counts of candidates only (the
+   * aggregate shuffles <= partitions x k distinct keys). Output:
+   * (term, cnt) for exactly the terms with cnt * (k+1) > N, exact
+   * counts — deterministic and partitioning-independent, so a plain
+   * SQL `HAVING count(*) * (k+1) > N` oracle replays it.
+   */
+  def heavyHitters(items: DataFrame, termCol: String, k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val summ = mgSummaries(items, termCol, k).persist()
+    // both driver-side results are bounded by partitions x k (the
+    // candidate array is exactly what broadcast() would ship anyway)
+    // coalesce: an empty input yields zero sentinel rows -> null sum
+    val n = summ.filter(col("term").isNull)
+      .agg(coalesce(sum("wt"), lit(0L))).first().getLong(0)
+    val candArr = summ.filter(col("term").isNotNull)
+      .select("term").distinct().as[String].collect()
+    summ.unpersist()
+    val cands = candArr.toSeq.toDF("term")
+    items.select(col(termCol).cast("string").as("term"))
+      .join(broadcast(cands), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > lit(n))
+  }
+
   /** SQL twin of the whole [[hllDistinct]] pipeline for DuckDB oracles. */
   def hllDistinctSql(table: String, groupCol: String, idCol: String, p: Int = 6): String = {
     requireP(p)

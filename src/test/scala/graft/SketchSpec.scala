@@ -266,4 +266,50 @@ class SketchSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Sketch.kmvSketch(idsDF(1L to 10L), "grp", "id", k = 1)).getMessage.contains("[2, 4096]"))
   }
+
+  /** Zipf-ish synthetic stream: term i appears ~C/i times. */
+  private def zipfTerms(nTerms: Int, c: Int): Seq[String] =
+    (1 to nTerms).flatMap(i => Seq.fill(math.max(c / i, 1))(s"t$i"))
+
+  private def exactHeavy(terms: Seq[String], k: Int): Map[String, Long] = {
+    val n = terms.size.toLong
+    terms.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }.toMap
+  }
+
+  test("heavy hitters: exact result, partitioning-invariant, matches the threshold definition") {
+    val terms = new scala.util.Random(7).shuffle(zipfTerms(500, 2000))
+    val want = exactHeavy(terms, 16)
+    assert(want.nonEmpty && want.size < 500, s"test needs a discriminating threshold: ${want.size}")
+    for (parts <- Seq(1, 3, 32)) {
+      val df = terms.toDF("term").repartition(parts)
+      val got = Sketch.heavyHitters(df, "term", 16)
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"parts=$parts: got ${got.size} heavy terms, want ${want.size}")
+    }
+  }
+
+  test("heavy hitters: MG summary union is a candidate superset and stays bounded") {
+    val terms = new scala.util.Random(11).shuffle(zipfTerms(300, 1500))
+    val df = terms.toDF("term").repartition(8)
+    val summ = Sketch.mgSummaries(df, "term", 16).collect()
+    val cands = summ.filter(!_.isNullAt(0)).map(_.getString(0)).toSet
+    assert(summ.count(_.isNullAt(0)) == 8, "one sentinel count row per partition")
+    assert(summ.filter(_.isNullAt(0)).map(_.getLong(1)).sum == terms.size.toLong)
+    assert(cands.size <= 8 * 16, s"summary must be bounded by partitions x k: ${cands.size}")
+    val want = exactHeavy(terms, 16).keySet
+    assert(want.subsetOf(cands), s"MG guarantee violated: missing ${want -- cands}")
+  }
+
+  test("heavy hitters: nulls skipped, empty input, k=1 majority element") {
+    val empty = Seq.empty[String].toDF("term")
+    assert(Sketch.heavyHitters(empty, "term", 8).count() == 0)
+    val withNulls = (Seq.fill(10)(Some("a")) ++ Seq.fill(3)(Some("b")) ++ Seq.fill(4)(Option.empty[String]))
+      .toDF("term").repartition(2)
+    // N counts non-null items only: 13; a=10 > 13/2, b=3 < 13/2 at k=1
+    val maj = Sketch.heavyHitters(withNulls, "term", 1).as[(String, Long)].collect().toMap
+    assert(maj == Map("a" -> 10L), s"k=1 must find exactly the majority element: $maj")
+    assert(intercept[IllegalArgumentException](
+      Sketch.heavyHitters(empty, "term", 0)).getMessage.contains("k must be >= 1"))
+  }
 }
