@@ -1941,6 +1941,20 @@ object QueryRegistry {
    *  one partially-aggregated groupBy. The oracle replays training
    *  and scoring in full; 6-dp rounding (the collocations convention)
    *  pins the float hash across engines. */
+  /** Naive Bayes source classifier: train counts on the doc_id < 300
+   *  slice, classify the whole corpus (argmax of 6-dp-rounded
+   *  log-scores — the round-before-argmax keeps both engines'
+   *  predictions identical). */
+  private val text_nb = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Classify.trainNb(
+        docs.filter(col("doc_id") < 300), "source", "doc_id", "text")
+      graft.operators.Classify.classifyNb(docs, "doc_id", "text", model).orderBy("doc_id")
+    },
+    Some(graft.operators.Classify.classifySql("documents", "source", "doc_id", "text",
+      trainFilter = "doc_id < 300") + " ORDER BY doc_id"))
+
   private val text_perplexity = QueryDef(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2076,6 +2090,7 @@ object QueryRegistry {
     "multimodal_frames" -> multimodal_frames,
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
+    "text_nb" -> text_nb,
     "pipeline_c4" -> pipeline_c4,
     "sample_dsir" -> sample_dsir,
     "multimodal_decode" -> multimodal_decode,

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multinomial Naive Bayes document classifier — the linear
+ * classifier stage of a pretraining-data pipeline (domain/source/
+ * quality classification a la the GPT-3 quality filter or CCNet's
+ * domain buckets), trained and applied entirely inside Spark.
+ * lsd2 has no classifier stage; this is part of the training-data
+ * surface this engine adds on top of reference parity.
+ *
+ * Model: add-one-smoothed multinomial NB.
+ *   score(d, l) = ln(n_l / N) + sum_{t in d} ln((c_lt + 1) / (c_l + V))
+ * where n_l = training docs with label l, N = total training docs,
+ * c_lt = count of term t under label l, c_l = total term count under
+ * l, V = training vocabulary size. Unseen (l, t) falls back to
+ * 1 / (c_l + V) — every score finite, no special cases.
+ *
+ * Scale shape: the model is bounded by (labels x vocab) — counting
+ * is two map-side-combined aggregates over the TRAINING slice (the
+ * caller keeps the slice bounded, same contract as [[Lm]]); scoring
+ * broadcasts the per-term label-count map and the per-label totals
+ * and is a map-only pass over the corpus token stream followed by
+ * ONE partially-aggregated groupBy(doc, label) and a groupBy(doc)
+ * argmax — nothing corpus-sized shuffles on a wide key. Scores are
+ * rounded to 6 dp BEFORE the argmax on both engines (the
+ * collocations convention) so summation-order ulp drift can neither
+ * flip a hash nor flip a prediction.
+ */
+object Classify {
+
+  /** Trained NB model faces (all bounded by labels x vocab):
+   *  `termMap` is term -> map(label -> c_lt); `classes` is one row
+   *  per label with (c_l, n_l); `stats` is a 1-row frame with
+   *  (vocabulary size v, total training docs n). All declarative —
+   *  no driver action at train time. */
+  final case class NbModel(termMap: DataFrame, classes: DataFrame, stats: DataFrame) {
+    def unpersist(): Unit = { termMap.unpersist(); () }
+  }
+
+  /** Normalized non-empty tokens, one row per (id, term) — the
+   *  [[TextAnalysis.tokens]] tokenization shared with the LM/TF-IDF
+   *  family. */
+  private def tokenStream(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)).as("__term"))
+
+  /** Train on a labeled slice. The per-(label, term) count table is
+   *  folded into a term -> map(label, count) frame (one row per
+   *  vocabulary term — the broadcast face), persisted lazily since
+   *  scoring broadcasts it and the class/stat faces both derive from
+   *  the same counts. */
+  def trainNb(labeled: DataFrame, labelCol: String, idCol: String, textCol: String): NbModel = {
+    val toks = tokenStream(labeled, idCol, textCol)
+      .join(labeled.select(col(idCol), col(labelCol).cast("string").as("__label")), idCol)
+    val lt = toks.groupBy("__label", "__term").agg(count(lit(1)).as("__c_lt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termMap = lt.groupBy("__term")
+      .agg(map_from_entries(collect_list(struct(col("__label"), col("__c_lt")))).as("__lmap"))
+    val classes = lt.groupBy("__label").agg(sum("__c_lt").cast("long").as("__c_l"))
+      .join(labeled.groupBy(col(labelCol).cast("string").as("__label"))
+        .agg(count(lit(1)).as("__n_l")), "__label")
+    val stats = lt.agg(countDistinct("__term").as("__v"))
+      .crossJoin(labeled.agg(count(lit(1)).as("__n")))
+    NbModel(termMap, classes, stats)
+  }
+
+  /**
+   * Score and classify: per-document argmax label with its (6 dp)
+   * log-score. One corpus token pass x |labels| map-side rows, two
+   * bounded aggregates. Documents with no tokens produce no row
+   * (nothing to score — pinned on both engines). Ties at 6 dp break
+   * to the LARGEST label string (max(struct) semantics, replayed in
+   * the oracle's ORDER BY score DESC, label DESC).
+   */
+  def classifyNb(docs: DataFrame, idCol: String, textCol: String, model: NbModel): DataFrame = {
+    // resolve the 1-row stats face eagerly (bounded by the model, one
+    // tiny job): an empty training slice must fail LOUDLY here — left
+    // declarative, the empty classes cross-join would silently erase
+    // the whole corpus from the output instead
+    val st = model.stats.first()
+    val (v, n) = (st.getLong(0), st.getLong(1))
+    require(v > 0,
+      "Classify.classifyNb: training slice produced no tokens (vocab v=0) — " +
+        "train on a slice with at least one non-empty document")
+    val lp = log((coalesce(element_at(col("__lmap"), col("__label")), lit(0L)) + 1).cast("double") /
+      (col("__c_l") + lit(v)).cast("double"))
+    tokenStream(docs, idCol, textCol)
+      .join(broadcast(model.termMap), Seq("__term"), "left")
+      .crossJoin(broadcast(model.classes))
+      .groupBy(col(idCol), col("__label"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(first(log(col("__n_l").cast("double") / lit(n.toDouble))) +
+          sum(lp), 6).as("__score"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score"), col("__label"), col("n_terms"))).as("__best"))
+      .select(col(idCol), col("__best.__label").as("pred_label"),
+        col("__best.__score").as("score"), col("__best.n_terms").as("n_terms"))
+  }
+
+  /** SQL twin of train + classify for the DuckDB oracle:
+   *  `trainFilter` picks the labeled slice; tokenization and the
+   *  6 dp round-before-argmax match the Spark side exactly. */
+  def classifySql(table: String, labelCol: String, idCol: String, textCol: String,
+                  trainFilter: String): String = {
+    val norm = Dedup.normalizeTextSql(textCol)
+    s"""WITH ttoks AS (
+      SELECT $idCol, CAST($labelCol AS VARCHAR) AS label,
+        unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
+      FROM $table WHERE $trainFilter),
+    lt AS (SELECT label, term, count(*) AS c_lt FROM ttoks GROUP BY 1, 2),
+    cls AS (
+      SELECT lt.label, CAST(sum(c_lt) AS BIGINT) AS c_l, nl.n_l
+      FROM lt JOIN (
+        SELECT CAST($labelCol AS VARCHAR) AS label, count(*) AS n_l
+        FROM $table WHERE $trainFilter GROUP BY 1) nl USING (label)
+      GROUP BY lt.label, nl.n_l),
+    stats AS (
+      SELECT (SELECT count(DISTINCT term) FROM lt) AS v,
+        (SELECT count(*) FROM $table WHERE $trainFilter) AS n),
+    stoks AS (
+      SELECT $idCol, unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
+      FROM $table),
+    scored AS (
+      SELECT s.$idCol, c.label, count(*) AS n_terms,
+        round(ln(any_value(c.n_l)::DOUBLE / any_value(st.n)::DOUBLE) +
+          sum(ln((coalesce(lt.c_lt, 0) + 1)::DOUBLE /
+            (c.c_l + st.v)::DOUBLE)), 6) AS score
+      FROM stoks s
+      CROSS JOIN cls c
+      CROSS JOIN stats st
+      LEFT JOIN lt ON lt.label = c.label AND lt.term = s.term
+      GROUP BY s.$idCol, c.label, c.c_l),
+    ranked AS (
+      SELECT $idCol, label AS pred_label, score, n_terms,
+        row_number() OVER (PARTITION BY $idCol ORDER BY score DESC, label DESC) AS rk
+      FROM scored)
+    SELECT $idCol, pred_label, score, n_terms FROM ranked WHERE rk = 1"""
+  }
+}
