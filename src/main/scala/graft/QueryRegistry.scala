@@ -623,6 +623,30 @@ object QueryRegistry {
         min(u) AS min_u, max(u) AS max_u, min(v) AS min_v, max(v) AS max_v
       FROM zz GROUP BY 1 ORDER BY 1"""))
 
+  /** Bucketed co-located join: both sides written hash-bucketed on
+   *  the join key (Layout.writeBucketed), then joined WITHOUT either
+   *  side shuffling (the Exchange-free plan is pinned in LayoutSpec;
+   *  this query gates the write->read->join ROUND TRIP against a
+   *  plain-join oracle over the raw tables — bucketing must never
+   *  lose or duplicate a row). */
+  private val q_bucketed = QueryDef(
+    (s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.operators.Layout.writeBucketed(t(s, dir, "orders"),
+        s"graft_bkt_orders$tag", s"/tmp/graft_bucketed$tag/orders", Seq("o_custkey"), 8)
+      graft.operators.Layout.writeBucketed(t(s, dir, "customer"),
+        s"graft_bkt_customer$tag", s"/tmp/graft_bucketed$tag/customer", Seq("c_custkey"), 8)
+      s.table(s"graft_bkt_orders$tag")
+        .join(s.table(s"graft_bkt_customer$tag"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Segment-level exact dedup (C4-style boilerplate removal): 20-word
    *  windows, drop any window shared by >1 distinct docs, reassemble.
    *  The oracle recomputes windowing, the distinct-doc HAVING, and the
@@ -2101,6 +2125,7 @@ object QueryRegistry {
     "dedup_substring" -> dedup_substring,
     "ann_pq" -> ann_pq,
     "q_zorder" -> q_zorder,
+    "q_bucketed" -> q_bucketed,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,

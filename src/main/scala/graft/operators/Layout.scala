@@ -59,6 +59,36 @@ object Layout {
   }
 
   /**
+   * Write `df` as a hash-BUCKETED (optionally bucket-sorted) parquet
+   * table registered in the session catalog — the co-located-join
+   * layout: two tables bucketed on the same key with the same bucket
+   * count join with NO Exchange on either side (Spark's bucketing
+   * contract: bucket id = murmur3(key) % numBuckets decided at WRITE
+   * time, so the join's required distribution is already satisfied
+   * at read time). At 100 TB this is the difference between a fact-
+   * fact join that reshuffles both inputs every query and one that
+   * never shuffles them again after ingest — the same trade the
+   * HEALPix partitioner makes for spatial joins, here for plain
+   * equi-join keys. Bucket-pruning on point predicates
+   * (`spark.sql.sources.bucketing.enabled`) comes free.
+   *
+   * `path` makes the table external (data survives catalog drops);
+   * any existing table of this name is replaced.
+   */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    keys: Seq[String], numBuckets: Int,
+                    sortKeys: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    require(numBuckets >= 1, s"numBuckets must be >= 1 (got $numBuckets)")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val w = df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
+  /**
    * Clustering diagnostics: group rows by the top `bucketBits` bits
    * of their z-value ("file-sized" z-ranges) and report each range's
    * row count and per-dimension min/max — the exact quantity parquet

@@ -72,4 +72,44 @@ class LayoutSpec extends SparkSpecBase {
       Layout.zvalue(Seq(col("u"), col("v")), bits = 32)
     }
   }
+
+  test("bucketed tables join with no Exchange on either side and round-trip every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString
+    val left = spark.range(0, 2000).select(($"id" % 500).as("k"), ($"id" * 3).as("a"))
+    val right = spark.range(0, 600).select($"id".as("k"), ($"id" + 7).as("b"))
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Layout.writeBucketed(left, "bkt_left_spec", s"$dir/left", Seq("k"), 4, sortKeys = Seq("k"))
+      Layout.writeBucketed(right, "bkt_right_spec", s"$dir/right", Seq("k"), 4, sortKeys = Seq("k"))
+      // the co-located contract matters in the big-big regime — force
+      // the planner out of broadcast mode (which bypasses bucketing)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left_spec")
+        .join(spark.table("bkt_right_spec"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+        s"expected a bucket-colocated sort-merge join:\n$plan")
+      // round trip: bucketing must neither lose nor duplicate rows
+      val expect = left.join(right, "k").agg(count(lit(1)), sum("a"), sum("b")).collect()(0)
+      val got = joined.agg(count(lit(1)), sum("a"), sum("b")).collect()(0)
+      assert(got == expect, s"bucketed round-trip mismatch: $got vs $expect")
+      // point predicate prunes to 1 of 4 buckets at scan time (the
+      // auto-bucketed-scan heuristic turns bucketed reading off for
+      // join-free queries, which also forfeits pruning — disable it
+      // to observe the prune)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = spark.table("bkt_left_spec").filter($"k" === 42L)
+      val scanned = pruned.queryExecution.executedPlan.toString
+      assert(scanned.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket pruning must select a single bucket:\n$scanned")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS bkt_left_spec")
+      spark.sql("DROP TABLE IF EXISTS bkt_right_spec")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
