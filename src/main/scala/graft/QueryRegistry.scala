@@ -1979,6 +1979,28 @@ object QueryRegistry {
     Some(graft.operators.Classify.classifySql("documents", "source", "doc_id", "text",
       trainFilter = "doc_id < 300") + " ORDER BY doc_id"))
 
+  /** Curriculum ordering: global rank of every document by LM
+   *  cross-entropy (easy -> hard) and exact-ntile phase assignment —
+   *  computed with Rank.curriculum's range-exchange + offset walk
+   *  instead of the single-task `ntile() OVER (ORDER BY ...)` window
+   *  the oracle replays. */
+  private val sample_curriculum = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val scored = graft.operators.Lm.crossEntropy(docs, "doc_id", "text", lm)
+      graft.operators.Rank.curriculum(scored,
+          Seq(col("cross_entropy"), col("doc_id")), phases = 5)
+        .select("doc_id", "cross_entropy", "rank", "phase")
+        .orderBy("rank")
+    },
+    Some(s"""WITH ce AS (${graft.operators.Lm.perplexitySql("documents", "doc_id", "text",
+        trainFilter = "doc_id < 300")})
+      SELECT doc_id, cross_entropy,
+        row_number() OVER (ORDER BY cross_entropy, doc_id) AS rank,
+        CAST(ntile(5) OVER (ORDER BY cross_entropy, doc_id) AS BIGINT) AS phase
+      FROM ce ORDER BY rank"""))
+
   private val text_perplexity = QueryDef(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2115,6 +2137,7 @@ object QueryRegistry {
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
     "text_nb" -> text_nb,
+    "sample_curriculum" -> sample_curriculum,
     "pipeline_c4" -> pipeline_c4,
     "sample_dsir" -> sample_dsir,
     "multimodal_decode" -> multimodal_decode,
