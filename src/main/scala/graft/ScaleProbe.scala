@@ -102,6 +102,16 @@ object ScaleProbe {
       graft.operators.TextAnalysis.invertedIndex(big, "doc_id", "text",
           minDf = 3, maxDf = total / 10)
         .agg(sum(length(col("postings"))), sum("df")).count())
+    time(s"heavyHitters k=32 over ${replicas}x token stream")(
+      graft.operators.Sketch.heavyHitters(
+          big.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+            .filter(length(col("term")) > 0),
+          "term", k = 32).count())
+    time(s"globalRowNumber + curriculum over ${replicas}x docs")(
+      graft.operators.Rank.curriculum(
+          big.select(col("doc_id"), length(col("text")).as("len")),
+          Seq(col("len"), col("doc_id")), phases = 10)
+        .agg(sum("rank"), max("phase")).count())
     time("hllDistinct by lang")(
       graft.operators.Sketch.hllDistinct(big, "lang", "doc_id").count())
     time("cmsCells + 5k-key estimate")(
@@ -312,6 +322,11 @@ object ScaleProbe {
     time(s"kmeansCodebook 64 cells x 2 iters over ${replicas}x corpus", "embeddings")(
       graft.operators.Ann.kmeansCodebook(bigEmb, "vec_id", "embedding",
         nCells = 64, iters = 2).count())
+    time(s"pca fit(d=64, m=8) + map-only transform over ${replicas}x corpus", "embeddings") {
+      val m = graft.operators.Pca.fit(bigEmb, "embedding", 8)
+      graft.operators.Pca.transform(bigEmb, "embedding", m)
+        .agg(sum(element_at(col("proj"), 1))).count()
+    }
     if (section("embeddings")) locally {
       val cb = graft.operators.Quantize.pqCodebook(bigEmb, "vec_id", "embedding", m = 4, ksub = 16)
       time(s"pqEncode (map-only) over ${replicas}x embeddings", "embeddings")(
