@@ -287,6 +287,28 @@ object QueryRegistry {
    *  as an explicit output column — all 2^2 grouping sets in one
    *  pass (the partial-aggregate expansion shuffles once), vs four
    *  separate scans a user would otherwise union. */
+  /** Explicit GROUPING SETS (the general form rollup/cube
+   *  specialize): four hand-picked sets incl. the grand total, with
+   *  a grouping-bit id disambiguating data-NULLs from set-NULLs. */
+  private val q_gsets = QueryDef(
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          (l_returnflag, l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        (l_returnflag, l_linestatus), ())
+      ORDER BY gid, l_returnflag, l_linestatus"""))
+
   private val q_cube = QueryDef(
     (s, dir) => t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -622,6 +644,68 @@ object QueryRegistry {
       SELECT zv >> 10 AS zbucket, count(*) AS n,
         min(u) AS min_u, max(u) AS max_u, min(v) AS min_v, max(v) AS max_v
       FROM zz GROUP BY 1 ORDER BY 1"""))
+
+  /** Data-quality validation suite (Deequ/expectations shape): all
+   *  row-level checks fused into ONE aggregate scan, uniqueness one
+   *  grouped aggregate, the foreign key one broadcast anti-join —
+   *  the pre-publish gate of a 100 TB ingest. The suite mixes
+   *  passing and failing checks so the oracle discriminates on the
+   *  exact violation counts. */
+  private val q_validate = QueryDef(
+    (s, dir) => {
+      import graft.operators.Validate._
+      val li = t(s, dir, "lineitem")
+        .withColumn("l_lineid", col("l_orderkey") * 8 + col("l_linenumber"))
+      validate(li, Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_discount", 0, 0.05),
+        Accepted("l_returnflag", Seq("A", "N", "R")),
+        Accepted("l_linestatus", Seq("O")),
+        Matches("l_returnflag", "^[A-Z]$"),
+        Unique("l_lineid"),
+        RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+    },
+    Some("""WITH li AS (SELECT *, l_orderkey * 8 + l_linenumber AS l_lineid FROM lineitem),
+      suite AS (
+      SELECT 'not_null' AS "check", 'l_orderkey' AS "column",
+        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        count(*) AS n_rows FROM li
+      UNION ALL
+      SELECT 'in_range', 'l_quantity',
+        CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)
+          THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM li
+      UNION ALL
+      SELECT 'in_range', 'l_discount',
+        CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05)
+          THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM li
+      UNION ALL
+      SELECT 'accepted', 'l_returnflag',
+        CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R')
+          THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM li
+      UNION ALL
+      SELECT 'accepted', 'l_linestatus',
+        CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O')
+          THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM li
+      UNION ALL
+      SELECT 'matches', 'l_returnflag',
+        CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+          AND NOT regexp_matches(l_returnflag, '^[A-Z]$')
+          THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM li
+      UNION ALL
+      SELECT 'unique', 'l_lineid',
+        (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM li WHERE l_lineid IS NOT NULL GROUP BY l_lineid)
+          WHERE c > 1),
+        (SELECT count(*) FROM li WHERE l_lineid IS NOT NULL)
+      UNION ALL
+      SELECT 'ref_integrity', 'l_orderkey',
+        (SELECT CAST(count(*) AS BIGINT) FROM li WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        (SELECT count(*) FROM li WHERE l_orderkey IS NOT NULL))
+      SELECT "check", "column", n_violations, n_rows,
+        CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      FROM suite"""))
 
   /** Bucketed co-located join: both sides written hash-bucketed on
    *  the join key (Layout.writeBucketed), then joined WITHOUT either
@@ -2066,6 +2150,7 @@ object QueryRegistry {
     "q_json" -> q_json,
     "q_rollup" -> q_rollup,
     "q_cube" -> q_cube,
+    "q_gsets" -> q_gsets,
     "q_having" -> q_having,
     "q_phasefold" -> q_phasefold,
     "q_correlated" -> q_correlated,
@@ -2149,6 +2234,7 @@ object QueryRegistry {
     "ann_pq" -> ann_pq,
     "q_zorder" -> q_zorder,
     "q_bucketed" -> q_bucketed,
+    "q_validate" -> q_validate,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Validate
+import graft.operators.Validate._
+import org.apache.spark.sql.functions._
+
+class ValidateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def table = Seq(
+    (Some(1L), Some(5.0), "A", "x1"),
+    (Some(2L), Some(500.0), "A", "x2"),   // range violation
+    (Some(2L), Some(7.0), "Q", "x3"),     // dup id + accepted violation
+    (None, Some(8.0), "N", "bad token"),  // null id + regex violation
+    (Some(4L), None, "R", "x5")           // null value: range-exempt
+  ).toDF("id", "v", "flag", "code")
+
+  test("every check type counts its violations exactly; report shape and pass bits") {
+    val ref = Seq(1L, 2L, 3L).toDF("ref_id")
+    val rep = Validate.validate(table, Seq(
+      NotNull("id"),
+      InRange("v", 0, 100),
+      Accepted("flag", Seq("A", "N", "R")),
+      Matches("code", "^x[0-9]+$"),
+      Unique("id"),
+      RefIntegrity("id", ref, "ref_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep(("not_null", "id")) == ((1L, 5L, 0L)))
+    assert(rep(("in_range", "v")) == ((1L, 5L, 0L)), "null v is range-exempt")
+    assert(rep(("accepted", "flag")) == ((1L, 5L, 0L)))
+    assert(rep(("matches", "code")) == ((1L, 5L, 0L)))
+    // id=2 twice -> one row beyond the first; NULL id exempt (4 non-null rows)
+    assert(rep(("unique", "id")) == ((1L, 4L, 0L)))
+    // non-null ids {1,2,2,4}; 4 is not in ref -> 1 orphan
+    assert(rep(("ref_integrity", "id")) == ((1L, 4L, 0L)))
+  }
+
+  test("a clean table passes every check; job count does not grow with the suite") {
+    val clean = Seq((1L, 10.0, "A"), (2L, 20.0, "N")).toDF("id", "v", "flag")
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      @volatile var jobs = 0
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def countJobs(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        listener.jobs = 0
+        f
+        val deadline = System.currentTimeMillis() + 5000
+        while (listener.jobs < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        Thread.sleep(300)
+        listener.jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val one = countJobs(Validate.validate(clean, Seq(NotNull("id"))))
+    var repDf: org.apache.spark.sql.DataFrame = null
+    val five = countJobs {
+      repDf = Validate.validate(clean, Seq(
+        NotNull("id"), NotNull("v"), NotNull("flag"),
+        InRange("v", 0, 100), Accepted("flag", Seq("A", "N"))))
+    }
+    // the fused agg scan must cost the same number of jobs at 1 check
+    // and at 5 (the report collect below is outside both countJobs)
+    assert(five == one, s"row-level checks must share one scan: 1-check=$one jobs, 5-check=$five")
+    assert(repDf.collect().forall(r => r.getLong(2) == 0L && r.getLong(4) == 1L))
+  }
+
+  test("empty suite refused; report preserves suite order") {
+    assert(intercept[IllegalArgumentException](
+      Validate.validate(table, Nil)).getMessage.contains("empty check suite"))
+    val rep = Validate.validate(table, Seq(Unique("id"), NotNull("id"), InRange("v", 0, 1e9)))
+      .select("check").as[String].collect().toSeq
+    assert(rep == Seq("unique", "not_null", "in_range"))
+  }
+}
