@@ -707,6 +707,35 @@ object QueryRegistry {
         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
       FROM suite"""))
 
+  /** One-pass column profiler over a mixed-type table: null counts +
+   *  numeric min/max/mean + string min/max + timestamp epoch-micros
+   *  bounds, all columns in one aggregate scan. */
+  private val q_profile = QueryDef(
+    (s, dir) => graft.operators.Validate.profile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate")),
+    Some {
+      def num(c: String) = s"""SELECT '$c' AS "column", count(*) AS n_rows,
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+        round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+        round(avg(CAST($c AS DOUBLE)), 6) AS mean_num,
+        CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem"""
+      def str(c: String) = s"""SELECT '$c', count(*),
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        min($c), max($c) FROM lineitem"""
+      def ts(c: String) = s"""SELECT '$c', count(*),
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(epoch_us(min($c)) AS DOUBLE), CAST(epoch_us(max($c)) AS DOUBLE),
+        CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM lineitem"""
+      Seq(num("l_orderkey"), num("l_linenumber"), num("l_quantity"),
+        num("l_discount"), str("l_returnflag"), ts("l_shipdate"))
+        .mkString("\nUNION ALL\n")
+    })
+
   /** Bucketed co-located join: both sides written hash-bucketed on
    *  the join key (Layout.writeBucketed), then joined WITHOUT either
    *  side shuffling (the Exchange-free plan is pinned in LayoutSpec;
@@ -2235,6 +2264,7 @@ object QueryRegistry {
     "q_zorder" -> q_zorder,
     "q_bucketed" -> q_bucketed,
     "q_validate" -> q_validate,
+    "q_profile" -> q_profile,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,

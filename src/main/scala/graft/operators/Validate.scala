@@ -104,4 +104,76 @@ object Validate {
         org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, false),
         org.apache.spark.sql.types.StructField("pass", org.apache.spark.sql.types.LongType, false))))
   }
+
+  /**
+   * One-pass column profiler (the Deequ-profiling shape): null
+   * counts for every profiled column plus min/max/mean for numerics
+   * (6-dp rounded — the cross-engine float convention), lexicographic
+   * min/max for strings, and epoch-micros min/max for timestamps —
+   * ALL columns in ONE map-side-combined aggregate scan. Output is
+   * long-format: (column, n_rows, n_nulls, min_num, max_num,
+   * mean_num, min_str, max_str) with NULLs where a metric doesn't
+   * apply to the type. Distinct counts are deliberately absent —
+   * that's the sketch family's job ([[Sketch.hllDistinct]] /
+   * [[Sketch.kmvDistinct]]), mergeable and corpus-scale, where a
+   * per-column exact multi-distinct would Expand the scan per
+   * column.
+   */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Validate.profile: no columns to profile")
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"Validate.profile: no such column '$c' (have ${schema.fieldNames.mkString(", ")})"))
+    def isNum(dt: DataType) = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    def isTs(dt: DataType) = dt match {
+      case _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    }
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val base = Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+      val num: Seq[Column] =
+        if (isNum(dt)) Seq(
+          round(min(col(c)).cast("double"), 6).as(s"__minn_$c"),
+          round(max(col(c)).cast("double"), 6).as(s"__maxn_$c"),
+          round(avg(col(c).cast("double")), 6).as(s"__mean_$c"))
+        else if (isTs(dt)) Seq(
+          unix_micros(min(col(c)).cast("timestamp")).cast("double").as(s"__minn_$c"),
+          unix_micros(max(col(c)).cast("timestamp")).cast("double").as(s"__maxn_$c"),
+          lit(null).cast("double").as(s"__mean_$c"))
+        else Seq(lit(null).cast("double").as(s"__minn_$c"),
+          lit(null).cast("double").as(s"__maxn_$c"),
+          lit(null).cast("double").as(s"__mean_$c"))
+      val str: Seq[Column] = dt match {
+        case StringType => Seq(min(col(c)).as(s"__mins_$c"), max(col(c)).as(s"__maxs_$c"))
+        case _ => Seq(lit(null).cast("string").as(s"__mins_$c"),
+          lit(null).cast("string").as(s"__maxs_$c"))
+      }
+      base ++ num ++ str
+    }
+    val r = df.agg(count(lit(1)).as("__n"), aggs: _*).first()
+    val n = r.getLong(0)
+    def d(i: Int): Any = if (r.isNullAt(i)) null else r.getDouble(i)
+    def s(i: Int): Any = if (r.isNullAt(i)) null else r.getString(i)
+    val rows = cols.zipWithIndex.map { case (c, ci) =>
+      val base = 1 + ci * 6
+      Row(c, n, r.getLong(base), d(base + 1), d(base + 2), d(base + 3), s(base + 4), s(base + 5))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column", StringType, false),
+        StructField("n_rows", LongType, false),
+        StructField("n_nulls", LongType, false),
+        StructField("min_num", DoubleType, true),
+        StructField("max_num", DoubleType, true),
+        StructField("mean_num", DoubleType, true),
+        StructField("min_str", StringType, true),
+        StructField("max_str", StringType, true))))
+  }
 }

@@ -67,6 +67,26 @@ class ValidateSpec extends SparkSpecBase {
     assert(repDf.collect().forall(r => r.getLong(2) == 0L && r.getLong(4) == 1L))
   }
 
+  test("profile: one pass, typed metrics, null handling, guards") {
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("b"), Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))),
+      (Some(3L), None, Some("a"), None),
+      (None, Some(7.5), None, Some(java.sql.Timestamp.valueOf("2020-01-02 00:00:00")))
+    ).toDF("k", "v", "s", "t")
+    val p = Validate.profile(df, Seq("k", "v", "s", "t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("k").getLong(1) == 3 && p("k").getLong(2) == 1)
+    assert(p("k").getDouble(3) == 1.0 && p("k").getDouble(4) == 3.0 && p("k").getDouble(5) == 2.0)
+    assert(p("v").getDouble(5) == 5.0, "mean skips nulls")
+    assert(p("s").isNullAt(3) && p("s").getString(6) == "a" && p("s").getString(7) == "b")
+    assert(p("t").getDouble(4) - p("t").getDouble(3) == 86400e6, "timestamp bounds in micros")
+    assert(p("t").isNullAt(5) && p("t").isNullAt(6))
+    assert(intercept[IllegalArgumentException](
+      Validate.profile(df, Seq("nope"))).getMessage.contains("no such column"))
+    assert(intercept[IllegalArgumentException](
+      Validate.profile(df, Nil)).getMessage.contains("no columns"))
+  }
+
   test("empty suite refused; report preserves suite order") {
     assert(intercept[IllegalArgumentException](
       Validate.validate(table, Nil)).getMessage.contains("empty check suite"))
