@@ -707,6 +707,98 @@ object QueryRegistry {
         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
       FROM suite"""))
 
+  /** TPC-H Q10 pattern (returned-item reporting): 4-table star join
+   *  with a quarter date filter and a distributed top-20 by revenue
+   *  (orderBy+limit = TakeOrderedAndProject, per-partition top-N —
+   *  never a single-task global sort). */
+  private val q10_returns = QueryDef(
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      // per-ITEM integer cents then an exact long sum: both engines
+      // compute the identical IEEE product per item, so floor is
+      // bit-identical — unlike round(sum(..), 2), whose summation
+      // order differs across engines and can straddle a .xx5 midpoint
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+      .limit(20),
+    Some("""SELECT c_custkey, c_name, n_name,
+      CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""))
+
+  /** Upsert / MERGE-INTO (SCD1): in-query derived update batch
+   *  (modified accounts + brand-new keys) folded into the customer
+   *  snapshot — matched rows take update values, unmatched updates
+   *  insert, base rows carry over; oracle replays the full-outer
+   *  coalesce. */
+  private val q_merge = QueryDef(
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2))
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+          .withColumn("c_mktsegment", lit("INSERTED")))
+      graft.operators.Merge.upsert(cust, updates, "c_custkey").orderBy("c_custkey")
+    },
+    Some("""WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+          round(c_acctbal + 1000, 2) AS c_acctbal, 'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'INSERTED'
+        FROM customer WHERE c_custkey % 11 = 0)
+      SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+        CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+        CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+        CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+      FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+      ORDER BY c_custkey"""))
+
+  /** Per-group winsorization of event values (exact-percentile
+   *  clipping in integer cents), aggregated to per-type clipped
+   *  sums — the feature-cleaning stage before model aggregates. */
+  private val q_winsorize = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.operators.Outliers.winsorize(ev, "event_type", "cents", 0.05, 0.95)
+        .groupBy("event_type")
+        .agg(min("lo").as("lo"), min("hi").as("hi"),
+          count(col("clipped")).as("n_vals"), sum("clipped").as("sum_clipped"))
+        .orderBy("event_type")
+    },
+    Some("""WITH v AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      stats AS (
+        SELECT event_type,
+          CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+          CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+        FROM v WHERE cents IS NOT NULL GROUP BY 1)
+      SELECT v.event_type, min(s.lo) AS lo, min(s.hi) AS hi,
+        count(v.cents) AS n_vals,
+        CAST(sum(greatest(s.lo, least(s.hi, v.cents))) AS BIGINT) AS sum_clipped
+      FROM v LEFT JOIN stats s ON v.event_type = s.event_type
+      GROUP BY v.event_type ORDER BY v.event_type"""))
+
   /** One-pass column profiler over a mixed-type table: null counts +
    *  numeric min/max/mean + string min/max + timestamp epoch-micros
    *  bounds, all columns in one aggregate scan. */
@@ -2265,6 +2357,9 @@ object QueryRegistry {
     "q_bucketed" -> q_bucketed,
     "q_validate" -> q_validate,
     "q_profile" -> q_profile,
+    "q10_returns" -> q10_returns,
+    "q_merge" -> q_merge,
+    "q_winsorize" -> q_winsorize,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,

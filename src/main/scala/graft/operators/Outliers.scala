@@ -89,6 +89,33 @@ object Outliers {
       .select(col("grp"), col(idCol), col("val"), col("z_e4"))
   }
 
+  /**
+   * Per-group winsorization (percentile clipping — the feature-
+   * cleaning sibling of [[robustOutliers]]: instead of FLAGGING tail
+   * values, clamp them to the [pLo, pHi] exact percentiles so
+   * downstream aggregates/models see a bounded range). Same
+   * determinism contract: integer value column in, thresholds
+   * rounded to whole integers (dyadic midpoints — engine-policy-
+   * free), clipped values stay integral. Same scale shape: one
+   * bounded percentile aggregate, stats broadcast back, MAP-ONLY
+   * clipping pass. Output: input columns + `lo`, `hi`, `clipped`.
+   */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    Sampling.requireIntegralId(df, valueCol, "winsorize")
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(round(expr(s"percentile($valueCol, $pLo)")).cast("long").as("lo"),
+        round(expr(s"percentile($valueCol, $pHi)")).cast("long").as("hi"))
+    df.join(broadcast(stats), col(groupCol) === col("__g"), "left")
+      .drop("__g")
+      .withColumn("clipped",
+        when(col(valueCol).isNull, lit(null).cast("long"))
+          .otherwise(greatest(col("lo"), least(col("hi"), col(valueCol).cast("long")))))
+  }
+
   /** DuckDB twin of [[robustOutliers]] — quantile_cont matches
    *  Spark's exact `percentile` interpolation, and the scaled-unit
    *  integer arithmetic carries over verbatim. */

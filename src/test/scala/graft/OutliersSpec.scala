@@ -51,4 +51,24 @@ class OutliersSpec extends SparkSpecBase {
       Outliers.robustOutliers(df(("g", 1L, 1L)), "g", "id", "v", zThresholdE4 = 0))
       .getMessage.contains("positive"))
   }
+
+  test("winsorize clips to exact per-group percentiles, keeps nulls null, guards p-range") {
+    // group a: 1..100 (p10 = 10.9 -> 11, p90 = 90.1 -> 90); group b untouched range
+    val rows = (1 to 100).map(i => ("a", i.toLong)) ++ Seq(("b", 5L), ("b", 6L), ("b", 7L))
+    val withNull = rows.map { case (g, v) => (g, Option(v)) } :+ (("a", Option.empty[Long]))
+    val out = graft.operators.Outliers.winsorize(
+        withNull.toDF("g", "v"), "g", "v", 0.10, 0.90)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val aClipped = out.filter(_._1 == "a").flatMap(_._3)
+    assert(aClipped.min == 11L && aClipped.max == 90L,
+      s"tails clamp to rounded exact percentiles: min=${aClipped.min} max=${aClipped.max}")
+    assert(out.filter(_._1 == "a").flatMap(_._2).filter(v => v >= 11 && v <= 90).toSet ==
+      out.filter(_._1 == "a").filter(_._2.exists(v => v >= 11 && v <= 90)).flatMap(_._3).toSet,
+      "in-range values pass through unchanged")
+    assert(out.exists(r => r._1 == "a" && r._2.isEmpty && r._3.isEmpty), "null stays null")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Outliers.winsorize(withNull.toDF("g", "v"), "g", "v", 0.9, 0.1))
+      .getMessage.contains("pLo < pHi"))
+  }
 }
