@@ -962,6 +962,32 @@ object QueryRegistry {
         FROM (SELECT doc_id, lang, source, string_split($norm, ' ') AS toks FROM documents))"""
   }
 
+  /** Sorted-neighborhood (merge/purge) near-dup blocking: rank by a
+   *  normalized-text-prefix sort key with the distributed
+   *  globalRowNumber, compare only the following window-1 rows,
+   *  exact-Jaccard verify — candidate count bounded at n x (w-1) by
+   *  construction, whatever the data distribution. */
+  private val dedup_snm = QueryDef(
+    (s, dir) => Dedup.sortedNeighborhood(t(s, dir, "documents"), "doc_id", "text",
+        window = 4, n = 3, minJaccard = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4)).orderBy("id_a", "id_b"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH sh AS (
+        SELECT doc_id, substr($norm, 1, 24) AS k, list_distinct(
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        FROM (SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents)),
+      r AS (SELECT *, row_number() OVER (ORDER BY k, doc_id) AS rk FROM sh),
+      pairs AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
+          len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3)
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pairs
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+    })
+
   private val dedup_jaccard = QueryDef(
     (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         Seq("lang", "source"), n = 3, minJaccard = 0.5)
@@ -2206,6 +2232,25 @@ object QueryRegistry {
         CAST(ntile(5) OVER (ORDER BY cross_entropy, doc_id) AS BIGINT) AS phase
       FROM ce ORDER BY rank"""))
 
+  /** Token-distribution entropy + type-token ratio per document
+   *  (gibberish / keyword-stuffing signals): one map-side-combined
+   *  (doc, term) aggregate, H = ln n - sum(c ln c)/n. */
+  private val text_entropy = QueryDef(
+    (s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
+        FROM documents),
+      c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_types,
+        round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS entropy,
+        count(*) * 10000 // CAST(sum(c) AS BIGINT) AS ttr_e4
+      FROM c GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   private val text_perplexity = QueryDef(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2294,6 +2339,7 @@ object QueryRegistry {
     "dedup_minhash" -> dedup_minhash,
     "dedup_simhash" -> dedup_simhash,
     "dedup_jaccard" -> dedup_jaccard,
+    "dedup_snm" -> dedup_snm,
     "dedup_neardup" -> dedup_neardup,
     "dedup_cosine" -> dedup_cosine,
     "ann_bruteforce" -> ann_bruteforce,
@@ -2343,6 +2389,7 @@ object QueryRegistry {
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
     "text_nb" -> text_nb,
+    "text_entropy" -> text_entropy,
     "sample_curriculum" -> sample_curriculum,
     "pipeline_c4" -> pipeline_c4,
     "sample_dsir" -> sample_dsir,

@@ -339,6 +339,55 @@ object Dedup {
   }
 
   /**
+   * Sorted-neighborhood near-dup blocking (Hernandez & Stolfo 1996's
+   * merge/purge method): rank the corpus by a CONTENT sort key (the
+   * prefix of the normalized text, id tie-broken) and compare each
+   * row only against the `window - 1` rows following it in that
+   * order. A different blocking family from hashes/bands: candidate
+   * count is bounded at n x (window-1) BY CONSTRUCTION whatever the
+   * data distribution (hash blocks can explode on hot keys), and
+   * prefix-sorted neighbors catch the copies-with-divergent-tails
+   * case cheaply. The trade: near-dups whose PREFIXES differ sort
+   * apart — route those to the minhash/simhash band families; SNM is
+   * the cheap first pass, not the recall guarantee.
+   *
+   * Scale shape: [[graft.operators.Rank.globalRowNumber]]'s range
+   * exchange (full-parallel sort, no single-task window), then a
+   * map-side offset explode equi-joined back on rank — never a
+   * theta/range join. Exact sorted-hash Jaccard verifies every
+   * candidate (the jaccardPairs kernel), so false candidates cost a
+   * linear merge, never a wrong drop.
+   */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+                         window: Int = 4, n: Int = 3, minJaccard: Double = 0.5,
+                         keyLen: Int = 24): DataFrame = {
+    require(window >= 2, s"sortedNeighborhood: window must be >= 2, got $window")
+    require(keyLen >= 1, s"sortedNeighborhood: keyLen must be >= 1, got $keyLen")
+    val sh = df.select(col(idCol),
+        substring(normalizeText(col(textCol)), 1, keyLen).as("__snkey"),
+        graft.functions.native.sortedHashes(shingles(col(textCol), n)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ranked = graft.operators.Rank
+      .globalRowNumber(sh, Seq(col("__snkey"), col(idCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ranked.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a"), col("rank"),
+        explode(sequence(lit(1), lit(window - 1))).as("__off"))
+      .withColumn("rank", col("rank") + col("__off")).drop("__off")
+    val b = ranked.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"), col("rank"))
+    a.join(b, "rank")
+      .filter(least(col("sz_a"), col("sz_b")) >= lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("inter", graft.functions.native.intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      // canonical undirected pair order (the rank order is a sort-key
+      // artifact; ids are the stable identity)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+  }
+
+  /**
    * Asymmetric shingle CONTAINMENT (Broder 1997's second resemblance
    * measure): c(A in B) = |A ∩ B| / |A|. The dedup case symmetric
    * Jaccard structurally misses: a short document quoted whole

@@ -97,6 +97,33 @@ object TextAnalysis {
       .withColumn("bpe_pieces", regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
 
   /**
+   * Per-document token-distribution signals — the gibberish/
+   * keyword-stuffing detectors a quality pipeline runs next to the
+   * Gopher repetition rules: Shannon entropy of the unigram
+   * distribution (low = few tokens dominate; high = diverse) and the
+   * type-token ratio. Entropy uses the exact identity
+   * `H = ln n - sum(c ln c)/n` so ONE aggregate over (doc, term)
+   * counts suffices (no per-doc second pass for n); the (doc, term)
+   * aggregate is map-side combined — the text_tfidf shuffle shape,
+   * linear in corpus tokens. 6-dp rounding pins the float hash
+   * cross-engine; TTR is an exact integer div. Empty documents
+   * produce no row (nothing to score — pinned on both engines).
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__t"))
+    toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__sclnc"))
+      .withColumn("entropy", round(
+        log(col("n_tokens").cast("double")) - col("__sclnc") / col("n_tokens"), 6))
+      .withColumn("ttr_e4", expr("n_types * 10000 div n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("entropy"), col("ttr_e4"))
+  }
+
+  /**
    * Order-sensitive document fingerprint: rolling polynomial hash of
    * the normalized text's code points (two texts with the same token
    * multiset but different order fingerprint differently). A codegen

@@ -394,4 +394,27 @@ class DedupSpec extends SparkSpecBase {
     val j = Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), minJaccard = 0.5)
     assert(j.count() == 0, "symmetric jaccard must miss the quotation pair (the operator's point)")
   }
+
+  test("sortedNeighborhood finds prefix-sorted copies, misses prefix-divergent ones, bounds candidates") {
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = (
+      Seq((1L, s"$body ending one"), (2L, s"$body ending two")) ++      // shared prefix near-dups
+      Seq((3L, s"zz prefix differs $body"), (4L, s"aa other start $body")) ++ // same tail, divergent prefix
+      (10L to 60L).map(i => i -> (1 to 50).map(j => s"u${i}w$j").mkString(" ")) // unrelated filler
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        window = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"adjacent-in-sort copies must be found: $pairs")
+    assert(!pairs.contains((3L, 4L)),
+      "prefix-divergent near-dups sort apart — the documented trade (band families catch them)")
+    // invariance across input partitionings
+    val again = Dedup.sortedNeighborhood(docs.repartition(7), "doc_id", "text",
+        window = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+    assert(intercept[IllegalArgumentException](
+      Dedup.sortedNeighborhood(docs, "doc_id", "text", window = 1))
+      .getMessage.contains("window must be >= 2"))
+  }
 }

@@ -264,4 +264,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     val ndImpure = nd.groupBy("root").agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
     assert(ndImpure == 0, "near-dup clusters must be split-pure under the CC-root composition")
   }
+
+  test("tokenEntropy: hand-computed H, TTR, degenerate and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b b"),          // H = ln 2, TTR = 0.5
+      (2L, "a a a a"),          // H = 0, one type
+      (3L, "w x y z"),          // H = ln 4, TTR = 1
+      (4L, "")                  // no tokens -> no row
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "empty doc produces no row")
+    assert(out(1L) == ((4L, 2L, BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 5000L)))
+    assert(out(2L) == ((4L, 1L, 0.0, 2500L)))
+    assert(out(3L) == ((4L, 4L, BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 10000L)))
+  }
 }
