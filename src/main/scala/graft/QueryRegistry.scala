@@ -31,7 +31,12 @@ object QueryRegistry {
    * is, so those stages become independently hash-checked instead of
    * rows-only. Written by Verify.main before the oracle dump.
    */
-  val oracleAuxDir = "/tmp/graft_oracle_aux"
+  // Overridable so CONCURRENT Verify runs at different SFs cannot
+  // clobber each other's aux signatures (the oracle SQL embeds this
+  // path at dump time, and check_oracle replays the SQL from the
+  // same dump — consistent as long as each run owns its dir).
+  val oracleAuxDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_AUX_DIR", "/tmp/graft_oracle_aux")
   def writeOracleAux(s: SparkSession, dir: String): Unit = {
     withSky(t(s, dir, "customer"), "c_custkey")
       .select(col("c_custkey"),
