@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
  * graft.Cli xmatch <location> <cat1> <cat2> [k] [dthreshDeg]
  * graft.Cli query <name> <sfDir>       // any SparkEntry.queries entry
  * graft.Cli list                       // query names
+ * graft.Cli profile <table.parquet> <col1,col2,...>
+ * graft.Cli validate <table.parquet> <not_null:c,range:c:0:10,fk:c:ref.parquet:rc,...>
  * graft.Cli viz sources|partitions <location> <catname> <out.png>
  * graft.Cli viz cone <location> <catname> <out.png> <ra> <dec> <radiusDeg>
  * graft.Cli viz xmatch <location> <cat1> <cat2> <out.png> [k] [dthreshDeg]
@@ -36,6 +38,10 @@ object Cli {
       |  xmatch <location> <cat1> <cat2> [k] [dthreshDeg]
       |  query <name> <sfDir>
       |  list
+      |  profile <table.parquet> <col1,col2,...>
+      |  validate <table.parquet> <check1,check2,...>
+      |    checks: not_null:<col> | range:<col>:<lo>:<hi> | accepted:<col>:<v1|v2|...>
+      |            matches:<col>:<regex> | unique:<col> | fk:<col>:<ref.parquet>:<refCol>
       |  viz sources|partitions <location> <catname> <out.png>
       |  viz cone <location> <catname> <out.png> <ra> <dec> <radiusDeg>
       |  viz xmatch <location> <cat1> <cat2> <out.png> [k] [dthreshDeg]""".stripMargin
@@ -111,6 +117,42 @@ object Cli {
         }
       case "list" :: Nil =>
         Right(_ => SparkEntry.queries.keys.toSeq.sorted.foreach(println))
+      case "profile" :: src :: cols :: Nil if cols.nonEmpty =>
+        Right { spark =>
+          graft.operators.Validate.profile(
+            spark.read.parquet(src), cols.split(",").toSeq.map(_.trim))
+            .show(1000, truncate = false)
+        }
+      case "validate" :: src :: spec :: Nil if spec.nonEmpty =>
+        // spec validated EAGERLY (parse time -> Left(usage)); fk refs
+        // load lazily at run time from their own parquet paths
+        import graft.operators.Validate._
+        val parsed: Seq[Either[String, SparkSession => Check]] =
+          spec.split(",").toSeq.map(_.trim.split(":", -1).toList).map {
+            case "not_null" :: c :: Nil => Right(_ => NotNull(c))
+            case "range" :: c :: lo :: hi :: Nil =>
+              val (l, h) = (lo.toDouble, hi.toDouble) // eager: bad numbers -> usage
+              Right(_ => InRange(c, l, h))
+            case "accepted" :: c :: vs :: Nil if vs.nonEmpty =>
+              Right(_ => Accepted(c, vs.split("\\|").toSeq))
+            case "unique" :: c :: Nil => Right(_ => Unique(c))
+            case "matches" :: c :: rest if rest.nonEmpty =>
+              val re = rest.mkString(":") // regexes may contain ':'
+              Right(s => Matches(c, re))
+            case "fk" :: c :: ref :: refCol :: Nil =>
+              Right(s => RefIntegrity(c, s.read.parquet(ref), refCol))
+            case other => Left(s"bad check spec '${other.mkString(":")}'")
+          }
+        parsed.collectFirst { case Left(_) => () } match {
+          case Some(_) => Left(usage)
+          case None => Right { spark =>
+            val checks = parsed.collect { case Right(f) => f(spark) }
+            val rep = graft.operators.Validate.validate(spark.read.parquet(src), checks)
+            rep.show(1000, truncate = false)
+            val failed = rep.filter(org.apache.spark.sql.functions.col("pass") === 0).count()
+            println(s"$failed failing check(s)")
+          }
+        }
       case "viz" :: "xmatch" :: loc :: cat1 :: cat2 :: out :: rest if rest.length <= 2 =>
         val k = rest.headOption.map(_.toInt).getOrElse(1)
         val dthresh = rest.lift(1).map(_.toDouble).getOrElse(0.01)

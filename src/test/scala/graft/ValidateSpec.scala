@@ -87,6 +87,27 @@ class ValidateSpec extends SparkSpecBase {
       Validate.profile(df, Nil)).getMessage.contains("no columns"))
   }
 
+  test("cli: validate/profile dispatch, eager spec errors, e2e run on real parquet") {
+    // bad specs fall to usage at PARSE time
+    assert(Cli.parse(Array("validate", "x.parquet", "range:c:abc:2")).isLeft)
+    assert(Cli.parse(Array("validate", "x.parquet", "frobnicate:c")).isLeft)
+    assert(Cli.parse(Array("profile", "x.parquet")).isLeft) // missing cols arg
+    // e2e: run the parsed actions against the real sf0.001 tables
+    val li = sf("sf0.001") + "/lineitem.parquet"
+    val ord = sf("sf0.001") + "/orders.parquet"
+    val spec = s"not_null:l_orderkey,range:l_quantity:1:50," +
+      s"accepted:l_returnflag:A|N|R,matches:l_linestatus:^[A-Z]$$," +
+      s"unique:l_orderkey,fk:l_orderkey:$ord:o_orderkey"
+    Cli.parse(Array("validate", li, spec)) match {
+      case Right(run) => run(spark) // prints the report; must not throw
+      case Left(m) => fail(s"validate spec must parse: $m")
+    }
+    Cli.parse(Array("profile", li, "l_orderkey,l_quantity,l_returnflag")) match {
+      case Right(run) => run(spark)
+      case Left(m) => fail(s"profile must parse: $m")
+    }
+  }
+
   test("empty suite refused; report preserves suite order") {
     assert(intercept[IllegalArgumentException](
       Validate.validate(table, Nil)).getMessage.contains("empty check suite"))
