@@ -26,10 +26,13 @@ CLASSES = {
           'dedup_paragraph', 'q_zorder', 'text_collocations', 'q_funnel', 'q_retention',
           'multimodal_audio', 'text_perplexity', 'pipeline_c4', 'sample_dsir',
           'dedup_substring', 'sample_mixture', 'multimodal_video',
-          'q_kmv', 'q_kmv_jaccard', 'q_anomaly', 'sample_leakage_safe'],
+          'q_kmv', 'q_kmv_jaccard', 'q_anomaly', 'sample_leakage_safe',
+          'q_heavyhitters', 'q_gsets', 'q_validate', 'q_profile', 'q10_returns',
+          'q_merge', 'q_winsorize', 'text_entropy', 'q_bucketed',
+          'sample_curriculum', 'text_nb'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
-          'dedup_incremental_near'],
+          'dedup_incremental_near', 'dedup_snm'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
