@@ -106,6 +106,33 @@ object Validate {
   }
 
   /**
+   * Streaming face: per-event-time-window violation counts for the
+   * ROW-LEVEL checks — the live data-quality monitor over an ingest
+   * stream. The violation predicates are the SAME stateless Column
+   * expressions the batch suite compiles to, inside one windowed
+   * aggregation (bounded state: one row per window x check set; add
+   * a watermark upstream for state cleanup). Uniqueness/foreign-key
+   * checks are batch-only by nature (unbounded state) and are
+   * refused loudly. Output: window, n_rows, plus one
+   * `<check>_<column>` violation-count column per check — wide
+   * format so batch parity is a row-for-row comparison.
+   */
+  def validateStream(stream: DataFrame, timeCol: String, windowDur: String,
+                     checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Validate.validateStream: empty check suite")
+    checks.foreach {
+      case _: NotNull | _: InRange | _: Accepted | _: Matches => ()
+      case c => throw new IllegalArgumentException(
+        s"Validate.validateStream: ${c.name} needs unbounded state — batch-only " +
+          "(run it on the stored snapshot instead)")
+    }
+    val aggs = checks.map(c =>
+      sum(when(violation(c), 1L).otherwise(0L)).as(s"${c.name}_${c.column}"))
+    stream.groupBy(window(col(timeCol), windowDur))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /**
    * One-pass column profiler (the Deequ-profiling shape): null
    * counts for every profiled column plus min/max/mean for numerics
    * (6-dp rounded — the cross-engine float convention), lexicographic

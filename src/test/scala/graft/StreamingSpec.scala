@@ -23,6 +23,45 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming validation monitor equals the batch windowed violation counts") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_val_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val checks = Seq(NotNull("value"), InRange("value", 0, 5),
+      Accepted("event_type", Seq("view", "click")))
+    val q = Validate.validateStream(
+        EventStream.readEvents(spark, streamDir), "ts", "6 hours", checks)
+      .writeStream.format("memory").queryName("val_stream_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(org.apache.spark.sql.functions.col("window.start").cast("long").as("w"),
+          org.apache.spark.sql.functions.col("n_rows"),
+          org.apache.spark.sql.functions.col("not_null_value"),
+          org.apache.spark.sql.functions.col("in_range_value"),
+          org.apache.spark.sql.functions.col("accepted_event_type"))
+        .orderBy("w").collect().toSeq
+    val streamed = flat(spark.table("val_stream_test"))
+    val batch = flat(Validate.validateStream(
+      EventsTable.normalizeTs(spark.read.parquet(s"$dir/events.parquet")),
+      "ts", "6 hours", checks))
+    assert(streamed == batch, "stream must equal batch row for row")
+    assert(streamed.nonEmpty && streamed.map(_.getLong(2)).sum >= 0)
+    // the in_range check must actually discriminate on this data
+    assert(streamed.map(_.getLong(3)).sum > 0, "planted range violations expected")
+    // stateful checks are refused on streams
+    assert(intercept[IllegalArgumentException](
+      Validate.validateStream(EventStream.readEvents(spark, streamDir), "ts", "1 hour",
+        Seq(Unique("event_id")))).getMessage.contains("batch-only"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming HLL registers equal the batch sketch (bounded sketch state, no watermark)") {
     val dir = sf("sf0.001")
     val streamDir = java.nio.file.Files.createTempDirectory("graft_hll_stream").toString
