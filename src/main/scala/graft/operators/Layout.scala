@@ -89,6 +89,48 @@ object Layout {
   }
 
   /**
+   * Small-file compaction (the lakehouse OPTIMIZE/rewrite shape):
+   * incremental ingest leaves a long tail of small parquet files —
+   * at 100 TB the death-by-footers problem (every query pays a
+   * per-file open + footer parse + task schedule; 10^6 x 1 MB files
+   * cost more in overhead than the scan itself). Rewrites a FLAT
+   * parquet directory into ceil(totalBytes / targetFileBytes)
+   * files (optionally sorted within files for locality + footer
+   * min/max tightness), staged to a sibling `_compact_tmp` dir and
+   * swapped in via two renames — readers see either the old or the
+   * new file set, never a mix. Hive-partitioned catalogs compact
+   * per partition directory (call this on each leaf).
+   * Returns (filesBefore, filesAfter).
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetFileBytes >= 1024 * 1024,
+      s"compact: targetFileBytes must be >= 1 MiB (got $targetFileBytes)")
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"compact: no parquet files under $dir")
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val df = spark.read.parquet(dir)
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*).sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    arranged.write.mode("overwrite").parquet(tmp.toString)
+    // swap: dir -> _old, tmp -> dir, drop _old (two metadata renames)
+    require(fs.rename(hPath, old), s"compact: rename $dir -> $old failed")
+    require(fs.rename(tmp, hPath), s"compact: rename $tmp -> $dir failed")
+    fs.delete(old, true)
+    val after = fs.listStatus(hPath).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
+  /**
    * Clustering diagnostics: group rows by the top `bucketBits` bits
    * of their z-value ("file-sized" z-ranges) and report each range's
    * row count and per-dimension min/max — the exact quantity parquet

@@ -73,6 +73,38 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("compact rewrites a small-file tail into the target file count, content-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 20000).select($"id", ($"id" % 97).as("k"))
+    df.repartition(40).write.parquet(dir) // a 40-small-file tail
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 40)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target half the data per file -> expect exactly 2 output files
+    val (nb, na) = Layout.compact(spark, dir, targetFileBytes = math.max(1L << 20, bytes / 2 + 1))
+    assert(nb == 40 && (na == 1 || na == 2), s"expected 1-2 compacted files, got $na")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 20000)
+    assert(back.agg(sum("id"), sum("k")).collect()(0) ==
+      df.agg(sum("id"), sum("k")).collect()(0), "content must survive the rewrite")
+    assert(!new java.io.File(dir + "_compact_tmp").exists())
+    assert(!new java.io.File(dir + "_compact_old").exists())
+    // sorted compaction: per-file min/max tight on the sort column
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    Layout.compact(spark, dir, targetFileBytes = math.max(1L << 20, bytes / 2 + 1),
+      sortCols = Seq("id"))
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(min("id"), max("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "sorted files must not overlap")
+      case _ =>
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("bucketed tables join with no Exchange on either side and round-trip every row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString
     val left = spark.range(0, 2000).select(($"id" % 500).as("k"), ($"id" * 3).as("a"))
