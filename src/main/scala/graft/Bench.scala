@@ -127,31 +127,44 @@ object Bench {
         s"${rd(loadavg(), 1)} on ${Runtime.getRuntime.availableProcessors} cpus): " +
         reruns.keys.mkString(", ") +
         " — on an idle machine re-run those queries before calling a regression")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val line = buildSummaryLine(results.toSeq, sfDir)
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars after every " +
+        "fallback — nearing the driver's 2000-char tail-capture window")
+    println(line)
+    spark.stop()
+  }
+
+  /**
+   * The ONE stdout line the driver tail-captures and parses — the
+   * whole round's bench signal rides on it, so the construction is
+   * extracted and unit-tested (BenchLineSpec). Precision adapts
+   * 3 -> 1 dp until the line fits `cap` chars; if even 1 dp
+   * overflows, the FASTEST per-query entries are dropped (failures,
+   * -1, are the loudest signal and always kept; so are the slowest
+   * timings) with an explicit `dropped` count — `value` totals every
+   * SUCCESSFUL query (failure sentinels no longer subtract from it),
+   * and full precision always lives on the stderr [bench-diag] line.
+   */
+  private[graft] def buildSummaryLine(results: Seq[(String, Double)], sfDir: String,
+                                      cap: Int = 1800): String = {
+    def rd(v: Double, dp: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def summaryLine(dp: Int): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + rd(v, dp) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${rd(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // Last resort when even 1 dp overflows (the surface keeps
-    // growing): keep every failure (-1 is the loudest signal) and the
-    // slowest timings, drop the fastest entries until the line fits,
-    // and say how many were dropped — "total" still sums ALL queries
-    // and the full map is always on the stderr [bench-diag] line.
     def truncatedLine(keep: Int): String = {
-      val ordered = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      val ordered = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       val keepSet = ordered.take(keep).map(_._1).toSet
       val qs = results.collect { case (k, v) if keepSet(k) => "\"" + k + "\":" + rd(v, 1) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${rd(total, 1)},"unit":"sec","queries":$qs,""" +
         s""""dropped":${results.size - keep},"sf":"$sfDir"}"""
     }
-    val line = (3 to 1 by -1).iterator.map(summaryLine).find(_.length <= 1800)
-      .orElse((results.size to 1 by -1).iterator.map(truncatedLine).find(_.length <= 1800))
+    (3 to 1 by -1).iterator.map(summaryLine).find(_.length <= cap)
+      .orElse((results.size to 1 by -1).iterator.map(truncatedLine).find(_.length <= cap))
       .getOrElse(truncatedLine(1))
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: summary line ${line.length} chars after every " +
-        "fallback — nearing the driver's 2000-char tail-capture window")
-    println(line)
-    spark.stop()
   }
 }
