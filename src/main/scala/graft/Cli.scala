@@ -38,6 +38,7 @@ object Cli {
       |  xmatch <location> <cat1> <cat2> [k] [dthreshDeg]
       |  query <name> <sfDir>
       |  list
+      |  compact <dir> [targetFileMB]
       |  profile <table.parquet> <col1,col2,...>
       |  validate <table.parquet> <check1,check2,...>
       |    checks: not_null:<col> | range:<col>:<lo>:<hi> | accepted:<col>:<v1|v2|...>
@@ -117,6 +118,13 @@ object Cli {
         }
       case "list" :: Nil =>
         Right(_ => SparkEntry.queries.keys.toSeq.sorted.foreach(println))
+      case "compact" :: dir :: rest if rest.length <= 1 =>
+        val targetMb = rest.headOption.map(_.toLong).getOrElse(128L) // eager: bad number -> usage
+        Right { spark =>
+          val (before, after) = graft.operators.Layout.compact(
+            spark, dir, targetMb * 1024L * 1024L)
+          println(s"$dir: $before -> $after files")
+        }
       case "profile" :: src :: cols :: Nil if cols.nonEmpty =>
         Right { spark =>
           graft.operators.Validate.profile(

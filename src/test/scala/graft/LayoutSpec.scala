@@ -101,6 +101,12 @@ class LayoutSpec extends SparkSpecBase {
       case Array((_, hi), (lo2, _)) => assert(hi < lo2, "sorted files must not overlap")
       case _ =>
     }
+    // the CLI face dispatches to the same operator
+    assert(Cli.parse(Array("compact", dir, "not_a_number")).isLeft)
+    Cli.parse(Array("compact", dir, "64")) match {
+      case Right(run) => run(spark)
+      case Left(m) => fail(s"compact must parse: $m")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir).getParentFile)
   }
