@@ -102,6 +102,65 @@ class PcaSpec extends SparkSpecBase {
       .getMessage.contains("ragged"))
   }
 
+  test("pca earns its keep: 8-dim candidate search + full-dim rerank recovers full-space neighbors") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // rank-8 planted corpus: 8 orthogonal Walsh (+-1 parity) directions
+    // with decaying scales + small isotropic noise. (The synthetic
+    // embeddings table is NOT low-rank -- ~half its variance lives in
+    // the tail dims, so no 8-dim sketch can preserve ITS neighbors;
+    // the funnel property needs data with actual structure.)
+    val rnd = new scala.util.Random(23)
+    def walsh(j: Int, i: Int): Double =
+      if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+    val dirs = Seq(1, 2, 4, 8, 16, 32, 3, 5) // distinct masks -> orthogonal Walsh rows
+    val data = (1 to 500).map { id =>
+      val coefs = dirs.indices.map(j => rnd.nextGaussian() * (10.0 - j))
+      (id.toLong, Array.tabulate(64) { i =>
+        (dirs.indices.map(j => coefs(j) * walsh(dirs(j), i)).sum
+          + rnd.nextGaussian() * 0.05).toFloat
+      })
+    }
+    val emb = data.toDF("vec_id", "embedding")
+    val m = Pca.fit(emb, "embedding", 8)
+    assert(m.explainedE6.sum > 990000L,
+      s"8 planted directions must carry ~all variance: ${m.explainedE6.sum}")
+    // L2 is what an orthogonal projection preserves (centering is a
+    // translation -- pairwise distances unchanged; only the discarded
+    // dims' variance distorts). Truth: exact full-space L2 top-5.
+    val queries = emb.limit(8).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def rank5(scored: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = scored
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(round(col("d"), 9).asc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = rank5(emb.crossJoin(broadcast(queries))
+      .withColumn("d", graft.functions.native.l2Sq(col("embedding"), col("q_vec"))))
+    // candidates from the 8-dim projections (4x over-fetch), exact
+    // full-space rerank of the bounded candidate list only
+    val reduced = Pca.transform(emb, "embedding", m)
+      .select(col("vec_id"), col("proj").cast("array<float>").as("rvec"))
+    val rQueries = Pca.transform(queries, "q_vec", m)
+      .select(col("q_id"), col("proj").cast("array<float>").as("rq"))
+    val cand = reduced.join(broadcast(rQueries))
+      .withColumn("d", graft.functions.native.l2Sq(col("rvec"), col("rq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(round(col("d"), 9).asc, col("vec_id").asc)))
+      .filter(col("rn") <= 20)
+      .select("q_id", "vec_id")
+    val reranked = rank5(cand
+      .join(emb, "vec_id")
+      .join(queries, "q_id")
+      .withColumn("d", graft.functions.native.l2Sq(col("embedding"), col("q_vec"))))
+    val recalls = truth.keys.toSeq.map { q =>
+      (truth(q) intersect reranked.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall@5 through the 8-dim L2 funnel: $mean (${recalls.sorted})")
+  }
+
   test("fit on the real embeddings table composes with transform") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val m = Pca.fit(emb, "embedding", 8)
