@@ -778,6 +778,30 @@ object QueryRegistry {
       FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
       ORDER BY c_custkey"""))
 
+  /** Exact whole-table order statistics (quartiles + max of every
+   *  event value) via histogram-refinement selection — bounded state
+   *  (2^16 counters/target) and <= 4 scans where exact percentile()
+   *  would buffer the entire column in one aggregation buffer. */
+  private val q_exact_quantiles = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .filter(col("cents").isNotNull)
+      val n = ev.count()
+      val ks = Seq(n / 4, n / 2, 3 * n / 4, n).filter(_ >= 1).distinct
+      val res = graft.operators.Rank.kthSmallest(ev, "cents", ks)
+      import s.implicits._
+      res.toSeq.map { case (k, v) => (k, v) }.toDF("k", "value").orderBy("k")
+    },
+    Some("""WITH v AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+        WHERE value IS NOT NULL),
+      n AS (SELECT count(*) AS n FROM v),
+      ks AS (SELECT DISTINCT unnest([n // 4, n // 2, 3 * n // 4, n]) AS k FROM n),
+      sorted AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM v)
+      SELECT k, (SELECT cents FROM sorted WHERE rn = k) AS value
+      FROM ks WHERE k >= 1 ORDER BY k"""))
+
   /** Per-group winsorization of event values (exact-percentile
    *  clipping in integer cents), aggregated to per-type clipped
    *  sums — the feature-cleaning stage before model aggregates. */
@@ -2412,6 +2436,7 @@ object QueryRegistry {
     "q10_returns" -> q10_returns,
     "q_merge" -> q_merge,
     "q_winsorize" -> q_winsorize,
+    "q_exact_quantiles" -> q_exact_quantiles,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,

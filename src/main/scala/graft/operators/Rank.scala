@@ -16,14 +16,6 @@ import org.apache.spark.sql.functions._
  */
 object Rank {
 
-  /**
-   * Global row_number (1-based) by `sortCols` — ties must be broken
-   * by the caller (include a unique id as the last sort column, or
-   * the assignment between equal keys is partitioning-dependent).
-   * Plan: one range Exchange + local sorts + a partition-count
-   * collect (numPartitions longs) + a map-only index pass. Output:
-   * input columns + `rank`.
-   */
   /** Core: ranked frame + total row count (the count is free — it is
    *  the sum of the partition sizes the offset walk already
    *  collected). The range-exchange shuffle files are reused between
@@ -69,6 +61,88 @@ object Rank {
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       numPartitions: Int = 0): DataFrame =
     rankedWithCount(df, sortCols, numPartitions)._1
+
+  /**
+   * Exact k-th smallest values (order statistics) of an integral
+   * column over the WHOLE frame — the regime where exact
+   * `percentile()` breaks down: Spark's exact percentile aggregate
+   * buffers every value of a group in executor memory, fine for
+   * bounded groups, fatal for "the median of the whole 100 TB
+   * column". This computes exact answers with bounded state via
+   * histogram refinement: each round histograms the current
+   * candidate range into 2^16 buckets (ONE map-side-combined
+   * aggregate scan, 2^16 longs of state), walks the cumulative
+   * counts to find each k's bucket, and narrows. Range shrinks
+   * 65536x per round, so any 64-bit domain resolves in <= 4 scans —
+   * for ALL requested ks together (ks in the same bucket share the
+   * narrowing). Ties and duplicates are handled exactly: the answer
+   * is the value at 1-based position k in the sorted multiset.
+   *
+   * Returns k -> value. NULLs are excluded (document the contract
+   * at the call site); ks must lie in [1, n].
+   */
+  def kthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long]): Map[Long, Long] = {
+    require(ks.nonEmpty, "kthSmallest: no ranks requested")
+    Sampling.requireIntegralId(df, valueCol, "kthSmallest")
+    val vals = df.select(col(valueCol).cast("long").as("v")).filter(col("v").isNotNull)
+    val first = vals.agg(count(lit(1)), min("v"), max("v")).first()
+    val n = first.getLong(0)
+    require(n > 0, "kthSmallest: no non-null values")
+    ks.foreach(k => require(k >= 1 && k <= n, s"kthSmallest: rank $k outside [1, $n]"))
+    require(BigInt(first.getLong(2)) - BigInt(first.getLong(1)) <= BigInt(Long.MaxValue),
+      "kthSmallest: value range exceeds 2^63 — rescale the column first")
+    val buckets = 1 << 16
+    // active targets: (k, remaining rank within [lo, hi], lo, hi)
+    var active: Seq[(Long, Long, Long, Long)] =
+      ks.map(k => (k, k, first.getLong(1), first.getLong(2)))
+    val resolved = scala.collection.mutable.Map.empty[Long, Long]
+    var rounds = 0
+    while (active.nonEmpty && rounds < 8) { // 4 suffice for 64-bit; 8 is a hard stop
+      rounds += 1
+      active.filter { case (_, _, lo, hi) => lo == hi }
+        .foreach { case (k, _, lo, _) => resolved(k) = lo }
+      active = active.filter { case (_, _, lo, hi) => lo < hi }
+      if (active.nonEmpty) {
+        // ONE scan histograms every open range at once: explode to
+        // (target, bucket) pairs (<= |ks| per row, a handful),
+        // aggregate map-side; state <= targets x 2^16 longs
+        val pairs = active.zipWithIndex.map { case ((_, _, lo, hi), i) =>
+          val w = math.max(1L, (hi - lo) / buckets + 1)
+          // integer div — Column./ is DOUBLE division, whose ulp would
+          // misplace boundary values into the wrong bucket
+          struct(lit(i.toLong).as("t"),
+            when(col("v") >= lo && col("v") <= hi, expr(s"(v - ${lo}L) div ${w}L"))
+              .otherwise(lit(-1L)).as("b"))
+        }
+        val hist = vals.select(explode(array(pairs: _*)).as("p"))
+          .filter(col("p.b") >= 0)
+          .groupBy(col("p.t").as("t"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        active = active.zipWithIndex.map { case ((k, rem, lo, hi), i) =>
+          val w = math.max(1L, (hi - lo) / buckets + 1)
+          var cum = 0L
+          var b = 0L
+          var found = false
+          var remIn = rem
+          while (!found && b < buckets + 1) {
+            val c = hist.getOrElse((i.toLong, b), 0L)
+            if (cum + c >= rem) { found = true; remIn = rem - cum }
+            else { cum += c; b += 1 }
+          }
+          require(found, s"kthSmallest: rank $k not found in [$lo, $hi] — histogram hole")
+          val newLo = lo + b * w
+          val newHi = math.min(hi, newLo + w - 1)
+          (k, remIn, newLo, newHi)
+        }
+      }
+    }
+    active.foreach { case (k, _, lo, hi) =>
+      require(lo == hi, s"kthSmallest: rank $k unresolved after $rounds rounds ([$lo,$hi])")
+      resolved(k) = lo
+    }
+    resolved.toMap
+  }
 
   /**
    * Curriculum phase assignment: global rank by `scoreCols` (easy ->

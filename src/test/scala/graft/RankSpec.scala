@@ -42,6 +42,33 @@ class RankSpec extends SparkSpecBase {
     assert(perPart.length > 1, "the sort must actually be distributed")
   }
 
+  test("kthSmallest: exact on duplicate-heavy, negative and wide-range multisets") {
+    val rnd = new scala.util.Random(31)
+    val data: Seq[Long] =
+      Seq.fill(500)(rnd.nextInt(20).toLong) ++          // heavy duplicates
+      Seq.fill(300)(-rnd.nextInt(1000).toLong) ++       // negatives
+      Seq.fill(200)(rnd.nextLong() % (1L << 60)) ++     // wide range
+      Seq(Long.MinValue / 4, Long.MaxValue / 4)         // extremes within the range guard
+    val sorted = data.sorted
+    val df = data.map(Tuple1(_)).toDF("v").repartition(7)
+    val ks = Seq(1L, 2L, 77L, data.size / 2L, data.size - 1L, data.size.toLong)
+    val got = graft.operators.Rank.kthSmallest(df, "v", ks)
+    ks.foreach { k =>
+      assert(got(k) == sorted((k - 1).toInt), s"k=$k: got ${got(k)}, want ${sorted((k - 1).toInt)}")
+    }
+    // nulls excluded, guards loud
+    val withNulls = (data.map(Option(_)) ++ Seq.fill(50)(Option.empty[Long])).toDF("v")
+    assert(graft.operators.Rank.kthSmallest(withNulls, "v", Seq(1L))(1L) == sorted.head)
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Rank.kthSmallest(df, "v", Seq(0L))).getMessage.contains("outside"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Rank.kthSmallest(df, "v", Seq(data.size + 1L))).getMessage.contains("outside"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Rank.kthSmallest(
+        Seq(Long.MinValue, Long.MaxValue).map(Tuple1(_)).toDF("v"), "v", Seq(1L)))
+      .getMessage.contains("2^63"))
+  }
+
   test("curriculum reproduces exact ntile semantics including the n < phases edge") {
     val df = (1 to 103).map(i => ((i * 37 % 103).toLong, i.toLong)).toDF("score", "id")
     for (k <- Seq(1, 4, 5, 103, 200)) {
