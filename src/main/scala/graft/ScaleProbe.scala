@@ -107,6 +107,10 @@ object ScaleProbe {
           big.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
             .filter(length(col("term")) > 0),
           "term", k = 32).count())
+    time(s"kthSmallest (exact median+p99 of ${replicas}x doc lengths)")(
+      graft.operators.Rank.kthSmallest(
+        big.select(length(col("text")).cast("long").as("len")), "len",
+        Seq(total / 2, total * 99 / 100)).size.toLong)
     time(s"globalRowNumber + curriculum over ${replicas}x docs")(
       graft.operators.Rank.curriculum(
           big.select(col("doc_id"), length(col("text")).as("len")),

@@ -55,4 +55,79 @@ object Merge {
     }
     joined.select(merged: _*)
   }
+
+  /**
+   * Streaming apply (the CDC-apply shape): fold each micro-batch of
+   * updates into a parquet snapshot — foreachBatch, keep-last per
+   * key WITHIN the batch by `orderCol` (a micro-batch can carry
+   * several versions of one key; picking the latest makes the fold
+   * equal to replaying events in order), [[upsert]] into the current
+   * snapshot, stage + atomic dir swap (the [[Layout.compact]]
+   * rename discipline — readers see old or new, never a mix).
+   *
+   * Semantics: VERSION-AWARE, not last-writer-wins — an update lands
+   * only if its `orderCol` is >= the snapshot row's (the
+   * last-write-wins REGISTER fold, commutative and idempotent over
+   * versions). So the final snapshot equals the global
+   * keep-highest-version fold of the whole stream whatever the
+   * micro-batch boundaries OR arrival order, and re-running a failed
+   * batch is a no-op — foreachBatch's at-least-once becomes
+   * effectively-once (both asserted in StreamingSpec with forced
+   * multi-batch ingestion). At scale the snapshot lives bucketed on
+   * the key ([[Layout.writeBucketed]]) so each apply shuffles only
+   * the micro-batch.
+   */
+  def upsertStream(updates: DataFrame, snapshotDir: String, key: String,
+                   orderCol: String, checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, snapshotDir, key, orderCol)
+      }
+      .start()
+  }
+
+  /** One CDC apply step (extracted so batch tests and foreachBatch
+   *  share the exact code path). */
+  def applyBatch(batch: DataFrame, snapshotDir: String, key: String,
+                 orderCol: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(orderCol).desc, col(key))
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val hPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(hPath)) latest
+      else {
+        // version-aware fold: the update wins only at orderCol >= the
+        // snapshot's — NOT plain upsert (whose last-writer-wins would
+        // make replays and out-of-order batches clobber newer rows)
+        val base = spark.read.parquet(snapshotDir)
+        val cols = base.columns
+        def bc(c: String) = col(s"__cb.$c")
+        def uc(c: String) = col(s"__cu.$c")
+        val updateWins = uc(key).isNotNull &&
+          (bc(key).isNull || uc(orderCol) >= bc(orderCol))
+        base.alias("__cb")
+          .join(latest.alias("__cu"), bc(key) === uc(key), "full_outer")
+          .select(cols.map { c =>
+            (if (c == key) coalesce(uc(key), bc(key))
+             else when(updateWins, uc(c)).otherwise(bc(c))).as(c)
+          }: _*)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_apply_tmp")
+    val old = new org.apache.hadoop.fs.Path(snapshotDir + "_apply_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(hPath)) require(fs.rename(hPath, old), s"apply: rename $snapshotDir failed")
+    require(fs.rename(tmp, hPath), s"apply: rename $tmp -> $snapshotDir failed")
+    fs.delete(old, true)
+  }
 }

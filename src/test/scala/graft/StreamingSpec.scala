@@ -23,6 +23,46 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming CDC apply: multi-batch upsert fold equals the batch keep-last snapshot") {
+    import org.apache.spark.sql.functions._
+    val ev = EventsTable.normalizeTs(
+        spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val updDir = s"$root/updates"
+    // two files -> two micro-batches (maxFilesPerTrigger=1): the fold
+    // must be associative across the batch boundary
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$updDir/f1.parquet")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$updDir/f2.parquet")
+    val snapDir = s"$root/snapshot"
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$updDir/*/")
+    val q = graft.operators.Merge.upsertStream(src, snapDir, "user_id", "event_id",
+      s"$root/ckpt")
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2, "two files must arrive as separate micro-batches")
+    val got = spark.read.parquet(snapDir)
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch truth: keep the row with the highest event_id per user
+    val expect = ev.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"CDC fold must equal the batch keep-last (${got.size}/${expect.size})")
+    // re-applying the last batch is idempotent (at-least-once safety)
+    graft.operators.Merge.applyBatch(
+      spark.read.parquet(s"$updDir/f2.parquet"), snapDir, "user_id", "event_id")
+    val again = spark.read.parquet(snapDir)
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == expect, "re-applied batch must be a no-op")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming validation monitor equals the batch windowed violation counts") {
     import graft.operators.Validate
     import graft.operators.Validate._
