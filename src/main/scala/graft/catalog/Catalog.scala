@@ -74,6 +74,48 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
    * margins and density map folded in (see [[HipsPartitioner.append]]).
    * Columns must carry the catalog's ra/dec/id keywords.
    */
+  /**
+   * Compact every partition leaf of the catalog (and its margin
+   * cache): incremental [[append]]s leave one file per append per
+   * pixel — the small-file tail that turns 100 TB scans into footer
+   * parsing. Walks the `Norder=K/Dir=D/Npix=P` leaves and applies
+   * [[graft.operators.Layout.compact]]'s staged-swap rewrite to any
+   * leaf with more than one file (sorted by `_ID` within files, the
+   * import-time order). The leaf walk is driver-side but bounded by
+   * the partition map (the same cardinality every catalog operation
+   * already lists); each leaf rewrite is its own small Spark job.
+   * Returns (leaves compacted, files before, files after).
+   */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(root: String): Seq[org.apache.hadoop.fs.Path] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val dirs = scala.collection.mutable.Set.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) dirs += f.getPath.getParent
+        }
+        dirs.toSeq
+      }
+    }
+    var (done, before, after) = (0, 0, 0)
+    for (leaf <- leaves(s"$location/$catname") ++ leaves(s"$location/${catname}_neighbor")) {
+      val n = fs.listStatus(leaf).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      before += n
+      if (n > 1) {
+        val (_, a) = graft.operators.Layout.compact(
+          spark, leaf.toString, targetFileBytes, sortCols = Seq("_ID"))
+        done += 1
+        after += a
+      } else after += n
+    }
+    (done, before, after)
+  }
+
   def append(df: DataFrame): Catalog = {
     HipsPartitioner.append(df, raKw, decKw, idKw, location, catname)
     this

@@ -508,6 +508,28 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("catalog compaction: append tails fold to one file per leaf, search + margin parity") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compactcat").toString
+    HipsPartitioner.write(li.filter(col("k") % 2 === 0), "cra", "cdec", "k",
+      out, "cc", orderK = 4, threshold = 500, marginDeg = 1.0)
+    HipsPartitioner.append(li.filter(col("k") % 2 =!= 0), "cra", "cdec", "k", out, "cc")
+    val cat = Catalog.open(spark, out, "cc")
+    val beforeRows = cat.load().orderBy("_ID").collect().toSeq
+    val cone0 = cat.coneSearch(180.0, 0.0, 30.0).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val (done, nb, na) = cat.compact()
+    assert(done > 0, "append must have left multi-file leaves to compact")
+    assert(na < nb, s"file count must shrink: $nb -> $na")
+    // one file per leaf at this data size
+    assert(cat.compact()._1 == 0, "second compaction must be a no-op")
+    assert(cat.load().orderBy("_ID").collect().toSeq == beforeRows,
+      "compaction must preserve every row and the _ID order")
+    val cone1 = cat.coneSearch(180.0, 0.0, 30.0).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cone1 == cone0 && cone1.nonEmpty, "pruned search parity after compaction")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("ingest path is UDF-free and stays inside WholeStageCodegen") {
     val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
     val assignPlan = HipsPartitioner.withPartitionColumns(li, "cra", "cdec", pm)
