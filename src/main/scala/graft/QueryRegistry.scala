@@ -866,10 +866,15 @@ object QueryRegistry {
   private val q_bucketed = QueryDef(
     (s, dir) => {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // per-invocation temp root: a FIXED path would let two
+      // processes at the same SF clobber each other's bucket files
+      // mid-join (the same hazard SPARK_GRAFT_AUX_DIR closes for the
+      // oracle aux); table names stay per-JVM-catalog-scoped
+      val root = java.nio.file.Files.createTempDirectory(s"graft_bucketed$tag").toString
       graft.operators.Layout.writeBucketed(t(s, dir, "orders"),
-        s"graft_bkt_orders$tag", s"/tmp/graft_bucketed$tag/orders", Seq("o_custkey"), 8)
+        s"graft_bkt_orders$tag", s"$root/orders", Seq("o_custkey"), 8)
       graft.operators.Layout.writeBucketed(t(s, dir, "customer"),
-        s"graft_bkt_customer$tag", s"/tmp/graft_bucketed$tag/customer", Seq("c_custkey"), 8)
+        s"graft_bkt_customer$tag", s"$root/customer", Seq("c_custkey"), 8)
       s.table(s"graft_bkt_orders$tag")
         .join(s.table(s"graft_bkt_customer$tag"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")

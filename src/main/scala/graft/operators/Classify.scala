@@ -36,8 +36,12 @@ object Classify {
    *  per label with (c_l, n_l); `stats` is a 1-row frame with
    *  (vocabulary size v, total training docs n). All declarative —
    *  no driver action at train time. */
-  final case class NbModel(termMap: DataFrame, classes: DataFrame, stats: DataFrame) {
-    def unpersist(): Unit = { termMap.unpersist(); () }
+  final case class NbModel(termMap: DataFrame, classes: DataFrame, stats: DataFrame,
+                           private[operators] val counts: DataFrame) {
+    /** Releases the persisted (label, term) count table every model
+     *  face derives from (the frame trainNb actually cached —
+     *  unpersisting a derived face would be a silent no-op). */
+    def unpersist(): Unit = { counts.unpersist(); () }
   }
 
   /** Normalized non-empty tokens, one row per (id, term) — the
@@ -64,7 +68,7 @@ object Classify {
         .agg(count(lit(1)).as("__n_l")), "__label")
     val stats = lt.agg(countDistinct("__term").as("__v"))
       .crossJoin(labeled.agg(count(lit(1)).as("__n")))
-    NbModel(termMap, classes, stats)
+    NbModel(termMap, classes, stats, lt)
   }
 
   /**

@@ -96,10 +96,16 @@ object Layout {
    * cost more in overhead than the scan itself). Rewrites a FLAT
    * parquet directory into ceil(totalBytes / targetFileBytes)
    * files (optionally sorted within files for locality + footer
-   * min/max tightness), staged to a sibling `_compact_tmp` dir and
-   * swapped in via two renames — readers see either the old or the
-   * new file set, never a mix. Hive-partitioned catalogs compact
-   * per partition directory (call this on each leaf).
+   * min/max tightness), staged to an underscore-prefixed SIBLING dir
+   * (invisible to Spark partition discovery, so staging inside a
+   * hive tree is safe) and swapped in via two metadata renames.
+   * Single-writer discipline: a reader racing the swap itself can
+   * briefly observe the directory missing (two renames cannot be
+   * one atom on a filesystem without transactions); a crash between
+   * the renames strands the data at the `_compact_old_` sibling,
+   * which the NEXT compact (or any caller invoking this) recovers
+   * automatically before proceeding. Hive-partitioned catalogs
+   * compact per partition directory (call this on each leaf).
    * Returns (filesBefore, filesAfter).
    */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -107,14 +113,23 @@ object Layout {
               sortCols: Seq[String] = Nil): (Int, Int) = {
     require(targetFileBytes >= 1024 * 1024,
       s"compact: targetFileBytes must be >= 1 MiB (got $targetFileBytes)")
+    // Path arithmetic, not string concat: Path normalizes trailing
+    // slashes (dir + "_tmp" on "/data/foo/" would nest the staging
+    // dir INSIDE the live data); the underscore prefix keeps both
+    // siblings out of Spark partition discovery
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hPath).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val qualified = fs.makeQualified(hPath)
+    val tmp = new org.apache.hadoop.fs.Path(qualified.getParent, s"_compact_tmp_${qualified.getName}")
+    val old = new org.apache.hadoop.fs.Path(qualified.getParent, s"_compact_old_${qualified.getName}")
+    // crash recovery: a death between the two swap renames leaves the
+    // data only at `old` — restore before doing anything else
+    if (!fs.exists(qualified) && fs.exists(old))
+      require(fs.rename(old, qualified), s"compact: recovery rename $old -> $qualified failed")
+    val files = fs.listStatus(qualified).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     require(files.nonEmpty, s"compact: no parquet files under $dir")
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
     val df = spark.read.parquet(dir)
     val arranged =
@@ -123,10 +138,10 @@ object Layout {
       else df.repartition(nOut)
     arranged.write.mode("overwrite").parquet(tmp.toString)
     // swap: dir -> _old, tmp -> dir, drop _old (two metadata renames)
-    require(fs.rename(hPath, old), s"compact: rename $dir -> $old failed")
-    require(fs.rename(tmp, hPath), s"compact: rename $tmp -> $dir failed")
+    require(fs.rename(qualified, old), s"compact: rename $dir -> $old failed")
+    require(fs.rename(tmp, qualified), s"compact: rename $tmp -> $dir failed")
     fs.delete(old, true)
-    val after = fs.listStatus(hPath).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val after = fs.listStatus(qualified).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (files.length, after)
   }
 

@@ -97,12 +97,24 @@ object Merge {
                  orderCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // tiebreak beyond (orderCol, key): key is the partition column
+    // (constant within the window), so two same-version rows for one
+    // key would otherwise get a PARTITIONING-DEPENDENT winner — a
+    // replayed batch could then persist the other row. The row-hash
+    // tiebreak makes keep-last a deterministic function of the data.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(orderCol).desc, col(key))
+      .partitionBy(col(key))
+      .orderBy(col(orderCol).desc, xxhash64(struct(batch.columns.map(col): _*)).asc)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val hPath = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qq = fs.makeQualified(hPath)
+    val oldRec = new org.apache.hadoop.fs.Path(qq.getParent, s"_apply_old_${qq.getName}")
+    // crash recovery BEFORE reading: a death between the swap renames
+    // left the snapshot only at the _apply_old_ sibling
+    if (!fs.exists(qq) && fs.exists(oldRec))
+      require(fs.rename(oldRec, qq), s"apply: recovery rename $oldRec -> $qq failed")
     val merged =
       if (!fs.exists(hPath)) latest
       else {
@@ -122,12 +134,16 @@ object Merge {
              else when(updateWins, uc(c)).otherwise(bc(c))).as(c)
           }: _*)
       }
-    val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_apply_tmp")
-    val old = new org.apache.hadoop.fs.Path(snapshotDir + "_apply_old")
-    fs.delete(tmp, true); fs.delete(old, true)
+    // Path arithmetic + underscore prefix (the Layout.compact swap
+    // discipline): trailing-slash-safe, invisible to partition
+    // discovery; crash between renames recovers on the next apply
+    val q = fs.makeQualified(hPath)
+    val tmp = new org.apache.hadoop.fs.Path(q.getParent, s"_apply_tmp_${q.getName}")
+    val old = new org.apache.hadoop.fs.Path(q.getParent, s"_apply_old_${q.getName}")
+    fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(hPath)) require(fs.rename(hPath, old), s"apply: rename $snapshotDir failed")
-    require(fs.rename(tmp, hPath), s"apply: rename $tmp -> $snapshotDir failed")
+    if (fs.exists(q)) require(fs.rename(q, old), s"apply: rename $snapshotDir failed")
+    require(fs.rename(tmp, q), s"apply: rename $tmp -> $snapshotDir failed")
     fs.delete(old, true)
   }
 }

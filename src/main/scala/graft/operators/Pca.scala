@@ -30,15 +30,19 @@ object Pca {
 
   /** mean/components are row vectors of length d; components are the
    *  top-m eigenvectors of the covariance, eigenvalue-descending;
-   *  explainedE6 = floor(1e6 * lambda_j / trace). */
+   *  `trace` is the FULL covariance trace (total variance across all
+   *  d dims — not just the m retained), so
+   *  explainedE6 = floor(1e6 * lambda_j / trace) honestly reports
+   *  how much variance the kept components capture: fitting m=8 on
+   *  isotropic 64-dim noise reports ~125000, not ~1e6. */
   final case class PcaModel(n: Long, mean: Array[Double],
                             eigenvalues: Array[Double],
-                            components: Array[Array[Double]]) {
+                            components: Array[Array[Double]],
+                            trace: Double) {
     def dim: Int = mean.length
     def explainedE6: Array[Long] = {
-      val tot = eigenvalues.sum
-      if (tot <= 0) eigenvalues.map(_ => 0L)
-      else eigenvalues.map(l => math.floor(l / tot * 1e6).toLong)
+      if (trace <= 0) eigenvalues.map(_ => 0L)
+      else eigenvalues.map(l => math.floor(l / trace * 1e6).toLong)
     }
   }
 
@@ -105,7 +109,7 @@ object Pca {
       val pivot = v.indices.maxBy(r => (math.abs(v(r)), -r))
       if (v(pivot) < 0) v.map(-_) else v
     }.toArray
-    PcaModel(n, mean, topVals, topVecs)
+    PcaModel(n, mean, topVals, topVecs, (0 until d).map(i => cov(i)(i)).sum)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

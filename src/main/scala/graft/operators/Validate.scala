@@ -64,8 +64,10 @@ object Validate {
     val rowResults: Map[Check, (Long, Long)] =
       if (rowChecks.isEmpty) Map.empty
       else {
+        // coalesce: sums over an EMPTY table are NULL, and an empty
+        // snapshot/partition is a legitimate gate input
         val aggs = rowChecks.zipWithIndex.map { case (c, i) =>
-          sum(when(violation(c), 1L).otherwise(0L)).as(s"v$i")
+          coalesce(sum(when(violation(c), 1L).otherwise(0L)), lit(0L)).as(s"v$i")
         }
         val r = df.agg(count(lit(1)).as("n"), aggs: _*).first()
         val n = r.getLong(0)
@@ -163,7 +165,8 @@ object Validate {
     }
     val aggs: Seq[Column] = cols.flatMap { c =>
       val dt = schema(c).dataType
-      val base = Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+      val base = Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__nulls_$c"))
       val num: Seq[Column] =
         if (isNum(dt)) Seq(
           round(min(col(c)).cast("double"), 6).as(s"__minn_$c"),

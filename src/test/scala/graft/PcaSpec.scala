@@ -56,6 +56,14 @@ class PcaSpec extends SparkSpecBase {
       val p = v.indices.maxBy(r => (math.abs(v(r)), -r))
       assert(v(p) > 0, "sign canonicalization")
     }
+    // explainedE6 honesty: the denominator is the FULL trace, so
+    // fitting m=4 on ISOTROPIC 16-dim noise must report ~25%, never
+    // ~100% (the retained-sum denominator bug this guards against)
+    val rnd = new scala.util.Random(41)
+    val iso = (1 to 400).map(_ => Tuple1(Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("embedding")
+    val mIso = Pca.fit(iso, "embedding", 4)
+    assert(mIso.explainedE6.sum < 500000L && mIso.explainedE6.sum > 150000L,
+      s"isotropic 4/16 must explain ~25%: ${mIso.explainedE6.sum}")
   }
 
   test("jacobi matches a hand-checkable 2x2 and cross-partition fits agree to tolerance") {

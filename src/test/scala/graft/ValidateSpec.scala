@@ -108,6 +108,17 @@ class ValidateSpec extends SparkSpecBase {
     }
   }
 
+  test("empty TABLE: every check passes with zero violations; profile reports zero rows") {
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "v", "flag")
+    val rep = Validate.validate(empty, Seq(
+      NotNull("id"), InRange("v", 0, 1), Accepted("flag", Seq("A")), Unique("id")))
+      .collect()
+    assert(rep.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 1L),
+      "an empty snapshot is a legitimate gate input — all pass, no NPE")
+    val prof = Validate.profile(empty, Seq("id", "v", "flag")).collect()
+    assert(prof.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.isNullAt(3)))
+  }
+
   test("empty suite refused; report preserves suite order") {
     assert(intercept[IllegalArgumentException](
       Validate.validate(table, Nil)).getMessage.contains("empty check suite"))
