@@ -778,6 +778,23 @@ object QueryRegistry {
       FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
       ORDER BY c_custkey"""))
 
+  /** Skew-salted equi-join (the generalized hot-key spread): results
+   *  must be row-identical to the plain join — the oracle IS the
+   *  plain join. Aggregated per priority with per-item floored
+   *  integer sums (exact long arithmetic). */
+  private val q_skewjoin = QueryDef(
+    (s, dir) => graft.operators.Skew.saltedJoin(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice")).cast("long")).as("sum_price_fl"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_fl
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Exact whole-table order statistics (quartiles + max of every
    *  event value) via histogram-refinement selection — bounded state
    *  (2^16 counters/target) and <= 4 scans where exact percentile()
@@ -2442,6 +2459,7 @@ object QueryRegistry {
     "q_merge" -> q_merge,
     "q_winsorize" -> q_winsorize,
     "q_exact_quantiles" -> q_exact_quantiles,
+    "q_skewjoin" -> q_skewjoin,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,
