@@ -169,6 +169,41 @@ object Pca {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /**
+   * Johnson-Lindenstrauss random projection — the data-INDEPENDENT
+   * sibling of [[fit]]/[[transform]]: a fixed +-1/sqrt(m) sign
+   * matrix (Achlioptas 2003) preserves pairwise L2 distances within
+   * (1 +- eps) w.h.p. at m = O(log n / eps^2), with NO fitting pass
+   * — it works on a stream, before any data exists, and never needs
+   * refreshing as the corpus grows (PCA needs all three). Entries
+   * are dyadic and derived from a Knuth hash of (seed, row, col) —
+   * the [[Ann]] hyperplane determinism recipe — so the projection is
+   * reproducible everywhere with no stored model. Map-only, one
+   * aggregate(zip_with) fold per output dim.
+   */
+  def randomProjection(df: DataFrame, vecCol: String, dim: Int, m: Int,
+                       seed: Long = 42L): DataFrame = {
+    require(m >= 1 && dim >= 1, s"randomProjection: need m, dim >= 1 (got $m, $dim)")
+    val scale = 1.0 / math.sqrt(m.toDouble)
+    // splitmix64 finalizer: a single multiplicative round leaves
+    // consecutive (j, i) cells CORRELATED in any fixed bit (measured
+    // distortion envelope [0.04, 4.8] vs the expected ~[0.5, 2] at
+    // m=32) — full avalanche restores the independent-sign model
+    def sign(j: Int, i: Int): Double = {
+      var z = seed * 0x9e3779b97f4a7c15L + (j.toLong * dim + i) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      if ((z & 1L) == 0L) scale else -scale
+    }
+    val xs = col(vecCol).cast("array<double>")
+    val projs: Seq[Column] = (0 until m).map { j =>
+      val rowLit = array((0 until dim).map(i => lit(sign(j, i))): _*)
+      aggregate(zip_with(xs, rowLit, (x, w) => x * w), lit(0.0), (acc, y) => acc + y)
+    }
+    df.withColumn("rproj", array(projs: _*))
+  }
+
   /** Map-only projection onto the model's components: one
    *  `aggregate(zip_with(...))` fold per component with the centered
    *  component literals inlined (x . v - mu . v), no UDF. Output:

@@ -169,6 +169,33 @@ class PcaSpec extends SparkSpecBase {
     assert(mean >= 0.85, s"mean recall@5 through the 8-dim L2 funnel: $mean (${recalls.sorted})")
   }
 
+  test("random projection: JL distance preservation, determinism, map-only, no fit pass") {
+    val rnd = new scala.util.Random(53)
+    val data = (1L to 60L).map(id => (id, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val proj = Pca.randomProjection(df, "embedding", dim = 64, m = 32)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "projection must be map-only")
+    val p = proj.select("vec_id", "rproj").as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = data.map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    val ratios = for {
+      i <- data.map(_._1); j <- data.map(_._1) if i < j
+    } yield d2(p(i), p(j)) / d2(orig(i), orig(j))
+    assert(ratios.forall(r => r > 0.3 && r < 2.2),
+      s"JL distortion envelope at m=32: [${ratios.min}, ${ratios.max}]")
+    val meanDev = ratios.map(r => math.abs(r - 1)).sum / ratios.size
+    assert(meanDev < 0.25, s"mean distance distortion should be small: $meanDev")
+    // deterministic: same seed -> identical projections; different seed -> different
+    val again = Pca.randomProjection(df.repartition(5), "embedding", 64, 32)
+      .select("vec_id", "rproj").as[(Long, Seq[Double])].collect().toMap
+    assert(again == p, "same seed must reproduce bit-identically across partitionings")
+    val other = Pca.randomProjection(df, "embedding", 64, 32, seed = 7L)
+      .select("rproj").as[Seq[Double]].head()
+    assert(other != p(1L), "different seed must project differently")
+  }
+
   test("fit on the real embeddings table composes with transform") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val m = Pca.fit(emb, "embedding", 8)
