@@ -778,6 +778,33 @@ object QueryRegistry {
       FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
       ORDER BY c_custkey"""))
 
+  /** TPC-H Q19 pattern (disjunctive bracket predicates over a join):
+   *  the OR-of-conjunctions shape that exercises Catalyst's CNF
+   *  extraction — each side's derivable OR slice pushes below the
+   *  join into the scans (plan-asserted in R9PlanSpec). Revenue in
+   *  per-item integer cents (exact long sum). */
+  private val q19_brackets = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      def bracket(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(bracket("Brand#1", 15, 1, 11) ||
+          bracket("Brand#2", 25, 10, 20) ||
+          bracket("Brand#3", 35, 20, 30))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"))
+    },
+    Some("""SELECT count(*) AS n,
+      CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""))
+
   /** Skew-salted equi-join (the generalized hot-key spread): results
    *  must be row-identical to the plain join — the oracle IS the
    *  plain join. Aggregated per priority with per-item floored
@@ -2460,6 +2487,7 @@ object QueryRegistry {
     "q_winsorize" -> q_winsorize,
     "q_exact_quantiles" -> q_exact_quantiles,
     "q_skewjoin" -> q_skewjoin,
+    "q19_brackets" -> q19_brackets,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,

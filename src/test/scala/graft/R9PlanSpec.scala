@@ -58,6 +58,18 @@ class R9PlanSpec extends SparkSpecBase {
       s"model joins must broadcast, never shuffle the token stream:\n$plan")
   }
 
+  test("q19_brackets: each side's OR slice pushes below the join into its scan") {
+    val plan = planOf("q19_brackets")
+    // Catalyst's CNF extraction must derive a part-only OR (brand and
+    // size brackets) and push it into the part scan's PushedFilters —
+    // without it every part row rides the join
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(EqualTo\\(p_brand".r.findFirstIn(plan).isDefined,
+      s"part-side brand/size OR slice must reach the part scan:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(GreaterThanOrEqual\\(l_quantity".r
+      .findFirstIn(plan).isDefined,
+      s"lineitem-side quantity OR slice must reach its scan:\n$plan")
+  }
+
   test("text_entropy and q_profile aggregate with map-side partials (no raw-row shuffle)") {
     for (q <- Seq("text_entropy", "q_profile")) {
       val df = QueryRegistry.all.toMap.apply(q).run(spark, sf("sf0.001"))

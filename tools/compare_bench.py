@@ -28,7 +28,7 @@ CLASSES = {
           'dedup_substring', 'sample_mixture', 'multimodal_video',
           'q_kmv', 'q_kmv_jaccard', 'q_anomaly', 'sample_leakage_safe',
           'q_heavyhitters', 'q_gsets', 'q_validate', 'q_profile', 'q10_returns',
-          'q_merge', 'q_winsorize', 'text_entropy', 'q_bucketed', 'q_exact_quantiles',
+          'q_merge', 'q_winsorize', 'text_entropy', 'q_bucketed', 'q_exact_quantiles', 'q19_brackets',
           'sample_curriculum', 'text_nb'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
