@@ -1077,6 +1077,39 @@ object QueryRegistry {
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** EXACT set-similarity self-join by prefix filtering (AllPairs/
+   *  PPJoin): no false negatives, the exact counterpart to the
+   *  minhash/simhash band families. The oracle replays the global
+   *  rare-first token ordering, the prefix cut, the length and
+   *  positional integer filters and the verified intersection. */
+  private val dedup_ppjoin = QueryDef(
+    (s, dir) => Dedup.prefixFilterJoin(t(s, dir, "documents"), "doc_id", "text", t100 = 60)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH flat AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(${Dedup.normalizeTextSql("text")}, ' ')) AS tok
+          FROM documents) WHERE tok <> ''),
+      freq AS (SELECT tok, count(*) AS f FROM flat GROUP BY tok),
+      ord AS (SELECT fl.doc_id, fl.tok,
+          row_number() OVER (PARTITION BY fl.doc_id ORDER BY fr.f, fl.tok) - 1 AS pos,
+          count(*) OVER (PARTITION BY fl.doc_id) AS sz
+        FROM flat fl JOIN freq fr USING (tok)),
+      pre AS (SELECT * FROM ord WHERE pos < sz - ((sz * 60 + 99) // 100) + 1),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+        FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE least(a.sz, b.sz) * 100 >= greatest(a.sz, b.sz) * 60
+          AND least(a.sz - a.pos, b.sz - b.pos) >= (60 * (a.sz + b.sz) + 159) // 160
+        GROUP BY 1, 2, 3, 4),
+      iv AS (SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, count(*) AS inter
+        FROM cand c
+        JOIN flat fa ON fa.doc_id = c.id_a
+        JOIN flat fb ON fb.doc_id = c.id_b AND fb.tok = fa.tok
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        CAST(inter * 10000 // (sz_a + sz_b - inter) AS BIGINT) AS jaccard_e4
+      FROM iv WHERE inter * 100 >= (sz_a + sz_b - inter) * 60
+      ORDER BY id_a, id_b"""))
+
   /** Asymmetric containment — superset/quotation duplicates that
    *  symmetric Jaccard structurally misses. */
   private val dedup_containment = QueryDef(
@@ -2417,6 +2450,7 @@ object QueryRegistry {
     "dedup_minhash" -> dedup_minhash,
     "dedup_simhash" -> dedup_simhash,
     "dedup_jaccard" -> dedup_jaccard,
+    "dedup_ppjoin" -> dedup_ppjoin,
     "dedup_snm" -> dedup_snm,
     "dedup_neardup" -> dedup_neardup,
     "dedup_cosine" -> dedup_cosine,

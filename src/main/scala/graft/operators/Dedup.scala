@@ -720,6 +720,82 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /**
+   * EXACT set-similarity self-join by prefix filtering (the
+   * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+   * every pair of documents whose distinct-word-set Jaccard meets
+   * `t100`/100, with NO false negatives — the exact counterpart to
+   * the probabilistic minhash/simhash band families (which trade
+   * recall for cheaper candidate generation).
+   *
+   * How the candidate space stays bounded without hashing:
+   *  - order each doc's distinct tokens RARE-FIRST by global
+   *    (frequency, token) — a total order both engines replay;
+   *  - only each doc's PREFIX (the first `sz - ceil(t*sz) + 1`
+   *    tokens) is emitted into the join. Completeness: the first
+   *    shared token of any qualifying pair sits inside BOTH
+   *    prefixes (all `o >= ceil(t*sz)` shared tokens lie at or
+   *    after it, so its position is `<= sz - o`);
+   *  - per-token filters prune before any pair materializes: the
+   *    LENGTH filter (`J <= min/max` so `100*min >= t100*max`) and
+   *    the POSITIONAL filter (tokens at/after position p number
+   *    `sz - p`, an upper bound on the overlap, which must reach
+   *    `alpha = ceil(t100*(sz_a+sz_b)/(100+t100))` — the integer
+   *    form of `J >= t  <=>  inter >= t/(1+t)*(sz_a+sz_b)`).
+   * Rare-first ordering is also the hot-key defence: stopwords land
+   * at the END of every doc's ordering and never enter a prefix
+   * unless the threshold demands nearly the whole set.
+   *
+   * Exact verification then runs ONLY on surviving candidates
+   * (`array_intersect` of the bounded token arrays); all decisions
+   * are integer cross-multiplications — no IEEE division anywhere,
+   * so the DuckDB oracle replays the operator bit-for-bit.
+   *
+   * Scale shape: one vocabulary-sized aggregate (map-side combined),
+   * one corpus shuffle keyed by doc to assemble ordered token sets,
+   * a prefix-only equi-join on (rare) tokens, and a candidate-bounded
+   * verify join. No all-pairs stage at any cardinality.
+   */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+                       t100: Int = 60): DataFrame = {
+    require(t100 >= 1 && t100 <= 100, s"prefixFilterJoin: t100 must be in [1,100], got $t100")
+    // distinct (doc, token) pairs; blank tokens (empty docs) dropped
+    val flat = df.select(col(idCol).as("id"),
+        explode(split(normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val freq = flat.groupBy("tok").agg(count(lit(1)).as("f"))
+    // rare-first total order (f, tok) realized per doc via array_sort
+    // on (f, tok) structs — no corpus-wide window needed
+    val ordered = flat.join(freq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("f"), col("tok")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), x => x("tok")).as("toks"),
+        size(col("ord")).cast("long").as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = ordered
+      .withColumn("p", col("sz") - expr(s"(sz * $t100 + 99) div 100") + 1)
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("toks"), lit(1), col("p").cast("int"))).as(Seq("pos", "tok")))
+    val a = pre.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val b = pre.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"), col("pos").as("pos_b"))
+    val cand = a.join(b, "tok")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")) * 100 >= greatest(col("sz_a"), col("sz_b")) * t100)
+      .filter(least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >=
+        expr(s"($t100 * (sz_a + sz_b) + ${100 + t100 - 1}) div ${100 + t100}"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("__shared_prefix"))
+    cand
+      .join(ordered.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
+      .join(ordered.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .filter(col("inter") * 100 >= (col("sz_a") + col("sz_b") - col("inter")) * t100)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        expr("(inter * 10000) div (sz_a + sz_b - inter)").as("jaccard_e4"))
+  }
+
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, minCos: Double,
