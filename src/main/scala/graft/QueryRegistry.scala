@@ -1144,6 +1144,38 @@ object QueryRegistry {
    *  one canonical doc per cluster. The oracle recomputes the pairs
    *  by brute force and the components with a recursive CTE, so the
    *  transitive closure (not just the pair set) is driver-checked. */
+  /** Fixed-point integer PageRank over the part-supplier bipartite
+   *  graph (5 iterations, d=0.85, ranks scaled 1e9). Pure integer
+   *  updates make the whole iteration bit-replayable in SQL — the
+   *  oracle unrolls the same five rounds and must hash-match. */
+  private val graph_pagerank = QueryDef(
+    (s, dir) => {
+      val fwd = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5, d100 = 85)
+        .filter(col("node") % 2 === 1)
+        .select(expr("(node - 1) div 2").as("s_suppkey"), col("r").as("rank_e9"))
+        .orderBy(col("rank_e9").desc, col("s_suppkey"))
+    },
+    Some {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.node, 150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.r // d.od) AS s
+            FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) c ON c.node = n.node)"""
+      val iters = (1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n      ")
+      s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+      edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+      deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      r0 AS (SELECT node, 1000000000 AS r FROM nodes),
+      $iters
+      SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, CAST(r AS BIGINT) AS rank_e9
+      FROM r5 WHERE node % 2 = 1 ORDER BY rank_e9 DESC, s_suppkey"""
+    })
+
   private val dedup_cluster = QueryDef(
     (s, dir) => graft.operators.Graph.dedupClusters(
         t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
@@ -2489,6 +2521,7 @@ object QueryRegistry {
     "text_chunk" -> text_chunk,
     "decontaminate" -> decontaminate,
     "dedup_cluster" -> dedup_cluster,
+    "graph_pagerank" -> graph_pagerank,
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_rangejoin" -> q_rangejoin,

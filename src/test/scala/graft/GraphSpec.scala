@@ -88,4 +88,62 @@ class GraphSpec extends SparkSpecBase {
     assert(plan.length < 10000, s"iteration lineage must be truncated, got ${plan.length} chars")
     assert(labels.collect().forall(_.getLong(1) == 1L), "51-node chain collapses to min id 1")
   }
+
+  /** Driver-side replay of the EXACT integer update rule — the
+   *  reference for the distributed pageRank. */
+  private def pageRankRef(edges: Set[(Long, Long)], iterations: Int,
+                          d100: Long = 85L, scale: Long = 1000000000L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = (100L - d100) * (scale / 100L)
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iterations) {
+      val in = edges.toSeq.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      r = nodes.map(n => n -> (teleport + d100 * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank: symmetric 2-cycle is a fixed point at rank = scale") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 7)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("pageRank equals the integer reference on a star + chain + dangling graph") {
+    // hub 0 absorbing a star, a 3-chain, a dangling node (4 has no
+    // out-edges: its mass leaks — documented semantics), parallel
+    // edge (collapsed) and an isolated pair
+    val raw = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (1L, 2L),
+      (5L, 4L), (5L, 4L), (6L, 7L), (7L, 6L))
+    val got = Graph.pageRank(raw.toDF("src", "dst"), "src", "dst", iterations = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val want = pageRankRef(raw.toSet, 5)
+    assert(got == want, s"got=$got want=$want")
+    assert(got(0L) > got(3L), "hub outranks its spokes")
+  }
+
+  test("pageRank is bit-exact across partitionings") {
+    val edges = (1L to 200L).map(i => (i, i * 7 % 201)).toDF("src", "dst")
+    val a = Graph.pageRank(edges.repartition(1), "src", "dst", iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val b = Graph.pageRank(edges.repartition(13, col("src")), "src", "dst", iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("pageRank guards its parameter domains") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", iterations = 0)
+    }.getMessage.contains("pageRank"))
+    assert(intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", d100 = 101)
+    }.getMessage.contains("pageRank"))
+    assert(intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", scale = 12345L)
+    }.getMessage.contains("pageRank"))
+  }
 }
