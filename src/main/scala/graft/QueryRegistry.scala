@@ -1987,6 +1987,31 @@ object QueryRegistry {
    *  brute-force theta join + rank, so the window semantics
    *  (latest-at-or-before, max-id tie-break, null when none) are
    *  independently replayed. */
+  /** Gap-fill resampling to a dense hourly grid with LOCF carry —
+   *  irregular events become the regular sequence models train on.
+   *  Integer cents keep every carried value exact. */
+  private val q_resample = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir).withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      graft.operators.Temporal.resampleLocf(ev, Seq("event_type"), "ts", "cents", bucketSeconds = 3600L)
+        .select(col("event_type"),
+          date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bs"),
+          col("n_obs"), col("filled"), col("value_locf").as("cents_locf"))
+        .orderBy("event_type", "bs")
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+        CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      b AS (SELECT event_type, i, count(*) AS n_obs, sum(cents) AS v FROM e GROUP BY 1, 2),
+      sp AS (SELECT event_type, unnest(generate_series(min(i), max(i))) AS i
+        FROM b GROUP BY event_type),
+      j AS (SELECT sp.event_type, sp.i, coalesce(b.n_obs, 0) AS n_obs, b.v
+        FROM sp LEFT JOIN b ON b.event_type = sp.event_type AND b.i = sp.i)
+      SELECT event_type, strftime(make_timestamp(i * 3600000000), '%Y-%m-%d %H:%M:%S') AS bs,
+        CAST(n_obs AS BIGINT) AS n_obs, v IS NULL AS filled,
+        CAST(coalesce(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cents_locf
+      FROM j ORDER BY 1, 2"""))
+
   private val q_asof = QueryDef(
     (s, dir) => {
       val e = events(s, dir)
@@ -2524,6 +2549,7 @@ object QueryRegistry {
     "graph_pagerank" -> graph_pagerank,
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
+    "q_resample" -> q_resample,
     "q_rangejoin" -> q_rangejoin,
     "text_redact" -> text_redact,
     "text_repetition" -> text_repetition,

@@ -166,4 +166,50 @@ object Temporal {
         .map(i => max(col(s"__q$i").isNotNull.cast("long")))
         .reduce(_ + _).as("stage"))
   }
+
+  /**
+   * Gap-fill time-series resampling with last-observation-carried-
+   * forward: per key, observations are aggregated into fixed
+   * `bucketSeconds` buckets, a DENSE bucket spine spans that key's
+   * [min, max] bucket range, and empty buckets inherit the most
+   * recent non-empty bucket's value sum (LOCF; 0 before the first
+   * observation) — the standard prep step turning irregular event
+   * streams into the regular grid sequence models train on.
+   *
+   * `valueCol` should already be an integer unit (e.g. cents) so the
+   * per-bucket sums — and therefore every carried-forward value — are
+   * exact integers, bit-replayable by a SQL oracle.
+   *
+   * Output per (key, bucket): `bucket_start` (timestamp), `n_obs`
+   * (0 on gaps), `filled` (true where no observation landed),
+   * `value_locf`.
+   *
+   * Scale shape: one map-side-combined aggregate to bucket level,
+   * one tiny per-key (min, max) aggregate, a bounded spine explode
+   * (time-range/bucket rows per key — independent of event volume),
+   * and a window ordered by bucket index whose partitions hold
+   * BUCKET-count rows, not event-count rows. The raw corpus is
+   * touched exactly once.
+   */
+  def resampleLocf(df: DataFrame, keyCols: Seq[String], timeCol: String,
+                   valueCol: String, bucketSeconds: Long = 3600L): DataFrame = {
+    require(keyCols.nonEmpty, "resampleLocf: at least one key column")
+    require(bucketSeconds > 0, s"resampleLocf: bucketSeconds must be > 0, got $bucketSeconds")
+    val wUs = bucketSeconds * 1000000L
+    val b = df
+      .withColumn("__i", expr(s"unix_micros($timeCol) div $wUs"))
+      .groupBy((keyCols.map(col) :+ col("__i")): _*)
+      .agg(count(lit(1)).as("n_obs"), sum(col(valueCol)).as("__v"))
+    val spine = b.groupBy(keyCols.map(col): _*)
+      .agg(min("__i").as("__lo"), max("__i").as("__hi"))
+      .select((keyCols.map(col) :+ explode(sequence(col("__lo"), col("__hi"))).as("__i")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, keyCols :+ "__i", "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("filled", col("__v").isNull)
+      .withColumn("value_locf", coalesce(last(col("__v"), ignoreNulls = true).over(w), lit(0L)))
+      .withColumn("bucket_start", timestamp_micros(col("__i") * wUs))
+      .drop("__v", "__i")
+  }
 }

@@ -149,4 +149,67 @@ class TemporalSpec extends SparkSpecBase {
     assert(exchanges <= 2, s"window + final agg must share partitioning (got $exchanges):\n$plan")
     assert(plan.linesIterator.count(_.contains("Window [")) >= 1, s"expected a Window operator:\n$plan")
   }
+
+  private def tsOf(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("resampleLocf densifies gaps and carries the last bucket sum forward") {
+    // key a: buckets 0 (sum 10+2), 3 (sum 5) -> spine 0..3 with LOCF
+    // over the two-gap; key b: single bucket, no gaps
+    val df = Seq(
+      ("a", tsOf(10L), 10L), ("a", tsOf(50L), 2L), ("a", tsOf(3 * 3600L + 1), 5L),
+      ("b", tsOf(7200L), 7L)
+    ).toDF("k", "ts", "v")
+    val out = Temporal.resampleLocf(df, Seq("k"), "ts", "v", bucketSeconds = 3600L)
+      .select("k", "bucket_start", "n_obs", "filled", "value_locf")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000L, r.getLong(2), r.getBoolean(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      ("a", 0L, 2L, false, 12L),
+      ("a", 3600L, 0L, true, 12L),
+      ("a", 7200L, 0L, true, 12L),
+      ("a", 10800L, 1L, false, 5L),
+      ("b", 7200L, 1L, false, 7L)))
+  }
+
+  test("resampleLocf: all-null value buckets carry the previous sum; leading nulls fall back to 0") {
+    val df = Seq(
+      ("a", tsOf(10L), null.asInstanceOf[java.lang.Long]),           // bucket 0: obs, null value
+      ("a", tsOf(3600L + 5), java.lang.Long.valueOf(4L)),            // bucket 1: real value
+      ("a", tsOf(3 * 3600L), null.asInstanceOf[java.lang.Long])      // bucket 3: null again
+    ).toDF("k", "ts", "v")
+    val out = Temporal.resampleLocf(df, Seq("k"), "ts", "v", bucketSeconds = 3600L)
+      .orderBy("bucket_start")
+      .collect().map(r => (r.getAs[Long]("n_obs"), r.getAs[Boolean]("filled"), r.getAs[Long]("value_locf")))
+    assert(out.toSeq == Seq((1L, true, 0L), (1L, false, 4L), (0L, true, 4L), (1L, true, 4L)))
+  }
+
+  test("resampleLocf is partitioning-invariant and spine-bounded") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val df = graft.EventsTable.normalizeTs(ev)
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Temporal.resampleLocf(d, Seq("event_type"), "ts", "cents")
+        .collect().map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("bucket_start"),
+          r.getAs[Long]("n_obs"), r.getAs[Long]("value_locf"))).toSet
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(9, col("event_id")))
+    assert(a == b)
+    // dense spine: per key, rows = max bucket - min bucket + 1
+    val spans = Temporal.resampleLocf(df, Seq("event_type"), "ts", "cents")
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        ((max(unix_timestamp(col("bucket_start"))) - min(unix_timestamp(col("bucket_start")))) / 3600 + 1).as("want"))
+      .collect()
+    spans.foreach(r => assert(r.getLong(1) == r.getDouble(2).toLong, s"dense spine per key: $r"))
+  }
+
+  test("resampleLocf guards its domain") {
+    val df = Seq(("a", tsOf(0L), 1L)).toDF("k", "ts", "v")
+    assert(intercept[IllegalArgumentException] {
+      Temporal.resampleLocf(df, Seq(), "ts", "v")
+    }.getMessage.contains("resampleLocf"))
+    assert(intercept[IllegalArgumentException] {
+      Temporal.resampleLocf(df, Seq("k"), "ts", "v", bucketSeconds = 0L)
+    }.getMessage.contains("resampleLocf"))
+  }
 }
