@@ -155,6 +155,27 @@ object QueryRegistry {
       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Hopping (sliding) window aggregation: 2-hour windows advancing
+   *  every hour — each event lands in size/slide = 2 overlapping
+   *  windows (Spark's built-in sliding `window` generator; the
+   *  oracle replays it as a bounded offset cross join). Integer
+   *  cents keep the overlapping sums exact. */
+  private val q_hopping = QueryDef(
+    (s, dir) => events(s, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n_events"), col("cents"))
+      .orderBy("ws", "event_type"),
+    Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      w AS (SELECT event_type, h - k * (INTERVAL 1 HOUR) AS ws, cents
+        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+        count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /**
    * Lightcurve phase-folding (time-series astronomy: fold event
    * times at a fixed period, bin by phase, average the signal per
@@ -2480,6 +2501,7 @@ object QueryRegistry {
     "q_window" -> q_window,
     "q_antijoin" -> q_antijoin,
     "events_window" -> events_window,
+    "q_hopping" -> q_hopping,
     "q_sessionize" -> q_sessionize,
     "q_json" -> q_json,
     "q_rollup" -> q_rollup,

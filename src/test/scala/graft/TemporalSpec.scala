@@ -203,6 +203,14 @@ class TemporalSpec extends SparkSpecBase {
     spans.foreach(r => assert(r.getLong(1) == r.getDouble(2).toLong, s"dense spine per key: $r"))
   }
 
+  test("hopping windows assign every event to exactly size/slide = 2 windows") {
+    val n = graft.EventsTable.normalizeTs(
+      spark.read.parquet(sf("sf0.001") + "/events.parquet")).count()
+    val q = graft.QueryRegistry.all.toMap.apply("q_hopping")
+    val out = q.run(spark, sf("sf0.001"))
+    assert(out.agg(sum("n_events")).collect()(0).getLong(0) == 2 * n)
+  }
+
   test("resampleLocf guards its domain") {
     val df = Seq(("a", tsOf(0L), 1L)).toDF("k", "ts", "v")
     assert(intercept[IllegalArgumentException] {
