@@ -804,6 +804,43 @@ object QueryRegistry {
    *  extraction — each side's derivable OR slice pushes below the
    *  join into the scans (plan-asserted in R9PlanSpec). Revenue in
    *  per-item integer cents (exact long sum). */
+  /** TPC-H Q21 pattern ("suppliers who kept orders waiting"): the
+   *  only supplier who shipped late in a multi-supplier finished
+   *  order. The Spark plan uses the scale-friendly AGGREGATE rewrite
+   *  (one groupBy(order) computing distinct-supplier and
+   *  distinct-late-supplier counts, joined back) instead of the two
+   *  correlated self-joins; the oracle keeps the textbook
+   *  EXISTS / NOT EXISTS formulation — a structurally different
+   *  derivation that must hash-match. "Late" = shipped more than 60
+   *  days after the order date (the schema's receipt/commit stand-in). */
+  private val q21_waiting = QueryDef(
+    (s, dir) => {
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val lo = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val facts = lo.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supps"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      lo.filter(col("late")).join(facts, "l_orderkey")
+        .filter(col("n_supps") > 1 && col("n_late") === 1)
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    },
+    Some("""SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""))
+
   private val q19_brackets = QueryDef(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2603,6 +2640,7 @@ object QueryRegistry {
     "q_exact_quantiles" -> q_exact_quantiles,
     "q_skewjoin" -> q_skewjoin,
     "q19_brackets" -> q19_brackets,
+    "q21_waiting" -> q21_waiting,
     "text_collocations" -> text_collocations,
     "q_funnel" -> q_funnel,
     "q_retention" -> q_retention,
