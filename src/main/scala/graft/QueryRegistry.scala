@@ -2045,6 +2045,57 @@ object QueryRegistry {
    *  brute-force theta join + rank, so the window semantics
    *  (latest-at-or-before, max-id tie-break, null when none) are
    *  independently replayed. */
+  /** Interval-overlap join (interval x interval, no equi-key):
+   *  which user sessions were active during each "incident window"
+   *  (±30 min around the top-20 purchases by value). Spark side
+   *  buckets both interval sets and equi-joins on the bucket id with
+   *  a responsibility rule (exactly-once, no distinct); the oracle is
+   *  the plain theta join. */
+  private val q_overlapjoin = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir)
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gap = graft.streaming.Sessionize.GapSeconds
+      val sess = ev
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new", when(col("__prev").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("__prev"))) > gap, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("__new")).over(byUser))
+        .groupBy("user_id", "session_seq")
+        .agg(unix_timestamp(min("ts")).as("s_lo"), unix_timestamp(max("ts")).as("s_hi"))
+      val incidents = ev.filter(col("event_type") === "purchase")
+        .orderBy(col("value").desc, col("event_id")).limit(20)
+        .select(col("event_id").as("inc_id"),
+          (unix_timestamp(col("ts")) - 1800L).as("i_lo"),
+          (unix_timestamp(col("ts")) + 1800L).as("i_hi"))
+      graft.operators.Temporal.overlapJoin(sess, incidents,
+          "s_lo", "s_hi", "i_lo", "i_hi", bucketWidth = 3600L)
+        .select(col("inc_id"), col("user_id"), col("session_seq"),
+          (least(col("s_hi"), col("i_hi")) - greatest(col("s_lo"), col("i_lo"))).as("overlap_s"))
+        .orderBy("inc_id", "user_id", "session_seq")
+    },
+    Some(s"""WITH sess AS (
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          epoch_us(min(ts)) // 1000000 AS s_lo, epoch_us(max(ts)) // 1000000 AS s_hi
+        FROM (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM (
+            SELECT *, CASE WHEN prev_ts IS NULL
+              OR date_diff('second', prev_ts, ts) > ${graft.streaming.Sessionize.GapSeconds}
+              THEN 1 ELSE 0 END AS is_new
+            FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)))
+        GROUP BY 1, 2),
+      inc AS (SELECT event_id AS inc_id,
+          epoch_us(ts) // 1000000 - 1800 AS i_lo, epoch_us(ts) // 1000000 + 1800 AS i_hi
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY value DESC, event_id LIMIT 20)
+      SELECT inc_id, user_id, session_seq,
+        CAST(least(s_hi, i_hi) - greatest(s_lo, i_lo) AS BIGINT) AS overlap_s
+      FROM sess JOIN inc ON s_lo <= i_hi AND i_lo <= s_hi
+      ORDER BY inc_id, user_id, session_seq"""))
+
   /** Gap-fill resampling to a dense hourly grid with LOCF carry —
    *  irregular events become the regular sequence models train on.
    *  Integer cents keep every carried value exact. */
@@ -2609,6 +2660,7 @@ object QueryRegistry {
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_resample" -> q_resample,
+    "q_overlapjoin" -> q_overlapjoin,
     "q_rangejoin" -> q_rangejoin,
     "text_redact" -> text_redact,
     "text_repetition" -> text_repetition,

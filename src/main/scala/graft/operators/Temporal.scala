@@ -130,6 +130,51 @@ object Temporal {
   }
 
   /**
+   * Interval-overlap join: every (left, right) pair whose CLOSED
+   * integer intervals `[lLo, lHi]` and `[rLo, rHi]` intersect
+   * (`lLo <= rHi && rLo <= lHi`) — the interval x interval sibling of
+   * [[rangeJoin]] (concurrency analysis, incident attribution,
+   * genomic/temporal range intersection). No equi-key required.
+   *
+   * Mechanism: both sides explode to the width-`bucketWidth` buckets
+   * they cover and the match becomes an equi-join on the bucket id +
+   * the exact overlap filter. Each true pair is emitted EXACTLY once
+   * without a distinct: it is kept only in its RESPONSIBILITY bucket
+   * — the bucket of `greatest(lLo, rLo)`, which both sides are
+   * guaranteed to cover when they overlap.
+   *
+   * Scale shape: explode bounded by interval length / bucketWidth on
+   * each side (guarded, one cheap aggregate per side); the join is a
+   * standard hash shuffle on the bucket id that AQE can re-plan. A
+   * plain theta join plans as a nested-loop/cartesian and dies at
+   * scale. Column names must be disjoint across the two sides.
+   */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lLo: String, lHi: String, rLo: String, rHi: String,
+                  bucketWidth: Long,
+                  maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(bucketWidth > 0, s"overlapJoin: bucketWidth must be positive: $bucketWidth")
+    def guard(df: DataFrame, lo: String, hi: String, side: String): Unit = {
+      val worst = df.agg(max(floorDiv(col(hi), bucketWidth) - floorDiv(col(lo), bucketWidth) + 1))
+        .collect()(0)
+      if (!worst.isNullAt(0))
+        require(worst.getLong(0) <= maxBucketsPerInterval,
+          s"overlapJoin: widest $side interval spans ${worst.getLong(0)} buckets " +
+            s"(> $maxBucketsPerInterval) — raise bucketWidth or the bound explicitly")
+    }
+    guard(left, lLo, lHi, "left")
+    guard(right, rLo, rHi, "right")
+    def exploded(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) >= col(lo)) // degenerate intervals match nothing
+      .withColumn("__b", explode(sequence(floorDiv(col(lo), bucketWidth), floorDiv(col(hi), bucketWidth))))
+    exploded(left, lLo, lHi).join(exploded(right, rLo, rHi).withColumnRenamed("__b", "__b2"),
+        col("__b") === col("__b2"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__b") === floorDiv(greatest(col(lLo), col(rLo)), bucketWidth))
+      .drop("__b", "__b2")
+  }
+
+  /**
    * Ordered funnel: per entity, how far it progressed through `steps`
    * in sequence — step i counts only if it happens STRICTLY after the
    * first qualifying occurrence of step i-1. Returns (entityCol,

@@ -203,6 +203,45 @@ class TemporalSpec extends SparkSpecBase {
     spans.foreach(r => assert(r.getLong(1) == r.getDouble(2).toLong, s"dense spine per key: $r"))
   }
 
+  test("overlapJoin emits each overlapping pair exactly once, incl. touch and nest cases") {
+    val left = Seq((1L, 0L, 25L), (2L, 30L, 31L), (3L, 100L, 100L)).toDF("lid", "s_lo", "s_hi")
+    val right = Seq(
+      (10L, 20L, 40L),  // overlaps 1 (tail) and 2 (nested)
+      (11L, 25L, 26L),  // touches 1 at the closed endpoint 25
+      (12L, 50L, 99L),  // touches nothing (3 starts at 100)
+      (13L, 0L, 200L)   // spans everything incl. the point interval 3
+    ).toDF("rid", "i_lo", "i_hi")
+    val got = Temporal.overlapJoin(left, right, "s_lo", "s_hi", "i_lo", "i_hi", bucketWidth = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "exactly-once emission, no distinct needed")
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (1L, 11L), (1L, 13L), (2L, 13L), (3L, 13L)))
+  }
+
+  test("overlapJoin equals the brute-force theta join on seeded random intervals") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.tabulate(80) { i => val a = rnd.nextInt(1000).toLong; (i.toLong, a, a + rnd.nextInt(50)) }
+    val r = Seq.tabulate(80) { i => val a = rnd.nextInt(1000).toLong; (i.toLong, a, a + rnd.nextInt(50)) }
+    val got = Temporal.overlapJoin(l.toDF("lid", "s_lo", "s_hi"), r.toDF("rid", "i_lo", "i_hi"),
+        "s_lo", "s_hi", "i_lo", "i_hi", bucketWidth = 16L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (li, ll, lh) <- l; (ri, rl, rh) <- r
+      if ll <= rh && rl <= lh
+    } yield (li, ri)).toSet
+    assert(got == want)
+  }
+
+  test("overlapJoin: degenerate intervals match nothing; wide intervals trip the guard") {
+    val left = Seq((1L, 10L, 5L)).toDF("lid", "s_lo", "s_hi") // hi < lo
+    val right = Seq((2L, 0L, 100L)).toDF("rid", "i_lo", "i_hi")
+    assert(Temporal.overlapJoin(left, right, "s_lo", "s_hi", "i_lo", "i_hi", 10L).count() == 0)
+    val wide = Seq((3L, 0L, 1000000L)).toDF("lid", "s_lo", "s_hi")
+    assert(intercept[IllegalArgumentException] {
+      Temporal.overlapJoin(wide, right, "s_lo", "s_hi", "i_lo", "i_hi",
+        bucketWidth = 1L, maxBucketsPerInterval = 100L)
+    }.getMessage.contains("overlapJoin"))
+  }
+
   test("hopping windows assign every event to exactly size/slide = 2 windows") {
     val n = graft.EventsTable.normalizeTs(
       spark.read.parquet(sf("sf0.001") + "/events.parquet")).count()
