@@ -2045,6 +2045,96 @@ object QueryRegistry {
    *  brute-force theta join + rank, so the window semantics
    *  (latest-at-or-before, max-id tie-break, null when none) are
    *  independently replayed. */
+  /** Per-group OLS trend slope in exact decimal arithmetic — metric
+   *  drift detection as ONE map-side-combined five-moment aggregate;
+   *  sign factored out of the scaled division so trunc-div and
+   *  floor-div agree across engines. */
+  private val q_trend = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("x", expr("unix_micros(ts) div 1000000") - lit(1704067200L))
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      graft.operators.Stats.groupedTrend(ev, Seq("event_type"), "x", "cents")
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 - 1704067200 AS x,
+        CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      m AS (SELECT event_type, count(cents) AS n,
+        sum(CASE WHEN cents IS NOT NULL THEN x END) AS sx,
+        sum(cents) AS sy,
+        sum(x * cents) AS sxy,
+        sum(CASE WHEN cents IS NOT NULL THEN x * x END) AS sxx
+        FROM e GROUP BY 1)
+      SELECT event_type, n, CAST(CASE
+          WHEN (n * sxx - sx * sx) = 0 THEN NULL
+          WHEN (n * sxy - sx * sy) < 0
+            THEN -(((-(n * sxy - sx * sy)) * 1000000000) // (n * sxx - sx * sx))
+          ELSE ((n * sxy - sx * sy) * 1000000000) // (n * sxx - sx * sx)
+        END AS BIGINT) AS slope_e9
+      FROM m ORDER BY event_type"""))
+
+  /** Market-basket co-occurrence with support and lift over
+   *  sessionized baskets: which event types happen together inside
+   *  one session more often than independence predicts. */
+  private val q_cooccur = QueryDef(
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gap = graft.streaming.Sessionize.GapSeconds
+      val sess = events(s, dir)
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new", when(col("__prev").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("__prev"))) > gap, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("__new")).over(byUser))
+      graft.operators.Associations.basketPairs(sess, Seq("user_id", "session_seq"), "event_type")
+        .orderBy("item_a", "item_b")
+    },
+    Some(s"""WITH sess AS (
+        SELECT user_id, event_type, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM (
+          SELECT *, CASE WHEN prev_ts IS NULL
+            OR date_diff('second', prev_ts, ts) > ${graft.streaming.Sessionize.GapSeconds}
+            THEN 1 ELSE 0 END AS is_new
+          FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events))),
+      items AS (SELECT DISTINCT user_id, session_seq, event_type AS item FROM sess),
+      nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, session_seq FROM items)),
+      sup AS (SELECT item, count(*) AS s FROM items GROUP BY item),
+      pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+        FROM items a JOIN items b
+          ON a.user_id = b.user_id AND a.session_seq = b.session_seq AND a.item < b.item
+        GROUP BY 1, 2)
+      SELECT item_a, item_b, support, sa.s AS support_a, sb.s AS support_b,
+        CAST((support * nb.n * 1000000) // (sa.s * sb.s) AS BIGINT) AS lift_e6
+      FROM pairs JOIN sup sa ON sa.item = item_a JOIN sup sb ON sb.item = item_b CROSS JOIN nb
+      ORDER BY item_a, item_b"""))
+
+  /** First-order Markov transition matrix over per-user event
+   *  sequences (session/journey modeling): lag(event_type) per user
+   *  on ONE window sort, then a types^2-bounded count aggregate;
+   *  transition probabilities as integer parts-per-10k (numerator and
+   *  denominator both positive, so trunc-div == floor-div on both
+   *  engines). */
+  private val q_transitions = QueryDef(
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val c = events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("p_e4",
+          expr("(n * 10000) div (sum(n) OVER (PARTITION BY prev))"))
+        .orderBy("prev", "cur")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+      c AS (SELECT prev, event_type AS cur, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT prev, cur, n,
+        CAST((n * 10000) // (sum(n) OVER (PARTITION BY prev)) AS BIGINT) AS p_e4
+      FROM c ORDER BY prev, cur"""))
+
   /** Interval-overlap join (interval x interval, no equi-key):
    *  which user sessions were active during each "incident window"
    *  (±30 min around the top-20 purchases by value). Spark side
@@ -2661,6 +2751,9 @@ object QueryRegistry {
     "q_asof" -> q_asof,
     "q_resample" -> q_resample,
     "q_overlapjoin" -> q_overlapjoin,
+    "q_transitions" -> q_transitions,
+    "q_cooccur" -> q_cooccur,
+    "q_trend" -> q_trend,
     "q_rangejoin" -> q_rangejoin,
     "text_redact" -> text_redact,
     "text_repetition" -> text_repetition,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Grouped exact statistics beyond the sketch/percentile families —
+ * closed-form model fits whose moment sums stay INTEGER-exact, so a
+ * SQL oracle replays them bit-for-bit (a float implementation of the
+ * same math could never hash-match across engines).
+ */
+object Stats {
+
+  /**
+   * Per-group ordinary-least-squares trend slope (metric drift
+   * detection: is this series rising or falling, and how fast) in
+   * EXACT decimal arithmetic. With integer inputs x (e.g. epoch
+   * seconds, offset to a fixed origin) and y (e.g. cents):
+   *
+   *   slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+   *
+   * All five moments (n, Sx, Sy, Sxy, Sxx) accumulate as
+   * DECIMAL(38,0) — order-independent integer sums — and the slope is
+   * emitted as `slope_e9` (truncated toward zero after scaling by
+   * 1e9) with the SIGN factored out of the division, so truncating
+   * and flooring integer division agree on any engine. Groups with
+   * zero x-variance yield null.
+   *
+   * Scale shape: ONE map-side-combined aggregate over the corpus —
+   * the whole fit is five mergeable sums per group; nothing else
+   * moves. Caller keeps |x| small (offset to the window of interest):
+   * exactness needs n * Sxx * 1e9 within 38 digits.
+   */
+  def groupedTrend(df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "groupedTrend: at least one key column")
+    val dec = DecimalType(38, 0)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(col(yCol)).as("n"),
+        sum(when(col(yCol).isNotNull, col(xCol)).cast(dec)).as("sx"),
+        sum(col(yCol).cast(dec)).as("sy"),
+        sum((col(xCol).cast(dec) * col(yCol).cast(dec))).as("sxy"),
+        sum(when(col(yCol).isNotNull, col(xCol).cast(dec) * col(xCol).cast(dec))).as("sxx"))
+      .withColumn("__num", col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__den", col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_e9",
+        when(col("__den") === 0 || col("__den").isNull, lit(null).cast("long"))
+          .otherwise(when(col("__num") < 0,
+            -expr("((-__num) * 1000000000) div __den"))
+            .otherwise(expr("(__num * 1000000000) div __den"))))
+      .select((keyCols.map(col) :+ col("n") :+ col("slope_e9")): _*)
+  }
+}

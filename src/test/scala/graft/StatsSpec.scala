@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Associations, Stats}
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("groupedTrend recovers a hand-computed slope exactly (trunc toward zero, both signs)") {
+    // group a: y = 3x + 7 exactly -> slope_e9 = 3e9
+    // group b: y = -2x -> slope_e9 = -2e9
+    // group c: points (0,0),(1,1),(2,1): slope = (3*3 - 3*2)/(3*5 - 9) = 3/6 -> 0.5e9
+    val df = (Seq.tabulate(5)(i => ("a", i.toLong, 3L * i + 7)) ++
+      Seq.tabulate(5)(i => ("b", i.toLong, -2L * i)) ++
+      Seq(("c", 0L, 0L), ("c", 1L, 1L), ("c", 2L, 1L))).toDF("k", "x", "y")
+    val got = Stats.groupedTrend(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == (5L, 3000000000L))
+    assert(got("b") == (5L, -2000000000L))
+    assert(got("c") == (3L, 500000000L))
+  }
+
+  test("groupedTrend: zero x-variance yields null; null y rows are excluded from every moment") {
+    val df = Seq(("a", 5L, Some(1L)), ("a", 5L, Some(9L)),
+      ("b", 0L, Some(0L)), ("b", 1L, None), ("b", 2L, Some(4L))).toDF("k", "x", "y")
+    val got = Stats.groupedTrend(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got("a") == (2L, None), "degenerate x must not divide by zero")
+    // b: only (0,0) and (2,4) count -> slope 2
+    assert(got("b") == (2L, Some(2000000000L)))
+  }
+
+  test("groupedTrend is partitioning-invariant (integer moments)") {
+    val ev = graft.EventsTable.normalizeTs(
+        spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+      .withColumn("x", expr("unix_micros(ts) div 1000000") - lit(1704067200L))
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.groupedTrend(d, Seq("event_type"), "x", "cents")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(ev.repartition(1)) == run(ev.repartition(11, col("event_id"))))
+  }
+
+  test("basketPairs: hand-computed support and lift, pairs unordered and exactly-once") {
+    // baskets: 1:{x,y}, 2:{x,y,z}, 3:{x}, 4:{z} -> n_baskets 4
+    // {x,y}: support 2, sup_x 3, sup_y 2 -> lift = 2*4/(3*2) = 1.333333
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (4L, "z")).toDF("b", "item")
+    val got = Associations.basketPairs(df, Seq("b"), "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("x", "y")) == (2L, 3L, 2L, 1333333L))
+    assert(got(("x", "z")) == (1L, 3L, 2L, 666666L))
+    assert(got(("y", "z")) == (1L, 2L, 2L, 1000000L))
+    assert(got.size == 3)
+  }
+
+  test("basketPairs guards the hot-basket blowup and null items are dropped") {
+    val hot = Seq.tabulate(60)(i => (1L, s"i$i")).toDF("b", "item")
+    assert(intercept[IllegalArgumentException] {
+      Associations.basketPairs(hot, Seq("b"), "item", maxItemsPerBasket = 50L)
+    }.getMessage.contains("basketPairs"))
+    val withNull = Seq((1L, "x"), (1L, null.asInstanceOf[String]), (1L, "y")).toDF("b", "item")
+    assert(Associations.basketPairs(withNull, Seq("b"), "item").count() == 1L)
+  }
+}
