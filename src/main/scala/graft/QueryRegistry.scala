@@ -863,6 +863,167 @@ object QueryRegistry {
          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""))
 
+  /** TPC-H Q18 pattern ("large volume orders"): a HAVING aggregate
+   *  over the fact table joined back to orders + customer. The heavy
+   *  side (lineitem groupBy order) is map-side-combinable and the
+   *  filtered result (<1% of orders) drives the remaining joins —
+   *  small probe into big build. Quantities are integral doubles, so
+   *  the sum is IEEE-exact and the long cast is engine-independent. */
+  private val q18_large = QueryDef(
+    (s, dir) => {
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          floor(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+          col("total_qty"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        CAST(total_qty AS BIGINT) AS total_qty
+      FROM orders
+      JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+        ON o_orderkey = big.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100"""))
+
+  /** TPC-H Q22 pattern ("global sales opportunity"): customers above
+   *  the average positive balance with no RECENT order (anti-join),
+   *  bucketed by a country-code stand-in. The above-average predicate
+   *  is made engine-exact by cross-multiplying in integer cents
+   *  (cents * n > sum_cents) instead of comparing against a
+   *  summation-order-dependent double avg. The 2-long threshold row
+   *  is broadcast; the recent-actives anti-join shuffles once. */
+  private val q22_idle = QueryDef(
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
+      val thresh = cust.filter(col("bal_cents") > 0)
+        .agg(sum("bal_cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+      val active = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(thresh))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).as("cc"))
+        .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("total_cents"))
+        .orderBy("cc")
+    },
+    Some("""WITH cust AS (SELECT *, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+      thresh AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents, count(*) AS n_pos
+        FROM cust WHERE bal_cents > 0),
+      active AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      SELECT c_nationkey % 5 AS cc, count(*) AS numcust,
+        CAST(sum(bal_cents) AS BIGINT) AS total_cents
+      FROM cust CROSS JOIN thresh
+      WHERE bal_cents * n_pos > sum_cents
+        AND c_custkey NOT IN (SELECT o_custkey FROM active)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q7 pattern ("volume shipping"): bidirectional nation-pair
+   *  revenue by ship year. Nation names resolve through two broadcast
+   *  dim joins; the pair filter lands before the group-by so only the
+   *  two named nations' rows survive the shuffle. Revenue in per-item
+   *  integer cents. */
+  private val q7_volume = QueryDef(
+    (s, dir) => {
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_1") ||
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_0"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("volume_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+         OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q14 pattern ("promotion effect"): conditional share of a
+   *  month's revenue — one scan, map-side conditional sums, the final
+   *  ratio in integer parts-per-million (both operands positive, so
+   *  trunc-div == floor-div on both engines). */
+  private val q14_promo = QueryDef(
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .withColumn("cents",
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+      .agg(sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L)).as("promo_cents"),
+        sum("cents").as("total_cents"))
+      .withColumn("promo_ppm", expr("(promo_cents * 1000000) div total_cents")),
+    Some("""WITH j AS (
+        SELECT p_type, CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'),
+      a AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        CAST(sum(cents) AS BIGINT) AS total_cents FROM j)
+      SELECT promo_cents, total_cents,
+        CAST((promo_cents * 1000000) // total_cents AS BIGINT) AS promo_ppm FROM a"""))
+
+  /** TPC-H Q2 pattern (groupwise-min join-back, "min-cost supplier"):
+   *  for every small part, the supplier(s) that shipped it at the
+   *  lowest line price. One window min over the part key (single
+   *  shuffle — no separate aggregate + join-back), price compared in
+   *  exact integer cents, DISTINCT because a supplier can hit the min
+   *  on several lines. */
+  private val q2_mincost = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("price_cents", floor(col("l_extendedprice") * 100).cast("long"))
+      val parts = t(s, dir, "part").filter(col("p_size") <= 5)
+      val w = Window.partitionBy("p_partkey")
+      li.join(parts, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cents", min("price_cents").over(w))
+        .filter(col("price_cents") === col("min_cents"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          floor(col("s_acctbal") * 100).cast("long").as("s_bal_cents"), col("price_cents"))
+        .distinct()
+        .orderBy(col("s_bal_cents").desc, col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    },
+    Some("""WITH li AS (SELECT l_partkey, l_suppkey,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents FROM lineitem),
+      j AS (SELECT p_partkey, p_name, s_suppkey, s_name,
+          CAST(floor(s_acctbal * 100) AS BIGINT) AS s_bal_cents, price_cents,
+          min(price_cents) OVER (PARTITION BY p_partkey) AS min_cents
+        FROM li JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size <= 5)
+      SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_bal_cents, price_cents
+      FROM j WHERE price_cents = min_cents
+      ORDER BY s_bal_cents DESC, p_partkey, s_suppkey LIMIT 100"""))
+
   /** Skew-salted equi-join (the generalized hot-key spread): results
    *  must be row-identical to the plain join — the oracle IS the
    *  plain join. Aggregated per priority with per-item floored
@@ -2690,6 +2851,11 @@ object QueryRegistry {
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,
+    "q2_mincost" -> q2_mincost,
+    "q7_volume" -> q7_volume,
+    "q14_promo" -> q14_promo,
+    "q18_large" -> q18_large,
+    "q22_idle" -> q22_idle,
     "q_percentile" -> q_percentile,
     "q_pivot" -> q_pivot,
     "gc_dist" -> gc_dist,
