@@ -2296,6 +2296,31 @@ object QueryRegistry {
         CAST((n * 10000) // (sum(n) OVER (PARTITION BY prev)) AS BIGINT) AS p_e4
       FROM c ORDER BY prev, cur"""))
 
+  /** MATCH_RECOGNIZE-style sequence pattern matching (CEP): each
+   *  user's history becomes a code string (one char per event type,
+   *  event order) and `v[cv]*p` — a view funnelling through
+   *  views/clicks into a purchase — is matched as a regex. Leftmost
+   *  non-overlapping spans are unique for this alphabet, so the Java
+   *  (Spark) and RE2 (DuckDB) engines agree exactly. One shuffle. */
+  private val q_seqmatch = QueryDef(
+    (s, dir) => {
+      val seqs = graft.operators.Cep.eventSequences(
+        events(s, dir), "user_id",
+        substring(col("event_type"), 1, 1), Seq("ts", "event_id"))
+      graft.operators.Cep.patternMatch(seqs, "v[cv]*p")
+        .select("user_id", "seq_len", "n_matches", "max_span", "matched_chars")
+        .orderBy("user_id")
+    },
+    Some("""WITH seqs AS (
+        SELECT user_id, string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1),
+      m AS (SELECT user_id, seq, regexp_extract_all(seq, 'v[cv]*p') AS ms FROM seqs)
+      SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        CAST(len(ms) AS BIGINT) AS n_matches,
+        CAST(coalesce(list_max(list_transform(ms, x -> length(x))), 0) AS BIGINT) AS max_span,
+        CAST(coalesce(list_sum(list_transform(ms, x -> length(x))), 0) AS BIGINT) AS matched_chars
+      FROM m ORDER BY user_id"""))
+
   /** Interval-overlap join (interval x interval, no equi-key):
    *  which user sessions were active during each "incident window"
    *  (±30 min around the top-20 purchases by value). Spark side
@@ -2918,6 +2943,7 @@ object QueryRegistry {
     "q_resample" -> q_resample,
     "q_overlapjoin" -> q_overlapjoin,
     "q_transitions" -> q_transitions,
+    "q_seqmatch" -> q_seqmatch,
     "q_cooccur" -> q_cooccur,
     "q_trend" -> q_trend,
     "q_rangejoin" -> q_rangejoin,
