@@ -1395,6 +1395,40 @@ object QueryRegistry {
       FROM r5 WHERE node % 2 = 1 ORDER BY rank_e9 DESC, s_suppkey"""
     })
 
+  /** Exact triangle counting over the supplier co-supply kNN graph:
+   *  the bipartite (part, supplier) projection is sparsified to each
+   *  node's 5 strongest partners (degree-bounded at any SF — the raw
+   *  projection is complete at small scale and its density grows with
+   *  the data), then triangles are counted with the degree-ordered
+   *  compact-forward join ([[graft.operators.Graph.triangleCounts]]).
+   *  The oracle enumerates triangles by naive a<b three-way join — a
+   *  structurally different derivation that must hash-match. */
+  private val graph_triangles = QueryDef(
+    (s, dir) => {
+      val bp = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val pairs = bp.alias("x").join(bp.alias("y"),
+          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val edges = graft.operators.Graph.topKNeighborGraph(pairs, "u", "v", "w", k = 5)
+      graft.operators.Graph.triangleCounts(edges, "a", "b").orderBy("node")
+    },
+    Some("""WITH bp AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+      pw AS (SELECT a.s u, b.s v, count(*) w FROM bp a JOIN bp b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+      dir AS (SELECT u n, v p2, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+      topk AS (SELECT n, p2 FROM (
+        SELECT n, p2, row_number() OVER (PARTITION BY n ORDER BY w DESC, p2) rn FROM dir) WHERE rn <= 5),
+      ed AS (SELECT DISTINCT least(n, p2) a, greatest(n, p2) b FROM topk),
+      tri AS (SELECT e1.a x, e1.b y, e2.b z FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pn AS (SELECT n, count(*) triangles FROM (
+        SELECT x n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1),
+      deg AS (SELECT n, count(*) d FROM (SELECT a n FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1)
+      SELECT deg.n AS node, CAST(d AS BIGINT) AS degree,
+        CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
+      FROM deg LEFT JOIN pn ON pn.n = deg.n ORDER BY node"""))
+
   private val dedup_cluster = QueryDef(
     (s, dir) => graft.operators.Graph.dedupClusters(
         t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
@@ -2938,6 +2972,7 @@ object QueryRegistry {
     "decontaminate" -> decontaminate,
     "dedup_cluster" -> dedup_cluster,
     "graph_pagerank" -> graph_pagerank,
+    "graph_triangles" -> graph_triangles,
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_resample" -> q_resample,

@@ -286,4 +286,72 @@ object Graph {
     }
     ranks
   }
+
+  /** Top-k strongest-neighbor graph (the kNN-graph construction):
+   *  from weighted pairs (u, v, w) keep, per node, its k heaviest
+   *  partners (ties broken by partner id), then symmetrize. The
+   *  result is degree-bounded (≤ 2k per node) at ANY scale — the
+   *  standard way to sparsify a similarity/co-occurrence projection
+   *  whose raw density grows with the data. One window shuffle per
+   *  direction over the pair table; map-side top-k would apply for
+   *  huge k but k is small by construction. */
+  def topKNeighborGraph(pairs: DataFrame, uCol: String, vCol: String,
+                        wCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"topKNeighborGraph: k must be >= 1, got $k")
+    val directed = pairs.select(col(uCol).as("n"), col(vCol).as("p"), col(wCol).as("w"))
+      .union(pairs.select(col(vCol).as("n"), col(uCol).as("p"), col(wCol).as("w")))
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy(col("w").desc, col("p").asc)
+    directed.withColumn("__rn", row_number().over(byNode))
+      .filter(col("__rn") <= k)
+      .select(least(col("n"), col("p")).as("a"), greatest(col("n"), col("p")).as("b"))
+      .distinct()
+  }
+
+  /** Exact triangle counting via degree-ordered compact-forward:
+   *  orient every undirected edge from its lower-(degree, id) vertex
+   *  to the higher one, enumerate wedges at the low vertex and close
+   *  them with a third join. The orientation bounds wedge fan-out by
+   *  the graph's degeneracy instead of its max degree — the hub that
+   *  would generate d^2 wedges under naive a<b enumeration generates
+   *  none, because all its edges point INTO it. Returns one row per
+   *  graph node: (node, degree, triangles). */
+  def triangleCounts(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // total order (degree, id): orient src -> dst upward
+    val ann = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val oriented = ann.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // wedge (src -> v, src -> w), closed by oriented edge v -> w in
+    // EITHER orientation of the pair: compare by the same total order
+    // via a rank join on the degree table to stay allocation-free —
+    // here the closing edge is oriented, so join both directions
+    val w1 = oriented.select(col("src"), col("dst").as("v"))
+    val w2 = oriented.select(col("src"), col("dst").as("w"))
+    val wedges = w1.join(w2, "src").filter(col("v") =!= col("w"))
+      // each unordered {v,w} wedge appears twice; keep one by id order
+      .filter(col("v") < col("w"))
+    val closing = e.select(col("a").as("v"), col("b").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perNode = tris.select(col("x").as("n"))
+      .union(tris.select(col("y").as("n")))
+      .union(tris.select(col("z").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

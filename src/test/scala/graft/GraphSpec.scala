@@ -146,4 +146,49 @@ class GraphSpec extends SparkSpecBase {
       Graph.pageRank(edges, "src", "dst", scale = 12345L)
     }.getMessage.contains("pageRank"))
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; K3+pendant isolates correctly") {
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    val out = Graph.triangleCounts(k4, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(_ == ((3L, 3L))), "every K4 node: degree 3, 3 triangles")
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out2 = Graph.triangleCounts(g, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangleCounts matches naive 3-join enumeration on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val raw = (1 to 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val e = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toDF("a", "b")
+    val fast = Graph.triangleCounts(e, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val naive = e.alias("e1")
+      .join(e.alias("e2"), col("e2.a") === col("e1.b"))
+      .join(e.alias("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = naive.select(col("x").as("n"))
+      .union(naive.select(col("y").as("n"))).union(naive.select(col("z").as("n")))
+      .groupBy("n").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.filter(_._2 > 0) == perNode, "per-node triangle counts agree")
+    assert(fast.values.sum % 3 == 0, "each triangle counted at 3 nodes")
+  }
+
+  test("topKNeighborGraph bounds degree and keeps the heaviest partners") {
+    val pairs = Seq(
+      (1L, 2L, 10L), (1L, 3L, 9L), (1L, 4L, 8L), (1L, 5L, 7L),
+      (2L, 3L, 1L), (4L, 5L, 1L))
+      .toDF("u", "v", "w")
+    val ed = Graph.topKNeighborGraph(pairs, "u", "v", "w", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node 1 keeps only {2,3}, but 4 and 5 each keep node 1, so the
+    // symmetrized union re-adds (1,4) and (1,5): every edge survives
+    // if EITHER endpoint ranks it top-k
+    assert(ed == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (1L, 5L), (4L, 5L)))
+    val degs = ed.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.size)
+    assert(degs.forall(_ <= 4), "degree bounded by 2k")
+  }
 }
