@@ -1403,23 +1403,32 @@ object QueryRegistry {
    *  compact-forward join ([[graft.operators.Graph.triangleCounts]]).
    *  The oracle enumerates triangles by naive a<b three-way join — a
    *  structurally different derivation that must hash-match. */
-  private val graph_triangles = QueryDef(
-    (s, dir) => {
-      val bp = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-      val pairs = bp.alias("x").join(bp.alias("y"),
-          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
-        .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
-        .agg(count(lit(1)).as("w"))
-      val edges = graft.operators.Graph.topKNeighborGraph(pairs, "u", "v", "w", k = 5)
-      graft.operators.Graph.triangleCounts(edges, "a", "b").orderBy("node")
-    },
-    Some("""WITH bp AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+  /** Supplier co-supply kNN graph (shared by graph_triangles /
+   *  graph_bfs): bipartite (part, supplier) projection weighted by
+   *  shared parts, sparsified to each node's 5 strongest partners. */
+  private def coSupplyKnnEdges(s: SparkSession, dir: String): DataFrame = {
+    val bp = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val pairs = bp.alias("x").join(bp.alias("y"),
+        col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Graph.topKNeighborGraph(pairs, "u", "v", "w", k = 5)
+  }
+
+  /** The same graph as SQL CTEs ending in `ed(a, b)`. */
+  private val coSupplyKnnSql: String =
+    """bp AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
       pw AS (SELECT a.s u, b.s v, count(*) w FROM bp a JOIN bp b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
-      dir AS (SELECT u n, v p2, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+      dirw AS (SELECT u n, v p2, w FROM pw UNION ALL SELECT v, u, w FROM pw),
       topk AS (SELECT n, p2 FROM (
-        SELECT n, p2, row_number() OVER (PARTITION BY n ORDER BY w DESC, p2) rn FROM dir) WHERE rn <= 5),
-      ed AS (SELECT DISTINCT least(n, p2) a, greatest(n, p2) b FROM topk),
+        SELECT n, p2, row_number() OVER (PARTITION BY n ORDER BY w DESC, p2) rn FROM dirw) WHERE rn <= 5),
+      ed AS (SELECT DISTINCT least(n, p2) a, greatest(n, p2) b FROM topk)"""
+
+  private val graph_triangles = QueryDef(
+    (s, dir) => graft.operators.Graph
+      .triangleCounts(coSupplyKnnEdges(s, dir), "a", "b").orderBy("node"),
+    Some(s"""WITH $coSupplyKnnSql,
       tri AS (SELECT e1.a x, e1.b y, e2.b z FROM ed e1
         JOIN ed e2 ON e2.a = e1.b JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
       pn AS (SELECT n, count(*) triangles FROM (
@@ -1428,6 +1437,27 @@ object QueryRegistry {
       SELECT deg.n AS node, CAST(d AS BIGINT) AS degree,
         CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
       FROM deg LEFT JOIN pn ON pn.n = deg.n ORDER BY node"""))
+
+  /** Multi-source BFS over the co-supply kNN graph: minimum hop from
+   *  the three lowest supplier keys, ≤ 6 hops. The Spark side runs
+   *  frontier expansion ([[graft.operators.Graph.bfsHops]] — only the
+   *  slim frontier shuffles per round); the oracle re-derives the
+   *  same distances with a recursive CTE and min(hop). */
+  private val graph_bfs = QueryDef(
+    (s, dir) => {
+      val seeds = t(s, dir, "supplier").filter(col("s_suppkey") < 3)
+      graft.operators.Graph.bfsHops(coSupplyKnnEdges(s, dir), "a", "b",
+          seeds, "s_suppkey", maxHops = 6)
+        .orderBy("node")
+    },
+    Some(s"""WITH RECURSIVE $coSupplyKnnSql,
+      dire AS (SELECT a n, b nb FROM ed UNION ALL SELECT b, a FROM ed),
+      bfs AS (
+        SELECT s_suppkey AS node, 0 AS hop FROM supplier WHERE s_suppkey < 3
+        UNION
+        SELECT d.nb, bfs.hop + 1 FROM bfs JOIN dire d ON d.n = bfs.node WHERE bfs.hop < 6)
+      SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
+      FROM bfs GROUP BY 1 ORDER BY 1"""))
 
   private val dedup_cluster = QueryDef(
     (s, dir) => graft.operators.Graph.dedupClusters(
@@ -2973,6 +3003,7 @@ object QueryRegistry {
     "dedup_cluster" -> dedup_cluster,
     "graph_pagerank" -> graph_pagerank,
     "graph_triangles" -> graph_triangles,
+    "graph_bfs" -> graph_bfs,
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_resample" -> q_resample,

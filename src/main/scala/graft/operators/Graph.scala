@@ -354,4 +354,56 @@ object Graph {
       .select(col("n").as("node"), col("d").as("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Multi-source BFS: minimum hop count from any seed, bounded by
+   *  `maxHops`. Classic frontier expansion — each round shuffles only
+   *  the CURRENT frontier (slim (node) set) into the edge layout and
+   *  anti-joins the visited set; the edge table is symmetrized,
+   *  hash-partitioned by source and persisted ONCE. Rounds end early
+   *  when a frontier empties (one driver count per round, bounded by
+   *  maxHops — no per-node driver state). Returns (node, hop) for
+   *  reached nodes only; unreached nodes are absent. */
+  def bfsHops(edges0: DataFrame, aCol: String, bCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"bfsHops: maxHops must be in [1,64], got $maxHops")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges0
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val dirE = e.select(col("a").as("n"), col("b").as("nb"))
+      .union(e.select(col("b").as("n"), col("a").as("nb")))
+      .distinct()
+      .repartition(col("n"))
+      .persist(lvl)
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("hop", lit(0L))
+      .persist(lvl)
+    dist.count()
+    var frontier = dist
+    var handles = List[DataFrame](dist)
+    var h = 1L
+    var done = false
+    while (h <= maxHops && !done) {
+      val nxt = frontier.join(dirE, col("node") === col("n"))
+        .select(col("nb").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .persist(lvl)
+      if (nxt.isEmpty) { nxt.unpersist(blocking = false); done = true }
+      else {
+        val merged = dist.union(nxt).persist(lvl)
+        merged.count()
+        handles = merged :: nxt :: handles
+        dist = merged
+        frontier = nxt
+        h += 1
+      }
+    }
+    dirE.unpersist(blocking = false)
+    // release every intermediate frontier/visited table except the
+    // final result (its cache entry is already materialized)
+    handles.filter(_ ne dist).foreach(_.unpersist(blocking = false))
+    dist
+  }
 }

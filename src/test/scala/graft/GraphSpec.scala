@@ -191,4 +191,22 @@ class GraphSpec extends SparkSpecBase {
     val degs = ed.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.size)
     assert(degs.forall(_ <= 4), "degree bounded by 2k")
   }
+
+  test("bfsHops: multi-source min distance, early stop, unreachable absent") {
+    // path 1-2-3-4-5, island 10-11, isolated seed 99
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(1L, 5L, 99L).toDF("s")
+    val out = Graph.bfsHops(e, "a", "b", seeds, "s", maxHops = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 5L -> 0L, 99L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L),
+      "min over both seeds; island 10-11 unreached")
+  }
+
+  test("bfsHops respects the maxHops bound") {
+    val e = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("s")
+    val out = Graph.bfsHops(e, "a", "b", seeds, "s", maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }
