@@ -1881,6 +1881,30 @@ object QueryRegistry {
     Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** Unicode NFC normalization via the native codegen expression
+   *  ([[graft.functions.NfcNormalizeExpr]], ASCII bypass). The corpus
+   *  is ASCII, so combining-accent sequences ("e" + U+0301) are
+   *  injected in-query on BOTH engines first — NFC must compose them
+   *  back to precomposed codepoints ("é"), shrinking the char count
+   *  to the original. The oracle is DuckDB's nfc_normalize. */
+  private val text_normalize = QueryDef(
+    (s, dir) => {
+      val dec = regexp_replace(col("text"), "e", "e\u0301")
+      val nfc = graft.functions.native.nfcNormalize(dec)
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len_orig"),
+          length(dec).cast("long").as("len_decomposed"),
+          length(nfc).cast("long").as("len_nfc"),
+          substring(nfc, 1, 60).as("prefix"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS len_orig,
+        CAST(length(dec) AS BIGINT) AS len_decomposed,
+        CAST(length(nfc_normalize(dec)) AS BIGINT) AS len_nfc,
+        substr(nfc_normalize(dec), 1, 60) AS prefix
+      FROM (SELECT doc_id, text, replace(text, 'e', 'e' || chr(769)) AS dec FROM documents)
+      ORDER BY doc_id"""))
+
   /** Per-language TF-IDF top terms — each language slice is its own corpus. */
   private val text_tfidf = QueryDef(
     (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "lang", "doc_id", "text", k = 10)
@@ -2975,6 +2999,7 @@ object QueryRegistry {
     "text_quality" -> text_quality,
     "text_tokens" -> text_tokens,
     "text_fingerprint" -> text_fingerprint,
+    "text_normalize" -> text_normalize,
     "text_winnow" -> text_winnow,
     "text_cdc" -> text_cdc,
     "dedup_winnow" -> dedup_winnow,

@@ -25,6 +25,9 @@ object native {
   def simhash(tokens: Column): Column = c1(SimHashExpr.apply)(tokens)
   /** Portable rolling polynomial fingerprint of a string (Fingerprint64Expr). */
   def fingerprint64(text: Column): Column = c1(Fingerprint64Expr.apply)(text)
+
+  /** Unicode NFC normalization (NfcNormalizeExpr, ASCII bypass). */
+  def nfcNormalize(text: Column): Column = c1(NfcNormalizeExpr.apply)(text)
   /** Winnowing picks (pos << 32 | gramFp) of normalized text (WinnowExpr). */
   def winnow(normText: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expression(normText), k, w))

@@ -189,6 +189,43 @@ object TextKernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** NFC normalization with an ASCII bypass: ASCII is closed under
+   *  NFC, so the (typical) all-ASCII document returns the original
+   *  UTF8String without materializing a java.lang.String. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) text
+    else {
+      val s = text.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+}
+
+/** nfc_normalize(text) -> text in Unicode Normalization Form C.
+ *  Spark has no built-in NFC; this stays inside whole-stage codegen
+ *  via a static kernel call. A pure-ASCII fast path returns the input
+ *  UTF8String untouched (no String round-trip) — the dominant case in
+ *  web-scale corpora. */
+case class NfcNormalizeExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.nfcNormalize(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.nfcNormalize($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** shingles(normalizedText, n) -> array<string> (codegen static call). */

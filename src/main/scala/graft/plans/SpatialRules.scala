@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GcDistExpr, HpixCoverExpr, HpixExpr, CosineSimExpr, Int8QuantizeExpr, MinHashSigExpr, QuantCosExpr, SimHashExpr, WordShinglesExpr}
+import graft.functions.{GcDistExpr, HpixCoverExpr, HpixExpr, CosineSimExpr, Int8QuantizeExpr, MinHashSigExpr, NfcNormalizeExpr, QuantCosExpr, SimHashExpr, WordShinglesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -142,5 +142,8 @@ object GraftExtensions {
     e.injectFunction((FunctionIdentifier("quant_cos"),
       info("quant_cos", "quant_cos(qvecA, qvecB) - cosine of int8-quantized vectors"),
       (args: Seq[Expression]) => QuantCosExpr(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))
   }
 }
