@@ -2109,6 +2109,25 @@ object QueryRegistry {
     Some(graft.operators.Sketch.hllDistinctSql("lineitem", "l_returnflag", "l_orderkey")
       + " ORDER BY grp"))
 
+  /** Exact distinct counts + pairwise audience overlap via per-group
+   *  bitmap indexes ([[graft.operators.Sketch.bitmapWords]]): words
+   *  equi-join, AND, popcount — no id set ever materializes. The
+   *  diagonal (a = a) is each event type's exact distinct-user count.
+   *  The oracle derives the same numbers from a DISTINCT self-join —
+   *  structurally different, must hash-match. */
+  private val q_bitmap = QueryDef(
+    (s, dir) => {
+      val words = graft.operators.Sketch.bitmapWords(
+        events(s, dir), "event_type", "user_id")
+      graft.operators.Sketch.bitmapIntersections(words)
+        .withColumnRenamed("grp_a", "type_a").withColumnRenamed("grp_b", "type_b")
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Robust (median/MAD modified-z) outlier detection over event
    *  values — stats broadcast back for a map-only scoring pass,
    *  integer cross-multiplied decisions ([[graft.operators.Outliers]]). */
@@ -3006,6 +3025,7 @@ object QueryRegistry {
     "dedup_containment" -> dedup_containment,
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
+    "q_bitmap" -> q_bitmap,
     "q_anomaly" -> q_anomaly,
     "q_kmv" -> q_kmv,
     "q_kmv_jaccard" -> q_kmv_jaccard,

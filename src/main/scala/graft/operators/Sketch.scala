@@ -582,6 +582,42 @@ object Sketch {
     exact.join(est, "grp")
   }
 
+  // --------------------------------- Bitmap distinct (dense-domain)
+
+  /**
+   * Per-group bitmap index over a dense non-negative integer id
+   * domain (the Druid/ClickHouse groupBitmap shape): one row per
+   * (group, word) with a 64-bit word of the group's membership
+   * bitmap. Built with codegen'd builtins only — variable shiftleft
+   * + bit_or aggregate — so construction is a single map-side-
+   * combinable shuffle. Memory per group is maxId/64 words WORST
+   * case (dense-domain assumption; a sparse/huge domain wants the
+   * KMV/HLL sketches instead, or dictionary-encode ids first).
+   */
+  def bitmapWords(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    Sampling.requireIntegralId(df, idCol, "bitmapWords")
+    df.filter(col(idCol) >= 0)
+      .select(col(groupCol).as("grp"),
+        expr(s"$idCol div 64").as("wi"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod($idCol, 64) AS INT))").as("bit"))
+      .groupBy("grp", "wi")
+      .agg(expr("bit_or(bit)").as("bm"))
+  }
+
+  /** Exact pairwise intersection cardinalities between group bitmaps
+   *  (diagonal included — (g, g) is the group's exact distinct
+   *  count). The word tables equi-join on the word index, AND the
+   *  words, and popcount — set intersection without ever
+   *  materializing the id sets. Pairs with empty intersection are
+   *  dropped (their words never AND to a nonzero value). */
+  def bitmapIntersections(words: DataFrame): DataFrame = {
+    words.alias("x").join(words.alias("y"),
+        col("x.wi") === col("y.wi") && col("x.grp") <= col("y.grp"))
+      .groupBy(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"))
+      .agg(sum(expr("bit_count(x.bm & y.bm)")).cast("long").as("n_both"))
+      .filter(col("n_both") > 0)
+  }
+
   // --------------------------------- Heavy hitters (Misra-Gries)
 
   /**

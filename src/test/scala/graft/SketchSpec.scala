@@ -312,4 +312,29 @@ class SketchSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Sketch.heavyHitters(empty, "term", 0)).getMessage.contains("k must be >= 1"))
   }
+
+  test("bitmap words: duplicates collapse, word boundaries, negatives dropped") {
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 63L), ("a", 64L), ("a", -5L), ("b", 1L))
+      .toDF("g", "id")
+    val words = Sketch.bitmapWords(df, "g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(words(("a", 0L)) == (1L | (1L << 63)), "ids 0 and 63 share word 0")
+    assert(words(("a", 1L)) == 1L, "id 64 -> word 1 bit 0")
+    assert(words(("b", 0L)) == 2L)
+    assert(words.size == 3, "negative id dropped")
+  }
+
+  test("bitmapIntersections matches brute-force distinct intersection on random data") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 2000).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+    val df = rows.toDF("g", "id").repartition(7)
+    val fast = Sketch.bitmapIntersections(Sketch.bitmapWords(df, "g", "id")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sets = rows.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a <= b
+      n = (sets(a) intersect sets(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(fast == want)
+  }
 }
