@@ -2317,6 +2317,61 @@ object QueryRegistry {
    *  drift detection as ONE map-side-combined five-moment aggregate;
    *  sign factored out of the scaled division so trunc-div and
    *  floor-div agree across engines. */
+  /** Sample autocorrelation (lags 1-3) of each event type's hourly
+   *  revenue series — seasonality detection for time-series feature
+   *  pipelines. Exact cross-engine arithmetic: deviations are
+   *  cross-multiplied integers (n·x − Σx, decimal(38) — the
+   *  squared sums overflow int64), the final ratio is
+   *  sign·(|num|·1e6 div den) so trunc-vs-floor never differs on
+   *  negative numerators. One shuffle for the series, one window
+   *  pass for all three lags. */
+  private val q_acf = QueryDef(
+    (s, dir) => {
+      val ser = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("x"))
+      val stats = ser.groupBy("event_type").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val dev = ser.join(stats, "event_type")
+        .withColumn("d", (col("n") * col("x") - col("sx")).cast("decimal(38,0)"))
+        .select(col("event_type"), col("d"),
+          lag("d", 1).over(w).as("d1"), lag("d", 2).over(w).as("d2"),
+          lag("d", 3).over(w).as("d3"))
+      dev.groupBy("event_type").agg(
+          sum(col("d") * col("d")).as("den"),
+          sum(col("d") * col("d1")).as("num1"),
+          sum(col("d") * col("d2")).as("num2"),
+          sum(col("d") * col("d3")).as("num3"))
+        .select(col("event_type"),
+          expr("stack(3, 1L, num1, 2L, num2, 3L, num3) AS (lag_k, num)"), col("den"))
+        .withColumn("r_e6",
+          (when(col("num") < 0, -1L).otherwise(1L) *
+            expr("(abs(num) * 1000000) div den")).cast("long"))
+        .select("event_type", "lag_k", "r_e6")
+        .orderBy("event_type", "lag_k")
+    },
+    Some("""WITH ser AS (SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, sum(x) AS sx, count(*) AS n FROM ser GROUP BY 1),
+      dev AS (SELECT s.event_type, h, CAST(st.n * s.x - st.sx AS HUGEINT) AS d
+        FROM ser s JOIN st ON s.event_type = st.event_type),
+      lagd AS (SELECT event_type, d,
+          lag(d, 1) OVER (PARTITION BY event_type ORDER BY h) AS d1,
+          lag(d, 2) OVER (PARTITION BY event_type ORDER BY h) AS d2,
+          lag(d, 3) OVER (PARTITION BY event_type ORDER BY h) AS d3
+        FROM dev),
+      agg AS (SELECT event_type, sum(d * d) AS den, sum(d * d1) AS num1,
+          sum(d * d2) AS num2, sum(d * d3) AS num3
+        FROM lagd GROUP BY 1),
+      un AS (SELECT event_type, 1 AS lag_k, num1 AS num, den FROM agg
+        UNION ALL SELECT event_type, 2, num2, den FROM agg
+        UNION ALL SELECT event_type, 3, num3, den FROM agg)
+      SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+        CAST(CASE WHEN num < 0 THEN -((abs(num) * 1000000) // den)
+             ELSE (abs(num) * 1000000) // den END AS BIGINT) AS r_e6
+      FROM un ORDER BY 1, 2"""))
+
   private val q_trend = QueryDef(
     (s, dir) => {
       val ev = events(s, dir)
@@ -3057,6 +3112,7 @@ object QueryRegistry {
     "q_seqmatch" -> q_seqmatch,
     "q_cooccur" -> q_cooccur,
     "q_trend" -> q_trend,
+    "q_acf" -> q_acf,
     "q_rangejoin" -> q_rangejoin,
     "text_redact" -> text_redact,
     "text_repetition" -> text_repetition,
