@@ -2588,6 +2588,35 @@ object QueryRegistry {
    *  buckets intervals so the plan is an equi-join on the bucket id
    *  (never a cartesian product); the oracle is the plain theta
    *  join. */
+  /** Broadcast interval-lookup join ([[graft.operators.Lookup]]):
+   *  price-band annotation of every event via a codegen'd binary
+   *  search over the broadcast band table — a map-only plan (no join
+   *  node, no shuffle on the fact side) where a generic range join
+   *  would shuffle everything. The oracle is the plain theta join. */
+  private val q_bandjoin = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        (0L, 100L, 0L), (100L, 1000L, 1L), (1000L, 5000L, 2L),
+        (5000L, 10000L, 3L), (10000L, 50000L, 4L), (50000L, 100000L, 5L))
+        .toDF("lo", "hi", "band")
+      val ev = events(s, dir)
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      graft.operators.Lookup.intervalLookupJoin(s, ev, "cents", bands,
+          "lo", "hi", "band", outCol = "band")
+        .filter(col("band") >= 0) // uncovered values drop, like the inner theta join
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("band")
+    },
+    Some("""WITH ev AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      bands(lo, hi, band) AS (VALUES (0, 100, 0), (100, 1000, 1), (1000, 5000, 2),
+        (5000, 10000, 3), (10000, 50000, 4), (50000, 100000, 5))
+      SELECT CAST(b.band AS BIGINT) AS band, count(*) AS n,
+        CAST(sum(cents) AS BIGINT) AS cents
+      FROM ev e JOIN bands b ON e.cents >= b.lo AND e.cents < b.hi
+      GROUP BY 1 ORDER BY 1"""))
+
   private val q_rangejoin = QueryDef(
     (s, dir) => {
       val e = events(s, dir)
@@ -3114,6 +3143,7 @@ object QueryRegistry {
     "q_trend" -> q_trend,
     "q_acf" -> q_acf,
     "q_rangejoin" -> q_rangejoin,
+    "q_bandjoin" -> q_bandjoin,
     "text_redact" -> text_redact,
     "text_repetition" -> text_repetition,
     "ann_quantized" -> ann_quantized,
