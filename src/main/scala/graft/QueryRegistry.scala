@@ -2372,6 +2372,38 @@ object QueryRegistry {
              ELSE (abs(num) * 1000000) // den END AS BIGINT) AS r_e6
       FROM un ORDER BY 1, 2"""))
 
+  /** A/B conversion test: users hashed into two variants, conversion
+   *  = any purchase, Pearson chi-square in exact integer arithmetic
+   *  ([[graft.operators.Stats.chiSquare2x2]] — DECIMAL(38), trunc-
+   *  safe because the numerator is a square). Two map-side-combined
+   *  aggregates total; the oracle replays the formula in HUGEINT. */
+  private val q_abtest = QueryDef(
+    (s, dir) => {
+      val users = events(s, dir).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      graft.operators.Stats.chiSquare2x2(users, "variant", "conv")
+    },
+    Some("""WITH u AS (SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1),
+      v AS (SELECT user_id % 2 AS variant, conv FROM u),
+      cells AS (SELECT
+        CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS miss_a,
+        CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+        CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS miss_b
+        FROM v)
+      SELECT conv_a, miss_a, conv_b, miss_b,
+        CAST(conv_a + miss_a + conv_b + miss_b AS BIGINT) AS n,
+        CAST((CAST(conv_a + miss_a + conv_b + miss_b AS HUGEINT)
+            * (CAST(conv_a AS HUGEINT) * miss_b - CAST(miss_a AS HUGEINT) * conv_b)
+            * (CAST(conv_a AS HUGEINT) * miss_b - CAST(miss_a AS HUGEINT) * conv_b)
+            * 1000000)
+          // (CAST(conv_a + miss_a AS HUGEINT) * (conv_b + miss_b)
+             * (conv_a + conv_b) * (miss_a + miss_b)) AS BIGINT) AS chi2_e6
+      FROM cells"""))
+
   private val q_trend = QueryDef(
     (s, dir) => {
       val ev = events(s, dir)
@@ -3142,6 +3174,7 @@ object QueryRegistry {
     "q_cooccur" -> q_cooccur,
     "q_trend" -> q_trend,
     "q_acf" -> q_acf,
+    "q_abtest" -> q_abtest,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
     "text_redact" -> text_redact,

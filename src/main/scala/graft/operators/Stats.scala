@@ -50,4 +50,40 @@ object Stats {
             .otherwise(expr("(__num * 1000000000) div __den"))))
       .select((keyCols.map(col) :+ col("n") :+ col("slope_e9")): _*)
   }
+
+  /**
+   * Pearson chi-square statistic (no continuity correction) of a 2x2
+   * contingency table — the A/B conversion test — in EXACT integer
+   * arithmetic:
+   *
+   *   chi2 = N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+   *
+   * Input: one row per unit with a binary variant column (0/1) and a
+   * binary success column (0/1). Output is ONE row: the four cell
+   * counts, N, and `chi2_e6` = floor(chi2 * 1e6) (numerator is a
+   * square — both operands positive, trunc == floor on any engine).
+   * Null when any margin is zero (the statistic is undefined).
+   * Counts accumulate in one map-side-combined aggregate; the
+   * N*(ad-bc)^2*1e6 product runs in DECIMAL(38) (overflows int64
+   * beyond ~30k units).
+   */
+  def chiSquare2x2(df: DataFrame, variantCol: String, successCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def cell(v: Int, s: Int) =
+      sum(when(col(variantCol) === v && col(successCol) === s, 1L).otherwise(0L))
+    df.agg(
+        cell(0, 1).as("conv_a"), cell(0, 0).as("miss_a"),
+        cell(1, 1).as("conv_b"), cell(1, 0).as("miss_b"))
+      .withColumn("n", col("conv_a") + col("miss_a") + col("conv_b") + col("miss_b"))
+      .withColumn("__det",
+        col("conv_a").cast(dec) * col("miss_b").cast(dec)
+          - col("miss_a").cast(dec) * col("conv_b").cast(dec))
+      .withColumn("__den",
+        (col("conv_a") + col("miss_a")).cast(dec) * (col("conv_b") + col("miss_b")).cast(dec)
+          * (col("conv_a") + col("conv_b")).cast(dec) * (col("miss_a") + col("miss_b")).cast(dec))
+      .withColumn("chi2_e6",
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n * __det * __det * 1000000) div __den")))
+      .select("conv_a", "miss_a", "conv_b", "miss_b", "n", "chi2_e6")
+  }
 }

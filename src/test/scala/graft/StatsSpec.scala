@@ -63,4 +63,22 @@ class StatsSpec extends SparkSpecBase {
     val withNull = Seq((1L, "x"), (1L, null.asInstanceOf[String]), (1L, "y")).toDF("b", "item")
     assert(Associations.basketPairs(withNull, Seq("b"), "item").count() == 1L)
   }
+
+  test("chiSquare2x2 matches the closed-form statistic") {
+    // cells a=10 b=20 c=20 d=10 -> chi2 = 60*(100-400)^2/30^4 = 6.666...
+    val rows = Seq.fill(10)((0, 1)) ++ Seq.fill(20)((0, 0)) ++
+      Seq.fill(20)((1, 1)) ++ Seq.fill(10)((1, 0))
+    val out = Stats.chiSquare2x2(rows.toDF("v", "s").repartition(3), "v", "s").head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) == ((10L, 20L, 20L, 10L)))
+    assert(out.getLong(4) == 60L)
+    assert(out.getLong(5) == 6666666L, s"chi2_e6 = ${out.getLong(5)}")
+  }
+
+  test("chiSquare2x2: independent table gives 0, zero margin gives null") {
+    val indep = Seq.fill(5)((0, 1)) ++ Seq.fill(5)((0, 0)) ++
+      Seq.fill(5)((1, 1)) ++ Seq.fill(5)((1, 0))
+    assert(Stats.chiSquare2x2(indep.toDF("v", "s"), "v", "s").head().getLong(5) == 0L)
+    val allConv = Seq((0, 1), (1, 1))
+    assert(Stats.chiSquare2x2(allConv.toDF("v", "s"), "v", "s").head().isNullAt(5))
+  }
 }
