@@ -1024,6 +1024,75 @@ object QueryRegistry {
       FROM j WHERE price_cents = min_cents
       ORDER BY s_bal_cents DESC, p_partkey, s_suppkey LIMIT 100"""))
 
+  /** TPC-H Q8 pattern ("national market share"): the share of one
+   *  nation's suppliers in a region's customer orders, by ship year.
+   *  A 6-table star with both nation roles resolved through broadcast
+   *  dims; share as integer ppm of per-item cents (positive operands:
+   *  trunc == floor). */
+  private val q8_share = QueryDef(
+    (s, dir) => {
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val custRegion = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey").as("c_nk")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(custRegion, col("c_nationkey") === col("c_nk"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .withColumn("cents",
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_0", col("cents")).otherwise(0L))
+          .as("nation_cents"),
+          sum("cents").as("total_cents"))
+        .withColumn("mkt_share_ppm", expr("(nation_cents * 1000000) div total_cents"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        CAST(sum(CASE WHEN n1.n_name = 'NATION_0'
+          THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents,
+        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        CAST((sum(CASE WHEN n1.n_name = 'NATION_0'
+            THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) * 1000000)
+          // sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS mkt_share_ppm
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q16 pattern ("parts/supplier relationship"): distinct
+   *  suppliers per part attribute bucket, excluding a brand and a
+   *  NOT-IN supplier set (negative balance as the complaints
+   *  stand-in). The exclusion set is a broadcast anti-join; the
+   *  distinct count shuffles once on the attribute key. */
+  private val q16_partsupp = QueryDef(
+    (s, dir) => {
+      val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("x_suppkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#5" && col("p_size") <= 8)
+        .join(broadcast(excl), col("l_suppkey") === col("x_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#5' AND p_size <= 8
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
   /** Skew-salted equi-join (the generalized hot-key spread): results
    *  must be row-identical to the plain join — the oracle IS the
    *  plain join. Aggregated per priority with per-item floored
@@ -3104,6 +3173,8 @@ object QueryRegistry {
     "q14_promo" -> q14_promo,
     "q18_large" -> q18_large,
     "q22_idle" -> q22_idle,
+    "q8_share" -> q8_share,
+    "q16_partsupp" -> q16_partsupp,
     "q_percentile" -> q_percentile,
     "q_pivot" -> q_pivot,
     "gc_dist" -> gc_dist,
