@@ -2386,6 +2386,42 @@ object QueryRegistry {
    *  drift detection as ONE map-side-combined five-moment aggregate;
    *  sign factored out of the scaled division so trunc-div and
    *  floor-div agree across engines. */
+  /** Integer exponential smoothing (EWMA, a=0.30) of each event
+   *  type's hourly revenue series. The recurrence depends on the
+   *  previous OUTPUT, so no window function expresses it — the series
+   *  is gathered per key (bounded: buckets in the time range, never
+   *  event volume) and folded by the codegen kernel
+   *  ([[graft.functions.EwmaExpr]]); all-integer on non-negatives, so
+   *  the DuckDB recursive-CTE replay is bit-exact. */
+  private val q_ewma = QueryDef(
+    (s, dir) => {
+      val ser = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("x"))
+      val arr = ser.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("h"), col("x")))).as("sx"))
+        .withColumn("ys", graft.functions.native.ewma(
+          transform(col("sx"), e => e.getField("x")), a100 = 30))
+      arr.select(col("event_type"), col("ys"), posexplode(col("sx")))
+        .withColumn("y", expr("ys[pos]"))
+        .select(col("event_type"),
+          date_format(col("col.h"), "yyyy-MM-dd HH:mm:ss").as("hs"),
+          col("col.x").as("x"), col("y"))
+        .orderBy("event_type", "hs")
+    },
+    Some("""WITH RECURSIVE ser AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      rser AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM ser),
+      ew AS (
+        SELECT event_type, rn, h, x, x AS y FROM rser WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.h, s.x, (30 * s.x + 70 * e.y) // 100
+        FROM ew e JOIN rser s ON s.event_type = e.event_type AND s.rn = e.rn + 1)
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hs, x, CAST(y AS BIGINT) AS y
+      FROM ew ORDER BY event_type, hs"""))
+
   /** Sample autocorrelation (lags 1-3) of each event type's hourly
    *  revenue series — seasonality detection for time-series feature
    *  pipelines. Exact cross-engine arithmetic: deviations are
@@ -3246,6 +3282,7 @@ object QueryRegistry {
     "q_trend" -> q_trend,
     "q_acf" -> q_acf,
     "q_abtest" -> q_abtest,
+    "q_ewma" -> q_ewma,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
     "text_redact" -> text_redact,

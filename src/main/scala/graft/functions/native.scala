@@ -28,6 +28,10 @@ object native {
 
   /** Unicode NFC normalization (NfcNormalizeExpr, ASCII bypass). */
   def nfcNormalize(text: Column): Column = c1(NfcNormalizeExpr.apply)(text)
+
+  /** Integer exponential smoothing of an ordered series (EwmaExpr). */
+  def ewma(series: Column, a100: Int): Column =
+    c1(e => EwmaExpr(e, a100))(series)
   /** Winnowing picks (pos << 32 | gramFp) of normalized text (WinnowExpr). */
   def winnow(normText: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expression(normText), k, w))

@@ -35,4 +35,15 @@ class NormalizeSpec extends SparkSpecBase {
     assert(r.getString(0) == eAcuteComposed)
     assert(r.isNullAt(1))
   }
+
+  test("ewma folds the integer recurrence from the first element") {
+    val out = Seq(Seq(100L, 0L, 0L, 200L), Seq(7L), Seq.empty[Long]).toDF("xs")
+      .select(native.ewma(col("xs"), a100 = 30)).collect().map(_.getSeq[Long](0))
+    // y0=100; y1=(0+70*100)/100=70; y2=(70*70)/100=49; y3=(30*200+70*49)/100=94
+    assert(out(0) == Seq(100L, 70L, 49L, 94L))
+    assert(out(1) == Seq(7L))
+    assert(out(2) == Seq.empty[Long])
+    assert(intercept[IllegalArgumentException](
+      graft.functions.EwmaExpr(null, 0)).getMessage.contains("a100"))
+  }
 }
