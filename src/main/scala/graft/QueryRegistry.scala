@@ -773,6 +773,78 @@ object QueryRegistry {
    *  snapshot — matched rows take update values, unmatched updates
    *  insert, base rows carry over; oracle replays the full-outer
    *  coalesce. */
+  /** SCD2 history build: fold a stream of keyed versions into
+   *  validity intervals [valid_from, valid_to) + is_current — ONE
+   *  window (lead) pass per key, the type-2 companion of q_merge's
+   *  type-1 overwrite. Version batches derived in-query (integer
+   *  cents mutations); 999999 is the open-interval sentinel. */
+  private val q_scd2 = QueryDef(
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
+      val base = cust.select(col("c_custkey").as("k"), lit(0L).as("v"), col("bal_cents"))
+      val u1 = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), lit(100L).as("v"),
+          (col("bal_cents") + 100000L).as("bal_cents"))
+      val u2 = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), lit(200L).as("v"),
+          (col("bal_cents") - 50000L).as("bal_cents"))
+      val w = Window.partitionBy("k").orderBy("v")
+      base.unionByName(u1).unionByName(u2)
+        .withColumn("valid_to", coalesce(lead(col("v"), 1).over(w), lit(999999L)))
+        .withColumn("is_current", col("valid_to") === 999999L)
+        .select(col("k"), col("v").as("valid_from"), col("valid_to"),
+          col("bal_cents"), col("is_current"))
+        .orderBy("k", "valid_from")
+    },
+    Some("""WITH cust AS (SELECT c_custkey AS k,
+          CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+      vers AS (
+        SELECT k, CAST(0 AS BIGINT) AS v, bal_cents FROM cust
+        UNION ALL SELECT k, 100, bal_cents + 100000 FROM cust WHERE k % 7 = 0
+        UNION ALL SELECT k, 200, bal_cents - 50000 FROM cust WHERE k % 3 = 0)
+      SELECT k, v AS valid_from,
+        CAST(coalesce(lead(v) OVER (PARTITION BY k ORDER BY v), 999999) AS BIGINT) AS valid_to,
+        bal_cents,
+        coalesce(lead(v) OVER (PARTITION BY k ORDER BY v), 999999) = 999999 AS is_current
+      FROM vers ORDER BY k, valid_from"""))
+
+  /** Snapshot diff / reconciliation: full-outer join of two table
+   *  versions on the key, rows classified added / removed / changed /
+   *  same, summarized per status with a key checksum — the 100 TB
+   *  data-reconciliation primitive (one co-partitioned shuffle, no
+   *  row ever collected). The "new" snapshot is derived in-query. */
+  private val q_diff = QueryDef(
+    (s, dir) => {
+      val v1 = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), floor(col("c_acctbal") * 100).cast("long").as("bal"))
+      val v2 = v1.filter(col("k") % 13 =!= 0)
+        .withColumn("bal", when(col("k") % 5 === 0, col("bal") + 1L).otherwise(col("bal")))
+        .unionByName(v1.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000L).as("k"), col("bal")))
+      v1.alias("a").join(v2.alias("b"), col("a.k") === col("b.k"), "full_outer")
+        .withColumn("status",
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .when(col("a.bal") =!= col("b.bal"), "changed")
+            .otherwise("same"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("a.k"), col("b.k"))).as("key_sum"))
+        .orderBy("status")
+    },
+    Some("""WITH v1 AS (SELECT c_custkey AS k,
+          CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+      v2 AS (
+        SELECT k, CASE WHEN k % 5 = 0 THEN bal + 1 ELSE bal END AS bal
+        FROM v1 WHERE k % 13 <> 0
+        UNION ALL SELECT k + 1000000, bal FROM v1 WHERE k % 11 = 0)
+      SELECT CASE WHEN a.k IS NULL THEN 'added'
+          WHEN b.k IS NULL THEN 'removed'
+          WHEN a.bal <> b.bal THEN 'changed' ELSE 'same' END AS status,
+        count(*) AS n, CAST(sum(coalesce(a.k, b.k)) AS BIGINT) AS key_sum
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+      GROUP BY 1 ORDER BY 1"""))
+
   private val q_merge = QueryDef(
     (s, dir) => {
       val cust = t(s, dir, "customer")
@@ -3311,6 +3383,8 @@ object QueryRegistry {
     "q_profile" -> q_profile,
     "q10_returns" -> q10_returns,
     "q_merge" -> q_merge,
+    "q_scd2" -> q_scd2,
+    "q_diff" -> q_diff,
     "q_winsorize" -> q_winsorize,
     "q_exact_quantiles" -> q_exact_quantiles,
     "q_skewjoin" -> q_skewjoin,
