@@ -32,6 +32,9 @@ object native {
   /** Integer exponential smoothing of an ordered series (EwmaExpr). */
   def ewma(series: Column, a100: Int): Column =
     c1(e => EwmaExpr(e, a100))(series)
+
+  /** Jaro-Winkler similarity (JaroWinklerExpr, DuckDB-variant-exact). */
+  def jaroWinkler(a: Column, b: Column): Column = c2(JaroWinklerExpr.apply)(a, b)
   /** Winnowing picks (pos << 32 | gramFp) of normalized text (WinnowExpr). */
   def winnow(normText: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expression(normText), k, w))

@@ -36,6 +36,17 @@ class NormalizeSpec extends SparkSpecBase {
     assert(r.isNullAt(1))
   }
 
+  test("jaroWinkler matches the classic reference values and edge cases") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val jw = (a: String, b: String) => graft.functions.TextKernels.jaroWinkler(u(a), u(b))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962962962964) < 1e-12)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0, "empty sides are 0 (DuckDB variant)")
+    assert(jw("a", "a") == 1.0)
+    assert(jw("ab", "ba") == 0.0, "window 0 at length 2: no matches")
+  }
+
   test("ewma folds the integer recurrence from the first element") {
     val out = Seq(Seq(100L, 0L, 0L, 200L), Seq(7L), Seq.empty[Long]).toDF("xs")
       .select(native.ewma(col("xs"), a100 = 30)).collect().map(_.getSeq[Long](0))
