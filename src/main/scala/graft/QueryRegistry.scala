@@ -2081,6 +2081,27 @@ object QueryRegistry {
         ORDER BY w, d"""
     })
 
+  /** Feature hashing (the hashing trick): tokens bucketed by the
+   *  portable rolling hash into a fixed 64-dim count vector per doc —
+   *  ML featurization with no vocabulary state at all (the point at
+   *  100 TB: no dictionary build, no OOV). Map + one combinable
+   *  shuffle; the oracle replays the exact mod-prime hash. */
+  private val text_hashfeat = QueryDef(
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)).as("w"))
+      .withColumn("b", pmod(TextAnalysis.fingerprint(col("w")), lit(64)))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "b"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH toks AS (SELECT doc_id, tt.w
+          FROM documents, unnest(string_split($norm, ' ')) AS tt(w) WHERE tt.w <> ''),
+        hb AS (SELECT doc_id, ((${TextAnalysis.fingerprintSql("w")} % 64) + 64) % 64 AS b FROM toks)
+        SELECT doc_id, CAST(b AS BIGINT) AS b, count(*) AS cnt
+        FROM hb GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
   /** Per-language TF-IDF top terms — each language slice is its own corpus. */
   private val text_tfidf = QueryDef(
     (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "lang", "doc_id", "text", k = 10)
@@ -2284,6 +2305,32 @@ object QueryRegistry {
       .orderBy("grp"),
     Some(graft.operators.Sketch.hllDistinctSql("lineitem", "l_returnflag", "l_orderkey")
       + " ORDER BY grp"))
+
+  /** ARG-MAX / max_by semantics with a deterministic tiebreak: the
+   *  single struct-max aggregate max((value, id, ...)) — one
+   *  map-side-combined pass, no window sort; ties resolve by the
+   *  struct's lexicographic order (id). The oracle derives the same
+   *  row with a row_number qualify — structurally different. */
+  private val q_argmax = QueryDef(
+    (s, dir) => events(s, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(max(struct(col("cents"), col("event_id"), col("user_id"))).as("m"),
+        min(struct(col("cents"), col("event_id"))).as("lo"))
+      .select(col("event_type"),
+        col("m.cents").as("max_cents"), col("m.event_id").as("max_event"),
+        col("m.user_id").as("max_user"),
+        col("lo.cents").as("min_cents"), col("lo.event_id").as("min_event"))
+      .orderBy("event_type"),
+    Some("""WITH ev AS (SELECT *, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      hi AS (SELECT event_type, cents AS max_cents, event_id AS max_event, user_id AS max_user
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY cents DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1),
+      lo AS (SELECT event_type, cents AS min_cents, event_id AS min_event
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY cents ASC, event_id ASC) AS rn FROM ev) WHERE rn = 1)
+      SELECT hi.event_type, max_cents, max_event, max_user, min_cents, min_event
+      FROM hi JOIN lo ON hi.event_type = lo.event_type ORDER BY 1"""))
 
   /** Exact distinct counts + pairwise audience overlap via per-group
    *  bitmap indexes ([[graft.operators.Sketch.bitmapWords]]): words
@@ -3350,6 +3397,8 @@ object QueryRegistry {
     "text_fingerprint" -> text_fingerprint,
     "text_normalize" -> text_normalize,
     "text_jaro" -> text_jaro,
+    "text_hashfeat" -> text_hashfeat,
+    "q_argmax" -> q_argmax,
     "text_winnow" -> text_winnow,
     "text_cdc" -> text_cdc,
     "dedup_winnow" -> dedup_winnow,

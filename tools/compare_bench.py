@@ -29,14 +29,21 @@ CLASSES = {
           'q_kmv', 'q_kmv_jaccard', 'q_anomaly', 'sample_leakage_safe',
           'q_heavyhitters', 'q_gsets', 'q_validate', 'q_profile', 'q10_returns',
           'q_merge', 'q_winsorize', 'text_entropy', 'q_bucketed', 'q_exact_quantiles', 'q19_brackets',
-          'sample_curriculum', 'text_nb'],
+          'sample_curriculum', 'text_nb',
+          'q2_mincost', 'q7_volume', 'q8_share', 'q14_promo', 'q16_partsupp',
+          'q18_large', 'q22_idle', 'q_seqmatch', 'text_normalize', 'q_bitmap',
+          'q_acf', 'q_abtest', 'q_bandjoin', 'q_ewma', 'q_scd2', 'q_diff',
+          'q21_waiting', 'q_cooccur', 'q_hopping', 'q_overlapjoin',
+          'q_resample', 'q_transitions', 'q_trend'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
-          'dedup_incremental_near', 'dedup_snm', 'q_skewjoin'],
+          'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
+          'graph_triangles', 'graph_bfs', 'graph_pagerank', 'dedup_ppjoin'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
-          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment'],
+          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment',
+          'text_jaro'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
