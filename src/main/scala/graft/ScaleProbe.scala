@@ -245,6 +245,22 @@ object ScaleProbe {
         (col("c.id") * 10000L + col("s.id") + 1).as("id_b"))
     time("connectedComponents (200 chains x 5000 hops, diameter 5000)", "graph")(
       graft.operators.Graph.connectedComponents(deepChains, "id_a", "id_b", maxIter = 60).count())
+    // triangle counting at 1M edges: circulant graph (i -> i+1, i+2)
+    // has exactly n triangles; compact-forward must get the exact
+    // count with degeneracy-bounded wedge fan-out (degree 4 here)
+    val nCirc = 500000L
+    val circ = spark.range(nCirc).select(col("id").as("a"), ((col("id") + 1) % nCirc).as("b"))
+      .unionByName(spark.range(nCirc).select(col("id").as("a"), ((col("id") + 2) % nCirc).as("b")))
+    time("triangleCounts (circulant 500k nodes / 1M edges)", "graph") {
+      val tc = graft.operators.Graph.triangleCounts(circ, "a", "b")
+      val incidences = tc.agg(sum("triangles")).head().getLong(0)
+      require(incidences == 3 * nCirc,
+        s"expected ${3 * nCirc} triangle-node incidences, got $incidences")
+      tc.count()
+    }
+    time("bfsHops (200 chains x 5000 hops, 20 frontier rounds)", "graph")(
+      graft.operators.Graph.bfsHops(deepChains, "id_a", "id_b",
+        spark.range(200).select((col("id") * 10000L).as("s")), "s", maxHops = 20).count())
 
     // temporal joins over the replicated events table
     val ev = EventsTable.normalizeTs(EventsTable.read(spark, s"$sfDir/events.parquet"))

@@ -359,10 +359,13 @@ object Graph {
    *  `maxHops`. Classic frontier expansion — each round shuffles only
    *  the CURRENT frontier (slim (node) set) into the edge layout and
    *  anti-joins the visited set; the edge table is symmetrized,
-   *  hash-partitioned by source and persisted ONCE. Rounds end early
-   *  when a frontier empties (one driver count per round, bounded by
-   *  maxHops — no per-node driver state). Returns (node, hop) for
-   *  reached nodes only; unreached nodes are absent. */
+   *  hash-partitioned by source and persisted ONCE. Every round's
+   *  frontier is lineage-TRUNCATED ([[truncate]]): the next round
+   *  references the visited set twice (anti-join + union), so without
+   *  truncation the logical plan doubles per round — exponential
+   *  analysis cost (OOMs around 20 rounds) long before any data
+   *  moves. Rounds end early when a frontier empties. Returns
+   *  (node, hop) for reached nodes only. */
   def bfsHops(edges0: DataFrame, aCol: String, bCol: String,
               seeds: DataFrame, seedCol: String, maxHops: Int = 6): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
@@ -376,34 +379,31 @@ object Graph {
       .distinct()
       .repartition(col("n"))
       .persist(lvl)
-    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .withColumn("hop", lit(0L))
-      .persist(lvl)
-    dist.count()
-    var frontier = dist
-    var handles = List[DataFrame](dist)
+    var frontier = truncate(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct()
+        .withColumn("hop", lit(0L)))
+    var dist = frontier // union of truncated leaves only: plan grows linearly
     var h = 1L
     var done = false
     while (h <= maxHops && !done) {
-      val nxt = frontier.join(dirE, col("node") === col("n"))
-        .select(col("nb").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("hop", lit(h))
-        .persist(lvl)
-      if (nxt.isEmpty) { nxt.unpersist(blocking = false); done = true }
+      val nxt = truncate(
+        frontier.join(dirE, col("node") === col("n"))
+          .select(col("nb").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hop", lit(h)))
+      if (nxt.isEmpty) { backingRdd(nxt).foreach(free(nxt)); done = true }
       else {
-        val merged = dist.union(nxt).persist(lvl)
-        merged.count()
-        handles = merged :: nxt :: handles
-        dist = merged
+        dist = dist.union(nxt)
         frontier = nxt
         h += 1
       }
     }
     dirE.unpersist(blocking = false)
-    // release every intermediate frontier/visited table except the
-    // final result (its cache entry is already materialized)
-    handles.filter(_ ne dist).foreach(_.unpersist(blocking = false))
+    // the result is a union of checkpointed leaves — the superseded
+    // frontiers ARE those leaves, so they must stay materialized;
+    // only the edge cache is released here. Callers wanting full
+    // cleanup should write/collect the result, then let GC reclaim
+    // the checkpoint blocks (localCheckpoint) as usual.
     dist
   }
 }
