@@ -402,4 +402,47 @@ class StreamingSpec extends SparkSpecBase {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
+
+  test("streaming heavy hitters: MG guarantee holds across micro-batches with bounded state") {
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    // two copies -> with maxFilesPerTrigger=1 the MG fold must carry
+    // state across micro-batches
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/b.parquet"))
+    val onDisk = graft.EventsTable.read(spark, s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(onDisk)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = graft.streaming.HeavyHittersStream.candidates(stream, "event_type", k = 2, shards = 4)
+      .writeStream.format("memory").queryName("hh_test").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val all = spark.table("hh_test").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(all.map(_._5).max >= 2, "state must have folded across >= 2 micro-batches")
+    // latest snapshot per shard
+    val lastSeq = all.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._5).max }
+    val latest = all.filter(r => r._5 == lastSeq(r._1))
+    latest.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 2, s"shard summary exceeds k counters: $rs") }
+    // MG guarantee per shard: any term with shard count > n_shard/(k+1)
+    // must be present in that shard's final summary
+    val termCounts = spark.read.parquet(s"$streamDir/*.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shardOf = (t: String) => math.floorMod(t.##, 4)
+    val nShard = latest.groupBy(_._1).map { case (s, rs) => s -> rs.head._4 }
+    termCounts.foreach { case (t, c) =>
+      val s = shardOf(t)
+      if (nShard.contains(s) && c > nShard(s) / 3.0)
+        assert(latest.exists(r => r._1 == s && r._2 == t),
+          s"term $t (count $c, shard $s, n=${nShard(s)}) must survive MG")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
 }
