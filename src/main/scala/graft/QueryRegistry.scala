@@ -2270,6 +2270,35 @@ object QueryRegistry {
       FROM est e LEFT JOIN exact x ON x.id = e.id ORDER BY s_suppkey"""
     })
 
+  /** Join-size estimation from sketches (the optimizer's question —
+   *  "how big is this join?" — answered from two bounded CMS tables
+   *  without running it): the CM inner-product estimator, min over
+   *  rows of the cell-wise product sum, next to the exact join count
+   *  it must upper-bound. Integer-exact replay. */
+  private val q_joinest = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val est = graft.operators.Sketch.cmsJoinSize(
+        graft.operators.Sketch.cmsCells(li, "l_orderkey", d = 4, logW = 10),
+        graft.operators.Sketch.cmsCells(ord, "o_orderkey", d = 4, logW = 10))
+      val exact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(exact)
+    },
+    Some {
+      val (h1, h2) = graft.operators.Sketch.bloomHashSql("id")
+      def cellsSql(src: String) =
+        s"""(SELECT j AS row, (h1 + j * h2) % 1024 AS cell, count(*) AS cnt
+          FROM (SELECT $h1 AS h1, $h2 AS h2 FROM $src) , range(0, 4) t(j) GROUP BY 1, 2)"""
+      s"""WITH ca AS ${cellsSql("(SELECT l_orderkey AS id FROM lineitem)")},
+        cb AS ${cellsSql("(SELECT o_orderkey AS id FROM orders)")},
+        ip AS (SELECT a.row, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+          FROM ca a JOIN cb b ON a.row = b.row AND a.cell = b.cell GROUP BY 1)
+      SELECT (SELECT CAST(min(ip) AS BIGINT) FROM ip) AS join_est,
+        (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS n_exact"""
+    })
+
   /** Histogram quantile sketch: per-event-type p50/p90/p99 from a
    *  bounded 256-bin table (width 2.0 — an exact binary double, so
    *  bins match across engines). The cumulative cut is pure integer
@@ -3406,6 +3435,7 @@ object QueryRegistry {
     "text_tfidf" -> text_tfidf,
     "q_hll" -> q_hll,
     "q_bitmap" -> q_bitmap,
+    "q_joinest" -> q_joinest,
     "q_anomaly" -> q_anomaly,
     "q_kmv" -> q_kmv,
     "q_kmv_jaccard" -> q_kmv_jaccard,

@@ -285,6 +285,19 @@ object Sketch {
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
 
+  /** Inner-join cardinality estimate from two CMS tables built on the
+   *  SAME geometry (Cormode & Muthukrishnan's inner-product
+   *  estimator): per sketch row, the cell-wise product sum
+   *  overestimates |A join B| (collisions only add); the min over the
+   *  d rows is the estimate. The optimizer-style use: size a join
+   *  from two bounded sketches — d x 2^logW cells each — without
+   *  running it. Integer-exact, so a SQL replay hash-matches. */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.alias("a").join(cellsB.alias("b"), Seq("row", "cell"))
+      .groupBy("row")
+      .agg(sum(col("a.cnt") * col("b.cnt")).cast("long").as("ip"))
+      .agg(min("ip").as("join_est"))
+
   /** Merge cell tables from disjoint shards: cell-wise sum. */
   def cmsMerge(cells: DataFrame*): DataFrame =
     cells.reduce(_ unionByName _).groupBy("row", "cell")
