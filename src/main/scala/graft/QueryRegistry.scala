@@ -2280,8 +2280,8 @@ object QueryRegistry {
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
       val est = graft.operators.Sketch.cmsJoinSize(
-        graft.operators.Sketch.cmsCells(li, "l_orderkey", d = 4, logW = 10),
-        graft.operators.Sketch.cmsCells(ord, "o_orderkey", d = 4, logW = 10))
+        graft.operators.Sketch.cmsCells(li, "l_orderkey", d = 4, logW = 10, reuseScan = true),
+        graft.operators.Sketch.cmsCells(ord, "o_orderkey", d = 4, logW = 10, reuseScan = true))
       val exact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("n_exact"))
       est.crossJoin(exact)

@@ -269,18 +269,42 @@ object Sketch {
     require(logW >= 4 && logW <= 22, s"logW must be in [4, 22] (got $logW)")
   }
 
-  def cmsCells(df: DataFrame, idCol: String, d: Int = 4, logW: Int = 10): DataFrame = {
+  def cmsCells(df: DataFrame, idCol: String, d: Int = 4, logW: Int = 10): DataFrame =
+    cmsCells(df, idCol, d, logW, reuseScan = false)
+
+  /** As [[cmsCells]]; with `reuseScan` the two Kirsch-Mitzenmacher
+   *  base hashes are computed ONCE into a slim cached (h1, h2)
+   *  projection and the d union branches read the cache instead of
+   *  re-scanning the source — the right trade when the source is a
+   *  wide corpus table (d scans of 100 TB vs one scan + a 16-byte/row
+   *  cache) or when the caller sketches several columns/tables in one
+   *  job ([[cmsJoinSize]]). Default off: for a single sketch over a
+   *  narrow parquet column, d pruned scans beat the cache write. */
+  def cmsCells(df: DataFrame, idCol: String, d: Int, logW: Int,
+               reuseScan: Boolean): DataFrame = {
     requireCmsGeom(d, logW)
     Sampling.requireIntegralId(df, idCol, "cmsCells")
+    val w = 1L << logW
     // one codegen-only pass per sketch row, unioned: each branch
     // partially aggregates map-side to <= 2^logW cells BEFORE the
     // shuffle, and none of them leaves whole-stage codegen. The
     // "obvious" explode(d addresses)->groupBy build runs the entire
     // corpus through a Generate that breaks codegen — measured 40x
     // slower at 16M rows for d=4.
-    (0 until d).map(j =>
-        df.select(lit(j).as("row"), cmsCell(col(idCol), j, logW).as("cell")))
-      .reduce(_ unionByName _)
+    val branches =
+      if (!reuseScan)
+        (0 until d).map(j =>
+          df.select(lit(j).as("row"), cmsCell(col(idCol), j, logW).as("cell")))
+      else {
+        val hashed = df.select(
+            mixCol(col(idCol)).as("h1"),
+            mixCol(col(idCol).bitwiseXOR(lit(bloomSalt))).as("h2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (0 until d).map(j =>
+          hashed.select(lit(j).as("row"),
+            pmod(col("h1") + lit(j.toLong) * col("h2"), lit(w)).as("cell")))
+      }
+    branches.reduce(_ unionByName _)
       .groupBy("row", "cell")
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
