@@ -2569,6 +2569,102 @@ object QueryRegistry {
    *  drift detection as ONE map-side-combined five-moment aggregate;
    *  sign factored out of the scaled division so trunc-div and
    *  floor-div agree across engines. */
+  /** 2-D Pareto frontier (skyline query): the orders no other order
+   *  beats on BOTH axes — earlier date AND higher value. One corpus
+   *  shuffle for the per-date maxima; the bounded per-date table does
+   *  the prefix-max walk and broadcasts back
+   *  ([[graft.operators.Stats.paretoFront2d]]). The oracle is the
+   *  brute-force NOT EXISTS dominance test — structurally different,
+   *  must hash-match. */
+  private val q_skyline = QueryDef(
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        expr("unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) div 86400").as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("p"))
+      graft.operators.Stats.paretoFront2d(o, "d", "p")
+        .orderBy("d", "o_orderkey")
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+          CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS p FROM orders)
+      SELECT o_orderkey, d, p FROM o a
+      WHERE NOT EXISTS (SELECT 1 FROM o b
+        WHERE b.d <= a.d AND b.p >= a.p AND (b.d < a.d OR b.p > a.p))
+      ORDER BY d, o_orderkey"""))
+
+  /** RFM customer segmentation: recency / frequency / monetary
+   *  quintiles via the distributed exact-ntile rank (range exchange +
+   *  offset walk — no single-task global window), composed into the
+   *  classic three-digit RFM code. The oracle's ntile(5) must agree
+   *  with the exact-tile formula on a fully deterministic order. */
+  private val q_rfm = QueryDef(
+    (s, dir) => {
+      val m = t(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
+        .agg(max(unix_timestamp(col("o_orderdate").cast("timestamp"))).cast("long").as("rec"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("mon"))
+      def quint(df: DataFrame, c: String, out: String) =
+        graft.operators.Rank.curriculum(df, Seq(col(c).asc, col("ck").asc), 5)
+          .withColumnRenamed("phase", out).drop("rank")
+      val scored = quint(quint(quint(m, "rec", "r_q"), "freq", "f_q"), "mon", "m_q")
+      scored.select(col("ck").as("c_custkey"), col("r_q"), col("f_q"), col("m_q"),
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH m AS (SELECT o_custkey AS ck,
+          CAST(max(epoch(o_orderdate)) AS BIGINT) AS rec,
+          count(*) AS freq,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+        FROM orders GROUP BY 1),
+      q AS (SELECT ck,
+          CAST(ntile(5) OVER (ORDER BY rec, ck) AS BIGINT) AS r_q,
+          CAST(ntile(5) OVER (ORDER BY freq, ck) AS BIGINT) AS f_q,
+          CAST(ntile(5) OVER (ORDER BY mon, ck) AS BIGINT) AS m_q
+        FROM m)
+      SELECT ck AS c_custkey, r_q, f_q, m_q,
+        CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+      FROM q ORDER BY 1"""))
+
+  /** CUSUM changepoint detection per event type: cumulative sums of
+   *  integer cross-multiplied deviations (n*x - Sx) over the hourly
+   *  series, the changepoint is the bucket maximizing |CUSUM| (ties
+   *  -> earliest). Per-key windows only — nothing global. */
+  private val q_changepoint = QueryDef(
+    (s, dir) => {
+      val ser = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("x"))
+      val stats = ser.groupBy("event_type").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRank = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("h").asc)
+      ser.join(stats, "event_type")
+        .withColumn("d", (col("n") * col("x") - col("sx")).cast("decimal(38,0)"))
+        .withColumn("cusum", sum("d").over(wOrd))
+        .withColumn("__rn", row_number().over(wRank))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("cp_hour"),
+          abs(col("cusum")).cast("long").as("cusum_abs"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ser AS (SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, sum(x) AS sx, count(*) AS n FROM ser GROUP BY 1),
+      dev AS (SELECT s.event_type, h, CAST(st.n * s.x - st.sx AS HUGEINT) AS d
+        FROM ser s JOIN st ON s.event_type = st.event_type),
+      cs AS (SELECT event_type, h,
+          sum(d) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM dev),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY abs(cusum) DESC, h ASC) AS rn FROM cs)
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS cp_hour,
+        CAST(abs(cusum) AS BIGINT) AS cusum_abs
+      FROM rk WHERE rn = 1 ORDER BY 1"""))
+
   /** Integer exponential smoothing (EWMA, a=0.30) of each event
    *  type's hourly revenue series. The recurrence depends on the
    *  previous OUTPUT, so no window function expresses it — the series
@@ -3470,6 +3566,9 @@ object QueryRegistry {
     "q_acf" -> q_acf,
     "q_abtest" -> q_abtest,
     "q_ewma" -> q_ewma,
+    "q_skyline" -> q_skyline,
+    "q_rfm" -> q_rfm,
+    "q_changepoint" -> q_changepoint,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
     "text_redact" -> text_redact,

@@ -52,6 +52,34 @@ object Stats {
   }
 
   /**
+   * 2-D Pareto frontier (skyline): rows not dominated by any other —
+   * dominated means another row has xCol <= (minimize) AND yCol >=
+   * (maximize) with at least one strict. Distributed shape: the
+   * corpus shuffles ONCE (groupBy x for the per-x maxima); the
+   * per-x max table is bounded by |distinct x| (a date/bucket
+   * column by construction), so its prefix-max window and the
+   * broadcast join back are small-table work — no corpus-wide
+   * global-order window anywhere.
+   *
+   * Survival rule derived from dominance: a row survives iff its y
+   * equals its x-group max (same-x higher y strictly dominates) AND
+   * strictly exceeds every smaller-x group's max (equal y at
+   * smaller x dominates via the strict x).
+   */
+  def paretoFront2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val gmax = df.groupBy(col(xCol).as("__x")).agg(max(col(yCol)).as("__gm"))
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .orderBy("__x").rowsBetween(Long.MinValue, -1)
+    val frontier = gmax
+      .withColumn("__pm", max("__gm").over(wPrefix))
+      .filter(col("__pm").isNull || col("__gm") > col("__pm"))
+      .select(col("__x"), col("__gm"))
+    df.join(broadcast(frontier),
+      col(xCol) === col("__x") && col(yCol) === col("__gm"))
+      .drop("__x", "__gm")
+  }
+
+  /**
    * Pearson chi-square statistic (no continuity correction) of a 2x2
    * contingency table — the A/B conversion test — in EXACT integer
    * arithmetic:

@@ -64,6 +64,27 @@ class StatsSpec extends SparkSpecBase {
     assert(Associations.basketPairs(withNull, Seq("b"), "item").count() == 1L)
   }
 
+  test("paretoFront2d matches brute-force dominance on random data") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "x", "y").repartition(7)
+    val fast = Stats.paretoFront2d(df, "x", "y").select("id").collect().map(_.getLong(0)).toSet
+    val slow = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) => bx <= x && by >= y && (bx < x || by > y) }
+    }.map(_._1).toSet
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
+  test("paretoFront2d keeps equal-point ties and drops same-x dominated rows") {
+    val df = Seq((1L, 0L, 10L), (2L, 0L, 10L), (3L, 0L, 5L), (4L, 1L, 10L), (5L, 1L, 11L))
+      .toDF("id", "x", "y")
+    val out = Stats.paretoFront2d(df, "x", "y").select("id").collect().map(_.getLong(0)).toSet
+    // (1,2): equal points — neither dominates (no strict side); 3 dominated
+    // same-x; 4 dominated by 1 (earlier x, equal y); 5 survives (higher y)
+    assert(out == Set(1L, 2L, 5L))
+  }
+
   test("chiSquare2x2 matches the closed-form statistic") {
     // cells a=10 b=20 c=20 d=10 -> chi2 = 60*(100-400)^2/30^4 = 6.666...
     val rows = Seq.fill(10)((0, 1)) ++ Seq.fill(20)((0, 0)) ++
