@@ -3004,6 +3004,38 @@ object QueryRegistry {
    *  buckets intervals so the plan is an equi-join on the bucket id
    *  (never a cartesian product); the oracle is the plain theta
    *  join. */
+  /** Nearest-in-time join (either direction, ties prefer the
+   *  at-or-before side): each click paired with the SAME user's
+   *  nearest purchase — two asof window passes + one co-partitioned
+   *  join ([[graft.operators.Temporal.nearestJoin]]), never a theta
+   *  join. Exact integer micros distances. */
+  private val q_nearjoin = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("tus"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("tus").as("p_tus"))
+      graft.operators.Temporal.nearestJoin(clicks, purchases,
+          "click_id", "user_id", "tus", "p_user", "p_tus",
+          rightCols = Seq("p_id"), rightTieBreak = "p_id")
+        .select(col("click_id"), col("near_p_id"), col("near_dt"))
+        .orderBy("click_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+      c AS (SELECT event_id AS click_id, user_id, tus FROM ev WHERE event_type = 'click'),
+      p AS (SELECT event_id AS p_id, user_id, tus AS p_tus FROM ev WHERE event_type = 'purchase'),
+      j AS (SELECT c.click_id, p.p_id, abs(p.p_tus - c.tus) AS adt,
+          CASE WHEN p.p_tus <= c.tus THEN 0 ELSE 1 END AS side
+        FROM c JOIN p ON p.user_id = c.user_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY click_id
+          ORDER BY adt, side, p_id DESC) AS rn FROM j)
+      SELECT c.click_id, r.p_id AS near_p_id, CAST(r.adt AS BIGINT) AS near_dt
+      FROM c LEFT JOIN r ON r.click_id = c.click_id AND r.rn = 1
+      ORDER BY c.click_id"""))
+
   /** Broadcast interval-lookup join ([[graft.operators.Lookup]]):
    *  price-band annotation of every event via a codegen'd binary
    *  search over the broadcast band table — a map-only plan (no join
@@ -3571,6 +3603,7 @@ object QueryRegistry {
     "q_changepoint" -> q_changepoint,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
+    "q_nearjoin" -> q_nearjoin,
     "text_redact" -> text_redact,
     "text_repetition" -> text_repetition,
     "ann_quantized" -> ann_quantized,

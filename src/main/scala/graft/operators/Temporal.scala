@@ -84,6 +84,47 @@ object Temporal {
         rightCols.map(c => col("__rv").getField(c).as(prefix + c)): _*)
   }
 
+  /**
+   * Nearest-in-time join (sensor/stream alignment): for each left
+   * row, the right row with minimum |rightTime - leftTime| on the
+   * same key — EITHER direction, ties preferring the at-or-before
+   * side (and the greatest `rightTieBreak` within a side, as in
+   * [[asofJoin]]). Composed as two asof passes — the second over
+   * negated times — joined on the caller's unique left id; both
+   * passes are single-window shuffles, so the whole operator costs
+   * two window shuffles and one co-partitioned join, never a theta
+   * join. Times must be integral (exact distance arithmetic).
+   */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  leftId: String, leftKey: String, leftTime: String,
+                  rightKey: String, rightTime: String,
+                  rightCols: Seq[String], rightTieBreak: String,
+                  prefix: String = "near_"): DataFrame = {
+    val carry = (rightCols :+ rightTime).distinct
+    val before = asofJoin(left, right, leftKey, leftTime, rightKey, rightTime,
+      carry, rightTieBreak, prefix = "__b_")
+    val lNeg = left.withColumn("__nt", -col(leftTime))
+    val rNeg = right.withColumn("__nt", -col(rightTime))
+    val after = asofJoin(lNeg, rNeg, leftKey, "__nt", rightKey, "__nt",
+        carry, rightTieBreak, prefix = "__a_")
+      .drop("__nt")
+    val bT = col("__b_" + rightTime)
+    val aT = col("__a_" + rightTime)
+    val useBefore = aT.isNull ||
+      (bT.isNotNull && (col(leftTime) - bT) <= (aT - col(leftTime)))
+    before.select((Seq(col(leftId)) ++ carry.map(c => col("__b_" + c))): _*)
+      .join(after.select((Seq(col(leftId).as("__aid")) ++
+          carry.map(c => col("__a_" + c))): _*),
+        col(leftId) === col("__aid"))
+      .drop("__aid")
+      .join(left, Seq(leftId))
+      .select(left.columns.map(col) ++
+        rightCols.map(c => when(useBefore, col("__b_" + c))
+          .otherwise(col("__a_" + c)).as(prefix + c)) :+
+        when(useBefore, when(bT.isNotNull, col(leftTime) - bT))
+          .otherwise(aT - col(leftTime)).as(prefix + "dt"): _*)
+  }
+
   /** Exact floor division for long columns: pmod keeps the remainder
    *  nonnegative (negative-safe), and the division runs in decimal —
    *  Column `/` on longs is IEEE double division, which misplaces

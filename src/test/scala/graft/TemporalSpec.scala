@@ -259,4 +259,46 @@ class TemporalSpec extends SparkSpecBase {
       Temporal.resampleLocf(df, Seq("k"), "ts", "v", bucketSeconds = 0L)
     }.getMessage.contains("resampleLocf"))
   }
+
+  test("nearestJoin: min |dt| either direction, before wins ties, no-match null") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 10L), (3L, 1L, 500L), (4L, 2L, 50L))
+      .toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, 1L, 90L),   // 10 before lid1
+      (11L, 1L, 112L),  // 12 after lid1 -> before wins? no: |10| < |12| -> before anyway
+      (12L, 1L, 5L),    // 5 before lid2; (13) is 5 after -> tie, before wins
+      (13L, 1L, 15L),
+      (14L, 1L, 480L))  // nearest to lid3
+      .toDF("rid", "rk", "rt")
+    val out = Temporal.nearestJoin(left, right, "lid", "k", "t", "rk", "rt",
+        Seq("rid"), rightTieBreak = "rid")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((10L, 10L)), "closest is 10 units before")
+    assert(out(2L) == ((12L, 5L)), "equal distance both sides: before wins")
+    assert(out(3L) == ((14L, 20L)))
+    assert(out(4L) == ((-1L, -1L)), "key with no right rows -> nulls")
+  }
+
+  test("nearestJoin matches brute-force on random data") {
+    val rnd = new scala.util.Random(29)
+    val left = (1L to 300L).map(i => (i, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+      .toDF("lid", "k", "t")
+    val rightRows = (1L to 200L).map(i => (i, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+    val right = rightRows.toDF("rid", "rk", "rt")
+    val fast = Temporal.nearestJoin(left, right, "lid", "k", "t", "rk", "rt",
+        Seq("rid"), rightTieBreak = "rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val leftRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    leftRows.foreach { case (lid, k, t) =>
+      val cands = rightRows.filter(_._2 == k)
+      val want =
+        if (cands.isEmpty) -1L
+        else cands.minBy { case (rid, _, rt) =>
+          (math.abs(rt - t), if (rt <= t) 0 else 1, -rid)
+        }._1
+      assert(fast(lid) == want, s"lid=$lid k=$k t=$t")
+    }
+  }
 }
