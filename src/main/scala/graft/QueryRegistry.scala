@@ -2475,6 +2475,37 @@ object QueryRegistry {
    *  target — flattens dominant sources. The oracle recomputes the
    *  count^alpha weights (float sum pinned to lexicographic source
    *  order on both engines), thresholds, and the hash acceptance. */
+  /** Deterministic negative sampling (contrastive/recsys training
+   *  prep): 8 never-purchased parts per customer, drawn by hashing
+   *  (customer, j) into the part id space — bounded candidate
+   *  explode + anti-join, NO cross join with the item dimension
+   *  ([[graft.operators.Sampling.negativeSample]]). Fully replayed
+   *  in SQL via the portable hash. */
+  private val sample_negatives = QueryDef(
+    (s, dir) => {
+      val nItems = t(s, dir, "part").agg(max("p_partkey").cast("long")).head().getLong(0) + 1
+      val inter = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
+      val units = t(s, dir, "customer").select("c_custkey")
+      graft.operators.Sampling.negativeSample(units, "c_custkey",
+          inter, "u", "it", nItems, k = 8)
+        .orderBy("unit", "j")
+    },
+    Some {
+      val item = graft.operators.Sampling.negativeSampleItemSql(
+        "unit", "j", m = 64, nItemsExpr = "SELECT max(p_partkey) + 1 FROM part")
+      s"""WITH units AS (SELECT c_custkey AS unit FROM customer),
+        cands AS (SELECT unit, CAST($item AS BIGINT) AS item, CAST(min(j) AS BIGINT) AS j
+          FROM units, generate_series(0, 63) t(j) GROUP BY 1, 2),
+        inter AS (SELECT DISTINCT o_custkey AS unit, l_partkey AS item
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        negs AS (SELECT c.* FROM cands c ANTI JOIN inter i USING (unit, item)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY unit ORDER BY j) AS rn FROM negs)
+      SELECT unit, item, j FROM r WHERE rn <= 8 ORDER BY unit, j"""
+    })
+
   private val sample_mixture = QueryDef(
     (s, dir) => graft.operators.Sampling.mixtureSample(t(s, dir, "documents"),
         "doc_id", "source", temperature = 0.5, targetFraction = 0.4)
@@ -3642,5 +3673,6 @@ object QueryRegistry {
     "q_retention" -> q_retention,
     "ann_mmr" -> ann_mmr,
     "sample_mixture" -> sample_mixture,
+    "sample_negatives" -> sample_negatives,
   )
 }

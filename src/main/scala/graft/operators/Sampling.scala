@@ -297,4 +297,43 @@ object Sampling {
         .mkString("CASE ", " ", s" ELSE $dflt END")
     s"(${knuthHashSql(id)}) % 10000 < ($thr)"
   }
+
+  /**
+   * Deterministic negative sampling (contrastive/recsys training
+   * prep): for every unit, k items it did NOT interact with, drawn by
+   * hashing (unit, j) into the item id space — no cross join with the
+   * item dimension ever happens. Each unit explodes to k*oversample
+   * bounded candidates, duplicates keep the smallest j, interactions
+   * anti-join away, and the first k survivors (by j) are the sample —
+   * fully replayable in SQL via [[knuthHashSql]]. A unit whose
+   * candidates are all interacted yields fewer than k rows (the
+   * oversample factor bounds that probability for sparse
+   * interactions). Item ids must be dense in [0, nItems).
+   */
+  def negativeSample(units: DataFrame, unitCol: String,
+                     interactions: DataFrame, iUnitCol: String, iItemCol: String,
+                     nItems: Long, k: Int, oversample: Int = 8): DataFrame = {
+    require(k >= 1, s"negativeSample: k must be >= 1, got $k")
+    require(oversample >= 2, s"negativeSample: oversample must be >= 2, got $oversample")
+    require(nItems >= 1, s"negativeSample: nItems must be >= 1, got $nItems")
+    requireIntegralId(units, unitCol, "negativeSample")
+    val m = k * oversample
+    val cands = units.select(col(unitCol).as("unit"))
+      .withColumn("j", explode(sequence(lit(0L), lit(m - 1L))))
+      .withColumn("item", pmod(knuthHash(col("unit") * m + col("j")), lit(nItems)))
+      .groupBy("unit", "item").agg(min("j").as("j"))
+    val negs = cands.join(
+        interactions.select(col(iUnitCol).as("unit"), col(iItemCol).as("item")).distinct(),
+        Seq("unit", "item"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("unit").orderBy("j")
+    negs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("unit"), col("item"), col("j"))
+  }
+
+  /** SQL twin of [[negativeSample]]'s candidate generation: the
+   *  (unit, j) -> item hash over `generate_series`. `nItemsExpr` may
+   *  be a literal or a scalar subquery. */
+  def negativeSampleItemSql(unitExpr: String, jExpr: String, m: Int, nItemsExpr: String): String =
+    s"(${knuthHashSql(s"($unitExpr * $m + $jExpr)")}) % ($nItemsExpr)"
 }

@@ -280,4 +280,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(2L) == ((4L, 1L, 0.0, 2500L)))
     assert(out(3L) == ((4L, 4L, BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 10000L)))
   }
+
+  test("negativeSample: never an interacted item, deterministic, capped at k") {
+    import spark.implicits._
+    val units = (1L to 50L).toDF("u")
+    val inter = (1L to 50L).flatMap(u => (0L until 20L).map(i => (u, (u * 7 + i) % 100)))
+      .toDF("iu", "ii")
+    val out = Sampling.negativeSample(units, "u", inter, "iu", "ii",
+      nItems = 100L, k = 5, oversample = 8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val interSet = inter.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (u, it, _) =>
+      assert(!interSet.contains((u, it)), s"sampled an interacted item: ($u, $it)") }
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._2).distinct.length == rs.length, s"duplicate items for unit $u") }
+    val again = Sampling.negativeSample(units.repartition(7), "u", inter, "iu", "ii",
+      nItems = 100L, k = 5, oversample = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq, "partitioning-independent")
+  }
 }
