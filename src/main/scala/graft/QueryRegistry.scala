@@ -2335,6 +2335,23 @@ object QueryRegistry {
     Some(graft.operators.Sketch.hllDistinctSql("lineitem", "l_returnflag", "l_orderkey")
       + " ORDER BY grp"))
 
+  /** UNPIVOT / melt (the inverse of 20b1a's PIVOT): the wide
+   *  per-user event-type count matrix folds back to long form via
+   *  Spark's native unpivot (an Expand, one pass, no shuffle beyond
+   *  the pivot's); null cells (absent combinations) drop, so the
+   *  round trip equals the direct group-by — which IS the oracle. */
+  private val q_unpivot = QueryDef(
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = events(s, dir).groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .filter(col("n").isNotNull)
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** ARG-MAX / max_by semantics with a deterministic tiebreak: the
    *  single struct-max aggregate max((value, id, ...)) — one
    *  map-side-combined pass, no window sort; ties resolve by the
@@ -3587,6 +3604,7 @@ object QueryRegistry {
     "text_jaro" -> text_jaro,
     "text_hashfeat" -> text_hashfeat,
     "q_argmax" -> q_argmax,
+    "q_unpivot" -> q_unpivot,
     "text_winnow" -> text_winnow,
     "text_cdc" -> text_cdc,
     "dedup_winnow" -> dedup_winnow,
