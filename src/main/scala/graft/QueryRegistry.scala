@@ -2673,6 +2673,70 @@ object QueryRegistry {
         CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
       FROM q ORDER BY 1"""))
 
+  /** Time-weighted average price (TWAP — the step-integral mean over
+   *  irregular observations, finance/sensor semantics): per type, one
+   *  window lead for the step durations, exact integer micros x cents
+   *  products (bounded by max_cents * time span — fits int64), final
+   *  ratio positive so trunc == floor. */
+  private val q_twap = QueryDef(
+    (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy("event_type").orderBy(col("tus").asc, col("event_id").asc)
+      ev.withColumn("dur", lead(col("tus"), 1).over(w) - col("tus"))
+        .filter(col("dur").isNotNull)
+        .groupBy("event_type")
+        .agg(sum("dur").as("total_dur_us"),
+          sum(col("cents") * col("dur")).as("wsum"))
+        .withColumn("twap_cents", expr("wsum div total_dur_us"))
+        .select("event_type", "total_dur_us", "twap_cents")
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+          CAST(floor(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS tus FROM events),
+      d AS (SELECT event_type, cents,
+          lead(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id) - tus AS dur
+        FROM ev)
+      SELECT event_type, CAST(sum(dur) AS BIGINT) AS total_dur_us,
+        CAST(sum(cents * dur) // sum(dur) AS BIGINT) AS twap_cents
+      FROM d WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1"""))
+
+  /** Gini coefficient of order value per market segment (inequality /
+   *  concentration metric): the exact rank formula
+   *  G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over ascending x —
+   *  per-segment windows only, DECIMAL(38) since rank-weighted sums
+   *  overflow int64, numerator non-negative for sorted input so
+   *  trunc == floor. */
+  private val q_gini = QueryDef(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("x"))
+      val w = Window.partitionBy("seg").orderBy(col("x").asc, col("o_orderkey").asc)
+      o.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum((col("i").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))).as("six"))
+        .withColumn("gini_e6",
+          expr("((2 * six - (n + 1) * sx) * 1000000) div (n * sx)").cast("long"))
+        .select("seg", "n", "gini_e6")
+        .orderBy("seg")
+    },
+    Some("""WITH o AS (SELECT c_mktsegment AS seg, o_orderkey,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      r AS (SELECT seg, x,
+          row_number() OVER (PARTITION BY seg ORDER BY x, o_orderkey) AS i FROM o),
+      a AS (SELECT seg, count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+          CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+        FROM r GROUP BY 1)
+      SELECT seg, n,
+        CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT) AS gini_e6
+      FROM a ORDER BY 1"""))
+
   /** CUSUM changepoint detection per event type: cumulative sums of
    *  integer cross-multiplied deviations (n*x - Sx) over the hourly
    *  series, the changepoint is the bucket maximizing |CUSUM| (ties
@@ -3650,6 +3714,8 @@ object QueryRegistry {
     "q_skyline" -> q_skyline,
     "q_rfm" -> q_rfm,
     "q_changepoint" -> q_changepoint,
+    "q_twap" -> q_twap,
+    "q_gini" -> q_gini,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
     "q_nearjoin" -> q_nearjoin,

@@ -34,7 +34,8 @@ CLASSES = {
           'q18_large', 'q22_idle', 'q_seqmatch', 'text_normalize', 'q_bitmap',
           'q_acf', 'q_abtest', 'q_bandjoin', 'q_ewma', 'q_scd2', 'q_diff',
           'q21_waiting', 'q_cooccur', 'q_hopping', 'q_overlapjoin',
-          'q_resample', 'q_transitions', 'q_trend', 'text_hashfeat', 'q_argmax', 'q_joinest'],
+          'q_resample', 'q_transitions', 'q_trend', 'text_hashfeat', 'q_argmax', 'q_joinest',
+          'q_skyline', 'q_rfm', 'q_changepoint', 'q_nearjoin', 'sample_negatives', 'q_unpivot'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
