@@ -2673,6 +2673,36 @@ object QueryRegistry {
         CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
       FROM q ORDER BY 1"""))
 
+  /** DAU/WAU stickiness (product analytics): sliding-window DISTINCT
+   *  users — inexpressible as a window aggregate — via the bounded
+   *  explode trick: each (day, user) activity row lands in the <= 7
+   *  window-END days it supports, then a plain distinct count per
+   *  target day. Corpus work is bounded at 7x the distinct activity
+   *  pairs, never user x day-grid. Ratio in integer ppm. */
+  private val q_stickiness = QueryDef(
+    (s, dir) => {
+      val du = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = du.withColumn("g", explode(sequence(lit(0), lit(6))))
+        .select(expr("date_add(day, g)").as("target"), col("user_id"))
+        .distinct()
+        .groupBy("target").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, col("day") === col("target"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("d"),
+          col("dau"), col("wau"),
+          expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+        .orderBy("d")
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+      wau AS (SELECT target, count(DISTINCT user_id) AS wau FROM (
+          SELECT DISTINCT day + CAST(g AS INT) AS target, user_id
+          FROM du, generate_series(0, 6) t(g)) GROUP BY 1)
+      SELECT strftime(day, '%Y-%m-%d') AS d, dau, wau,
+        CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
+      FROM dau JOIN wau ON day = target ORDER BY 1"""))
+
   /** Time-weighted average price (TWAP — the step-integral mean over
    *  irregular observations, finance/sensor semantics): per type, one
    *  window lead for the step durations, exact integer micros x cents
@@ -3716,6 +3746,7 @@ object QueryRegistry {
     "q_changepoint" -> q_changepoint,
     "q_twap" -> q_twap,
     "q_gini" -> q_gini,
+    "q_stickiness" -> q_stickiness,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
     "q_nearjoin" -> q_nearjoin,
