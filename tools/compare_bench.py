@@ -35,11 +35,12 @@ CLASSES = {
           'q_acf', 'q_abtest', 'q_bandjoin', 'q_ewma', 'q_scd2', 'q_diff',
           'q21_waiting', 'q_cooccur', 'q_hopping', 'q_overlapjoin',
           'q_resample', 'q_transitions', 'q_trend', 'text_hashfeat', 'q_argmax', 'q_joinest',
-          'q_skyline', 'q_rfm', 'q_changepoint', 'q_nearjoin', 'sample_negatives', 'q_unpivot'],
+          'q_rfm', 'q_changepoint', 'q_nearjoin', 'sample_negatives', 'q_unpivot',
+          'q_twap', 'q_gini', 'q_stickiness'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
-          'graph_triangles', 'graph_bfs', 'graph_pagerank', 'dedup_ppjoin'],
+          'graph_triangles', 'graph_bfs', 'graph_pagerank', 'dedup_ppjoin', 'q_skyline'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
