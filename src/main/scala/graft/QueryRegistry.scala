@@ -1063,6 +1063,126 @@ object QueryRegistry {
       SELECT promo_cents, total_cents,
         CAST((promo_cents * 1000000) // total_cents AS BIGINT) AS promo_ppm FROM a"""))
 
+  /** TPC-H Q4 pattern ("order priority checking"): orders in a
+   *  quarter having ANY late lineitem (ship > 60 days after order),
+   *  counted per priority. The EXISTS realizes as a left-semi join —
+   *  lineitem never aggregates, order rows never duplicate. */
+  private val q4_priority = QueryDef(
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val late = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q6 pattern ("forecasting revenue change"): the pure
+   *  scan-predicate-aggregate — every filter must reach the parquet
+   *  scan's PushedFilters; per-item integer cents. */
+  private val q6_forecast = QueryDef(
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+        .as("revenue_cents"), count(lit(1)).as("n")),
+    Some("""SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents, count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** TPC-H Q13 pattern ("customer distribution"): the histogram of
+   *  per-customer order counts — a LEFT join so zero-order customers
+   *  land in the 0 bucket, then a second (tiny) aggregation over the
+   *  count domain. */
+  private val q13_custdist = QueryDef(
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc),
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1)
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q15 pattern ("top supplier"): groupwise-MAX join-back over
+   *  a derived revenue view — every supplier achieving the maximum
+   *  quarter revenue (exact integer cents, so the max is unambiguous
+   *  cross-engine). */
+  private val q15_topsupplier = QueryDef(
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("total_cents"))
+      val top = rev.agg(max("total_cents").as("m"))
+      rev.crossJoin(broadcast(top)).filter(col("total_cents") === col("m"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_cents
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_cents = (SELECT max(total_cents) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q17 pattern ("small-quantity-order revenue"): lineitems
+   *  below 20% of their part's average quantity. The correlated avg
+   *  subquery decorrelates into ONE per-part aggregate joined back;
+   *  the threshold compares by integer cross-multiplication
+   *  (5 * qty * n < sum_qty — quantities are integral doubles, so
+   *  the longs are exact) instead of a float avg. */
+  private val q17_smallqty = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty", col("l_quantity").cast("long"))
+      val pstats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_li"))
+      li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#3"),
+          col("l_partkey") === col("p_partkey"))
+        .join(pstats, col("l_partkey") === col("pk"))
+        .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n"))
+    },
+    Some("""WITH pstats AS (SELECT l_partkey AS pk,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n_li
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        count(*) AS n
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN pstats ON l_partkey = pk
+      WHERE p_brand = 'Brand#3'
+        AND CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty"""))
+
   /** TPC-H Q2 pattern (groupwise-min join-back, "min-cost supplier"):
    *  for every small part, the supplier(s) that shipped it at the
    *  lowest line price. One window min over the part key (single
@@ -3664,6 +3784,11 @@ object QueryRegistry {
     "q22_idle" -> q22_idle,
     "q8_share" -> q8_share,
     "q16_partsupp" -> q16_partsupp,
+    "q4_priority" -> q4_priority,
+    "q6_forecast" -> q6_forecast,
+    "q13_custdist" -> q13_custdist,
+    "q15_topsupplier" -> q15_topsupplier,
+    "q17_smallqty" -> q17_smallqty,
     "q_percentile" -> q_percentile,
     "q_pivot" -> q_pivot,
     "gc_dist" -> gc_dist,
