@@ -2793,6 +2793,52 @@ object QueryRegistry {
         CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
       FROM q ORDER BY 1"""))
 
+  /** Per-group MODE (most frequent value, smallest-value tie rule):
+   *  count aggregate + one struct-max over the bounded (group, value)
+   *  count table — max((cnt, -value)) picks the highest count and
+   *  the smallest value on ties, no window sort. */
+  private val q_mode = QueryDef(
+    (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), (-col("qty")).as("nq"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"), col("m.cnt").as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY cnt DESC, qty ASC) AS rn FROM c)
+      SELECT l_returnflag, qty AS mode_qty, cnt AS n FROM r WHERE rn = 1 ORDER BY 1"""))
+
+  /** Benford first-digit distribution per market segment (the
+   *  forensic-accounting screen): leading digit extracted through the
+   *  decimal STRING form (no transcendental log10 — engine-exact),
+   *  frequencies as integer ppm. */
+  private val q_benford = QueryDef(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        .filter(col("cents") > 0)
+        .withColumn("d1", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      o.groupBy(col("c_mktsegment").as("seg"), col("d1"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("freq_ppm", expr("(cnt * 1000000) div (sum(cnt) OVER (PARTITION BY seg))"))
+        .orderBy("seg", "d1")
+    },
+    Some("""WITH o AS (SELECT c_mktsegment AS seg,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE floor(o_totalprice * 100) > 0),
+      c AS (SELECT seg, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d1,
+          count(*) AS cnt FROM o GROUP BY 1, 2)
+      SELECT seg, d1, cnt,
+        CAST((cnt * 1000000) // (sum(cnt) OVER (PARTITION BY seg)) AS BIGINT) AS freq_ppm
+      FROM c ORDER BY seg, d1"""))
+
   /** DAU/WAU stickiness (product analytics): sliding-window DISTINCT
    *  users — inexpressible as a window aggregate — via the bounded
    *  explode trick: each (day, user) activity row lands in the <= 7
@@ -3872,6 +3918,8 @@ object QueryRegistry {
     "q_twap" -> q_twap,
     "q_gini" -> q_gini,
     "q_stickiness" -> q_stickiness,
+    "q_mode" -> q_mode,
+    "q_benford" -> q_benford,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
     "q_nearjoin" -> q_nearjoin,
