@@ -2753,7 +2753,7 @@ object QueryRegistry {
         .orderBy("d", "o_orderkey")
     },
     Some("""WITH o AS (SELECT o_orderkey,
-          CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d,
+          CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
           CAST(floor(o_totalprice * 100) AS BIGINT) AS p FROM orders)
       SELECT o_orderkey, d, p FROM o a
       WHERE NOT EXISTS (SELECT 1 FROM o b
@@ -2792,6 +2792,44 @@ object QueryRegistry {
       SELECT ck AS c_custkey, r_q, f_q, m_q,
         CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
       FROM q ORDER BY 1"""))
+
+  /** Rolling 7-day revenue per event type — the RANGE-frame window
+   *  (value-based bounds over sparse days, not ROWS): each day sums
+   *  the trailing week even when days are missing. Integer day index
+   *  + integer cents keep the frame and the sums engine-exact. */
+  private val q_rolling = QueryDef(
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400").as("day"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+      daily.withColumn("rolling7_cents", sum("cents").over(w))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, day, cents,
+        CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling7_cents
+      FROM daily ORDER BY 1, 2"""))
+
+  /** Deterministic group concatenation (LISTAGG/string_agg): the
+   *  distinct sorted event types per user as one string — collect_set
+   *  is unordered across tasks, array_sort pins the result before the
+   *  join of engines. */
+  private val q_groupconcat = QueryDef(
+    (s, dir) => events(s, dir)
+      .groupBy("user_id")
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Per-group MODE (most frequent value, smallest-value tie rule):
    *  count aggregate + one struct-max over the bounded (group, value)
@@ -3920,6 +3958,8 @@ object QueryRegistry {
     "q_stickiness" -> q_stickiness,
     "q_mode" -> q_mode,
     "q_benford" -> q_benford,
+    "q_rolling" -> q_rolling,
+    "q_groupconcat" -> q_groupconcat,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
     "q_nearjoin" -> q_nearjoin,
