@@ -102,6 +102,18 @@ object EventStream {
     graft.operators.Sketch.cmsCells(events.select(col("user_id")), "user_id", d, logW)
 
   /**
+   * Streaming per-type user-membership bitmap words — the EXACT
+   * distinct/overlap face of the sketch family: state is bounded by
+   * the dense id domain (maxId/64 words per group), bit_or is a
+   * commutative/idempotent aggregate, so complete-mode output equals
+   * the batch index word for word and merges with historical shards
+   * by a further bit_or.
+   */
+  def bitmapUserWords(events: DataFrame): DataFrame =
+    graft.operators.Sketch.bitmapWords(
+      events.select(col("event_type"), col("user_id")), "event_type", "user_id")
+
+  /**
    * Run the windowed aggregation over whatever is in `dir` right now
    * (AvailableNow trigger) into an in-memory table; returns the
    * result. Used by tests to assert batch parity.

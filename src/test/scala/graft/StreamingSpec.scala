@@ -403,6 +403,38 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming bitmap words equal the batch index bit for bit") {
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bm_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val q = EventStream.bitmapUserWords(EventStream.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("bm_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("bm_test").orderBy("grp", "wi").collect().toSeq
+    val batch = graft.operators.Sketch.bitmapWords(
+        spark.read.parquet(s"$dir/events.parquet").select("event_type", "user_id"),
+        "event_type", "user_id")
+      .orderBy("grp", "wi").collect().toSeq
+    assert(streamed == batch)
+    // and the streamed words drive the exact intersection pipeline
+    // (localCheckpoint: a memory-sink view can't self-join by alias)
+    val nBoth = graft.operators.Sketch.bitmapIntersections(
+        spark.table("bm_test").localCheckpoint())
+      .filter(org.apache.spark.sql.functions.col("grp_a") ===
+        org.apache.spark.sql.functions.col("grp_b"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nBoth == exact, "diagonal of the streamed index = exact distinct counts")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming heavy hitters: MG guarantee holds across micro-batches with bounded state") {
     val dir = sf("sf0.001")
     val streamDir = java.nio.file.Files.createTempDirectory("graft_hh").toString
