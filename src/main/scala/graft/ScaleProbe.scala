@@ -203,6 +203,29 @@ object ScaleProbe {
           wide.select(col("grp"), col("id"), col("v").cast("long").as("vi")),
           "grp", "id", "vi").count()
       }
+      // exact bitmap index at a 16M-row / 1M-id dense domain: words
+      // bounded at 7 groups x 2^20/64 entries; intersection popcounts
+      // never materialize an id set
+      time("bitmap distinct + 28 pairwise overlaps (16M rows, 1M-id domain)", "sketch") {
+        val words = graft.operators.Sketch.bitmapWords(
+          wide.select(col("grp"), (col("id") % 1048576L).as("uid")), "grp", "uid")
+        graft.operators.Sketch.bitmapIntersections(words).count()
+      }
+      time("cms join-size estimate (16M x 16M rows, reuse-scan builds)", "sketch") {
+        graft.operators.Sketch.cmsJoinSize(
+          graft.operators.Sketch.cmsCells(wide, "key", 4, 12, reuseScan = true),
+          graft.operators.Sketch.cmsCells(wide.filter(col("id") % 2 === 0), "key", 4, 12,
+            reuseScan = true)).count()
+      }
+      // broadcast interval lookup: map-only banding of 16M facts
+      time("intervalLookupJoin (16M facts x 64 bands, map-only)", "sketch") {
+        import spark.implicits._
+        val bands = (0 until 64).map(i => (i * 128L, (i + 1) * 128L, i.toLong))
+          .toDF("lo", "hi", "band")
+        graft.operators.Lookup.intervalLookupJoin(spark,
+            wide.select(col("v").cast("long").as("vv")), "vv", bands, "lo", "hi", "band")
+          .groupBy("interval_id").count().count()
+      }
       locally {
         var merged: graft.operators.Sketch.HistSketch = null
         var direct: graft.operators.Sketch.HistSketch = null
