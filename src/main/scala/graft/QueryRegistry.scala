@@ -2793,6 +2793,60 @@ object QueryRegistry {
         CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
       FROM q ORDER BY 1"""))
 
+  /** Pairwise Pearson correlation matrix between event types' hourly
+   *  revenue series — reported as sign(r) * r^2 in ppm, which is
+   *  EXACTLY representable in integers (r itself needs a sqrt):
+   *  r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2)),
+   *  every moment a DECIMAL(38) integer. Series align on the hour via
+   *  an inner join of the two bounded series tables. */
+  private val q_paircorr = QueryDef(
+    (s, dir) => {
+      // whole currency units, not cents: num^2 * 1e6 must stay inside
+      // DECIMAL(38) (cents would reach ~1e38 at sf0.1 and null out
+      // where HUGEINT survives)
+      val ser = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(expr("CAST(floor(value) AS BIGINT)")).as("x"))
+      val a = ser.select(col("event_type").as("ta"), col("h"), col("x").as("xa"))
+      val b = ser.select(col("event_type").as("tb"), col("h"), col("x").as("xb"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      a.join(b, Seq("h")).filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xa").cast(dec)).as("sx"), sum(col("xb").cast(dec)).as("sy"),
+          sum(col("xa").cast(dec) * col("xb").cast(dec)).as("sxy"),
+          sum(col("xa").cast(dec) * col("xa").cast(dec)).as("sxx"),
+          sum(col("xb").cast(dec) * col("xb").cast(dec)).as("syy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den",
+          (col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))
+        .withColumn("signed_r2_ppm",
+          when(col("den") === 0, lit(null).cast("long"))
+            .otherwise((when(col("num") < 0, -1L).otherwise(1L) *
+              expr("(num * num * 1000000) div den")).cast("long")))
+        .select("ta", "tb", "n", "signed_r2_ppm")
+        .orderBy("ta", "tb")
+    },
+    Some("""WITH ser AS (SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      j AS (SELECT a.event_type AS ta, b.event_type AS tb,
+          CAST(a.x AS HUGEINT) AS xa, CAST(b.x AS HUGEINT) AS xb
+        FROM ser a JOIN ser b ON a.h = b.h AND a.event_type < b.event_type),
+      m AS (SELECT ta, tb, count(*) AS n, sum(xa) AS sx, sum(xb) AS sy,
+          sum(xa * xb) AS sxy, sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+        FROM j GROUP BY 1, 2),
+      f AS (SELECT ta, tb, n,
+          n * sxy - sx * sy AS num,
+          (n * sxx - sx * sx) * (n * syy - sy * sy) AS den
+        FROM m)
+      SELECT ta, tb, n,
+        CAST(CASE WHEN den = 0 THEN NULL
+          WHEN num < 0 THEN -((num * num * 1000000) // den)
+          ELSE (num * num * 1000000) // den END AS BIGINT) AS signed_r2_ppm
+      FROM f ORDER BY 1, 2"""))
+
   /** Rolling 7-day revenue per event type — the RANGE-frame window
    *  (value-based bounds over sparse days, not ROWS): each day sums
    *  the trailing week even when days are missing. Integer day index
@@ -3959,6 +4013,7 @@ object QueryRegistry {
     "q_mode" -> q_mode,
     "q_benford" -> q_benford,
     "q_rolling" -> q_rolling,
+    "q_paircorr" -> q_paircorr,
     "q_groupconcat" -> q_groupconcat,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
