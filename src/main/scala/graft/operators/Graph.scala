@@ -380,7 +380,9 @@ object Graph {
       .repartition(col("n"))
       .persist(lvl)
     var frontier = truncate(
-      seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      seeds.select(col(seedCol).cast("long").as("node"))
+        .filter(col("node").isNotNull) // null seeds match no edge and would emit a null row
+        .distinct()
         .withColumn("hop", lit(0L)))
     var dist = frontier // union of truncated leaves only: plan grows linearly
     var h = 1L

@@ -23,11 +23,14 @@ object Lookup {
   def intervalLookupJoin(spark: SparkSession, facts: DataFrame, valueCol: String,
       intervals: DataFrame, loCol: String, hiCol: String, idCol: String,
       outCol: String = "interval_id"): DataFrame = {
+    // limit BEFORE collect so an unexpectedly large dimension fails
+    // the size check instead of OOMing the driver first
     val rows = intervals
       .select(col(loCol).cast("long"), col(hiCol).cast("long"), col(idCol).cast("long"))
+      .limit(MaxIntervals + 1)
       .collect()
     require(rows.length <= MaxIntervals,
-      s"intervalLookupJoin: dimension has ${rows.length} intervals (max $MaxIntervals); " +
+      s"intervalLookupJoin: dimension exceeds $MaxIntervals intervals; " +
         "use a range join for large interval sides")
     val sorted = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     sorted.foreach { case (lo, hi, id) =>
