@@ -2793,6 +2793,44 @@ object QueryRegistry {
         CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
       FROM q ORDER BY 1"""))
 
+  /** Gaps-and-islands (longest consecutive-day streak per user — the
+   *  gamification/engagement metric): distinct active days, then the
+   *  classic day − row_number island key — consecutive days share it,
+   *  a gap starts a new island. One distinct + one per-user window;
+   *  ties on streak length resolve to the earliest start. */
+  private val q_streaks = QueryDef(
+    (s, dir) => {
+      val du = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_timestamp(CAST(ts AS TIMESTAMP)) div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = du
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy("user_id", "isl")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      islands.groupBy("user_id")
+        .agg(max(struct(col("len"), (-col("start_day")).as("ns"))).as("m"),
+          count(lit(1)).as("n_islands"))
+        .select(col("user_id"), col("m.len").as("longest_streak"),
+          (-col("m.ns")).as("streak_start_day"), col("n_islands"))
+        .orderBy("user_id")
+    },
+    Some("""WITH du AS (SELECT DISTINCT user_id,
+          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+      isl AS (SELECT user_id, day,
+          day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        FROM du),
+      runs AS (SELECT user_id, isl, count(*) AS len, min(day) AS start_day
+        FROM isl GROUP BY 1, 2),
+      best AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY len DESC, start_day ASC) AS rn FROM runs),
+      ni AS (SELECT user_id, count(*) AS n_islands FROM runs GROUP BY 1)
+      SELECT b.user_id, b.len AS longest_streak,
+        CAST(b.start_day AS BIGINT) AS streak_start_day, ni.n_islands
+      FROM best b JOIN ni ON b.user_id = ni.user_id WHERE rn = 1
+      ORDER BY b.user_id"""))
+
   /** Pairwise Pearson correlation matrix between event types' hourly
    *  revenue series — reported as sign(r) * r^2 in ppm, which is
    *  EXACTLY representable in integers (r itself needs a sqrt):
@@ -4014,6 +4052,7 @@ object QueryRegistry {
     "q_benford" -> q_benford,
     "q_rolling" -> q_rolling,
     "q_paircorr" -> q_paircorr,
+    "q_streaks" -> q_streaks,
     "q_groupconcat" -> q_groupconcat,
     "q_rangejoin" -> q_rangejoin,
     "q_bandjoin" -> q_bandjoin,
