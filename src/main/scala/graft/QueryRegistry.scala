@@ -3933,6 +3933,94 @@ object QueryRegistry {
       FROM lagged GROUP BY id ORDER BY id"""
     })
 
+  /** Perceptual image dedup over REAL decoded bytes: plant duplicate
+   *  images under distinct ids (pixel content keyed by doc_id % 40),
+   *  encode each group to REAL PNG bytes, decode via javax.imageio,
+   *  dHash the rasters ([[Multimodal.dHash]] — 8x8 luminance grid,
+   *  horizontal brightness comparisons, 56 bits), and group ids by
+   *  hash. DuckDB cannot decode PNG — it replays the pixel pattern,
+   *  the integer grid sampling and the bit packing arithmetically, so
+   *  a hash match proves the encode→decode→perceptual-hash path is
+   *  bit-exact. MAP-ONLY until the final dup-group aggregate. */
+  private val multimodal_phash = QueryDef(
+    (s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), (col("doc_id") % 40).as("pattern"))
+      val media = Multimodal.synthesizePngsKeyed(s, ids, "doc_id", "pattern").toDF()
+      Multimodal.imagePhash(s, media).toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("id")).as("first_id"))
+        .filter(col("n_images") > 1)
+        .orderBy("phash")
+    },
+    Some("""WITH imgs AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id % 40 AS BIGINT) AS pat,
+               8 + (doc_id % 40) % 5 AS w, 8 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < 400),
+      grid AS (
+        SELECT i.id, i.pat, gi.i AS gi, gj.j AS gj,
+               (gi.i * i.w) // 8 AS x, (gj.j * i.h) // 8 AS y
+        FROM imgs i, generate_series(0, 7) AS gi(i), generate_series(0, 7) AS gj(j)),
+      lum AS (
+        SELECT id, gi, gj,
+          2126 * ((pat * 31 + x * 7 + y * 13) % 256)
+          + 7152 * ((pat * 17 + x * 11 + y * 5) % 256)
+          + 722 * ((pat * 7 + x * 3 + y * 29) % 256) AS l
+        FROM grid),
+      ph AS (
+        SELECT a.id,
+          CAST(SUM(CASE WHEN b.l > a.l THEN 1::BIGINT << (a.gj * 7 + a.gi) ELSE 0 END) AS BIGINT)
+            AS phash
+        FROM lum a JOIN lum b ON b.id = a.id AND b.gj = a.gj AND b.gi = a.gi + 1
+        WHERE a.gi < 7 GROUP BY a.id)
+      SELECT phash, CAST(count(*) AS BIGINT) AS n_images, CAST(min(id) AS BIGINT) AS first_id
+      FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash"""))
+
+  /** Audio fingerprint dedup over REAL decoded WAV bytes: duplicate
+   *  clips planted under distinct ids (signal keyed by doc_id % 30)
+   *  at 2x volume (gain10 = 20 — EXACT integer doubling, so the
+   *  energy-contour comparisons are provably unchanged), encoded to
+   *  RIFF/PCM16, decoded by the chunk walk, fingerprinted by the
+   *  direction of 16-sample frame energies ([[Multimodal
+   *  .audioFingerprint]]), and grouped by fingerprint. The oracle
+   *  replays signal, gain, windowed energies and the lag comparison
+   *  in SQL — a hash match proves the whole byte path is exact. */
+  private val multimodal_afp = QueryDef(
+    (s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), (col("doc_id") % 30).as("pattern"))
+      val media = Multimodal.synthesizeWavsKeyed(s, ids, "doc_id", "pattern", gain10 = 20).toDF()
+      Multimodal.audioFingerprint(s, media).toDF()
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_clips"), min(col("id")).as("first_id"))
+        .filter(col("n_clips") > 1)
+        .orderBy("fingerprint")
+    },
+    Some {
+      val h1 = graft.operators.Sampling.knuthHashSql("(pat * 4096 + i)")
+      val h = graft.operators.Sampling.knuthHashSql("xor(h1, h1 // 65536)")
+      s"""WITH clips AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id % 30 AS BIGINT) AS pat,
+               256 + (doc_id % 30) % 7 * 64 AS n
+        FROM documents WHERE doc_id < 300),
+      keyed AS (
+        SELECT c.id, c.pat, t.i FROM clips c
+        JOIN generate_series(0, 639) AS t(i) ON t.i < c.n),
+      r1 AS (SELECT id, pat, i, $h1 AS h1 FROM keyed),
+      r2 AS (SELECT id, i, $h AS h FROM r1),
+      samp AS (
+        SELECT id, i,
+          2 * (((h % 9999) + 1) * (CASE WHEN (h // 16384) % 2 = 0 THEN 1 ELSE -1 END)) AS v
+        FROM r2),
+      fr AS (SELECT id, i // 16 AS f, SUM(v * v) AS e FROM samp GROUP BY id, i // 16),
+      lg AS (SELECT id, f, e, lag(e) OVER (PARTITION BY id ORDER BY f) AS pe FROM fr),
+      fp AS (
+        SELECT id, string_agg(CASE WHEN e > pe THEN '1' ELSE '0' END, '' ORDER BY f) AS fingerprint
+        FROM lg WHERE pe IS NOT NULL GROUP BY id)
+      SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_clips, CAST(min(id) AS BIGINT) AS first_id
+      FROM fp GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint"""
+    })
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -4072,6 +4160,8 @@ object QueryRegistry {
     "sample_dsir" -> sample_dsir,
     "multimodal_decode" -> multimodal_decode,
     "multimodal_video" -> multimodal_video,
+    "multimodal_phash" -> multimodal_phash,
+    "multimodal_afp" -> multimodal_afp,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

@@ -711,4 +711,184 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------- perceptual image dedup
+
+  /** Integer luminance (BT.709 weights x 10000 — no float rounding,
+   *  so any engine compares pixels identically). */
+  @inline private def lum10k(p: Int): Int =
+    2126 * ((p >> 16) & 0xff) + 7152 * ((p >> 8) & 0xff) + 722 * (p & 0xff)
+
+  /** 56-bit difference hash (dHash) of a decoded raster: sample an
+   *  8x8 luminance grid at integer coordinates `(i*w/8, j*h/8)`
+   *  (truncating division — nearest-neighbor, NOT area-averaged, so
+   *  the SQL twin replays it with two integer divides), then compare
+   *  horizontally adjacent cells; bit `j*7+i` is set when cell
+   *  `(i+1, j)` is brighter than `(i, j)`. 56 bits (7 comparisons x
+   *  8 rows) keeps the hash strictly positive in a signed 64-bit
+   *  lane, so BIGINT engines agree without unsigned reinterpretation.
+   *  Comparisons (not absolute values) make the hash invariant to
+   *  global brightness/contrast shifts — the property that turns it
+   *  into a NEAR-duplicate key rather than a checksum. */
+  def dHash(d: Decoded): Long = {
+    val gl = new Array[Int](64)
+    var j = 0
+    while (j < 8) {
+      val y = j * d.height / 8
+      var i = 0
+      while (i < 8) {
+        val x = i * d.width / 8
+        gl(j * 8 + i) = lum10k(d.pixels(y * d.width + x))
+        i += 1
+      }
+      j += 1
+    }
+    var h = 0L; var k = 0; j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 7) {
+        if (gl(j * 8 + i + 1) > gl(j * 8 + i)) h |= 1L << k
+        k += 1; i += 1
+      }
+      j += 1
+    }
+    h
+  }
+
+  final case class PhashRow(id: Long, phash: Long)
+
+  /** Per-image perceptual hash over REAL decoded bytes — MAP-ONLY
+   *  (decode + dHash fused in one pass; at 100 TB, hashing the image
+   *  corpus is embarrassingly parallel and must stay so). The raster
+   *  codec dispatches per modality, so video rows hash by their first
+   *  frame (the thumbnail convention). */
+  def imagePhash(spark: SparkSession, media: DataFrame): Dataset[PhashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map(r => PhashRow(r.id, dHash(codecFor(r.modality).decode(r.payload))))
+    }
+  }
+
+  /**
+   * Perceptual near-duplicate image pairs: band the 56-bit dHash into
+   * Hamming-pigeonhole chunks and bucket-join — the image face of the
+   * text SimHash machinery ([[Dedup.simhashPairsFromSigs]] consumes
+   * the `(id, simhash)` frame directly, so band geometry, first-
+   * matching-chunk dedup and the bit_count verify are ONE shared
+   * implementation, never an O(n^2) raster comparison). `hashed` is
+   * the [[imagePhash]] output (persist it when it feeds several
+   * consumers — the decode is the expensive side).
+   */
+  def phashNearDup(hashed: Dataset[PhashRow], maxHamming: Int = 4): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      hashed.toDF().withColumnRenamed("phash", "simhash"), "id", maxHamming)
+      .withColumnRenamed("hamming", "phash_hamming")
+
+  /** As [[synthesizePngs]], but pixel CONTENT comes from a separate
+   *  pattern key while the row keeps its own id — the deterministic
+   *  way to plant exact/near duplicate images under distinct ids for
+   *  the perceptual-dedup oracles. `brightness` adds a clamped
+   *  constant to every channel (a global exposure shift — the edit
+   *  dHash must survive). */
+  def synthesizePngsKeyed(spark: SparkSession, ids: DataFrame, idCol: String,
+                          patternCol: String, brightness: Int = 0): Dataset[MediaRow] = {
+    Sampling.requireIntegralId(ids, idCol, "synthesizePngsKeyed")
+    Sampling.requireIntegralId(ids, patternCol, "synthesizePngsKeyed")
+    import spark.implicits._
+    ids.select(col(idCol).cast("long"), col(patternCol).cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, pat) =>
+          require(id >= 0 && pat >= 0,
+            s"synthesizePngsKeyed: negative key (id=$id pattern=$pat) — the SQL twin assumes nonnegative")
+          val (w, h) = synthDims(pat)
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = synthPixel(pat, x, y)
+              val px =
+                if (brightness == 0) p
+                else {
+                  def cl(v: Int) = math.min(255, math.max(0, v + brightness))
+                  (cl((p >> 16) & 0xff) << 16) | (cl((p >> 8) & 0xff) << 8) | cl(p & 0xff)
+                }
+              img.setRGB(x, y, px)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          MediaRow(id, "image", bytes, bytes.length.toLong)
+        }
+      }
+  }
+
+  // ------------------------------------------------ audio fingerprint
+
+  /** As [[synthesizeWavs]], but sample CONTENT comes from a separate
+   *  pattern key while the row keeps its own id (the audio twin of
+   *  [[synthesizePngsKeyed]]). `gain10` scales every sample by
+   *  `gain10/10` in exact integer arithmetic (trunc toward zero) —
+   *  a volume edit the energy-contour fingerprint must survive. */
+  def synthesizeWavsKeyed(spark: SparkSession, ids: DataFrame, idCol: String,
+                          patternCol: String, gain10: Int = 10): Dataset[MediaRow] = {
+    Sampling.requireIntegralId(ids, idCol, "synthesizeWavsKeyed")
+    Sampling.requireIntegralId(ids, patternCol, "synthesizeWavsKeyed")
+    require(gain10 > 0, s"synthesizeWavsKeyed: gain10 must be positive (got $gain10)")
+    import spark.implicits._
+    ids.select(col(idCol).cast("long"), col(patternCol).cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, pat) =>
+          require(id >= 0 && pat >= 0,
+            s"synthesizeWavsKeyed: negative key (id=$id pattern=$pat) — the SQL twin assumes nonnegative")
+          val n = synthNumSamples(pat)
+          val samples = Array.tabulate(n) { i =>
+            val v = synthSample(pat, i).toLong * gain10 / 10
+            math.max(-32768L, math.min(32767L, v)).toInt
+          }
+          val bytes = WavCodec.encode(samples, SynthSampleRate)
+          MediaRow(id, "audio", bytes, bytes.length.toLong)
+        }
+      }
+  }
+
+  final case class AudioFp(id: Long, n_samples: Long, fingerprint: String)
+
+  /**
+   * Energy-contour audio fingerprint over REAL decoded WAV bytes:
+   * window the PCM stream into fixed `window`-sample frames (the
+   * trailing partial frame is dropped — its energy depends on clip
+   * padding, not content), compute each frame's exact integer energy
+   * `sum(v^2)`, and emit one bit per adjacent frame pair — '1' when
+   * energy rises. The bit string is the direction of the loudness
+   * contour: invariant under uniform volume scaling (comparisons,
+   * not magnitudes) and variable-length (longer clips carry more
+   * bits), so it is a STRING key, not a packed word. MAP-ONLY:
+   * decode, window fold and bit emission fuse into one pass per clip
+   * — the 100 TB shape for fingerprinting an audio corpus.
+   */
+  def audioFingerprint(spark: SparkSession, media: DataFrame, window: Int = 16): Dataset[AudioFp] = {
+    require(window > 0, s"audioFingerprint: window must be positive (got $window)")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val d = WavCodec.decode(r.payload)
+        val nFrames = d.samples.length / window
+        val energy = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L; var i = f * window; val end = i + window
+          while (i < end) { val v = d.samples(i).toLong; e += v * v; i += 1 }
+          energy(f) = e; f += 1
+        }
+        val sb = new java.lang.StringBuilder(math.max(0, nFrames - 1))
+        f = 1
+        while (f < nFrames) { sb.append(if (energy(f) > energy(f - 1)) '1' else '0'); f += 1 }
+        AudioFp(r.id, d.samples.length.toLong, sb.toString)
+      }
+    }
+  }
 }

@@ -275,4 +275,80 @@ class MultimodalSpec extends SparkSpecBase {
       assert(f.pixels.forall(_ == rgb), "constant frames must stay constant through resize")
     }
   }
+
+  test("dHash: brightness-shift invariance, locality under a local edit, checksum contrast") {
+    // horizontal gray ramp: luminance strictly increases with x, so
+    // every horizontal comparison is 'brighter' => all 56 bits set
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = Multimodal.Decoded(16, 16, Array.tabulate(16 * 16)(i => gray((i % 16) * 12)))
+    assert(Multimodal.dHash(base) == (1L << 56) - 1, "strict ramp sets every bit")
+    assert((Multimodal.dHash(base) >>> 56) == 0L, "56-bit hash stays in the positive signed range")
+    // +20 exposure shift (max channel 180 -> never clamps): same hash, different checksum
+    val shifted = Multimodal.Decoded(16, 16, base.pixels.map(p => gray((p & 0xff) + 20)))
+    assert(Multimodal.dHash(base) == Multimodal.dHash(shifted),
+      "comparisons see identical deltas under a global exposure shift")
+    assert(Multimodal.pixHash(base) != Multimodal.pixHash(shifted),
+      "the integrity checksum MUST change — that contrast is the point of a perceptual hash")
+    // blacking out ONE sampled grid cell — (4,4) is grid cell (2,2) at
+    // w=h=16 — flips exactly its left comparison; the right one stays
+    // 'brighter' because the neighbor is still positive
+    val edited = base.pixels.clone(); edited(4 * 16 + 4) = 0
+    val dh = java.lang.Long.bitCount(
+      Multimodal.dHash(base) ^ Multimodal.dHash(Multimodal.Decoded(16, 16, edited)))
+    assert(dh == 1, s"a single-cell edit flips only comparisons touching that cell (got $dh)")
+  }
+
+  test("keyed PNG synth plants exact duplicates; imagePhash groups them; near-dup pairs via banding") {
+    import spark.implicits._
+    // 12 images, 4 patterns => 4 groups of 3 duplicate images under distinct ids
+    val ids = (0L until 12L).map(i => (i, i % 4)).toDF("doc_id", "pattern")
+    val media = Multimodal.synthesizePngsKeyed(spark, ids, "doc_id", "pattern").toDF()
+    val hashed = Multimodal.imagePhash(spark, media)
+    val byHashOfId = hashed.collect().map(r => r.id -> r.phash).toMap
+    for (i <- 0L until 12L; j <- 0L until 12L)
+      assert((byHashOfId(i) == byHashOfId(j)) || (i % 4) != (j % 4),
+        s"same pattern must hash identically: $i vs $j")
+    // a +15 exposure edit of pattern 0 (channels for pattern 0 stay low
+    // enough on the sampled grid to clamp rarely; assert via hamming bound)
+    val editedMedia = Multimodal.synthesizePngsKeyed(
+      spark, Seq((100L, 0L)).toDF("doc_id", "pattern"), "doc_id", "pattern", brightness = 15).toDF()
+    val editedHash = Multimodal.imagePhash(spark, editedMedia).collect().head.phash
+    val ham = java.lang.Long.bitCount(byHashOfId(0L) ^ editedHash)
+    assert(ham <= 4, s"an exposure edit is a NEAR duplicate (hamming $ham)")
+    // banded near-dup join finds the planted pair without any O(n^2) scan
+    val all = hashed.toDF().union(Seq((100L, editedHash)).toDF("id", "phash"))
+      .as[Multimodal.PhashRow]
+    val pairs = Multimodal.phashNearDup(all, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), "the exposure-edited copy must pair with its original")
+    assert(pairs.contains((0L, 4L)) && pairs.contains((4L, 8L)), "exact duplicates pair too")
+    // NOTE: distinct synth patterns MAY also pair — the linear-gradient
+    // test patterns are genuinely perceptually similar across ids, which
+    // is correct dHash behavior, so no cross-pattern exclusion here.
+  }
+
+  test("audio fingerprint: exact-gain invariance, duplicate grouping, trailing-frame drop") {
+    import spark.implicits._
+    val ids = (0L until 9L).map(i => (i, i % 3)).toDF("doc_id", "pattern")
+    val base = Multimodal.audioFingerprint(spark,
+      Multimodal.synthesizeWavsKeyed(spark, ids, "doc_id", "pattern", gain10 = 10).toDF())
+      .collect().map(r => r.id -> r.fingerprint).toMap
+    val loud = Multimodal.audioFingerprint(spark,
+      Multimodal.synthesizeWavsKeyed(spark, ids, "doc_id", "pattern", gain10 = 20).toDF())
+      .collect().map(r => r.id -> r.fingerprint).toMap
+    for (i <- 0L until 9L) {
+      assert(base(i) == loud(i), s"doubling volume is EXACT integer scaling: contour preserved for $i")
+      assert(base(i) == base(i % 3), "same pattern, same fingerprint")
+      val n = Multimodal.synthNumSamples(i % 3)
+      assert(base(i).length == n / 16 - 1, "one bit per adjacent full-frame pair")
+    }
+    assert(Set(0L, 1L, 2L).map(base).size == 3, "distinct signals fingerprint apart")
+    // a clip whose length is NOT a multiple of the window drops the tail frame
+    val odd = Multimodal.WavCodec.encode(Array.tabulate(40)(i => i + 1), 8000)
+    val fp = Multimodal.audioFingerprint(spark,
+      Seq((7L, "audio", odd, odd.length.toLong)).toDF("id", "modality", "payload", "byte_len"))
+      .collect().head
+    assert(fp.fingerprint.length == 1, "40 samples / window 16 = 2 full frames -> 1 bit")
+    assert(fp.fingerprint == "1", "rising ramp: second frame carries more energy")
+  }
 }
