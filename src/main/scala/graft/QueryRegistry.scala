@@ -3976,6 +3976,54 @@ object QueryRegistry {
       SELECT phash, CAST(count(*) AS BIGINT) AS n_images, CAST(min(id) AS BIGINT) AS first_id
       FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash"""))
 
+  /** Scene-change keyframe detection over REAL demuxed AVI bytes:
+   *  scene-structured clips (content constant per 4-frame scene plus
+   *  a small in-scene motion wiggle) are muxed to REAL AVI, demuxed
+   *  by the chunk walk, and each frame's exact integer sum of
+   *  absolute channel deltas vs its predecessor is thresholded
+   *  (mean-per-channel > 20.0 as the integer predicate
+   *  `10*delta > 200*3*w*h`). The oracle replays the pixel pattern
+   *  for BOTH frames of every consecutive pair and the same
+   *  threshold — a hash match proves mux, demux and the delta fold
+   *  are bit-exact. Expected shape: frame 0 plus every scene
+   *  boundary (f % 4 == 0), never the in-scene motion frames. */
+  private val multimodal_keyframes = QueryDef(
+    (s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 150).select("doc_id")
+      Multimodal.sceneChanges(s,
+          Multimodal.synthesizeSceneAvis(s, ids, "doc_id").toDF(), meanDelta10 = 200)
+        .toDF()
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_delta"))
+        .orderBy("id", "frame_idx")
+    },
+    Some("""WITH vids AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h,
+               12 + (doc_id % 5) * 4 AS nf
+        FROM documents WHERE doc_id < 150),
+      pairs AS (
+        SELECT id, w, h, unnest(range(1, nf)) AS f FROM vids),
+      pix AS (
+        SELECT p.id, p.f, p.w, p.h,
+          abs(((p.id * 31 + (p.f // 4) * 19 + x.x * 7 + y.y * 13 + (p.f % 4)) % 256)
+            - ((p.id * 31 + ((p.f - 1) // 4) * 19 + x.x * 7 + y.y * 13 + ((p.f - 1) % 4)) % 256))
+          + abs(((p.id * 17 + (p.f // 4) * 23 + x.x * 11 + y.y * 5 + 2 * (p.f % 4)) % 256)
+            - ((p.id * 17 + ((p.f - 1) // 4) * 23 + x.x * 11 + y.y * 5 + 2 * ((p.f - 1) % 4)) % 256))
+          + abs(((p.id * 7 + (p.f // 4) * 37 + x.x * 3 + y.y * 29 + (p.f % 4)) % 256)
+            - ((p.id * 7 + ((p.f - 1) // 4) * 37 + x.x * 3 + y.y * 29 + ((p.f - 1) % 4)) % 256))
+          AS d
+        FROM pairs p
+        JOIN generate_series(0, 11) AS x(x) ON x.x < p.w
+        JOIN generate_series(0, 13) AS y(y) ON y.y < p.h),
+      deltas AS (
+        SELECT id, f, w, h, CAST(SUM(d) AS BIGINT) AS frame_delta
+        FROM pix GROUP BY id, f, w, h),
+      keys AS (
+        SELECT id, CAST(f AS BIGINT) AS frame_idx, frame_delta
+        FROM deltas WHERE 10 * frame_delta > 200 * 3 * w * h
+        UNION ALL
+        SELECT id, CAST(0 AS BIGINT) AS frame_idx, CAST(-1 AS BIGINT) AS frame_delta FROM vids)
+      SELECT id, frame_idx, frame_delta FROM keys ORDER BY id, frame_idx"""))
+
   /** Audio fingerprint dedup over REAL decoded WAV bytes: duplicate
    *  clips planted under distinct ids (signal keyed by doc_id % 30)
    *  at 2x volume (gain10 = 20 — EXACT integer doubling, so the
@@ -4162,6 +4210,7 @@ object QueryRegistry {
     "multimodal_video" -> multimodal_video,
     "multimodal_phash" -> multimodal_phash,
     "multimodal_afp" -> multimodal_afp,
+    "multimodal_keyframes" -> multimodal_keyframes,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

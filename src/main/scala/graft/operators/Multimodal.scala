@@ -712,6 +712,96 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------- video scene detection
+
+  final case class Keyframe(id: Long, frame_idx: Int, frame_delta: Long)
+
+  /**
+   * Scene-change / keyframe detection over REAL demuxed AVI frames:
+   * a frame is a keyframe when the exact integer sum of absolute
+   * per-channel differences against the PREVIOUS frame exceeds a
+   * mean-per-channel threshold (`meanDelta10` = threshold x 10, so
+   * "mean > 20.0" is the integer predicate `10*delta > 200*3*w*h` —
+   * no IEEE division anywhere). Frame 0 is always a keyframe with
+   * delta sentinel -1 (no predecessor). MAP-ONLY: demux, the
+   * consecutive-frame fold and the threshold run in one pass per
+   * clip, nothing shuffles — the 100 TB shape for keyframe sampling
+   * (the frames a captioning/vision stage should look at).
+   */
+  def sceneChanges(spark: SparkSession, media: DataFrame, meanDelta10: Int = 200): Dataset[Keyframe] = {
+    require(meanDelta10 > 0, s"sceneChanges: meanDelta10 must be positive (got $meanDelta10)")
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val v = AviCodec.decode(r.payload)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Keyframe]
+      var fi = 0
+      while (fi < v.frames.length) {
+        val d = v.frames(fi)
+        if (fi == 0) out += Keyframe(r.id, 0, -1L)
+        else {
+          val p = v.frames(fi - 1)
+          require(p.width == d.width && p.height == d.height,
+            s"sceneChanges: frame ${fi} of clip ${r.id} changed dimensions mid-clip")
+          var s = 0L; var i = 0
+          while (i < d.pixels.length) {
+            val a = d.pixels(i); val b = p.pixels(i)
+            s += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+              math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+              math.abs((a & 0xff) - (b & 0xff))
+            i += 1
+          }
+          if (10L * s > meanDelta10.toLong * 3L * d.width * d.height)
+            out += Keyframe(r.id, fi, s)
+        }
+        fi += 1
+      }
+      out
+    }
+  }
+
+  /** Scene-structured pixel pattern: content is constant per SCENE
+   *  (s = f/4) except a small per-frame motion wiggle (+1/+2/+1 per
+   *  channel per in-scene step, mod 256), so consecutive in-scene
+   *  frames differ by ~8*w*h total while scene boundaries jump to
+   *  ~256*w*h — the separation [[sceneChanges]]' threshold cuts.
+   *  Exactly replayable in SQL (shared with the keyframes oracle). */
+  def synthScenePixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val s = f / 4
+    val r = ((id * 31 + s * 19 + x * 7 + y * 13 + (f % 4)) % 256).toInt
+    val g = ((id * 17 + s * 23 + x * 11 + y * 5 + 2 * (f % 4)) % 256).toInt
+    val b = ((id * 7 + s * 37 + x * 3 + y * 29 + (f % 4)) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Frame-count schedule for a scene-structured clip: 12..28 frames
+   *  = 3..7 scenes of 4 (shared with the SQL twin). */
+  def synthSceneFrames(id: Long): Int = 12 + (id % 5).toInt * 4
+
+  /** Mux the [[synthScenePixel]] pattern to REAL AVI bytes — the
+   *  input the `multimodal_keyframes` oracle replays. */
+  def synthesizeSceneAvis(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+    Sampling.requireIntegralId(ids, idCol, "synthesizeSceneAvis")
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        require(id >= 0, s"synthesizeSceneAvis: negative id $id — the SQL pixel twin assumes nonnegative")
+        val (w, h) = synthDims(id)
+        val frames = (0 until synthSceneFrames(id)).map { f =>
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = synthScenePixel(id, f, x, y); x += 1 }
+            y += 1
+          }
+          Decoded(w, h, px)
+        }
+        val bytes = AviCodec.encode(frames, SynthFps)
+        MediaRow(id, "video", bytes, bytes.length.toLong)
+      }
+    }
+  }
+
   // ------------------------------------------- perceptual image dedup
 
   /** Integer luminance (BT.709 weights x 10000 — no float rounding,

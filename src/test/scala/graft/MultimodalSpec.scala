@@ -327,6 +327,38 @@ class MultimodalSpec extends SparkSpecBase {
     // is correct dHash behavior, so no cross-pattern exclusion here.
   }
 
+  test("scene-change keyframes: scene boundaries found, in-scene motion ignored, threshold monotone") {
+    import spark.implicits._
+    val ids = (0L until 10L).toDF("doc_id")
+    val media = Multimodal.synthesizeSceneAvis(spark, ids, "doc_id").toDF()
+    val keys = Multimodal.sceneChanges(spark, media, meanDelta10 = 200).collect()
+      .groupBy(_.id).view.mapValues(_.map(k => k.frame_idx -> k.frame_delta).toMap).toMap
+    for (id <- 0L until 10L) {
+      val nf = Multimodal.synthSceneFrames(id)
+      val expected = 0 until nf filter (f => f == 0 || f % 4 == 0)
+      assert(keys(id).keySet == expected.toSet,
+        s"clip $id: keyframes must be frame 0 + every scene boundary (got ${keys(id).keySet.toSeq.sorted})")
+      assert(keys(id)(0) == -1L, "frame 0 carries the no-predecessor sentinel")
+      keys(id).filter(_._1 > 0).values.foreach(d => assert(d > 0))
+    }
+    // an absurd threshold keeps only frame 0 — the cut is monotone in meanDelta10
+    val strict = Multimodal.sceneChanges(spark, media, meanDelta10 = 2550).collect()
+    assert(strict.length == 10 && strict.forall(_.frame_idx == 0))
+    // a mid-clip dimension change fails loudly instead of a silent wrong delta
+    val f1 = Multimodal.Decoded(8, 8, Array.fill(64)(0x808080))
+    val f2 = Multimodal.Decoded(4, 4, Array.fill(16)(0x808080))
+    val avi = Multimodal.AviCodec.encode(Seq(f1, f1), 8) // same-dims OK
+    assert(Multimodal.sceneChanges(spark,
+      Seq((1L, "video", avi, avi.length.toLong)).toDF("id", "modality", "payload", "byte_len"))
+      .collect().map(_.frame_idx).toSeq == Seq(0))
+    intercept[Exception] {
+      val bad = Multimodal.AviCodec.encode(Seq(f1, f2), 8)
+      Multimodal.sceneChanges(spark,
+        Seq((2L, "video", bad, bad.length.toLong)).toDF("id", "modality", "payload", "byte_len"))
+        .collect()
+    }
+  }
+
   test("audio fingerprint: exact-gain invariance, duplicate grouping, trailing-frame drop") {
     import spark.implicits._
     val ids = (0L until 9L).map(i => (i, i % 3)).toDF("doc_id", "pattern")
