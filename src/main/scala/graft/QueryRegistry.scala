@@ -3976,6 +3976,35 @@ object QueryRegistry {
       SELECT phash, CAST(count(*) AS BIGINT) AS n_images, CAST(min(id) AS BIGINT) AS first_id
       FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash"""))
 
+  /** Size-bounded shard export assignment (the WebDataset/tar-shard
+   *  layout a training loader streams): documents in doc_id order cut
+   *  into ~64 KiB shards by `floor(bytes_before / target)` — computed
+   *  with the DISTRIBUTED byte prefix walk (range exchange + bounded
+   *  size job + map-only running pass), never a corpus-wide
+   *  single-task `sum OVER (ORDER BY)` window. The oracle IS that
+   *  window (fine in a single-node engine) — the contrast is the
+   *  point: identical assignment, scalable plan. */
+  private val q_shards = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes"))
+      graft.operators.Layout.shardAssign(docs, "bytes", Seq(col("doc_id")), targetBytes = 65536L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("shard")
+    },
+    Some("""WITH sized AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents),
+      cum AS (
+        SELECT doc_id, bytes,
+          COALESCE(SUM(bytes) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM sized)
+      SELECT CAST(cb // 65536 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(bytes) AS BIGINT) AS shard_bytes, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM cum GROUP BY 1 ORDER BY 1"""))
+
   /** Scene-change keyframe detection over REAL demuxed AVI bytes:
    *  scene-structured clips (content constant per 4-frame scene plus
    *  a small in-scene motion wiggle) are muxed to REAL AVI, demuxed
@@ -4211,6 +4240,7 @@ object QueryRegistry {
     "multimodal_phash" -> multimodal_phash,
     "multimodal_afp" -> multimodal_afp,
     "multimodal_keyframes" -> multimodal_keyframes,
+    "q_shards" -> q_shards,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

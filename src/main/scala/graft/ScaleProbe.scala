@@ -29,7 +29,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated section filter for targeted iteration
-    // (docs, sketch, graph, temporal, embeddings, ann); default all
+    // (docs, sketch, graph, temporal, embeddings, ann, multimodal); default all
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
     def section(name: String): Boolean = sections.forall(_.contains(name))
@@ -399,6 +399,48 @@ object ScaleProbe {
         graft.operators.Quantize.quantizedTopK(hugeEmb, qs,
           "vec_id", "embedding", "q_id", "q_vec", k = 10).count())
       hugeEmb.unpersist()
+    }
+
+    // Multimodal at corpus scale: every op here is MAP-ONLY up to its
+    // final bounded aggregate/join, so wall time should scale linearly
+    // with clip count and flat in memory — the property these probes
+    // pin. Real codecs throughout (PNG encode/decode via imageio, WAV
+    // and AVI via the chunk walks); ~160k images / 160k clips at the
+    // default 32 replicas. Pattern keys plant ~32-way duplicate
+    // groups so the dedup aggregates see real dup structure.
+    if (section("multimodal")) locally {
+      val imgIds = big.select(col("doc_id"), (col("doc_id") % 5000L).as("pattern"))
+      val pngs = graft.operators.Multimodal.synthesizePngsKeyed(spark, imgIds, "doc_id", "pattern")
+        .toDF().persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[probe] image corpus: ${pngs.count()} real PNGs")
+      val hashed = graft.operators.Multimodal.imagePhash(spark, pngs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"imagePhash (decode + dHash, map-only) over ${replicas}x images", "multimodal")(
+        hashed.count())
+      time("phash dup groups (one aggregate over hashes)", "multimodal")(
+        hashed.groupBy("phash").count().filter(col("count") > 1).count())
+      time("phashNearDup (hamming<=4 banded join over hashes)", "multimodal")(
+        graft.operators.Multimodal.phashNearDup(hashed, maxHamming = 4).count())
+      hashed.unpersist(); pngs.unpersist()
+
+      val wavIds = big.select(col("doc_id"), (col("doc_id") % 5000L).as("pattern"))
+      val wavs = graft.operators.Multimodal.synthesizeWavsKeyed(spark, wavIds, "doc_id", "pattern", gain10 = 20)
+        .toDF().persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[probe] audio corpus: ${wavs.count()} real WAV clips")
+      time(s"audioFingerprint (decode + contour, map-only) over ${replicas}x clips", "multimodal")(
+        graft.operators.Multimodal.audioFingerprint(spark, wavs)
+          .groupBy("fingerprint").count().filter(col("count") > 1).count())
+      wavs.unpersist()
+
+      // video: 8x fewer clips (12-28 frames each — the per-clip work is
+      // an order heavier than a PNG), still >= 40k real AVI muxes
+      val vidIds = big.filter(col("doc_id") % 4 === 0).select("doc_id")
+      val avis = graft.operators.Multimodal.synthesizeSceneAvis(spark, vidIds, "doc_id")
+        .toDF().persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[probe] video corpus: ${avis.count()} real AVI clips")
+      time("sceneChanges (demux + delta fold, map-only) over the video corpus", "multimodal")(
+        graft.operators.Multimodal.sceneChanges(spark, avis, meanDelta10 = 200).count())
+      avis.unpersist()
     }
     spark.stop()
   }

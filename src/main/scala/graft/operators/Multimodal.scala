@@ -860,19 +860,42 @@ object Multimodal {
   }
 
   /**
-   * Perceptual near-duplicate image pairs: band the 56-bit dHash into
-   * Hamming-pigeonhole chunks and bucket-join — the image face of the
-   * text SimHash machinery ([[Dedup.simhashPairsFromSigs]] consumes
-   * the `(id, simhash)` frame directly, so band geometry, first-
-   * matching-chunk dedup and the bit_count verify are ONE shared
-   * implementation, never an O(n^2) raster comparison). `hashed` is
-   * the [[imagePhash]] output (persist it when it feeds several
-   * consumers — the decode is the expensive side).
+   * Perceptual near-duplicate image pairs: collapse identical hashes
+   * into exact-dup groups FIRST, then band the DISTINCT 56-bit
+   * hashes into Hamming-pigeonhole chunks and bucket-join — the
+   * image face of the text SimHash machinery
+   * ([[Dedup.simhashPairsFromSigs]] consumes the `(id, simhash)`
+   * frame directly, so band geometry, first-matching-chunk dedup and
+   * the bit_count verify are ONE shared implementation, never an
+   * O(n^2) raster comparison).
+   *
+   * The distinct-first collapse is the 100 TB load-bearing step: web
+   * corpora carry MILLIONS of byte-identical thumbnails/blanks, and
+   * banding raw rows would put every copy in the same buckets —
+   * candidate pairs grow with multiplicity SQUARED (a 32x-replicated
+   * probe corpus hit 2.0e9 pairs before this collapse; group-level
+   * it is thousands). Join cost scales with genuine hash diversity
+   * instead; group sizes travel alongside so downstream clustering /
+   * keep-one logic works at group granularity without re-exploding.
+   *
+   * Output: one row per near-duplicate GROUP pair — `id_a`/`id_b`
+   * are the groups' representative (minimum) image ids, with
+   * `n_a`/`n_b` group sizes and the exact `phash_hamming`. Exact
+   * duplicates (hamming 0) are the groups themselves — recover them
+   * from `hashed.groupBy("phash")`, they are deliberately NOT
+   * re-emitted as pairs here.
    */
-  def phashNearDup(hashed: Dataset[PhashRow], maxHamming: Int = 4): DataFrame =
-    Dedup.simhashPairsFromSigs(
-      hashed.toDF().withColumnRenamed("phash", "simhash"), "id", maxHamming)
+  def phashNearDup(hashed: Dataset[PhashRow], maxHamming: Int = 4): DataFrame = {
+    val groups = hashed.toDF().groupBy(col("phash"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_images"))
+    val pairs = Dedup.simhashPairsFromSigs(
+      groups.select(col("rep_id").as("id"), col("phash").as("simhash")), "id", maxHamming)
       .withColumnRenamed("hamming", "phash_hamming")
+    val a = groups.select(col("rep_id").as("id_a"), col("n_images").as("n_a"))
+    val b = groups.select(col("rep_id").as("id_b"), col("n_images").as("n_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), col("phash_hamming"), col("n_a"), col("n_b"))
+  }
 
   /** As [[synthesizePngs]], but pixel CONTENT comes from a separate
    *  pattern key while the row keeps its own id — the deterministic

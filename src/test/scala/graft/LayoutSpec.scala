@@ -150,4 +150,65 @@ class LayoutSpec extends SparkSpecBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("shardAssign: exact byte cuts, partitioning invariance, oversized rows, loud guards") {
+    import spark.implicits._
+    // deterministic sizes: doc i carries 100+i bytes; target 1000
+    val rows = (0L until 60L).map(i => (i, 100L + i)).toDF("id", "bytes")
+    val assigned = Layout.shardAssign(rows, "bytes", Seq(col("id")), targetBytes = 1000L, numPartitions = 7)
+      .select("id", "bytes", "shard").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // reference walk
+    var cum = 0L
+    val expect = (0L until 60L).map { i => val s = cum / 1000L; cum += 100L + i; s }
+    assert(assigned.map(_._3).toSeq == expect, "shard = floor(bytes_before / target), exactly")
+    assert(assigned.map(_._3).toSeq == assigned.map(_._3).toSeq.sorted, "monotone in sort order")
+    // every shard's bytes bounded by target + max row size - 1
+    val maxRow = 159L
+    assigned.groupBy(_._3).values.foreach { g =>
+      assert(g.map(_._2).sum < 1000L + maxRow, s"shard overshoot bounded by one row")
+    }
+    // partitioning invariance: a different partition count, same assignment
+    val again = Layout.shardAssign(rows.repartition(3), "bytes", Seq(col("id")), 1000L, numPartitions = 2)
+      .select("id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.map(_._2).toSeq == expect, "assignment is partitioning-independent")
+    // an oversized row never splits; following shard ids skip (documented)
+    val over = Seq((0L, 100L), (1L, 5000L), (2L, 100L)).toDF("id", "bytes")
+    val o = Layout.shardAssign(over, "bytes", Seq(col("id")), 1000L)
+      .select("id", "shard").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(o.toSeq == Seq(0L, 0L, 5L), s"oversized row advances past boundaries (got ${o.toSeq})")
+    // guards: null and negative sizes fail loudly, bad target rejected
+    intercept[Exception] {
+      Layout.shardAssign(Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "bytes"),
+        "bytes", Seq(col("id")), 1000L).collect()
+    }
+    intercept[Exception] {
+      Layout.shardAssign(Seq((1L, -5L)).toDF("id", "bytes"), "bytes", Seq(col("id")), 1000L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Layout.shardAssign(rows, "bytes", Seq(col("id")), 0L)
+    }
+  }
+
+  test("writeShards: hive shard dirs, row-identical round trip, shard-local order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
+    try {
+      val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+        .select(col("doc_id"), col("text"), octet_length(col("text")).cast("long").as("bytes"))
+      Layout.writeShards(docs, dir, "bytes", Seq(col("doc_id")), targetBytes = 16384L)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == docs.count(), "every row lands in exactly one shard")
+      assert(back.select("doc_id").distinct().count() == docs.count())
+      val dirs = new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard=")).map(_.getName)
+      assert(dirs.length > 1, s"multiple shard dirs expected (got ${dirs.toSeq})")
+      // shard contents match the in-memory assignment exactly
+      val expect = Layout.shardAssign(docs, "bytes", Seq(col("doc_id")), 16384L)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      val got = back.select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      assert(got == expect, "written shard ids equal the assignment")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
 }

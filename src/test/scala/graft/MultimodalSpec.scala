@@ -313,15 +313,31 @@ class MultimodalSpec extends SparkSpecBase {
     val editedMedia = Multimodal.synthesizePngsKeyed(
       spark, Seq((100L, 0L)).toDF("doc_id", "pattern"), "doc_id", "pattern", brightness = 15).toDF()
     val editedHash = Multimodal.imagePhash(spark, editedMedia).collect().head.phash
-    val ham = java.lang.Long.bitCount(byHashOfId(0L) ^ editedHash)
-    assert(ham <= 4, s"an exposure edit is a NEAR duplicate (hamming $ham)")
-    // banded near-dup join finds the planted pair without any O(n^2) scan
-    val all = hashed.toDF().union(Seq((100L, editedHash)).toDF("id", "phash"))
+    assert(editedHash == byHashOfId(0L),
+      "a clamp-free exposure edit hashes IDENTICALLY (dHash invariance) — it joins the exact group")
+    // banded near-dup join runs over DISTINCT hashes: exact copies
+    // (including the exposure-edited one) collapse to groups first,
+    // pairs connect group representatives; a one-bit-off hash stands
+    // in for a genuine local edit
+    val all = hashed.toDF()
+      .union(Seq((100L, editedHash)).toDF("id", "phash"))
+      .union(Seq((200L, editedHash ^ 1L)).toDF("id", "phash"))
       .as[Multimodal.PhashRow]
     val pairs = Multimodal.phashNearDup(all, maxHamming = 4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 100L)), "the exposure-edited copy must pair with its original")
-    assert(pairs.contains((0L, 4L)) && pairs.contains((4L, 8L)), "exact duplicates pair too")
+      .select("id_a", "id_b", "phash_hamming", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val reps = Set(0L, 1L, 2L, 3L, 200L) // group minima only — copies never re-explode
+    pairs.foreach { case (a, b, h, na, nb) =>
+      assert(reps(a) && reps(b), s"pairs are between group representatives (got $a, $b)")
+      assert(h >= 1, "hamming-0 rows are the groups themselves, not pairs")
+      assert(na >= 1 && nb >= 1)
+    }
+    val hit = pairs.find(p => p._1 == 0L && p._2 == 200L)
+    assert(hit.isDefined, "the locally-edited image must pair with its original's group")
+    assert(hit.get._3 == 1L, "exact hamming distance carried on the pair")
+    assert(hit.get._4 >= 4L && hit.get._5 == 1L,
+      "group sizes travel with the pair (>= 3 copies + the exposure-edited one; " +
+        "gradient patterns may collide into the same hash group)")
     // NOTE: distinct synth patterns MAY also pair — the linear-gradient
     // test patterns are genuinely perceptually similar across ids, which
     // is correct dHash behavior, so no cross-pattern exclusion here.
