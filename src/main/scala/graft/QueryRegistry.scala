@@ -3976,6 +3976,53 @@ object QueryRegistry {
       SELECT phash, CAST(count(*) AS BIGINT) AS n_images, CAST(min(id) AS BIGINT) AS first_id
       FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash"""))
 
+  /** Last-touch marketing attribution: every purchase is credited to
+   *  the user's most recent PRECEDING touch event (click or view)
+   *  within a 24 h lookback, else 'none'. ONE window per user carries
+   *  the latest touch as a single BIGINT `micros*10 + type_code`
+   *  (max picks latest time; the code breaks same-instant ties
+   *  deterministically on both engines — pure integer arithmetic, no
+   *  struct-ordering divergence), then one small aggregate by touch
+   *  type over integer cents. The window partitions by user — never
+   *  a global sort. */
+  private val q_attribution = QueryDef(
+    (s, dir) => {
+      val e = eventsRaw(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+      val touchCode = when(col("event_type") === "click", col("us") * 10 + 1)
+        .when(col("event_type") === "view", col("us") * 10 + 2)
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_touch", max(touchCode).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("touch",
+          when(col("last_touch").isNull, lit("none"))
+            .when(col("us") - expr("last_touch div 10") > 86400000000L, lit("none"))
+            .when(expr("last_touch % 10") === 1, lit("click"))
+            .otherwise(lit("view")))
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+        .orderBy("touch")
+    },
+    Some("""WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
+      t AS (
+        SELECT *, max(CASE WHEN event_type = 'click' THEN us * 10 + 1
+                           WHEN event_type = 'view' THEN us * 10 + 2 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        FROM e),
+      p AS (
+        SELECT CASE WHEN last_touch IS NULL THEN 'none'
+                    WHEN us - (last_touch // 10) > 86400000000 THEN 'none'
+                    WHEN last_touch % 10 = 1 THEN 'click' ELSE 'view' END AS touch,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM t WHERE event_type = 'purchase')
+      SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM p GROUP BY 1 ORDER BY 1"""))
+
   /** Size-bounded shard export assignment (the WebDataset/tar-shard
    *  layout a training loader streams): documents in doc_id order cut
    *  into ~64 KiB shards by `floor(bytes_before / target)` — computed
@@ -4241,6 +4288,7 @@ object QueryRegistry {
     "multimodal_afp" -> multimodal_afp,
     "multimodal_keyframes" -> multimodal_keyframes,
     "q_shards" -> q_shards,
+    "q_attribution" -> q_attribution,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,
