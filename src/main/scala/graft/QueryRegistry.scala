@@ -3976,6 +3976,68 @@ object QueryRegistry {
       SELECT phash, CAST(count(*) AS BIGINT) AS n_images, CAST(min(id) AS BIGINT) AS first_id
       FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash"""))
 
+  /** Incremental perceptual image dedup: a re-ingest batch (ids
+   *  300..449, pixel content keyed doc_id % 45 — 2/3 of patterns
+   *  recur from history, 1/3 new) classified against the STORED
+   *  distinct-hash state of the history corpus (ids < 300, patterns
+   *  doc_id % 30) as exact_dup / near_dup / fresh. History pixels are
+   *  never re-decoded — the state is hashes + reps only. The oracle
+   *  replays both corpora's dHashes arithmetically and classifies by
+   *  BRUTE-FORCE xor/bit_count over all (batch-hash, state-hash)
+   *  pairs — the engine's banded cross-join must equal it exactly
+   *  (nearest match, ties to smallest rep). */
+  private val multimodal_phash_inc = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val histIds = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), (col("doc_id") % 30).as("pattern"))
+      val batchIds = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+        .select(col("doc_id"), (col("doc_id") % 45).as("pattern"))
+      val hist = Multimodal.imagePhash(s,
+        Multimodal.synthesizePngsKeyed(s, histIds, "doc_id", "pattern").toDF())
+      val batch = Multimodal.imagePhash(s,
+        Multimodal.synthesizePngsKeyed(s, batchIds, "doc_id", "pattern").toDF())
+      Multimodal.phashIncremental(batch, Multimodal.phashGroups(hist), maxHamming = 4)
+        .orderBy("id")
+    },
+    Some("""WITH pats AS (
+        SELECT p, 8 + p % 5 AS w, 8 + p % 7 AS h FROM generate_series(0, 44) AS g(p)),
+      grid AS (
+        SELECT i.p, gi.i AS gi, gj.j AS gj, (gi.i * i.w) // 8 AS x, (gj.j * i.h) // 8 AS y
+        FROM pats i, generate_series(0, 7) AS gi(i), generate_series(0, 7) AS gj(j)),
+      lum AS (
+        SELECT p, gi, gj,
+          2126 * ((p * 31 + x * 7 + y * 13) % 256)
+          + 7152 * ((p * 17 + x * 11 + y * 5) % 256)
+          + 722 * ((p * 7 + x * 3 + y * 29) % 256) AS l
+        FROM grid),
+      ph AS (
+        SELECT a.p,
+          CAST(SUM(CASE WHEN b.l > a.l THEN 1::BIGINT << (a.gj * 7 + a.gi) ELSE 0 END) AS BIGINT)
+            AS phash
+        FROM lum a JOIN lum b ON b.p = a.p AND b.gj = a.gj AND b.gi = a.gi + 1
+        WHERE a.gi < 7 GROUP BY a.p),
+      hist AS (
+        SELECT ph.phash, CAST(min(d.doc_id) AS BIGINT) AS rep_id
+        FROM documents d JOIN ph ON ph.p = d.doc_id % 30
+        WHERE d.doc_id < 300 GROUP BY ph.phash),
+      batch AS (
+        SELECT CAST(d.doc_id AS BIGINT) AS id, ph.phash
+        FROM documents d JOIN ph ON ph.p = d.doc_id % 45
+        WHERE d.doc_id >= 300 AND d.doc_id < 450),
+      nearest AS (
+        SELECT b.id, min(CASE WHEN bit_count(xor(b.phash, h.phash)) <= 4
+            THEN bit_count(xor(b.phash, h.phash)) * 10000000000 + h.rep_id END) AS nm
+        FROM batch b, hist h GROUP BY b.id),
+      ex AS (SELECT b.id, b.phash, h.rep_id FROM batch b LEFT JOIN hist h ON h.phash = b.phash)
+      SELECT ex.id, ex.phash,
+        CASE WHEN ex.rep_id IS NOT NULL THEN 'exact_dup'
+             WHEN n.nm IS NOT NULL THEN 'near_dup' ELSE 'fresh' END AS status,
+        CAST(COALESCE(ex.rep_id, n.nm % 10000000000) AS BIGINT) AS match_rep,
+        CAST(CASE WHEN ex.rep_id IS NOT NULL THEN 0 ELSE n.nm // 10000000000 END AS BIGINT)
+          AS hamming
+      FROM ex LEFT JOIN nearest n ON n.id = ex.id ORDER BY ex.id"""))
+
   /** Last-touch marketing attribution: every purchase is credited to
    *  the user's most recent PRECEDING touch event (click or view)
    *  within a 24 h lookback, else 'none'. ONE window per user carries
@@ -4289,6 +4351,7 @@ object QueryRegistry {
     "multimodal_keyframes" -> multimodal_keyframes,
     "q_shards" -> q_shards,
     "q_attribution" -> q_attribution,
+    "multimodal_phash_inc" -> multimodal_phash_inc,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

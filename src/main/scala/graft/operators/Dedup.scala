@@ -307,6 +307,32 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus simhash candidate pairs: every (a, b) with Hamming
+   * distance <= maxHamming BETWEEN two frames (batch vs stored state
+   * — the incremental-ingest shape), sharing the self-join's chunk
+   * layout, first-matching-chunk exactly-once emission and bit_count
+   * verify. Both frames carry a 64-bit `simhash` column; output:
+   * (<aId>, <bId>, hamming). Like the self-join, candidates are
+   * bounded by chunk-bucket products, never |a| x |b|.
+   */
+  def simhashCrossPairs(a: DataFrame, aId: String, b: DataFrame, bId: String,
+                        maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (chunks need >= 4 bits to bucket usefully); got $maxHamming")
+    require(aId != bId, s"simhashCrossPairs: id columns must have distinct names (both '$aId')")
+    val layout = simhashChunkLayout(maxHamming)
+    def chunked(df: DataFrame, id: String, sigAs: String) =
+      df.select(col(id), col("simhash").as(sigAs),
+        posexplode(array(layout.map { case (shift, width) =>
+          simhashChunk(col("simhash"), shift, width) }: _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkval")
+    chunked(a, aId, "sh_a").join(chunked(b, bId, "sh_b"), Seq("chunk", "chunkval"))
+      .filter(col("chunk") === firstMatchingChunk(col("sh_a"), col("sh_b"), layout))
+      .select(col(aId), col(bId), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Word-ngram Jaccard similarity for pairs within a blocking key
    * (at 100 TB you never all-pairs; block, then set-compare).
    */

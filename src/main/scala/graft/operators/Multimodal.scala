@@ -897,6 +897,60 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("phash_hamming"), col("n_a"), col("n_b"))
   }
 
+  /** Distinct-hash groups of an image corpus — the slim incremental
+   *  state [[phashIncremental]] band-joins against (the image twin of
+   *  [[Dedup.nearDupState]]: hashes only, pixels never re-read). */
+  def phashGroups(hashed: Dataset[PhashRow]): DataFrame =
+    hashed.toDF().groupBy(col("phash"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_images"))
+
+  /**
+   * Incremental perceptual image dedup: classify a re-ingest batch
+   * against the STORED [[phashGroups]] state of the history corpus —
+   * `exact_dup` (hash already in state), `near_dup` (within
+   * `maxHamming` of a stored hash; nearest match, ties to the
+   * smallest rep), or `fresh`. History images are never re-decoded:
+   * the state is hashes + group sizes only. The near pass runs the
+   * shared simhash chunk machinery CROSS-corpus over DISTINCT batch
+   * hashes ([[Dedup.simhashCrossPairs]]), so candidates are bounded
+   * by chunk buckets and copy multiplicity never re-explodes.
+   * Output: (id, phash, status, match_rep, hamming) — `match_rep`
+   * is the matched group's representative id (null for fresh),
+   * `hamming` 0 / distance / null.
+   */
+  def phashIncremental(batch: Dataset[PhashRow], state: DataFrame,
+                       maxHamming: Int = 4): DataFrame = {
+    val b = batch.toDF()
+    val exact = b.join(state.select(col("phash"), col("rep_id")), Seq("phash"), "left")
+    val unmatched = exact.filter(col("rep_id").isNull).select(col("phash")).distinct()
+    val near = Dedup.simhashCrossPairs(
+        unmatched.select(col("phash").as("bhash"), col("phash").as("simhash")), "bhash",
+        state.select(col("phash").as("hhash"), col("rep_id").as("hrep"),
+          col("phash").as("simhash")), "hhash",
+        maxHamming)
+      .join(state.select(col("phash").as("hhash"), col("rep_id").as("hrep")), Seq("hhash"))
+      .groupBy(col("bhash"))
+      .agg(min(struct(col("hamming"), col("hrep"))).as("m"))
+      .select(col("bhash").as("phash"), col("m.hrep").as("near_rep"),
+        col("m.hamming").as("near_hamming"))
+    exact.join(near, Seq("phash"), "left")
+      .select(col("id"), col("phash"),
+        when(col("rep_id").isNotNull, lit("exact_dup"))
+          .when(col("near_rep").isNotNull, lit("near_dup"))
+          .otherwise(lit("fresh")).as("status"),
+        coalesce(col("rep_id"), col("near_rep")).as("match_rep"),
+        when(col("rep_id").isNotNull, lit(0L)).otherwise(col("near_hamming")).as("hamming"))
+  }
+
+  /** Fold a batch into the stored [[phashGroups]] state: group sizes
+   *  sum, representatives stay the global minimum id — commutative
+   *  and idempotent-per-batch, so replays cannot corrupt the state. */
+  def phashStateUpdate(state: DataFrame, batch: Dataset[PhashRow]): DataFrame =
+    state.select(col("phash"), col("rep_id"), col("n_images"))
+      .union(phashGroups(batch))
+      .groupBy(col("phash"))
+      .agg(min(col("rep_id")).as("rep_id"), sum(col("n_images")).as("n_images"))
+
   /** As [[synthesizePngs]], but pixel CONTENT comes from a separate
    *  pattern key while the row keeps its own id — the deterministic
    *  way to plant exact/near duplicate images under distinct ids for

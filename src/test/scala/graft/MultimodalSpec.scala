@@ -375,6 +375,48 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("phashIncremental: exact/near/fresh classification against stored state; state fold") {
+    import spark.implicits._
+    // fully synthetic hashes so every classification is forced
+    val hist = Seq(
+      Multimodal.PhashRow(0L, 5L), Multimodal.PhashRow(10L, 5L),      // dup group, rep 0
+      Multimodal.PhashRow(1L, 0xFF00L), Multimodal.PhashRow(2L, 0xAAAA00000L)).toDS()
+    val state = Multimodal.phashGroups(hist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = Seq(
+      Multimodal.PhashRow(100L, 5L),              // exact (rep 0)
+      Multimodal.PhashRow(101L, 5L ^ 1L),         // near: hamming 2 vs 5L (bits 0,2)... compute below
+      Multimodal.PhashRow(102L, 0xFF00L ^ 3L),    // near: hamming 2 vs 0xFF00
+      Multimodal.PhashRow(103L, (1L << 55) - 1)   // far from everything -> fresh
+    ).toDS()
+    val out = Multimodal.phashIncremental(batch, state, maxHamming = 4)
+      .orderBy("id")
+      .select("id", "status", "match_rep", "hamming")
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+    assert(out(0) == ((100L, "exact_dup", Some(0L), Some(0L))))
+    assert(out(1)._2 == "near_dup" && out(1)._3 == Some(0L) &&
+      out(1)._4 == Some(java.lang.Long.bitCount(5L ^ (5L ^ 1L)).toLong))
+    assert(out(2) == ((102L, "near_dup", Some(1L), Some(2L))))
+    assert(out(3) == ((103L, "fresh", None, None)))
+    // folding the batch into the state makes a replay all-exact, reps stay minimal
+    val newState = Multimodal.phashStateUpdate(state, batch)
+    val replay = Multimodal.phashIncremental(batch, newState, maxHamming = 4)
+      .select("status").as[String].collect()
+    assert(replay.forall(_ == "exact_dup"), "after the fold every batch hash is stored")
+    val rep5 = newState.filter(col("phash") === 5L)
+      .select("rep_id", "n_images").as[(Long, Long)].collect().head
+    assert(rep5 == ((0L, 3L)), "rep stays the global min id; sizes sum")
+    state.unpersist()
+  }
+
+  test("simhashCrossPairs refuses identically-named id columns") {
+    import spark.implicits._
+    val f = Seq((1L, 2L)).toDF("id", "simhash")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashCrossPairs(f, "id", f, "id")
+    }
+  }
+
   test("audio fingerprint: exact-gain invariance, duplicate grouping, trailing-frame drop") {
     import spark.implicits._
     val ids = (0L until 9L).map(i => (i, i % 3)).toDF("doc_id", "pattern")

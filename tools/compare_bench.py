@@ -47,7 +47,7 @@ CLASSES = {
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
           'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment',
-          'text_jaro', 'multimodal_phash', 'multimodal_afp', 'multimodal_keyframes'],
+          'text_jaro', 'multimodal_phash', 'multimodal_afp', 'multimodal_keyframes', 'multimodal_phash_inc'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
