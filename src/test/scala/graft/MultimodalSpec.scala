@@ -409,6 +409,24 @@ class MultimodalSpec extends SparkSpecBase {
     state.unpersist()
   }
 
+  test("imagePhash dedups VIDEO rows through the codec registry (first-frame thumbnail hash)") {
+    import spark.implicits._
+    // two identical clips under distinct ids + one different clip
+    val mk = (id: Long, seed: Long) => {
+      val frames = (0 until 3).map { f =>
+        Multimodal.Decoded(8, 8, Array.tabulate(64)(i =>
+          Multimodal.synthVideoPixel(seed, f, i % 8, i / 8)))
+      }
+      val avi = Multimodal.AviCodec.encode(frames, 8)
+      (id, "video", avi, avi.length.toLong)
+    }
+    val media = Seq(mk(1L, 7L), mk(2L, 7L), mk(3L, 8L))
+      .toDF("id", "modality", "payload", "byte_len")
+    val hashes = Multimodal.imagePhash(spark, media).collect().map(r => r.id -> r.phash).toMap
+    assert(hashes(1L) == hashes(2L), "identical videos share the first-frame dHash")
+    assert(hashes.size == 3)
+  }
+
   test("simhashCrossPairs refuses identically-named id columns") {
     import spark.implicits._
     val f = Seq((1L, 2L)).toDF("id", "simhash")
