@@ -477,4 +477,48 @@ class StreamingSpec extends SparkSpecBase {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
+
+  test("streaming media ingest: on-stream hashing, exact-dup drop, foreachBatch classification parity") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_mediastream").toString
+    // history: patterns 0..3 under ids 0..7 -> stored hash state
+    val histIds = (0L until 8L).map(i => (i, i % 4)).toDF("doc_id", "pattern")
+    val hist = Multimodal.imagePhash(spark,
+      Multimodal.synthesizePngsKeyed(spark, histIds, "doc_id", "pattern").toDF())
+    val state = Multimodal.phashGroups(hist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    // incoming: two re-crawled patterns (exact dups) + two new patterns
+    val batchIds = Seq((100L, 0L), (101L, 2L), (102L, 17L), (103L, 23L)).toDF("doc_id", "pattern")
+    val batchMedia = Multimodal.synthesizePngsKeyed(spark, batchIds, "doc_id", "pattern").toDF()
+    batchMedia.write.mode("overwrite").parquet(streamDir)
+
+    // face 1: exact-dup drop inside the streaming plan
+    val q = graft.streaming.MediaIngest.exactDedupStream(spark,
+        graft.streaming.MediaIngest.readMedia(spark, streamDir), state)
+      .writeStream.format("memory").queryName("mediaingest_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.table("mediaingest_test").select("id").as[Long].collect().toSet
+    assert(!kept.contains(100L) && !kept.contains(101L), "re-crawled images dropped on-stream")
+    assert(kept.contains(102L) || kept.contains(103L), "novel images pass through")
+
+    // face 2: per-micro-batch classification equals the batch operator
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q2 = graft.streaming.MediaIngest.classifyStream(spark,
+        graft.streaming.MediaIngest.readMedia(spark, streamDir), state) { (classified, _) =>
+      collected ++= classified.select("id", "status").as[(Long, String)].collect()
+    }
+    q2.awaitTermination()
+    val batchHashed = Multimodal.imagePhash(spark, batchMedia)
+    val expect = Multimodal.phashIncremental(batchHashed, state)
+      .select("id", "status").as[(Long, String)].collect().toSet
+    assert(collected.toSet == expect, "streamed classification must equal the batch operator")
+    assert(collected.toMap.apply(100L) == "exact_dup" && collected.toMap.apply(101L) == "exact_dup")
+    state.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
 }
