@@ -95,6 +95,11 @@ object ScaleProbe {
     time("packGreedy (budget 2048, 256 buckets)")(
       graft.operators.Packing.packGreedy(withTok, "doc_id", "n_tok", budget = 2048L, nBuckets = 256)
         .groupBy("bucket", "seq").agg(sum("n_tok").as("t")).agg(sum("t")).count())
+    time("shardAssign (1 MiB shards over corpus bytes, distributed prefix walk)")(
+      graft.operators.Layout.shardAssign(
+          big.select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes")),
+          "bytes", Seq(col("doc_id")), targetBytes = 1L << 20)
+        .groupBy("shard").agg(sum("bytes").as("b")).agg(sum("b")).count())
     time("chunkTokens (window 64, overlap 16)")(
       graft.operators.Packing.chunkTokens(big, "doc_id", "text", 64, 16)
         .agg(sum(length(col("chunk"))), sum("n_tok")).count()) // consume the chunk text
