@@ -4114,6 +4114,38 @@ object QueryRegistry {
              CAST(sum(bytes) AS BIGINT) AS shard_bytes, CAST(min(doc_id) AS BIGINT) AS first_doc
       FROM cum GROUP BY 1 ORDER BY 1"""))
 
+  /** Deterministic shuffled training shards (the epoch export): docs
+   *  ordered by the seeded Knuth hash of their id — a reproducible
+   *  global permutation — then cut into ~64 KiB shards by the
+   *  distributed byte prefix walk. Same machinery as q_shards, but
+   *  the order is the SHUFFLE a training run consumes; the oracle
+   *  replays hash, order and cut in one window. */
+  private val q_trainorder = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes"))
+      graft.operators.Layout.shuffledShards(docs, "doc_id", "bytes",
+          targetBytes = 65536L, seed = 7L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("shard_bytes"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("shard")
+    },
+    Some {
+      val k = graft.operators.Sampling.knuthHashSql("(doc_id + 7)")
+      s"""WITH sized AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents),
+      h AS (SELECT doc_id, bytes, $k AS k FROM sized),
+      cum AS (
+        SELECT doc_id, bytes,
+          COALESCE(SUM(bytes) OVER (ORDER BY k, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM h)
+      SELECT CAST(cb // 65536 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(bytes) AS BIGINT) AS shard_bytes, CAST(min(doc_id) AS BIGINT) AS min_doc
+      FROM cum GROUP BY 1 ORDER BY 1"""
+    })
+
   /** Scene-change keyframe detection over REAL demuxed AVI bytes:
    *  scene-structured clips (content constant per 4-frame scene plus
    *  a small in-scene motion wiggle) are muxed to REAL AVI, demuxed
@@ -4352,6 +4384,7 @@ object QueryRegistry {
     "q_shards" -> q_shards,
     "q_attribution" -> q_attribution,
     "multimodal_phash_inc" -> multimodal_phash_inc,
+    "q_trainorder" -> q_trainorder,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

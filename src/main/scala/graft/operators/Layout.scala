@@ -226,4 +226,26 @@ object Layout {
                   targetBytes: Long, numPartitions: Int = 0): Unit =
     shardAssign(df, sizeCol, sortCols, targetBytes, numPartitions)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /**
+   * Deterministic SHUFFLED training shards: rows ordered by the
+   * avalanched hash of `id + seed` (the reproducible global shuffle a
+   * training run wants — same seed, same order, everywhere; a new
+   * seed is a fresh epoch permutation with no data movement until the
+   * write), then cut into ~`targetBytes` shards by [[shardAssign]].
+   * The hash is the same two-round Knuth mixer the split/sampling
+   * family uses, so the SQL twin (`Sampling.knuthHashSql`) replays
+   * the order exactly. `(hash, id)` ordering makes ties impossible —
+   * assignment is total and partitioning-independent.
+   */
+  def shuffledShards(df: DataFrame, idCol: String, sizeCol: String, targetBytes: Long,
+                     seed: Long = 0L, numPartitions: Int = 0): DataFrame = {
+    Sampling.requireIntegralId(df, idCol, "shuffledShards")
+    require(seed >= 0 && seed < (1L << 40),
+      s"shuffledShards: seed must be in [0, 2^40) so id + seed stays in the hash twin's " +
+        s"nonnegative domain (got $seed)")
+    shardAssign(df.withColumn("__shuffle_k", Sampling.knuthHash(col(idCol) + lit(seed))),
+        sizeCol, Seq(col("__shuffle_k"), col(idCol)), targetBytes, numPartitions)
+      .drop("__shuffle_k")
+  }
 }

@@ -189,6 +189,28 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("shuffledShards: reproducible permutation, seed sensitivity, every row exactly once") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, 50L)).toDF("id", "bytes")
+    val a = Layout.shuffledShards(rows, "id", "bytes", targetBytes = 1000L, seed = 7L)
+      .select("id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    val b = Layout.shuffledShards(rows.repartition(5), "id", "bytes", 1000L, seed = 7L)
+      .select("id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "same seed => same assignment, any partitioning")
+    assert(a.map(_._1).toSeq == (0L until 200L), "every row exactly once")
+    val c = Layout.shuffledShards(rows, "id", "bytes", 1000L, seed = 8L)
+      .select("id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.map(_._2).toSeq != c.map(_._2).toSeq, "a new seed is a new epoch permutation")
+    // the shuffle genuinely mixes: shard 0 (first 20 rows of the order)
+    // is NOT the first 20 ids
+    val shard0 = a.filter(_._2 == 0L).map(_._1).toSet
+    assert(shard0.size == 20 && shard0 != (0L until 20L).toSet,
+      s"seeded order must differ from id order (got $shard0)")
+    intercept[IllegalArgumentException] {
+      Layout.shuffledShards(rows, "id", "bytes", 1000L, seed = -1L)
+    }
+  }
+
   test("writeShards: hive shard dirs, row-identical round trip, shard-local order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"

@@ -38,7 +38,7 @@ CLASSES = {
           'q_rfm', 'q_changepoint', 'q_nearjoin', 'sample_negatives', 'q_unpivot',
           'q_twap', 'q_gini', 'q_stickiness',
           'q4_priority', 'q6_forecast', 'q13_custdist', 'q15_topsupplier', 'q17_smallqty',
-          'q_mode', 'q_benford', 'q_rolling', 'q_groupconcat', 'q_paircorr', 'q_streaks', 'q_shards', 'q_attribution'],
+          'q_mode', 'q_benford', 'q_rolling', 'q_groupconcat', 'q_paircorr', 'q_streaks', 'q_shards', 'q_attribution', 'q_trainorder'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
