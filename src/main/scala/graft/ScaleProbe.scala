@@ -437,7 +437,7 @@ object ScaleProbe {
           .groupBy("fingerprint").count().filter(col("count") > 1).count())
       wavs.unpersist()
 
-      // video: 8x fewer clips (12-28 frames each — the per-clip work is
+      // video: 4x fewer clips (12-28 frames each — the per-clip work is
       // an order heavier than a PNG), still >= 40k real AVI muxes
       val vidIds = big.filter(col("doc_id") % 4 === 0).select("doc_id")
       val avis = graft.operators.Multimodal.synthesizeSceneAvis(spark, vidIds, "doc_id")

@@ -886,8 +886,7 @@ object Multimodal {
    * re-emitted as pairs here.
    */
   def phashNearDup(hashed: Dataset[PhashRow], maxHamming: Int = 4): DataFrame = {
-    val groups = hashed.toDF().groupBy(col("phash"))
-      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_images"))
+    val groups = phashGroups(hashed)
     val pairs = Dedup.simhashPairsFromSigs(
       groups.select(col("rep_id").as("id"), col("phash").as("simhash")), "id", maxHamming)
       .withColumnRenamed("hamming", "phash_hamming")
@@ -921,19 +920,22 @@ object Multimodal {
   def phashIncremental(batch: Dataset[PhashRow], state: DataFrame,
                        maxHamming: Int = 4): DataFrame = {
     val b = batch.toDF()
-    val exact = b.join(state.select(col("phash"), col("rep_id")), Seq("phash"), "left")
-    val unmatched = exact.filter(col("rep_id").isNull).select(col("phash")).distinct()
+    // the hashes needing the near pass: distinct batch hashes absent
+    // from state (computed directly — not derived from the exact join,
+    // which would recompute that join once per consumer subtree)
+    val unmatched = b.select(col("phash")).distinct()
+      .join(state.select(col("phash")), Seq("phash"), "left_anti")
     val near = Dedup.simhashCrossPairs(
         unmatched.select(col("phash").as("bhash"), col("phash").as("simhash")), "bhash",
-        state.select(col("phash").as("hhash"), col("rep_id").as("hrep"),
-          col("phash").as("simhash")), "hhash",
+        state.select(col("phash").as("hhash"), col("phash").as("simhash")), "hhash",
         maxHamming)
       .join(state.select(col("phash").as("hhash"), col("rep_id").as("hrep")), Seq("hhash"))
       .groupBy(col("bhash"))
       .agg(min(struct(col("hamming"), col("hrep"))).as("m"))
       .select(col("bhash").as("phash"), col("m.hrep").as("near_rep"),
         col("m.hamming").as("near_hamming"))
-    exact.join(near, Seq("phash"), "left")
+    b.join(state.select(col("phash"), col("rep_id")), Seq("phash"), "left")
+      .join(near, Seq("phash"), "left")
       .select(col("id"), col("phash"),
         when(col("rep_id").isNotNull, lit("exact_dup"))
           .when(col("near_rep").isNotNull, lit("near_dup"))

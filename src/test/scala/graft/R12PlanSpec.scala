@@ -37,18 +37,23 @@ class R12PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"no join in the dup-group path:\n$plan")
   }
 
-  test("phashNearDup: band join runs over DISTINCT hashes (aggregates precede the self-join)") {
+  test("phashNearDup: band join runs over DISTINCT hashes (every join input is aggregated)") {
     import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
     val hashed = (0L until 32L).map(i => Multimodal.PhashRow(i, i % 4)).toDS()
-    val plan = Multimodal.phashNearDup(hashed).queryExecution.optimizedPlan.toString
-    // the group-collapse aggregate must sit BELOW the chunk self-join:
-    // both join inputs read the aggregated (rep, hash) frame, so copy
-    // multiplicity can never reach the band buckets
-    assert(plan.contains("Aggregate"), s"expected the distinct-hash collapse:\n$plan")
-    val firstJoin = plan.linesIterator.indexWhere(_.contains("Join"))
-    val firstAgg = plan.linesIterator.indexWhere(_.contains("Aggregate"))
-    assert(firstAgg > firstJoin && firstJoin >= 0,
-      s"aggregate must be a child of (below) the self-join in the plan tree:\n$plan")
+    val plan = Multimodal.phashNearDup(hashed).queryExecution.optimizedPlan
+    // The group-collapse aggregate must sit BELOW every join — in
+    // particular below BOTH sides of the chunk self-join, so raw copy
+    // multiplicity can never reach the band buckets. A regression
+    // that banded raw rows would give the self-join a raw relation
+    // child with no Aggregate beneath it.
+    def hasAgg(p: LogicalPlan): Boolean = p.collectFirst { case a: Aggregate => a }.isDefined
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"expected the banded self-join:\n$plan")
+    joins.foreach { j =>
+      assert(hasAgg(j.left) && hasAgg(j.right),
+        s"every join input must read the distinct-hash aggregate, never raw rows:\n$plan")
+    }
   }
 
   test("q_shards: range exchange, never a single-task global window") {
