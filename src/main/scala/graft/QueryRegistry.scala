@@ -1720,6 +1720,41 @@ object QueryRegistry {
       SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
       FROM bfs GROUP BY 1 ORDER BY 1"""))
 
+  /** Multi-source weighted shortest paths over a deterministic
+   *  bounded-degree lattice on customer keys (chain edges k->k+1 with
+   *  weight k%5+1, shortcut edges k->k+7 with weight k%3+4 — both
+   *  endpoints must exist), seeds every 100th key, distances bounded
+   *  at 8 relaxation rounds (= paths of <= 8 edges, the same bounded
+   *  contract as graph_bfs). The oracle walks the same lattice with a
+   *  depth-bounded recursive CTE and takes per-node minima — integer
+   *  weights make every distance engine-exact. */
+  private val graph_sssp = QueryDef(
+    (s, dir) => {
+      val keys = t(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))
+      val k2 = keys.select(col("k").as("k2"))
+      val chain = keys.join(k2, col("k2") === col("k") + 1)
+        .select(col("k").as("a"), col("k2").as("b"), (col("k") % 5 + 1).as("w"))
+      val short = keys.join(k2, col("k2") === col("k") + 7)
+        .select(col("k").as("a"), col("k2").as("b"), (col("k") % 3 + 4).as("w"))
+      val seeds = keys.filter(col("k") % 100 === 0)
+      graft.operators.Graph.sssp(chain.union(short), "a", "b", "w",
+          seeds, "k", maxRounds = 8)
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE nodes AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+      ed AS (
+        SELECT a.k AS a, b2.k AS b, (a.k % 5) + 1 AS w
+        FROM nodes a JOIN nodes b2 ON b2.k = a.k + 1
+        UNION ALL
+        SELECT a.k, b2.k, (a.k % 3) + 4 FROM nodes a JOIN nodes b2 ON b2.k = a.k + 7),
+      dire AS (SELECT a AS n, b AS nb, w FROM ed UNION ALL SELECT b, a, w FROM ed),
+      walk AS (
+        SELECT k AS node, 0 AS d, 0 AS hop FROM nodes WHERE k % 100 = 0
+        UNION
+        SELECT e.nb, walk.d + e.w, walk.hop + 1
+        FROM walk JOIN dire e ON e.n = walk.node WHERE walk.hop < 8)
+      SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY 1 ORDER BY 1"""))
+
   private val dedup_cluster = QueryDef(
     (s, dir) => graft.operators.Graph.dedupClusters(
         t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
@@ -4385,6 +4420,7 @@ object QueryRegistry {
     "q_attribution" -> q_attribution,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
+    "graph_sssp" -> graph_sssp,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

@@ -289,6 +289,13 @@ object ScaleProbe {
     time("bfsHops (200 chains x 5000 hops, 20 frontier rounds)", "graph")(
       graft.operators.Graph.bfsHops(deepChains, "id_a", "id_b",
         spark.range(200).select((col("id") * 10000L).as("s")), "s", maxHops = 20).count())
+    // weighted SSSP over the same 1M-node chains, weights 1..7 from
+    // node arithmetic: 30 relaxation rounds from 200 seeds — frontier
+    // stays 200 nodes/round (chain tips), distances exact integers
+    time("sssp (200 chains x 5000 hops, weighted, 30 rounds)", "graph")(
+      graft.operators.Graph.sssp(
+        deepChains.withColumn("w", col("id_a") % 7 + 1), "id_a", "id_b", "w",
+        spark.range(200).select((col("id") * 10000L).as("s")), "s", maxRounds = 30).count())
 
     // temporal joins over the replicated events table
     val ev = EventsTable.normalizeTs(EventsTable.read(spark, s"$sfDir/events.parquet"))

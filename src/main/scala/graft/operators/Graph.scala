@@ -408,4 +408,96 @@ object Graph {
     // the checkpoint blocks (localCheckpoint) as usual.
     dist
   }
+
+  /** [[truncate]] + STATS reset. `Dataset.checkpoint` deliberately
+   *  carries the original plan's size estimate into the LogicalRDD —
+   *  but Catalyst's size-only stats MULTIPLY across a join, so an
+   *  iteration whose accumulator JOINS a frame derived from itself
+   *  compounds the estimate: digit count DOUBLES per round, and by
+   *  round ~15 the driver burns minutes in million-digit BigInteger
+   *  multiplications inside the stats visitor (observed live in the
+   *  1M-node SSSP probe; [[bfsHops]] survives only because its
+   *  estimate grows linearly). Rebuilding the frame over the
+   *  checkpointed RDD drops the inherited estimate to the constant
+   *  default. The extra row decode is map-only and lazy. */
+  private def truncateFresh(df: DataFrame): DataFrame = {
+    val t = truncate(df)
+    t.sparkSession.createDataFrame(t.rdd, t.schema)
+  }
+
+  /**
+   * Multi-source WEIGHTED shortest paths (undirected, nonnegative
+   * integer weights): distributed Bellman-Ford rounds — per round the
+   * frontier relaxes its edges, a map-side-combined `min` collapses
+   * candidate distances per node, and only nodes that actually
+   * IMPROVED re-enter the frontier, so work per round shrinks toward
+   * the shortest-path tree's leaves instead of rescanning the graph
+   * (the same bounded-frontier shape as [[bfsHops]], which is the
+   * w = 1 special case). Contract: `dist` = minimum weight over paths
+   * of at most `maxRounds` EDGES — deterministic and SQL-replayable,
+   * like bfsHops' hop bound. Early-exits when a round improves
+   * nothing (the true fixed point). Negative weights are refused up
+   * front (one cheap scan): with them "min over bounded paths" is
+   * not a distance and silent nonsense would hash-match nothing.
+   * Parallel edges collapse to their cheapest weight. Lineage
+   * truncation per iteration keeps the plan flat (see [[truncate]]).
+   */
+  def sssp(edges0: DataFrame, aCol: String, bCol: String, wCol: String,
+           seeds: DataFrame, seedCol: String, maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"sssp: maxRounds must be in [1,64], got $maxRounds")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges0
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+    require(e.filter(col("w") < 0 || col("w").isNull).limit(1).isEmpty,
+      "sssp: negative or null edge weight — bounded-path minima need nonnegative weights")
+    val dirE = e.select(col("a").as("n"), col("b").as("nb"), col("w"))
+      .union(e.select(col("b").as("n"), col("a").as("nb"), col("w")))
+      .groupBy("n", "nb").agg(min("w").as("w"))
+      .repartition(col("n"))
+      .persist(lvl)
+    // ckpt handles (for freeing blocks) are kept SEPARATE from the
+    // stats-reset frames the next round plans over — see truncateFresh
+    def fresh(t: DataFrame): DataFrame =
+      t.sparkSession.createDataFrame(t.rdd, t.schema)
+    def release(t: DataFrame): Unit = backingRdd(t).foreach(free(t))
+    var distCk = truncate(
+      seeds.select(col(seedCol).cast("long").as("node"))
+        .filter(col("node").isNotNull)
+        .distinct()
+        .withColumn("dist", lit(0L)))
+    var dist = fresh(distCk)
+    var frontCk = distCk
+    var frontier = dist
+    var r = 1
+    var done = false
+    while (r <= maxRounds && !done) {
+      val candCk = truncate(
+        frontier.join(dirE, col("node") === col("n"))
+          .select(col("nb").as("node"), (col("dist") + col("w")).as("dist"))
+          .groupBy("node").agg(min("dist").as("dist")))
+      val improvedCk = truncate(
+        fresh(candCk).join(dist.withColumnRenamed("dist", "__old"), Seq("node"), "left")
+          .filter(col("__old").isNull || col("dist") < col("__old"))
+          .select("node", "dist"))
+      release(candCk) // improved is materialized; the candidate set is dead either way
+      if (improvedCk.isEmpty) {
+        release(improvedCk)
+        done = true
+      } else {
+        val newDistCk = truncate(
+          dist.union(fresh(improvedCk)).groupBy("node").agg(min("dist").as("dist")))
+        if (frontCk ne distCk) release(frontCk) // consumed by cand above
+        release(distCk)                         // superseded by newDist
+        distCk = newDistCk; dist = fresh(newDistCk)
+        frontCk = improvedCk; frontier = fresh(improvedCk)
+        r += 1
+      }
+    }
+    if (frontCk ne distCk) release(frontCk) // the last frontier is not part of the result
+    dirE.unpersist(blocking = false)
+    dist
+  }
 }

@@ -209,4 +209,35 @@ class GraphSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
+
+  test("sssp: hand-verified weighted distances, shortcut beats hop count, bounded rounds") {
+    import spark.implicits._
+    // 1 -2- 2 -2- 3 -2- 4, plus a direct heavy edge 1 -5- 4 and a
+    // cheap long way 1 -1- 5 -1- 6 -1- 4 (3 hops, weight 3)
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L), (1L, 4L, 5L),
+      (1L, 5L, 1L), (5L, 6L, 1L), (6L, 4L, 1L)).toDF("a", "b", "w")
+    val out = Graph.sssp(e, "a", "b", "w", Seq(1L).toDF("s"), "s", maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 3L, 5L -> 1L, 6L -> 2L),
+      s"shortest WEIGHT wins, not fewest hops (got $out)")
+    // bounded contract: with 1 round only direct neighbors resolve
+    val r1 = Graph.sssp(e, "a", "b", "w", Seq(1L).toDF("s"), "s", maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 2L, 4L -> 5L, 5L -> 1L),
+      s"one round = one-edge paths only (got $r1)")
+    // parallel edges collapse to the cheapest
+    val p = Seq((1L, 2L, 9L), (1L, 2L, 3L)).toDF("a", "b", "w")
+    val pd = Graph.sssp(p, "a", "b", "w", Seq(1L).toDF("s"), "s").as[(Long, Long)].collect().toMap
+    assert(pd(2L) == 3L)
+    // negative weights refused loudly
+    intercept[IllegalArgumentException] {
+      Graph.sssp(Seq((1L, 2L, -1L)).toDF("a", "b", "w"), "a", "b", "w",
+        Seq(1L).toDF("s"), "s")
+    }
+    // multi-source: every node takes its NEAREST seed
+    val chain = (1L until 10L).map(i => (i, i + 1, 1L)).toDF("a", "b", "w")
+    val ms = Graph.sssp(chain, "a", "b", "w", Seq(1L, 10L).toDF("s"), "s", maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ms(5L) == 4L && ms(6L) == 4L && ms(1L) == 0L && ms(10L) == 0L)
+  }
 }
