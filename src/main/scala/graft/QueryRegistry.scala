@@ -1841,6 +1841,67 @@ object QueryRegistry {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, v) -> acc + v)"
 
+  /** ANN recall evaluation — the metric an index pipeline publishes
+   *  before anyone trusts an approximate path: LSH top-k hits against
+   *  the exact brute-force ground truth, per query. Both sides are
+   *  the engine's own operators; the oracle composes both existing
+   *  replays (hyperplane regeneration + banding + cosine ranking, and
+   *  the exact cross-join ranking) and intersects, so a hash match
+   *  proves recall itself is computed engine-exactly. Counts are
+   *  integers; recall_pct = hits x 100 / k (k = 10, exact). */
+  private val ann_recall = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", "q_id", "q_vec", k = 10)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Ann.lshTopK(emb, qs, "vec_id", "embedding", "q_id", "q_vec", k = 10, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+        .join(exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact")), Seq("q_id"), "right")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+          (coalesce(col("n_hits"), lit(0L)) * lit(10)).as("recall_pct"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH exact AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(${cosSql("c.embedding", "q.embedding")}, 9) DESC, c.vec_id) AS rn
+          FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q)
+        WHERE rn <= 10),
+      planes AS (
+        SELECT j, ${Ann.hyperplanesSql(64, 42L)} AS plane FROM range(0, 12) t(j)),
+      sigs AS (
+        SELECT vec_id, sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+        FROM embeddings, planes GROUP BY vec_id),
+      bsig AS (
+        SELECT vec_id, b AS band, (sig // (CAST(1 AS BIGINT) << (4 * b))) % 16 AS bandsig
+        FROM sigs, range(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        FROM bsig c JOIN bsig q ON c.band = q.band AND c.bandsig = q.bandsig
+        WHERE q.vec_id < 20),
+      approx AS (
+        SELECT q_id, vec_id FROM (
+          SELECT cand.q_id, cand.vec_id,
+            row_number() OVER (PARTITION BY cand.q_id
+              ORDER BY round(${cosSql("ce.embedding", "qe.embedding")}, 9) DESC, cand.vec_id) AS rn
+          FROM cand JOIN embeddings ce ON ce.vec_id = cand.vec_id
+                    JOIN embeddings qe ON qe.vec_id = cand.q_id)
+        WHERE rn <= 10),
+      hits AS (
+        SELECT e.q_id, count(*) AS n_hits FROM exact e
+        JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY e.q_id)
+      SELECT e.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(count(*) AS BIGINT) AS n_exact,
+        CAST(COALESCE(h.n_hits, 0) * 100 // 10 AS BIGINT) AS recall_pct
+      FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+      GROUP BY e.q_id, h.n_hits ORDER BY e.q_id"""))
+
   private val ann_lsh = QueryDef(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -4421,6 +4482,7 @@ object QueryRegistry {
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,
+    "ann_recall" -> ann_recall,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

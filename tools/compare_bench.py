@@ -43,7 +43,7 @@ CLASSES = {
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline'],
-    'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf',
+    'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
           'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment',
