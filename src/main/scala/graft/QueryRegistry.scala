@@ -1498,6 +1498,34 @@ object QueryRegistry {
       FROM ${aux("minhash_documents")} a JOIN ${aux("minhash_documents")} b ON a.doc_id < b.doc_id)
       WHERE nbands > 0 AND est >= 32 ORDER BY id_a, id_b"""))
 
+  /** MinHash estimator calibration over banding survivors: exact
+   *  shingle Jaccard next to the signature estimate, bucketed by
+   *  estimated matches — the error envelope read before trusting a
+   *  dedup threshold. The oracle replays candidates from the aux
+   *  signatures and the exact Jaccard from string shingle lists
+   *  (independently of the engine's hashed merge kernel). */
+  private val dedup_calibration = QueryDef(
+    (s, dir) => Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("est64"),
+    Some(s"""WITH cands AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS est
+        FROM ${aux("minhash_documents")} a JOIN ${aux("minhash_documents")} b
+          ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(0, 16), k -> a.sig[4*k+1 : 4*k+4] = b.sig[4*k+1 : 4*k+4])) > 0
+          AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) >= 32),
+      ex AS (
+        SELECT c.est, len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) AS sz_a, len(b.sh) AS sz_b
+        FROM cands c JOIN $jaccardShinglesSql a ON a.doc_id = c.id_a
+                     JOIN $jaccardShinglesSql b ON b.doc_id = c.id_b),
+      rws AS (
+        SELECT est AS est64, (inter * 10000) // (sz_a + sz_b - inter) AS exact_e4 FROM ex)
+      SELECT CAST(est64 AS BIGINT) AS est64, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(min(exact_e4) AS BIGINT) AS min_e4, CAST(max(exact_e4) AS BIGINT) AS max_e4,
+        CAST(sum(exact_e4) // count(*) AS BIGINT) AS mean_e4
+      FROM rws GROUP BY 1 ORDER BY 1"""))
+
   private val dedup_simhash = QueryDef(
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
       .withColumn("hamming", col("hamming").cast("long")).orderBy("id_a", "id_b"),
@@ -1510,7 +1538,7 @@ object QueryRegistry {
       FROM ${aux("simhash_documents")} a JOIN ${aux("simhash_documents")} b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 ORDER BY id_a, id_b"""))
 
-  private val jaccardShinglesSql: String = {
+  private lazy val jaccardShinglesSql: String = {
     val norm = Dedup.normalizeTextSql("text")
     // matches WordShinglesExpr exactly, incl. the <n-token case
     // (single whole-text shingle rather than an empty set)
@@ -4483,6 +4511,7 @@ object QueryRegistry {
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,
     "ann_recall" -> ann_recall,
+    "dedup_calibration" -> dedup_calibration,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,

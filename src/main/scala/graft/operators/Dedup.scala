@@ -307,6 +307,38 @@ object Dedup {
   }
 
   /**
+   * MinHash estimator CALIBRATION — the "measure, don't guess" table
+   * for the banding family: every banded candidate pair gets its
+   * EXACT shingle Jaccard (the sorted-hash linear-merge kernel)
+   * joined next to the signature estimate, bucketed by estimated
+   * matches (est64 = est_sim x numPerms, an exact integer). The
+   * output is the estimator's error envelope per bucket
+   * (n / min / max / truncated mean of exact Jaccard x 1e4) — what
+   * you read before trusting a threshold at 100 TB. No brute force
+   * anywhere: BOTH sides run only over banding survivors, so the
+   * whole evaluation scales exactly like the dedup it audits.
+   */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         numPerms: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
+                         shingleN: Int = 3): DataFrame = {
+    val (pairs, _) = minhashPairsWithCache(df, idCol, textCol, numPerms, bands, minEstSim, shingleN)
+    val sh = df.select(col(idCol).as("__cid"),
+        graft.functions.native.sortedHashes(shingles(col(textCol), shingleN)).as("__csh"))
+      .withColumn("__csz", size(col("__csh")))
+    val a = sh.select(col("__cid").as("id_a"), col("__csh").as("sh_a"), col("__csz").as("sz_a"))
+    val b = sh.select(col("__cid").as("id_b"), col("__csh").as("sh_b"), col("__csz").as("sz_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", graft.functions.native.intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("exact_e4", expr("(inter * 10000) div (sz_a + sz_b - inter)"))
+      .withColumn("est64", round(col("est_sim") * numPerms).cast("long"))
+      .groupBy("est64")
+      .agg(count(lit(1)).as("n_pairs"), min("exact_e4").as("min_e4"),
+        max("exact_e4").as("max_e4"), sum("exact_e4").as("__sum_e4"))
+      .withColumn("mean_e4", expr("__sum_e4 div n_pairs"))
+      .drop("__sum_e4")
+  }
+
+  /**
    * Cross-corpus simhash candidate pairs: every (a, b) with Hamming
    * distance <= maxHamming BETWEEN two frames (batch vs stored state
    * — the incremental-ingest shape), sharing the self-join's chunk

@@ -39,7 +39,7 @@ CLASSES = {
           'q_twap', 'q_gini', 'q_stickiness',
           'q4_priority', 'q6_forecast', 'q13_custdist', 'q15_topsupplier', 'q17_smallqty',
           'q_mode', 'q_benford', 'q_rolling', 'q_groupconcat', 'q_paircorr', 'q_streaks', 'q_shards', 'q_attribution', 'q_trainorder'],
-    'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster',
+    'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster', 'dedup_calibration',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline'],
