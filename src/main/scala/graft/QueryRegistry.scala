@@ -3964,6 +3964,31 @@ object QueryRegistry {
     Some(graft.operators.Classify.classifySql("documents", "source", "doc_id", "text",
       trainFilter = "doc_id < 300") + " ORDER BY doc_id"))
 
+  /** Classifier evaluation on HELD-OUT data (the third eval-family
+   *  member, after ann_recall and dedup_calibration): the NB model
+   *  trained on doc_id < 300 predicts sources for the unseen rest,
+   *  and the confusion matrix (true x predicted counts) is the
+   *  publishable quality gate — per-class precision/recall derive
+   *  from these integers. The oracle wraps the full train+classify
+   *  replay and recounts. */
+  private val text_nb_eval = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Classify.trainNb(
+        docs.filter(col("doc_id") < 300), "source", "doc_id", "text")
+      graft.operators.Classify.classifyNb(docs.filter(col("doc_id") >= 300), "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source").as("true_label")), "doc_id")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+    Some(s"""WITH preds AS (
+      ${graft.operators.Classify.classifySql("documents", "source", "doc_id", "text",
+        trainFilter = "doc_id < 300")})
+      SELECT d.source AS true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+      FROM preds p JOIN documents d USING (doc_id)
+      WHERE d.doc_id >= 300 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Curriculum ordering: global rank of every document by LM
    *  cross-entropy (easy -> hard) and exact-ntile phase assignment —
    *  computed with Rank.curriculum's range-exchange + offset walk
@@ -4512,6 +4537,7 @@ object QueryRegistry {
     "graph_sssp" -> graph_sssp,
     "ann_recall" -> ann_recall,
     "dedup_calibration" -> dedup_calibration,
+    "text_nb_eval" -> text_nb_eval,
     "text_bpe" -> text_bpe,
     "dedup_incremental_near" -> dedup_incremental_near,
     "dedup_paragraph" -> dedup_paragraph,
