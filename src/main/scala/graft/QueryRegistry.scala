@@ -1876,7 +1876,9 @@ object QueryRegistry {
    *  replays (hyperplane regeneration + banding + cosine ranking, and
    *  the exact cross-join ranking) and intersects, so a hash match
    *  proves recall itself is computed engine-exactly. Counts are
-   *  integers; recall_pct = hits x 100 / k (k = 10, exact). */
+   *  integers; recall_pct = hits x 100 div n_exact — derived from
+   *  the ground-truth count sitting next to it, so the published
+   *  metric stays correct if k or the query set ever changes. */
   private val ann_recall = QueryDef(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1890,7 +1892,7 @@ object QueryRegistry {
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
         .join(exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact")), Seq("q_id"), "right")
         .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
-          (coalesce(col("n_hits"), lit(0L)) * lit(10)).as("recall_pct"))
+          expr("(coalesce(n_hits, CAST(0 AS BIGINT)) * 100) div n_exact").as("recall_pct"))
         .orderBy("q_id")
     },
     Some(s"""WITH exact AS (
@@ -1926,7 +1928,7 @@ object QueryRegistry {
         JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY e.q_id)
       SELECT e.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
         CAST(count(*) AS BIGINT) AS n_exact,
-        CAST(COALESCE(h.n_hits, 0) * 100 // 10 AS BIGINT) AS recall_pct
+        CAST(COALESCE(h.n_hits, 0) * 100 // count(*) AS BIGINT) AS recall_pct
       FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
       GROUP BY e.q_id, h.n_hits ORDER BY e.q_id"""))
 

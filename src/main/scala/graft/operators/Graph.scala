@@ -409,22 +409,6 @@ object Graph {
     dist
   }
 
-  /** [[truncate]] + STATS reset. `Dataset.checkpoint` deliberately
-   *  carries the original plan's size estimate into the LogicalRDD —
-   *  but Catalyst's size-only stats MULTIPLY across a join, so an
-   *  iteration whose accumulator JOINS a frame derived from itself
-   *  compounds the estimate: digit count DOUBLES per round, and by
-   *  round ~15 the driver burns minutes in million-digit BigInteger
-   *  multiplications inside the stats visitor (observed live in the
-   *  1M-node SSSP probe; [[bfsHops]] survives only because its
-   *  estimate grows linearly). Rebuilding the frame over the
-   *  checkpointed RDD drops the inherited estimate to the constant
-   *  default. The extra row decode is map-only and lazy. */
-  private def truncateFresh(df: DataFrame): DataFrame = {
-    val t = truncate(df)
-    t.sparkSession.createDataFrame(t.rdd, t.schema)
-  }
-
   /**
    * Multi-source WEIGHTED shortest paths (undirected, nonnegative
    * integer weights): distributed Bellman-Ford rounds — per round the
@@ -459,7 +443,18 @@ object Graph {
       .repartition(col("n"))
       .persist(lvl)
     // ckpt handles (for freeing blocks) are kept SEPARATE from the
-    // stats-reset frames the next round plans over — see truncateFresh
+    // stats-reset frames the next round plans over. `fresh` rebuilds
+    // a checkpointed frame over its backing RDD to RESET Catalyst's
+    // size estimate: `Dataset.checkpoint` deliberately carries the
+    // original plan's estimate into the LogicalRDD, but size-only
+    // stats MULTIPLY across a join, so an iteration whose accumulator
+    // JOINS a frame derived from itself compounds the estimate —
+    // digit count DOUBLES per round, and by round ~15 the driver
+    // burns minutes in million-digit BigInteger multiplications
+    // inside the stats visitor (observed live in the 1M-node SSSP
+    // probe; [[bfsHops]] survives only because its estimate grows
+    // linearly). The rebuild drops the inherited estimate to the
+    // constant default; the extra row decode is map-only and lazy.
     def fresh(t: DataFrame): DataFrame =
       t.sparkSession.createDataFrame(t.rdd, t.schema)
     def release(t: DataFrame): Unit = backingRdd(t).foreach(free(t))
