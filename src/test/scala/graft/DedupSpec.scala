@@ -32,6 +32,25 @@ class DedupSpec extends SparkSpecBase {
       "near dup should share a band")
   }
 
+  test("minhashCalibration leaves no persisted plan behind (no signature-cache leak)") {
+    spark.sharedState.cacheManager.clearCache()
+    val cal = Dedup.minhashCalibration(docsWithPlants, "doc_id", "text", minEstSim = 0.5)
+      .collect()
+    assert(cal.nonEmpty, "planted dups must produce at least one calibration bucket")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "calibration must not persist anything it cannot unpersist")
+  }
+
+  test("minhashPairsWithCache handle releases the signature cache") {
+    spark.sharedState.cacheManager.clearCache()
+    val (pairs, done) = Dedup.minhashPairsWithCache(docsWithPlants, "doc_id", "text",
+      minEstSim = 0.5)
+    assert(pairs.count() > 0)
+    assert(!spark.sharedState.cacheManager.isEmpty, "signatures should be cached mid-flight")
+    done()
+    assert(spark.sharedState.cacheManager.isEmpty, "handle must clear the signature cache")
+  }
+
   test("minhashPairs emits each pair exactly once (min-band dedup, no distinct shuffle)") {
     val pairs = Dedup.minhashPairs(docsWithPlants, "doc_id", "text", minEstSim = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
