@@ -1285,6 +1285,192 @@ object QueryRegistry {
       GROUP BY 1, 2, 3
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
 
+  /** Deterministic synthetic PARTSUPP (TPC-H's fourth table, absent
+   *  from the testdata): 4 supplier rows per part with keys and
+   *  measures derived from (p_partkey, i) by fixed mixed congruences
+   *  — the §3 pseudo-coordinate trick applied to a whole table, so
+   *  both engines derive IDENTICAL rows and Q9/Q11/Q20 stay
+   *  hash-gated. ps_suppkey lands in [0, |supplier|) and the 4 rows
+   *  of one part hit 4 DISTINCT suppliers because 17*(i-i') mod
+   *  |supplier| != 0 for 0 < i-i' < 4 at every SF here (|supplier| =
+   *  10/100/1000, all coprime to 17). The |supplier| scalar is one
+   *  broadcast row — partsupp itself is generated map-only from the
+   *  part scan, no shuffle. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val nSupp = t(s, dir, "supplier").agg(count(lit(1)).as("__ns"))
+    t(s, dir, "part").crossJoin(broadcast(nSupp))
+      .select(col("p_partkey"), explode(array((0 to 3).map(lit(_)): _*)).as("i"), col("__ns"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 13 + col("i") * 17) % col("__ns")).as("ps_suppkey"),
+        (lit(1) + (col("p_partkey") * 7 + col("i") * 31) % 9999).as("ps_availqty"),
+        (lit(100) + (col("p_partkey") * 211 + col("i") * 89) % 99900).as("ps_supplycost_cents"))
+  }
+
+  /** Test-only window into the synthetic partsupp derivation. */
+  private[graft] def synthPartsuppForTest(s: SparkSession, dir: String): DataFrame =
+    partsupp(s, dir)
+
+  /** The oracle-side twin of [[partsupp]] — a CTE body (prepend
+   *  `WITH`). Kept textually next to the Scala so the two derivations
+   *  cannot drift apart unnoticed. */
+  private val partsuppSql: String =
+    """partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+        (p_partkey * 13 + g.i * 17) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+        1 + (p_partkey * 7 + g.i * 31) % 9999 AS ps_availqty,
+        100 + (p_partkey * 211 + g.i * 89) % 99900 AS ps_supplycost_cents
+      FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) g)"""
+
+  /** TPC-H Q9 pattern ("product type profit"): profit per supplier
+   *  nation per order year over the 6-table chain lineitem ⨝
+   *  partsupp ⨝ part ⨝ orders ⨝ supplier ⨝ nation. The name-filtered
+   *  partsupp slice is dimension-derived and broadcast; the only big
+   *  shuffle is lineitem ⨝ orders on the order key. Profit in exact
+   *  integer cents: floored revenue minus integral supplycost*qty. */
+  private val q9_profit = QueryDef(
+    (s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").contains("red")).select("p_partkey")
+      val redPs = partsupp(s, dir)
+        .join(redParts, col("ps_partkey") === col("p_partkey")).drop("p_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(redPs),
+          col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+          - col("ps_supplycost_cents") * col("l_quantity").cast("long")).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some(s"""WITH $partsuppSql
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+      FROM lineitem
+      JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC"""))
+
+  /** TPC-H Q11 pattern ("important stock identification"): per-part
+   *  inventory value among a supplier-nation band, kept only above
+   *  2x the band's MEAN per-part value. TPC-H's fixed share fraction
+   *  must shrink with SF to stay non-degenerate (at sf0.1 a 0.1%
+   *  share exceeds any single part's possible value); anchoring to
+   *  the mean is the scale-invariant form of the same predicate. The
+   *  band stats are ONE broadcast row and the comparison
+   *  cross-multiplies in exact integer cents — no float threshold. */
+  private val q11_topstock = QueryDef(
+    (s, dir) => {
+      val natps = partsupp(s, dir)
+        .join(broadcast(t(s, dir, "supplier").filter(col("s_nationkey") < 5)
+          .select("s_suppkey")), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("value_cents", col("ps_supplycost_cents") * col("ps_availqty"))
+      val stats = natps.agg(sum("value_cents").as("total_cents"),
+        countDistinct("ps_partkey").as("n_parts"))
+      natps.groupBy("ps_partkey").agg(sum("value_cents").as("value_cents"))
+        .crossJoin(broadcast(stats))
+        .filter(col("value_cents") * col("n_parts") > lit(2) * col("total_cents"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    },
+    Some(s"""WITH $partsuppSql,
+      natps AS (SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+        FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey WHERE s_nationkey < 5),
+      tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+        count(DISTINCT ps_partkey) AS n_parts FROM natps)
+      SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS value_cents
+      FROM natps CROSS JOIN tot
+      GROUP BY ps_partkey, total_cents, n_parts
+      HAVING sum(value_cents) * n_parts > 2 * total_cents
+      ORDER BY value_cents DESC, ps_partkey"""))
+
+  /** TPC-H Q20 pattern ("potential part promotion"): suppliers of
+   *  name-filtered parts whose synthetic stock exceeds half the
+   *  quantity they shipped in 1995 (2*availqty > sum, integer-exact
+   *  cross-multiplication). The shipped-quantity aggregate is
+   *  map-side-combinable on (partkey, suppkey); the part filter and
+   *  the final supplier lookup are broadcasts. */
+  private val q20_potential = QueryDef(
+    (s, dir) => {
+      val sml = t(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val qty = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").cast("long").as("qty"))
+      val cand = partsupp(s, dir)
+        .join(broadcast(sml), col("ps_partkey") === col("p_partkey"))
+        .join(qty, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("qty"))
+        .select("ps_suppkey").distinct()
+      t(s, dir, "supplier").filter(col("s_nationkey") < 13)
+        .join(broadcast(cand), col("s_suppkey") === col("ps_suppkey"))
+        .select("s_name").orderBy("s_name")
+    },
+    Some(s"""WITH $partsuppSql,
+      sml AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+      qty AS (SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT ps_suppkey
+        FROM partsupp JOIN sml ON ps_partkey = p_partkey
+        JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE 2 * ps_availqty > qty)
+      SELECT s_name FROM supplier JOIN cand ON s_suppkey = ps_suppkey
+      WHERE s_nationkey < 13 ORDER BY s_name"""))
+
+  /** TPC-H Q12 pattern ("shipping modes and order priority"): late
+   *  lines of two ship modes bucketed into high/low order priority —
+   *  conditional counts over the orders ⨝ lineitem join. The
+   *  testdata lacks l_shipmode, so it is DERIVED deterministically
+   *  from (l_orderkey, l_linenumber) identically on both engines
+   *  (the §3 pseudo-column trick); the mode + year filters cut
+   *  lineitem to ~2% before the one big join shuffle. */
+  private val q12_shipmode = QueryDef(
+    (s, dir) => {
+      val modes = Seq("MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "FOB", "REG AIR")
+      val li = t(s, dir, "lineitem")
+        .withColumn("shipmode", element_at(array(modes.map(lit(_)): _*),
+          ((col("l_orderkey") * 3 + col("l_linenumber")) % 7 + 1).cast("int")))
+        .filter(col("shipmode").isin("MAIL", "SHIP"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("shipmode")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy("shipmode")
+    },
+    Some("""SELECT shipmode,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM (SELECT list_extract(['MAIL', 'SHIP', 'AIR', 'RAIL', 'TRUCK', 'FOB', 'REG AIR'],
+              CAST((l_orderkey * 3 + l_linenumber) % 7 + 1 AS INTEGER)) AS shipmode,
+            l_orderkey, l_shipdate
+            FROM lineitem) l
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE shipmode IN ('MAIL', 'SHIP')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      GROUP BY shipmode ORDER BY shipmode"""))
+
   /** Skew-salted equi-join (the generalized hot-key spread): results
    *  must be row-identical to the plain join — the oracle IS the
    *  plain join. Aggregated per priority with per-item floored
@@ -2387,6 +2573,17 @@ object QueryRegistry {
       UNION ALL SELECT o_custkey, 'only_1996' AS op FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
       UNION ALL SELECT o_custkey, 'both' AS op FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
       ORDER BY op, o_custkey"""))
+
+  /** BM25 top-k ranked retrieval (the consumer of the inverted-index
+   *  stats): one per-doc aggregate pass, broadcast corpus stats,
+   *  map-only scoring, TakeOrdered top-k. Query mixes the corpus's
+   *  one rare term (df 25/500) with two common ones, so the idf
+   *  weighting is actually exercised. */
+  private val text_bm25 = QueryDef(
+    (s, dir) => TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("dup", "spark", "vector"), k = 20),
+    Some(TextAnalysis.bm25Sql("documents", "doc_id", "text",
+      Seq("dup", "spark", "vector"), k = 20)))
 
   /** Inverted index over the document corpus: df + sorted posting
    *  lists, hapax tail pruned, stop-grade terms (df > maxDf) kept as
@@ -4417,6 +4614,10 @@ object QueryRegistry {
     "q22_idle" -> q22_idle,
     "q8_share" -> q8_share,
     "q16_partsupp" -> q16_partsupp,
+    "q9_profit" -> q9_profit,
+    "q11_topstock" -> q11_topstock,
+    "q12_shipmode" -> q12_shipmode,
+    "q20_potential" -> q20_potential,
     "q4_priority" -> q4_priority,
     "q6_forecast" -> q6_forecast,
     "q13_custdist" -> q13_custdist,
@@ -4474,6 +4675,7 @@ object QueryRegistry {
     "q_qsketch" -> q_qsketch,
     "q_setops" -> q_setops,
     "text_inverted" -> text_inverted,
+    "text_bm25" -> text_bm25,
     "text_editdist" -> text_editdist,
     "sample_split" -> sample_split,
     "sample_leakage_safe" -> sample_leakage_safe,

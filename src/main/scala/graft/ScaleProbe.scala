@@ -107,6 +107,18 @@ object ScaleProbe {
       graft.operators.TextAnalysis.invertedIndex(big, "doc_id", "text",
           minDf = 3, maxDf = total / 10)
         .agg(sum(length(col("postings"))), sum("df")).count())
+    time("bm25TopK (3-term retrieval over the corpus, TakeOrdered k=50)")(
+      graft.operators.TextAnalysis.bm25TopK(big, "doc_id", "text",
+        Seq("dup", "spark", "vector"), k = 50).count())
+    // classifier-eval family (the one oracle-gated family previously
+    // without a probe entry): train on the untouched base slice, score
+    // the full replicated corpus map-only, fold the confusion matrix
+    time("trainNb (500-doc labeled slice) + classifyNb over corpus + confusion") {
+      val model = graft.operators.Classify.trainNb(base, "source", "doc_id", "text")
+      graft.operators.Classify.classifyNb(big, "doc_id", "text", model)
+        .join(big.select(col("doc_id"), col("source").as("true_label")), "doc_id")
+        .groupBy("true_label", "pred_label").count().count()
+    }
     time(s"heavyHitters k=32 over ${replicas}x token stream")(
       graft.operators.Sketch.heavyHitters(
           big.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))

@@ -479,6 +479,84 @@ object TextAnalysis {
     FROM agg WHERE df >= $minDf"""
 
   /**
+   * BM25 top-k ranked retrieval (Robertson et al.'s Okapi weighting —
+   * the retrieval face the inverted index of [[invertedIndex]] feeds;
+   * an LLM-data pipeline uses it for hard-negative mining and dedup
+   * triage). For a FIXED query-term list: ONE map-side-combinable
+   * per-doc aggregate computes the doc length and every query term's
+   * tf in a single corpus pass; the corpus stats (N, total tokens,
+   * per-term df) reduce to ONE broadcast row; scoring is map-only and
+   * the top-k is orderBy+limit → TakeOrderedAndProject (distributed
+   * per-partition top-k, never a global sort). Only docs containing
+   * at least one query term are scored. At 100 TB the per-doc length
+   * would be a precomputed column; here it rides the same aggregate.
+   *
+   * Floats follow the repo's 6-dp convention: both engines build the
+   * IDENTICAL expression tree (explicit casts + parenthesization, the
+   * per-term sum in fixed term order), and ranking compares the
+   * ROUNDED score with doc_id tiebreak, so the hash is pinned.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tfCols = queryTerms.zipWithIndex.map { case (term, i) =>
+      sum(when(col("term") === term, 1L).otherwise(0L)).as(s"__tf_$i") }
+    val perDocCols = Seq(count(lit(1)).as("__dl")) ++ tfCols
+    val perDoc = toks.groupBy("doc_id").agg(perDocCols.head, perDocCols.tail: _*)
+    val dfCols = queryTerms.indices.map(i =>
+      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val statCols = Seq(count(lit(1)).as("__n"), sum("__dl").as("__toktot")) ++ dfCols
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("__toktot").cast("double") / col("__n").cast("double")
+    val lenNorm = lit(1.0) - lit(b) + lit(b) * (col("__dl").cast("double") / avgdl)
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val dfT = col(s"__df_$i")
+      val idf = log(lit(1.0) +
+        ((col("__n") - dfT).cast("double") + lit(0.5)) / (dfT.cast("double") + lit(0.5)))
+      idf * (tf.cast("double") * lit(k1 + 1)) / (tf.cast("double") + lit(k1) * lenNorm)
+    }.reduce(_ + _)
+    perDoc.filter(queryTerms.indices.map(i => col(s"__tf_$i")).reduce(_ + _) > 0)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"), col("__dl").as("dl"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** SQL twin of [[bm25TopK]] for DuckDB oracles — the same
+   *  expression tree, casts and parenthesization, term order and
+   *  rounded-rank semantics. */
+  def bm25Sql(table: String, idCol: String, textCol: String, queryTerms: Seq[String],
+              k: Int = 20, k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfSel = queryTerms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$i" }.mkString(", ")
+    val dfSel = queryTerms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val lenNorm = s"(1.0 - $b + $b * (CAST(dl AS DOUBLE) / avgdl))"
+    val score = queryTerms.indices.map { i =>
+      s"ln(1.0 + (CAST(n - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))" +
+        s" * (CAST(tf_$i AS DOUBLE) * ${k1 + 1}) / (CAST(tf_$i AS DOUBLE) + $k1 * $lenNorm)"
+    }.mkString(" + ")
+    val anyTf = queryTerms.indices.map(i => s"tf_$i").mkString(" + ")
+    s"""WITH toks AS (
+      SELECT $idCol AS doc_id, tt.term
+      FROM $table, unnest(string_split(${Dedup.normalizeTextSql(textCol)}, ' ')) tt(term)
+      WHERE length(tt.term) > 0),
+    perdoc AS (SELECT doc_id, count(*) AS dl, $tfSel FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, sum(dl) AS toktot, $dfSel FROM perdoc),
+    scored AS (SELECT doc_id,
+        round($score, 6) AS bm25, dl
+      FROM (SELECT perdoc.*, n, df_${queryTerms.indices.mkString(", df_")},
+              CAST(toktot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+            FROM perdoc CROSS JOIN stats) j
+      WHERE $anyTf > 0)
+    SELECT doc_id, bm25, dl FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT $k"""
+  }
+
+  /**
    * Edit-distance (Levenshtein) near-duplicate pairs within blocks —
    * the fuzzy-match complement to token-level Jaccard: catches
    * character-level mutations (typos, OCR noise) that reshuffle

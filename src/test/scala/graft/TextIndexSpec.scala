@@ -22,6 +22,31 @@ class TextIndexSpec extends SparkSpecBase {
     assert(beta.getLong(1) == 2, "df counts documents, not occurrences")
   }
 
+  test("bm25TopK matches hand-computed Okapi scores on a toy corpus") {
+    // N=4 (d4 has no query term but IS corpus), avgdl=12/4=3;
+    // idf(apple)=idf(cherry)=ln(1+(4-2+0.5)/2.5)=ln(2);
+    // per-term: idf * tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/3))
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry durian"),
+      (4L, "banana banana banana")). // counts toward N/avgdl, never scored
+      toDF("doc_id", "text")
+    val res = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("apple", "cherry"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(res.map(_._1).toSeq == Seq(3L, 1L, 2L), "rank: both terms > tf=2 single > tf=1")
+    val byDoc = res.toMap
+    assert(byDoc(1L) == 0.953077 && byDoc(2L) == 0.802591 && byDoc(3L) == 1.481355,
+      s"hand-computed scores, 6 dp: $byDoc")
+  }
+
+  test("bm25TopK plans a TakeOrdered top-k, not a global sort") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val plan = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("dup", "spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered top-k:\n$plan")
+  }
+
   test("edit-distance pairs: scores, block isolation, ASCII projection") {
     val docs = Seq(
       (1L, "kitten in the yard", "en"),

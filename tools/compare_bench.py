@@ -38,6 +38,7 @@ CLASSES = {
           'q_rfm', 'q_changepoint', 'q_nearjoin', 'sample_negatives', 'q_unpivot',
           'q_twap', 'q_gini', 'q_stickiness',
           'q4_priority', 'q6_forecast', 'q13_custdist', 'q15_topsupplier', 'q17_smallqty',
+          'q9_profit', 'q11_topstock', 'q12_shipmode', 'q20_potential', 'text_bm25', 'text_nb_eval',
           'q_mode', 'q_benford', 'q_rolling', 'q_groupconcat', 'q_paircorr', 'q_streaks', 'q_shards', 'q_attribution', 'q_trainorder'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster', 'dedup_calibration',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
@@ -61,15 +62,58 @@ def load_bench(path):
         obj = json.loads(re.sub(r'^\[info\] ', '', text))
     except json.JSONDecodeError:
         obj = None
+    bench = None
     if isinstance(obj, dict) and 'queries' in obj:
-        return obj
-    if isinstance(obj, dict):
+        bench = obj
+    elif isinstance(obj, dict):
         if isinstance(obj.get('parsed'), dict) and 'queries' in obj['parsed']:
-            return obj['parsed']
-        m = re.search(r'\{"metric":.*?"queries":\{.*?\}.*?\}', obj.get('tail', ''))
-        if m:
-            return json.loads(m.group(0))
-    raise SystemExit(f'{path}: no bench JSON line found')
+            bench = obj['parsed']
+        else:
+            m = re.search(r'\{"metric":.*?"queries":\{.*?\}.*?\}', obj.get('tail', ''))
+            if m:
+                bench = json.loads(m.group(0))
+    if bench is None:
+        raise SystemExit(f'{path}: no bench JSON line found')
+    return merge_full(bench)
+
+
+def merge_full(bench):
+    """The stdout bench line is tail-capture-capped (~1800 chars) and drops
+    its FASTEST per-query entries once the surface outgrows it (r9 lost 78
+    of 171). Bench also writes the complete full-precision map to
+    BENCH_FULL.json in the repo root; merge it back in, but only when the
+    per-query overlap agrees with the captured line (same run, not a stale
+    file — line entries are rounded to as little as 1 dp, so the tolerance
+    is the 0.05 rounding half-width plus slack)."""
+    full_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                             'BENCH_FULL.json')
+    if not os.path.exists(full_path):
+        return bench
+    try:
+        full = json.load(open(full_path))
+    except json.JSONDecodeError:
+        return bench
+    fq = full.get('queries', {})
+    missing = [q for q in fq if q not in bench['queries']]
+    if not missing:
+        return bench
+    if full.get('sf') != bench.get('sf'):
+        print(f'NOTE: BENCH_FULL.json is for sf {full.get("sf")!r}, line is '
+              f'{bench.get("sf")!r} — not merging', file=sys.stderr)
+        return bench
+    overlap = [q for q in fq if q in bench['queries']]
+    stale = [q for q in overlap
+             if abs(fq[q] - bench['queries'][q]) > 0.051 + 0.05 * abs(fq[q])]
+    if stale:
+        print(f'NOTE: BENCH_FULL.json disagrees with the captured line on '
+              f'{stale[:5]}... — stale file, not merging', file=sys.stderr)
+        return bench
+    bench = dict(bench)
+    bench['queries'] = dict(bench['queries'], **{q: fq[q] for q in missing})
+    bench.pop('dropped', None)
+    print(f'NOTE: merged {len(missing)} line-dropped entries from BENCH_FULL.json',
+          file=sys.stderr)
+    return bench
 
 
 def main():
