@@ -198,6 +198,75 @@ object QueryRegistry {
       FROM events GROUP BY 1, 2)
       WHERE n >= 3 ORDER BY user_id, phase_bin"""))
 
+  /**
+   * Lomb–Scargle periodogram (Lomb 1976, Scargle 1982) — THE
+   * period-search operator of time-domain astronomy (what lsd2's
+   * cross-matched lightcurves feed downstream; the general form of
+   * q_phasefold's fixed-period fold). Power at 20 trial frequencies
+   * 0.1..2.0 cycles/day per object series; one map-only ×20
+   * expansion into a single combinable aggregate — see
+   * [[graft.operators.Lightcurve.lombScargle]]. The oracle replays
+   * the identical tau-offset algebra in SQL.
+   */
+  private val q_periodogram = QueryDef(
+    (s, dir) => graft.operators.Lightcurve
+      .lombScargle(events(s, dir), "user_id", "ts", "value",
+        nFreq = 20, freqDenom = 10.0, minPoints = 8)
+      .withColumn("power", round(col("power"), 6))
+      .orderBy("user_id", "fk"),
+    Some("""WITH base AS (
+        SELECT user_id AS k, (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS t, value AS y
+        FROM events),
+      stats AS (SELECT k, sum(y) AS sy, count(*) AS n FROM base GROUP BY k),
+      ctr AS (SELECT b.k, b.t, b.y - s.sy / s.n AS yc FROM base b JOIN stats s USING (k)),
+      ex AS (SELECT ctr.*, f.fk, (2 * pi()) * (f.fk / 10.0) AS w
+        FROM ctr CROSS JOIN (SELECT unnest(range(1, 21)) AS fk) f),
+      ag AS (SELECT k, fk, count(*) AS n,
+          sum(yc * cos(w * t)) AS c, sum(yc * sin(w * t)) AS s,
+          sum(cos(2 * w * t)) AS c2, sum(sin(2 * w * t)) AS s2,
+          sum(yc * yc) AS ss
+        FROM ex GROUP BY 1, 2),
+      fin AS (SELECT k, fk, n, c, s, ss,
+          atan2(s2, c2) / 2 AS ta, sqrt(c2 * c2 + s2 * s2) AS r FROM ag)
+      SELECT k AS user_id, CAST(fk AS BIGINT) AS fk, n,
+        round(((c * cos(ta) + s * sin(ta)) * (c * cos(ta) + s * sin(ta)) / ((n + r) / 2)
+             + (s * cos(ta) - c * sin(ta)) * (s * cos(ta) - c * sin(ta)) / ((n - r) / 2))
+          / (2 * (ss / (n - 1))), 6) AS power
+      FROM fin WHERE n >= 8 ORDER BY user_id, fk"""))
+
+  /**
+   * First-order variability structure function SF(Δt) (Simonetti et
+   * al. 1985): mean squared signal change across observation pairs,
+   * day-binned lags 0..4 — the AGN/quasar variability measure over
+   * the same unevenly sampled series q_periodogram searches. Lag
+   * horizon bounds the per-key self-join (never series²) — see
+   * [[graft.operators.Lightcurve.structureFunction]].
+   */
+  private val q_structfunc = QueryDef(
+    // signal floor-scaled to integer e4 BEFORE pairing: every squared
+    // difference and its ~150-term sum stay exact integers (< 2^53),
+    // and the mean is emitted as a FLOOR-div integer — the float
+    // sum-order and large-magnitude round() hash traps never open.
+    // sf_e8 is in 1e-8 units of value².
+    (s, dir) => graft.operators.Lightcurve
+      .structureFunction(
+        events(s, dir).withColumn("value_e4", floor(col("value") * 10000).cast("long")),
+        "user_id", "ts", "value_e4", maxLagDays = 5)
+      .withColumn("sf_e8", expr("CAST(sum_d2 AS BIGINT) div n_pairs"))
+      .drop("sf", "sum_d2")
+      .orderBy("user_id", "lag_days"),
+    Some("""SELECT user_id, lag_days, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(d2) // count(*) AS BIGINT) AS sf_e8
+      FROM (
+        SELECT a.user_id, (b.us - a.us) // 86400000000 AS lag_days,
+          (b.y - a.y) * (b.y - a.y) AS d2
+        FROM (SELECT user_id, epoch_us(ts) AS us,
+                CAST(floor(value * 10000) AS BIGINT) AS y FROM events) a
+        JOIN (SELECT user_id, epoch_us(ts) AS us,
+                CAST(floor(value * 10000) AS BIGINT) AS y FROM events) b
+          ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us < 5 * 86400000000)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** GROUP BY + HAVING pattern: customers with many high-value orders. */
   private val q_having = QueryDef(
     (s, dir) => t(s, dir, "orders")
@@ -209,6 +278,38 @@ object QueryRegistry {
     Some("""SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_totalprice > 100000.0
       GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey"""))
+
+  /**
+   * Year-over-year growth (the lag-window retail analytics shape):
+   * nation × year revenue in exact integer cents (ONE fact shuffle,
+   * nation broadcast), then growth vs the previous year via a lag
+   * window over the ~200-row aggregate — the window sorts the tiny
+   * rollup, never the fact table. Growth is a division of exact
+   * integers, so the double is bit-identical in any engine.
+   */
+  private val q_yoy = QueryDef(
+    (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("n_name").orderBy("yr")
+      rev.withColumn("prev", lag("cents", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("n_name"), col("yr"), col("cents"),
+          round((col("cents") - col("prev")).cast("double") / col("prev").cast("double"), 6).as("growth"))
+        .orderBy("n_name", "yr")
+    },
+    Some("""WITH rev AS (
+        SELECT n_name, year(o_orderdate) AS yr,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT n_name, yr, cents, round((cents - prev) / CAST(prev AS DOUBLE), 6) AS growth
+      FROM (SELECT *, lag(cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev FROM rev)
+      WHERE prev IS NOT NULL ORDER BY n_name, yr"""))
 
   /** Correlated scalar subquery (Catalyst decorrelation): orders 1.5x above their customer's average. */
   private val q_correlated = QueryDef(
@@ -1993,6 +2094,70 @@ object QueryRegistry {
         coalesce(l.comp, d.doc_id) = d.doc_id AS is_canonical
       FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
       ORDER BY d.doc_id"""))
+
+  /**
+   * End-to-end entity-resolution pipeline composed from the engine's
+   * own operators (the Hernandez & Stolfo 1996 merge/purge shape a
+   * training-data catalog runs to collapse records of one real-world
+   * entity): SNM blocking (recall stage, jaccard >= 0.3 candidates,
+   * cost bounded at n×(w−1) by construction) → Jaro-Winkler
+   * verification on normalized 32-char prefixes (precision stage,
+   * the codegen fuzzy kernel) → connected components (transitive
+   * closure, O(log n) star rounds) → canonical representative
+   * (smallest id) + entity size. Every stage replayed independently
+   * by the oracle, the closure via a recursive CTE.
+   */
+  private val pipeline_er = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val blocked = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        window = 4, n = 3, minJaccard = 0.3)
+      val pfx = docs.select(col("doc_id"),
+        substring(Dedup.normalizeText(col("text")), 1, 32).as("__p"))
+      val scored = blocked
+        .join(pfx.select(col("doc_id").as("id_a"), col("__p").as("__pa")), "id_a")
+        .join(pfx.select(col("doc_id").as("id_b"), col("__p").as("__pb")), "id_b")
+        .withColumn("jw", round(graft.functions.native.jaroWinkler(col("__pa"), col("__pb")), 6))
+        .filter(col("jw") >= 0.9)
+      val comp = graft.operators.Graph.connectedComponents(
+        scored.select("id_a", "id_b"), "id_a", "id_b")
+      val ent = docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("entity_id"))
+      val sizes = ent.groupBy("entity_id").agg(count(lit(1)).as("csize"))
+      ent.join(sizes, "entity_id")
+        .select(col("doc_id"), col("entity_id"),
+          (col("doc_id") === col("entity_id")).as("is_canonical"), col("csize"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH RECURSIVE sh AS (
+        SELECT doc_id, substr($norm, 1, 24) AS k, list_distinct(
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        FROM (SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents)),
+      r AS (SELECT *, row_number() OVER (ORDER BY k, doc_id) AS rk FROM sh),
+      cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+        FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+      pf AS (SELECT doc_id, substr($norm, 1, 32) AS p FROM documents),
+      e AS (SELECT c.id_a, c.id_b FROM cand c
+        JOIN pf pa ON pa.doc_id = c.id_a JOIN pf pb ON pb.doc_id = c.id_b
+        WHERE round(jaro_winkler_similarity(pa.p, pb.p), 6) >= 0.9),
+      edges AS (SELECT id_a AS a, id_b AS b FROM e UNION ALL SELECT id_b, id_a FROM e),
+      cc AS (
+        SELECT a AS id, a AS comp FROM edges
+        UNION
+        SELECT e2.b AS id, cc.comp FROM cc JOIN edges e2 ON e2.a = cc.id WHERE cc.comp < e2.b),
+      lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+      ent AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS entity_id
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+      SELECT doc_id, entity_id, doc_id = entity_id AS is_canonical,
+        CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS csize
+      FROM ent ORDER BY doc_id"""
+    })
 
   /** Explicit sequential-fold cosine (matches Spark's aggregate order). */
   private def cosSql(a: String, b: String): String = {
@@ -4604,6 +4769,10 @@ object QueryRegistry {
     "q_gsets" -> q_gsets,
     "q_having" -> q_having,
     "q_phasefold" -> q_phasefold,
+    "q_periodogram" -> q_periodogram,
+    "q_structfunc" -> q_structfunc,
+    "q_yoy" -> q_yoy,
+    "pipeline_er" -> pipeline_er,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,
