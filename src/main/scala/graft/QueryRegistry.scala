@@ -267,6 +267,48 @@ object QueryRegistry {
           ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us < 5 * 86400000000)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /**
+   * Per-object variability features (the scalar summary a time-domain
+   * survey publishes per lightcurve): series length, peak-to-peak
+   * amplitude, and the von Neumann ratio η = δ²/s² (successive mean
+   * squared difference over sample variance — the classic
+   * variability-vs-noise discriminator; smooth trends give η « 2,
+   * white noise η ≈ 2). All accumulators are exact integers over the
+   * e4-scaled signal (diffs ordered by (time, event_id) so ties are
+   * deterministic), and η = N1·n/S2 with S2 = n·Σy²−(Σy)² — a
+   * division of exact integers, bit-identical in any engine. One
+   * window + one aggregate, both partitioned on the object key.
+   */
+  private val q_lcfeatures = QueryDef(
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 10000).cast("long").as("y"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val d = e.withColumn("dy", col("y") - lag("y", 1).over(w))
+      d.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("syy"),
+          (max("y") - min("y")).as("amp_e4"),
+          sum(col("dy") * col("dy")).as("n1"))
+        .filter(col("n") >= 8)
+        .select(col("user_id"), col("n"), col("amp_e4"),
+          round(col("n1").cast("double") * col("n") /
+            (col("n") * col("syy") - col("sy") * col("sy")), 6).as("eta"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+          CAST(floor(value * 10000) AS BIGINT) AS y FROM events),
+      d AS (SELECT user_id, y,
+          y - lag(y) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dy FROM e),
+      a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(y * y) AS BIGINT) AS syy, CAST(max(y) - min(y) AS BIGINT) AS amp_e4,
+          CAST(sum(dy * dy) AS BIGINT) AS n1
+        FROM d GROUP BY 1)
+      SELECT user_id, n, amp_e4,
+        round(CAST(n1 AS DOUBLE) * n / (n * syy - sy * sy), 6) AS eta
+      FROM a WHERE n >= 8 ORDER BY user_id"""))
+
   /** GROUP BY + HAVING pattern: customers with many high-value orders. */
   private val q_having = QueryDef(
     (s, dir) => t(s, dir, "orders")
@@ -567,6 +609,50 @@ object QueryRegistry {
     Some(s"""SELECT c_custkey, s_suppkey, pm FROM (
       SELECT c_custkey, s_suppkey, round(sqrt(pow(c_acctbal, 2) + pow(s_acctbal, 2)), 4) AS pm
       FROM ${xmatchSql(15.0, 2)}) WHERE pm > 5000.0 ORDER BY c_custkey, s_suppkey"""))
+
+  /**
+   * Epoch-propagated cross-match: customer "sources" carry key-derived
+   * proper motions (mas/yr, Gaia μ_α* convention), positions advance
+   * 25 years via [[graft.operators.Spatial.propagateEpoch]] (map-only,
+   * no shuffle) and only then enter the pixel-pruned kNN match — the
+   * two-epoch catalog join every modern survey cross-match needs
+   * (match at a COMMON epoch or fast movers fall outside the radius).
+   * The oracle replays propagation + full-join ranking.
+   */
+  private val xmatch_pm = QueryDef(
+    (s, dir) => {
+      val cust = withSky(t(s, dir, "customer"), "c_custkey")
+        .withColumn("pmra", (col("c_custkey") * 7 % 2001 - 1000).cast("double"))
+        .withColumn("pmdec", (col("c_custkey") * 13 % 2001 - 1000).cast("double"))
+      val prop = Spatial.propagateEpoch(cust, "cra", "cdec", "pmra", "pmdec", dtYears = 25.0)
+      Spatial.crossMatchKnn(prop, withSky(t(s, dir, "supplier"), "s_suppkey"),
+        leftRa = "cra", leftDec = "cdec", leftId = "c_custkey",
+        rightRa = "cra", rightDec = "cdec", rightId = "s_suppkey",
+        k = 2, dthreshDeg = 15.0, leftPrefix = "", rightPrefix = "s_")
+        .withColumnRenamed("s_s_suppkey", "s_suppkey")
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("_DIST"), 6).as("dist"), col("_RANK").cast("long").as("rn"))
+        .orderBy("c_custkey", "rn")
+    },
+    Some {
+      val g = sphere.gcDistSql("pra", "pdec", "sra", "sdec")
+      s"""SELECT c_custkey, s_suppkey, round(dist, 6) AS dist, rn FROM (
+        SELECT c_custkey, s_suppkey, dist,
+          row_number() OVER (PARTITION BY c_custkey ORDER BY round(dist, 9), s_suppkey) AS rn
+        FROM (
+          SELECT c.c_custkey, s.s_suppkey, $g AS dist
+          FROM (SELECT c_custkey,
+              cra + (pmra / 3600000.0) * 25.0 / cos(radians(cdec)) AS pra,
+              cdec + (pmdec / 3600000.0) * 25.0 AS pdec
+            FROM (SELECT c_custkey,
+              ${sphere.raOfSql("c_custkey")} AS cra, ${sphere.decOfSql("c_custkey")} AS cdec,
+              CAST(c_custkey * 7 % 2001 - 1000 AS DOUBLE) AS pmra,
+              CAST(c_custkey * 13 % 2001 - 1000 AS DOUBLE) AS pmdec FROM customer)) c
+          CROSS JOIN (SELECT s_suppkey, ${sphere.raOfSql("s_suppkey")} AS sra,
+            ${sphere.decOfSql("s_suppkey")} AS sdec FROM supplier) s
+          WHERE $g < 15.0)
+        ) WHERE rn <= 2 ORDER BY c_custkey, rn"""
+    })
 
   // healpix-valued outputs: ang2pix comes from the oracle aux parquet
   // (Scala-kernel-computed); the downstream aggregation / ranking /
@@ -4773,6 +4859,8 @@ object QueryRegistry {
     "q_structfunc" -> q_structfunc,
     "q_yoy" -> q_yoy,
     "pipeline_er" -> pipeline_er,
+    "xmatch_pm" -> xmatch_pm,
+    "q_lcfeatures" -> q_lcfeatures,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,

@@ -274,4 +274,32 @@ object Spatial {
   def densityHistogram(df: DataFrame, raCol: String, decCol: String, order: Int): DataFrame =
     df.groupBy(sphere.hpix(col(raCol), col(decCol), order).as("pix"))
       .agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Proper-motion epoch propagation — the pre-match step for
+   * cross-matching catalogs observed at different epochs (the same
+   * astrometric convention Gaia uses): positions advance by
+   * `dtYears` at the source's proper motion before the spatial join,
+   * so a fast-moving star still lands inside the match radius.
+   *
+   * `pmRaCol`/`pmDecCol` are in mas/yr, with pmRa the on-sky
+   * component μ_α* = μ_α·cos δ (the catalog convention) — hence the
+   * division by cos(δ) when converting to a coordinate offset. The
+   * flat-sky update is exact to O((μ·Δt)²/206265²) radians; for
+   * survey-scale motions (arcsec over decades) that is far below
+   * any match threshold. δ in the cos is the ORIGINAL declination.
+   *
+   * Map-only: two column rewrites, no shuffle, no UDF — the
+   * propagated frame feeds [[crossMatchKnn]]/[[coneSearch]]
+   * unchanged, and the healpix pruning operates on the propagated
+   * positions (prune and distance always agree on the epoch).
+   */
+  def propagateEpoch(df: DataFrame, raCol: String, decCol: String,
+                     pmRaCol: String, pmDecCol: String, dtYears: Double): DataFrame = {
+    val masPerDeg = 3600000.0
+    df.withColumn(raCol,
+        col(raCol) + (col(pmRaCol) / lit(masPerDeg)) * lit(dtYears) / cos(radians(col(decCol))))
+      .withColumn(decCol,
+        col(decCol) + (col(pmDecCol) / lit(masPerDeg)) * lit(dtYears))
+  }
 }
