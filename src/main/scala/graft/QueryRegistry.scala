@@ -4461,24 +4461,81 @@ object QueryRegistry {
         CAST(ntile(5) OVER (ORDER BY cross_entropy, doc_id) AS BIGINT) AS phase
       FROM ce ORDER BY rank"""))
 
+  /**
+   * Quality-signal rank fusion (the FineWeb-style ensemble selection
+   * step: no single signal is trusted, so each doc's PERCENTILE
+   * STANDING per signal is combined, not the raw scores — scale-free
+   * and outlier-robust by construction). Three signals (bigram
+   * cross-entropy asc, token-distribution entropy desc, length desc)
+   * are each globally ranked via the DISTRIBUTED range-exchange
+   * row_number (never a single-task window), the rank sum is
+   * re-ranked the same way, and the top half is selected with exact
+   * ntile semantics. All rank arithmetic is integer — the only
+   * floats are the already-hash-proven signal values themselves.
+   */
+  private val text_ensemble = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val ce = graft.operators.Lm.crossEntropy(docs, "doc_id", "text", lm)
+        .select("doc_id", "cross_entropy")
+      val te = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select("doc_id", "entropy", "n_tokens")
+      // the signal pipeline is the expensive part and every rank pass
+      // materializes its input twice (size walk + index pass) — pin
+      // it once; the rank frames themselves are slim (id, value)
+      val sig = ce.join(te, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def rankOf(valueCol: String, order: org.apache.spark.sql.Column, as: String) =
+        graft.operators.Rank.globalRowNumber(sig.select(col("doc_id"), col(valueCol)),
+          Seq(order, col("doc_id"))).select(col("doc_id"), col("rank").as(as))
+      val summed = rankOf("cross_entropy", col("cross_entropy"), "r_ppl")
+        .join(rankOf("entropy", col("entropy").desc, "r_ent"), "doc_id")
+        .join(rankOf("n_tokens", col("n_tokens").desc, "r_len"), "doc_id")
+        .withColumn("rank_sum", col("r_ppl") + col("r_ent") + col("r_len"))
+      graft.operators.Rank.curriculum(summed, Seq(col("rank_sum"), col("doc_id")), phases = 2)
+        .select(col("doc_id"), col("r_ppl"), col("r_ent"), col("r_len"),
+          col("rank").as("ens_rank"), (col("phase") === 1).as("keep"))
+        .orderBy("ens_rank")
+    },
+    Some(s"""WITH ce AS (${graft.operators.Lm.perplexitySql("documents", "doc_id", "text",
+        trainFilter = "doc_id < 300")}),
+      te AS (${tokenEntropySql}),
+      sig AS (SELECT c.doc_id, c.cross_entropy, t.entropy, t.n_tokens
+        FROM ce c JOIN te t USING (doc_id)),
+      r AS (SELECT doc_id,
+          row_number() OVER (ORDER BY cross_entropy, doc_id) AS r_ppl,
+          row_number() OVER (ORDER BY entropy DESC, doc_id) AS r_ent,
+          row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS r_len
+        FROM sig),
+      e AS (SELECT doc_id, r_ppl, r_ent, r_len, r_ppl + r_ent + r_len AS rank_sum FROM r)
+      SELECT doc_id, r_ppl, r_ent, r_len,
+        row_number() OVER (ORDER BY rank_sum, doc_id) AS ens_rank,
+        CAST(ntile(2) OVER (ORDER BY rank_sum, doc_id) AS BIGINT) = 1 AS keep
+      FROM e ORDER BY ens_rank"""))
+
+  /** SQL twin of TextAnalysis.tokenEntropy — flat (no WITH) so it
+   *  embeds as a CTE body; shared by `text_entropy` and
+   *  `text_ensemble`. */
+  private lazy val tokenEntropySql: String = {
+    val norm = Dedup.normalizeTextSql("text")
+    s"""SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_types,
+        round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS entropy,
+        count(*) * 10000 // CAST(sum(c) AS BIGINT) AS ttr_e4
+      FROM (SELECT doc_id, term, count(*) AS c FROM (
+          SELECT doc_id, unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
+          FROM documents) GROUP BY 1, 2)
+      GROUP BY doc_id"""
+  }
+
   /** Token-distribution entropy + type-token ratio per document
    *  (gibberish / keyword-stuffing signals): one map-side-combined
    *  (doc, term) aggregate, H = ln n - sum(c ln c)/n. */
   private val text_entropy = QueryDef(
     (s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id"),
-    Some {
-      val norm = Dedup.normalizeTextSql("text")
-      s"""WITH toks AS (
-        SELECT doc_id, unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
-        FROM documents),
-      c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2)
-      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-        count(*) AS n_types,
-        round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS entropy,
-        count(*) * 10000 // CAST(sum(c) AS BIGINT) AS ttr_e4
-      FROM c GROUP BY doc_id ORDER BY doc_id"""
-    })
+    Some(s"$tokenEntropySql ORDER BY doc_id"))
 
   private val text_perplexity = QueryDef(
     (s, dir) => {
@@ -4861,6 +4918,7 @@ object QueryRegistry {
     "pipeline_er" -> pipeline_er,
     "xmatch_pm" -> xmatch_pm,
     "q_lcfeatures" -> q_lcfeatures,
+    "text_ensemble" -> text_ensemble,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,

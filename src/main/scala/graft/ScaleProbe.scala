@@ -348,6 +348,17 @@ object ScaleProbe {
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"))
         .groupBy("stage").count().count())
+    // lightcurve ops at the 100 TB shape (MORE objects, not longer
+    // series): replicas shift user_id, so ~45k independent series of
+    // the original length — periodogram = 64M expanded rows into one
+    // combinable aggregate; structure function = bounded per-key
+    // self-join (~33M in-horizon pairs)
+    val bigLc = spark.range(replicas).crossJoin(ev)
+      .select((col("user_id") + col("id") * 10000L).as("user_id"), col("ts"), col("value"))
+    time(s"lombScargle 20 freqs over ${replicas}x objects", "temporal")(
+      graft.operators.Lightcurve.lombScargle(bigLc, "user_id", "ts", "value").count())
+    time(s"structureFunction lag<=5d over ${replicas}x objects", "temporal")(
+      graft.operators.Lightcurve.structureFunction(bigLc, "user_id", "ts", "value", 5).count())
     time(s"zClusterStats over ${replicas}x events", "temporal")(
       graft.operators.Layout.zClusterStats(
         bigEv.withColumn("u", pmod(col("user_id"), lit(256L)))
