@@ -322,6 +322,37 @@ object QueryRegistry {
       GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey"""))
 
   /**
+   * Top-N + "OTHER" rollup (the dashboard contribution view: the 5
+   * biggest suppliers by revenue, everyone else collapsed into one
+   * residual row — totals must reconcile). Exact integer cents; the
+   * top side is a distributed TakeOrdered (never a global sort), the
+   * residual an anti-join + ONE re-aggregate. The label column keeps
+   * supplier keys and OTHER in one typed output.
+   */
+  private val q_topn_other = QueryDef(
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val top = rev.orderBy(col("cents").desc, col("l_suppkey")).limit(5)
+      val other = rev.join(broadcast(top.select("l_suppkey")), Seq("l_suppkey"), "left_anti")
+        .agg(sum("cents").as("cents"))
+        .select(lit("OTHER").as("label"), col("cents"))
+      top.select(concat(lit("S"), col("l_suppkey")).as("label"), col("cents"))
+        .union(other)
+        .orderBy(col("cents").desc, col("label"))
+    },
+    Some("""WITH rev AS (
+        SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1),
+      rk AS (SELECT *, row_number() OVER (ORDER BY cents DESC, l_suppkey) AS rn FROM rev)
+      SELECT label, cents FROM (
+        SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS label, cents FROM rk WHERE rn <= 5
+        UNION ALL
+        SELECT 'OTHER', CAST(sum(cents) AS BIGINT) FROM rk WHERE rn > 5)
+      ORDER BY cents DESC, label"""))
+
+  /**
    * Year-over-year growth (the lag-window retail analytics shape):
    * nation × year revenue in exact integer cents (ONE fact shuffle,
    * nation broadcast), then growth vs the previous year via a lag
@@ -652,6 +683,123 @@ object QueryRegistry {
             ${sphere.decOfSql("s_suppkey")} AS sdec FROM supplier) s
           WHERE $g < 15.0)
         ) WHERE rn <= 2 ORDER BY c_custkey, rn"""
+    })
+
+  /**
+   * Friends-of-friends group finder (Huchra & Geller 1982 — the
+   * percolation group catalog large-scale-structure surveys build
+   * from exactly lsd2's kind of object table): linking-length pairs
+   * from the pixel-bucketed self-join (`Spatial.selfPairs` — fan-out
+   * bounded by local density x disc cover, never all-pairs, each
+   * unordered pair emitted exactly once by construction), transitive
+   * closure via the O(log n) star contraction, ONE aggregate per
+   * group. Groups are n >= 2 (isolated points are field objects);
+   * coordinates aggregate as exact integer centi-degree SUMS (the
+   * centroid numerators — mergeable and engine-exact where a mean
+   * would not be). Oracle replays the pairs brute-force and the
+   * closure as a recursive CTE — a structurally different derivation
+   * that must hash-match.
+   */
+  private val q_fof = QueryDef(
+    (s, dir) => {
+      val sup = withSky(t(s, dir, "supplier"), "s_suppkey")
+      Spatial.fofGroups(sup, "cra", "cdec", "s_suppkey", dthreshDeg = 2.5)
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("s_suppkey") * 137 % 36000).as("sum_cra_e2"),
+          sum(col("s_suppkey") * 211 % 16000 - 8000).as("sum_cdec_e2"))
+        .orderBy("group_id")
+    },
+    Some {
+      val g = sphere.gcDistSql("a.cra", "a.cdec", "b.cra", "b.cdec")
+      s"""WITH RECURSIVE sky AS (
+        SELECT s_suppkey AS id, ${sphere.raOfSql("s_suppkey")} AS cra,
+          ${sphere.decOfSql("s_suppkey")} AS cdec FROM supplier),
+      pr AS (SELECT a.id AS ia, b.id AS ib FROM sky a JOIN sky b
+        ON a.id < b.id WHERE $g < 2.5),
+      edges AS (SELECT ia AS a, ib AS b FROM pr UNION ALL SELECT ib, ia FROM pr),
+      cc AS (
+        SELECT a AS id, a AS comp FROM edges
+        UNION
+        SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON e.a = cc.id WHERE cc.comp < e.b),
+      lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+      SELECT comp AS group_id, count(*) AS n_members,
+        CAST(sum(id * 137 % 36000) AS BIGINT) AS sum_cra_e2,
+        CAST(sum(id * 211 % 16000 - 8000) AS BIGINT) AS sum_cdec_e2
+      FROM lab GROUP BY comp ORDER BY group_id"""
+    })
+
+  /**
+   * Angular two-point correlation function, Landy & Szalay 1993
+   * estimator (the large-scale-structure workhorse statistic — THE
+   * pair-counting workload a sky-catalog engine exists for): DD, DR,
+   * RR pair counts in separation bins ([0.5°, 8.0°) in 1.5° bins)
+   * between the data catalog and a deterministic same-size random
+   * catalog, each via the pixel-bucketed pair join (fan-out bounded
+   * by density x disc cover of the MAX bin edge — never all-pairs).
+   * With n_d = n_r = n the estimator reduces to
+   * w = (n·DD − (n−1)·DR + n·RR) / (n·RR) — every count exact
+   * integer, so the final division is bit-identical cross-engine.
+   * Separations round to 9 dp before binning (the repo's pinned-rank
+   * convention) so a last-ulp trig disagreement cannot flip a bin.
+   * Bins are emitted where RR > 0 (the estimator's denominator).
+   */
+  private val q_twopoint = QueryDef(
+    (s, dir) => {
+      val d = withSky(t(s, dir, "supplier"), "s_suppkey")
+        .select(col("s_suppkey").as("id"), col("cra"), col("cdec"))
+      val r = t(s, dir, "supplier").select(col("s_suppkey").as("id"),
+        ((col("s_suppkey") * 149 % 36000).cast("double") / 100.0).as("cra"),
+        ((col("s_suppkey") * 223 % 16000).cast("double") / 100.0 - 80.0).as("cdec"))
+      def binned(p: DataFrame, out: String) = p
+        .withColumn("sep9", round(col("_DIST"), 9))
+        .filter(col("sep9") >= 0.5 && col("sep9") < 8.0)
+        .withColumn("bin", floor((col("sep9") - 0.5) / 1.5).cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+      val dd = binned(Spatial.selfPairsDist(d, "cra", "cdec", "id", 8.0), "dd")
+      val rr = binned(Spatial.selfPairsDist(r, "cra", "cdec", "id", 8.0), "rr")
+      val dr = binned(Spatial.crossPairsDist(d, r, "cra", "cdec", "id",
+        "cra", "cdec", "id", 8.0), "dr")
+      val n = d.agg(count(lit(1)).as("n"))
+      rr.join(dd, Seq("bin"), "left").join(dr, Seq("bin"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("bin"),
+          (lit(50L) + col("bin") * 150L).as("theta_lo_e2"),
+          (lit(200L) + col("bin") * 150L).as("theta_hi_e2"),
+          coalesce(col("dd"), lit(0L)).as("dd"),
+          coalesce(col("dr"), lit(0L)).as("dr"),
+          col("rr"),
+          round((col("n") * coalesce(col("dd"), lit(0L))
+              - (col("n") - 1L) * coalesce(col("dr"), lit(0L))
+              + col("n") * col("rr")).cast("double")
+            / (col("n") * col("rr")).cast("double"), 6).as("w6"))
+        .orderBy("bin")
+    },
+    Some {
+      val g = sphere.gcDistSql("a.cra", "a.cdec", "b.cra", "b.cdec")
+      def binCte(name: String, from: String, cond: String) =
+        s"""$name AS (SELECT CAST(floor((sep9 - 0.5) / 1.5) AS BIGINT) AS bin,
+          count(*) AS $name FROM (
+            SELECT round($g, 9) AS sep9 FROM $from $cond) s
+          WHERE sep9 >= 0.5 AND sep9 < 8.0 GROUP BY 1)"""
+      s"""WITH d AS (SELECT s_suppkey AS id, ${sphere.raOfSql("s_suppkey")} AS cra,
+          ${sphere.decOfSql("s_suppkey")} AS cdec FROM supplier),
+        r AS (SELECT s_suppkey AS id,
+          CAST(s_suppkey * 149 % 36000 AS DOUBLE) / 100.0 AS cra,
+          CAST(s_suppkey * 223 % 16000 AS DOUBLE) / 100.0 - 80.0 AS cdec FROM supplier),
+        ${binCte("dd", "d a JOIN d b", "ON a.id < b.id")},
+        ${binCte("rr", "r a JOIN r b", "ON a.id < b.id")},
+        ${binCte("dr", "d a CROSS JOIN r b", "")},
+        n AS (SELECT count(*) AS n FROM supplier)
+      SELECT rr.bin, CAST(50 + rr.bin * 150 AS BIGINT) AS theta_lo_e2,
+        CAST(200 + rr.bin * 150 AS BIGINT) AS theta_hi_e2,
+        CAST(coalesce(dd.dd, 0) AS BIGINT) AS dd,
+        CAST(coalesce(dr.dr, 0) AS BIGINT) AS dr,
+        CAST(rr.rr AS BIGINT) AS rr,
+        round(CAST(n * coalesce(dd.dd, 0) - (n - 1) * coalesce(dr.dr, 0)
+            + n * rr.rr AS DOUBLE) / CAST(n * rr.rr AS DOUBLE), 6) AS w6
+      FROM rr LEFT JOIN dd USING (bin) LEFT JOIN dr USING (bin) CROSS JOIN n
+      ORDER BY rr.bin"""
     })
 
   // healpix-valued outputs: ang2pix comes from the oracle aux parquet
@@ -1057,6 +1205,49 @@ object QueryRegistry {
         CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
       FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
       ORDER BY c_custkey"""))
+
+  /**
+   * DELETE-aware CDC changelog materialization (the change-feed apply
+   * a lakehouse runs nightly — q_merge's upsert generalized from one
+   * key-unique batch to an ORDERED multi-version log with deletes):
+   * the events stream read as a changelog (key = user_id x 11 so some
+   * keys fall outside the customer base = inserts; op = event_type
+   * with 'error' as the delete marker), collapsed to each key's LAST
+   * op by ONE struct-max aggregate (map-side combinable — never a
+   * per-key window over the log), then one full-outer join against
+   * the customer base. Exact integer cents; survivors classified
+   * kept/updated/inserted; deleted keys absent. Oracle replays the
+   * collapse as a row_number window — a different derivation that
+   * must hash-match.
+   */
+  private val q_cdc = QueryDef(
+    (s, dir) => {
+      val log = events(s, dir).select((col("user_id") * 11).as("key"),
+        col("ts"), col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      graft.operators.Merge.applyChangelog(base, log, "key", "cents",
+          opCol = "event_type", deleteOp = "error", orderCols = Seq("ts", "event_id"))
+        .orderBy("key")
+    },
+    Some("""WITH log AS (
+        SELECT user_id * 11 AS key, ts, event_id, event_type,
+          CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      last AS (
+        SELECT key, event_type AS op, cents AS log_cents, n_changes FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn,
+            count(*) OVER (PARTITION BY key) AS n_changes FROM log)
+        WHERE rn = 1),
+      base AS (SELECT c_custkey AS key, CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer)
+      SELECT key, coalesce(log_cents, base.cents) AS cents,
+        CASE WHEN op IS NULL THEN 'kept'
+             WHEN base.cents IS NULL THEN 'inserted' ELSE 'updated' END AS status,
+        CAST(coalesce(n_changes, 0) AS BIGINT) AS n_changes
+      FROM base FULL OUTER JOIN last USING (key)
+      WHERE op IS NULL OR op != 'error'
+      ORDER BY key"""))
 
   /** TPC-H Q19 pattern (disjunctive bracket predicates over a join):
    *  the OR-of-conjunctions shape that exercises Catalyst's CNF
@@ -2182,6 +2373,50 @@ object QueryRegistry {
       ORDER BY d.doc_id"""))
 
   /**
+   * Quality-aware duplicate canonicalization (what a curation
+   * pipeline actually keeps): near-dup clusters from the banded
+   * minhash → connected-components path, but the survivor per
+   * cluster is the LONGEST member (C4's keep rule; tie → smallest
+   * id), not the smallest id — "canonical" should be the best
+   * content, the id is an accident. One slim join of labels to an
+   * integer length signal + a per-cluster window (clusters are
+   * near-dup groups — tiny by construction, so the window sort is
+   * bounded). Oracle replays pairs, closure AND the keep rule.
+   */
+  private val dedup_keepbest = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cl = graft.operators.Graph.dedupClusters(docs, "doc_id", "text", minJaccard = 0.8)
+        .select("doc_id", "cluster_id")
+      val len = docs.select(col("doc_id"),
+        length(Dedup.normalizeText(col("text"))).cast("long").as("len"))
+      val w = Window.partitionBy("cluster_id").orderBy(col("len").desc, col("doc_id"))
+      cl.join(len, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "len", "keep")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM $jaccardShinglesSql a JOIN $jaccardShinglesSql b
+        ON a.doc_id < b.doc_id
+        AND least(len(a.sh), len(b.sh)) >= 0.8 * greatest(len(a.sh), len(b.sh))
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+      cc AS (
+        SELECT a AS id, a AS comp FROM edges
+        UNION
+        SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON e.a = cc.id WHERE cc.comp < e.b),
+      lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+      m AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id,
+          CAST(length(${Dedup.normalizeTextSql("text")}) AS BIGINT) AS len
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+      SELECT doc_id, cluster_id, len,
+        row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) = 1 AS keep
+      FROM m ORDER BY doc_id"""))
+
+  /**
    * End-to-end entity-resolution pipeline composed from the engine's
    * own operators (the Hernandez & Stolfo 1996 merge/purge shape a
    * training-data catalog runs to collapse records of one real-world
@@ -2836,6 +3071,63 @@ object QueryRegistry {
     Some(TextAnalysis.bm25Sql("documents", "doc_id", "text",
       Seq("dup", "spark", "vector"), k = 20)))
 
+  /**
+   * Hybrid retrieval with rank fusion (the BM25 + dense-embedding
+   * two-tower retrieval shape; fused in the spirit of Cormack et
+   * al. 2009's reciprocal-rank fusion but with the repo's exact
+   * INTEGER rank-sum convention — text_ensemble's fusion rule
+   * applied to retrieval): the sparse side is the existing BM25
+   * top-30 (one corpus pass, broadcast stats, TakeOrdered); the
+   * dense side the exact cosine top-30 of one query vector over the
+   * embedding table (brute force at this size — the corpus-scale
+   * path swaps in the IVF/LSH index, same (id, rank) contract);
+   * ranks full-outer-union with a k+1 absent penalty, fused = rank
+   * sum, top 10. The rank windows sort k-row bounded frames, never
+   * the corpus.
+   */
+  private val text_hybrid = QueryDef(
+    (s, dir) => {
+      val k = 30
+      val sparse = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "spark", "vector"), k = k)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long").as("r_sparse"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val dense = graft.operators.Ann.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), qv, "vec_id", "embedding", "q_id", "q_vec", k)
+        .select(col("vec_id").as("doc_id"), col("rn").as("r_dense"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_sparse"), lit(k + 1L)).as("r_sparse"),
+          coalesce(col("r_dense"), lit(k + 1L)).as("r_dense"))
+        .withColumn("fused", col("r_sparse") + col("r_dense"))
+        .orderBy(col("fused").asc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some {
+      val k = 30
+      s"""WITH sp AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+        FROM (${TextAnalysis.bm25Sql("documents", "doc_id", "text",
+          Seq("dup", "spark", "vector"), k = k)})),
+      de AS (
+        SELECT doc_id, rn AS r_dense FROM (
+          SELECT c.vec_id AS doc_id,
+            row_number() OVER (ORDER BY round(${cosSql("c.embedding", "q.embedding")}, 9)
+              DESC, c.vec_id) AS rn
+          FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE c.vec_id != 0)
+        WHERE rn <= $k)
+      SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id,
+        CAST(coalesce(sp.r_sparse, ${k + 1}) AS BIGINT) AS r_sparse,
+        CAST(coalesce(de.r_dense, ${k + 1}) AS BIGINT) AS r_dense,
+        CAST(coalesce(sp.r_sparse, ${k + 1}) + coalesce(de.r_dense, ${k + 1}) AS BIGINT) AS fused
+      FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id
+      ORDER BY fused, doc_id LIMIT 10"""
+    })
+
   /** Inverted index over the document corpus: df + sorted posting
    *  lists, hapax tail pruned, stop-grade terms (df > maxDf) kept as
    *  df-only rows with NULL postings. */
@@ -2845,6 +3137,20 @@ object QueryRegistry {
       .orderBy("term"),
     Some(TextAnalysis.invertedIndexSql("documents", "doc_id", "text",
       minDf = 3, maxDf = 390) + " ORDER BY term"))
+
+  /** Substring search through a character-trigram index (the pg_trgm
+   *  / code-search shape — "grep at 100 TB"): docs containing ALL the
+   *  query literal's trigrams (containment is necessary, so the
+   *  candidate set provably covers every true match), exact instr
+   *  verify restores precision. At corpus scale the posting table is
+   *  written once, bucketed by gram; a probe touches |Q| gram buckets
+   *  + candidates, never the corpus. */
+  private val text_trigram = QueryDef(
+    (s, dir) => TextAnalysis.trigramSearch(t(s, dir, "documents"), "doc_id", "text",
+        "fast merge batch")
+      .orderBy("doc_id"),
+    Some(TextAnalysis.trigramSearchSql("documents", "doc_id", "text",
+      "fast merge batch") + " ORDER BY doc_id"))
 
   /** Character-level (Levenshtein) near-dup pairs, language-blocked,
    *  over an ASCII-projected prefix (cross-engine-pinned semantics). */
@@ -4919,6 +5225,13 @@ object QueryRegistry {
     "xmatch_pm" -> xmatch_pm,
     "q_lcfeatures" -> q_lcfeatures,
     "text_ensemble" -> text_ensemble,
+    "dedup_keepbest" -> dedup_keepbest,
+    "q_topn_other" -> q_topn_other,
+    "q_fof" -> q_fof,
+    "q_cdc" -> q_cdc,
+    "text_trigram" -> text_trigram,
+    "text_hybrid" -> text_hybrid,
+    "q_twopoint" -> q_twopoint,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,

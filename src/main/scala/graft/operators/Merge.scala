@@ -57,6 +57,42 @@ object Merge {
   }
 
   /**
+   * Batch changelog materialization — the DELETE-aware CDC fold
+   * ([[upsertStream]] streams upserts; a real change feed also
+   * carries deletes): collapse an ORDERED multi-version changelog to
+   * each key's LAST operation with ONE struct-max aggregate (map-side
+   * combinable — never a per-key window sort over the log), then one
+   * full-outer join against the base snapshot. Last op = `deleteOp`
+   * → the key is absent from the result; any other op wins over the
+   * base value; untouched base rows carry over. Returns
+   * (key, valueCol, status ∈ kept/updated/inserted, n_changes).
+   *
+   * `orderCols` must totally order each key's changes (e.g. a
+   * timestamp + a unique change id) — ties would make "last" depend
+   * on partitioning. Scale shape: the log collapses BEFORE the join,
+   * so the join's log side carries one row per touched key; with the
+   * base bucketed on the key ([[Layout.writeBucketed]]) only the
+   * collapsed log shuffles.
+   */
+  def applyChangelog(base: DataFrame, log: DataFrame, key: String, valueCol: String,
+                     opCol: String, deleteOp: String, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "applyChangelog: orderCols must totally order each key's changes")
+    val lastFields = orderCols.map(col) ++ Seq(col(opCol).as("__op"), col(valueCol).as("__v"))
+    val last = log.groupBy(col(key))
+      .agg(max(struct(lastFields: _*)).as("__l"), count(lit(1)).as("n_changes"))
+      .select(col(key), col("__l.__op").as("__op"), col("__l.__v").as("__lv"), col("n_changes"))
+    base.select(col(key), col(valueCol).as("__bv"))
+      .join(last, Seq(key), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= deleteOp)
+      .select(col(key),
+        coalesce(col("__lv"), col("__bv")).as(valueCol),
+        when(col("__op").isNull, "kept")
+          .when(col("__bv").isNull, "inserted")
+          .otherwise("updated").as("status"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+  }
+
+  /**
    * Streaming apply (the CDC-apply shape): fold each micro-batch of
    * updates into a parquet snapshot — foreachBatch, keep-last per
    * key WITHIN the batch by `orderCol` (a micro-batch can carry

@@ -302,4 +302,94 @@ object Spatial {
       .withColumn(decCol,
         col(decCol) + (col(pmDecCol) / lit(masPerDeg)) * lit(dtYears))
   }
+
+  /**
+   * All unordered pairs (id_a < id_b) of catalog rows within
+   * `dthreshDeg` of each other — the percolation edge set a
+   * friends-of-friends group finder consumes (Huchra & Geller 1982;
+   * the [[crossMatchKnn]] machinery turned inward, minus the top-k
+   * ranking: FoF wants EVERY link, not the k nearest).
+   *
+   * Exactly-once by construction, no distinct: side A is keyed by
+   * its OWN pixel (unique per row), side B explodes the bounded disc
+   * cover — whenever gc(a,b) < d, a's pixel intersects disc(b, d) so
+   * it appears in cover(b) exactly once; the a < b filter halves
+   * ordered to unordered. The join is a plain pixel equi-join whose
+   * fan-out is bounded by local density x cover size — never an
+   * all-pairs comparison. Skew salting as in [[crossMatchKnn]]
+   * (galactic-plane hot pixels spread over `salt` sub-keys).
+   */
+  def selfPairs(df: DataFrame, raCol: String, decCol: String, idCol: String,
+                dthreshDeg: Double, order: Int = -1, saltBuckets: Int = -1): DataFrame =
+    selfPairsDist(df, raCol, decCol, idCol, dthreshDeg, order, saltBuckets)
+      .select("id_a", "id_b")
+
+  /** [[selfPairs]] carrying the great-circle separation (`_DIST`,
+   *  degrees) — the pair-statistics face (correlation functions bin
+   *  it; FoF only thresholds it). */
+  def selfPairsDist(df: DataFrame, raCol: String, decCol: String, idCol: String,
+                    dthreshDeg: Double, order: Int = -1, saltBuckets: Int = -1): DataFrame =
+    pairJoin(df.select(col(idCol).as("id_a"), col(raCol).as("__ra_a"), col(decCol).as("__dec_a")),
+      df.select(col(idCol).as("id_b"), col(raCol).as("__ra_b"), col(decCol).as("__dec_b")),
+      dthreshDeg, order, saltBuckets)
+      .filter(col("id_a") < col("id_b"))
+
+  /**
+   * Every (left, right) pair within `dthreshDeg`, with `_DIST` — the
+   * cross-catalog twin of [[selfPairsDist]] (a correlation function's
+   * DR term; no a < b halving because the catalogs are distinct).
+   * Exactly-once per ordered pair by the same own-pixel-vs-cover
+   * construction.
+   */
+  def crossPairsDist(left: DataFrame, right: DataFrame,
+                     leftRa: String, leftDec: String, leftId: String,
+                     rightRa: String, rightDec: String, rightId: String,
+                     dthreshDeg: Double, order: Int = -1, saltBuckets: Int = -1): DataFrame =
+    pairJoin(
+      left.select(col(leftId).as("id_a"), col(leftRa).as("__ra_a"), col(leftDec).as("__dec_a")),
+      right.select(col(rightId).as("id_b"), col(rightRa).as("__ra_b"), col(rightDec).as("__dec_b")),
+      dthreshDeg, order, saltBuckets)
+
+  /** Shared pixel-bucketed pair join: side A keyed by its OWN pixel,
+   *  side B exploding the bounded disc cover — each ordered (a, b)
+   *  with gc(a, b) < d meets exactly once. Emits (id_a, id_b, _DIST). */
+  private def pairJoin(a0: DataFrame, b0: DataFrame, dthreshDeg: Double,
+                       order: Int, saltBuckets: Int): DataFrame = {
+    val o = if (order >= 0) order else autoOrder(dthreshDeg)
+    val salt =
+      if (saltBuckets > 0) saltBuckets
+      else {
+        val parallelism = a0.sparkSession.sparkContext.defaultParallelism
+        math.max(1, math.ceil(2.0 * parallelism / graft.healpix.Healpix.npix(o)).toInt)
+      }
+    var a = a0.withColumn("__pix", sphere.hpix(col("__ra_a"), col("__dec_a"), o))
+    var b = b0.withColumn("__pix",
+      explode(sphere.hpixCover(col("__ra_b"), col("__dec_b"), o, lit(dthreshDeg))))
+    val joinKeys = if (salt > 1) {
+      a = a.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salt)))
+      b = b.withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
+      Seq("__pix", "__salt")
+    } else Seq("__pix")
+    a.join(b, joinKeys)
+      .withColumn("_DIST", sphere.gcDist(col("__ra_a"), col("__dec_a"),
+        col("__ra_b"), col("__dec_b")))
+      .filter(col("_DIST") < dthreshDeg)
+      .select("id_a", "id_b", "_DIST")
+  }
+
+  /**
+   * Friends-of-friends group catalog: percolation links from
+   * [[selfPairs]], transitive closure via the O(log n) star
+   * contraction ([[Graph.connectedComponents]]), one aggregate per
+   * group. Returns groups of n >= 2 (isolated points are field
+   * objects, not groups) as (group_id = min member id, n_members)
+   * plus whatever the caller aggregates from the joined members.
+   */
+  def fofGroups(df: DataFrame, raCol: String, decCol: String, idCol: String,
+                dthreshDeg: Double): DataFrame = {
+    val pairs = selfPairs(df, raCol, decCol, idCol, dthreshDeg)
+    Graph.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("comp", "group_id")
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -556,6 +556,63 @@ object TextAnalysis {
     ORDER BY bm25 DESC, doc_id LIMIT $k"""
   }
 
+  /** The driver-side twin of [[Dedup.normalizeText]] — a query
+   *  literal must normalize exactly like the corpus it probes. */
+  private[graft] def normalizeLiteral(s: String): String =
+    s.toLowerCase.replaceAll("[.,!?;:'\"]", "").replaceAll("\\s+", " ").trim
+
+  /**
+   * Substring search via a character-trigram index (the pg_trgm /
+   * code-search shape — "grep at 100 TB" without a corpus scan): one
+   * posting row per DISTINCT trigram of the normalized text; a query
+   * literal prunes to docs containing ALL its trigrams (containment
+   * is necessary — every substring's trigram set is a subset of its
+   * host's), then an exact `instr` verify over the bounded candidate
+   * set restores precision. In-query the postings build is one scan;
+   * at corpus scale the posting table is written ONCE (bucketed by
+   * gram via [[Layout.writeBucketed]]) and a probe touches |Q| gram
+   * buckets + the candidates — never the corpus. Returns
+   * (doc_id, pos) with `pos` the 1-based first occurrence in the
+   * normalized text.
+   */
+  def trigramSearch(df: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
+    val qn = normalizeLiteral(query)
+    require(qn.length >= 3, s"trigramSearch: query must normalize to >= 3 chars (got '$qn')")
+    val grams = qn.sliding(3).toSeq.distinct
+    val docs = df.select(col(idCol).as("doc_id"), Dedup.normalizeText(col(textCol)).as("__norm"))
+    // distinct grams per doc; guard short docs (sequence(1, 0) would
+    // DESCEND, not return empty)
+    val grams3 = when(length(col("__norm")) >= 3,
+      array_distinct(transform(sequence(lit(1), length(col("__norm")) - 2),
+        i => substring(col("__norm"), i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val cand = docs.select(col("doc_id"), explode(grams3).as("gram"))
+      .filter(col("gram").isin(grams: _*)) // pushed below the aggregate — map-side prune
+      .groupBy("doc_id").agg(count(lit(1)).as("__ng"))
+      .filter(col("__ng") === grams.size)
+    cand.join(docs, "doc_id")
+      .select(col("doc_id"), instr(col("__norm"), qn).cast("long").as("pos"))
+      .filter(col("pos") > 0)
+  }
+
+  /** SQL twin of [[trigramSearch]] for DuckDB oracles — same
+   *  normalization, gram pruning and verify. */
+  def trigramSearchSql(table: String, idCol: String, textCol: String, query: String): String = {
+    val qn = normalizeLiteral(query)
+    require(qn.length >= 3 && !qn.contains("'"), s"oracle literal must be quote-free: '$qn'")
+    val grams = qn.sliding(3).toSeq.distinct
+    val inList = grams.map(g => s"'$g'").mkString(", ")
+    s"""WITH docs AS (SELECT $idCol AS doc_id, ${Dedup.normalizeTextSql(textCol)} AS norm
+        FROM $table),
+      grams AS (SELECT DISTINCT doc_id, substr(norm, CAST(t.i AS INT), 3) AS gram
+        FROM docs, unnest(range(1, greatest(length(norm) - 1, 1))) t(i)),
+      cand AS (SELECT doc_id FROM grams WHERE gram IN ($inList)
+        GROUP BY doc_id HAVING count(*) = ${grams.size})
+      SELECT d.doc_id, CAST(strpos(d.norm, '$qn') AS BIGINT) AS pos
+      FROM cand JOIN docs d USING (doc_id)
+      WHERE strpos(d.norm, '$qn') > 0"""
+  }
+
   /**
    * Edit-distance (Levenshtein) near-duplicate pairs within blocks —
    * the fuzzy-match complement to token-level Jaccard: catches

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Merge, Spatial, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: friends-of-friends group finding, delete-aware
+  * CDC changelog apply, trigram-index substring search. */
+class R16OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- FoF
+
+  test("selfPairs matches brute force and emits each pair exactly once") {
+    // deterministic scatter incl. a dense knot near (10, 0)
+    val pts = (1L to 60L).map { k =>
+      (k, (k * 37 % 360).toDouble + (k % 7) * 0.01, ((k * 53 % 120) - 60).toDouble * 0.7)
+    }.toDF("id", "ra", "dec")
+    val got = Spatial.selfPairs(pts, "ra", "dec", "id", dthreshDeg = 8.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "no duplicate pairs without a distinct()")
+    val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = (for {
+      (a, ra1, d1) <- rows; (b, ra2, d2) <- rows
+      if a < b && graft.healpix.Healpix.gcDistDeg(ra1, d1, ra2, d2) < 8.0
+    } yield (a, b)).toSet
+    assert(got.toSet == want, s"pixel-pruned pairs must equal brute force " +
+      s"(missing ${want -- got.toSet}, extra ${got.toSet -- want})")
+  }
+
+  test("fofGroups percolates chains: a-b-c linked pairwise-partially is ONE group") {
+    // b within 2.5 of both a and c, but a-c > 2.5: percolation joins all three
+    val pts = Seq((1L, 100.0, 0.0), (2L, 102.0, 0.0), (3L, 104.0, 0.0),
+      (4L, 200.0, 40.0)).toDF("id", "ra", "dec")
+    val g = Spatial.fofGroups(pts, "ra", "dec", "id", dthreshDeg = 2.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"chain must percolate into one group labeled by its min id; isolated point absent: $g")
+  }
+
+  test("crossPairsDist matches brute force between two catalogs (no a<b halving)") {
+    val left = (1L to 25L).map(k => (k, (k * 41 % 360).toDouble, ((k * 29 % 100) - 50).toDouble))
+      .toDF("id", "ra", "dec")
+    val right = (1L to 25L).map(k => (k, (k * 59 % 360).toDouble, ((k * 31 % 100) - 50).toDouble))
+      .toDF("id", "ra", "dec")
+    val got = Spatial.crossPairsDist(left, right, "ra", "dec", "id", "ra", "dec", "id", 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "each ordered cross pair exactly once")
+    val l = left.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val rr = right.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = (for {
+      (a, ra1, d1) <- l; (b, ra2, d2) <- rr
+      if graft.healpix.Healpix.gcDistDeg(ra1, d1, ra2, d2) < 10.0
+    } yield (a, b)).toSet
+    assert(got.toSet == want, s"missing ${want -- got.toSet}, extra ${got.toSet -- want}")
+  }
+
+  test("two-point binning: hand-placed pairs land in the expected separation bins") {
+    // pairs at known equatorial separations: 1.0 deg -> bin 0, 2.0 -> bin 1 (edges 0.5+1.5k)
+    val pts = Seq((1L, 100.0, 0.0), (2L, 101.0, 0.0), (3L, 103.0, 0.0)).toDF("id", "ra", "dec")
+    val bins = Spatial.selfPairsDist(pts, "ra", "dec", "id", 8.0)
+      .withColumn("sep9", round(col("_DIST"), 9))
+      .filter(col("sep9") >= 0.5 && col("sep9") < 8.0)
+      .withColumn("bin", floor((col("sep9") - 0.5) / 1.5).cast("long"))
+      .groupBy("bin").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // separations: (1,2)=1.0 bin0, (2,3)=2.0 bin1, (1,3)=3.0 bin1
+    assert(bins == Map(0L -> 1L, 1L -> 2L), s"got $bins")
+  }
+
+  // ------------------------------------------------------------- CDC
+
+  test("applyChangelog: last op wins, deletes drop, inserts/updates/kept classified") {
+    val base = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("key", "cents")
+    val log = Seq(
+      (2L, 1L, "upsert", 777L),  // update key 2
+      (2L, 2L, "delete", 0L),    // ... then delete it — delete wins (later)
+      (3L, 1L, "delete", 0L),    // delete key 3 ...
+      (3L, 2L, "upsert", 999L),  // ... then re-insert — upsert wins
+      (9L, 1L, "upsert", 555L),  // brand-new key
+      (8L, 1L, "delete", 0L)     // delete of a key that never existed
+    ).toDF("key", "seq", "op", "cents")
+    val out = Merge.applyChangelog(base, log, "key", "cents",
+        opCol = "op", deleteOp = "delete", orderCols = Seq("seq"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    assert(out == Map(
+      1L -> ((100L, "kept", 0L)),
+      3L -> ((999L, "updated", 2L)),
+      9L -> ((555L, "inserted", 1L))), s"got $out")
+  }
+
+  test("applyChangelog collapses the log with an aggregate, not a window sort") {
+    val base = Seq((1L, 100L)).toDF("key", "cents")
+    val log = Seq((1L, 1L, "upsert", 1L)).toDF("key", "seq", "op", "cents")
+    val plan = Merge.applyChangelog(base, log, "key", "cents", "op", "delete", Seq("seq"))
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      s"log collapse must be a struct-max aggregate, never a window:\n$plan")
+  }
+
+  // ------------------------------------------- trigram substring search
+
+  test("trigramSearch finds exact positions and prunes gram-anagram false candidates") {
+    val docs = Seq(
+      (1L, "the merge batch runs nightly"),           // contains at pos 5
+      (2L, "batch merge the nightly runs"),           // all grams of "merge batch"? no: 'e b' missing
+      (3L, "MERGE, BATCH!? the merge batch again"),   // normalization finds it
+      (4L, "no relevant content here"),
+      // all trigrams present but never contiguous: "merge batch" grams
+      // are {mer,erg,rge,ge ,e b, ba,bat,atc,tch}; craft "merge bxtch merge batch"-free
+      (5L, "xmerge bzz ge batch yy e b")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramSearch(docs, "doc_id", "text", "Merge; BATCH")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // normalized query = "merge batch"
+    assert(got(1L) == 5L, s"1-based pos in normalized text: $got")
+    // doc 3 normalizes to "merge batch the merge batch again" — FIRST hit is pos 1
+    assert(got(3L) == 1L, s"got $got")
+    assert(!got.contains(2L) && !got.contains(4L), s"got $got")
+    assert(!got.contains(5L), "gram-complete but non-contiguous doc must fail the verify")
+  }
+
+  test("text_hybrid: ranks live in [1, k+1], fused is their exact sum, output ascending") {
+    val rows = QueryRegistry.all.toMap.apply("text_hybrid").run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (rs, rd, f) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rs >= 1 && rs <= 31 && rd >= 1 && rd <= 31, s"rank domain: $r")
+      assert(f == rs + rd, s"fused must be the exact rank sum: $r")
+      assert(rs <= 30 || rd <= 30, "a fused row must appear in at least one tower")
+    }
+    val fused = rows.map(_.getLong(3))
+    assert(fused.sameElements(fused.sorted), "output must ascend by fused rank")
+  }
+
+  test("trigramSearch guards degenerate queries and short docs") {
+    val docs = Seq((1L, "ab"), (2L, "abc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trigramSearch(docs, "doc_id", "text", "ab")
+    }
+    val got = TextAnalysis.trigramSearch(docs, "doc_id", "text", "abc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L), s"short docs index no grams, exact-length doc matches: $got")
+  }
+}

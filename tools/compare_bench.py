@@ -40,12 +40,13 @@ CLASSES = {
           'q4_priority', 'q6_forecast', 'q13_custdist', 'q15_topsupplier', 'q17_smallqty',
           'q9_profit', 'q11_topstock', 'q12_shipmode', 'q20_potential', 'text_bm25', 'text_nb_eval',
           'q_mode', 'q_benford', 'q_rolling', 'q_groupconcat', 'q_paircorr', 'q_streaks', 'q_shards', 'q_attribution', 'q_trainorder',
-          'q_periodogram', 'q_structfunc', 'q_yoy', 'xmatch_pm', 'q_lcfeatures', 'text_ensemble'],
+          'q_periodogram', 'q_structfunc', 'q_yoy', 'xmatch_pm', 'q_lcfeatures', 'text_ensemble',
+          'q_topn_other', 'q_cdc', 'text_trigram', 'text_hybrid'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster', 'dedup_calibration',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline',
-          'pipeline_er'],
+          'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_twopoint'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
