@@ -13,10 +13,15 @@ object Bench {
   /** Committed per-query Spark medians from BASELINE.md's numbers
    *  table (| query | class | spark s | ...) — the reference points
    *  for flagging contention-suspect measurements. Empty if the file
-   *  is absent (bench still runs; no flagging). */
-  private def baselineSparkSecs(): Map[String, Double] =
+   *  is absent (bench still runs; no flagging). The codec MUST be
+   *  explicit: under a POSIX locale the forked JVM defaults to
+   *  US-ASCII, Source.fromFile throws MalformedInputException on the
+   *  file's UTF-8 prose, and the catch silently disabled the whole
+   *  contention-rerun pass (r10's 6.4 s q8_share outlier entered the
+   *  artifact unflagged exactly this way). */
+  private[graft] def baselineSparkSecs(): Map[String, Double] =
     try {
-      scala.io.Source.fromFile("BASELINE.md").getLines()
+      scala.io.Source.fromFile("BASELINE.md")(scala.io.Codec.UTF8).getLines()
         .filter(_.trim.startsWith("|"))
         .flatMap { l =>
           val cells = l.split("\\|").map(_.trim)

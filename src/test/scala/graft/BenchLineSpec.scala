@@ -12,6 +12,17 @@ class BenchLineSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
   private def parse(line: String) = mapper.readTree(line)
 
+  test("baselineSparkSecs parses the committed BASELINE.md under ANY locale") {
+    // the table carries UTF-8 prose around it; under a POSIX locale
+    // (US-ASCII default charset — this container) an implicit-codec
+    // read throws and the old catch silently returned Map.empty,
+    // disabling the contention-rerun pass. Guard: parse must succeed
+    // and cover most of the registry.
+    val m = Bench.baselineSparkSecs()
+    assert(m.size >= 150, s"baseline table parse collapsed: ${m.size} entries")
+    assert(m.contains("q1_agg") && m.contains("q8_share"), m.keys.take(5).toSeq.toString)
+  }
+
   test("small surface: full 3-dp line, valid JSON, all queries present") {
     val line = Bench.buildSummaryLine(Seq("q1" -> 0.1234, "q2" -> 1.5), "/sf")
     val j = parse(line)

@@ -132,6 +132,22 @@ class R16OpsSpec extends SparkSpecBase {
     assert(fused.sameElements(fused.sorted), "output must ascend by fused rank")
   }
 
+  test("trigramProbe over stored postings returns exactly trigramSearch's results") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val postings = TextAnalysis.trigramPostings(docs, "doc_id", "text")
+    val q = "table value part"
+    val viaIndex = TextAnalysis.trigramProbe(postings, docs, "doc_id", "text", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaScan = TextAnalysis.trigramSearch(docs, "doc_id", "text", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == viaScan, s"index and scan paths must agree " +
+      s"(index-only ${viaIndex -- viaScan}, scan-only ${viaScan -- viaIndex})")
+    // the scan path is one map-only pass: no shuffle of any kind
+    val plan = TextAnalysis.trigramSearch(docs, "doc_id", "text", q)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scan search must not shuffle:\n$plan")
+  }
+
   test("trigramSearch guards degenerate queries and short docs") {
     val docs = Seq((1L, "ab"), (2L, "abc")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
