@@ -50,6 +50,16 @@ object QueryRegistry {
       .select(col("k"), sphere.hpix(col("cra"), col("cdec"), 5).as("pix5"))
       .distinct() // k -> pix5 is functional; k itself is NOT row-unique, so dedup for a clean N:1 join
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/pm_lineitem.parquet")
+    // order-2 pixel centers (pix2ang — not SQL-expressible): 192 rows
+    // built driver-side, so the smoothing oracle can replay the
+    // center-distance tophat kernel independently
+    locally {
+      import s.implicits._
+      (0L until graft.healpix.Healpix.npix(2)).map { p =>
+        (p, graft.healpix.Healpix.pixCenterRa(2, p), graft.healpix.Healpix.pixCenterDec(2, p))
+      }.toDF("pix", "pra", "pdec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/hpix_centers_o2.parquet")
+    }
     // minhash/simhash signatures (Scala kernels — the banding, est_sim
     // and Hamming downstream of them are recomputed in SQL)
     graft.operators.Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 64)
@@ -812,6 +822,51 @@ object QueryRegistry {
     Some(s"""SELECT h.pix2 AS pix, count(*) AS cnt
       FROM customer c JOIN ${aux("hpix_customer")} h USING (c_custkey)
       GROUP BY 1 ORDER BY pix"""))
+
+  /**
+   * Counts-map tophat smoothing (the map-space operation healpy users
+   * run on a density map — a fixed-radius tophat beam over pixel
+   * centers): each pixel's smoothed value sums the counts of every
+   * histogram pixel whose CENTER lies within the beam radius of its
+   * own center (pix2ang via the native HpixCenter expressions —
+   * healpy pix2ang parity). The pair generation is the shared
+   * pixel-bucketed join (Spatial.crossPairsDist over pixel centers —
+   * at order 12's 200M pixels this is the same bounded-fanout join
+   * the catalogs use, never an all-pairs); the map is tiny at order
+   * 2, the PLAN is the one that scales. Exact integer sums; bin
+   * membership on the raw gc < r predicate, op-order-pinned in both
+   * engines. Oracle replays centers from a driver-built aux parquet
+   * and the kernel brute-force.
+   */
+  private val hpix_smooth = QueryDef(
+    (s, dir) => {
+      val hist = Spatial.densityHistogram(
+        withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 2)
+        .select(col("pix"), col("cnt"),
+          sphere.hpixCenterRa(col("pix"), 2).as("pra"),
+          sphere.hpixCenterDec(col("pix"), 2).as("pdec"))
+      val pairs = Spatial.crossPairsDist(hist, hist,
+        "pra", "pdec", "pix", "pra", "pdec", "pix", dthreshDeg = 25.0)
+      pairs.join(broadcast(hist.select(col("pix").as("id_b"), col("cnt").as("cnt_b"))), "id_b")
+        .groupBy(col("id_a").as("pix"))
+        .agg(sum("cnt_b").as("beam_sum"), count(lit(1)).as("beam_n"))
+        .join(hist.select("pix", "cnt"), "pix")
+        .select("pix", "cnt", "beam_sum", "beam_n")
+        .orderBy("pix")
+    },
+    Some {
+      val g = sphere.gcDistSql("a.pra", "a.pdec", "b.pra", "b.pdec")
+      s"""WITH hist AS (
+        SELECT h.pix2 AS pix, count(*) AS cnt, c.pra, c.pdec
+        FROM customer cu JOIN ${aux("hpix_customer")} h USING (c_custkey)
+        JOIN ${aux("hpix_centers_o2")} c ON c.pix = h.pix2
+        GROUP BY 1, 3, 4)
+      SELECT a.pix, CAST(a.cnt AS BIGINT) AS cnt,
+        CAST(sum(b.cnt) AS BIGINT) AS beam_sum,
+        count(*) AS beam_n
+      FROM hist a JOIN hist b ON $g < 25.0
+      GROUP BY a.pix, a.cnt ORDER BY a.pix"""
+    })
 
   private val hpix_index = QueryDef(
     (s, dir) => Spatial.spatialIndex(withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 20)
@@ -5232,6 +5287,7 @@ object QueryRegistry {
     "text_trigram" -> text_trigram,
     "text_hybrid" -> text_hybrid,
     "q_twopoint" -> q_twopoint,
+    "hpix_smooth" -> hpix_smooth,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,

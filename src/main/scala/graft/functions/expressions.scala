@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -78,4 +78,35 @@ case class HpixCoverExpr(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
+}
+
+/**
+ * hpix_center_ra/dec(pix, order) -> pixel-center coordinate in
+ * degrees (pix2angNest — the inverse of HpixExpr). The map-space
+ * face of the spatial family: counts-map smoothing and any
+ * pixel-level statistic that needs geometry back from a pixel id
+ * (healpy pix2ang parity).
+ */
+case class HpixCenterRaExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hpix_center_ra"
+  override protected def nullSafeEval(pix: Any, order: Any): Any =
+    graft.healpix.Healpix.pixCenterRa(order.asInstanceOf[Int], pix.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pix, order) =>
+      s"${ev.value} = graft.healpix.Healpix.pixCenterRa($order, $pix);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class HpixCenterDecExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hpix_center_dec"
+  override protected def nullSafeEval(pix: Any, order: Any): Any =
+    graft.healpix.Healpix.pixCenterDec(order.asInstanceOf[Int], pix.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pix, order) =>
+      s"${ev.value} = graft.healpix.Healpix.pixCenterDec($order, $pix);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

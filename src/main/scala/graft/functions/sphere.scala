@@ -27,6 +27,15 @@ object sphere {
       GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")),
       GraftBridge.expression(lit(order)), GraftBridge.expression(radiusDeg.cast("double"))))
 
+  /** Pixel-center ra/dec in degrees (healpy pix2ang parity — the
+   *  inverse of [[hpix]]; map-space geometry from a pixel id). */
+  def hpixCenterRa(pix: Column, order: Int): Column =
+    GraftBridge.column(HpixCenterRaExpr(
+      GraftBridge.expression(pix.cast("long")), GraftBridge.expression(lit(order))))
+  def hpixCenterDec(pix: Column, order: Int): Column =
+    GraftBridge.column(HpixCenterDecExpr(
+      GraftBridge.expression(pix.cast("long")), GraftBridge.expression(lit(order))))
+
   /**
    * Great-circle distance in degrees (haversine) — native codegen
    * expression (GcDistExpr); its kernel mirrors the DuckDB oracle

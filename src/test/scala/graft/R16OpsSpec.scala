@@ -66,6 +66,30 @@ class R16OpsSpec extends SparkSpecBase {
     assert(bins == Map(0L -> 1L, 1L -> 2L), s"got $bins")
   }
 
+  test("hpixCenter expressions match pix2angNest; smoothing conserves mass at full-sky radius") {
+    import graft.functions.sphere
+    val pix = spark.range(0, 192).select(col("id").as("pix"),
+      sphere.hpixCenterRa(col("id"), 2).as("ra"), sphere.hpixCenterDec(col("id"), 2).as("dec"))
+      .collect()
+    pix.foreach { r =>
+      val (era, edec) = graft.healpix.Healpix.pix2angNest(2, r.getLong(0))
+      assert(r.getDouble(1) == era && r.getDouble(2) == edec, s"center mismatch at ${r.getLong(0)}")
+    }
+    // tophat at radius 181 deg sums the WHOLE map into every pixel;
+    // at ~0 radius each pixel keeps only itself
+    import spark.implicits._
+    val hist = Seq((0L, 5L), (100L, 7L), (191L, 11L)).toDF("pix", "cnt")
+      .select(col("pix"), col("cnt"),
+        sphere.hpixCenterRa(col("pix"), 2).as("pra"), sphere.hpixCenterDec(col("pix"), 2).as("pdec"))
+    def smooth(r: Double) = Spatial.crossPairsDist(hist, hist,
+        "pra", "pdec", "pix", "pra", "pdec", "pix", r)
+      .join(hist.select(col("pix").as("id_b"), col("cnt").as("cnt_b")), "id_b")
+      .groupBy("id_a").agg(sum("cnt_b").as("s"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(smooth(181.0) == Map(0L -> 23L, 100L -> 23L, 191L -> 23L), "full-sky beam = total mass")
+    assert(smooth(1e-9) == Map(0L -> 5L, 100L -> 7L, 191L -> 11L), "zero beam = identity")
+  }
+
   // ------------------------------------------------------------- CDC
 
   test("applyChangelog: last op wins, deletes drop, inserts/updates/kept classified") {
