@@ -868,6 +868,51 @@ object QueryRegistry {
       GROUP BY a.pix, a.cnt ORDER BY a.pix"""
     })
 
+  /**
+   * Transient detection on the epoch-resolved counts map (the
+   * alerting pass a time-domain survey runs per pixel: which sky
+   * cells brightened or faded this epoch vs their own history): per
+   * (pixel, year) order counts — missing years materialized as REAL
+   * zeros via a literal epoch-domain explode, so a pixel going dark
+   * is as detectable as one flaring — flagged by the Poisson
+   * variance rule |T·n − total| > 3·sqrt(T·total), squared into the
+   * EXACT integer predicate (T·n − total)² > 9·T·total (no sqrt, no
+   * float: bit-identical in any engine). One fact shuffle to the
+   * (pixel, year) aggregate; the epoch explode is 7x on the tiny
+   * pixel rollup, not on the fact table.
+   */
+  private val hpix_transients = QueryDef(
+    (s, dir) => {
+      val counts = t(s, dir, "orders")
+        .join(withSky(t(s, dir, "customer"), "c_custkey")
+          .select(col("c_custkey"), sphere.hpix(col("cra"), col("cdec"), 2).as("pix")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("pix"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("cnt"))
+      val perPix = counts.groupBy("pix").agg(sum("cnt").as("total"))
+      val domain = perPix.select(col("pix"), col("total"),
+        explode(sequence(lit(1992), lit(1998))).as("yr"))
+      val dev = lit(7L) * col("cnt") - col("total")
+      domain.join(counts, Seq("pix", "yr"), "left")
+        .select(col("pix"), col("yr").cast("long").as("yr"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"), col("total"))
+        .filter(dev * dev > lit(63L) * col("total")) // pure LONG algebra — no pow/sqrt
+        .select(col("pix"), col("yr"), col("cnt"), col("total"))
+        .orderBy("pix", "yr")
+    },
+    Some(s"""WITH counts AS (
+        SELECT h.pix2 AS pix, year(o_orderdate) AS yr, count(*) AS cnt
+        FROM orders o JOIN ${aux("hpix_customer")} h ON h.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+      perpix AS (SELECT pix, sum(cnt) AS total FROM counts GROUP BY 1),
+      dom AS (SELECT pix, total, yr FROM perpix, unnest(range(1992, 1999)) t(yr))
+      SELECT dom.pix, CAST(dom.yr AS BIGINT) AS yr,
+        CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, CAST(dom.total AS BIGINT) AS total
+      FROM dom LEFT JOIN counts c ON c.pix = dom.pix AND c.yr = dom.yr
+      WHERE (7 * coalesce(c.cnt, 0) - dom.total) * (7 * coalesce(c.cnt, 0) - dom.total)
+          > 9 * 7 * dom.total
+      ORDER BY dom.pix, yr"""))
+
   private val hpix_index = QueryDef(
     (s, dir) => Spatial.spatialIndex(withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 20)
       .select("c_custkey", "_ID").orderBy("c_custkey"),
@@ -5288,6 +5333,7 @@ object QueryRegistry {
     "text_hybrid" -> text_hybrid,
     "q_twopoint" -> q_twopoint,
     "hpix_smooth" -> hpix_smooth,
+    "hpix_transients" -> hpix_transients,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,

@@ -90,6 +90,20 @@ class R16OpsSpec extends SparkSpecBase {
     assert(smooth(1e-9) == Map(0L -> 5L, 100L -> 7L, 191L -> 11L), "zero beam = identity")
   }
 
+  test("hpix_transients: every emitted row satisfies the exact flag rule; zero-years flaggable") {
+    val rows = QueryRegistry.all.toMap.apply("hpix_transients").run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty, "sf0.001 should surface at least one flagged (pixel, year)")
+    rows.foreach { r =>
+      val (cnt, total) = (r.getLong(2), r.getLong(3))
+      val dev = 7L * cnt - total
+      assert(dev * dev > 63L * total, s"flag rule violated: $r")
+    }
+    // a pixel whose history is concentrated in few years flags its
+    // ZERO years too once total > 9*T (dev = -total, total^2 > 63*total)
+    val zeroFlagged = rows.filter(_.getLong(2) == 0L)
+    assert(zeroFlagged.forall(_.getLong(3) > 63L), "zero-year flags need total > 9T")
+  }
+
   // ------------------------------------------------------------- CDC
 
   test("applyChangelog: last op wins, deletes drop, inserts/updates/kept classified") {
