@@ -696,6 +696,66 @@ object QueryRegistry {
     })
 
   /**
+   * Cross-match completeness/purity evaluation — the spatial member
+   * of the eval family (ANN has `ann_recall`, dedup
+   * `dedup_calibration`, the classifier `text_nb_eval`; this is the
+   * acceptance test a survey publishes before trusting a matched
+   * catalog). Ground truth is PLANTED: every truth source gets an
+   * observed counterpart displaced 0-2.3 deg (deterministic key
+   * arithmetic — some beyond the 2.0 deg radius, so recall < 100% by
+   * construction) plus a same-meridian decoy on the opposite side
+   * (0-2.9 deg — sometimes closer than the counterpart, so purity
+   * < 100% too). The kNN match (k=1) runs the REAL pixel-pruned
+   * engine path; completeness = correct/truth, purity =
+   * correct/matched, exact integer percent. Oracle replays planting,
+   * brute-force kNN and both rates.
+   */
+  private val xmatch_eval = QueryDef(
+    (s, dir) => {
+      val truth = withSky(t(s, dir, "supplier"), "s_suppkey")
+        .select(col("s_suppkey").as("tid"), col("cra"), col("cdec"))
+      val sign = when(col("tid") % 2 === 0, 1.0).otherwise(-1.0)
+      val obs = truth.select(col("tid").as("oid"), col("cra"),
+          (col("cdec") + (col("tid") * 31 % 24).cast("double") / 10.0 * sign).as("cdec"))
+        .unionByName(truth.select((col("tid") + 1000000L).as("oid"), col("cra"),
+          (col("cdec") - (col("tid") * 17 % 30).cast("double") / 10.0 * sign).as("cdec")))
+      val m = Spatial.crossMatchKnn(truth, obs,
+          leftRa = "cra", leftDec = "cdec", leftId = "tid",
+          rightRa = "cra", rightDec = "cdec", rightId = "oid",
+          k = 1, dthreshDeg = 2.0, leftPrefix = "", rightPrefix = "o_")
+        .select(col("tid"), col("o_oid").as("oid"))
+      truth.join(m, Seq("tid"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("oid")).as("n_matched"),
+          sum(when(col("oid") === col("tid"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("n_truth"), col("n_matched"), col("n_correct"),
+          expr("n_correct * 100 div n_truth").as("completeness_pct"),
+          expr("n_correct * 100 div n_matched").as("purity_pct"))
+    },
+    Some {
+      val g = sphere.gcDistSql("t.cra", "t.cdec", "o.cra", "o.cdec")
+      s"""WITH truth AS (SELECT s_suppkey AS tid, ${sphere.raOfSql("s_suppkey")} AS cra,
+          ${sphere.decOfSql("s_suppkey")} AS cdec FROM supplier),
+        obs AS (
+          SELECT tid AS oid, cra, cdec + CAST(tid * 31 % 24 AS DOUBLE) / 10.0
+            * (CASE WHEN tid % 2 = 0 THEN 1.0 ELSE -1.0 END) AS cdec FROM truth
+          UNION ALL
+          SELECT tid + 1000000, cra, cdec - CAST(tid * 17 % 30 AS DOUBLE) / 10.0
+            * (CASE WHEN tid % 2 = 0 THEN 1.0 ELSE -1.0 END) FROM truth),
+        m AS (SELECT tid, oid FROM (
+          SELECT t.tid, o.oid,
+            row_number() OVER (PARTITION BY t.tid ORDER BY round($g, 9), o.oid) AS rn
+          FROM truth t JOIN obs o ON $g < 2.0) WHERE rn = 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        CAST(count(m.oid) AS BIGINT) AS n_matched,
+        CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        CAST(CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) * 100
+          // count(*) AS BIGINT) AS completeness_pct,
+        CAST(CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) * 100
+          // count(m.oid) AS BIGINT) AS purity_pct
+      FROM truth t LEFT JOIN m USING (tid)"""
+    })
+
+  /**
    * Friends-of-friends group finder (Huchra & Geller 1982 — the
    * percolation group catalog large-scale-structure surveys build
    * from exactly lsd2's kind of object table): linking-length pairs
@@ -5334,6 +5394,7 @@ object QueryRegistry {
     "q_twopoint" -> q_twopoint,
     "hpix_smooth" -> hpix_smooth,
     "hpix_transients" -> hpix_transients,
+    "xmatch_eval" -> xmatch_eval,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,
