@@ -59,6 +59,12 @@ object QueryRegistry {
         (p, graft.healpix.Healpix.pixCenterRa(2, p), graft.healpix.Healpix.pixCenterDec(2, p))
       }.toDF("pix", "pra", "pdec")
         .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/hpix_centers_o2.parquet")
+      // order-2 neighbor pairs (get_all_neighbours — not
+      // SQL-expressible): the local-maxima oracle joins these
+      (0L until graft.healpix.Healpix.npix(2)).flatMap { p =>
+        graft.healpix.Healpix.neighborsNest(2, p).map(n => (p, n))
+      }.toDF("pix", "nbr")
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/hpix_nbrs_o2.parquet")
     }
     // minhash/simhash signatures (Scala kernels — the banding, est_sim
     // and Hamming downstream of them are recomputed in SQL)
@@ -927,6 +933,44 @@ object QueryRegistry {
       FROM hist a JOIN hist b ON $g < 25.0
       GROUP BY a.pix, a.cnt ORDER BY a.pix"""
     })
+
+  /**
+   * Local maxima of the density map — the PEAK-FINDING step of
+   * source detection (SExtractor's local-max-over-neighborhood
+   * criterion, on HEALPix cells): a pixel is a peak iff its count
+   * STRICTLY exceeds every 8-connected neighbor's (absent neighbors
+   * count 0; equal-count adjacent plateaus are rejected on both
+   * sides — deterministic, documented). The neighborhood comes from
+   * the native `hpixNeighbors` codegen expression (the geometric
+   * NEST adjacency, healpy get_all_neighbours parity) exploded
+   * map-only; one self-join of the tiny map + one aggregate. Oracle
+   * joins the driver-built adjacency aux parquet — the downstream
+   * max/strictness arithmetic is recomputed independently.
+   */
+  private val hpix_maxima = QueryDef(
+    (s, dir) => {
+      val hist = Spatial.densityHistogram(
+        withSky(t(s, dir, "customer"), "c_custkey"), "cra", "cdec", 2)
+      hist.select(col("pix"), col("cnt"),
+          explode(sphere.hpixNeighbors(col("pix"), 2)).as("nbr"))
+        .join(broadcast(hist.select(col("pix").as("nbr"), col("cnt").as("ncnt"))),
+          Seq("nbr"), "left")
+        .groupBy("pix", "cnt")
+        .agg(max(coalesce(col("ncnt"), lit(0L))).as("nbr_max"), count(lit(1)).as("n_nbrs"))
+        .filter(col("cnt") > col("nbr_max"))
+        .orderBy("pix")
+    },
+    Some(s"""WITH hist AS (
+        SELECT h.pix2 AS pix, count(*) AS cnt
+        FROM customer c JOIN ${aux("hpix_customer")} h USING (c_custkey) GROUP BY 1)
+      SELECT a.pix, CAST(a.cnt AS BIGINT) AS cnt,
+        CAST(max(coalesce(b.cnt, 0)) AS BIGINT) AS nbr_max,
+        count(*) AS n_nbrs
+      FROM hist a JOIN ${aux("hpix_nbrs_o2")} n ON n.pix = a.pix
+      LEFT JOIN hist b ON b.pix = n.nbr
+      GROUP BY a.pix, a.cnt
+      HAVING a.cnt > max(coalesce(b.cnt, 0))
+      ORDER BY a.pix"""))
 
   /**
    * Transient detection on the epoch-resolved counts map (the
@@ -5394,6 +5438,7 @@ object QueryRegistry {
     "q_twopoint" -> q_twopoint,
     "hpix_smooth" -> hpix_smooth,
     "hpix_transients" -> hpix_transients,
+    "hpix_maxima" -> hpix_maxima,
     "xmatch_eval" -> xmatch_eval,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,

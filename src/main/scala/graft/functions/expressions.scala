@@ -110,3 +110,23 @@ case class HpixCenterDecExpr(left: Expression, right: Expression) extends Binary
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * hpix_neighbors(pix, order) -> Array[Long]: the 8-connected NEST
+ * neighborhood (7 at three-valent face corners), sorted — healpy
+ * get_all_neighbours parity via [[graft.healpix.Healpix.neighborsNest]].
+ * Map-only; the geometric probe work is per-evaluation constant.
+ */
+case class HpixNeighborsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hpix_neighbors"
+  override protected def nullSafeEval(pix: Any, order: Any): Any =
+    ArrayData.toArrayData(graft.healpix.Healpix.neighborsNest(
+      order.asInstanceOf[Int], pix.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pix, order) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.healpix.Healpix.neighborsNest($order, $pix));")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

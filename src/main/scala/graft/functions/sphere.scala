@@ -27,6 +27,12 @@ object sphere {
       GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")),
       GraftBridge.expression(lit(order)), GraftBridge.expression(radiusDeg.cast("double"))))
 
+  /** The 8-connected NEST neighborhood (healpy get_all_neighbours
+   *  parity; 7 entries at three-valent face corners), sorted. */
+  def hpixNeighbors(pix: Column, order: Int): Column =
+    GraftBridge.column(HpixNeighborsExpr(
+      GraftBridge.expression(pix.cast("long")), GraftBridge.expression(lit(order))))
+
   /** Pixel-center ra/dec in degrees (healpy pix2ang parity — the
    *  inverse of [[hpix]]; map-space geometry from a pixel id). */
   def hpixCenterRa(pix: Column, order: Int): Column =

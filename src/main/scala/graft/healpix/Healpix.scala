@@ -209,6 +209,128 @@ object Healpix {
   }
 
   /**
+   * The 8-connected NEST neighborhood of `pix` at `order` (healpy
+   * `get_all_neighbours` semantics): every pixel sharing an edge or
+   * corner, sorted ascending; 7 entries at the 24 three-valent face
+   * corners where the diagonal neighbor does not exist.
+   *
+   * Derived GEOMETRICALLY rather than from the conventional
+   * face-adjacency tables (nothing to transcribe, nothing to get
+   * wrong per face): for each of the 8 step directions, take the
+   * centers of the depth-(order+6) border subcell in that direction
+   * and of the subcell one step inward, chord-extrapolate one
+   * subcell beyond the border (v = 2·v_border − v_inner, normalized)
+   * and ang2pix the landing point at `order`. The landing sits ~1/128
+   * of a cell inside the true neighbor — orders of magnitude beyond
+   * double noise and curvature error (both O(subcell²)) — so the
+   * probe is exact. At three-valent corners the diagonal probe lands
+   * in an edge neighbor already in the set; dedup yields the
+   * 7-neighbor result. In-face steps skip the probe entirely.
+   */
+  def neighborsNest(order: Int, pix: Long): Array[Long] = {
+    require(order >= 0 && order <= 23, s"neighborsNest: order must be in [0, 23], got $order")
+    require(pix >= 0 && pix < npix(order), s"neighborsNest: pix $pix out of range at order $order")
+    val (ix, iy, face) = nest2xyf(pix, order)
+    val ns = nside(order)
+    val sub = 6
+    val m = 1L << sub
+    def subCenterVec(sx: Long, sy: Long): Array[Double] = {
+      val (ra, dec) = pix2angNest(order + sub, xyf2nest(ix * m + sx, iy * m + sy, face, order + sub))
+      val cd = math.cos(dec * Deg2Rad)
+      Array(cd * math.cos(ra * Deg2Rad), cd * math.sin(ra * Deg2Rad), math.sin(dec * Deg2Rad))
+    }
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    var di = 0
+    val dirs = Array((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1))
+    while (di < dirs.length) {
+      val (dx, dy) = dirs(di)
+      val nx = ix + dx
+      val ny = iy + dy
+      if (nx >= 0 && nx < ns && ny >= 0 && ny < ns) {
+        out += xyf2nest(nx, ny, face, order) // in-face: pure bit arithmetic
+      } else {
+        // Boundary-point estimate: the border subcell's outer corner
+        // (corner step) or outer edge midpoint (edge step) = subcell
+        // center minus half its inward chord(s). From there:
+        //  - EDGE step: one probe along the negated unit inward
+        //    direction — the edge neighbor covers the whole epsilon
+        //    half-disc across a smooth edge interior, can't miss.
+        //  - CORNER step: a 32-direction FAN at radius epsilon around
+        //    the vertex, keeping EVERY landing != pix. Sound because
+        //    any cell within epsilon (= one subcell, 1/64 of a cell —
+        //    far below the vertex-incident cells' covering radius) of
+        //    the vertex is vertex-incident, i.e. a true neighbor; and
+        //    complete because wedge angles at HEALPix vertices are
+        //    tens of degrees wide, far above the 11.25-degree fan
+        //    resolution. A single "opposite bisector" probe is NOT
+        //    sound here: across face boundaries the map is not
+        //    conformal, opposite wedge angles differ (123 vs 57
+        //    degrees measured at a polar-face edge-midpoint vertex),
+        //    and the bisector can land 2 degrees on the wrong side.
+        def edgePos(d: Int): Long = d match { case 1 => m - 1; case -1 => 0L; case _ => m / 2 }
+        val bx = edgePos(dx); val by = edgePos(dy)
+        val b = subCenterVec(bx, by)
+        val boundary = b.clone()
+        val w = new Array[Double](3)
+        var scale = 0.0
+        def accumulate(sx: Long, sy: Long): Unit = {
+          val a = subCenterVec(sx, sy)
+          var n2 = 0.0
+          var j = 0; while (j < 3) { val d = a(j) - b(j); n2 += d * d; j += 1 }
+          val len = math.sqrt(n2)
+          if (len > scale) scale = len
+          j = 0
+          while (j < 3) {
+            val d = a(j) - b(j)
+            boundary(j) -= 0.5 * d
+            w(j) -= d / len
+            j += 1
+          }
+        }
+        if (dx != 0) accumulate(bx - dx, by)
+        if (dy != 0) accumulate(bx, by - dy)
+        def land(px: Double, py: Double, pz: Double): Unit = {
+          val r = math.sqrt(px * px + py * py + pz * pz)
+          val dec = math.toDegrees(math.asin(pz / r))
+          var ra = math.toDegrees(math.atan2(py, px))
+          if (ra < 0) ra += 360.0
+          val n = ang2pixNest(order, ra, dec)
+          if (n != pix) out += n
+        }
+        if (dx == 0 || dy == 0) {
+          val wn = math.sqrt(w(0) * w(0) + w(1) * w(1) + w(2) * w(2))
+          land(boundary(0) + scale * w(0) / wn,
+               boundary(1) + scale * w(1) / wn,
+               boundary(2) + scale * w(2) / wn)
+        } else {
+          // orthonormal tangent basis at the vertex for the fan
+          val vn = math.sqrt(boundary(0) * boundary(0) + boundary(1) * boundary(1) +
+            boundary(2) * boundary(2))
+          val v = Array(boundary(0) / vn, boundary(1) / vn, boundary(2) / vn)
+          val ref = if (math.abs(v(2)) < 0.9) Array(0.0, 0.0, 1.0) else Array(1.0, 0.0, 0.0)
+          val t1 = Array(v(1) * ref(2) - v(2) * ref(1), v(2) * ref(0) - v(0) * ref(2),
+            v(0) * ref(1) - v(1) * ref(0))
+          val t1n = math.sqrt(t1(0) * t1(0) + t1(1) * t1(1) + t1(2) * t1(2))
+          var k = 0; while (k < 3) { t1(k) /= t1n; k += 1 }
+          val t2 = Array(v(1) * t1(2) - v(2) * t1(1), v(2) * t1(0) - v(0) * t1(2),
+            v(0) * t1(1) - v(1) * t1(0))
+          var f = 0
+          while (f < 32) {
+            val a = 2.0 * math.Pi * f / 32.0
+            val (ca, sa) = (math.cos(a), math.sin(a))
+            land(boundary(0) + scale * (ca * t1(0) + sa * t2(0)),
+                 boundary(1) + scale * (ca * t1(1) + sa * t2(1)),
+                 boundary(2) + scale * (ca * t1(2) + sa * t2(2)))
+            f += 1
+          }
+        }
+      }
+      di += 1
+    }
+    out.toArray
+  }
+
+  /**
    * Conservative cover: all pixels at `order` whose region MAY
    * intersect the disc of `radiusDeg` around (raDeg, decDeg) —
    * guaranteed superset of the true intersecting set. Hierarchical
