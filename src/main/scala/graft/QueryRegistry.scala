@@ -935,6 +935,67 @@ object QueryRegistry {
     })
 
   /**
+   * End-to-end alert pipeline composed from the engine's own spatial
+   * + temporal operators (the astronomy member of the composed-
+   * pipeline trilogy: pipeline_c4 = LLM curation, pipeline_er =
+   * entity resolution): epoch-resolved per-pixel counts → exact
+   * Poisson transient flagging (hpix_transients' rule, zero-epochs
+   * included) → the OBJECTS inside flagged pixels → per-object epoch
+   * lightcurve features (total, peak epoch + peak count via ONE
+   * struct-max — no window over the fact table) → distributed top-20
+   * alert ranking (TakeOrdered). Two fact shuffles total; the
+   * flagged-pixel set broadcasts. All-integer outputs.
+   */
+  private val pipeline_alert = QueryDef(
+    (s, dir) => {
+      val cust = withSky(t(s, dir, "customer"), "c_custkey")
+        .select(col("c_custkey"), sphere.hpix(col("cra"), col("cdec"), 2).as("pix"))
+      val oc = t(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("pix"), year(col("o_orderdate")).as("yr"))
+      val pixYr = oc.groupBy("pix", "yr").agg(count(lit(1)).as("cnt"))
+      val perPix = pixYr.groupBy("pix").agg(sum("cnt").as("total"))
+      val dev = lit(7L) * coalesce(col("cnt"), lit(0L)) - col("total")
+      val flagged = perPix
+        .select(col("pix"), col("total"), explode(sequence(lit(1992), lit(1998))).as("yr"))
+        .join(pixYr, Seq("pix", "yr"), "left")
+        .filter(dev * dev > lit(63L) * col("total"))
+        .select("pix").distinct()
+      val objYr = oc.join(broadcast(flagged), "pix")
+        .groupBy("c_custkey", "pix", "yr").agg(count(lit(1)).as("ycnt"))
+      objYr.groupBy("c_custkey", "pix")
+        .agg(sum("ycnt").as("n_orders"),
+          max(struct(col("ycnt"), (-col("yr")).cast("long").as("negyr"))).as("pk"))
+        .select(col("c_custkey"), col("pix"), col("n_orders"),
+          (-col("pk.negyr")).as("peak_yr"), col("pk.ycnt").as("peak_cnt"))
+        .orderBy(col("peak_cnt").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""WITH cust AS (
+        SELECT c.c_custkey, h.pix2 AS pix
+        FROM customer c JOIN ${aux("hpix_customer")} h USING (c_custkey)),
+      oc AS (SELECT cust.c_custkey, pix, year(o_orderdate) AS yr
+        FROM orders o JOIN cust ON cust.c_custkey = o.o_custkey),
+      pixyr AS (SELECT pix, yr, count(*) AS cnt FROM oc GROUP BY 1, 2),
+      perpix AS (SELECT pix, sum(cnt) AS total FROM pixyr GROUP BY 1),
+      dom AS (SELECT pix, total, yr FROM perpix, unnest(range(1992, 1999)) t(yr)),
+      flagged AS (SELECT DISTINCT dom.pix
+        FROM dom LEFT JOIN pixyr c ON c.pix = dom.pix AND c.yr = dom.yr
+        WHERE (7 * coalesce(c.cnt, 0) - dom.total) * (7 * coalesce(c.cnt, 0) - dom.total)
+            > 63 * dom.total),
+      objyr AS (SELECT c_custkey, oc.pix, yr, count(*) AS ycnt
+        FROM oc JOIN flagged ON flagged.pix = oc.pix GROUP BY 1, 2, 3),
+      feats AS (SELECT c_custkey, pix, CAST(sum(ycnt) AS BIGINT) AS n_orders
+        FROM objyr GROUP BY 1, 2),
+      pk AS (SELECT c_custkey, pix, CAST(yr AS BIGINT) AS peak_yr,
+          CAST(ycnt AS BIGINT) AS peak_cnt,
+          row_number() OVER (PARTITION BY c_custkey, pix ORDER BY ycnt DESC, yr) AS rn
+        FROM objyr)
+      SELECT f.c_custkey, f.pix, f.n_orders, p.peak_yr, p.peak_cnt
+      FROM feats f JOIN pk p ON p.c_custkey = f.c_custkey AND p.pix = f.pix AND p.rn = 1
+      ORDER BY p.peak_cnt DESC, f.c_custkey LIMIT 20"""))
+
+  /**
    * Local maxima of the density map — the PEAK-FINDING step of
    * source detection (SExtractor's local-max-over-neighborhood
    * criterion, on HEALPix cells): a pixel is a peak iff its count
@@ -5439,6 +5500,7 @@ object QueryRegistry {
     "hpix_smooth" -> hpix_smooth,
     "hpix_transients" -> hpix_transients,
     "hpix_maxima" -> hpix_maxima,
+    "pipeline_alert" -> pipeline_alert,
     "xmatch_eval" -> xmatch_eval,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
