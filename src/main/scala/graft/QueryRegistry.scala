@@ -1472,6 +1472,52 @@ object QueryRegistry {
       ORDER BY c_custkey"""))
 
   /**
+   * Hierarchical subtree rollup — the BOM-explosion / org-chart /
+   * category-tree aggregation (THE recursive-CTE workload Spark has
+   * no native form of): every node's subtree total over a derived
+   * ternary tree (parent = key div 3). The ancestor closure comes
+   * from `Graph.ancestorPairs` POINTER DOUBLING — ceil(log2(depth))
+   * equi-join rounds (4 for this ~9-deep tree) where naive
+   * parent-chasing needs `depth` full-table rounds; each node then
+   * contributes its exact integer cents to itself + every ancestor
+   * in ONE aggregate. Oracle replays the closure as a recursive CTE
+   * — a structurally different derivation that must hash-match.
+   */
+  private val q_hierarchy = QueryDef(
+    (s, dir) => {
+      val nodes = t(s, dir, "customer").select(col("c_custkey").as("node"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val par = nodes.filter(col("node") > 0)
+        .select(col("node"), expr("node div 3").as("parent"))
+      val anc = graft.operators.Graph.ancestorPairs(par, "node", "parent")
+      val contrib = anc.unionByName(nodes.select(col("node"), col("node").as("anc")))
+      val roll = contrib.join(nodes, "node")
+        .groupBy(col("anc").as("node"))
+        .agg(count(lit(1)).as("subtree_n"), sum("cents").as("subtree_cents"))
+      val depth = anc.groupBy("node").agg(count(lit(1)).as("depth"))
+      nodes.select("node").join(depth, Seq("node"), "left")
+        .select(col("node"), coalesce(col("depth"), lit(0L)).as("depth"))
+        .join(roll, "node")
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS node, CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+      anc AS (
+        SELECT node, node // 3 AS anc FROM nodes WHERE node > 0
+        UNION
+        SELECT a.node, a.anc // 3 FROM anc a WHERE a.anc > 0),
+      contrib AS (SELECT node, anc FROM anc UNION ALL SELECT node, node FROM nodes),
+      roll AS (SELECT c.anc AS node, count(*) AS subtree_n,
+          CAST(sum(n.cents) AS BIGINT) AS subtree_cents
+        FROM contrib c JOIN nodes n USING (node) GROUP BY 1),
+      dep AS (SELECT node, count(*) AS depth FROM anc GROUP BY 1)
+      SELECT n.node, CAST(coalesce(d.depth, 0) AS BIGINT) AS depth,
+        r.subtree_n, r.subtree_cents
+      FROM nodes n LEFT JOIN dep d USING (node) JOIN roll r ON r.node = n.node
+      ORDER BY n.node"""))
+
+  /**
    * DELETE-aware CDC changelog materialization (the change-feed apply
    * a lakehouse runs nightly — q_merge's upsert generalized from one
    * key-unique batch to an ORDERED multi-version log with deletes):
@@ -5501,6 +5547,7 @@ object QueryRegistry {
     "hpix_transients" -> hpix_transients,
     "hpix_maxima" -> hpix_maxima,
     "pipeline_alert" -> pipeline_alert,
+    "q_hierarchy" -> q_hierarchy,
     "xmatch_eval" -> xmatch_eval,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,

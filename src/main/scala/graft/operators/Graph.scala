@@ -495,4 +495,63 @@ object Graph {
     dirE.unpersist(blocking = false)
     dist
   }
+
+  /**
+   * All (node, ancestor) pairs of a FOREST by POINTER DOUBLING — the
+   * hierarchy-flattening step behind BOM explosion / org rollups /
+   * category-tree aggregation. `parents` holds one (child, parent)
+   * row per non-root node. Each round composes the jump table with
+   * itself, so ceil(log2(depth)) rounds reach every ancestor where
+   * naive parent-chasing needs `depth` full-table rounds — the
+   * recursive-CTE workload Spark lacks natively, re-expressed as
+   * log-depth equi-joins. Output size is Σ depth(node) (exactly the
+   * transitive ancestor closure — the caller's data model bounds it;
+   * a ternary tree over n nodes yields ~n·log3(n) rows).
+   *
+   * Each round's frames are checkpoint-truncated (the pairs table
+   * feeds the next round twice — plan size would double per round).
+   */
+  def ancestorPairs(parents: DataFrame, childCol: String, parentCol: String,
+                    maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 40, s"maxRounds must be in [1,40]: $maxRounds")
+    // same lineage/stats discipline as sssp: per-round checkpoint
+    // truncation (the pairs table feeds the next round twice — the
+    // plan would double per round) + frame rebuild over the
+    // checkpointed RDD so size-only stats cannot compound
+    def fresh(t: DataFrame): DataFrame =
+      t.sparkSession.createDataFrame(t.rdd, t.schema)
+    def release(t: DataFrame): Unit = backingRdd(t).foreach(free(t))
+    val base = parents.select(col(childCol).cast("long").as("node"),
+      col(parentCol).cast("long").as("anc"))
+    var pairsCk = truncate(base)      // all ancestors found so far
+    var jumpCk = truncate(base.withColumnRenamed("anc", "jump")) // ancestor at 2^r hops
+    var pairs = fresh(pairsCk)
+    var jump = fresh(jumpCk)
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      // new ancestors: everything reachable THROUGH the current jump
+      val step = pairs.join(jump.withColumnRenamed("node", "anc"), Seq("anc"))
+        .select(col("node"), col("jump").as("anc"))
+      val grown = truncate(pairs.unionByName(step).distinct())
+      val nBefore = pairs.count()
+      if (grown.count() == nBefore) {
+        release(grown)
+        done = true
+      } else {
+        // double the jump distance: jump_{r+1} = jump_r ∘ jump_r —
+        // nodes whose 2^r-ancestor chain already ended drop out of
+        // the jump table (their ancestors are all in `pairs`)
+        val jump2 = truncate(jump.join(
+            jump.withColumnRenamed("jump", "jump2").withColumnRenamed("node", "jump"),
+            Seq("jump"))
+          .select(col("node"), col("jump2").as("jump")))
+        release(pairsCk); pairsCk = grown; pairs = fresh(grown)
+        release(jumpCk); jumpCk = jump2; jump = fresh(jump2)
+        r += 1
+      }
+    }
+    release(jumpCk)
+    pairs
+  }
 }
