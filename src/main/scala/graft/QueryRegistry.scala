@@ -3875,6 +3875,29 @@ object QueryRegistry {
       WHERE ${graft.operators.Sampling.weightedSampleSql("doc_id", "quality_score_e4 / 10000.0")}
       ORDER BY doc_id"""))
 
+  /** EXACT-k weighted sample per source (Efraimidis & Spirakis 2006
+   *  a-res): 5 docs per source with inclusion probability ∝ token
+   *  count — the "exactly k, length-weighted" recipe the Bernoulli
+   *  sampler above cannot give. Key ln(u)/w from the portable id
+   *  hash, 9-dp-rounded before ranking with id tiebreak. */
+  private val sample_weighted_k = QueryDef(
+    (s, dir) => {
+      val docs = TextAnalysis.withTokenCounts(t(s, dir, "documents"), "text")
+      graft.operators.Sampling.weightedTopK(docs, "doc_id", "source", "ws_tokens", k = 5)
+        .select("doc_id", "source", "ws_tokens", "es_key", "es_rank")
+        .orderBy("source", "es_rank")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+      FROM documents),
+      keyed AS (SELECT doc_id, source, ws_tokens,
+        ${graft.operators.Sampling.weightedTopKSql("doc_id", "ws_tokens")} AS es_key
+      FROM d WHERE ws_tokens >= 1)
+      SELECT doc_id, source, ws_tokens, es_key, es_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY es_key DESC, doc_id) AS es_rank FROM keyed)
+      WHERE es_rank <= 5 ORDER BY source, es_rank"""))
+
   /** Per-source token-budget sample: keep docs in id-hash order while
    *  each source's cumulative whitespace-token count stays <= 2000 —
    *  the mixture op when training targets are token shares. One
@@ -5627,6 +5650,7 @@ object QueryRegistry {
     "sample_stratified" -> sample_stratified,
     "sample_quota" -> sample_quota,
     "sample_weighted" -> sample_weighted,
+    "sample_weighted_k" -> sample_weighted_k,
     "sample_tokenbudget" -> sample_tokenbudget,
     "pack_greedy" -> pack_greedy,
     "text_chunk" -> text_chunk,

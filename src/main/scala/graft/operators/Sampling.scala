@@ -218,6 +218,40 @@ object Sampling {
    * greatest/least would clamp NULL to 0 but NaN to 1, the opposite
    * failure mode a quality sampler wants).
    */
+  /**
+   * EXACT-k weighted sample per group (Efraimidis & Spirakis 2006 —
+   * a-res): each row's key is u^(1/w) for deterministic u ∈ (0, 1]
+   * from the portable id hash; the k LARGEST keys per group are a
+   * weighted sample without replacement with inclusion probability
+   * ∝ weight — the "exactly k docs per source, length-weighted"
+   * recipe [[weightedSample]]'s Bernoulli form cannot give. The key
+   * is realized in the rank-equivalent log form ln(u)/w (monotone in
+   * u^(1/w); avoids pow's libm spread), rounded to 9 dp before
+   * ranking with an id tiebreak — the repo's pinned-rank convention,
+   * so the kept set is identical on any engine/partitioning. One
+   * window shuffle on the group key; weights must be >= 1 (rows with
+   * smaller weights are dropped — a zero weight has zero inclusion
+   * probability anyway).
+   */
+  def weightedTopK(df: DataFrame, idCol: String, groupCol: String,
+                   weightCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0: $k")
+    requireIntegralId(df, idCol, "weightedTopK")
+    val u = (knuthHash(col(idCol)) + 1).cast("double") / 4294967296.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__es").desc, col(idCol).asc)
+    df.filter(col(weightCol).cast("long") >= 1)
+      .withColumn("__es", round(log(u) / col(weightCol).cast("double"), 9))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .filter(col("__rk") <= k)
+      .withColumnRenamed("__es", "es_key")
+      .withColumnRenamed("__rk", "es_rank")
+  }
+
+  /** SQL twin of [[weightedTopK]]'s key/ranking for DuckDB oracles. */
+  def weightedTopKSql(id: String, weight: String): String =
+    s"round(ln((${knuthHashSql(id)} + 1) / 4294967296.0) / CAST($weight AS DOUBLE), 9)"
+
   def weightedSample(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     requireIntegralId(df, idCol, "weightedSample")
     val s = col(scoreCol).cast("double")

@@ -152,6 +152,25 @@ class R16OpsSpec extends SparkSpecBase {
       "pointer doubling must reach every ancestor of a deep chain")
   }
 
+  test("weightedTopK: exactly k per group, partitioning-invariant, weight-monotone bias") {
+    import graft.operators.Sampling
+    val rows = (1L to 600L).map { k =>
+      // two groups; weights 1 for even ids, 100 for ids % 10 == 1
+      (k, if (k % 2 == 0) "a" else "b", if (k % 10 == 1) 100L else 1L)
+    }.toDF("id", "grp", "w")
+    val kept = Sampling.weightedTopK(rows, "id", "grp", "w", k = 10)
+    val perGroup = kept.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup == Map("a" -> 10L, "b" -> 10L), s"exactly k per group: $perGroup")
+    // identical kept set under a different partitioning
+    val kept2 = Sampling.weightedTopK(rows.repartition(13), "id", "grp", "w", k = 10)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      kept2.select("id").collect().map(_.getLong(0)).toSet, "kept set must be partitioning-invariant")
+    // group b: 60 ids carry weight 100 vs 240 with weight 1 — the
+    // heavy rows must dominate the sample (ES inclusion ∝ weight)
+    val heavy = kept.filter(col("grp") === "b" && col("w") === 100L).count()
+    assert(heavy >= 7, s"weight-100 rows must dominate the k=10 sample, got $heavy")
+  }
+
   // ------------------------------------------- trigram substring search
 
   test("trigramSearch finds exact positions and prunes gram-anagram false candidates") {

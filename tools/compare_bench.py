@@ -42,7 +42,8 @@ CLASSES = {
           'q_mode', 'q_benford', 'q_rolling', 'q_groupconcat', 'q_paircorr', 'q_streaks', 'q_shards', 'q_attribution', 'q_trainorder',
           'q_periodogram', 'q_structfunc', 'q_yoy', 'xmatch_pm', 'q_lcfeatures', 'text_ensemble',
           'q_topn_other', 'q_cdc', 'text_trigram', 'text_hybrid', 'hpix_smooth',
-          'hpix_transients', 'xmatch_eval', 'hpix_maxima', 'pipeline_alert'],
+          'hpix_transients', 'xmatch_eval', 'hpix_maxima', 'pipeline_alert',
+          'sample_weighted_k'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster', 'dedup_calibration',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
