@@ -309,6 +309,15 @@ object ScaleProbe {
       graft.operators.Graph.sssp(
         deepChains.withColumn("w", col("id_a") % 7 + 1), "id_a", "id_b", "w",
         spark.range(200).select((col("id") * 10000L).as("s")), "s", maxRounds = 30).count())
+    // ancestor closure by pointer doubling: a 1M-node ternary tree is
+    // ~13 deep -> ceil(log2(13)) = 4 doubling rounds and ~12M closure
+    // pairs (the output IS Sum(depth) — the caller's data model
+    // bounds it; this probe pins the log-round convergence and the
+    // linear-in-output cost)
+    time("ancestorPairs (1M-node ternary tree, depth ~13)", "graph")(
+      graft.operators.Graph.ancestorPairs(
+        spark.range(1, 1000000).select(col("id").as("node"), expr("id div 3").as("parent")),
+        "node", "parent").count())
 
     // temporal joins over the replicated events table
     val ev = EventsTable.normalizeTs(EventsTable.read(spark, s"$sfDir/events.parquet"))

@@ -145,12 +145,10 @@ object Merge {
       .filter(col("__rn") === 1).drop("__rn")
     val hPath = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val qq = fs.makeQualified(hPath)
-    val oldRec = new org.apache.hadoop.fs.Path(qq.getParent, s"_apply_old_${qq.getName}")
+    val q = fs.makeQualified(hPath)
     // crash recovery BEFORE reading: a death between the swap renames
     // left the snapshot only at the _apply_old_ sibling
-    if (!fs.exists(qq) && fs.exists(oldRec))
-      require(fs.rename(oldRec, qq), s"apply: recovery rename $oldRec -> $qq failed")
+    recoverSnapshot(fs, q)
     val merged =
       if (!fs.exists(hPath)) latest
       else {
@@ -170,16 +168,104 @@ object Merge {
              else when(updateWins, uc(c)).otherwise(bc(c))).as(c)
           }: _*)
       }
-    // Path arithmetic + underscore prefix (the Layout.compact swap
-    // discipline): trailing-slash-safe, invisible to partition
-    // discovery; crash between renames recovers on the next apply
-    val q = fs.makeQualified(hPath)
+    atomicSwap(fs, merged, q)
+  }
+
+  /** Stage + two-rename swap (the Layout.compact discipline):
+   *  trailing-slash-safe, underscore-prefixed staging invisible to
+   *  partition discovery; a crash between renames recovers on the
+   *  next apply's [[recoverSnapshot]]. */
+  private def atomicSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         merged: DataFrame, q: org.apache.hadoop.fs.Path): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(q.getParent, s"_apply_tmp_${q.getName}")
     val old = new org.apache.hadoop.fs.Path(q.getParent, s"_apply_old_${q.getName}")
     fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(q)) require(fs.rename(q, old), s"apply: rename $snapshotDir failed")
-    require(fs.rename(tmp, q), s"apply: rename $tmp -> $snapshotDir failed")
+    if (fs.exists(q)) require(fs.rename(q, old), s"apply: rename $q failed")
+    require(fs.rename(tmp, q), s"apply: rename $tmp -> $q failed")
     fs.delete(old, true)
   }
+
+  private def recoverSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                              q: org.apache.hadoop.fs.Path): Unit = {
+    val oldRec = new org.apache.hadoop.fs.Path(q.getParent, s"_apply_old_${q.getName}")
+    if (!fs.exists(q) && fs.exists(oldRec))
+      require(fs.rename(oldRec, q), s"apply: recovery rename $oldRec -> $q failed")
+  }
+
+  /**
+   * DELETE-aware streaming changelog apply — [[upsertStream]]'s
+   * upsert-only fold generalized to a real change feed
+   * ([[applyChangelog]] is the one-shot batch form). Deletes persist
+   * as TOMBSTONES (the snapshot keeps the key with its delete op and
+   * version): physically removing the row would let a replayed or
+   * out-of-order OLDER upsert resurrect it — with the tombstone, the
+   * same version-aware fold (winner = higher `orderCols` tuple)
+   * covers upserts and deletes uniformly, so the snapshot equals the
+   * global fold of the whole stream under ANY micro-batch boundaries
+   * or arrival order, and re-running a failed batch is a no-op.
+   * Read the live state through [[readChangelogSnapshot]] (filters
+   * tombstones). Snapshot schema: (key, valueCol, orderCols..., opCol).
+   */
+  def changelogStream(updates: DataFrame, snapshotDir: String, key: String,
+                      valueCol: String, opCol: String, deleteOp: String,
+                      orderCols: Seq[String], checkpointDir: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChangelogBatch(batch, snapshotDir, key, valueCol, opCol, deleteOp, orderCols)
+      }
+      .start()
+  }
+
+  /** One delete-aware apply step (extracted so batch tests and
+   *  foreachBatch share the exact code path). */
+  def applyChangelogBatch(batch: DataFrame, snapshotDir: String, key: String,
+                          valueCol: String, opCol: String, deleteOp: String,
+                          orderCols: Seq[String]): Unit = {
+    require(orderCols.nonEmpty, "applyChangelogBatch: orderCols must totally order changes")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val cols = Seq(key, valueCol) ++ orderCols :+ opCol
+    // collapse the batch to each key's last change (same row-hash
+    // tiebreak rationale as applyBatch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(orderCols.map(col(_).desc) :+
+        xxhash64(struct(batch.columns.map(col): _*)).asc: _*)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(cols.map(col): _*)
+    val hPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(hPath)
+    recoverSnapshot(fs, q)
+    val merged =
+      if (!fs.exists(hPath)) latest
+      else {
+        val base = spark.read.parquet(snapshotDir)
+        def bc(c: String) = col(s"__cb.$c")
+        def uc(c: String) = col(s"__cu.$c")
+        def vtuple(side: String => Column) = struct(orderCols.map(side): _*)
+        // version-aware for upserts AND tombstones uniformly
+        val updateWins = uc(key).isNotNull &&
+          (bc(key).isNull || vtuple(uc) >= vtuple(bc))
+        base.alias("__cb")
+          .join(latest.alias("__cu"), bc(key) === uc(key), "full_outer")
+          .select(cols.map { c =>
+            (if (c == key) coalesce(uc(key), bc(key))
+             else when(updateWins, uc(c)).otherwise(bc(c))).as(c)
+          }: _*)
+      }
+    atomicSwap(fs, merged, q)
+  }
+
+  /** The live state of a [[changelogStream]] snapshot: tombstones
+   *  filtered out, op column dropped. */
+  def readChangelogSnapshot(spark: org.apache.spark.sql.SparkSession, snapshotDir: String,
+                            opCol: String, deleteOp: String): DataFrame =
+    spark.read.parquet(snapshotDir).filter(col(opCol) =!= deleteOp).drop(opCol)
 }

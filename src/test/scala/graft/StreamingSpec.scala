@@ -23,6 +23,50 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("delete-aware streaming changelog: batch parity, replay no-op, tombstones block stale resurrections") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: upsert then delete (later) -> absent from live state
+      (1L, 1L, "upsert", 100L), (1L, 3L, "delete", 0L),
+      // key 2: delete then upsert (later) -> alive at 222
+      (2L, 1L, "delete", 0L), (2L, 4L, "upsert", 222L),
+      // key 3: single upsert
+      (3L, 2L, "upsert", 333L)
+    ).toDF("key", "seq", "op", "cents")
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc2").toString
+    // two micro-batches split ACROSS the per-key histories
+    log.filter(col("seq") <= 2).coalesce(1).write.parquet(s"$root/upd/f1.parquet")
+    log.filter(col("seq") > 2).coalesce(1).write.parquet(s"$root/upd/f2.parquet")
+    val snapDir = s"$root/snapshot"
+    val src = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/upd/*/")
+    val q = graft.operators.Merge.changelogStream(src, snapDir, "key", "cents",
+      opCol = "op", deleteOp = "delete", orderCols = Seq("seq"), s"$root/ckpt")
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2, "two files must arrive as separate micro-batches")
+    def live() = graft.operators.Merge
+      .readChangelogSnapshot(spark, snapDir, "op", "delete")
+      .select("key", "cents").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live() == Map(2L -> 222L, 3L -> 333L), s"got ${live()}")
+    // replaying the last batch is a no-op (at-least-once safety)
+    graft.operators.Merge.applyChangelogBatch(
+      spark.read.parquet(s"$root/upd/f2.parquet"), snapDir, "key", "cents",
+      "op", "delete", Seq("seq"))
+    assert(live() == Map(2L -> 222L, 3L -> 333L), "replay must not change the state")
+    // an OUT-OF-ORDER older upsert for the deleted key 1 must NOT
+    // resurrect it — the tombstone carries the higher version
+    graft.operators.Merge.applyChangelogBatch(
+      Seq((1L, 2L, "upsert", 999L)).toDF("key", "seq", "op", "cents"),
+      snapDir, "key", "cents", "op", "delete", Seq("seq"))
+    assert(live() == Map(2L -> 222L, 3L -> 333L), "stale upsert must lose to the tombstone")
+    // ... and a NEWER upsert revives the key
+    graft.operators.Merge.applyChangelogBatch(
+      Seq((1L, 9L, "upsert", 111L)).toDF("key", "seq", "op", "cents"),
+      snapDir, "key", "cents", "op", "delete", Seq("seq"))
+    assert(live() == Map(1L -> 111L, 2L -> 222L, 3L -> 333L), "newer upsert must win")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming CDC apply: multi-batch upsert fold equals the batch keep-last snapshot") {
     import org.apache.spark.sql.functions._
     val ev = EventsTable.normalizeTs(
