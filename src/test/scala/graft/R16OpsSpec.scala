@@ -37,6 +37,19 @@ class R16OpsSpec extends SparkSpecBase {
       s"chain must percolate into one group labeled by its min id; isolated point absent: $g")
   }
 
+  test("pair joins stay pixel-bucketed equi-joins — never a cartesian/nested-loop product") {
+    val pts = (1L to 200L).map(k => (k, (k * 37 % 360).toDouble, ((k * 53 % 160) - 80).toDouble))
+      .toDF("id", "ra", "dec")
+    for (df <- Seq(
+      Spatial.selfPairsDist(pts, "ra", "dec", "id", 2.5),
+      Spatial.crossPairsDist(pts, pts, "ra", "dec", "id", "ra", "dec", "id", 2.5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"pair generation must be the pixel equi-join:\n$plan")
+      assert(plan.contains("hpix"), s"join key must be the healpix pixel:\n$plan")
+    }
+  }
+
   test("crossPairsDist matches brute force between two catalogs (no a<b halving)") {
     val left = (1L to 25L).map(k => (k, (k * 41 % 360).toDouble, ((k * 29 % 100) - 50).toDouble))
       .toDF("id", "ra", "dec")
