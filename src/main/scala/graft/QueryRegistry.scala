@@ -1567,13 +1567,16 @@ object QueryRegistry {
    *  per-item integer cents (exact long sum). */
   /** TPC-H Q21 pattern ("suppliers who kept orders waiting"): the
    *  only supplier who shipped late in a multi-supplier finished
-   *  order. The Spark plan uses the scale-friendly AGGREGATE rewrite
-   *  (one groupBy(order) computing distinct-supplier and
-   *  distinct-late-supplier counts, joined back) instead of the two
-   *  correlated self-joins; the oracle keeps the textbook
-   *  EXISTS / NOT EXISTS formulation — a structurally different
-   *  derivation that must hash-match. "Late" = shipped more than 60
-   *  days after the order date (the schema's receipt/commit stand-in). */
+   *  order. The Spark plan uses the scale-friendly ONE-SCAN rewrite:
+   *  a single lineitem pass, cascaded groupBy((order, supp)) then
+   *  groupBy(order) — per order, the distinct-supplier count, the
+   *  distinct-LATE-supplier count, the identity of the (unique when
+   *  n_late=1) late supplier, and its late-item count. No self-join,
+   *  no second scan (plan-pinned in R10PlanSpec); the oracle keeps
+   *  the textbook EXISTS / NOT EXISTS formulation — a structurally
+   *  different derivation that must hash-match. "Late" = shipped more
+   *  than 60 days after the order date (the schema's receipt/commit
+   *  stand-in). */
   private val q21_waiting = QueryDef(
     (s, dir) => {
       val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -1581,13 +1584,16 @@ object QueryRegistry {
       val lo = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      val facts = lo.groupBy("l_orderkey")
-        .agg(countDistinct("l_suppkey").as("n_supps"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-      lo.filter(col("late")).join(facts, "l_orderkey")
-        .filter(col("n_supps") > 1 && col("n_late") === 1)
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(count(when(col("late"), lit(1))).as("late_items"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supps"),
+          count(when(col("late_items") > 0, lit(1))).as("n_late"),
+          max(when(col("late_items") > 0, col("l_suppkey"))).as("late_supp"),
+          sum(when(col("late_items") > 0, col("late_items"))).as("late_items"))
+      perOrder.filter(col("n_supps") > 1 && col("n_late") === 1)
+        .join(broadcast(t(s, dir, "supplier")), col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name").agg(sum("late_items").cast("long").as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(10)
     },
     Some("""SELECT s_name, count(*) AS numwait

@@ -44,6 +44,21 @@ object SketchKernels {
       Array.tabulate(k)(j => (h1 + j * h2) & mask))
   }
 
+  /** Build-side twin of [[bloomProbe]]: set the k bits of an id in a
+   *  caller-owned dense word array (Sketch.bloomBuildDense's
+   *  per-partition accumulator). Same mixers, same geometry. */
+  def bloomSet(words: Array[Long], id: Long, logM: Int, k: Int): Unit = {
+    val h1 = mix2(id)
+    val h2 = mix2(id ^ BloomSalt)
+    val mask = (1L << logM) - 1
+    var j = 0
+    while (j < k) {
+      val bit = (h1 + j * h2) & mask
+      words((bit >>> 6).toInt) |= 1L << (bit & 63L).toInt
+      j += 1
+    }
+  }
+
   /** All-k-bits-set Bloom membership test. */
   def bloomProbe(id: Long, words: Array[Long], logM: Int, k: Int): Boolean = {
     val h1 = mix2(id)

@@ -552,6 +552,13 @@ object Graph {
       }
     }
     release(jumpCk)
+    // exiting via maxRounds without the fixpoint means depth >
+    // 2^maxRounds — or a CYCLE (forest-contract violation), which
+    // never converges. A silently truncated closure must not pass as
+    // complete (ADVICE r10).
+    require(done, s"ancestorPairs: no fixpoint after $maxRounds rounds — " +
+      s"either the hierarchy is deeper than 2^$maxRounds (raise maxRounds) " +
+      "or the parent relation contains a cycle (not a forest)")
     pairs
   }
 }

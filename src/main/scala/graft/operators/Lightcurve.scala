@@ -112,8 +112,17 @@ object Lightcurve {
   def structureFunction(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
                         maxLagDays: Int = 5): DataFrame = {
     require(maxLagDays >= 1, s"structureFunction: maxLagDays must be >= 1, got $maxLagDays")
+    // an INTEGRAL value column keeps long arithmetic end to end:
+    // sum_d2 is then an exact BIGINT sum (the q_structfunc oracle's
+    // exactness contract) with overflow ERRORING under ANSI instead
+    // of silently losing precision past 2^53 the way a double sum
+    // does (ADVICE r10). Fractional inputs keep the double path.
+    val integral = {
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(valueCol).dataType)
+    }
     val e = df.select(col(keyCol).as("__k"), unix_micros(col(timeCol)).as("__us"),
-      col(valueCol).cast("double").as("__y"))
+      col(valueCol).cast(if (integral) "long" else "double").as("__y"))
     val a = e.select(col("__k"), col("__us").as("__usa"), col("__y").as("__ya"))
     val b = e.select(col("__k"), col("__us").as("__usb"), col("__y").as("__yb"))
     val maxLagUs = maxLagDays * 86400000000L

@@ -69,7 +69,12 @@ object Merge {
    *
    * `orderCols` must totally order each key's changes (e.g. a
    * timestamp + a unique change id) — ties would make "last" depend
-   * on partitioning. Scale shape: the log collapses BEFORE the join,
+   * on partitioning. Semantic limit: the value fold is
+   * `coalesce(last-change value, base value)`, so an UPSERT carrying
+   * a NULL value is indistinguishable from "keep the base value" — a
+   * changelog cannot set a column to NULL (delete + re-insert if you
+   * need that; the q_cdc oracle mirrors the coalesce, so parity
+   * holds). Scale shape: the log collapses BEFORE the join,
    * so the join's log side carries one row per touched key; with the
    * base bucketed on the key ([[Layout.writeBucketed]]) only the
    * collapsed log shuffles.

@@ -248,7 +248,12 @@ object Sampling {
       .withColumnRenamed("__rk", "es_rank")
   }
 
-  /** SQL twin of [[weightedTopK]]'s key/ranking for DuckDB oracles. */
+  /** SQL twin of [[weightedTopK]]'s key/ranking for DuckDB oracles.
+   *  Emits ONLY the ranking key expression: the operator's `weight
+   *  >= 1` precondition filter is NOT included, so the oracle author
+   *  MUST replicate it by hand (`WHERE CAST(w AS BIGINT) >= 1`, as
+   *  sample_weighted_k does) — omitting it silently diverges on
+   *  zero/negative-weight rows (ADVICE r10). */
   def weightedTopKSql(id: String, weight: String): String =
     s"round(ln((${knuthHashSql(id)} + 1) / 4294967296.0) / CAST($weight AS DOUBLE), 9)"
 
@@ -343,26 +348,80 @@ object Sampling {
    * candidates are all interacted yields fewer than k rows (the
    * oversample factor bounds that probability for sparse
    * interactions). Item ids must be dense in [0, nItems).
+   *
+   * Plan shape (NO shuffle ever touches the exploded candidates, and
+   * the interactions side shuffles only a sliver):
+   *
+   *  1. A map-only pass over the units builds a Bloom filter of
+   *     candidate (unit, item) fingerprints ([[Sketch.bloomBuildDense]]
+   *     — per-partition dense words, tree-merged; duplicates free).
+   *  2. A map-only probe shrinks the interactions to the sliver that
+   *     can possibly match a candidate (true matches + the FP rate —
+   *     ~0.2% at the logM=24 default for ~1M candidates; a Bloom
+   *     reject provably matches no candidate). Only the sliver pays
+   *     a (tiny) groupBy(unit, collect_set(item)) shuffle before
+   *     broadcasting back onto the units.
+   *  3. One typed flatMap over (unit, interacted-candidates) draws
+   *     the m hashes in j order, skips repeats (= the old
+   *     groupBy.min(j)) and interacted items (= the old anti-join),
+   *     and stops at the first k survivors (= the old per-unit
+   *     row_number window) — per-unit draw generation is genuinely
+   *     sequential-imperative, which is why this stage is a kernel
+   *     and not three exchange-inducing relational ops.
+   *
+   * Row-identical to the relational groupBy + anti-join + window
+   * formulation (the spec pins kernel-vs-relational parity). Size
+   * `bloomLogM` so the candidate-count FP rate keeps the sliver
+   * broadcast-join-able ((1-e^(-4n/2^logM))^4 per probe; logM <= 30
+   * = 128 MB filter).
    */
   def negativeSample(units: DataFrame, unitCol: String,
                      interactions: DataFrame, iUnitCol: String, iItemCol: String,
-                     nItems: Long, k: Int, oversample: Int = 8): DataFrame = {
+                     nItems: Long, k: Int, oversample: Int = 8,
+                     bloomLogM: Int = 24): DataFrame = {
     require(k >= 1, s"negativeSample: k must be >= 1, got $k")
     require(oversample >= 2, s"negativeSample: oversample must be >= 2, got $oversample")
     require(nItems >= 1, s"negativeSample: nItems must be >= 1, got $nItems")
     requireIntegralId(units, unitCol, "negativeSample")
     val m = k * oversample
-    val cands = units.select(col(unitCol).as("unit"))
+    val unitType = units.schema(unitCol).dataType
+    val candRaw = units.select(col(unitCol).as("unit"))
       .withColumn("j", explode(sequence(lit(0L), lit(m - 1L))))
-      .withColumn("item", pmod(knuthHash(col("unit") * m + col("j")), lit(nItems)))
-      .groupBy("unit", "item").agg(min("j").as("j"))
-    val negs = cands.join(
-        interactions.select(col(iUnitCol).as("unit"), col(iItemCol).as("item")).distinct(),
-        Seq("unit", "item"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("unit").orderBy("j")
-    negs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("unit"), col("item"), col("j"))
+      .withColumn("item", pmod(knuthHash(col("unit").cast("long") * m + col("j")), lit(nItems)))
+    // overflow-safe (< 2^49 under ANSI) pair fingerprint; a rare fp
+    // collision only costs a false POSITIVE (an extra sliver row the
+    // exact in-kernel check then ignores), never correctness
+    def fp(u: Column, it: Column): Column =
+      shiftleft(knuthHash(u), 16) + knuthHash(it)
+    val words = Sketch.bloomBuildDense(
+      candRaw.select(fp(col("unit"), col("item")).as("__fp")), "__fp", bloomLogM)
+    val wordsBc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(words)
+    val sliverByUnit = interactions
+      .select(col(iUnitCol).cast("long").as("unit"), col(iItemCol).cast("long").as("item"))
+      .filter(Sketch.bloomProbeBc(fp(col("unit"), col("item")), wordsBc, bloomLogM))
+      .groupBy("unit").agg(collect_set("item").as("__hit"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val kk = k; val nn = nItems // stable locals for the closure
+    val out = units.select(col(unitCol).cast("long").as("unit"))
+      .join(broadcast(sliverByUnit), Seq("unit"), "left")
+      .select(col("unit"), coalesce(col("__hit"), typedLit(Array.empty[Long])).as("__hit"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (unit, hit) =>
+        val seen = new scala.collection.mutable.HashSet[Long]
+        val res = Seq.newBuilder[(Long, Long, Long)]
+        var j = 0L; var emitted = 0
+        while (j < m && emitted < kk) {
+          val item = graft.functions.SketchKernels.knuth(unit * m + j) % nn
+          if (seen.add(item) && !hit.contains(item)) {
+            res += ((unit, item, j)); emitted += 1
+          }
+          j += 1
+        }
+        res.result()
+      }
+      .toDF("unit", "item", "j")
+    out.select(col("unit").cast(unitType).as("unit"), col("item"), col("j"))
   }
 
   /** SQL twin of [[negativeSample]]'s candidate generation: the

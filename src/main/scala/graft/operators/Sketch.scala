@@ -173,6 +173,34 @@ object Sketch {
     words
   }
 
+  /**
+   * [[bloomBuild]] for LARGE filters: identical geometry and bit math
+   * (probe-compatible — validated by the spec's cross-build parity
+   * test), but the words accumulate in DENSE per-partition long
+   * arrays merged by a treeReduce instead of the word-row shuffle +
+   * Row collect. At logM >= ~20 the row form shuffles and collects
+   * 2^(logM-6) word rows (~1.4 s at logM=24) where this is one map
+   * pass; below that the row form's map-side combine wins. Combine
+   * traffic is numPartitions x 2^(logM-6) x 8 B, tree-combined
+   * (depth 2), so 10k-partition inputs stay driver-safe.
+   */
+  def bloomBuildDense(keys: DataFrame, idCol: String, logM: Int = 24, k: Int = 4): Array[Long] = {
+    require(logM >= 6 && logM <= 30, s"bloomBuildDense: logM must be in [6, 30] (got $logM)")
+    require(k >= 1 && k <= 8, s"bloomBuildDense: k must be in [1, 8] (got $k)")
+    Sampling.requireIntegralId(keys, idCol, "bloomBuildDense")
+    val nWords = 1 << (logM - 6)
+    val perPart = keys.select(col(idCol).cast("long").as("id")).na.drop()
+      .queryExecution.toRdd.mapPartitions { iter =>
+        val words = new Array[Long](nWords)
+        iter.foreach(row => graft.functions.SketchKernels.bloomSet(words, row.getLong(0), logM, k))
+        Iterator.single(words)
+      }
+    if (perPart.getNumPartitions == 0) new Array[Long](nWords)
+    else perPart.treeReduce({ (a: Array[Long], b: Array[Long]) =>
+      var i = 0; while (i < nWords) { a(i) |= b(i); i += 1 }; a
+    }, depth = 2)
+  }
+
   /** Map-only membership probe against a built filter: true when all
    *  k probed bits are set (possible false positive, never false
    *  negative). One codegen'd kernel call per row — a Column-composed

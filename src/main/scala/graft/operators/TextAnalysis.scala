@@ -557,9 +557,15 @@ object TextAnalysis {
   }
 
   /** The driver-side twin of [[Dedup.normalizeText]] — a query
-   *  literal must normalize exactly like the corpus it probes. */
+   *  literal must normalize exactly like the corpus it probes.
+   *  Locale.ROOT pins the lowercase: Spark's `lower()` is
+   *  locale-independent, so a default-locale toLowerCase (Turkish
+   *  'I' -> dotless ı) would silently diverge driver-side literals
+   *  from the corpus normalization (ADVICE r10 — same environment
+   *  class as the US-ASCII-locale Bench bug). */
   private[graft] def normalizeLiteral(s: String): String =
-    s.toLowerCase.replaceAll("[.,!?;:'\"]", "").replaceAll("\\s+", " ").trim
+    s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[.,!?;:'\"]", "").replaceAll("\\s+", " ").trim
 
   /**
    * Substring search via a character-trigram index (the pg_trgm /

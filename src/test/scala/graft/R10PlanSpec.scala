@@ -7,11 +7,11 @@ class R10PlanSpec extends SparkSpecBase {
     QueryRegistry.all.toMap.apply(name).run(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
 
-  test("q21_waiting: aggregate rewrite scans lineitem at most twice — no correlated self-join triple scan") {
+  test("q21_waiting: one-scan rewrite — exactly one lineitem scan, no correlated self-join") {
     val plan = planOf("q21_waiting")
     val liScans = plan.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("lineitem"))
-    assert(liScans <= 2, s"expected <= 2 lineitem scans, got $liScans:\n$plan")
+    assert(liScans <= 1, s"expected <= 1 lineitem scan, got $liScans:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"the supplier dim must broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -50,6 +50,21 @@ class SketchSpec extends SparkSpecBase {
     assert(math.abs(est / 5000.0 - 1) < 0.30)
   }
 
+  test("bloomBuildDense: bit-identical words to the row-aggregation bloomBuild at every geometry") {
+    // the two builds MUST be probe-compatible — a divergence would be
+    // silent false negatives for whichever operator used the other form
+    val keys = idsDF((1L to 2000L).map(i => i * 104729 - 3))
+    for ((logM, k) <- Seq((12, 4), (16, 2), (20, 6))) {
+      val row = Sketch.bloomBuild(keys, "id", logM, k)
+      val dense = Sketch.bloomBuildDense(keys.repartition(5), "id", logM, k)
+      assert(java.util.Arrays.equals(row, dense),
+        s"dense and row builds diverged at logM=$logM k=$k")
+    }
+    // empty input -> all-zero filter, same as the row form
+    val empty = idsDF(Seq.empty[Long])
+    assert(Sketch.bloomBuildDense(empty, "id", 12, 4).forall(_ == 0L))
+  }
+
   test("bloom filter: no false negatives, FP rate near theory, plan stays codegen'd") {
     val members = idsDF((1L to 400L).map(_ * 7919)) // spread keys
     val words = Sketch.bloomBuild(members, "id", logM = 12, k = 4)
