@@ -35,6 +35,32 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
   def densityMap(): DataFrame =
     spark.read.parquet(s"$location/$catname/point_map.parquet")
 
+  /**
+   * Persist the density map as the reference's healpy-ecosystem FITS
+   * artifact `{cat}_order{K}_hpmap.fits` (hp.write_map at
+   * partitioner.py:129; hp.read_map via lsd2_io.read_fits_file:163)
+   * next to the parquet point map, and return the written path. The
+   * sparse map is child-sum downsampled to `order` in Spark BEFORE
+   * the dense driver-side collect, so the pull is bounded at
+   * 12*4^order entries regardless of the catalog's own map order
+   * (order 10 = the reference's layout = 100 MB ceiling).
+   */
+  def exportFitsMap(order: Int = -1): String = {
+    val ord = if (order < 0) math.min(orderK, 10) else order
+    require(ord <= orderK,
+      s"exportFitsMap: cannot upsample the order-$orderK map to order $ord")
+    import org.apache.spark.sql.functions.{col, shiftright, sum}
+    val dm =
+      if (ord == orderK) densityMap()
+      else densityMap().groupBy(shiftright(col("pix"), 2 * (orderK - ord)).as("pix"))
+        .agg(sum("cnt").as("cnt"))
+    val rows = dm.collect()
+    val path = s"$location/$catname/${catname}_order${ord}_hpmap.fits"
+    graft.sources.Fits.writeHealpixMap(spark, path, ord,
+      rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    path
+  }
+
   /** Load the catalog, optionally column-pruned (ra/dec/id always kept — catalog.py validate_user_input_cols). */
   def load(columns: Seq[String] = Nil): DataFrame = {
     val df = HipsCatalog.load(spark, location, catname)
@@ -242,8 +268,10 @@ object Catalog {
   /** Import (partition + write) a source dataframe as a new catalog, then open it. */
   def importFrom(df: DataFrame, location: String, catname: String,
                  raKw: String, decKw: String, idKw: String,
-                 orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1): Catalog = {
-    HipsPartitioner.write(df, raKw, decKw, idKw, location, catname, orderK, threshold, marginDeg)
+                 orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1,
+                 exactMargin: Boolean = false): Catalog = {
+    HipsPartitioner.write(df, raKw, decKw, idKw, location, catname, orderK, threshold, marginDeg,
+      exactMargin = exactMargin)
     Catalog(df.sparkSession, location, catname)
   }
 

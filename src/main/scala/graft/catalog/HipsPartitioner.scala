@@ -153,15 +153,22 @@ object HipsPartitioner {
    * Margin rows: (Norder, Dir, Npix) of every FOREIGN partition
    * pixel within `marginDeg` of the row — the reference's neighbor
    * cache semantics (rows near a pixel's border get replicated into
-   * that pixel's neighbor file).
+   * that pixel's neighbor file). By default the set is the
+   * pixel-granular disc-cover SUPERSET; `exactMargin = true` trims
+   * each candidate to the true boundary-distance band
+   * (margin_utils.py:209/:307 semantics via Healpix.distToPixelDeg —
+   * polar-aware with no projection special case), cutting neighbor
+   * storage at coarse orders. Consumers exact-filter on match
+   * distance either way, so stored-margin results are identical.
    */
-  def marginRows(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap, marginDeg: Double): DataFrame = {
+  def marginRows(df: DataFrame, raCol: String, decCol: String, pm: PartitionMap, marginDeg: Double,
+                 exactMargin: Boolean = false): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(pm.grid)
     // bounded explode of a codegen kernel (MarginPixelsExpr): packed
     // foreign partition pixels overlapping the margin disc, minus the
     // row's own pixel — no Scala UDF on the ingest path
     df.withColumn("__m", explode(graft.functions.native.marginPixels(
-        col(raCol), col(decCol), pm.orderK, marginDeg, bc)))
+        col(raCol), col(decCol), pm.orderK, marginDeg, bc, exactMargin)))
       .withColumn("Norder", shiftright(col("__m"), 48).cast("int"))
       .withColumn("Npix", col("__m").bitwiseAND(lit(0xffffffffffffL)))
       .withColumn("Dir", (col("Npix") / 10000L).cast("long") * 10000L)
@@ -228,9 +235,10 @@ object HipsPartitioner {
   def write(df: DataFrame, raCol: String, decCol: String, idCol: String,
             outputDir: String, catname: String,
             orderK: Int = 6, threshold: Long = 1000000L, marginDeg: Double = 0.1,
-            summaryFiles: Boolean = true): PartitionMap =
+            summaryFiles: Boolean = true, exactMargin: Boolean = false): PartitionMap =
     writeWithMap(df, computePartitionMap(df, raCol, decCol, orderK, threshold),
-      raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg, summaryFiles)
+      raCol, decCol, idCol, outputDir, catname, orderK, threshold, marginDeg, summaryFiles,
+      exactMargin)
 
   /** The write phases after the partition map is known — shared by
    *  [[write]] (map from a direct scan) and [[writeResumable]] (map
@@ -239,7 +247,8 @@ object HipsPartitioner {
                                     raCol: String, decCol: String, idCol: String,
                                     outputDir: String, catname: String,
                                     orderK: Int, threshold: Long, marginDeg: Double,
-                                    summaryFiles: Boolean = true): PartitionMap = {
+                                    summaryFiles: Boolean = true,
+                                    exactMargin: Boolean = false): PartitionMap = {
     // the trailing sortWithinPartitions puts the hive partition
     // columns FIRST so FileFormatWriter's required ordering is already
     // satisfied (no writer-inserted, stability-unspecified sort) and
@@ -249,7 +258,7 @@ object HipsPartitioner {
       .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
       .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
       .parquet(s"$outputDir/$catname/catalog")
-    withSpatialId(marginRows(df, raCol, decCol, pm, marginDeg)
+    withSpatialId(marginRows(df, raCol, decCol, pm, marginDeg, exactMargin)
         .repartition(col("Norder"), col("Npix")), raCol, decCol, idCol)
       .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
       .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")

@@ -81,8 +81,19 @@ object GridKernels {
    * (the neighbor-cache explode set): disc-cover pixels mapped
    * through the grid, distinct, minus the point's own partition
    * pixel. Bounded: a margin disc covers 1-4 order-k pixels.
+   *
+   * `exact = false` (default) keeps the pixel-granular SUPERSET (the
+   * disc cover — every row of a covered order-k tile replicates);
+   * `exact = true` additionally requires the point's true boundary
+   * distance to the candidate PARTITION pixel to be within
+   * `marginDeg` (Healpix.distToPixelDeg — the reference's
+   * margin-trim semantics, margin_utils.py:209/:307, minus the
+   * projection special cases), shrinking coarse-order neighbor
+   * storage to the true threshold band. Correctness is identical
+   * either way: margin consumers exact-filter on match distance.
    */
-  def marginPixels(ra: Double, dec: Double, orderK: Int, marginDeg: Double, grid: PartitionGrid): ArrayData = {
+  def marginPixels(ra: Double, dec: Double, orderK: Int, marginDeg: Double,
+                   grid: PartitionGrid, exact: Boolean = false): ArrayData = {
     val own = packedPartitionPixel(ra, dec, orderK, grid)
     val cover = Healpix.queryDiscCover(orderK, ra, dec, marginDeg)
     val out = new java.util.TreeSet[java.lang.Long]()
@@ -92,7 +103,10 @@ object GridKernels {
       val o = grid.order(pk)
       if (o >= 0) {
         val packed = (o.toLong << 48) | (pk >> (2 * (orderK - o)))
-        if (packed != own) out.add(packed)
+        if (packed != own &&
+            (!exact || Healpix.distToPixelDeg(o, pk >> (2 * (orderK - o)), ra, dec)
+              <= marginDeg))
+          out.add(packed)
       }
       i += 1
     }
@@ -129,18 +143,19 @@ case class PackedPartitionPixelExpr(left: Expression, right: Expression,
 
 /** margin_pixels(ra, dec) -> array<long> of packed foreign partition pixels within the margin. */
 case class MarginPixelsExpr(left: Expression, right: Expression,
-                            orderK: Int, marginDeg: Double, grid: Broadcast[PartitionGrid])
+                            orderK: Int, marginDeg: Double, grid: Broadcast[PartitionGrid],
+                            exact: Boolean = false)
   extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "margin_pixels"
 
   override protected def nullSafeEval(ra: Any, dec: Any): Any =
-    GridKernels.marginPixels(ra.asInstanceOf[Double], dec.asInstanceOf[Double], orderK, marginDeg, grid.value)
+    GridKernels.marginPixels(ra.asInstanceOf[Double], dec.asInstanceOf[Double], orderK, marginDeg, grid.value, exact)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val g = ctx.addReferenceObj("grid", grid, classOf[Broadcast[PartitionGrid]].getName)
     nullSafeCodeGen(ctx, ev, (ra, dec) =>
-      s"${ev.value} = graft.functions.GridKernels.marginPixels($ra, $dec, $orderK, $marginDeg, (graft.functions.PartitionGrid)$g.value());")
+      s"${ev.value} = graft.functions.GridKernels.marginPixels($ra, $dec, $orderK, $marginDeg, (graft.functions.PartitionGrid)$g.value(), $exact);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

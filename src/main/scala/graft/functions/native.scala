@@ -71,9 +71,11 @@ object native {
     GraftBridge.column(PackedPartitionPixelExpr(
       GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")), orderK, grid))
 
-  /** Packed foreign partition pixels within a margin disc (MarginPixelsExpr). */
+  /** Packed foreign partition pixels within a margin disc (MarginPixelsExpr);
+   *  `exact` trims to the true boundary-distance band. */
   def marginPixels(ra: Column, dec: Column, orderK: Int, marginDeg: Double,
-                   grid: org.apache.spark.broadcast.Broadcast[PartitionGrid]): Column =
+                   grid: org.apache.spark.broadcast.Broadcast[PartitionGrid],
+                   exact: Boolean = false): Column =
     GraftBridge.column(MarginPixelsExpr(
-      GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")), orderK, marginDeg, grid))
+      GraftBridge.expression(ra.cast("double")), GraftBridge.expression(dec.cast("double")), orderK, marginDeg, grid, exact))
 }

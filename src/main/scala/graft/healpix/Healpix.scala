@@ -194,6 +194,46 @@ object Healpix {
   }
 
   /**
+   * Minimum great-circle distance (degrees) from a point to anywhere
+   * inside pixel `pix` at `order` — 0 if the point is inside — to
+   * within `epsDeg`. Hierarchical 4-way subcell descent: a frontier
+   * of candidate subcells refines one order per round; a cell is
+   * pruned when its lower bound (center distance − circumradius)
+   * cannot beat the best upper bound (min center distance +
+   * circumradius), so the surviving frontier hugs the closest
+   * boundary segment and stays O(1) per level. Pure spherical
+   * geometry — polar pixels and the RA seam need no special casing
+   * (the reference's projected-polygon margin test special-cases
+   * both, margin_utils.py:209 get_margin_bounds_and_wcs /
+   * :307 check_polar_margin_bounds; this is its exact-band
+   * replacement for margin trimming).
+   */
+  def distToPixelDeg(order: Int, pix: Long, raDeg: Double, decDeg: Double,
+                     epsDeg: Double = 1e-4): Double = {
+    if (ang2pixNest(order, raDeg, decDeg) == pix) return 0.0
+    def cd(l: Int, p: Long): Double = {
+      val (cra, cdec) = pix2angNest(l, p)
+      gcDistDeg(cra, cdec, raDeg, decDeg)
+    }
+    var level = order
+    var frontier = Array(pix)
+    var rad = math.toDegrees(maxPixRad(level))
+    var dists = frontier.map(cd(level, _))
+    var best = dists.min + rad
+    while (rad > epsDeg && level < 24) {
+      val children = frontier.flatMap(p => Array(4 * p, 4 * p + 1, 4 * p + 2, 4 * p + 3))
+      level += 1
+      rad = math.toDegrees(maxPixRad(level))
+      val cds = children.map(cd(level, _))
+      best = math.min(best, cds.min + rad)
+      val keep = children.indices.filter(i => cds(i) - rad <= best).toArray
+      frontier = keep.map(children)
+      dists = keep.map(cds)
+    }
+    math.max(0.0, dists.min) // error <= final circumradius <= epsDeg
+  }
+
+  /**
    * Great-circle distance in degrees (haversine; = util.gc_dist of
    * the reference). Operation order mirrors the DuckDB oracle SQL
    * text exactly (radians of the DIFFERENCE, not difference of

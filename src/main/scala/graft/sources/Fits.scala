@@ -177,6 +177,76 @@ object Fits {
     } finally in.close()
   }
 
+  private def padCard(s: String): String = s.padTo(80, ' ')
+  private def numCard(key: String, v: Long): String =
+    padCard(key.padTo(8, ' ') + "= " + v.toString.reverse.padTo(20, ' ').reverse)
+  private def strCard(key: String, v: String): String =
+    padCard(key.padTo(8, ' ') + "= '" + v + "'")
+  private def logCard(key: String, v: Boolean): String =
+    padCard(key.padTo(8, ' ') + "= " + (" " * 19) + (if (v) "T" else "F"))
+  private def headerBlock(cards: Seq[String]): Array[Byte] = {
+    val s = cards.mkString + padCard("END")
+    val padded = s + " " * ((BLOCK - s.length % BLOCK) % BLOCK)
+    padded.getBytes("US-ASCII")
+  }
+
+  /**
+   * Write a full-sky IMPLICIT-indexed Healpix counts map as a FITS
+   * BINTABLE — the reference's `{cat}_order{K}_hpmap.fits` artifact
+   * (written by hp.write_map at partitioner.py:129, read back at
+   * lsd2_io.py:163), so a healpy-ecosystem user can `hp.read_map`
+   * graft's density map. Layout follows the healpy convention: empty
+   * primary HDU; one BINTABLE with a single int64 column chunked
+   * 1024-per-row (TFORM '1024K'), PIXTYPE=HEALPIX, INDXSCHM=IMPLICIT,
+   * OBJECT=FULLSKY. One deliberate divergence: the reference's data
+   * is NEST-indexed but hp.write_map's default labels it RING —
+   * graft labels truthfully (ORDERING=NESTED). Missing pixels are 0
+   * (a counts map, not a sky temperature — no UNSEEN sentinel).
+   * Bounded: order <= 10 keeps the dense array at <= 12.6M longs
+   * (100 MB); the sparse map is downsampled in Spark BEFORE this
+   * driver-side densify (Catalog.exportFitsMap).
+   */
+  def writeHealpixMap(spark: SparkSession, path: String, order: Int,
+                      pix: Array[Long], cnt: Array[Long]): Unit = {
+    require(order >= 0 && order <= 10,
+      s"writeHealpixMap: order must be in [0, 10] — the dense IMPLICIT layout is " +
+        s"12*4^order entries (order 10 = 12.6M = 100 MB); downsample first (got $order)")
+    require(pix.length == cnt.length, s"pix/cnt length mismatch: ${pix.length} != ${cnt.length}")
+    val npix = 12L << (2 * order)
+    val dense = new Array[Long](npix.toInt)
+    var i = 0
+    while (i < pix.length) {
+      require(pix(i) >= 0 && pix(i) < npix, s"pixel ${pix(i)} out of range for order $order")
+      dense(pix(i).toInt) += cnt(i)
+      i += 1
+    }
+    val repeat = if (npix % 1024 == 0) 1024 else npix.toInt
+    val nRows = (npix / repeat).toInt
+    val primary = headerBlock(Seq(
+      logCard("SIMPLE", v = true), numCard("BITPIX", 8),
+      numCard("NAXIS", 0), logCard("EXTEND", v = true)))
+    val bintable = headerBlock(Seq(
+      strCard("XTENSION", "BINTABLE"), numCard("BITPIX", 8),
+      numCard("NAXIS", 2), numCard("NAXIS1", repeat * 8L), numCard("NAXIS2", nRows),
+      numCard("PCOUNT", 0), numCard("GCOUNT", 1), numCard("TFIELDS", 1),
+      strCard("TTYPE1", "TEMPERATURE"), strCard("TFORM1", s"${repeat}K"),
+      strCard("PIXTYPE", "HEALPIX"), strCard("ORDERING", "NESTED"),
+      strCard("COORDSYS", "C"), strCard("EXTNAME", "xtension"),
+      numCard("NSIDE", 1L << order), numCard("FIRSTPIX", 0), numCard("LASTPIX", npix - 1),
+      strCard("INDXSCHM", "IMPLICIT"), strCard("OBJECT", "FULLSKY")))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, true), 1 << 20))
+    try {
+      out.write(primary); out.write(bintable)
+      dense.foreach(out.writeLong) // DataOutputStream is big-endian, the FITS byte order
+      val dataBytes = npix * 8
+      val pad = ((dataBytes + BLOCK - 1) / BLOCK * BLOCK - dataBytes).toInt
+      out.write(new Array[Byte](pad))
+    } finally out.close()
+  }
+
   /** Distributed read: one task per FITS file; all files must share the first file's schema. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val sc = spark.sparkContext

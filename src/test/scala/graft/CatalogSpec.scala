@@ -553,4 +553,64 @@ class CatalogSpec extends SparkSpecBase {
       assert(own(r.getLong(0)) != (r.getInt(1), r.getLong(2)), "margin pixel must differ from home pixel")
     }
   }
+
+  test("exactMargin: trims the disc-cover superset to the true boundary band (reduction + band membership)") {
+    val pm = HipsPartitioner.computePartitionMap(li, "cra", "cdec", orderK = 4, threshold = 500)
+    val margin = 1.0
+    def rows(exact: Boolean) =
+      HipsPartitioner.marginRows(li, "cra", "cdec", pm, margin, exactMargin = exact)
+        .select("k", "cra", "cdec", "Norder", "Npix")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3), r.getLong(4)))
+    val loose = rows(exact = false)
+    val tight = rows(exact = true)
+    // the exact band is a strict subset at this coarse geometry (the
+    // r10 verdict's storage complaint: coarse orders replicate whole
+    // covered tiles; a 1-deg band around an order-4 (~7 deg) pixel is
+    // a fraction of its area)
+    assert(tight.length < loose.length,
+      s"exact trim must shrink the margin set: ${tight.length} !< ${loose.length}")
+    assert(tight.toSet.subsetOf(loose.toSet), "exact rows must come from the superset")
+    // band membership is exactly the distance predicate, both ways
+    val tightSet = tight.toSet
+    loose.foreach { case t @ (_, ra, dec, o, pix) =>
+      val d = graft.healpix.Healpix.distToPixelDeg(o, pix, ra, dec)
+      if (tightSet(t)) assert(d <= margin + 1e-3, s"kept row at dist $d > $margin: $t")
+      else assert(d > margin - 1e-3, s"dropped row at dist $d <= $margin: $t")
+    }
+  }
+
+  test("exactMargin: polar stored cross-match still equals brute force with trimming on") {
+    // the adversarial polar/seam geometry of the parity test above,
+    // imported with exactMargin = true on both sides — trimming must
+    // never lose a margin row a k-NN within dthresh needs
+    // (marginDeg >= dthresh is the documented contract)
+    import spark.implicits._
+    val dthresh = 0.15
+    def wrap(ra: Double): Double = (ra % 360.0 + 360.0) % 360.0
+    val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    var id = 5000L
+    for (sign <- Seq(1, -1); (dec, step) <- Seq((88.5, 30), (89.95, 90)); ra <- 0 until 360 by step) {
+      left += ((id, ra.toDouble, sign * dec)); id += 1
+    }
+    for (dec <- Seq(-45.0, 0.0, 45.0); ra <- Seq(359.95, 0.02)) { left += ((id, ra, dec)); id += 1 }
+    val right = left.map { case (i, ra, dec) => (i + 100000L, wrap(ra + 0.08), dec) }
+    val lDf = left.toSeq.toDF("lid", "lra", "ldec")
+    val rDf = right.toSeq.toDF("rid", "rra", "rdec")
+    val out = java.nio.file.Files.createTempDirectory("graft_exactm").toString
+    HipsPartitioner.write(lDf, "lra", "ldec", "lid", out, "pl", orderK = 4, threshold = 4,
+      marginDeg = 0.2, exactMargin = true)
+    HipsPartitioner.write(rDf, "rra", "rdec", "rid", out, "pr", orderK = 4, threshold = 4,
+      marginDeg = 0.2, exactMargin = true)
+    val brute = lDf.crossJoin(rDf)
+      .withColumn("d", sphere.gcDist(col("lra"), col("ldec"), col("rra"), col("rdec")))
+      .filter(col("d") < dthresh)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val stored = HipsCatalog.crossMatchStored(spark, out, "pl", "pr",
+      "lra", "ldec", "lid", "rra", "rdec", "rid", k = 10, dthreshDeg = dthresh, orderK = 4)
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+    assert(stored == brute,
+      s"exact-margin stored cross-match lost ${(brute -- stored).size} matches " +
+        s"(extra: ${(stored -- brute).size})")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }

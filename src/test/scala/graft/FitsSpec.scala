@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.{CatalogReader, Fits}
 import graft.sources.CatalogReader.CatalogSpec
+import graft.functions.sphere
 import java.io.ByteArrayOutputStream
 
 /**
@@ -129,6 +130,45 @@ class FitsSpec extends SparkSpecBase {
     val full = buildFits(sample)
     val e = intercept[IllegalArgumentException](Fits.parseFile(full.take(100)))
     assert(e.getMessage.contains("truncated"))
+  }
+
+  test("writeHealpixMap round-trip: healpy IMPLICIT layout, graft's own reader recovers the density map") {
+    import org.apache.spark.sql.functions.{col, sum => ssum, shiftright}
+    val out = java.nio.file.Files.createTempDirectory("graft_fitsmap").toString
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey")))
+      .withColumn("cdec", sphere.decOf(col("c_custkey")))
+    val cat = catalog.Catalog.importFrom(cust, out, "fm", "cra", "cdec", "c_custkey",
+      orderK = 2, threshold = 100, marginDeg = 12.0)
+
+    val path = cat.exportFitsMap()
+    assert(path.endsWith("fm_order2_hpmap.fits"), s"reference artifact naming: $path")
+    val back = Fits.read(spark, Seq(path))
+    // healpy IMPLICIT full-sky layout: one int64 vector column, every
+    // pixel present (order 2 -> 192 pixels, one row of 192)
+    assert(back.schema.fieldNames.toSeq == Seq("TEMPERATURE"))
+    val dense = back.collect().flatMap(_.getSeq[Long](0))
+    assert(dense.length == 192, s"full-sky IMPLICIT at order 2 is 192 pixels, got ${dense.length}")
+    val sparse = cat.densityMap().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 192).foreach { p =>
+      assert(dense(p) == sparse.getOrElse(p.toLong, 0L), s"pixel $p count mismatch")
+    }
+    assert(dense.sum == cust.count(), "map total must equal the imported row count")
+    // header contract: the fields hp.read_map keys on
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val head = new String(bytes, "US-ASCII")
+    Seq("PIXTYPE", "HEALPIX", "ORDERING", "NESTED", "INDXSCHM", "IMPLICIT", "NSIDE")
+      .foreach(k => assert(head.contains(k), s"missing healpy header token $k"))
+
+    // downsampled export: child-sum parity with the Spark-side rollup
+    val p1 = cat.exportFitsMap(order = 1)
+    val dense1 = Fits.read(spark, Seq(p1)).collect().flatMap(_.getSeq[Long](0))
+    assert(dense1.length == 48)
+    val roll = cat.densityMap()
+      .groupBy(shiftright(col("pix"), 2).as("pix")).agg(ssum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 48).foreach(p => assert(dense1(p) == roll.getOrElse(p.toLong, 0L)))
+    intercept[IllegalArgumentException](cat.exportFitsMap(order = 5)) // no upsampling
   }
 
   test("unsupported TFORM fails with a clear message") {

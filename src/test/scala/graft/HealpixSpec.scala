@@ -154,4 +154,44 @@ class HealpixSpec extends AnyFunSuite {
     val cover = Healpix.queryDiscCover(3, 0, 0, 181.0)
     assert(cover.length == Healpix.npix(3))
   }
+
+  test("distToPixelDeg: zero inside, brute-force boundary parity, polar pixels included") {
+    val r = rng(11)
+    // brute force: min distance to order-(k+7) subpixel CENTERS of the
+    // pixel — an upper bound on the true distance, within one fine
+    // circumradius of it
+    def brute(order: Int, pix: Long, ra: Double, dec: Double): Double = {
+      val d = 7
+      val n = 1L << (2 * d)
+      var best = Double.MaxValue
+      var i = 0L
+      while (i < n) {
+        val (cra, cdec) = Healpix.pix2angNest(order + d, (pix << (2 * d)) + i)
+        best = math.min(best, Healpix.gcDistDeg(ra, dec, cra, cdec))
+        i += 1
+      }
+      best
+    }
+    val cases = Seq(
+      (2, 0L), (2, 47L),                                // mid-latitudes
+      (4, Healpix.ang2pixNest(4, 10.0, 89.9)),          // north polar cap
+      (4, Healpix.ang2pixNest(4, 200.0, -89.9)),        // south polar cap
+      (3, Healpix.ang2pixNest(3, 359.9, 0.0)))          // RA seam
+    for ((order, pix) <- cases) {
+      val (cra, cdec) = Healpix.pix2angNest(order, pix)
+      assert(Healpix.distToPixelDeg(order, pix, cra, cdec) == 0.0, "center is inside")
+      val tol = math.toDegrees(Healpix.maxPixRad(order + 7)) + 2e-4
+      (0 until 20).foreach { _ =>
+        // random points within a few pixel radii of the center
+        val pr = math.toDegrees(Healpix.maxPixRad(order))
+        val ra = cra + (r.nextDouble() * 6 - 3) * pr
+        val dec = math.max(-89.999, math.min(89.999, cdec + (r.nextDouble() * 6 - 3) * pr))
+        val fast = Healpix.distToPixelDeg(order, pix, ra, dec)
+        val slow = brute(order, pix, ra, dec)
+        // fast <= true distance + eps; slow >= true distance; slow - fast <= fine circumradius
+        assert(fast <= slow + 2e-4, s"fast $fast above brute bound $slow at ($ra,$dec) o$order p$pix")
+        assert(slow - fast <= tol, s"fast $fast too far below brute $slow at ($ra,$dec) o$order p$pix")
+      }
+    }
+  }
 }
