@@ -5541,6 +5541,166 @@ object QueryRegistry {
       FROM fp GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint"""
     })
 
+  /** Token-exact duplicated spans ([[graft.operators.Dedup.exactDupSpans]],
+   *  Lee et al. 2021 exact-substring family at sub-`dedup_substring`
+   *  window granularity): minTokens=5 seeds recover every cross-doc
+   *  copied span of >= 5 tokens with exact [start, end) token offsets
+   *  AND the duplicated text itself. The oracle replays the shingling,
+   *  the distinct-doc HAVING, the island merge, and the text slice. */
+  private val dedup_substring_exact = QueryDef(
+    (s, dir) => Dedup.exactDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 5, maxDocs = 1)
+      .orderBy("doc_id", "span_start"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH base AS (SELECT doc_id, tk, len(tk) AS ntok FROM
+          (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents)),
+        sh AS (SELECT doc_id, ntok, tk,
+          unnest(CASE WHEN ntok < 5 THEN [CAST(0 AS BIGINT)] ELSE range(0, ntok - 4) END) AS pos
+          FROM base),
+        shs AS (SELECT doc_id, ntok, pos,
+          array_to_string(tk[pos + 1 : pos + 5], ' ') AS sg FROM sh),
+        dups AS (SELECT sg FROM shs GROUP BY sg HAVING count(DISTINCT doc_id) > 1),
+        spans AS (SELECT s.doc_id, s.pos, s.pos + least(5, s.ntok) AS e
+          FROM shs s JOIN dups d USING (sg)),
+        isl AS (SELECT doc_id, pos, e, CASE WHEN
+            max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS ni FROM spans),
+        isl2 AS (SELECT doc_id, pos, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS isle FROM isl),
+        merged AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+          FROM isl2 GROUP BY doc_id, isle)
+        SELECT m.doc_id, m.span_start, m.span_end,
+          m.span_end - m.span_start AS span_tokens, m.n_windows,
+          array_to_string(b.tk[m.span_start + 1 : m.span_end], ' ') AS span_text
+        FROM merged m JOIN base b USING (doc_id)
+        ORDER BY m.doc_id, m.span_start"""
+    })
+
+  /** k-anonymity release ([[graft.operators.Privacy.kAnonymize]]):
+   *  customers generalize up a (nation, segment) -> (region, segment)
+   *  -> ('*', segment) -> ('*','*') ladder until their QI group holds
+   *  k=100 rows. The oracle replays the ladder with per-level window
+   *  counts. */
+  private val q_kanon = QueryDef(
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      graft.operators.Privacy.kAnonymize(base, "c_custkey", k = 100,
+        levels = Seq(
+          Seq("qi_geo" -> col("n_name"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> col("r_name"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> lit("*"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> lit("*"), "qi_seg" -> lit("*"))))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH b AS (SELECT c_custkey, n_name, r_name, c_mktsegment AS seg,
+        count(*) OVER (PARTITION BY n_name, c_mktsegment) AS n0,
+        count(*) OVER (PARTITION BY r_name, c_mktsegment) AS n1,
+        count(*) OVER (PARTITION BY c_mktsegment) AS n2,
+        count(*) OVER () AS n3
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey)
+      SELECT c_custkey,
+        CASE WHEN n0 >= 100 THEN n_name WHEN n1 >= 100 THEN r_name
+             WHEN n2 >= 100 OR n3 >= 100 THEN '*' END AS qi_geo,
+        CASE WHEN n0 >= 100 OR n1 >= 100 OR n2 >= 100 THEN seg
+             WHEN n3 >= 100 THEN '*' END AS qi_seg,
+        CASE WHEN n0 >= 100 THEN 0 WHEN n1 >= 100 THEN 1 WHEN n2 >= 100 THEN 2
+             WHEN n3 >= 100 THEN 3 ELSE -1 END AS anon_level,
+        CASE WHEN n0 >= 100 THEN n0 WHEN n1 >= 100 THEN n1 WHEN n2 >= 100 THEN n2
+             WHEN n3 >= 100 THEN n3 END AS group_n
+      FROM b ORDER BY c_custkey"""))
+
+  /** Funnel time-to-convert ([[graft.operators.Temporal.funnelLatency]]):
+   *  exact latency distribution (p50/p90/min/max/integer-div mean, in
+   *  ms) between first view -> first chained click -> first chained
+   *  purchase, same 2-day slice and chained-window semantics as
+   *  `q_funnel` so the populations agree with the funnel counts. */
+  private val q_funnel_latency = QueryDef(
+    (s, dir) => graft.operators.Temporal.funnelLatency(
+        eventsRaw(s, dir).filter(col("ts") < lit(1704240000000000000L)),
+        "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .orderBy("step"),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events
+        WHERE epoch_ns(ts) < 1704240000000000000),
+      s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tns END)
+          OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS q0 FROM e),
+      s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND q0 < tns THEN tns END)
+          OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS q1 FROM s1),
+      s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND q1 < tns THEN tns END)
+          OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS q2 FROM s2),
+      per AS (SELECT user_id, min(q0) AS t0, min(q1) AS t1, min(q2) AS t2
+        FROM s3 GROUP BY user_id),
+      lat AS (
+        SELECT '0->1' AS step, (t1 - t0) // 1000000 AS l FROM per WHERE t1 IS NOT NULL
+        UNION ALL
+        SELECT '1->2', (t2 - t1) // 1000000 FROM per WHERE t2 IS NOT NULL)
+      SELECT step, count(*) AS n_converted,
+        CAST(round(quantile_cont(l, 0.5)) AS BIGINT) AS p50_ms,
+        CAST(round(quantile_cont(l, 0.9)) AS BIGINT) AS p90_ms,
+        min(l) AS min_ms, max(l) AS max_ms,
+        CAST(sum(l) // count(*) AS BIGINT) AS avg_ms
+      FROM lat GROUP BY step ORDER BY step"""))
+
+  /** Corpus drift screen ([[graft.operators.TextAnalysis.sourceDrift]]):
+   *  per-source KL and Jensen-Shannon divergence of the token
+   *  distribution against the whole corpus. */
+  private val text_drift = QueryDef(
+    (s, dir) => graft.operators.TextAnalysis.sourceDrift(
+        t(s, dir, "documents"), "source", "text")
+      .orderBy("source"),
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH tok AS (SELECT source AS grp,
+          unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term FROM documents),
+        gt AS (SELECT grp, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        vocab AS (SELECT term, sum(c) AS ct FROM gt GROUP BY 1),
+        gtot AS (SELECT grp, sum(c) AS n, count(*) AS n_types FROM gt GROUP BY 1),
+        tot AS (SELECT sum(ct) AS nn FROM vocab),
+        grid AS (SELECT g.grp, g.n, g.n_types, v.term,
+            coalesce(x.c, 0)::DOUBLE / g.n AS p, v.ct::DOUBLE / t.nn AS q
+          FROM gtot g CROSS JOIN vocab v CROSS JOIN tot t
+          LEFT JOIN gt x ON x.grp = g.grp AND x.term = v.term)
+        SELECT grp AS source, CAST(any_value(n) AS BIGINT) AS n_tokens,
+          any_value(n_types) AS n_types,
+          round(sum(CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0 END), 6) AS kl,
+          round(sum(CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) * 0.5 ELSE 0 END
+            + q * ln(2 * q / (p + q)) * 0.5), 6) AS jsd
+        FROM grid GROUP BY grp ORDER BY grp"""
+    })
+
+  /** Per-dimension embedding QA (dead/degenerate-dimension screen):
+   *  count, exact zero count, mean/min/max and population std per
+   *  dimension — identical E[x^2]-E[x]^2 arithmetic on both engines. */
+  private val vec_dimstats = QueryDef(
+    (s, dir) => {
+      val v = col("col").cast("double")
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")))
+        .groupBy((col("pos") + 1).cast("long").as("i"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("col") === 0f).cast("long")).as("n_zero"),
+          round(avg(v), 6).as("mean"),
+          round(min(v), 6).as("min_v"),
+          round(max(v), 6).as("max_v"),
+          round(sqrt(greatest(avg(v * v) - avg(v) * avg(v), lit(0.0))), 6).as("std"))
+        .orderBy("i")
+    },
+    Some("""SELECT i, count(*) AS n,
+        CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        round(avg(v), 6) AS mean, round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+        round(sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0)), 6) AS std
+      FROM (SELECT i, embedding[i]::DOUBLE AS v FROM embeddings, range(1, 65) t(i))
+      GROUP BY i ORDER BY i"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -5741,5 +5901,10 @@ object QueryRegistry {
     "ann_mmr" -> ann_mmr,
     "sample_mixture" -> sample_mixture,
     "sample_negatives" -> sample_negatives,
+    "dedup_substring_exact" -> dedup_substring_exact,
+    "q_kanon" -> q_kanon,
+    "q_funnel_latency" -> q_funnel_latency,
+    "text_drift" -> text_drift,
+    "vec_dimstats" -> vec_dimstats,
   )
 }

@@ -794,6 +794,70 @@ object Dedup {
   }
 
   /**
+   * Token-exact duplicated-span extraction (the Lee et al. 2021
+   * "Deduplicating Training Data" exact-substring family): emit every
+   * MAXIMAL token span covered by duplicated `minTokens`-word windows,
+   * with exact [start, end) token offsets and the span text itself.
+   * A window is duplicated when its normalized content occurs in more
+   * than `maxDocs` DISTINCT documents. Any cross-document copied span
+   * of >= minTokens tokens is exactly the union of its stride-1
+   * duplicated windows, so the merged islands recover the copied
+   * span's precise token boundaries — including overlaps shorter than
+   * [[substringDupStats]]'s default window when `minTokens` is
+   * smaller. Docs shorter than `minTokens` contribute one whole-text
+   * window, so short whole-doc copies still surface.
+   *
+   * Output: one row per maximal span — (idCol, span_start, span_end,
+   * span_tokens, n_windows, span_text); span_start 0-based,
+   * span_end exclusive.
+   *
+   * Scale shape: identical to [[substringDupStats]] — one corpus
+   * shuffle keyed by a fixed-width 256-bit content hash (never the
+   * text), a HAVING-filtered dup-hash aggregate AQE broadcasts back,
+   * a per-document island-merge window bounded by document length,
+   * and one doc-keyed equi-join to slice span text back out of the
+   * token arrays. A suffix array finds the same spans in one pass on
+   * one machine; the stride-1 window relation is the shuffle-friendly
+   * equivalent, linear in corpus tokens — the shape that holds at
+   * 100 TB.
+   */
+  def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 5, maxDocs: Int = 1): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1 (got $minTokens)")
+    require(maxDocs >= 1, s"maxDocs must be >= 1 (got $maxDocs)")
+    val w = minTokens
+    val toks = split(normalizeText(coalesce(col(textCol), lit(""))), " ")
+    val base = df.select(col(idCol), toks.as("__tk")).withColumn("__ntok", size(col("__tk")))
+    val posArr = when(col("__ntok") < w, array(lit(0)))
+      .otherwise(sequence(lit(0), col("__ntok") - w))
+    val sh = base.select(col(idCol), col("__ntok"), explode(posArr).as("__pos"), col("__tk"))
+      .withColumn("__h", sha2(array_join(slice(col("__tk"), col("__pos") + 1, lit(w)), " "), 256))
+      .drop("__tk")
+    val dup = sh.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("__h"), lit(1).as("__dup"))
+    val spans = sh.join(dup, Seq("__h"), "left")
+      .filter(col("__dup").isNotNull)
+      .withColumn("__e", col("__pos") + least(lit(w), col("__ntok")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevMax = max(col("__e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("__ni", when(prevMax.isNull || col("__pos") > prevMax, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__ni")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        max(col("__e")).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+    islands.join(base.select(col(idCol), col("__tk")), Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_windows"),
+        array_join(slice(col("__tk"), (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start")).cast("int")), " ").as("span_text"))
+  }
+
+  /**
    * EXACT set-similarity self-join by prefix filtering (the
    * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
    * every pair of documents whose distinct-word-set Jaccard meets

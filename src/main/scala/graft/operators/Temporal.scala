@@ -254,6 +254,55 @@ object Temporal {
   }
 
   /**
+   * Funnel transition latency — the time-to-convert companion of
+   * [[funnelStages]]: for each adjacent step pair (i -> i+1), the
+   * exact latency distribution across entities that completed step
+   * i+1, measured between each entity's FIRST qualifying completions
+   * of the two steps (the same chained running-min windows as
+   * funnelStages, so the populations agree with the funnel counts).
+   * `timeCol` must be integer epoch NANOS; latencies are floor-
+   * divided to integer milliseconds so sums stay inside long range
+   * and every statistic (exact `percentile`, integer-div mean) is
+   * bit-replayable by a SQL oracle.
+   *
+   * Output per transition: (step, n_converted, p50_ms, p90_ms,
+   * min_ms, max_ms, avg_ms).
+   *
+   * Scale shape: one entity-partitioned window pass + one entity
+   * aggregate (rows-per-entity bounded), then a steps-1-way union of
+   * slim (step, latency) rows into a tiny grouped aggregate — nothing
+   * corpus-sized crosses a second shuffle.
+   */
+  def funnelLatency(df: DataFrame, entityCol: String, timeCol: String, orderCol: String,
+                    steps: Seq[Column]): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two step predicates")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(timeCol).asc, col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = steps.zipWithIndex.foldLeft(df) { case (cur, (pred, i)) =>
+      val qual = if (i == 0) pred else pred && col(s"__q${i - 1}") < col(timeCol)
+      cur.withColumn(s"__q$i", min(when(qual, col(timeCol))).over(w))
+    }
+    // per entity, the FIRST completion time of each step = the final
+    // running min = min over rows (nulls ignored)
+    val per = staged.groupBy(col(entityCol))
+      .agg(min(col("__q0")).as("__t0"),
+        steps.indices.drop(1).map(i => min(col(s"__q$i")).as(s"__t$i")): _*)
+    val pairs = steps.indices.dropRight(1).map { i =>
+      per.filter(col(s"__t${i + 1}").isNotNull)
+        .select(lit(s"$i->${i + 1}").as("step"),
+          expr(s"(__t${i + 1} - __t$i) div 1000000").as("__lat"))
+    }.reduce(_ unionAll _)
+    pairs.groupBy("step")
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(__lat, 0.5)")).cast("long").as("p50_ms"),
+        round(expr("percentile(__lat, 0.9)")).cast("long").as("p90_ms"),
+        min(col("__lat")).as("min_ms"),
+        max(col("__lat")).as("max_ms"),
+        expr("sum(__lat) div count(1)").as("avg_ms"))
+  }
+
+  /**
    * Gap-fill time-series resampling with last-observation-carried-
    * forward: per key, observations are aggregated into fixed
    * `bucketSeconds` buckets, a DENSE bucket spine spans that key's

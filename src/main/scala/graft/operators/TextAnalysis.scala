@@ -124,6 +124,53 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus drift screen: for each group (a source, shard, or time
+   * slice), the KL and Jensen-Shannon divergence between the group's
+   * token distribution and the WHOLE corpus's — the cheap "did this
+   * source drift from the training mix" data-quality gate run before
+   * expensive mixture re-weighting. KL(group ‖ corpus) is always
+   * finite (group terms are corpus terms); JSD additionally charges
+   * the group for corpus mass it lacks (0.5·q·ln2 per absent term),
+   * so a narrow source scores high on both.
+   *
+   * Output per group: (groupCol, n_tokens, n_types, kl, jsd) with the
+   * divergences rounded to 6 dp (nats).
+   *
+   * Scale shape: one map-side-combined (group, term) aggregate; the
+   * vocab table and per-group totals derive from it (no second corpus
+   * scan). The JSD grid is groups x vocab — distributed join rows,
+   * never collected; the corpus-total scalar rides a broadcast
+   * 1-row cross join.
+   */
+  def sourceDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("__grp"),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__t"))
+    val gt = tok.groupBy("__grp", "__t").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = gt.groupBy("__t").agg(sum("__c").as("__ct"))
+    val gTot = gt.groupBy("__grp").agg(sum("__c").as("__n"), count(lit(1)).as("n_types"))
+    val nTot = vocab.agg(sum("__ct").as("__nn"))
+    // dense (group x vocab) grid so absent terms contribute their JSD mass
+    val grid = gTot.crossJoin(vocab).crossJoin(broadcast(nTot))
+      .join(gt, Seq("__grp", "__t"), "left")
+      .withColumn("__p", coalesce(col("__c"), lit(0L)).cast("double") / col("__n"))
+      .withColumn("__q", col("__ct").cast("double") / col("__nn"))
+    val term2 = lit(2.0)
+    val out = grid.groupBy(col("__grp"))
+      .agg(first(col("__n")).cast("long").as("n_tokens"),
+        first(col("n_types")).as("n_types"),
+        round(sum(when(col("__p") > 0, col("__p") * log(col("__p") / col("__q")))
+          .otherwise(lit(0.0))), 6).as("kl"),
+        round(sum(
+          when(col("__p") > 0,
+            col("__p") * log(term2 * col("__p") / (col("__p") + col("__q"))) * 0.5)
+            .otherwise(lit(0.0)) +
+          col("__q") * log(term2 * col("__q") / (col("__p") + col("__q"))) * 0.5), 6).as("jsd"))
+      .withColumnRenamed("__grp", groupCol)
+    out
+  }
+
+  /**
    * Order-sensitive document fingerprint: rolling polynomial hash of
    * the normalized text's code points (two texts with the same token
    * multiset but different order fingerprint differently). A codegen

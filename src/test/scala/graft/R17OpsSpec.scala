@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Dedup, Privacy, Temporal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: token-exact duplicated spans, k-anonymity
+  * generalization ladder, funnel transition latency, corpus drift
+  * divergence. */
+class R17OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---------------------------------------------- exactDupSpans
+
+  test("exactDupSpans recovers a planted sub-10-token overlap with exact offsets") {
+    // 6-token copied span ("one two three four five six") planted at
+    // token 3 of doc 1 and token 2 of doc 2, inside otherwise-unique noise
+    val docs = Seq(
+      (1L, "aa bb cc one two three four five six dd ee"),
+      (2L, "ff gg one two three four five six hh"),
+      (3L, "ii jj kk ll mm nn oo pp qq rr")).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(docs, "doc_id", "text", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(5))).sorted
+    assert(got.toSeq == Seq(
+      (1L, 3L, 9L, "one two three four five six"),
+      (2L, 2L, 8L, "one two three four five six")),
+      s"maximal spans must carry exact [start, end) offsets and the copied text: ${got.toSeq}")
+  }
+
+  test("exactDupSpans: overlaps shorter than minTokens stay invisible; whole-doc short dups surface") {
+    val docs = Seq(
+      (1L, "pp qq rr ss zz yy xx"), // 4-token overlap pp..ss with doc 2
+      (2L, "pp qq rr ss aa bb cc"),
+      (3L, "tiny doc"), // exact whole-text dup with doc 4 (< minTokens)
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(docs, "doc_id", "text", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!got.exists(g => g._1 == 1L || g._1 == 2L),
+      s"a 4-token overlap must not survive minTokens=5: ${got.toSeq}")
+    assert(got.toSet == Set((3L, 0L, 2L), (4L, 0L, 2L)),
+      s"short whole-doc copies ride the single whole-text window: ${got.toSeq}")
+  }
+
+  test("exactDupSpans merges adjacent duplicated windows into ONE maximal span") {
+    // a 9-token copied run = 5 overlapping 5-windows -> exactly one island
+    val run = "k1 k2 k3 k4 k5 k6 k7 k8 k9"
+    val docs = Seq(
+      (1L, s"u1 u2 $run u3 u4"),
+      (2L, s"v1 $run v2 v3 v4")).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(docs, "doc_id", "text", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.length == 2 && got.forall(_._4 == 5L),
+      s"each doc gets one island of 5 windows: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 2L, 11L, 5L), (2L, 1L, 10L, 5L)), got.toSeq.toString)
+  }
+
+  // ---------------------------------------------- kAnonymize
+
+  test("kAnonymize releases at the finest level reaching k; ladder is monotone") {
+    // 12 rows in city A (>= k=10 at level 0), 5 in city B + 6 in city C,
+    // all 23 in one region (so B and C release at level 1)
+    val rows = ((1 to 12).map(i => (i.toLong, "A")) ++
+      (13 to 17).map(i => (i.toLong, "B")) ++
+      (18 to 23).map(i => (i.toLong, "C"))).toDF("id", "city")
+    val out = Privacy.kAnonymize(rows, "id", k = 10, levels = Seq(
+        Seq("qi" -> col("city")),
+        Seq("qi" -> lit("R1")),
+        Seq("qi" -> lit("*"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(out.filter(_._1 <= 12).forall(r => r._2 == "A" && r._3 == 0 && r._4 == 12L),
+      "city A reaches k at the finest level")
+    assert(out.filter(_._1 > 12).forall(r => r._2 == "R1" && r._3 == 1 && r._4 == 23L),
+      "small cities generalize to the region, whose count spans the whole region")
+    // every released group really holds >= k rows of the OUTPUT too
+    val groups = out.groupBy(r => (r._2, r._3)).map(_._2.size)
+    assert(groups.forall(_ >= 10), s"k-anonymity must hold on the released table: $out")
+  }
+
+  test("kAnonymize suppresses rows no level can release (table smaller than k)") {
+    val out = Privacy.kAnonymize(Seq((1L, "x"), (2L, "y")).toDF("id", "c"), "id",
+        k = 5, levels = Seq(Seq("qi" -> col("c")), Seq("qi" -> lit("*"))))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2), r.isNullAt(3)))
+    assert(out.toSet == Set((1L, true, -1, true), (2L, true, -1, true)),
+      s"unreleasable rows: NULL QI, anon_level -1, NULL group_n: ${out.toSeq}")
+  }
+
+  // ---------------------------------------------- funnelLatency
+
+  test("funnelLatency measures first-completion chains, in exact ms") {
+    // user 1: view@1s, click@4s, purchase@10s -> 3000ms, 6000ms
+    // user 2: click@1s (pre-view, ignored), view@2s, click@7s -> 5000ms, no purchase
+    // user 3: view only -> contributes nothing
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 1 * ns, 1L, "view"), (1L, 4 * ns, 2L, "click"), (1L, 10 * ns, 3L, "purchase"),
+      (2L, 1 * ns, 4L, "click"), (2L, 2 * ns, 5L, "view"), (2L, 7 * ns, 6L, "click"),
+      (3L, 5 * ns, 7L, "view")).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.funnelLatency(ev, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(6)))
+    // (step, n, p50, avg): 0->1 latencies {3000, 5000} -> p50 4000, avg 4000
+    assert(got.toSeq == Seq(("0->1", 2L, 4000L, 4000L), ("1->2", 1L, 6000L, 6000L)),
+      got.toSeq.toString)
+  }
+
+  // ---------------------------------------------- sourceDrift
+
+  test("sourceDrift: identical distributions score zero; a skewed source scores positive") {
+    val docs = Seq(
+      (1L, "s1", "aa bb cc dd"), (2L, "s1", "aa bb cc dd"),
+      (3L, "s2", "aa bb cc dd"), (4L, "s2", "aa bb cc dd"),
+      (5L, "s3", "aa aa aa aa")).toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.sourceDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // s1 and s2 match each other but NOT the corpus (s3 skews the mix),
+    // so only compare them to each other and check the ordering signal
+    assert(rows("s1") == rows("s2"), "same distribution, same divergence")
+    assert(rows("s3")._1 > rows("s1")._1 && rows("s3")._2 > rows("s1")._2,
+      s"the skewed source must out-diverge the balanced ones: $rows")
+    val uniform = TextAnalysis.sourceDrift(docs.filter(col("source") =!= "s3"), "source", "text")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(uniform.forall(r => r._1 == 0.0 && r._2 == 0.0),
+      s"group == corpus -> KL = JSD = 0 exactly: ${uniform.toSeq}")
+  }
+}
