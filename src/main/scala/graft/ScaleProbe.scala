@@ -30,7 +30,7 @@ object ScaleProbe {
 
     // optional comma-separated section filter for targeted iteration
     // (docs, sketch, graph, temporal, embeddings, ann, multimodal,
-    // spatial); default all
+    // spatial, merge); default all
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
     def section(name: String): Boolean = sections.forall(_.contains(name))
@@ -524,6 +524,77 @@ object ScaleProbe {
         dd.unionByName(dr).count()
       }
       cat.unpersist()
+    }
+
+    // delete-aware changelog stream at snapshot scale: a 1M-key base,
+    // then four OUT-OF-ORDER micro-batches (ver-3 upserts, late ver-1
+    // stragglers, 100k ver-5 deletes, then ver-2 upserts against the
+    // deleted keys — the resurrection attempt) through the REAL
+    // changelogStream machinery (MemoryStream -> foreachBatch). Pins:
+    // per-batch apply cost (the full-outer fold is snapshot-sized and
+    // flat across batches, not log-cumulative), tombstone retention
+    // (the snapshot keeps all 1M keys; the live view hides the 100k
+    // deleted), resurrection immunity, and EXACT parity with a
+    // one-shot global fold of the whole log — the any-batch-boundary
+    // guarantee the operator documents. (key, ver) pairs are unique
+    // across the log by construction, so the fold has no ties and
+    // parity is deterministic.
+    if (section("merge")) locally {
+      val nKeys = 1000000L
+      val dir = "/tmp/graft_probe_merge"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val snap = s"$dir/snapshot"; val ckpt = s"$dir/ckpt"
+      // bijective key scatter: gcd(a, nKeys) = 1 -> distinct keys per batch
+      def mb(n: Long, a: Long, ver: Int, op: String) =
+        spark.range(n).select(((col("id") * a) % nKeys).as("k"),
+          (col("id") % 97).as("v"), lit(ver).as("ver"), lit(op).as("op"))
+      time("changelog base apply (1M keys)", "merge") {
+        graft.operators.Merge.applyChangelogBatch(
+          mb(nKeys, 1L, 0, "u"), snap, "k", "v", "op", "d", Seq("ver"))
+        spark.read.parquet(snap).count()
+      }
+      val b1 = mb(250000, 7919, 3, "u")
+      val b2 = mb(250000, 104729, 1, "u")
+      val b3 = mb(100000, 7919, 5, "d")
+      val b4 = mb(50000, 7919, 2, "u")
+      // one parquet file per batch + maxFilesPerTrigger=1 -> four REAL
+      // micro-batches through the changelogStream machinery (same
+      // file-source harness the StreamingSpec pins), no driver data
+      Seq(b1, b2, b3, b4).zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.parquet(s"$dir/upd/f$i.parquet") }
+      time("changelog stream: 4 out-of-order micro-batches (late arrivals + deletes)", "merge") {
+        val src = spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/upd/*/")
+        val q = graft.operators.Merge.changelogStream(
+          src, snap, "k", "v", "op", "d", Seq("ver"), ckpt)
+        q.awaitTermination()
+        val done = q.recentProgress.filter(_.numInputRows > 0)
+        require(done.length >= 4, s"expected 4 micro-batches, saw ${done.length}")
+        done.foreach(p => println(s"[probe]   batch ${p.batchId}: ${p.numInputRows} rows, " +
+          s"${p.durationMs.get("triggerExecution")} ms"))
+        spark.read.parquet(snap).count()
+      }
+      time("changelog parity vs one-shot global fold", "merge") {
+        val all = mb(nKeys, 1L, 0, "u").unionByName(b1).unionByName(b2)
+          .unionByName(b3).unionByName(b4)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("ver").desc)
+        val folded = all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // every (k, v, ver, op) row must appear exactly twice in the
+        // symmetric union — one from the streamed snapshot, one from
+        // the fold (both sides are 1-row-per-key)
+        val diff = spark.read.parquet(snap).unionByName(folded)
+          .groupBy("k", "v", "ver", "op").count()
+          .filter(col("count") =!= 2).count()
+        require(diff == 0, s"changelog snapshot diverged from the global fold: $diff rows")
+        diff
+      }
+      time("changelog live view (tombstones hidden)", "merge")(
+        graft.operators.Merge.readChangelogSnapshot(spark, snap, "op", "d").count())
+      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(snap)).getLength
+      println(f"[probe] changelog snapshot size: ${bytes / 1e6}%.1f MB for $nKeys keys (tombstones included)")
     }
     spark.stop()
   }
