@@ -92,6 +92,37 @@ object CatalogReader {
       .toSeq
   }
 
+  /**
+   * Live counterpart of [[parseCatalogLinks]] — the reference's
+   * `util.get_cat_urls` (util.py:374) INCLUDING the fetch: GET the
+   * directory listing over HTTP and parse out the catalog file URLs.
+   * `fetch` is injectable (tests use a loopback server; air-gapped
+   * deployments can hand in a file reader); the default is a plain
+   * JDK HttpURLConnection GET with bounded timeouts — driver-side
+   * only, one small listing page, never per-row.
+   */
+  def getCatUrls(listingUrl: String, fmt: String,
+                 fetch: String => String = httpGet(_)): Seq[String] = {
+    val base = if (listingUrl.endsWith("/")) listingUrl else listingUrl + "/"
+    parseCatalogLinks(fetch(listingUrl), base, fmt)
+  }
+
+  /** Bounded-timeout HTTP GET (JDK-only, no extra dependencies). */
+  def httpGet(url: String, connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("GET")
+    try {
+      val code = conn.getResponseCode
+      require(code >= 200 && code < 300, s"GET $url -> HTTP $code")
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } finally conn.disconnect()
+  }
+
   /** FITS binary-table ingest — see [[graft.sources.Fits]]. */
   def readFits(spark: SparkSession, paths: Seq[String]): DataFrame = Fits.read(spark, paths)
 }

@@ -85,4 +85,41 @@ class CatalogReaderSpec extends SparkSpecBase {
       CatalogReader.read(spark, Seq("/tmp/x.avro"), CatalogSpec(fmt = "avro"))
     }
   }
+
+  test("getCatUrls fetches a LIVE directory listing over HTTP (loopback) and resolves links") {
+    val html = """<html><body>
+      <a href="cat_0.csv.gz">a</a>
+      <a href="cat_1.csv.gz">b</a>
+      <a href="http://cdn.example/abs/cat_2.csv.gz">abs</a>
+      <a href="readme.txt">skip</a></body></html>"""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = html.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data/"
+      val got = CatalogReader.getCatUrls(url, ".csv.gz")
+      assert(got == Seq(s"${url}cat_0.csv.gz", s"${url}cat_1.csv.gz",
+        "http://cdn.example/abs/cat_2.csv.gz"), got.toString)
+    } finally server.stop(0)
+  }
+
+  test("getCatUrls surfaces HTTP failures loudly (404 listing)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    server.start()
+    try assertThrows[IllegalArgumentException] {
+      CatalogReader.getCatUrls(
+        s"http://127.0.0.1:${server.getAddress.getPort}/missing/", ".csv.gz")
+    } finally server.stop(0)
+  }
 }
