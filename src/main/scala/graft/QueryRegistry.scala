@@ -1378,25 +1378,43 @@ object QueryRegistry {
    *  window (lead) pass per key, the type-2 companion of q_merge's
    *  type-1 overwrite. Version batches derived in-query (integer
    *  cents mutations); 999999 is the open-interval sentinel. */
+  /** The synthetic SCD2 customer-balance history shared by `q_scd2`
+   *  and `q_scd2_lookup`: versions 0/100/200 with lead()-derived
+   *  [valid_from, valid_to) windows partitioning [0, 999999). */
+  private def scd2Hist(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
+    val base = cust.select(col("c_custkey").as("k"), lit(0L).as("v"), col("bal_cents"))
+    val u1 = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"), lit(100L).as("v"),
+        (col("bal_cents") + 100000L).as("bal_cents"))
+    val u2 = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), lit(200L).as("v"),
+        (col("bal_cents") - 50000L).as("bal_cents"))
+    val w = Window.partitionBy("k").orderBy("v")
+    base.unionByName(u1).unionByName(u2)
+      .withColumn("valid_to", coalesce(lead(col("v"), 1).over(w), lit(999999L)))
+      .withColumn("is_current", col("valid_to") === 999999L)
+      .select(col("k"), col("v").as("valid_from"), col("valid_to"),
+        col("bal_cents"), col("is_current"))
+  }
+
+  /** SQL twin of [[scd2Hist]] as a CTE body. */
+  private val scd2HistSql: String =
+    """SELECT k, v AS valid_from,
+        CAST(coalesce(lead(v) OVER (PARTITION BY k ORDER BY v), 999999) AS BIGINT) AS valid_to,
+        bal_cents,
+        coalesce(lead(v) OVER (PARTITION BY k ORDER BY v), 999999) = 999999 AS is_current
+      FROM (
+        SELECT c_custkey AS k, CAST(0 AS BIGINT) AS v,
+          CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer
+        UNION ALL SELECT c_custkey, 100, CAST(floor(c_acctbal * 100) AS BIGINT) + 100000
+          FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL SELECT c_custkey, 200, CAST(floor(c_acctbal * 100) AS BIGINT) - 50000
+          FROM customer WHERE c_custkey % 3 = 0)"""
+
   private val q_scd2 = QueryDef(
-    (s, dir) => {
-      val cust = t(s, dir, "customer")
-        .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
-      val base = cust.select(col("c_custkey").as("k"), lit(0L).as("v"), col("bal_cents"))
-      val u1 = cust.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey").as("k"), lit(100L).as("v"),
-          (col("bal_cents") + 100000L).as("bal_cents"))
-      val u2 = cust.filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey").as("k"), lit(200L).as("v"),
-          (col("bal_cents") - 50000L).as("bal_cents"))
-      val w = Window.partitionBy("k").orderBy("v")
-      base.unionByName(u1).unionByName(u2)
-        .withColumn("valid_to", coalesce(lead(col("v"), 1).over(w), lit(999999L)))
-        .withColumn("is_current", col("valid_to") === 999999L)
-        .select(col("k"), col("v").as("valid_from"), col("valid_to"),
-          col("bal_cents"), col("is_current"))
-        .orderBy("k", "valid_from")
-    },
+    (s, dir) => scd2Hist(s, dir).orderBy("k", "valid_from"),
     Some("""WITH cust AS (SELECT c_custkey AS k,
           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
       vers AS (
@@ -5701,6 +5719,52 @@ object QueryRegistry {
       FROM (SELECT i, embedding[i]::DOUBLE AS v FROM embeddings, range(1, 65) t(i))
       GROUP BY i ORDER BY i"""))
 
+  /** SCD2 validity-interval lookup join (the "dimension as-of" fact
+   *  enrichment): each order carries a derived version time and picks
+   *  the ONE history row with valid_from <= v_at < valid_to for its
+   *  customer. Plans as a co-partitioned equi-join on the key with
+   *  the interval predicate as a post-filter — per-key fan-out is
+   *  bounded by the version count (<= 3 here), never an interval
+   *  cross product. The aggregate per picked version (counts + bal
+   *  and key checksums) validates every row's pick; total n_orders
+   *  must equal the fact count (validity windows partition the line). */
+  private val q_scd2_lookup = QueryDef(
+    (s, dir) => {
+      val hist = scd2Hist(s, dir).select(col("k").as("hk"),
+        col("valid_from"), col("valid_to"), col("bal_cents"))
+      val facts = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        (col("o_orderkey") % 6 * 50).as("v_at"))
+      facts.join(hist, col("o_custkey") === col("hk") &&
+          col("v_at") >= col("valid_from") && col("v_at") < col("valid_to"))
+        .groupBy("valid_from")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("bal_cents").as("bal_sum"),
+          sum("o_orderkey").as("key_sum"))
+        .orderBy("valid_from")
+    },
+    Some(s"""WITH hist AS ($scd2HistSql),
+      facts AS (SELECT o_custkey, o_orderkey, o_orderkey % 6 * 50 AS v_at FROM orders)
+      SELECT valid_from, count(*) AS n_orders,
+        CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM facts JOIN hist ON o_custkey = k
+        AND v_at >= valid_from AND v_at < valid_to
+      GROUP BY valid_from ORDER BY valid_from"""))
+
+  /** Equatorial -> galactic frame transform (IAU J2000 rotation —
+   *  the coordinate face every survey catalog needs next to the
+   *  gnomonic projection): per-customer (l, b), map-only. */
+  private val q_galactic = QueryDef(
+    (s, dir) => withSky(t(s, dir, "customer"), "c_custkey")
+      .select(col("c_custkey"),
+        round(sphere.galacticL(col("cra"), col("cdec")), 6).as("gal_l"),
+        round(sphere.galacticB(col("cra"), col("cdec")), 6).as("gal_b"))
+      .orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey,
+      round(${sphere.galacticLSql("cra", "cdec")}, 6) AS gal_l,
+      round(${sphere.galacticBSql("cra", "cdec")}, 6) AS gal_b
+      FROM ${skySql("customer", "c_custkey")} ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -5906,5 +5970,7 @@ object QueryRegistry {
     "q_funnel_latency" -> q_funnel_latency,
     "text_drift" -> text_drift,
     "vec_dimstats" -> vec_dimstats,
+    "q_scd2_lookup" -> q_scd2_lookup,
+    "q_galactic" -> q_galactic,
   )
 }

@@ -86,6 +86,41 @@ object sphere {
       s"($sc * sin(radians($lat)) + $cc * cos(radians($lat)) * cos(radians($lon) - $l0)))"
   }
 
+  // IAU J2000 galactic frame constants: pole (AG, DG), node longitude LNCP
+  private val AG = 192.85948
+  private val DG = 27.12825
+  private val LNCP = 122.93192
+
+  /** Galactic latitude b (degrees) of equatorial J2000 (ra, dec). */
+  def galacticB(ra: Column, dec: Column): Column =
+    degrees(asin(lit(math.sin(math.toRadians(DG))) * sin(radians(dec)) +
+      lit(math.cos(math.toRadians(DG))) * cos(radians(dec)) *
+        cos(radians(ra) - lit(math.toRadians(AG)))))
+
+  /** Galactic longitude l (degrees, [0, 360)) of equatorial J2000 (ra, dec). */
+  def galacticL(ra: Column, dec: Column): Column = {
+    val y = cos(radians(dec)) * sin(radians(ra) - lit(math.toRadians(AG)))
+    val x = lit(math.cos(math.toRadians(DG))) * sin(radians(dec)) -
+      lit(math.sin(math.toRadians(DG))) * cos(radians(dec)) *
+        cos(radians(ra) - lit(math.toRadians(AG)))
+    val l = lit(LNCP) - degrees(atan2(y, x))
+    (l % lit(360.0) + lit(360.0)) % lit(360.0)
+  }
+
+  /** SQL twins of galacticB/galacticL for DuckDB oracles — identical
+   *  constant values (Double.toString round-trips exactly) and
+   *  identical operation order. */
+  def galacticBSql(ra: String, dec: String): String = {
+    val (sd, cd, a0) = (math.sin(math.toRadians(DG)), math.cos(math.toRadians(DG)), math.toRadians(AG))
+    s"degrees(asin($sd * sin(radians($dec)) + $cd * cos(radians($dec)) * cos(radians($ra) - $a0)))"
+  }
+  def galacticLSql(ra: String, dec: String): String = {
+    val (sd, cd, a0) = (math.sin(math.toRadians(DG)), math.cos(math.toRadians(DG)), math.toRadians(AG))
+    val y = s"cos(radians($dec)) * sin(radians($ra) - $a0)"
+    val x = s"$cd * sin(radians($dec)) - $sd * cos(radians($dec)) * cos(radians($ra) - $a0)"
+    s"(($LNCP - degrees(atan2($y, $x))) % 360.0 + 360.0) % 360.0"
+  }
+
   /**
    * Deterministic pseudo sky coordinates derived from an integer key
    * (the TPC-H-ish test tables carry no ra/dec — see SURVEY.md §3).

@@ -104,6 +104,24 @@ class R17OpsSpec extends SparkSpecBase {
       got.toSeq.toString)
   }
 
+  // ---------------------------------------------- galactic transform
+
+  test("galactic transform matches published J2000 anchor points") {
+    import graft.functions.sphere
+    // (ra, dec) -> (l, b): vernal equinox, galactic center, NGP
+    val pts = Seq((1L, 0.0, 0.0), (2L, 266.405, -28.936), (3L, 192.85948, 27.12825))
+      .toDF("id", "ra", "dec")
+      .select(col("id"), sphere.galacticL(col("ra"), col("dec")).as("l"),
+        sphere.galacticB(col("ra"), col("dec")).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def near(a: Double, b: Double, tol: Double) = math.abs(a - b) < tol
+    assert(near(pts(1L)._1, 96.337, 0.01) && near(pts(1L)._2, -60.189, 0.01),
+      s"vernal equinox: ${pts(1L)}")
+    assert(near(pts(2L)._2, 0.0, 0.01) && (pts(2L)._1 < 0.01 || pts(2L)._1 > 359.99),
+      s"galactic center maps to (l~0, b~0): ${pts(2L)}")
+    assert(near(pts(3L)._2, 90.0, 0.001), s"pole maps to b=90: ${pts(3L)}")
+  }
+
   // ---------------------------------------------- sourceDrift
 
   test("sourceDrift: identical distributions score zero; a skewed source scores positive") {
