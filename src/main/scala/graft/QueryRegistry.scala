@@ -5765,6 +5765,58 @@ object QueryRegistry {
       round(${sphere.galacticBSql("cra", "cdec")}, 6) AS gal_b
       FROM ${skySql("customer", "c_custkey")} ORDER BY c_custkey"""))
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+   *  2020): score every doc under the bigram LM trained on the
+   *  doc_id<300 slice, cut each LANGUAGE at its 1/3 and 2/3
+   *  cross-entropy order statistics, and bucket docs head/middle/tail
+   *  — the selection stage CCNet keeps "head+middle" from. Thresholds
+   *  are EXACT integer kth-smallest values (k = ceil(n/3), ceil(2n/3))
+   *  over e6-scaled scores, found on the per-language VALUE HISTOGRAM
+   *  (distinct-score rows, bounded — never a corpus-sized window):
+   *  interpolated quantile_cont thresholds proved ulp-unstable at
+   *  h~1 boundaries (an exact-tie doc flipped buckets between
+   *  engines), integer order statistics cannot. Ties at a threshold
+   *  all land on the head side on both engines by construction. */
+  private val text_ccnet = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.Lm.trainBigram(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val ce = graft.operators.Lm.crossEntropy(docs, "doc_id", "text", lm)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("ce_e6", round(col("cross_entropy") * 1e6).cast("long"))
+      val hist = ce.groupBy("lang", "ce_e6").agg(count(lit(1)).as("c"))
+      val wl = Window.partitionBy("lang").orderBy("ce_e6")
+      val th = hist.withColumn("cum", sum("c").over(wl))
+        .join(hist.groupBy("lang").agg(sum("c").as("n")), "lang")
+        .groupBy("lang")
+        .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("ce_e6"))).as("t1"),
+          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ce_e6"))).as("t2"))
+      ce.join(broadcast(th), "lang")
+        .withColumn("bucket", when(col("ce_e6") <= col("t1"), "head")
+          .when(col("ce_e6") <= col("t2"), "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          min("ce_e6").as("min_ce_e6"), max("ce_e6").as("max_ce_e6"))
+        .orderBy("lang", "bucket")
+    },
+    Some(s"""WITH ce AS (${graft.operators.Lm.perplexitySql("documents", "doc_id", "text", "doc_id < 300")}),
+      lce AS (SELECT c.doc_id, d.lang,
+        CAST(round(c.cross_entropy * 1e6) AS BIGINT) AS ce_e6
+        FROM ce c JOIN documents d USING (doc_id)),
+      hist AS (SELECT lang, ce_e6, count(*) AS c FROM lce GROUP BY 1, 2),
+      cum AS (SELECT lang, ce_e6, sum(c) OVER (PARTITION BY lang ORDER BY ce_e6
+          ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+      tot AS (SELECT lang, count(*) AS n FROM lce GROUP BY 1),
+      th AS (SELECT c.lang,
+          min(CASE WHEN cum >= (n + 2) // 3 THEN ce_e6 END) AS t1,
+          min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ce_e6 END) AS t2
+        FROM cum c JOIN tot USING (lang) GROUP BY c.lang)
+      SELECT l.lang, CASE WHEN ce_e6 <= t1 THEN 'head'
+          WHEN ce_e6 <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        min(ce_e6) AS min_ce_e6, max(ce_e6) AS max_ce_e6
+      FROM lce l JOIN th USING (lang) GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[(String, QueryDef)] = Seq(
@@ -5972,5 +6024,6 @@ object QueryRegistry {
     "vec_dimstats" -> vec_dimstats,
     "q_scd2_lookup" -> q_scd2_lookup,
     "q_galactic" -> q_galactic,
+    "text_ccnet" -> text_ccnet,
   )
 }
