@@ -104,6 +104,26 @@ class R17OpsSpec extends SparkSpecBase {
       got.toSeq.toString)
   }
 
+  // ---------------------------------------------- plan shapes
+
+  test("kAnonymize plan: per-level counts broadcast back — the fact table never shuffles") {
+    val rows = (1L to 200L).map(i => (i, s"c${i % 7}")).toDF("id", "city")
+    val plan = Privacy.kAnonymize(rows, "id", k = 10, levels = Seq(
+        Seq("qi" -> col("city")), Seq("qi" -> lit("*"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"count back-joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no fact-table shuffle join may appear:\n$plan")
+  }
+
+  test("exactDupSpans plan: no cartesian/nested-loop anywhere in the span pipeline") {
+    val docs = Seq((1L, "aa bb cc dd ee ff"), (2L, "aa bb cc dd ee gg")).toDF("doc_id", "text")
+    val plan = Dedup.exactDupSpans(docs, "doc_id", "text", minTokens = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span extraction must stay equi-join only:\n$plan")
+  }
+
   // ---------------------------------------------- galactic transform
 
   test("galactic transform matches published J2000 anchor points") {

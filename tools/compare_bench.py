@@ -43,7 +43,8 @@ CLASSES = {
           'q_periodogram', 'q_structfunc', 'q_yoy', 'xmatch_pm', 'q_lcfeatures', 'text_ensemble',
           'q_topn_other', 'q_cdc', 'text_trigram', 'text_hybrid', 'hpix_smooth',
           'hpix_transients', 'xmatch_eval', 'hpix_maxima', 'pipeline_alert',
-          'sample_weighted_k'],
+          'sample_weighted_k', 'dedup_substring_exact', 'q_kanon', 'q_funnel_latency',
+          'text_drift', 'q_scd2_lookup', 'q_galactic', 'text_ccnet'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster', 'dedup_calibration',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
@@ -53,7 +54,8 @@ CLASSES = {
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
           'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment',
-          'text_jaro', 'multimodal_phash', 'multimodal_afp', 'multimodal_keyframes', 'multimodal_phash_inc'],
+          'text_jaro', 'multimodal_phash', 'multimodal_afp', 'multimodal_keyframes', 'multimodal_phash_inc',
+          'vec_dimstats'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
