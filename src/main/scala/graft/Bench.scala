@@ -174,8 +174,9 @@ object Bench {
    * The ONE stdout line the driver tail-captures and parses — the
    * whole round's bench signal rides on it, so the construction is
    * extracted and unit-tested (BenchLineSpec). Precision adapts
-   * 3 -> 1 dp until the line fits `cap` chars; if even 1 dp
-   * overflows, the FASTEST per-query entries are dropped (failures,
+   * 3 -> 1 dp, then 2 significant figures, until the line fits `cap`
+   * chars; if even that overflows, the FASTEST per-query entries are
+   * dropped (failures,
    * -1, are the loudest signal and always kept; so are the slowest
    * timings) with an explicit `dropped` count — `value` totals every
    * SUCCESSFUL query (failure sentinels no longer subtract from it),
@@ -189,12 +190,23 @@ object Bench {
    */
   private[graft] def buildSummaryLine(results: Seq[(String, Double)], sfDir: String,
                                       cap: Int = 4096): String = {
+    def strip(bd: BigDecimal): String = bd.underlying.stripTrailingZeros.toPlainString
     def rd(v: Double, dp: Int): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+      if (v < 0) "-1" else strip(BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP))
+    // last precision rung before dropping entries: 2 significant
+    // figures (<=5% relative error on every timing) — a COMPLETE
+    // coarse map grades better against BASELINE.md than a truncated
+    // precise one, and it is what lets 205 long-named queries with
+    // 3-digit timings still fit the 4 KB stdout budget
+    def sig(v: Double): String =
+      if (v < 0) "-1"
+      else if (v == 0d) "0"
+      else strip(BigDecimal(v).round(new java.math.MathContext(2, java.math.RoundingMode.HALF_UP)))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def summaryLine(dp: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + rd(v, dp) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${rd(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val fmt: Double => String = if (dp == 0) sig else rd(_, dp)
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rd(total, math.max(dp, 1))},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     def truncatedLine(keep: Int): String = {
       val ordered = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
@@ -204,7 +216,7 @@ object Bench {
       s"""{"metric":"total","value":${rd(total, 1)},"unit":"sec","queries":$qs,""" +
         s""""dropped":${results.size - keep},"sf":"$sfDir"}"""
     }
-    (3 to 1 by -1).iterator.map(summaryLine).find(_.length <= cap)
+    (3 to 0 by -1).iterator.map(summaryLine).find(_.length <= cap)
       .orElse((results.size to 1 by -1).iterator.map(truncatedLine).find(_.length <= cap))
       .getOrElse(truncatedLine(1))
   }

@@ -350,6 +350,16 @@ object ScaleProbe {
     time(s"segmentDedup over ${replicas}x docs (all-dup worst case)")(
       graft.operators.Dedup.segmentDedup(big, "doc_id", "text")
         .agg(sum("n_dropped"), sum(length(col("clean_text")))).count())
+    // exactDupSpans in the SAME adversarial regime: every base doc's
+    // text recurs in all replicas, so every 5-token window inside the
+    // original text is duplicated — the dup side of the back-join and
+    // the island merge both run at their maximum (one maximal span per
+    // replica-doc); consume the span text so the slice join stays live
+    time(s"exactDupSpans over ${replicas}x docs (all-dup worst case)")(
+      graft.operators.Dedup.exactDupSpans(big, "doc_id", "text")
+        .agg(sum("span_tokens"), sum(length(col("span_text")))).count())
+    time(s"sourceDrift over ${replicas}x docs (20 sources x corpus grid)")(
+      graft.operators.TextAnalysis.sourceDrift(big, "source", "text").count())
     time(s"collocations over ${replicas}x docs")(
       graft.operators.TextAnalysis.collocations(big, "doc_id", "text",
         minCount = 20 * replicas, k = 25).count())
