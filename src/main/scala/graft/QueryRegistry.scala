@@ -702,6 +702,46 @@ object QueryRegistry {
     })
 
   /**
+   * Mutual-nearest (symmetric best) cross-match
+   * ([[graft.operators.Spatial.mutualNearest]]): a customer-supplier
+   * pair survives only if each is the other's single nearest
+   * neighbor within the radius — the reciprocity cut catalog
+   * mergers apply before trusting 1:1 counterparts. Both directions
+   * run the engine's pixel-pruned kNN; the oracle replays both
+   * windowed nearest picks over the brute-force pair set and
+   * intersects them.
+   */
+  private val xmatch_mutual = QueryDef(
+    (s, dir) => Spatial.mutualNearest(
+        withSky(t(s, dir, "customer"), "c_custkey"), withSky(t(s, dir, "supplier"), "s_suppkey"),
+        leftRa = "cra", leftDec = "cdec", leftId = "c_custkey",
+        rightRa = "cra", rightDec = "cdec", rightId = "s_suppkey",
+        dthreshDeg = 15.0)
+      .select(col("c_custkey"), col("s_suppkey"), round(col("_DIST"), 6).as("dist"))
+      .orderBy("c_custkey"),
+    Some {
+      val g = sphere.gcDistSql("cra", "cdec", "sra", "sdec")
+      s"""WITH pairs AS (
+          SELECT c.c_custkey, s.s_suppkey, $g AS dist
+          FROM (SELECT c_custkey, ${sphere.raOfSql("c_custkey")} AS cra,
+                ${sphere.decOfSql("c_custkey")} AS cdec FROM customer) c
+          CROSS JOIN (SELECT s_suppkey, ${sphere.raOfSql("s_suppkey")} AS sra,
+                ${sphere.decOfSql("s_suppkey")} AS sdec FROM supplier) s
+          WHERE $g < 15.0),
+        fwd AS (SELECT c_custkey, s_suppkey, dist FROM (
+          SELECT c_custkey, s_suppkey, dist,
+            row_number() OVER (PARTITION BY c_custkey ORDER BY round(dist, 9), s_suppkey) AS rn
+          FROM pairs) WHERE rn = 1),
+        bwd AS (SELECT c_custkey, s_suppkey FROM (
+          SELECT c_custkey, s_suppkey,
+            row_number() OVER (PARTITION BY s_suppkey ORDER BY round(dist, 9), c_custkey) AS rn
+          FROM pairs) WHERE rn = 1)
+      SELECT f.c_custkey, f.s_suppkey, round(f.dist, 6) AS dist
+      FROM fwd f JOIN bwd b ON f.c_custkey = b.c_custkey AND f.s_suppkey = b.s_suppkey
+      ORDER BY f.c_custkey"""
+    })
+
+  /**
    * Cross-match completeness/purity evaluation — the spatial member
    * of the eval family (ANN has `ann_recall`, dedup
    * `dedup_calibration`, the classifier `text_nb_eval`; this is the
@@ -5854,6 +5894,7 @@ object QueryRegistry {
     "pipeline_alert" -> pipeline_alert,
     "q_hierarchy" -> q_hierarchy,
     "xmatch_eval" -> xmatch_eval,
+    "xmatch_mutual" -> xmatch_mutual,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
     "q5_local" -> q5_local,

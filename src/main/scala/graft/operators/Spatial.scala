@@ -249,6 +249,37 @@ object Spatial {
     TopK.partitionTopK(joined, leftIdCol, rightIdCol, "_DIST", k, ascending = true)
   }
 
+  /**
+   * Mutual-nearest (symmetric best) cross-match: keep a pair only
+   * when A's nearest neighbor within `dthreshDeg` is B AND B's
+   * nearest is A — the reciprocity criterion catalog mergers apply
+   * on top of a one-directional kNN match (Sutherland & Saunders
+   * 1992 practice; one-directional best matches conflate a genuine
+   * counterpart with "nearest of a crowd"). Both directions run the
+   * pixel-pruned [[crossMatchKnn]] (k = 1, same deterministic
+   * rounded-distance + id tiebreak), then reciprocity is a single
+   * equi-join on the (leftId, rightId) pair — slim 2-column build
+   * side, no new shuffle geometry beyond the two kNN passes.
+   *
+   * Output: leftId, rightId, _DIST (from the left→right pass).
+   */
+  def mutualNearest(left: DataFrame, right: DataFrame,
+                    leftRa: String, leftDec: String, leftId: String,
+                    rightRa: String, rightDec: String, rightId: String,
+                    dthreshDeg: Double): DataFrame = {
+    require(leftId != rightId,
+      s"mutualNearest: left and right id columns must differ, both are '$leftId'")
+    val fwd = crossMatchKnn(left, right, leftRa, leftDec, leftId,
+        rightRa, rightDec, rightId, k = 1, dthreshDeg = dthreshDeg,
+        leftPrefix = "", rightPrefix = "mn_")
+      .select(col(leftId), col("mn_" + rightId).as(rightId), col("_DIST"))
+    val bwd = crossMatchKnn(right, left, rightRa, rightDec, rightId,
+        leftRa, leftDec, leftId, k = 1, dthreshDeg = dthreshDeg,
+        leftPrefix = "", rightPrefix = "mn_")
+      .select(col(rightId), col("mn_" + leftId).as(leftId))
+    fwd.join(bwd, Seq(leftId, rightId))
+  }
+
   /** Largest order whose pixels are still ≥ ~2x dthresh wide (arcsec thresholds reach order ~18). */
   def autoOrder(dthreshDeg: Double): Int = {
     var o = 0
