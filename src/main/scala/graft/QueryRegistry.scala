@@ -4504,6 +4504,43 @@ object QueryRegistry {
              * (conv_a + conv_b) * (miss_a + miss_b)) AS BIGINT) AS chi2_e6
       FROM cells"""))
 
+  /**
+   * Theil-Sen robust trend slope per event type
+   * ([[graft.operators.Stats.theilSen]]) — the outlier-immune twin
+   * of `q_trend`'s OLS fit. Events aggregate to DAILY cent totals
+   * first (the grain bound that makes the pairwise-slope join
+   * C(days,2) per group regardless of raw volume), then the exact
+   * lower median of the e9-scaled integer pairwise slopes. Oracle
+   * replays the daily rollup, every pairwise slope, and the rank
+   * pick.
+   */
+  private val q_theilsen = QueryDef(
+    (s, dir) => {
+      val daily = events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .groupBy("event_type", "day").agg(sum("cents").as("dcents"))
+      graft.operators.Stats.theilSen(daily, Seq("event_type"), "day", "dcents")
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          sum(CAST(floor(value * 100) AS BIGINT)) AS dcents
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type, b.dcents - a.dcents AS dy, b.day - a.day AS dx
+        FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+      sl AS (
+        SELECT event_type, CASE WHEN dy < 0 THEN -(((-dy) * 1000000000) // dx)
+          ELSE (dy * 1000000000) // dx END AS slope_e9 FROM p),
+      r AS (
+        SELECT event_type, slope_e9,
+          row_number() OVER (PARTITION BY event_type ORDER BY slope_e9) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS m FROM sl)
+      SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+        CAST(slope_e9 AS BIGINT) AS ts_slope_e9
+      FROM r WHERE rn = (m + 1) // 2 ORDER BY event_type"""))
+
   private val q_trend = QueryDef(
     (s, dir) => {
       val ev = events(s, dir)
@@ -5990,6 +6027,7 @@ object QueryRegistry {
     "q_seqmatch" -> q_seqmatch,
     "q_cooccur" -> q_cooccur,
     "q_trend" -> q_trend,
+    "q_theilsen" -> q_theilsen,
     "q_acf" -> q_acf,
     "q_abtest" -> q_abtest,
     "q_ewma" -> q_ewma,

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /**
  * Grouped exact statistics beyond the sketch/percentile families —
@@ -49,6 +50,56 @@ object Stats {
             -expr("((-__num) * 1000000000) div __den"))
             .otherwise(expr("(__num * 1000000000) div __den"))))
       .select((keyCols.map(col) :+ col("n") :+ col("slope_e9")): _*)
+  }
+
+  /**
+   * Per-group Theil-Sen robust trend slope (Theil 1950; Sen 1968):
+   * the MEDIAN of all pairwise slopes (y_j - y_i)/(x_j - x_i) over
+   * x_i < x_j. Up to ~29% outliers cannot move it, where a single
+   * wild point drags the OLS fit ([[groupedTrend]]) arbitrarily far
+   * — the robust twin every metric-drift monitor wants next to the
+   * parametric one. Exact integer arithmetic end to end: integral
+   * x/y enforced, each pairwise slope e9-scaled and truncated
+   * toward zero with the sign factored out of the division (so
+   * floor-div and truncate-div engines agree), and the reported
+   * slope is the exact LOWER median — rank (m+1) div 2 of the m
+   * ascending slope values, an order statistic over BIGINTs with no
+   * interpolation, bit-identical on any engine. |dy| * 1e9 must fit
+   * a signed 64-bit value (|dy| < 9.2e9 — document the unit scale
+   * at the call site).
+   *
+   * Scale shape: pairs come from an equi-join on the group key, so
+   * the cost is Σ_g C(n_g, 2) — the caller aggregates to a bounded
+   * grain FIRST (e.g. one point per day: n_g <= calendar span
+   * regardless of raw volume; q_theilsen does exactly that). The
+   * median is a per-group window over those bounded pairs — never a
+   * global sort. Equal-x pairs are excluded (standard Theil-Sen);
+   * groups with fewer than 2 distinct x values emit nothing.
+   */
+  def theilSen(df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "theilSen: at least one key column")
+    Seq(xCol, yCol).foreach { c =>
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(c).dataType),
+        s"theilSen: $c must be integral for exact slopes, got ${df.schema(c).dataType}")
+    }
+    val base = df
+      .select((keyCols.map(col) :+ col(xCol).cast("long").as("__x") :+ col(yCol).cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val l = base.select((keyCols.map(col) :+ col("__x").as("__x1") :+ col("__y").as("__y1")): _*)
+    val r = base.select((keyCols.map(col) :+ col("__x").as("__x2") :+ col("__y").as("__y2")): _*)
+    val pairs = l.join(r, keyCols)
+      .filter(col("__x1") < col("__x2"))
+      .withColumn("__dy", col("__y2") - col("__y1"))
+      .withColumn("__dx", col("__x2") - col("__x1"))
+      .withColumn("__slope_e9",
+        when(col("__dy") < 0, -expr("((-__dy) * 1000000000) div __dx"))
+          .otherwise(expr("(__dy * 1000000000) div __dx")))
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+    pairs
+      .withColumn("__rn", row_number().over(byKey.orderBy(col("__slope_e9").asc)))
+      .withColumn("__m", count(lit(1)).over(byKey))
+      .filter(col("__rn") === expr("(__m + 1) div 2"))
+      .select((keyCols.map(col) :+ col("__m").as("n_pairs") :+ col("__slope_e9").as("ts_slope_e9")): _*)
   }
 
   /**

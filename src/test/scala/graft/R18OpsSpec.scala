@@ -62,4 +62,51 @@ class R18OpsSpec extends SparkSpecBase {
   private implicit class Tup3Ops(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rows.map { case (a, b, c) => a -> (b, c) }.toMap
   }
+
+  test("theilSen: hand-computed lower median of pairwise slopes") {
+    import spark.implicits._
+    // Series (0,0) (1,2) (2,4) (3,100): pairwise slopes
+    //   (0,1)=2 (0,2)=2 (0,3)=33.33->33333333333e-9 trunc
+    //   (1,2)=2 (1,3)=49 (2,3)=96
+    // ascending e9: [2e9, 2e9, 2e9, 33333333333, 49e9, 96e9]
+    // m=6, lower median rank (6+1) div 2 = 3 -> 2e9
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 100L))
+      .toDF("k", "x", "y")
+    val out = graft.operators.Stats.theilSen(df, Seq("k"), "x", "y")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a", 6L, 2000000000L)))
+  }
+
+  test("theilSen shrugs off the outlier that drags the OLS fit") {
+    import spark.implicits._
+    // y = 3x exactly except one wild point: robust slope stays 3.
+    // the wild point sits at the END of the x range (a mid-range
+    // outlier at mean(x) would leave the OLS slope untouched)
+    val pts = (0L to 10L).map(x => ("g", x, if (x == 10) 100000L else 3 * x))
+    val df = pts.toDF("k", "x", "y")
+    val ts = graft.operators.Stats.theilSen(df, Seq("k"), "x", "y")
+      .select("ts_slope_e9").as[Long].head()
+    assert(ts == 3000000000L)
+    val ols = graft.operators.Stats.groupedTrend(df, Seq("k"), "x", "y")
+      .select("slope_e9").as[Long].head()
+    assert(math.abs(ols - 3000000000L) > 100000000000L, s"OLS must be dragged, got $ols")
+  }
+
+  test("theilSen: negative slopes truncate toward zero; sub-2-point groups vanish") {
+    import spark.implicits._
+    // (0,0) (3,-1): slope -1/3 -> e9-scaled trunc toward zero = -333333333
+    val df = Seq(("n", 0L, 0L), ("n", 3L, -1L), ("solo", 7L, 7L)).toDF("k", "x", "y")
+    val out = graft.operators.Stats.theilSen(df, Seq("k"), "x", "y")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("n", 1L, -333333333L)))
+  }
+
+  test("theilSen rejects non-integral value columns") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.5)).toDF("k", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Stats.theilSen(df, Seq("k"), "x", "y")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
