@@ -5180,6 +5180,41 @@ object QueryRegistry {
       FROM preds p JOIN documents d USING (doc_id)
       WHERE d.doc_id >= 300 GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Nearest-centroid (Rocchio) classifier on hashed features — the
+   *  one-pass linear-model trainer next to text_nb's probabilistic
+   *  counts: class centroids over 64 hashed token-count buckets,
+   *  e6-scaled integer floor divisions, and an all-BIGINT decision
+   *  value (the per-doc norm term cancels between classes), so
+   *  training AND scoring replay bit-identically in SQL. Ground
+   *  truth is planted (y = doc uses the token 'spark' at least
+   *  twice): the signal lives in one hash bucket and the trained
+   *  centroid difference must recover it from the counts alone.
+   *  Held-out eval: train on doc_id < 300, per-doc predictions +
+   *  true labels on the unseen rest. */
+  private val text_centroid = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isPos = size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+        w => w === "spark")) >= 2
+      val labeled = docs.filter(col("doc_id") < 300).withColumn("__y", isPos)
+      val model = graft.operators.Classify.trainCentroid(labeled, "__y", "doc_id", "text")
+      graft.operators.Classify.classifyCentroid(
+          docs.filter(col("doc_id") >= 300), "doc_id", "text", model)
+        .join(docs.select(col("doc_id"),
+          when(isPos, "pos").otherwise("neg").as("true_label")), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      val norm = graft.operators.Dedup.normalizeTextSql("text")
+      val labelExpr = s"len(list_filter(string_split($norm, ' '), x -> x = 'spark')) >= 2"
+      s"""WITH preds AS (
+        ${graft.operators.Classify.centroidSql("documents", labelExpr, "doc_id", "text",
+          trainFilter = "doc_id < 300", scoreFilter = "doc_id >= 300")})
+      SELECT p.doc_id, p.delta, p.pred_label,
+        CASE WHEN $labelExpr THEN 'pos' ELSE 'neg' END AS true_label
+      FROM preds p JOIN documents USING (doc_id) ORDER BY doc_id"""
+    })
+
   /** Curriculum ordering: global rank of every document by LM
    *  cross-entropy (easy -> hard) and exact-ntile phase assignment —
    *  computed with Rank.curriculum's range-exchange + offset walk
@@ -6054,6 +6089,7 @@ object QueryRegistry {
     "multimodal_frames" -> multimodal_frames,
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
+    "text_centroid" -> text_centroid,
     "text_nb" -> text_nb,
     "text_entropy" -> text_entropy,
     "sample_curriculum" -> sample_curriculum,

@@ -104,6 +104,132 @@ object Classify {
         col("__best.__score").as("score"), col("__best.n_terms").as("n_terms"))
   }
 
+  /** Trained nearest-centroid model faces: `mu` is one row per
+   *  OBSERVED feature bucket with both classes' e6-scaled centroid
+   *  coordinates (bounded by `dim` rows — the broadcast face);
+   *  `consts` is a 1-row frame with the squared centroid norms
+   *  (m1, m0). Buckets no training token hashed into are absent —
+   *  their centroid coordinate is exactly 0 in both classes, so they
+   *  contribute nothing to either norm or any cross term. */
+  final case class CentroidModel(mu: DataFrame, consts: DataFrame)
+
+  /**
+   * Nearest-centroid (Rocchio) binary classifier over hashed
+   * bag-of-token features — the ONE-PASS linear-classifier trainer
+   * (vs [[trainNb]]'s probabilistic counts): class centroids are
+   * plain feature means, so training is a single map-side-combined
+   * aggregate over the training slice and the model is bounded by
+   * `dim` rows no matter the corpus size. Chosen over iterative SGD
+   * precisely for the 100 TB shape: no multi-round gradient shuffles,
+   * no learning-rate tuning, and EXACT integer arithmetic end to end
+   * (bit-identical cross-engine replay).
+   *
+   * Arithmetic: features are per-doc token counts hashed into `dim`
+   * buckets (the [[TextAnalysis.fingerprint]] trick — no vocabulary
+   * state). Centroid coordinates are e6-scaled integer floor
+   * divisions mu_c[b] = (scale * sum_c[b]) div n_c (operands
+   * non-negative, so Spark `div` and DuckDB `//` agree). Classifying
+   * doc x compares squared Euclidean distances to the two centroids;
+   * the per-doc ||x||^2 term cancels, leaving the integer decision
+   * value  delta = 2*scale*sum_b x_b*(mu1[b]-mu0[b]) - (||mu1||^2 -
+   * ||mu0||^2),  predict positive iff delta > 0 (tie -> negative).
+   * Magnitude bound (documented, not checked per row): delta stays
+   * inside int64 while L * max_b mu ≲ 4.6e12 with L the doc token
+   * count — mu is scale * a per-doc AVERAGE bucket count, so the
+   * bound is corpus-size-independent (~6e9 slack at L=1000,
+   * mu=6e6 observed here).
+   *
+   * `labelCol` must be a boolean column on `labeled`. Training docs
+   * with zero tokens still count in n_c (they are examples at the
+   * origin). Fails loudly if either class has no training docs.
+   */
+  def trainCentroid(labeled: DataFrame, labelCol: String, idCol: String, textCol: String,
+                    dim: Int = 64, scale: Long = 1000000L): CentroidModel = {
+    // bounded driver action (2 longs), same precedent as classifyNb's stats face
+    val counts = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("n0")).first()
+    val (n1, n0) = (counts.getLong(0), counts.getLong(1))
+    require(n1 > 0 && n0 > 0,
+      s"Classify.trainCentroid: both classes need training docs (got pos=$n1, neg=$n0)")
+    val sums = tokenStream(labeled, idCol, textCol)
+      .withColumn("__b", pmod(graft.functions.native.fingerprint64(col("__term")), lit(dim.toLong)))
+      .join(labeled.select(col(idCol), col(labelCol).as("__y")), idCol)
+      .groupBy("__b")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__s1"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__s0"))
+    val mu = sums.select(col("__b"),
+      expr(s"(__s1 * $scale) div $n1").as("__mu1"),
+      expr(s"(__s0 * $scale) div $n0").as("__mu0"))
+    val consts = mu.agg(sum(col("__mu1") * col("__mu1")).as("__m1"),
+      sum(col("__mu0") * col("__mu0")).as("__m0"))
+    CentroidModel(mu, consts)
+  }
+
+  /** Apply a [[CentroidModel]]: per-doc integer decision value and
+   *  prediction. One corpus token pass, a broadcast join on the
+   *  dim-bounded centroid table, one groupBy(doc) — map-only plus a
+   *  single combinable shuffle. Docs with no tokens produce no row
+   *  (the [[classifyNb]] convention). */
+  def classifyCentroid(docs: DataFrame, idCol: String, textCol: String,
+                       model: CentroidModel, dim: Int = 64, scale: Long = 1000000L): DataFrame =
+    tokenStream(docs, idCol, textCol)
+      .withColumn("__b", pmod(graft.functions.native.fingerprint64(col("__term")), lit(dim.toLong)))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__x"))
+      .join(broadcast(model.mu), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__x") * (coalesce(col("__mu1"), lit(0L)) - coalesce(col("__mu0"), lit(0L))))
+        .as("__xd"))
+      .crossJoin(broadcast(model.consts))
+      .select(col(idCol),
+        (lit(2L * scale) * col("__xd") - (col("__m1") - col("__m0"))).as("delta"),
+        when(lit(2L * scale) * col("__xd") - (col("__m1") - col("__m0")) > 0, "pos")
+          .otherwise("neg").as("pred_label"))
+
+  /** SQL twin of centroid train + classify for the DuckDB oracle:
+   *  `labelExpr` is a boolean SQL expression over a `documents` row,
+   *  `trainFilter`/`scoreFilter` pick the slices. DuckDB's integer
+   *  sums widen to HUGEINT, so every aggregate is cast back to
+   *  BIGINT at the point Spark's long arithmetic would sit. */
+  def centroidSql(table: String, labelExpr: String, idCol: String, textCol: String,
+                  trainFilter: String, scoreFilter: String,
+                  dim: Int = 64, scale: Long = 1000000L): String = {
+    val norm = Dedup.normalizeTextSql(textCol)
+    val fp = TextAnalysis.fingerprintSql("term")
+    s"""WITH lab AS (SELECT $idCol, ($labelExpr) AS y FROM $table),
+    cls AS (SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM $table t JOIN lab USING ($idCol) WHERE ($trainFilter) AND y) AS n1,
+      (SELECT CAST(count(*) AS BIGINT) FROM $table t JOIN lab USING ($idCol) WHERE ($trainFilter) AND NOT y) AS n0),
+    ttoks AS (
+      SELECT t.$idCol, unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
+      FROM $table t WHERE $trainFilter),
+    tfeat AS (
+      SELECT $idCol, (($fp % $dim) + $dim) % $dim AS b, CAST(count(*) AS BIGINT) AS x
+      FROM ttoks GROUP BY 1, 2),
+    sums AS (
+      SELECT b, CAST(sum(CASE WHEN y THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN NOT y THEN x ELSE 0 END) AS BIGINT) AS s0
+      FROM tfeat JOIN lab USING ($idCol) GROUP BY b),
+    mu AS (
+      SELECT b, CAST((s1 * $scale) // n1 AS BIGINT) AS mu1,
+             CAST((s0 * $scale) // n0 AS BIGINT) AS mu0
+      FROM sums, cls),
+    consts AS (SELECT CAST(sum(mu1 * mu1) AS BIGINT) AS m1,
+                      CAST(sum(mu0 * mu0) AS BIGINT) AS m0 FROM mu),
+    stoks AS (
+      SELECT t.$idCol, unnest(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS term
+      FROM $table t WHERE $scoreFilter),
+    sfeat AS (
+      SELECT $idCol, (($fp % $dim) + $dim) % $dim AS b, CAST(count(*) AS BIGINT) AS x
+      FROM stoks GROUP BY 1, 2),
+    xdot AS (
+      SELECT $idCol, CAST(sum(x * (coalesce(mu1, 0) - coalesce(mu0, 0))) AS BIGINT) AS xd
+      FROM sfeat LEFT JOIN mu USING (b) GROUP BY 1)
+    SELECT $idCol, CAST(2 * $scale * xd - (m1 - m0) AS BIGINT) AS delta,
+      CASE WHEN 2 * $scale * xd - (m1 - m0) > 0 THEN 'pos' ELSE 'neg' END AS pred_label
+    FROM xdot, consts"""
+  }
+
   /** SQL twin of train + classify for the DuckDB oracle:
    *  `trainFilter` picks the labeled slice; tokenization and the
    *  6 dp round-before-argmax match the Spark side exactly. */

@@ -55,4 +55,49 @@ class ClassifySpec extends SparkSpecBase {
       .select("pred_label").as[String].head()
     assert(p == "b2", s"tie must break to the largest label, got $p")
   }
+
+  // ---------------------------------------------- nearest-centroid
+
+  private def labeled = corpus.withColumn("__y", $"label" === "spam")
+
+  test("centroid separates disjoint-vocabulary classes, in and out of sample") {
+    val m = Classify.trainCentroid(labeled, "__y", "id", "text")
+    val preds = Classify.classifyCentroid(corpus, "id", "text", m)
+      .select("id", "pred_label").as[(Long, String)].collect().toMap
+    assert(preds == Map(1L -> "pos", 2L -> "pos", 3L -> "neg",
+      4L -> "neg", 5L -> "pos", 6L -> "neg"), preds.toString)
+    val held = Seq((10L, "cheap pills"), (11L, "agenda review")).toDF("id", "text")
+    val hp = Classify.classifyCentroid(held, "id", "text", m)
+      .select("id", "pred_label").as[(Long, String)].collect().toMap
+    assert(hp == Map(10L -> "pos", 11L -> "neg"), hp.toString)
+  }
+
+  test("centroid decision values are integer-exact: label swap negates delta exactly") {
+    val m = Classify.trainCentroid(labeled, "__y", "id", "text")
+    val swapped = Classify.trainCentroid(
+      labeled.withColumn("__y", !$"__y"), "__y", "id", "text")
+    val d = Classify.classifyCentroid(corpus, "id", "text", m)
+      .select("id", "delta").as[(Long, Long)].collect().toMap
+    val ds = Classify.classifyCentroid(corpus, "id", "text", swapped)
+      .select("id", "delta").as[(Long, Long)].collect().toMap
+    assert(d.keySet == ds.keySet)
+    d.foreach { case (id, v) =>
+      assert(ds(id) == -v, s"doc $id: swap must negate exactly (${ds(id)} vs ${-v})") }
+    // and partitioning cannot perturb integer sums
+    val d7 = Classify.classifyCentroid(corpus.repartition(7), "id", "text", m)
+      .select("id", "delta").as[(Long, Long)].collect().toMap
+    assert(d7 == d, "deltas must be identical across partitionings")
+  }
+
+  test("centroid: single-class training fails loudly; model join broadcasts") {
+    val e = intercept[IllegalArgumentException] {
+      Classify.trainCentroid(labeled.filter($"__y"), "__y", "id", "text")
+    }
+    assert(e.getMessage.contains("both classes"), e.getMessage)
+    val m = Classify.trainCentroid(labeled, "__y", "id", "text")
+    val plan = Classify.classifyCentroid(corpus, "id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim-bounded model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized shuffle join:\n$plan")
+  }
 }
