@@ -5215,6 +5215,36 @@ object QueryRegistry {
       FROM preds p JOIN documents USING (doc_id) ORDER BY doc_id"""
     })
 
+  /** Exact ROC curve + AUC of the centroid classifier on held-out
+   *  data — the threshold-free eval: one row per distinct decision
+   *  value (the threshold sweep) with exact cumulative tp/fp and the
+   *  tie-aware Mann-Whitney AUC, all-BIGINT until the final 6-dp
+   *  ratios. The cumulative walk is Rank.prefixSums' range-exchange
+   *  offset walk, never a single-task window; the oracle replays
+   *  train, scoring, the sweep and the AUC identity end to end. */
+  private val text_auc = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isPos = size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+        w => w === "spark")) >= 2
+      val labeled = docs.filter(col("doc_id") < 300).withColumn("__y", isPos)
+      val model = graft.operators.Classify.trainCentroid(labeled, "__y", "doc_id", "text")
+      val scored = graft.operators.Classify.classifyCentroid(
+          docs.filter(col("doc_id") >= 300), "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), isPos.as("__y")), "doc_id")
+      graft.operators.Classify.rocAuc(scored, "delta", "__y").orderBy(col("score").desc)
+    },
+    Some {
+      val norm = graft.operators.Dedup.normalizeTextSql("text")
+      val labelExpr = s"len(list_filter(string_split($norm, ' '), x -> x = 'spark')) >= 2"
+      val scoredSql = s"""WITH preds AS (
+        ${graft.operators.Classify.centroidSql("documents", labelExpr, "doc_id", "text",
+          trainFilter = "doc_id < 300", scoreFilter = "doc_id >= 300")})
+        SELECT p.delta AS score, ($labelExpr) AS y
+        FROM preds p JOIN documents d USING (doc_id)"""
+      graft.operators.Classify.rocAucSql(scoredSql) + " ORDER BY score DESC"
+    })
+
   /** Curriculum ordering: global rank of every document by LM
    *  cross-entropy (easy -> hard) and exact-ntile phase assignment —
    *  computed with Rank.curriculum's range-exchange + offset walk
@@ -6089,6 +6119,7 @@ object QueryRegistry {
     "multimodal_frames" -> multimodal_frames,
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
+    "text_auc" -> text_auc,
     "text_centroid" -> text_centroid,
     "text_nb" -> text_nb,
     "text_entropy" -> text_entropy,

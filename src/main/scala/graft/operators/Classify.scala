@@ -186,7 +186,73 @@ object Classify {
         when(lit(2L * scale) * col("__xd") - (col("__m1") - col("__m0")) > 0, "pos")
           .otherwise("neg").as("pred_label"))
 
-  /** SQL twin of centroid train + classify for the DuckDB oracle:
+  /**
+   * Exact ROC curve + AUC from integer classifier scores — the
+   * threshold-free member of the eval family (ann_recall /
+   * dedup_calibration / text_nb_eval judge ONE operating point; the
+   * ROC judges them all). One row per distinct score (descending =
+   * the threshold sweep) with cumulative tp/fp and 6-dp tpr/fpr,
+   * plus the exact AUC on every row.
+   *
+   * Arithmetic is exact end to end: per-score (pos, neg) counts, the
+   * cumulative walk via [[Rank.prefixSums]] (range exchange + offset
+   * walk — never a single-task window), and the tie-aware
+   * Mann-Whitney identity  auc2 = sum_g pos_g * (2*(n0 - fp_g) +
+   * neg_g)  (ties count half), all BIGINT; AUC = auc2 / (2*n1*n0)
+   * rounded at 6 dp identically on both engines. auc2 stays inside
+   * int64 while n1*n0 < 4.6e18 (two billion-row classes) — document
+   * at the call site past that.
+   *
+   * `labelCol` must be boolean, `scoreCol` integral (LONG). Fails
+   * loudly unless both classes are present. The curve frame is
+   * persisted for the two bounded passes (totals + AUC) and released
+   * to the ContextCleaner with the query.
+   */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val tot = scored.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("n0")).first()
+    val (n1, n0) = (tot.getLong(0), tot.getLong(1))
+    require(n1 > 0 && n0 > 0,
+      s"Classify.rocAuc: both classes must appear among scored rows (got pos=$n1, neg=$n0)")
+    val g = scored.groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("neg"))
+    val cum = Rank.prefixSums(g, Seq(col("score").desc), Seq("pos", "neg"))
+      .withColumnRenamed("cum_pos", "tp").withColumnRenamed("cum_neg", "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val auc = cum.agg(
+        sum(col("pos") * (lit(2L) * (lit(n0) - col("fp")) + col("neg"))).cast("long").as("auc2"))
+      .select(col("auc2"),
+        round(col("auc2").cast("double") / lit(2.0 * n1 * n0), 6).as("auc"))
+    cum.crossJoin(broadcast(auc))
+      .select(col("score"), col("pos"), col("neg"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / lit(n1.toDouble), 6).as("tpr"),
+        round(col("fp").cast("double") / lit(n0.toDouble), 6).as("fpr"),
+        col("auc2"), col("auc"))
+  }
+
+  /** SQL twin of [[rocAuc]] for the DuckDB oracle: `scoredSql` must
+   *  yield (score BIGINT, y BOOLEAN) rows. DuckDB's RANGE-framed
+   *  cumulative window is safe here because scores are pre-grouped
+   *  (no peers). */
+  def rocAucSql(scoredSql: String): String =
+    s"""WITH j AS ($scoredSql),
+    g AS (SELECT score, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          FROM j GROUP BY score),
+    c AS (SELECT score, pos, neg,
+                 CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+                 CAST(sum(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+          FROM g),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n1, CAST(sum(neg) AS BIGINT) AS n0 FROM g),
+    a AS (SELECT CAST(sum(pos * (2 * (n0 - fp) + neg)) AS BIGINT) AS auc2 FROM c, tot)
+    SELECT score, pos, neg, tp, fp,
+      round(tp::DOUBLE / n1, 6) AS tpr, round(fp::DOUBLE / n0, 6) AS fpr,
+      auc2, round(auc2::DOUBLE / (2.0 * n1 * n0), 6) AS auc
+    FROM c, tot, a"""
+
+  /** SQL twin of train + classify for the DuckDB oracle:
    *  `labelExpr` is a boolean SQL expression over a `documents` row,
    *  `trainFilter`/`scoreFilter` pick the slices. DuckDB's integer
    *  sums widen to HUGEINT, so every aggregate is cast back to

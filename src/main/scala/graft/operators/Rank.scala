@@ -166,4 +166,49 @@ object Rank {
         .otherwise(lit(r) + expr(s"(rank - ${r * (q + 1)} - 1) div $q") + 1)
     ranked.withColumn("phase", phase.cast("long"))
   }
+
+  /**
+   * Distributed running totals: for each row, the cumulative sums of
+   * `sumCols` (LONG columns) over all rows at-or-before it in
+   * `sortCols` order — the scale-safe replacement for a single-task
+   * `sum() OVER (ORDER BY ...)` window. Same shape as
+   * [[globalRowNumber]]: one range Exchange + local sorts, a bounded
+   * per-partition totals collect (numPartitions x sumCols longs),
+   * then a map-only accumulation pass. Ties must be fully ordered by
+   * the caller (include a unique tiebreak column) or the running
+   * value WITHIN a tie group is partitioning-dependent — cumulative
+   * totals at tie-group boundaries are always exact either way.
+   * Output: input columns + `cum_<c>` for each requested column.
+   */
+  def prefixSums(df: DataFrame, sortCols: Seq[Column], sumCols: Seq[String],
+                 numPartitions: Int = 0): DataFrame = {
+    require(sumCols.nonEmpty, "prefixSums needs at least one sum column")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val idx = sumCols.map(ranged.schema.fieldIndex).toArray
+    val rdd = ranged.rdd
+    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val acc = new Array[Long](idx.length)
+      it.foreach { r => var j = 0; while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 } }
+      Iterator.single(i -> acc)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(new Array[Long](idx.length)) { (a, b) =>
+      Array.tabulate(idx.length)(j => a(j) + b(j))
+    }
+    val withCum = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val run = offsets(i).clone()
+      it.map { row =>
+        var j = 0
+        while (j < idx.length) { run(j) += row.getLong(idx(j)); j += 1 }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ run.toSeq)
+      }
+    }
+    val schema = sumCols.foldLeft(ranged.schema) { (s, c) =>
+      s.add(s"cum_$c", org.apache.spark.sql.types.LongType, nullable = false)
+    }
+    spark.createDataFrame(withCum, schema)
+  }
 }

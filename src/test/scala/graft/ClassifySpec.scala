@@ -100,4 +100,31 @@ class ClassifySpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"dim-bounded model must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no corpus-sized shuffle join:\n$plan")
   }
+
+  // ---------------------------------------------- ROC / AUC
+
+  test("rocAuc matches a hand-computed tie-aware curve and Mann-Whitney AUC") {
+    // pos scores {3,3,2}, neg {3,1}: pairwise wins 4 of 6 (one tie
+    // pair counts 1/2 twice) -> AUC = 2/3, auc2 = 2*3*2*(2/3) = 8
+    val scored = Seq((3L, true), (3L, true), (2L, true), (3L, false), (1L, false))
+      .toDF("delta", "__y")
+    val rows = Classify.rocAuc(scored, "delta", "__y")
+      .select("score", "pos", "neg", "tp", "fp", "auc2", "auc")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().sortBy(-_._1)
+    assert(rows.toSeq == Seq(
+      (3L, 2L, 1L, 2L, 1L, 8L, 0.666667),
+      (2L, 1L, 0L, 3L, 1L, 8L, 0.666667),
+      (1L, 0L, 1L, 3L, 2L, 8L, 0.666667)), rows.toSeq.toString)
+  }
+
+  test("rocAuc: perfect separation gives AUC 1, reversed gives 0; one-class fails loudly") {
+    val perfect = Seq((9L, true), (8L, true), (2L, false)).toDF("delta", "__y")
+    assert(Classify.rocAuc(perfect, "delta", "__y").select("auc").as[Double].head() == 1.0)
+    val reversed = Seq((1L, true), (8L, false)).toDF("delta", "__y")
+    assert(Classify.rocAuc(reversed, "delta", "__y").select("auc").as[Double].head() == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Classify.rocAuc(perfect.filter($"__y"), "delta", "__y")
+    }
+    assert(e.getMessage.contains("both classes"), e.getMessage)
+  }
 }

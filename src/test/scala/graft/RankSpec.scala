@@ -82,4 +82,26 @@ class RankSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Rank.curriculum(df, Seq(col("score")), 0)).getMessage.contains("phases >= 1"))
   }
+
+  test("prefixSums matches the single-task window across partitionings, multi-column") {
+    val df = (1 to 500).map(i => ((i * 61 % 499).toLong, (i % 7).toLong, (i % 3).toLong))
+      .toDF("k", "a", "b")
+    val expect = df.withColumn("cum_a", sum("a").over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_b", sum("b").over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum_a", "cum_b").as[(Long, Long, Long)].collect().toSet
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Rank.prefixSums(df.repartition(parts), Seq(col("k")), Seq("a", "b"))
+        .select("k", "cum_a", "cum_b").as[(Long, Long, Long)].collect().toSet
+      assert(got == expect, s"input partitions=$parts")
+    }
+    // descending order: running totals walk the other way
+    val desc = Rank.prefixSums(df, Seq(col("k").desc), Seq("a"))
+      .select("k", "cum_a").as[(Long, Long)].collect()
+    val total = (1 to 500).map(_ % 7).sum.toLong
+    assert(desc.minBy(_._1)._2 == total, "the lowest key carries the full descending total")
+    assert(intercept[IllegalArgumentException](
+      Rank.prefixSums(df, Seq(col("k")), Seq())).getMessage.contains("at least one"))
+  }
 }
