@@ -5215,6 +5215,25 @@ object QueryRegistry {
       FROM preds p JOIN documents USING (doc_id) ORDER BY doc_id"""
     })
 
+  /** 5-fold cross-validated centroid-classifier evaluation: fold =
+   *  doc_id mod 5, each fold scored by a model trained on the other
+   *  four, per-fold confusion integers + 6-dp accuracy — the
+   *  is-the-split-lucky hygiene check on top of text_centroid's one
+   *  split. The oracle replays all five trainings and scorings. */
+  private val text_cv = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isPos = size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+        w => w === "spark")) >= 2
+      graft.operators.Classify.cvCentroid(docs, isPos, "doc_id", "text").orderBy("fold")
+    },
+    Some {
+      val norm = graft.operators.Dedup.normalizeTextSql("text")
+      val labelExpr = s"len(list_filter(string_split($norm, ' '), x -> x = 'spark')) >= 2"
+      graft.operators.Classify.cvCentroidSql("documents", labelExpr, "doc_id", "text") +
+        " ORDER BY fold"
+    })
+
   /** Exact ROC curve + AUC of the centroid classifier on held-out
    *  data — the threshold-free eval: one row per distinct decision
    *  value (the threshold sweep) with exact cumulative tp/fp and the
@@ -6120,6 +6139,7 @@ object QueryRegistry {
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
     "text_auc" -> text_auc,
+    "text_cv" -> text_cv,
     "text_centroid" -> text_centroid,
     "text_nb" -> text_nb,
     "text_entropy" -> text_entropy,

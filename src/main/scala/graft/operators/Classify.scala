@@ -232,6 +232,64 @@ object Classify {
         col("auc2"), col("auc"))
   }
 
+  /**
+   * K-fold cross-validated centroid-classifier evaluation — the
+   * hygiene step a one-split eval can't give (is the held-out
+   * accuracy a lucky split?): fold f = id mod k; each fold is scored
+   * by a model trained on the OTHER k-1 folds, and the per-fold
+   * confusion integers (tp/fp/tn/fn + 6-dp accuracy) come back as
+   * one k-row frame. Cost shape: k bounded trainings (each ONE
+   * map-side-combined aggregate over (k-1)/k of the corpus) + k
+   * map-only scoring passes — nothing iterative, nothing
+   * corpus-sized on the driver. `labelExpr` must be a boolean
+   * Column evaluable on a `docs` row.
+   */
+  def cvCentroid(docs: DataFrame, labelExpr: Column, idCol: String, textCol: String,
+                 k: Int = 5, dim: Int = 64, scale: Long = 1000000L): DataFrame = {
+    require(k >= 2, s"Classify.cvCentroid needs k >= 2 folds, got $k")
+    val folds = (0 until k).map { f =>
+      val train = docs.filter(pmod(col(idCol), lit(k)) =!= f).withColumn("__y", labelExpr)
+      val model = trainCentroid(train, "__y", idCol, textCol, dim, scale)
+      classifyCentroid(docs.filter(pmod(col(idCol), lit(k)) === f), idCol, textCol,
+          model, dim, scale)
+        .join(docs.select(col(idCol), labelExpr.as("__actual")), idCol)
+        .select(lit(f.toLong).as("fold"),
+          (col("pred_label") === "pos").as("__p"), col("__actual"))
+    }
+    folds.reduce(_ unionByName _)
+      .groupBy("fold")
+      .agg(sum(when(col("__p") && col("__actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__p") && !col("__actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("__p") && !col("__actual"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("__p") && col("__actual"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("acc", round((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"), 6))
+  }
+
+  /** SQL twin of [[cvCentroid]]: k replays of [[centroidSql]] with
+   *  complementary mod-k filters, UNION ALL, one confusion rollup.
+   *  Docs with no tokens produce no prediction row on either engine
+   *  (the [[classifyNb]] convention), so they drop from the fold's
+   *  denominator identically. */
+  def cvCentroidSql(table: String, labelExpr: String, idCol: String, textCol: String,
+                    k: Int = 5, dim: Int = 64, scale: Long = 1000000L): String = {
+    val perFold = (0 until k).map { f =>
+      s"""SELECT CAST($f AS BIGINT) AS fold, p.$idCol, p.pred_label = 'pos' AS p,
+        ($labelExpr) AS actual
+      FROM (${centroidSql(table, labelExpr, idCol, textCol,
+          trainFilter = s"$idCol % $k <> $f", scoreFilter = s"$idCol % $k = $f",
+          dim, scale)}) p JOIN $table USING ($idCol)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH scored AS ($perFold)
+    SELECT fold,
+      CAST(sum(CASE WHEN p AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(sum(CASE WHEN p AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN NOT p AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      CAST(sum(CASE WHEN NOT p AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      round((sum(CASE WHEN p = actual THEN 1 ELSE 0 END))::DOUBLE / count(*), 6) AS acc
+    FROM scored GROUP BY fold"""
+  }
+
   /** SQL twin of [[rocAuc]] for the DuckDB oracle: `scoredSql` must
    *  yield (score BIGINT, y BOOLEAN) rows. DuckDB's RANGE-framed
    *  cumulative window is safe here because scores are pre-grouped

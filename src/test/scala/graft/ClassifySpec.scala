@@ -101,6 +101,23 @@ class ClassifySpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), s"no corpus-sized shuffle join:\n$plan")
   }
 
+  test("cvCentroid: every fold evaluated exactly once, confusion sums to the corpus") {
+    // widen the corpus so each of 3 folds trains with both classes
+    val wide = (1L to 30L).map { i =>
+      if (i % 2 == 0) (i, "spam", "buy cheap pills now") else (i, "ham", "meeting agenda review notes")
+    }.toDF("id", "label", "text")
+    val cv = graft.operators.Classify.cvCentroid(wide, $"label" === "spam", "id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(cv.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L), "one row per fold")
+    assert(cv.map(r => r._2 + r._3 + r._4 + r._5).sum == 30L,
+      "every doc scored in exactly one fold")
+    // disjoint vocabularies: every fold separates perfectly
+    assert(cv.forall(r => r._3 == 0 && r._5 == 0), s"fp/fn must be 0: ${cv.toSeq}")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Classify.cvCentroid(wide, lit(true), "id", "text", k = 1))
+      .getMessage.contains("k >= 2"))
+  }
+
   // ---------------------------------------------- ROC / AUC
 
   test("rocAuc matches a hand-computed tie-aware curve and Mann-Whitney AUC") {
