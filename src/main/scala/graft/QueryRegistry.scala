@@ -5566,6 +5566,92 @@ object QueryRegistry {
              CAST(sum(cents) AS BIGINT) AS revenue_cents
       FROM p GROUP BY 1 ORDER BY 1"""))
 
+  /**
+   * U-shaped multi-touch attribution with EXACT largest-remainder
+   * cent apportionment (the fractional-credit counterpart of
+   * q_attribution's last-touch rule): each purchase's cents split
+   * across every prior touch in the 24 h lookback — 40/20/40
+   * position weighting as integer weights over denominator 10m
+   * (first/last 4m, each of the m middles 2; 1 touch takes all,
+   * 2 touches split 50/50), floor division, then the leftover cents
+   * go one each to the largest remainders (ties to the earliest
+   * touch). Conservation is exact by construction: credited cents ==
+   * purchase cents, no floats anywhere. Scale shape: one
+   * user-keyed equi-join (touch x purchase, time-banded), then
+   * windows partitioned by PURCHASE — groups bounded by a user's
+   * 24 h touch volume, never corpus-sized. Cents must be
+   * non-negative (true of this table): Spark's `div` truncates while
+   * DuckDB's `//` floors, so negative purchase values would need
+   * explicit floor-division alignment.
+   */
+  private val q_attribution_multi = QueryDef(
+    (s, dir) => {
+      val e = eventsRaw(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("us").as("t_us"), col("event_id").as("t_id"),
+          col("event_type").as("t_type"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"), col("event_id").as("p_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val j = purch.join(touches, Seq("user_id"))
+        .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= 86400000000L)
+      val wOrd = Window.partitionBy("p_id").orderBy(col("t_us"), col("t_id"))
+      val wAll = Window.partitionBy("p_id")
+      val pos = j.withColumn("pos", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("m", col("n") - 2)
+        .withColumn("w", when(col("n") === 1, 1L).when(col("n") === 2, 1L)
+          .when(col("pos") === 1 || col("pos") === col("n"), col("m") * 4)
+          .otherwise(2L))
+        .withColumn("d", when(col("n") === 1, 1L).when(col("n") === 2, 2L)
+          .otherwise(col("m") * 10))
+        .withColumn("base", expr("(cents * w) div d"))
+        .withColumn("rem", expr("(cents * w) % d"))
+      val credited = pos
+        .withColumn("leftover", col("cents") - sum("base").over(wAll))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("rem").desc, col("pos"))))
+        .withColumn("credit", col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+        .withColumn("role", when(col("n") === 1, "solo").when(col("pos") === 1, "first")
+          .when(col("pos") === col("n"), "last").otherwise("middle"))
+      credited.groupBy(col("t_type").as("touch_type"), col("role"))
+        .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_cents"))
+        .orderBy("touch_type", "role")
+    },
+    Some("""WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
+      t AS (SELECT user_id, us AS t_us, event_id AS t_id, event_type AS t_type
+            FROM e WHERE event_type IN ('click', 'view')),
+      p AS (SELECT user_id, us AS p_us, event_id AS p_id,
+              CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM e WHERE event_type = 'purchase'),
+      j AS (SELECT p.p_id, p.cents, t.t_us, t.t_id, t.t_type
+            FROM p JOIN t USING (user_id)
+            WHERE t.t_us < p.p_us AND p.p_us - t.t_us <= 86400000000),
+      pos AS (
+        SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS pos,
+               count(*) OVER (PARTITION BY p_id) AS n
+        FROM j),
+      wts AS (
+        SELECT *, n - 2 AS m,
+          CASE WHEN n <= 2 THEN 1
+               WHEN pos = 1 OR pos = n THEN (n - 2) * 4 ELSE 2 END AS w,
+          CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2 ELSE (n - 2) * 10 END AS d
+        FROM pos),
+      base AS (
+        SELECT *, (cents * w) // d AS base, (cents * w) % d AS rem FROM wts),
+      cr AS (
+        SELECT *, cents - sum(base) OVER (PARTITION BY p_id) AS leftover,
+          row_number() OVER (PARTITION BY p_id ORDER BY rem DESC, pos) AS rr
+        FROM base)
+      SELECT t_type AS touch_type,
+        CASE WHEN n = 1 THEN 'solo' WHEN pos = 1 THEN 'first'
+             WHEN pos = n THEN 'last' ELSE 'middle' END AS role,
+        CAST(count(*) AS BIGINT) AS n_touches,
+        CAST(sum(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS credit_cents
+      FROM cr GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Size-bounded shard export assignment (the WebDataset/tar-shard
    *  layout a training loader streams): documents in doc_id order cut
    *  into ~64 KiB shards by `floor(bytes_before / target)` — computed
@@ -6153,6 +6239,7 @@ object QueryRegistry {
     "multimodal_keyframes" -> multimodal_keyframes,
     "q_shards" -> q_shards,
     "q_attribution" -> q_attribution,
+    "q_attribution_multi" -> q_attribution_multi,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,

@@ -109,4 +109,25 @@ class R18OpsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("multi-touch attribution conserves cents exactly against an independent recompute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val credited = QueryRegistry.all.toMap.apply("q_attribution_multi").run(spark, dir)
+      .agg(sum("credit_cents")).as[Long].head()
+    // independent: total cents of purchases with >= 1 prior touch in 24h
+    val e = EventsTable.rawNanosTs(EventsTable.read(spark, s"$dir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("us").as("t_us"))
+    val expected = e.filter(col("event_type") === "purchase")
+      .join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("us") && col("us") - col("t_us") <= 86400000000L)
+      .select(col("event_id"), expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .distinct()
+      .agg(sum("cents")).as[Long].head()
+    assert(credited == expected,
+      s"largest-remainder apportionment must conserve: credited $credited vs $expected")
+  }
 }
