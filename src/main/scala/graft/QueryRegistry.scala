@@ -5215,6 +5215,36 @@ object QueryRegistry {
       FROM preds p JOIN documents USING (doc_id) ORDER BY doc_id"""
     })
 
+  /** Exact quantile normalization of per-source token counts onto
+   *  the pooled corpus distribution (the batch-effect correction for
+   *  scores from heterogeneous sources): within-group rank r of n_g
+   *  maps to the pooled k-th smallest with k = ceil(r*N/n_g) — all
+   *  integer, no interpolation. Two distributed range-exchange
+   *  rankings + one position equi-join; the oracle replays with
+   *  windows. */
+  private val q_qnorm = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+          w => length(w) > 0)).cast("long").as("n_tokens"))
+      graft.operators.Rank.quantileNormalize(docs, "source", "n_tokens", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      val norm = graft.operators.Dedup.normalizeTextSql("text")
+      s"""WITH v AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split($norm, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      g AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS ng FROM v),
+      p AS (SELECT n_tokens AS qnorm, row_number() OVER (ORDER BY n_tokens, doc_id) AS k FROM v),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+      SELECT g.doc_id, g.source, g.n_tokens, p.qnorm
+      FROM g CROSS JOIN tot JOIN p ON p.k = (g.r * tot.n + g.ng - 1) // g.ng
+      ORDER BY doc_id"""
+    })
+
   /** 5-fold cross-validated centroid-classifier evaluation: fold =
    *  doc_id mod 5, each fold scored by a model trained on the other
    *  four, per-fold confusion integers + 6-dp accuracy — the
@@ -6226,6 +6256,7 @@ object QueryRegistry {
     "text_perplexity" -> text_perplexity,
     "text_auc" -> text_auc,
     "text_cv" -> text_cv,
+    "q_qnorm" -> q_qnorm,
     "text_centroid" -> text_centroid,
     "text_nb" -> text_nb,
     "text_entropy" -> text_entropy,

@@ -168,6 +168,44 @@ object Rank {
   }
 
   /**
+   * Exact quantile normalization across groups — map every group's
+   * value distribution onto the POOLED distribution (the
+   * batch-effect/calibration step for scores coming from
+   * heterogeneous sources: after it, every group's values share the
+   * corpus-wide distribution exactly). All-integer semantics, no
+   * interpolation: a row at within-group rank r of n_g maps to the
+   * pooled k-th smallest value with k = ceil(r * N / n_g) (so the
+   * group maximum always maps to the pooled maximum). The value at
+   * pooled position k is tiebreak-independent even though rank
+   * assignment within ties is not.
+   *
+   * Scale shape: two [[globalRowNumber]] range-exchange rankings
+   * (one ordered by (group, value, id), one pooled by (value, id)),
+   * a group-cardinality-bounded stats aggregate broadcast back, and
+   * ONE position equi-join — never a per-group single-task window.
+   * r * N must stay inside int64 (N < ~3e9 rows; document at the
+   * call site past that). `idCol` breaks ties; `valueCol` must be
+   * integral.
+   */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val grouped = globalRowNumber(df.select(col(groupCol), col(valueCol), col(idCol)),
+      Seq(col(groupCol), col(valueCol), col(idCol)))
+    val gstats = grouped.groupBy(groupCol)
+      .agg(min("rank").as("__gmin"), count(lit(1)).as("__ng"))
+    val total = df.count()
+    val pooled = globalRowNumber(df.select(col(valueCol), col(idCol)),
+        Seq(col(valueCol), col(idCol)))
+      .select(col("rank").as("__k"), col(valueCol).as("qnorm"))
+    grouped
+      .join(broadcast(gstats), groupCol)
+      .withColumn("__r", col("rank") - col("__gmin") + 1)
+      .withColumn("__k", expr(s"(__r * $total + __ng - 1) div __ng"))
+      .join(pooled, "__k")
+      .select(col(idCol), col(groupCol), col(valueCol), col("qnorm"))
+  }
+
+  /**
    * Distributed running totals: for each row, the cumulative sums of
    * `sumCols` (LONG columns) over all rows at-or-before it in
    * `sortCols` order — the scale-safe replacement for a single-task

@@ -83,6 +83,23 @@ class RankSpec extends SparkSpecBase {
       Rank.curriculum(df, Seq(col("score")), 0)).getMessage.contains("phases >= 1"))
   }
 
+  test("quantileNormalize: identity on one group, distribution-equal groups align, max->max") {
+    // single group: ranks r of n map to k = ceil(r*N/n) = r -> identity
+    val one = (1 to 50).map(i => ("g", (i * 17 % 50).toLong, i.toLong)).toDF("src", "v", "id")
+    val idt = Rank.quantileNormalize(one, "src", "v", "id")
+      .select("v", "qnorm").as[(Long, Long)].collect()
+    assert(idt.forall(r => r._1 == r._2), "one group must map onto itself")
+    // two groups, same shape but shifted values: both map onto the SAME
+    // pooled quantile sequence, and each group's max hits the pooled max
+    val two = ((1 to 30).map(i => ("a", i.toLong, i.toLong)) ++
+      (1 to 30).map(i => ("b", i + 1000L, 100L + i))).toDF("src", "v", "id")
+    val out = Rank.quantileNormalize(two, "src", "v", "id")
+      .select("src", "qnorm").as[(String, Long)].collect()
+    val byGrp = out.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted.toSeq }
+    assert(byGrp("a") == byGrp("b"), "equal-shaped groups must normalize identically")
+    assert(byGrp("a").last == 1030L, "the group maximum maps to the pooled maximum")
+  }
+
   test("prefixSums matches the single-task window across partitionings, multi-column") {
     val df = (1 to 500).map(i => ((i * 61 % 499).toLong, (i % 7).toLong, (i % 3).toLong))
       .toDF("k", "a", "b")
