@@ -5215,6 +5215,48 @@ object QueryRegistry {
       FROM preds p JOIN documents USING (doc_id) ORDER BY doc_id"""
     })
 
+  /** Classifier calibration curve (reliability diagram): held-out
+   *  centroid decision values cut into exact deciles (Rank.curriculum
+   *  = distributed ntile, never a single-task window), per-bin
+   *  support + positive counts as integers and the observed positive
+   *  rate at 6 dp — monotone bin positive rates are what "the score
+   *  is usable as a probability ranking" looks like. Oracle replays
+   *  train, scoring, the ntile cut and the rollup. */
+  private val text_calibration = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isPos = size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+        w => w === "spark")) >= 2
+      val labeled = docs.filter(col("doc_id") < 300).withColumn("__y", isPos)
+      val model = graft.operators.Classify.trainCentroid(labeled, "__y", "doc_id", "text")
+      val scored = graft.operators.Classify.classifyCentroid(
+          docs.filter(col("doc_id") >= 300), "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), isPos.as("__y")), "doc_id")
+      graft.operators.Rank.curriculum(scored, Seq(col("delta"), col("doc_id")), phases = 10)
+        .groupBy(col("phase").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+          min("delta").as("lo_delta"), max("delta").as("hi_delta"))
+        .withColumn("pos_rate", round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+        .orderBy("bin")
+    },
+    Some {
+      val norm = graft.operators.Dedup.normalizeTextSql("text")
+      val labelExpr = s"len(list_filter(string_split($norm, ' '), x -> x = 'spark')) >= 2"
+      s"""WITH preds AS (
+        ${graft.operators.Classify.centroidSql("documents", labelExpr, "doc_id", "text",
+          trainFilter = "doc_id < 300", scoreFilter = "doc_id >= 300")}),
+      scored AS (
+        SELECT p.doc_id, p.delta, ($labelExpr) AS y,
+          CAST(ntile(10) OVER (ORDER BY p.delta, p.doc_id) AS BIGINT) AS bin
+        FROM preds p JOIN documents USING (doc_id))
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(min(delta) AS BIGINT) AS lo_delta, CAST(max(delta) AS BIGINT) AS hi_delta,
+        round(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS pos_rate
+      FROM scored GROUP BY bin ORDER BY bin"""
+    })
+
   /** Exact quantile normalization of per-source token counts onto
    *  the pooled corpus distribution (the batch-effect correction for
    *  scores from heterogeneous sources): within-group rank r of n_g
@@ -6257,6 +6299,7 @@ object QueryRegistry {
     "text_auc" -> text_auc,
     "text_cv" -> text_cv,
     "q_qnorm" -> q_qnorm,
+    "text_calibration" -> text_calibration,
     "text_centroid" -> text_centroid,
     "text_nb" -> text_nb,
     "text_entropy" -> text_entropy,
