@@ -606,6 +606,40 @@ object ScaleProbe {
       val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(snap)).getLength
       println(f"[probe] changelog snapshot size: ${bytes / 1e6}%.1f MB for $nKeys keys (tombstones included)")
     }
+    if (section("rank")) locally {
+      // 20M rows, values scattered bijectively so every rank machinery
+      // path sees full-width range exchanges (no presorted luck)
+      val nr = 20000000L
+      val r = spark.range(nr).select(col("id"),
+        ((col("id") * 1103515245L + 12345L) % nr).as("v"),
+        (col("id") % 23).as("grp")).repartition(128)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      r.count()
+      time("prefixSums over 20M rows (exactness: last cum == closed form)", "rank") {
+        val cum = graft.operators.Rank.prefixSums(
+          r.select(col("id"), lit(1L).as("one")), Seq(col("id")), Seq("one"))
+        val last = cum.agg(max("cum_one")).first().getLong(0)
+        require(last == nr, s"running total must close at $nr, got $last")
+        nr
+      }
+      time("quantileNormalize 20M rows x 23 groups (group max -> pooled max)", "rank") {
+        val qn = graft.operators.Rank.quantileNormalize(r, "grp", "v", "id")
+        val mx = qn.groupBy("grp").agg(max("qnorm").as("m"))
+          .filter(col("m") =!= r.agg(max("v")).first().getLong(0)).count()
+        require(mx == 0, s"$mx groups missed the pooled maximum")
+        nr
+      }
+      time("rocAuc over 20M scored rows (~1M distinct scores)", "rank") {
+        val scored = r.select((col("v") % 1000000L).as("delta"),
+          (col("v") % 3 === 0).as("y"))
+        val auc = graft.operators.Classify.rocAuc(scored, "delta", "y")
+          .select("auc").first().getDouble(0)
+        // label correlates with score residue mod 3 only -> AUC near 1/2
+        require(auc > 0.4 && auc < 0.6, s"uncorrelated probe AUC wildly off: $auc")
+        nr
+      }
+      r.unpersist()
+    }
     spark.stop()
   }
 }
