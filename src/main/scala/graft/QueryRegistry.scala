@@ -5638,6 +5638,65 @@ object QueryRegistry {
              CAST(sum(cents) AS BIGINT) AS revenue_cents
       FROM p GROUP BY 1 ORDER BY 1"""))
 
+  /** CUPED variance-reduced A/B comparison (Deng et al. 2013) over
+   *  purchase cents: pre-period (Jan 1-15) covariate, post-period
+   *  (Jan 16-30) metric, variant = user parity; pooled theta and
+   *  per-variant adjusted means in EXACT e6 fixed point
+   *  (DECIMAL(38) / HUGEINT on the two engines, sign-safe
+   *  negate-div-negate). One aggregate over units + a 2-row join. */
+  private val q_cuped = QueryDef(
+    (s, dir) => {
+      val cut = 1705363200000000L // 2024-01-16T00:00:00Z epoch micros
+      val e = eventsRaw(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val units = e.groupBy(col("user_id"))
+        .agg(sum(when(col("us") < cut, col("cents")).otherwise(0L)).as("pre"),
+          sum(when(col("us") >= cut, col("cents")).otherwise(0L)).as("post"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      graft.operators.Stats.cuped(units, "variant", "pre", "post").orderBy("variant")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS us, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, user_id % 2 AS variant,
+          CAST(sum(CASE WHEN us < 1705363200000000 THEN cents ELSE 0 END) AS BIGINT) AS pre,
+          CAST(sum(CASE WHEN us >= 1705363200000000 THEN cents ELSE 0 END) AS BIGINT) AS post
+        FROM e GROUP BY 1, 2),
+      g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(pre) AS BIGINT) AS sx,
+               CAST(sum(post) AS BIGINT) AS sy,
+               sum(CAST(pre AS HUGEINT) * post) AS sxy,
+               sum(CAST(pre AS HUGEINT) * pre) AS sxx
+        FROM u),
+      v AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(pre) AS BIGINT) AS sum_pre, CAST(sum(post) AS BIGINT) AS sum_post
+        FROM u GROUP BY 1),
+      t AS (
+        SELECT *, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        FROM g),
+      th AS (
+        SELECT v.variant, v.n_units, v.sum_pre, v.sum_post, t.n, t.sx,
+          CASE WHEN t.den = 0 THEN NULL
+               WHEN t.num < 0 THEN -(((-t.num) * 1000000) // t.den)
+               ELSE (t.num * 1000000) // t.den END AS theta_e6
+        FROM v CROSS JOIN t),
+      a AS (
+        SELECT *, CAST(sum_post AS HUGEINT) * n * 1000000
+          - CAST(theta_e6 AS HUGEINT) *
+            (CAST(sum_pre AS HUGEINT) * n - CAST(sx AS HUGEINT) * n_units) AS anum
+        FROM th)
+      SELECT variant, n_units, sum_pre, sum_post,
+        CAST(theta_e6 AS BIGINT) AS theta_e6,
+        CAST((CAST(sum_post AS HUGEINT) * 1000000) // n_units AS BIGINT) AS raw_mean_e6,
+        CAST(CASE WHEN theta_e6 IS NULL THEN NULL
+             WHEN anum < 0 THEN -((-anum) // (CAST(n_units AS HUGEINT) * n))
+             ELSE anum // (CAST(n_units AS HUGEINT) * n) END AS BIGINT) AS adj_mean_e6
+      FROM a ORDER BY variant"""))
+
   /**
    * U-shaped multi-touch attribution with EXACT largest-remainder
    * cent apportionment (the fractional-credit counterpart of
@@ -6314,6 +6373,7 @@ object QueryRegistry {
     "q_shards" -> q_shards,
     "q_attribution" -> q_attribution,
     "q_attribution_multi" -> q_attribution_multi,
+    "q_cuped" -> q_cuped,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,

@@ -103,6 +103,60 @@ object Stats {
   }
 
   /**
+   * CUPED variance-reduced A/B comparison (Deng et al. 2013): the
+   * experiment-analysis workhorse — each unit's post-period metric is
+   * adjusted by its own pre-period covariate, shrinking variance
+   * without biasing the effect (theta is pooled across variants).
+   * EXACT fixed-point arithmetic end to end: one map-side-combined
+   * aggregate collects {n, Sx, Sy, Sxy, Sxx} globally and per
+   * variant; theta_e6 = trunc(1e6 * (n*Sxy - Sx*Sy) / (n*Sxx -
+   * Sx^2)) and the adjusted mean adj_e6 = trunc((Syv*n*1e6 -
+   * theta_e6*(Sxv*n - Sx*nv)) / (nv*n)) both run in DECIMAL(38)
+   * (products overflow int64 at ~30k units) with the sign-safe
+   * negate-div-negate pattern ([[theilSen]]'s trick) so Spark `div`
+   * and DuckDB `//` agree on negative numerators. theta is null
+   * when the pre-period has zero variance.
+   *
+   * Input: one row per unit with an integer 0/1 variant and integral
+   * pre/post metrics (cents). Output: one row per variant with the
+   * integer sums, the pooled theta_e6, and raw/adjusted e6-scaled
+   * means. Scale shape: ONE aggregate over units + a 2-row join —
+   * nothing unit-cardinality-sized leaves the executors.
+   */
+  def cuped(units: DataFrame, variantCol: String, preCol: String, postCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = units.agg(
+      count(lit(1)).as("n"),
+      sum(col(preCol)).as("sx"), sum(col(postCol)).as("sy"),
+      sum(col(preCol).cast(dec) * col(postCol).cast(dec)).as("sxy"),
+      sum(col(preCol).cast(dec) * col(preCol).cast(dec)).as("sxx"))
+    val v = units.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col(preCol)).as("sum_pre"), sum(col(postCol)).as("sum_post"))
+    v.crossJoin(broadcast(g))
+      .withColumn("__num",
+        col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy").cast(dec))
+      .withColumn("__den",
+        col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+      .withColumn("theta_e6",
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(expr("""CASE WHEN __num < 0
+            THEN -(((-__num) * 1000000) div __den)
+            ELSE (__num * 1000000) div __den END""")))
+      .withColumn("raw_mean_e6", expr("(sum_post * 1000000) div n_units"))
+      .withColumn("__anum",
+        col("sum_post").cast(dec) * col("n").cast(dec) * lit(1000000L).cast(dec)
+          - col("theta_e6").cast(dec) *
+            (col("sum_pre").cast(dec) * col("n").cast(dec)
+              - col("sx").cast(dec) * col("n_units").cast(dec)))
+      .withColumn("adj_mean_e6", expr("""CASE WHEN theta_e6 IS NULL THEN NULL
+        WHEN __anum < 0 THEN -(((-__anum)) div (CAST(n_units AS DECIMAL(38,0)) * n))
+        ELSE __anum div (CAST(n_units AS DECIMAL(38,0)) * n) END"""))
+      .select("variant", "n_units", "sum_pre", "sum_post",
+        "theta_e6", "raw_mean_e6", "adj_mean_e6")
+  }
+
+  /**
    * 2-D Pareto frontier (skyline): rows not dominated by any other —
    * dominated means another row has xCol <= (minimize) AND yCol >=
    * (maximize) with at least one strict. Distributed shape: the

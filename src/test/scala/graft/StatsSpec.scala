@@ -102,4 +102,23 @@ class StatsSpec extends SparkSpecBase {
     val allConv = Seq((0, 1), (1, 1))
     assert(Stats.chiSquare2x2(allConv.toDF("v", "s"), "v", "s").head().isNullAt(5))
   }
+
+  test("cuped matches hand-computed pooled theta and adjusted means exactly") {
+    // pooled fit: theta = (4*307000 - 1000*1020)/(4*300000 - 1000^2) = 1.04
+    // adj0 = 150 + 1.04*100 = 254, adj1 = 360 - 1.04*100 = 256 (e6-scaled)
+    val units = Seq((0L, 100L, 100L), (0L, 200L, 200L), (1L, 300L, 310L), (1L, 400L, 410L))
+      .toDF("variant", "pre", "post")
+    val out = Stats.cuped(units.repartition(3), "variant", "pre", "post")
+      .orderBy("variant").collect()
+    assert(out.map(_.getLong(4)).toSeq == Seq(1040000L, 1040000L), "theta_e6")
+    assert(out.map(_.getLong(5)).toSeq == Seq(150000000L, 360000000L), "raw_mean_e6")
+    assert(out.map(_.getLong(6)).toSeq == Seq(254000000L, 256000000L), "adj_mean_e6")
+  }
+
+  test("cuped: zero pre-period variance yields null theta and adjustment") {
+    val units = Seq((0L, 7L, 10L), (0L, 7L, 20L), (1L, 7L, 30L)).toDF("variant", "pre", "post")
+    val out = Stats.cuped(units, "variant", "pre", "post").orderBy("variant").collect()
+    assert(out.forall(r => r.isNullAt(4) && r.isNullAt(6)), "degenerate covariate -> null")
+    assert(out.map(_.getLong(5)).toSeq == Seq(15000000L, 30000000L), "raw means still exact")
+  }
 }
