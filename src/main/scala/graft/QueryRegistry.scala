@@ -5638,6 +5638,44 @@ object QueryRegistry {
              CAST(sum(cents) AS BIGINT) AS revenue_cents
       FROM p GROUP BY 1 ORDER BY 1"""))
 
+  /** Mann-Whitney U rank-sum test on purchase cents between the two
+   *  user-parity variants — the nonparametric member of the A/B
+   *  family (chi-square: binary; CUPED: means; this: whole
+   *  distributions, no normality assumed). Integer-exact 2U via the
+   *  grouped prefix walk; tie-corrected z as one fixed double tree
+   *  over exact integers, 6 dp. */
+  private val q_mannwhitney = QueryDef(
+    (s, dir) => {
+      val e = eventsRaw(s, dir).filter(col("event_type") === "purchase")
+        .select(expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+          (pmod(col("user_id"), lit(2L)) === 0L).as("in_a"))
+      graft.operators.Stats.mannWhitney(e, "cents", "in_a")
+    },
+    Some("""WITH e AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS v, (user_id % 2 = 0) AS a
+        FROM events WHERE event_type = 'purchase'),
+      g AS (
+        SELECT v, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM e GROUP BY v),
+      c AS (SELECT *, CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cnb FROM g),
+      s AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+               CAST(sum(na * (2 * (cnb - nb) + nb)) AS BIGINT) AS u2_a,
+               sum(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb) - (na + nb)) AS t3
+        FROM c),
+      f AS (
+        SELECT *, n_a + n_b AS n,
+          (n_a::DOUBLE * n_b::DOUBLE / 12.0) *
+            (((n_a + n_b)::DOUBLE + 1.0) -
+              t3::DOUBLE / ((n_a + n_b)::DOUBLE * ((n_a + n_b)::DOUBLE - 1.0))) AS var
+        FROM s)
+      SELECT n_a, n_b, u2_a,
+        CASE WHEN var <= 0.0 THEN NULL
+             ELSE round((u2_a::DOUBLE / 2.0 - n_a::DOUBLE * n_b::DOUBLE / 2.0) / sqrt(var), 6)
+        END AS z
+      FROM f"""))
+
   /** CUPED variance-reduced A/B comparison (Deng et al. 2013) over
    *  purchase cents: pre-period (Jan 1-15) covariate, post-period
    *  (Jan 16-30) metric, variant = user parity; pooled theta and
@@ -6374,6 +6412,7 @@ object QueryRegistry {
     "q_attribution" -> q_attribution,
     "q_attribution_multi" -> q_attribution_multi,
     "q_cuped" -> q_cuped,
+    "q_mannwhitney" -> q_mannwhitney,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,

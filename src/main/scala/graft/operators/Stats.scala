@@ -157,6 +157,51 @@ object Stats {
   }
 
   /**
+   * Mann-Whitney U rank-sum test (two-sided, tie-corrected) — the
+   * NONPARAMETRIC A/B comparison next to [[chiSquare2x2]] (binary)
+   * and [[cuped]] (parametric means): does one variant's metric
+   * distribution stochastically dominate the other's, no normality
+   * assumed. Exact integer core: per distinct value the (na, nb)
+   * counts, the cumulative walk via [[Rank.prefixSums]] (never a
+   * single-task window), and the tie-aware identity
+   * u2 = sum_g na_g * (2 * nb_below_g + nb_g)  (= 2U, ties count
+   * half). The normal approximation z = (U - n1*n2/2) / sqrt(var)
+   * with the standard tie correction var = n1*n2/12 * ((n+1) -
+   * sum(t^3 - t)/(n*(n-1))) is computed as one fixed double
+   * expression tree over the exact integers (sum(t^3 - t)
+   * accumulates in DECIMAL(38)) and rounded at 6 dp — identical on
+   * both engines. z is null when every value is tied (zero
+   * variance). Output: ONE row {n_a, n_b, u2_a, z}.
+   */
+  def mannWhitney(df: DataFrame, valueCol: String, inACol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col(inACol), 1L).otherwise(0L)).as("__nb"))
+    val cum = Rank.prefixSums(g, Seq(col("__v")), Seq("__nb"))
+    cum.agg(
+        sum("__na").as("n_a"), sum("__nb").as("n_b"),
+        sum(col("__na") * (lit(2L) * (col("cum___nb") - col("__nb")) + col("__nb")))
+          .cast("long").as("u2_a"),
+        sum((col("__na") + col("__nb")).cast(dec) * (col("__na") + col("__nb")).cast(dec)
+          * (col("__na") + col("__nb")).cast(dec)
+          - (col("__na") + col("__nb")).cast(dec)).as("__t3"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("__var",
+        col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
+          ((col("__n").cast("double") + 1.0) -
+            col("__t3").cast("double") /
+              (col("__n").cast("double") * (col("__n").cast("double") - 1.0))))
+      .withColumn("z",
+        when(col("__var") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("u2_a").cast("double") / 2.0 -
+              col("n_a").cast("double") * col("n_b").cast("double") / 2.0) /
+              sqrt(col("__var")), 6)))
+      .select("n_a", "n_b", "u2_a", "z")
+  }
+
+  /**
    * 2-D Pareto frontier (skyline): rows not dominated by any other —
    * dominated means another row has xCol <= (minimize) AND yCol >=
    * (maximize) with at least one strict. Distributed shape: the

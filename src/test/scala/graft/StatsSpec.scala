@@ -103,6 +103,20 @@ class StatsSpec extends SparkSpecBase {
     assert(Stats.chiSquare2x2(allConv.toDF("v", "s"), "v", "s").head().isNullAt(5))
   }
 
+  test("mannWhitney matches hand-computed U and tie-corrected z") {
+    // A={2,3}, B={1}: U_A = 2 (both A values beat b), u2 = 4,
+    // z = (2 - 1) / sqrt((2*1/12) * 4) = 1.224745
+    val df = Seq((2L, true), (3L, true), (1L, false)).toDF("v", "a")
+    val r = Stats.mannWhitney(df, "v", "a").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 4L)))
+    assert(r.getDouble(3) == 1.224745, s"z = ${r.getDouble(3)}")
+    // fully tied input: tie correction kills the variance -> null z,
+    // and the all-tied u2 is n_a * n_b (every pair counts half)
+    val tied = Seq((5L, true), (5L, false), (5L, false)).toDF("v", "a")
+    val t = Stats.mannWhitney(tied, "v", "a").head()
+    assert(t.getLong(2) == 2L && t.isNullAt(3), t.toString)
+  }
+
   test("cuped matches hand-computed pooled theta and adjusted means exactly") {
     // pooled fit: theta = (4*307000 - 1000*1020)/(4*300000 - 1000^2) = 1.04
     // adj0 = 150 + 1.04*100 = 254, adj1 = 360 - 1.04*100 = 256 (e6-scaled)
