@@ -5638,6 +5638,55 @@ object QueryRegistry {
              CAST(sum(cents) AS BIGINT) AS revenue_cents
       FROM p GROUP BY 1 ORDER BY 1"""))
 
+  /** Seasonal-naive forecast accuracy (MASE, Hyndman & Koehler 2006)
+   *  on daily event volumes: forecast = the value one week earlier,
+   *  scaled by the in-sample 1-day naive MAE — the standard scale-
+   *  free "is this series forecastable beyond persistence" check.
+   *  Integer-exact error numerators (counts, absolute differences);
+   *  the only float is the final 6-dp ratio-of-ratios. Per-key
+   *  windows over day-level rollups — group size is the calendar,
+   *  not the corpus. */
+  private val q_forecast_eval = QueryDef(
+    (s, dir) => {
+      val daily = eventsRaw(s, dir)
+        .groupBy(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("l7", lag("v", 7).over(w))
+        .withColumn("l1", lag("v", 1).over(w))
+        .groupBy("event_type")
+        .agg(sum(when(col("l7").isNotNull, 1L).otherwise(0L)).as("n7"),
+          sum(when(col("l7").isNotNull, abs(col("v") - col("l7"))).otherwise(0L)).as("mae7_num"),
+          sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("l1").isNotNull, abs(col("v") - col("l1"))).otherwise(0L)).as("mae1_num"))
+        .withColumn("mase",
+          when(col("mae1_num") === 0, lit(null).cast("double"))
+            .otherwise(round((col("mae7_num").cast("double") / col("n7").cast("double")) /
+              (col("mae1_num").cast("double") / col("n1").cast("double")), 6)))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT *, lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+               lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+        FROM daily),
+      agg AS (
+        SELECT event_type,
+          CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+          CAST(sum(CASE WHEN l7 IS NOT NULL THEN abs(v - l7) ELSE 0 END) AS BIGINT) AS mae7_num,
+          CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(v - l1) ELSE 0 END) AS BIGINT) AS mae1_num
+        FROM lagged GROUP BY 1)
+      SELECT event_type, n7, mae7_num, n1, mae1_num,
+        CASE WHEN mae1_num = 0 THEN NULL
+             ELSE round((mae7_num::DOUBLE / n7::DOUBLE) / (mae1_num::DOUBLE / n1::DOUBLE), 6)
+        END AS mase
+      FROM agg ORDER BY event_type"""))
+
   /** Mann-Whitney U rank-sum test on purchase cents between the two
    *  user-parity variants — the nonparametric member of the A/B
    *  family (chi-square: binary; CUPED: means; this: whole
@@ -6413,6 +6462,7 @@ object QueryRegistry {
     "q_attribution_multi" -> q_attribution_multi,
     "q_cuped" -> q_cuped,
     "q_mannwhitney" -> q_mannwhitney,
+    "q_forecast_eval" -> q_forecast_eval,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,
