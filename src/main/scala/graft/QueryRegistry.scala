@@ -41,6 +41,7 @@ object QueryRegistry {
     withSky(t(s, dir, "customer"), "c_custkey")
       .select(col("c_custkey"),
         sphere.hpix(col("cra"), col("cdec"), 2).as("pix2"),
+        sphere.hpix(col("cra"), col("cdec"), 5).as("pix5"),
         // spatialIndex high bits (pix@20 << 20, signed wrap) computed
         // here so the oracle's BIGINT arithmetic can't overflow
         shiftleft(sphere.hpix(col("cra"), col("cdec"), 20), 20).as("idhigh20"))
@@ -5638,6 +5639,47 @@ object QueryRegistry {
              CAST(sum(cents) AS BIGINT) AS revenue_cents
       FROM p GROUP BY 1 ORDER BY 1"""))
 
+  /** MOC-style sky-coverage algebra (the multi-order-coverage set
+   *  operations a survey scientist runs before cross-matching two
+   *  catalogs — "where do these surveys overlap, and how much sky is
+   *  that?"): order-5 HEALPix footprints of the customer sky vs the
+   *  lineitem pseudo-sky, classified into intersection and one-sided
+   *  regions with exact pixel counts and steradian areas (area =
+   *  n_pix * 4pi / npix(5), one deterministic double from an exact
+   *  integer). Distinct-pixel sets are map-side-combined aggregates;
+   *  the footprint tables are bounded by npix(5) = 12288 no matter
+   *  the catalog size, so the set algebra is broadcast-grade. */
+  private val q_coverage = QueryDef(
+    (s, dir) => {
+      val a = withSky(t(s, dir, "customer"), "c_custkey")
+        .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix")).distinct()
+        .withColumn("in_a", lit(1))
+      val li = t(s, dir, "lineitem").withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
+      val b = withSky(li, "k")
+        .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix")).distinct()
+        .withColumn("in_b", lit(1))
+      val area = 4.0 * math.Pi / graft.healpix.Healpix.npix(5)
+      a.join(b, Seq("pix"), "full_outer")
+        .withColumn("op", when(col("in_a").isNotNull && col("in_b").isNotNull, "both")
+          .when(col("in_a").isNotNull, "only_a").otherwise("only_b"))
+        .groupBy("op").agg(count(lit(1)).as("n_pix"))
+        .withColumn("area_sr", round(col("n_pix").cast("double") * lit(area), 6))
+        .orderBy("op")
+    },
+    Some {
+      val area = 4.0 * math.Pi / graft.healpix.Healpix.npix(5)
+      s"""WITH a AS (SELECT DISTINCT pix5 AS pix FROM ${aux("hpix_customer")}),
+      b AS (SELECT DISTINCT pix5 AS pix FROM ${aux("pm_lineitem")}),
+      j AS (
+        SELECT coalesce(a.pix, b.pix) AS pix,
+          CASE WHEN a.pix IS NOT NULL AND b.pix IS NOT NULL THEN 'both'
+               WHEN a.pix IS NOT NULL THEN 'only_a' ELSE 'only_b' END AS op
+        FROM a FULL OUTER JOIN b ON a.pix = b.pix)
+      SELECT op, CAST(count(*) AS BIGINT) AS n_pix,
+        round(count(*)::DOUBLE * $area, 6) AS area_sr
+      FROM j GROUP BY op ORDER BY op"""
+    })
+
   /** Seasonal-naive forecast accuracy (MASE, Hyndman & Koehler 2006)
    *  on daily event volumes: forecast = the value one week earlier,
    *  scaled by the in-sample 1-day naive MAE — the standard scale-
@@ -6463,6 +6505,7 @@ object QueryRegistry {
     "q_cuped" -> q_cuped,
     "q_mannwhitney" -> q_mannwhitney,
     "q_forecast_eval" -> q_forecast_eval,
+    "q_coverage" -> q_coverage,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,
