@@ -5651,17 +5651,21 @@ object QueryRegistry {
    *  the catalog size, so the set algebra is broadcast-grade. */
   private val q_coverage = QueryDef(
     (s, dir) => {
+      // ONE shuffle: tag side, union, per-pixel membership via two
+      // map-side-combinable maxes, then the bounded per-op rollup —
+      // no distinct-then-full-outer-join (half the jobs, same sets)
       val a = withSky(t(s, dir, "customer"), "c_custkey")
-        .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix")).distinct()
-        .withColumn("in_a", lit(1))
+        .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix"),
+          lit(1).as("a"), lit(0).as("b"))
       val li = t(s, dir, "lineitem").withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
       val b = withSky(li, "k")
-        .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix")).distinct()
-        .withColumn("in_b", lit(1))
+        .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix"),
+          lit(0).as("a"), lit(1).as("b"))
       val area = 4.0 * math.Pi / graft.healpix.Healpix.npix(5)
-      a.join(b, Seq("pix"), "full_outer")
-        .withColumn("op", when(col("in_a").isNotNull && col("in_b").isNotNull, "both")
-          .when(col("in_a").isNotNull, "only_a").otherwise("only_b"))
+      a.unionByName(b)
+        .groupBy("pix").agg(max("a").as("in_a"), max("b").as("in_b"))
+        .withColumn("op", when(col("in_a") === 1 && col("in_b") === 1, "both")
+          .when(col("in_a") === 1, "only_a").otherwise("only_b"))
         .groupBy("op").agg(count(lit(1)).as("n_pix"))
         .withColumn("area_sr", round(col("n_pix").cast("double") * lit(area), 6))
         .orderBy("op")
