@@ -186,6 +186,45 @@ object Classify {
         when(lit(2L * scale) * col("__xd") - (col("__m1") - col("__m0")) > 0, "pos")
           .otherwise("neg").as("pred_label"))
 
+  /** The [[CentroidModel]] collected to driver literals (bounded by
+   *  construction: <= dim rows of three longs). `w` maps bucket ->
+   *  (mu1 - mu0); `mDiff` = ||mu1||^2 - ||mu0||^2. */
+  final case class CentroidWeights(w: Map[Long, Long], mDiff: Long, scale: Long)
+
+  /** Collect a [[CentroidModel]] into [[CentroidWeights]] — one tiny
+   *  driver action over the dim-bounded model faces. */
+  def centroidWeights(model: CentroidModel, scale: Long = 1000000L): CentroidWeights = {
+    val w = model.mu.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    val c = model.consts.first()
+    CentroidWeights(w, c.getLong(0) - c.getLong(1), scale)
+  }
+
+  /**
+   * SHUFFLE-FREE centroid scoring: since features are token counts,
+   * the dot product sum_b x_b * (mu1[b] - mu0[b]) is just
+   * sum_tokens w(bucket(token)) — one map-only projection per row,
+   * no explode, no groupBy, no join. Same delta/pred_label contract
+   * as [[classifyCentroid]] with two deliberate differences: rows
+   * are preserved 1:1 (a no-token doc scores the empty sum, delta =
+   * -mDiff, rather than dropping), and the plan has NO Exchange at
+   * all — which also makes it directly usable on a STREAMING
+   * DataFrame (stateless projection; the model is a frozen literal
+   * map, the [[graft.streaming.Curation]] pattern).
+   */
+  def scoreCentroidInline(docs: DataFrame, idCol: String, textCol: String,
+                          cw: CentroidWeights, dim: Int = 64): DataFrame = {
+    val wmap = map(cw.w.toSeq.sortBy(_._1)
+      .flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    val xd = aggregate(toks, lit(0L), (acc, t) =>
+      acc + coalesce(element_at(wmap,
+        pmod(graft.functions.native.fingerprint64(t), lit(dim.toLong))), lit(0L)))
+    val delta = lit(2L * cw.scale) * xd - lit(cw.mDiff)
+    docs.select(col(idCol), delta.as("delta"),
+      when(delta > 0, "pos").otherwise("neg").as("pred_label"))
+  }
+
   /**
    * Exact ROC curve + AUC from integer classifier scores — the
    * threshold-free member of the eval family (ann_recall /

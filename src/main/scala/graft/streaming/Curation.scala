@@ -22,4 +22,15 @@ object Curation {
   def signalFilter(docs: DataFrame, minQualityE4: Long, maxDupRatioE4: Long,
                    lang: String): DataFrame =
     graft.operators.TextAnalysis.signalFilter(docs, minQualityE4, maxDupRatioE4, lang)
+
+  /** Streaming centroid-classifier scoring: the inline (shuffle-free)
+   *  scorer is a stateless projection over a frozen
+   *  [[graft.operators.Classify.CentroidWeights]] literal, so it
+   *  applies to a streaming frame unchanged — train offline on the
+   *  curated batch corpus, score every arriving micro-batch map-only
+   *  (the quality-classifier deployment shape: model updates are a
+   *  redeploy, never stream state). */
+  def classifyStream(docs: DataFrame, idCol: String, textCol: String,
+                     cw: graft.operators.Classify.CentroidWeights): DataFrame =
+    graft.operators.Classify.scoreCentroidInline(docs, idCol, textCol, cw)
 }

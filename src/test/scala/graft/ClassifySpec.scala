@@ -118,6 +118,20 @@ class ClassifySpec extends SparkSpecBase {
       .getMessage.contains("k >= 2"))
   }
 
+  test("scoreCentroidInline: delta-identical to the shuffle path, zero Exchanges, keeps empty docs") {
+    val m = Classify.trainCentroid(labeled, "__y", "id", "text")
+    val cw = Classify.centroidWeights(m)
+    val docs = corpus.select("id", "text").union(Seq((99L, "")).toDF("id", "text"))
+    val inline = Classify.scoreCentroidInline(docs, "id", "text", cw)
+    val byId = inline.select("id", "delta").as[(Long, Long)].collect().toMap
+    val shuffled = Classify.classifyCentroid(docs, "id", "text", m)
+      .select("id", "delta").as[(Long, Long)].collect().toMap
+    shuffled.foreach { case (id, d) => assert(byId(id) == d, s"doc $id: $d vs ${byId(id)}") }
+    assert(byId(99L) == -(cw.mDiff), "empty doc scores the empty sum, not a dropped row")
+    val plan = inline.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"inline scoring must be map-only:\n$plan")
+  }
+
   // ---------------------------------------------- ROC / AUC
 
   test("rocAuc matches a hand-computed tie-aware curve and Mann-Whitney AUC") {

@@ -362,6 +362,36 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming centroid classification equals the batch inline scorer") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isPos = size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+      w => w === "spark")) >= 2
+    val model = graft.operators.Classify.trainCentroid(
+      docs.withColumn("__y", isPos), "__y", "doc_id", "text")
+    val cw = graft.operators.Classify.centroidWeights(model)
+    val batch = graft.operators.Classify.scoreCentroidInline(docs, "doc_id", "text", cw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batch.exists(_._3 == "pos") && batch.exists(_._3 == "neg"),
+      "sf0.001 corpus must split under the planted label")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_centroid").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/00_documents.parquet"))
+    val src = spark.readStream.schema(docs.schema).parquet(streamDir)
+    val q = graft.streaming.Curation.classifyStream(src, "doc_id", "text", cw)
+      .writeStream.format("memory").queryName("centroid_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("centroid_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch, "streamed centroid scoring must equal the batch scorer")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming outlier scoring equals the batch operator (stream-static stats join)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
