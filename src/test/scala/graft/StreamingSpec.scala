@@ -362,6 +362,43 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming alert cross-match equals the brute-force batch oracle") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.sphere
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val thresh = 5.0
+    val ref = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("obj_id"),
+        sphere.raOf(col("c_custkey")).as("ra"), sphere.decOf(col("c_custkey")).as("dec"))
+    val alerts = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("alert_id"),
+        sphere.raOf(col("s_suppkey") + 7L).as("ra"), sphere.decOf(col("s_suppkey") + 7L).as("dec"))
+    // ground truth: brute-force cross join (150 x 100 pairs at sf0.001)
+    val truth = alerts.as("a").crossJoin(ref.as("r"))
+      .withColumn("d", sphere.gcDist(col("a.ra"), col("a.dec"), col("r.ra"), col("r.dec")))
+      .filter(col("d") < thresh)
+      .select(col("alert_id"), col("obj_id")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "5-degree threshold must match something at sf0.001")
+    val prepared = graft.streaming.AlertStream.prepareReference(ref, "ra", "dec", thresh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_alerts").toString
+    alerts.coalesce(1).write.parquet(s"$streamDir/b0.parquet")
+    val src = spark.readStream.schema(alerts.schema).parquet(s"$streamDir/*/")
+    val q = graft.streaming.AlertStream.xmatchStream(src, "ra", "dec", prepared, thresh)
+      .select(col("alert_id"), col("ref_obj_id"))
+      .writeStream.format("memory").queryName("alert_xmatch")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("alert_xmatch").as[(Long, Long)].collect().toSet
+    assert(streamed == truth,
+      s"stream-static pixel join must equal brute force (missing ${truth -- streamed}, extra ${streamed -- truth})")
+    prepared.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming centroid classification equals the batch inline scorer") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
