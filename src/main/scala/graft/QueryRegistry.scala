@@ -46,6 +46,9 @@ object QueryRegistry {
         // here so the oracle's BIGINT arithmetic can't overflow
         shiftleft(sphere.hpix(col("cra"), col("cdec"), 20), 20).as("idhigh20"))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/hpix_customer.parquet")
+    withSky(t(s, dir, "supplier"), "s_suppkey")
+      .select(col("s_suppkey"), sphere.hpix(col("cra"), col("cdec"), 1).as("pix1"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/hpix_supplier.parquet")
     val li = t(s, dir, "lineitem").withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
     withSky(li, "k")
       .select(col("k"), sphere.hpix(col("cra"), col("cdec"), 5).as("pix5"))
@@ -800,6 +803,59 @@ object QueryRegistry {
         CAST(CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) * 100
           // count(m.oid) AS BIGINT) AS purity_pct
       FROM truth t LEFT JOIN m USING (tid)"""
+    })
+
+  /** Per-region completeness/purity MAP — xmatch_eval resolved onto
+   *  the sky (the survey-QA "depth map": WHERE does the matching
+   *  degrade, not just how much): same planted observed catalog and
+   *  kNN match, rolled up per order-1 pixel of the truth position
+   *  with integer counts and floor-div percentages. One extra
+   *  map-side pixel column on the eval plan; the per-pixel rollup is
+   *  bounded by npix(1) = 48 rows. */
+  private val q_xmatch_map = QueryDef(
+    (s, dir) => {
+      val truth = withSky(t(s, dir, "supplier"), "s_suppkey")
+        .select(col("s_suppkey").as("tid"), col("cra"), col("cdec"),
+          sphere.hpix(col("cra"), col("cdec"), 1).as("pix"))
+      val sign = when(col("tid") % 2 === 0, 1.0).otherwise(-1.0)
+      val obs = truth.select(col("tid").as("oid"), col("cra"),
+          (col("cdec") + (col("tid") * 31 % 24).cast("double") / 10.0 * sign).as("cdec"))
+        .unionByName(truth.select((col("tid") + 1000000L).as("oid"), col("cra"),
+          (col("cdec") - (col("tid") * 17 % 30).cast("double") / 10.0 * sign).as("cdec")))
+      val m = Spatial.crossMatchKnn(truth.drop("pix"), obs,
+          leftRa = "cra", leftDec = "cdec", leftId = "tid",
+          rightRa = "cra", rightDec = "cdec", rightId = "oid",
+          k = 1, dthreshDeg = 2.0, leftPrefix = "", rightPrefix = "o_")
+        .select(col("tid"), col("o_oid").as("oid"))
+      truth.join(m, Seq("tid"), "left")
+        .groupBy("pix")
+        .agg(count(lit(1)).as("n_truth"), count(col("oid")).as("n_matched"),
+          sum(when(col("oid") === col("tid"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("pix"), col("n_truth"), col("n_matched"), col("n_correct"),
+          expr("n_correct * 100 div n_truth").as("completeness_pct"))
+        .orderBy("pix")
+    },
+    Some {
+      val g = sphere.gcDistSql("t.cra", "t.cdec", "o.cra", "o.cdec")
+      s"""WITH truth AS (SELECT s_suppkey AS tid, ${sphere.raOfSql("s_suppkey")} AS cra,
+          ${sphere.decOfSql("s_suppkey")} AS cdec, h.pix1 AS pix
+          FROM supplier JOIN ${aux("hpix_supplier")} h USING (s_suppkey)),
+        obs AS (
+          SELECT tid AS oid, cra, cdec + CAST(tid * 31 % 24 AS DOUBLE) / 10.0
+            * (CASE WHEN tid % 2 = 0 THEN 1.0 ELSE -1.0 END) AS cdec FROM truth
+          UNION ALL
+          SELECT tid + 1000000, cra, cdec - CAST(tid * 17 % 30 AS DOUBLE) / 10.0
+            * (CASE WHEN tid % 2 = 0 THEN 1.0 ELSE -1.0 END) FROM truth),
+        m AS (SELECT tid, oid FROM (
+          SELECT t.tid, o.oid,
+            row_number() OVER (PARTITION BY t.tid ORDER BY round($g, 9), o.oid) AS rn
+          FROM truth t JOIN obs o ON $g < 2.0) WHERE rn = 1)
+      SELECT t.pix, CAST(count(*) AS BIGINT) AS n_truth,
+        CAST(count(m.oid) AS BIGINT) AS n_matched,
+        CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        CAST(CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) * 100
+          // count(*) AS BIGINT) AS completeness_pct
+      FROM truth t LEFT JOIN m USING (tid) GROUP BY t.pix ORDER BY t.pix"""
     })
 
   /**
@@ -6365,6 +6421,7 @@ object QueryRegistry {
     "pipeline_alert" -> pipeline_alert,
     "q_hierarchy" -> q_hierarchy,
     "xmatch_eval" -> xmatch_eval,
+    "q_xmatch_map" -> q_xmatch_map,
     "xmatch_mutual" -> xmatch_mutual,
     "q_correlated" -> q_correlated,
     "q3_shipping" -> q3_shipping,
