@@ -5914,28 +5914,9 @@ object QueryRegistry {
       val purch = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("us").as("p_us"), col("event_id").as("p_id"),
           expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
-      val j = purch.join(touches, Seq("user_id"))
-        .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= 86400000000L)
-      val wOrd = Window.partitionBy("p_id").orderBy(col("t_us"), col("t_id"))
-      val wAll = Window.partitionBy("p_id")
-      val pos = j.withColumn("pos", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("m", col("n") - 2)
-        .withColumn("w", when(col("n") === 1, 1L).when(col("n") === 2, 1L)
-          .when(col("pos") === 1 || col("pos") === col("n"), col("m") * 4)
-          .otherwise(2L))
-        .withColumn("d", when(col("n") === 1, 1L).when(col("n") === 2, 2L)
-          .otherwise(col("m") * 10))
-        .withColumn("base", expr("(cents * w) div d"))
-        .withColumn("rem", expr("(cents * w) % d"))
-      val credited = pos
-        .withColumn("leftover", col("cents") - sum("base").over(wAll))
-        .withColumn("rr", row_number().over(
-          Window.partitionBy("p_id").orderBy(col("rem").desc, col("pos"))))
-        .withColumn("credit", col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
-        .withColumn("role", when(col("n") === 1, "solo").when(col("pos") === 1, "first")
-          .when(col("pos") === col("n"), "last").otherwise("middle"))
-      credited.groupBy(col("t_type").as("touch_type"), col("role"))
+      graft.operators.Temporal.multiTouchAttribution(touches, purch,
+          "user_id", lookbackUs = 86400000000L)
+        .groupBy(col("t_type").as("touch_type"), col("role"))
         .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_cents"))
         .orderBy("touch_type", "role")
     },

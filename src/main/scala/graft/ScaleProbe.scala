@@ -629,6 +629,24 @@ object ScaleProbe {
         require(mx == 0, s"$mx groups missed the pooled maximum")
         nr
       }
+      time("multiTouchAttribution: 10M touches x 1M purchases, conservation asserted", "rank") {
+        // 100k users x ~100 touches + ~10 purchases each, shuffled times
+        val touches = spark.range(10000000L).select(
+          (col("id") % 100000L).as("user_id"),
+          ((col("id") * 48271L) % 86400000000L).as("t_us"),
+          col("id").as("t_id"),
+          when(col("id") % 3 === 0, "view").otherwise("click").as("t_type"))
+        val purch = spark.range(1000000L).select(
+          (col("id") % 100000L).as("user_id"),
+          (lit(43200000000L) + (col("id") * 69621L) % 43200000000L).as("p_us"),
+          col("id").as("p_id"), (col("id") % 997 + 1).as("cents"))
+        val credited = graft.operators.Temporal.multiTouchAttribution(
+          touches, purch, "user_id", lookbackUs = 86400000000L)
+        val got = credited.groupBy("p_id").agg(sum("credit").as("c"))
+        val want = purch.join(got, "p_id").filter(col("c") =!= col("cents")).count()
+        require(want == 0, s"$want purchases failed exact conservation")
+        credited.count()
+      }
       time("rocAuc over 20M scored rows (~1M distinct scores)", "rank") {
         val scored = r.select((col("v") % 1000000L).as("delta"),
           (col("v") % 3 === 0).as("y"))

@@ -347,4 +347,48 @@ object Temporal {
       .withColumn("bucket_start", timestamp_micros(col("__i") * wUs))
       .drop("__v", "__i")
   }
+
+  /**
+   * U-shaped multi-touch attribution with EXACT largest-remainder
+   * cent apportionment: every `touches` row within `lookbackUs` of a
+   * `purchases` row (same `userCol`, strictly earlier) shares that
+   * purchase's cents by 40/20/40 position weighting expressed as
+   * integer weights over denominator 10m (first/last 4m, each of the
+   * m middles 2; one touch takes all, two split 50/50), floor
+   * division, leftover cents one each to the largest remainders
+   * (ties to the earliest touch). Credited cents == purchase cents
+   * by construction — no floats anywhere. `cents` must be
+   * non-negative (Spark `div` truncates, DuckDB `//` floors; the
+   * oracle twin relies on non-negative operands).
+   *
+   * Scale shape: one user-keyed time-banded equi-join, then windows
+   * partitioned by PURCHASE — group size is one user's lookback
+   * touch volume, never corpus-sized. Returns one row per credited
+   * touch: (p_id, t_id, t_type, pos, n, role, credit).
+   */
+  def multiTouchAttribution(touches: DataFrame, purchases: DataFrame,
+                            userCol: String, lookbackUs: Long): DataFrame = {
+    val j = purchases.join(touches, Seq(userCol))
+      .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= lookbackUs)
+    val wOrd = Window.partitionBy("p_id").orderBy(col("t_us"), col("t_id"))
+    val wAll = Window.partitionBy("p_id")
+    j.withColumn("pos", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("m", col("n") - 2)
+      .withColumn("w", when(col("n") <= 2, 1L)
+        .when(col("pos") === 1 || col("pos") === col("n"), col("m") * 4)
+        .otherwise(2L))
+      .withColumn("d", when(col("n") === 1, 1L).when(col("n") === 2, 2L)
+        .otherwise(col("m") * 10))
+      .withColumn("base", expr("(cents * w) div d"))
+      .withColumn("rem", expr("(cents * w) % d"))
+      .withColumn("leftover", col("cents") - sum("base").over(wAll))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("rem").desc, col("pos"))))
+      .withColumn("credit", col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("role", when(col("n") === 1, "solo").when(col("pos") === 1, "first")
+        .when(col("pos") === col("n"), "last").otherwise("middle"))
+      .select(col("p_id"), col("t_id"), col("t_type"), col("pos"), col("n"),
+        col("role"), col("credit"))
+  }
 }
