@@ -5827,6 +5827,45 @@ object QueryRegistry {
         END AS z
       FROM f"""))
 
+  /** Revenue concentration curve (the "80/20" check): customers
+   *  ranked by exact integer spend (descending, distributed
+   *  range-exchange ranking), cut into exact deciles, cumulative
+   *  cents via Rank.prefixSums over the decile rollup — integer
+   *  end to end except the final 6-dp cumulative share. Answers
+   *  "what fraction of revenue do the top k% of customers carry"
+   *  without any single-task window. */
+  private val q_pareto80 = QueryDef(
+    (s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val tiled = graft.operators.Rank.curriculum(spend,
+        Seq(col("cents").desc, col("o_custkey")), phases = 10)
+      val byDecile = tiled.groupBy(col("phase").as("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents"))
+      val cum = graft.operators.Rank.prefixSums(byDecile, Seq(col("decile")), Seq("cents"))
+        .withColumnRenamed("cum_cents", "cum_cents")
+      cum.crossJoin(broadcast(spend.agg(sum("cents").as("__tot"))))
+        .select(col("decile"), col("n_cust"), col("cents"), col("cum_cents"),
+          round(col("cum_cents").cast("double") / col("__tot").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      tiled AS (
+        SELECT *, CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS decile
+        FROM spend),
+      d AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_cust, CAST(sum(cents) AS BIGINT) AS cents
+        FROM tiled GROUP BY 1),
+      c AS (SELECT *, CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents FROM d),
+      tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM spend)
+      SELECT decile, n_cust, cents, cum_cents,
+        round(cum_cents::DOUBLE / t::DOUBLE, 6) AS cum_share
+      FROM c, tot ORDER BY decile"""))
+
   /** CUPED variance-reduced A/B comparison (Deng et al. 2013) over
    *  purchase cents: pre-period (Jan 1-15) covariate, post-period
    *  (Jan 16-30) metric, variant = user parity; pooled theta and
@@ -6545,6 +6584,7 @@ object QueryRegistry {
     "q_attribution" -> q_attribution,
     "q_attribution_multi" -> q_attribution_multi,
     "q_cuped" -> q_cuped,
+    "q_pareto80" -> q_pareto80,
     "q_mannwhitney" -> q_mannwhitney,
     "q_forecast_eval" -> q_forecast_eval,
     "q_coverage" -> q_coverage,
