@@ -5741,22 +5741,29 @@ object QueryRegistry {
     })
 
   /** Seasonal-naive forecast accuracy (MASE, Hyndman & Koehler 2006)
-   *  on daily event volumes: forecast = the value one week earlier,
-   *  scaled by the in-sample 1-day naive MAE — the standard scale-
-   *  free "is this series forecastable beyond persistence" check.
-   *  Integer-exact error numerators (counts, absolute differences);
-   *  the only float is the final 6-dp ratio-of-ratios. Per-key
-   *  windows over day-level rollups — group size is the calendar,
-   *  not the corpus. */
+   *  on daily event volumes: forecast = the value one CALENDAR week
+   *  earlier, scaled by the in-sample 1-calendar-day naive MAE — the
+   *  standard scale-free "is this series forecastable beyond
+   *  persistence" check. The lags are day-arithmetic self-joins, not
+   *  row-offset lag(7)/lag(1) windows: a day with zero events
+   *  produces no daily row, and a row-offset lag silently slides the
+   *  "one week earlier" anchor across any such calendar gap (the r11
+   *  ADVICE finding); a self-join on day - 7 has no row to match
+   *  instead, which is the correct "no forecast available"
+   *  semantics. Integer-exact error numerators (counts, absolute
+   *  differences); the only float is the final 6-dp ratio-of-ratios.
+   *  The joins are (event_type, day) equi-joins of the day-level
+   *  rollup with itself — calendar-sized, broadcast-grade. */
   private val q_forecast_eval = QueryDef(
     (s, dir) => {
       val daily = eventsRaw(s, dir)
         .groupBy(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
         .agg(count(lit(1)).as("v"))
-      val w = Window.partitionBy("event_type").orderBy("day")
+      val l7 = daily.select(col("event_type"), (col("day") + 7).as("day"), col("v").as("l7"))
+      val l1 = daily.select(col("event_type"), (col("day") + 1).as("day"), col("v").as("l1"))
       daily
-        .withColumn("l7", lag("v", 7).over(w))
-        .withColumn("l1", lag("v", 1).over(w))
+        .join(l7, Seq("event_type", "day"), "left")
+        .join(l1, Seq("event_type", "day"), "left")
         .groupBy("event_type")
         .agg(sum(when(col("l7").isNotNull, 1L).otherwise(0L)).as("n7"),
           sum(when(col("l7").isNotNull, abs(col("v") - col("l7"))).otherwise(0L)).as("mae7_num"),
@@ -5773,9 +5780,10 @@ object QueryRegistry {
                CAST(count(*) AS BIGINT) AS v
         FROM events GROUP BY 1, 2),
       lagged AS (
-        SELECT *, lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
-               lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
-        FROM daily),
+        SELECT d.event_type, d.day, d.v, l7.v AS l7, l1.v AS l1
+        FROM daily d
+        LEFT JOIN daily l7 ON l7.event_type = d.event_type AND l7.day = d.day - 7
+        LEFT JOIN daily l1 ON l1.event_type = d.event_type AND l1.day = d.day - 1),
       agg AS (
         SELECT event_type,
           CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n7,
@@ -6188,9 +6196,11 @@ object QueryRegistry {
 
   /** k-anonymity release ([[graft.operators.Privacy.kAnonymize]]):
    *  customers generalize up a (nation, segment) -> (region, segment)
-   *  -> ('*', segment) -> ('*','*') ladder until their QI group holds
-   *  k=100 rows. The oracle replays the ladder with per-level window
-   *  counts. */
+   *  -> ('*', segment) -> ('*','*') ladder until their QI group —
+   *  counted over the not-yet-released RESIDUE at each rung, so the
+   *  released table itself is k-anonymous — holds k=100 rows. The
+   *  oracle replays the residue chain with per-rung window counts
+   *  over chained CTEs. */
   private val q_kanon = QueryDef(
     (s, dir) => {
       val base = t(s, dir, "customer")
@@ -6204,23 +6214,31 @@ object QueryRegistry {
           Seq("qi_geo" -> lit("*"), "qi_seg" -> lit("*"))))
         .orderBy("c_custkey")
     },
-    Some("""WITH b AS (SELECT c_custkey, n_name, r_name, c_mktsegment AS seg,
-        count(*) OVER (PARTITION BY n_name, c_mktsegment) AS n0,
-        count(*) OVER (PARTITION BY r_name, c_mktsegment) AS n1,
-        count(*) OVER (PARTITION BY c_mktsegment) AS n2,
-        count(*) OVER () AS n3
-      FROM customer JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey)
-      SELECT c_custkey,
-        CASE WHEN n0 >= 100 THEN n_name WHEN n1 >= 100 THEN r_name
-             WHEN n2 >= 100 OR n3 >= 100 THEN '*' END AS qi_geo,
-        CASE WHEN n0 >= 100 OR n1 >= 100 OR n2 >= 100 THEN seg
-             WHEN n3 >= 100 THEN '*' END AS qi_seg,
-        CASE WHEN n0 >= 100 THEN 0 WHEN n1 >= 100 THEN 1 WHEN n2 >= 100 THEN 2
-             WHEN n3 >= 100 THEN 3 ELSE -1 END AS anon_level,
-        CASE WHEN n0 >= 100 THEN n0 WHEN n1 >= 100 THEN n1 WHEN n2 >= 100 THEN n2
-             WHEN n3 >= 100 THEN n3 END AS group_n
-      FROM b ORDER BY c_custkey"""))
+    Some("""WITH b AS (SELECT c_custkey, n_name, r_name, c_mktsegment AS seg
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey),
+      j0 AS (SELECT *, count(*) OVER (PARTITION BY n_name, seg) AS n0 FROM b),
+      rel0 AS (SELECT c_custkey, n_name AS qi_geo, seg AS qi_seg,
+          CAST(0 AS INTEGER) AS anon_level, n0 AS group_n FROM j0 WHERE n0 >= 100),
+      res0 AS (SELECT * FROM j0 WHERE n0 < 100),
+      j1 AS (SELECT *, count(*) OVER (PARTITION BY r_name, seg) AS n1 FROM res0),
+      rel1 AS (SELECT c_custkey, r_name, seg, CAST(1 AS INTEGER), n1
+        FROM j1 WHERE n1 >= 100),
+      res1 AS (SELECT * FROM j1 WHERE n1 < 100),
+      j2 AS (SELECT *, count(*) OVER (PARTITION BY seg) AS n2 FROM res1),
+      rel2 AS (SELECT c_custkey, '*', seg, CAST(2 AS INTEGER), n2
+        FROM j2 WHERE n2 >= 100),
+      res2 AS (SELECT * FROM j2 WHERE n2 < 100),
+      j3 AS (SELECT *, count(*) OVER () AS n3 FROM res2),
+      rel3 AS (SELECT c_custkey, '*', '*', CAST(3 AS INTEGER), n3
+        FROM j3 WHERE n3 >= 100),
+      sup AS (SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          CAST(-1 AS INTEGER), CAST(NULL AS BIGINT) FROM j3 WHERE n3 < 100)
+      SELECT * FROM (
+        SELECT * FROM rel0 UNION ALL SELECT * FROM rel1 UNION ALL
+        SELECT * FROM rel2 UNION ALL SELECT * FROM rel3 UNION ALL
+        SELECT * FROM sup)
+      ORDER BY c_custkey"""))
 
   /** Funnel time-to-convert ([[graft.operators.Temporal.funnelLatency]]):
    *  exact latency distribution (p50/p90/min/max/integer-div mean, in

@@ -243,9 +243,14 @@ object Classify {
    * at the call site past that.
    *
    * `labelCol` must be boolean, `scoreCol` integral (LONG). Fails
-   * loudly unless both classes are present. The curve frame is
-   * persisted for the two bounded passes (totals + AUC) and released
-   * to the ContextCleaner with the query.
+   * loudly unless both classes are present. The AUC total is taken as
+   * ONE bounded driver scalar (a single long) rather than persisting
+   * the curve frame into the returned lineage — across a 200-query
+   * bench run the un-unpersisted MEMORY_AND_DISK frames were
+   * accumulating in executor storage until the ContextCleaner got to
+   * them; the curve's range-exchange shuffle files are reused between
+   * the scalar pass and the caller's action, so the corpus is still
+   * aggregated once.
    */
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val tot = scored.agg(
@@ -259,16 +264,14 @@ object Classify {
         sum(when(!col(labelCol), 1L).otherwise(0L)).as("neg"))
     val cum = Rank.prefixSums(g, Seq(col("score").desc), Seq("pos", "neg"))
       .withColumnRenamed("cum_pos", "tp").withColumnRenamed("cum_neg", "fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val auc = cum.agg(
-        sum(col("pos") * (lit(2L) * (lit(n0) - col("fp")) + col("neg"))).cast("long").as("auc2"))
-      .select(col("auc2"),
-        round(col("auc2").cast("double") / lit(2.0 * n1 * n0), 6).as("auc"))
-    cum.crossJoin(broadcast(auc))
-      .select(col("score"), col("pos"), col("neg"), col("tp"), col("fp"),
-        round(col("tp").cast("double") / lit(n1.toDouble), 6).as("tpr"),
-        round(col("fp").cast("double") / lit(n0.toDouble), 6).as("fpr"),
-        col("auc2"), col("auc"))
+    val auc2 = cum.agg(
+      sum(col("pos") * (lit(2L) * (lit(n0) - col("fp")) + col("neg"))).cast("long"))
+      .first().getLong(0)
+    cum.select(col("score"), col("pos"), col("neg"), col("tp"), col("fp"),
+      round(col("tp").cast("double") / lit(n1.toDouble), 6).as("tpr"),
+      round(col("fp").cast("double") / lit(n0.toDouble), 6).as("fpr"),
+      lit(auc2).as("auc2"),
+      round(lit(auc2).cast("double") / lit(2.0 * n1 * n0), 6).as("auc"))
   }
 
   /**

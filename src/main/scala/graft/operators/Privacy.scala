@@ -14,21 +14,32 @@ object Privacy {
    * recoding): `levels` is a ladder of quasi-identifier (QI) mappings
    * for the same named QI tuple, finest first — e.g.
    * (city, segment) -> (region, segment) -> ('*', segment) -> ('*','*').
-   * Every row is released at the FINEST level whose QI group (group
-   * sizes computed per level over the WHOLE input) holds at least `k`
-   * rows; a row no level can release (only possible when the coarsest
-   * level is not a constant tuple or the table itself is smaller than
-   * k) is emitted fully suppressed with `anon_level = -1` and NULL QI
+   * Level-i group sizes are counted over the NOT-YET-RELEASED residue
+   * (rows whose finer groups all fell short of k), not the whole
+   * input: a row released at level i therefore shares its released
+   * (level, QI tuple) with at least k-1 OTHER released rows, so the
+   * released table itself is k-anonymous. (Counting every level over
+   * the whole input — the r11 shape — let a lone city2 row "borrow"
+   * company from city1 rows that released at the finer level and come
+   * out uniquely identifiable; the r11 ADVICE pass caught it.) A row
+   * no level can release (only possible when the coarsest level is
+   * not a constant tuple or the table itself is smaller than k) is
+   * emitted fully suppressed with `anon_level = -1` and NULL QI
    * values. QI expressions must be non-null (null grouping keys would
    * not survive the count back-join).
    *
-   * Output: (idCol, QI columns..., anon_level, group_n).
+   * Output: (idCol, QI columns..., anon_level, group_n) — `group_n`
+   * is the size of the row's released equivalence class (>= k by
+   * construction; NULL for suppressed rows).
    *
    * Scale shape: one map-side-combined groupBy per level produces a
-   * |distinct QI|-sized count table, explicitly broadcast back onto
-   * the fact table — the input never shuffles, the plan is L broadcast
-   * hash joins over one scan, and nothing grows with row count but the
-   * (small) QI domains.
+   * |distinct QI|-sized count table, explicitly broadcast back — the
+   * fact table never shuffles. The residue chain makes the level-i
+   * count depend on levels < i, so the plan re-derives the (rapidly
+   * shrinking) residue from the base scan per level: L broadcast-join
+   * map passes over the base for L ladder levels — L is 3–5 by
+   * construction, and each pass after the first filters with already-
+   * built broadcasts, so this stays scan-bound, never shuffle-bound.
    */
   def kAnonymize(df: DataFrame, idCol: String, k: Int,
                  levels: Seq[Seq[(String, Column)]]): DataFrame = {
@@ -40,22 +51,22 @@ object Privacy {
     var cur = df
     for ((lvl, i) <- levels.zipWithIndex; (nm, c) <- lvl)
       cur = cur.withColumn(s"__l${i}_$nm", c)
+    var residue = cur.select(col(idCol) +:
+      levels.indices.flatMap(i => names.map(nm => col(s"__l${i}_$nm"))): _*)
+    val qiType = names.map(nm => nm -> residue.schema(s"__l0_$nm").dataType).toMap
+    val released = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- levels.indices) {
       val keys = names.map(nm => s"__l${i}_$nm")
-      val cnt = cur.groupBy(keys.map(col): _*).agg(count(lit(1)).as(s"__n$i"))
-      cur = cur.join(broadcast(cnt), keys)
+      val cnt = residue.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      val j = residue.join(broadcast(cnt), keys)
+      released += j.filter(col("__n") >= k)
+        .select(col(idCol) +: names.map(nm => col(s"__l${i}_$nm").as(nm)) :+
+          lit(i).as("anon_level") :+ col("__n").as("group_n"): _*)
+      residue = j.filter(col("__n") < k).drop("__n")
     }
-    // finest qualifying level: when() without otherwise is null, so the
-    // coalesce chain picks the first level whose group reaches k
-    val lvlChoice = levels.indices
-      .map(i => when(col(s"__n$i") >= k, lit(i))).reduce(coalesce(_, _))
-    val chosen = names.map { nm =>
-      levels.indices.map(i => when(lvlChoice === i, col(s"__l${i}_$nm")))
-        .reduce(coalesce(_, _)).as(nm)
-    }
-    val groupN = levels.indices.map(i => when(lvlChoice === i, col(s"__n$i")))
-      .reduce(coalesce(_, _))
-    cur.select(col(idCol) +: chosen :+
-      coalesce(lvlChoice, lit(-1)).as("anon_level") :+ groupN.as("group_n"): _*)
+    val suppressed = residue.select(col(idCol) +:
+      names.map(nm => lit(null).cast(qiType(nm)).as(nm)) :+
+      lit(-1).as("anon_level") :+ lit(null).cast("long").as("group_n"): _*)
+    (released :+ suppressed).reduce(_ unionByName _)
   }
 }

@@ -183,10 +183,19 @@ object Rank {
    * (one ordered by (group, value, id), one pooled by (value, id)),
    * a group-cardinality-bounded stats aggregate broadcast back, and
    * ONE position equi-join — never a per-group single-task window.
-   * r * N must stay inside int64 (N < ~3e9 rows; document at the
-   * call site past that). `idCol` breaks ties; `valueCol` must be
-   * integral.
+   * r * N must stay inside int64, so N is CHECKED against
+   * floor(sqrt(2^63)) ≈ 3.037e9 rows (r <= N, so r * N <= N^2) and
+   * the operator fails loudly past that instead of silently wrapping
+   * ranks. `idCol` breaks ties; `valueCol` must be integral.
    */
+  /** The [[quantileNormalize]] int64 bound, extracted for its unit
+   *  test: rank * N with rank <= N stays inside int64 iff
+   *  N <= floor(sqrt(2^63 - 1)) = 3037000499. */
+  private[graft] def requireQnormBound(total: Long): Unit =
+    require(total <= 3037000499L,
+      s"quantileNormalize: $total rows — rank * N would overflow int64 past ~3.037e9 rows; " +
+        "normalize per partition-of-sources or rescale first")
+
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
     val grouped = globalRowNumber(df.select(col(groupCol), col(valueCol), col(idCol)),
@@ -194,6 +203,7 @@ object Rank {
     val gstats = grouped.groupBy(groupCol)
       .agg(min("rank").as("__gmin"), count(lit(1)).as("__ng"))
     val total = df.count()
+    requireQnormBound(total)
     val pooled = globalRowNumber(df.select(col(valueCol), col(idCol)),
         Seq(col(valueCol), col(idCol)))
       .select(col("rank").as("__k"), col(valueCol).as("qnorm"))
@@ -217,6 +227,16 @@ object Rank {
    * value WITHIN a tie group is partitioning-dependent — cumulative
    * totals at tie-group boundaries are always exact either way.
    * Output: input columns + `cum_<c>` for each requested column.
+   *
+   * Contract: sum columns must be non-null LONGs (checked per row
+   * with a named error — a bare getLong on a null would NPE deep in
+   * an RDD task), and the input must be DETERMINISTIC under
+   * recomputation: the totals pass and the accumulation pass are two
+   * jobs over the same lineage, correct because Spark reuses the
+   * range exchange's shuffle files between them (same reuse contract
+   * [[globalRowNumber]] relies on); a nondeterministic upstream (e.g.
+   * an unseeded rand()) would desync the collected offsets from the
+   * second pass's rows — seed or materialize such inputs first.
    */
   def prefixSums(df: DataFrame, sortCols: Seq[Column], sumCols: Seq[String],
                  numPartitions: Int = 0): DataFrame = {
@@ -227,10 +247,17 @@ object Rank {
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val idx = sumCols.map(ranged.schema.fieldIndex).toArray
+    val names = sumCols.toArray
     val rdd = ranged.rdd
+    def getChecked(r: org.apache.spark.sql.Row, j: Int): Long = {
+      if (r.isNullAt(idx(j)))
+        throw new IllegalArgumentException(
+          s"prefixSums: null in sum column '${names(j)}' — coalesce it upstream")
+      r.getLong(idx(j))
+    }
     val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
       val acc = new Array[Long](idx.length)
-      it.foreach { r => var j = 0; while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 } }
+      it.foreach { r => var j = 0; while (j < idx.length) { acc(j) += getChecked(r, j); j += 1 } }
       Iterator.single(i -> acc)
     }.collect().sortBy(_._1).map(_._2)
     val offsets = totals.scanLeft(new Array[Long](idx.length)) { (a, b) =>
@@ -240,7 +267,7 @@ object Rank {
       val run = offsets(i).clone()
       it.map { row =>
         var j = 0
-        while (j < idx.length) { run(j) += row.getLong(idx(j)); j += 1 }
+        while (j < idx.length) { run(j) += getChecked(row, j); j += 1 }
         org.apache.spark.sql.Row.fromSeq(row.toSeq ++ run.toSeq)
       }
     }

@@ -365,9 +365,23 @@ object Temporal {
    * partitioned by PURCHASE — group size is one user's lookback
    * touch volume, never corpus-sized. Returns one row per credited
    * touch: (p_id, t_id, t_type, pos, n, role, credit).
+   *
+   * Required input schema (checked up front — only `userCol` is
+   * parameterized): `touches(userCol, t_us: LONG event time, t_id,
+   * t_type)`, `purchases(userCol, p_us: LONG event time, p_id,
+   * cents: LONG >= 0)`. Rename columns to this contract at the call
+   * site (a select is free) rather than relying on positional luck.
    */
   def multiTouchAttribution(touches: DataFrame, purchases: DataFrame,
                             userCol: String, lookbackUs: Long): DataFrame = {
+    Seq("t_us", "t_id", "t_type", userCol).foreach(c =>
+      require(touches.columns.contains(c),
+        s"multiTouchAttribution: touches needs column '$c' " +
+          s"(required schema: $userCol, t_us, t_id, t_type)"))
+    Seq("p_us", "p_id", "cents", userCol).foreach(c =>
+      require(purchases.columns.contains(c),
+        s"multiTouchAttribution: purchases needs column '$c' " +
+          s"(required schema: $userCol, p_us, p_id, cents)"))
     val j = purchases.join(touches, Seq(userCol))
       .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= lookbackUs)
     val wOrd = Window.partitionBy("p_id").orderBy(col("t_us"), col("t_id"))

@@ -140,7 +140,12 @@ object TextAnalysis {
    * vocab table and per-group totals derive from it (no second corpus
    * scan). The JSD grid is groups x vocab — distributed join rows,
    * never collected; the corpus-total scalar rides a broadcast
-   * 1-row cross join.
+   * 1-row cross join. The term table is persisted for its three
+   * derived faces and released EAGERLY by materializing the
+   * group-bounded result (one row per group — groupCol is a
+   * source/shard/slice by contract, so the collect is bounded);
+   * leaving the unpersist to the ContextCleaner let these frames
+   * pile up in executor storage across long multi-query runs.
    */
   def sourceDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(groupCol).as("__grp"),
@@ -167,7 +172,10 @@ object TextAnalysis {
             .otherwise(lit(0.0)) +
           col("__q") * log(term2 * col("__q") / (col("__p") + col("__q"))) * 0.5), 6).as("jsd"))
       .withColumnRenamed("__grp", groupCol)
-    out
+    val rows = out.collect()
+    gt.unpersist()
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
   /**

@@ -68,11 +68,30 @@ class R17OpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
     assert(out.filter(_._1 <= 12).forall(r => r._2 == "A" && r._3 == 0 && r._4 == 12L),
       "city A reaches k at the finest level")
-    assert(out.filter(_._1 > 12).forall(r => r._2 == "R1" && r._3 == 1 && r._4 == 23L),
-      "small cities generalize to the region, whose count spans the whole region")
-    // every released group really holds >= k rows of the OUTPUT too
-    val groups = out.groupBy(r => (r._2, r._3)).map(_._2.size)
-    assert(groups.forall(_ >= 10), s"k-anonymity must hold on the released table: $out")
+    assert(out.filter(_._1 > 12).forall(r => r._2 == "R1" && r._3 == 1 && r._4 == 11L),
+      "small cities generalize to the region; group_n counts the RESIDUE the row " +
+        "released with (its released equivalence class), not the whole region")
+    // every released group really holds >= k rows of the OUTPUT too,
+    // and group_n states that class's size exactly
+    val groups = out.groupBy(r => (r._2, r._3))
+    assert(groups.values.forall(_.size >= 10), s"k-anonymity must hold on the released table: $out")
+    assert(groups.values.forall(g => g.forall(_._4 == g.size)),
+      s"group_n must equal the released class size: $out")
+  }
+
+  test("kAnonymize: a residue row can't borrow company from finer-level releases") {
+    // the r11 ADVICE counterexample: k=2, two city-X rows release at city
+    // level; the lone city-Y row shares their region, so whole-input
+    // counting would release it at region level ALONE (count 3 includes
+    // the X rows that released finer) — uniquely identifiable. Residue
+    // counting must suppress it instead.
+    val rows = Seq((1L, "X", "R"), (2L, "X", "R"), (3L, "Y", "R")).toDF("id", "city", "reg")
+    val out = Privacy.kAnonymize(rows, "id", k = 2, levels = Seq(
+        Seq("qi" -> col("city")), Seq("qi" -> col("reg"))))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getInt(2)))
+    assert(out.filter(_._1 <= 2).forall(r => r._2 == "X" && r._3 == 0), out.toSeq.toString)
+    assert(out.find(_._1 == 3L).get == ((3L, null, -1)),
+      s"the lone residue row must be suppressed, not released alone: ${out.toSeq}")
   }
 
   test("kAnonymize suppresses rows no level can release (table smaller than k)") {

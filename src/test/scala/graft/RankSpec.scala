@@ -121,4 +121,22 @@ class RankSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Rank.prefixSums(df, Seq(col("k")), Seq())).getMessage.contains("at least one"))
   }
+
+  test("prefixSums rejects nulls in a sum column with a named error, not an NPE") {
+    val df = Seq((1L, Some(2L)), (2L, None), (3L, Some(4L)))
+      .toDF("k", "a")
+    val e = intercept[org.apache.spark.SparkException](
+      Rank.prefixSums(df, Seq(col("k")), Seq("a")).collect())
+    assert(e.getMessage.contains("null in sum column 'a'"),
+      s"the task error must name the offending column: ${e.getMessage}")
+  }
+
+  test("quantileNormalize guards the rank*N int64 bound at exactly floor(sqrt(2^63-1))") {
+    Rank.requireQnormBound(3037000499L) // the largest safe N passes
+    val e = intercept[IllegalArgumentException](Rank.requireQnormBound(3037000500L))
+    assert(e.getMessage.contains("overflow int64"), e.getMessage)
+    // the bound itself is right: N^2 fits at the limit, not one past it
+    assert(BigInt(3037000499L).pow(2) <= BigInt(Long.MaxValue))
+    assert(BigInt(3037000500L).pow(2) > BigInt(Long.MaxValue))
+  }
 }
