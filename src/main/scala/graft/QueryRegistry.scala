@@ -832,7 +832,12 @@ object QueryRegistry {
         .agg(count(lit(1)).as("n_truth"), count(col("oid")).as("n_matched"),
           sum(when(col("oid") === col("tid"), 1L).otherwise(0L)).as("n_correct"))
         .select(col("pix"), col("n_truth"), col("n_matched"), col("n_correct"),
-          expr("n_correct * 100 div n_truth").as("completeness_pct"))
+          expr("n_correct * 100 div n_truth").as("completeness_pct"),
+          // a pixel with zero matches has no defined purity -> NULL
+          // (guarded explicitly: DuckDB's // raises on zero where
+          // Spark's div would quietly null)
+          when(col("n_matched") > 0, expr("n_correct * 100 div n_matched"))
+            .as("purity_pct"))
         .orderBy("pix")
     },
     Some {
@@ -854,7 +859,10 @@ object QueryRegistry {
         CAST(count(m.oid) AS BIGINT) AS n_matched,
         CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
         CAST(CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) * 100
-          // count(*) AS BIGINT) AS completeness_pct
+          // count(*) AS BIGINT) AS completeness_pct,
+        CASE WHEN count(m.oid) = 0 THEN NULL
+             ELSE CAST(CAST(sum(CASE WHEN m.oid = t.tid THEN 1 ELSE 0 END) AS BIGINT) * 100
+               // count(m.oid) AS BIGINT) END AS purity_pct
       FROM truth t LEFT JOIN m USING (tid) GROUP BY t.pix ORDER BY t.pix"""
     })
 
