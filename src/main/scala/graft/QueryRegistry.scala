@@ -5445,15 +5445,27 @@ object QueryRegistry {
         .select("doc_id", "entropy", "n_tokens")
       // the signal pipeline is the expensive part and every rank pass
       // materializes its input twice (size walk + index pass) — pin
-      // it once; the rank frames themselves are slim (id, value)
+      // it once and FILL the cache before ranking so the three
+      // rankings all read the cached frame; the rank frames
+      // themselves are slim (id, value)
       val sig = ce.join(te, "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sig.count()
       def rankOf(valueCol: String, order: org.apache.spark.sql.Column, as: String) =
         graft.operators.Rank.globalRowNumber(sig.select(col("doc_id"), col(valueCol)),
           Seq(order, col("doc_id"))).select(col("doc_id"), col("rank").as(as))
-      val summed = rankOf("cross_entropy", col("cross_entropy"), "r_ppl")
-        .join(rankOf("entropy", col("entropy").desc, "r_ent"), "doc_id")
-        .join(rankOf("n_tokens", col("n_tokens").desc, "r_len"), "doc_id")
+      // the three rankings are independent and each pays a bounded
+      // partition-size collect at CONSTRUCTION time — submit them
+      // concurrently so those three jobs overlap (the r11 serial
+      // shape paid three job floors back to back; 6.2x idle ratio)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val ranked = Await.result(Future.sequence(Seq(
+        Future(rankOf("cross_entropy", col("cross_entropy"), "r_ppl")),
+        Future(rankOf("entropy", col("entropy").desc, "r_ent")),
+        Future(rankOf("n_tokens", col("n_tokens").desc, "r_len")))),
+        scala.concurrent.duration.Duration(10, "min"))
+      val summed = ranked.reduce(_.join(_, "doc_id"))
         .withColumn("rank_sum", col("r_ppl") + col("r_ent") + col("r_len"))
       graft.operators.Rank.curriculum(summed, Seq(col("rank_sum"), col("doc_id")), phases = 2)
         .select(col("doc_id"), col("r_ppl"), col("r_ent"), col("r_len"),
@@ -6397,18 +6409,27 @@ object QueryRegistry {
       val ce = graft.operators.Lm.crossEntropy(docs, "doc_id", "text", lm)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .withColumn("ce_e6", round(col("cross_entropy") * 1e6).cast("long"))
-      val hist = ce.groupBy("lang", "ce_e6").agg(count(lit(1)).as("c"))
+      // ONE corpus scoring pass, ZERO threshold joins: the histogram
+      // carries every aggregate the final rollup needs (count + id_sum
+      // per (lang, score)), and a score row's bucket is decided INSIDE
+      // the per-language window — score <= t1 (the k1-th order
+      // statistic)  <=>  its EXCLUSIVE prefix count cum - c < k1, so
+      // the explicit min-threshold aggregate and its broadcast re-join
+      // onto the scored frame (which made the r11 plan pay the whole
+      // bigram-explode scoring pass three times — 6.9x idle ratio)
+      // both disappear. Ties at a threshold still land head-side:
+      // equal scores share one histogram row.
+      val hist = ce.groupBy("lang", "ce_e6")
+        .agg(count(lit(1)).as("c"), sum("doc_id").as("id_sum"))
       val wl = Window.partitionBy("lang").orderBy("ce_e6")
-      val th = hist.withColumn("cum", sum("c").over(wl))
-        .join(hist.groupBy("lang").agg(sum("c").as("n")), "lang")
-        .groupBy("lang")
-        .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("ce_e6"))).as("t1"),
-          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ce_e6"))).as("t2"))
-      ce.join(broadcast(th), "lang")
-        .withColumn("bucket", when(col("ce_e6") <= col("t1"), "head")
-          .when(col("ce_e6") <= col("t2"), "middle").otherwise("tail"))
+      hist.withColumn("cum", sum("c").over(wl))
+        .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+        .withColumn("bucket",
+          when(col("cum") - col("c") < expr("(n + 2) div 3"), "head")
+            .when(col("cum") - col("c") < expr("(2 * n + 2) div 3"), "middle")
+            .otherwise("tail"))
         .groupBy("lang", "bucket")
-        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        .agg(sum("c").as("n_docs"), sum("id_sum").as("id_sum"),
           min("ce_e6").as("min_ce_e6"), max("ce_e6").as("max_ce_e6"))
         .orderBy("lang", "bucket")
     },

@@ -73,35 +73,49 @@ object Classify {
 
   /**
    * Score and classify: per-document argmax label with its (6 dp)
-   * log-score. One corpus token pass x |labels| map-side rows, two
-   * bounded aggregates. Documents with no tokens produce no row
-   * (nothing to score — pinned on both engines). Ties at 6 dp break
-   * to the LARGEST label string (max(struct) semantics, replayed in
-   * the oracle's ORDER BY score DESC, label DESC).
+   * log-score. One corpus token pass and ONE map-side-combined
+   * groupBy(doc) with a score column per label — the class face is
+   * bounded by |labels| so it collects to driver literals (the
+   * [[centroidWeights]] precedent), which deletes the r11 shape's
+   * classes cross-join (x|labels| row inflation into the big
+   * exchange) and its second (doc) aggregate. Same arithmetic per
+   * label (left termMap join, add-one smoothing, round-6), so
+   * predictions are value-identical. Documents with no tokens
+   * produce no row (nothing to score — pinned on both engines).
+   * Ties at 6 dp break to the LARGEST label string (max over
+   * (score, label) structs, replayed in the oracle's ORDER BY
+   * score DESC, label DESC).
    */
   def classifyNb(docs: DataFrame, idCol: String, textCol: String, model: NbModel): DataFrame = {
-    // resolve the 1-row stats face eagerly (bounded by the model, one
-    // tiny job): an empty training slice must fail LOUDLY here — left
-    // declarative, the empty classes cross-join would silently erase
-    // the whole corpus from the output instead
+    // resolve the bounded model faces eagerly (stats: 2 longs,
+    // classes: |labels| rows): an empty training slice must fail
+    // LOUDLY here — left declarative, an empty class set would
+    // silently erase the whole corpus from the output instead
     val st = model.stats.first()
     val (v, n) = (st.getLong(0), st.getLong(1))
     require(v > 0,
       "Classify.classifyNb: training slice produced no tokens (vocab v=0) — " +
         "train on a slice with at least one non-empty document")
-    val lp = log((coalesce(element_at(col("__lmap"), col("__label")), lit(0L)) + 1).cast("double") /
-      (col("__c_l") + lit(v)).cast("double"))
+    val cls = model.classes.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) // (label, c_l, n_l)
+      .sortBy(_._1)
+    val scoreAggs = cls.zipWithIndex.map { case ((l, cl, nl), i) =>
+      val lp = log((coalesce(element_at(col("__lmap"), lit(l)), lit(0L)) + 1).cast("double") /
+        lit((cl + v).toDouble))
+      // StrictMath.log is what Spark's own `log` evaluates, so the
+      // literal prior is bit-identical to the r11 in-plan expression
+      round(lit(StrictMath.log(nl.toDouble / n.toDouble)) + sum(lp), 6).as(s"__s$i")
+    }
+    val best = array_max(array(cls.zipWithIndex.map { case ((l, _, _), i) =>
+      struct(col(s"__s$i").as("__score"), lit(l).as("__label"))
+    }: _*))
+    val aggs = count(lit(1)).as("n_terms") +: scoreAggs
     tokenStream(docs, idCol, textCol)
       .join(broadcast(model.termMap), Seq("__term"), "left")
-      .crossJoin(broadcast(model.classes))
-      .groupBy(col(idCol), col("__label"))
-      .agg(count(lit(1)).as("n_terms"),
-        round(first(log(col("__n_l").cast("double") / lit(n.toDouble))) +
-          sum(lp), 6).as("__score"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("__score"), col("__label"), col("n_terms"))).as("__best"))
-      .select(col(idCol), col("__best.__label").as("pred_label"),
-        col("__best.__score").as("score"), col("__best.n_terms").as("n_terms"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), best.getField("__label").as("pred_label"),
+        best.getField("__score").as("score"), col("n_terms"))
   }
 
   /** Trained nearest-centroid model faces: `mu` is one row per

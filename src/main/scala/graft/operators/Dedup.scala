@@ -819,7 +819,14 @@ object Dedup {
    * token arrays. A suffix array finds the same spans in one pass on
    * one machine; the stride-1 window relation is the shuffle-friendly
    * equivalent, linear in corpus tokens — the shape that holds at
-   * 100 TB.
+   * 100 TB. The token arrays and the shingle table are each
+   * referenced twice in the plan (base: shingling + the final text
+   * slice; sh: the dup-hash aggregate + the back-join probe), so
+   * both are cached MEMORY_AND_DISK — the r11 uncached shape
+   * re-tokenized the corpus three times and re-hashed every window
+   * twice (3.3x idle ratio); the caches follow the minhash/neardup
+   * signature-cache precedent (released by the session's cache
+   * clearing, not corpus-collected).
    */
   def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
                     minTokens: Int = 5, maxDocs: Int = 1): DataFrame = {
@@ -828,11 +835,13 @@ object Dedup {
     val w = minTokens
     val toks = split(normalizeText(coalesce(col(textCol), lit(""))), " ")
     val base = df.select(col(idCol), toks.as("__tk")).withColumn("__ntok", size(col("__tk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posArr = when(col("__ntok") < w, array(lit(0)))
       .otherwise(sequence(lit(0), col("__ntok") - w))
     val sh = base.select(col(idCol), col("__ntok"), explode(posArr).as("__pos"), col("__tk"))
       .withColumn("__h", sha2(array_join(slice(col("__tk"), col("__pos") + 1, lit(w)), " "), 256))
       .drop("__tk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = sh.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > maxDocs)

@@ -349,19 +349,22 @@ object Sampling {
    * oversample factor bounds that probability for sparse
    * interactions). Item ids must be dense in [0, nItems).
    *
-   * Plan shape (NO shuffle ever touches the exploded candidates, and
-   * the interactions side shuffles only a sliver):
+   * Plan shape (only slim long pairs ever shuffle, and the
+   * interactions side aggregates only a sliver):
    *
-   *  1. A map-only pass over the units builds a Bloom filter of
-   *     candidate (unit, item) fingerprints ([[Sketch.bloomBuildDense]]
-   *     — per-partition dense words, tree-merged; duplicates free).
-   *  2. A map-only probe shrinks the interactions to the sliver that
-   *     can possibly match a candidate (true matches + the FP rate —
-   *     ~0.2% at the logM=24 default for ~1M candidates; a Bloom
-   *     reject provably matches no candidate). Only the sliver pays
-   *     a (tiny) groupBy(unit, collect_set(item)) shuffle before
-   *     broadcasting back onto the units.
-   *  3. One typed flatMap over (unit, interacted-candidates) draws
+   *  1. An EXACT candidate semi-join shrinks the interactions to the
+   *     sliver that is actually in some unit's candidate set: the m
+   *     draws per unit are generated once by a codegen explode
+   *     (m = k * oversample integer hashes per UNIT) and the
+   *     interactions semi-join against them on (unit, item) — shuffle
+   *     volume is m·|units| + |interactions| long pairs,
+   *     corpus-linear. (Through r11 this stage was a Bloom filter
+   *     built over the exploded candidates in a separate job — the
+   *     semi-join deletes that job, the driver-held filter words,
+   *     and the false-positive sliver rows in one move.) Only the
+   *     sliver pays the (tiny) groupBy(unit, collect_set(item))
+   *     shuffle before broadcasting back onto the units.
+   *  2. One typed flatMap over (unit, interacted-candidates) draws
    *     the m hashes in j order, skips repeats (= the old
    *     groupBy.min(j)) and interacted items (= the old anti-join),
    *     and stops at the first k survivors (= the old per-unit
@@ -370,35 +373,34 @@ object Sampling {
    *     and not three exchange-inducing relational ops.
    *
    * Row-identical to the relational groupBy + anti-join + window
-   * formulation (the spec pins kernel-vs-relational parity). Size
-   * `bloomLogM` so the candidate-count FP rate keeps the sliver
-   * broadcast-join-able ((1-e^(-4n/2^logM))^4 per probe; logM <= 30
-   * = 128 MB filter).
+   * formulation (the spec pins kernel-vs-relational parity).
    */
   def negativeSample(units: DataFrame, unitCol: String,
                      interactions: DataFrame, iUnitCol: String, iItemCol: String,
-                     nItems: Long, k: Int, oversample: Int = 8,
-                     bloomLogM: Int = 24): DataFrame = {
+                     nItems: Long, k: Int, oversample: Int = 8): DataFrame = {
     require(k >= 1, s"negativeSample: k must be >= 1, got $k")
     require(oversample >= 2, s"negativeSample: oversample must be >= 2, got $oversample")
     require(nItems >= 1, s"negativeSample: nItems must be >= 1, got $nItems")
     requireIntegralId(units, unitCol, "negativeSample")
     val m = k * oversample
     val unitType = units.schema(unitCol).dataType
-    val candRaw = units.select(col(unitCol).as("unit"))
-      .withColumn("j", explode(sequence(lit(0L), lit(m - 1L))))
-      .withColumn("item", pmod(knuthHash(col("unit").cast("long") * m + col("j")), lit(nItems)))
-    // overflow-safe (< 2^49 under ANSI) pair fingerprint; a rare fp
-    // collision only costs a false POSITIVE (an extra sliver row the
-    // exact in-kernel check then ignores), never correctness
-    def fp(u: Column, it: Column): Column =
-      shiftleft(knuthHash(u), 16) + knuthHash(it)
-    val words = Sketch.bloomBuildDense(
-      candRaw.select(fp(col("unit"), col("item")).as("__fp")), "__fp", bloomLogM)
-    val wordsBc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(words)
+    // generate each unit's m candidate (unit, item) pairs once (a
+    // codegen explode — m integer hashes per UNIT, not per
+    // interaction) and semi-join the interactions against them: both
+    // join sides are slim long pairs, so the shuffle is 64·|units| +
+    // |interactions| longs — corpus-linear. (Two rejected shapes: a
+    // per-interaction membership predicate re-hashed m times per
+    // ROW and fell out of whole-stage codegen past ~600 expression
+    // nodes, 25x slower; the r11 Bloom filter needed its own build
+    // job plus driver-held words and still let false positives into
+    // the sliver.)
+    val cand = units.select(col(unitCol).cast("long").as("unit"))
+      .withColumn("__j", explode(sequence(lit(0L), lit(m - 1L))))
+      .select(col("unit"),
+        pmod(knuthHash(col("unit") * m + col("__j")), lit(nItems)).as("item"))
     val sliverByUnit = interactions
       .select(col(iUnitCol).cast("long").as("unit"), col(iItemCol).cast("long").as("item"))
-      .filter(Sketch.bloomProbeBc(fp(col("unit"), col("item")), wordsBc, bloomLogM))
+      .join(cand, Seq("unit", "item"), "left_semi")
       .groupBy("unit").agg(collect_set("item").as("__hit"))
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
