@@ -30,7 +30,7 @@ object ScaleProbe {
 
     // optional comma-separated section filter for targeted iteration
     // (docs, sketch, graph, temporal, embeddings, ann, multimodal,
-    // spatial, merge); default all
+    // spatial, merge, alerts); default all
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
     def section(name: String): Boolean = sections.forall(_.contains(name))
@@ -534,6 +534,91 @@ object ScaleProbe {
         dd.unionByName(dr).count()
       }
       cat.unpersist()
+    }
+
+    // streaming alert cross-match at broker scale: a 1M-object
+    // reference prepared ONCE (cover-exploded, cached — the static
+    // side every micro-batch joins against), then four REAL
+    // micro-batches of 250k alerts each (file source +
+    // maxFilesPerTrigger=1, the changelog probe's harness) through
+    // AlertStream.xmatchStream. Pins: per-batch cost stays FLAT
+    // across batches (nothing accumulates — the join is stateless
+    // stream-static), and the streamed matches, reduced to per-alert
+    // nearest with the engine's (round(dist,9), ref id) tie rule,
+    // are EXACTLY the batch crossMatchKnn(k=1) output — a
+    // window-ranked derivation sharing no ranking code with the
+    // stream path. Every alert is a sub-threshold perturbation of a
+    // reference object, so match volume is real (>= 1 per alert).
+    if (section("alerts")) locally {
+      val nRef = 1000000L
+      val dth = 0.01
+      val ref = spark.range(nRef).select(col("id").as("rid"),
+          ((col("id") * 137 % 3600000L).cast("double") / 10000.0).as("ra"),
+          (((col("id") * 211 % 1600000L).cast("double") / 10000.0) - 80.0).as("dec"))
+        .repartition(cpus.toInt * 4)
+      val prep = graft.streaming.AlertStream.prepareReference(ref, "ra", "dec", dth)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("alert reference prep (1M refs, cover explode, cached)", "alerts")(prep.count())
+      val dir = "/tmp/graft_probe_alerts"
+      val afs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      afs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val nb = 4; val per = 250000L
+      // alert (aid) sits 0.004 deg in dec off reference object
+      // aid * 31 % nRef — inside the 0.01 deg threshold
+      (0 until nb).foreach { b =>
+        spark.range(per)
+          .select((col("id") + b * per).as("aid"))
+          .withColumn("__k", col("aid") * 31 % nRef)
+          .select(col("aid"),
+            ((col("__k") * 137 % 3600000L).cast("double") / 10000.0).as("ra"),
+            ((((col("__k") * 211 % 1600000L).cast("double") / 10000.0) - 80.0) + 0.004).as("dec"))
+          // one file per batch + maxFilesPerTrigger=1 -> nb REAL
+          // micro-batches (the changelog probe's harness)
+          .coalesce(1).write.parquet(s"$dir/in/f$b.parquet")
+      }
+      val alertsAll = spark.read.parquet(s"$dir/in/*")
+      time(s"alert stream: $nb micro-batches x $per alerts vs 1M refs", "alerts") {
+        val src = spark.readStream.schema(alertsAll.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*/")
+        val q = graft.streaming.AlertStream.xmatchStream(src, "ra", "dec", prep, dth)
+          .select(col("aid"), col("ref_rid"), col("_DIST"))
+          .writeStream.format("parquet")
+          .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val done = q.recentProgress.filter(_.numInputRows > 0)
+        require(done.length >= nb, s"expected $nb micro-batches, saw ${done.length}")
+        val durs = done.map(_.durationMs.get("triggerExecution").toDouble)
+        done.zip(durs).foreach { case (p, d) =>
+          println(s"[probe]   batch ${p.batchId}: ${p.numInputRows} alerts, $d ms") }
+        // flat per-batch cost: steady-state batches (the first pays
+        // codegen + static-relation materialization) must stay within
+        // 3x of each other — a stateless stream-static join has
+        // nothing that can grow with batch count
+        val steady = durs.drop(1)
+        require(steady.max <= 3.0 * steady.min,
+          s"per-batch cost must be flat across batches: ${durs.toSeq}")
+        spark.read.parquet(s"$dir/out").count()
+      }
+      time("alert stream parity vs batch crossMatchKnn(k=1) (1M alerts)", "alerts") {
+        val streamed1 = spark.read.parquet(s"$dir/out")
+          .groupBy("aid")
+          .agg(min(struct(round(col("_DIST"), 9).as("d9"), col("ref_rid").as("rid"))).as("b"))
+          .select(col("aid"), col("b.rid").as("rid"), col("b.d9").as("d9"))
+        val batch1 = graft.operators.Spatial.crossMatchKnn(alertsAll, ref,
+            leftRa = "ra", leftDec = "dec", leftId = "aid",
+            rightRa = "ra", rightDec = "dec", rightId = "rid",
+            k = 1, dthreshDeg = dth, leftPrefix = "", rightPrefix = "r_")
+          .select(col("aid"), col("r_rid").as("rid"), round(col("_DIST"), 9).as("d9"))
+        val diff = streamed1.unionByName(batch1)
+          .groupBy("aid", "rid", "d9").count()
+          .filter(col("count") =!= 2).count()
+        require(diff == 0, s"streamed nearest diverged from batch crossMatchKnn: $diff rows")
+        diff
+      }
+      prep.unpersist()
+      afs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
 
     // delete-aware changelog stream at snapshot scale: a 1M-key base,
