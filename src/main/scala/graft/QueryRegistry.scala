@@ -746,6 +746,73 @@ object QueryRegistry {
     })
 
   /**
+   * N-way cross-match composition — the multi-catalog join chain the
+   * reference's users run as sequential pairwise cross_match calls
+   * (catalog.py:144): catalog A (customers at an old epoch, carrying
+   * key-derived proper motions) is propagated +25 years to the COMMON
+   * epoch of B (suppliers) and C (parts), kNN-matched to its best B
+   * counterpart, and the surviving (A, B) pairs are then matched to
+   * their best C counterpart — one composed pipeline, both joins on
+   * the same pixel-key machinery (the A-side positions feed both pixel
+   * assignments; each right side pays exactly one disc-cover margin
+   * explode). The oracle replays propagation and BOTH windowed
+   * nearest picks brute-force.
+   */
+  private val pipeline_xmatch3 = QueryDef(
+    (s, dir) => {
+      val a = Spatial.propagateEpoch(
+        withSky(t(s, dir, "customer"), "c_custkey")
+          .withColumn("pmra", (col("c_custkey") * 7 % 2001 - 1000).cast("double"))
+          .withColumn("pmdec", (col("c_custkey") * 13 % 2001 - 1000).cast("double")),
+        "cra", "cdec", "pmra", "pmdec", dtYears = 25.0)
+        .select("c_custkey", "cra", "cdec")
+      val b = withSky(t(s, dir, "supplier"), "s_suppkey").select("s_suppkey", "cra", "cdec")
+      val c = withSky(t(s, dir, "part"), "p_partkey").select("p_partkey", "cra", "cdec")
+      val ab = Spatial.crossMatchKnn(a, b,
+          leftRa = "cra", leftDec = "cdec", leftId = "c_custkey",
+          rightRa = "cra", rightDec = "cdec", rightId = "s_suppkey",
+          k = 1, dthreshDeg = 15.0, leftPrefix = "", rightPrefix = "b_")
+        .select(col("c_custkey"), col("cra"), col("cdec"),
+          col("b_s_suppkey").as("s_suppkey"), round(col("_DIST"), 6).as("dist_ab"))
+      Spatial.crossMatchKnn(ab, c,
+          leftRa = "cra", leftDec = "cdec", leftId = "c_custkey",
+          rightRa = "cra", rightDec = "cdec", rightId = "p_partkey",
+          k = 1, dthreshDeg = 10.0, leftPrefix = "", rightPrefix = "p_")
+        .select(col("c_custkey"), col("s_suppkey"), col("p_p_partkey").as("p_partkey"),
+          col("dist_ab"), round(col("_DIST"), 6).as("dist_ac"))
+        .orderBy("c_custkey")
+    },
+    Some {
+      val gab = sphere.gcDistSql("a.pra", "a.pdec", "b.sra", "b.sdec")
+      val gac = sphere.gcDistSql("ab.pra", "ab.pdec", "c.tra", "c.tdec")
+      s"""WITH a AS (
+          SELECT c_custkey,
+            cra + (pmra / 3600000.0) * 25.0 / cos(radians(cdec)) AS pra,
+            cdec + (pmdec / 3600000.0) * 25.0 AS pdec
+          FROM (SELECT c_custkey,
+            ${sphere.raOfSql("c_custkey")} AS cra, ${sphere.decOfSql("c_custkey")} AS cdec,
+            CAST(c_custkey * 7 % 2001 - 1000 AS DOUBLE) AS pmra,
+            CAST(c_custkey * 13 % 2001 - 1000 AS DOUBLE) AS pmdec FROM customer)),
+        b AS (SELECT s_suppkey, ${sphere.raOfSql("s_suppkey")} AS sra,
+          ${sphere.decOfSql("s_suppkey")} AS sdec FROM supplier),
+        c AS (SELECT p_partkey, ${sphere.raOfSql("p_partkey")} AS tra,
+          ${sphere.decOfSql("p_partkey")} AS tdec FROM part),
+        ab AS (SELECT c_custkey, pra, pdec, s_suppkey, dab FROM (
+          SELECT a.c_custkey, a.pra, a.pdec, b.s_suppkey, $gab AS dab,
+            row_number() OVER (PARTITION BY a.c_custkey
+              ORDER BY round($gab, 9), b.s_suppkey) AS rn
+          FROM a CROSS JOIN b WHERE $gab < 15.0) WHERE rn = 1),
+        abc AS (SELECT c_custkey, s_suppkey, p_partkey, dab, dac FROM (
+          SELECT ab.c_custkey, ab.s_suppkey, ab.dab, c.p_partkey, $gac AS dac,
+            row_number() OVER (PARTITION BY ab.c_custkey
+              ORDER BY round($gac, 9), c.p_partkey) AS rn
+          FROM ab CROSS JOIN c WHERE $gac < 10.0) WHERE rn = 1)
+      SELECT c_custkey, s_suppkey, p_partkey,
+        round(dab, 6) AS dist_ab, round(dac, 6) AS dist_ac
+      FROM abc ORDER BY c_custkey"""
+    })
+
+  /**
    * Cross-match completeness/purity evaluation — the spatial member
    * of the eval family (ANN has `ann_recall`, dedup
    * `dedup_calibration`, the classifier `text_nb_eval`; this is the
@@ -6473,6 +6540,7 @@ object QueryRegistry {
     "q_yoy" -> q_yoy,
     "pipeline_er" -> pipeline_er,
     "xmatch_pm" -> xmatch_pm,
+    "pipeline_xmatch3" -> pipeline_xmatch3,
     "q_lcfeatures" -> q_lcfeatures,
     "text_ensemble" -> text_ensemble,
     "dedup_keepbest" -> dedup_keepbest,
