@@ -49,7 +49,8 @@ CLASSES = {
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline',
-          'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_twopoint', 'q_hierarchy'],
+          'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_twopoint', 'q_hierarchy',
+          'pipeline_xmatch3'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
