@@ -5587,6 +5587,23 @@ object QueryRegistry {
     Some(graft.operators.Lm.perplexitySql("documents", "doc_id", "text",
       trainFilter = "doc_id < 300") + " ORDER BY doc_id"))
 
+  /** Interpolated Kneser-Ney bigram scoring
+   *  ([[graft.operators.Lm.crossEntropyKn]]) — the smoothing CCNet's
+   *  KenLM models actually use, vs text_perplexity's add-one: the
+   *  continuation-count faces reward words seen in MANY contexts
+   *  rather than merely often, so reference-like text separates from
+   *  tail noise much more sharply. Same train slice, same output
+   *  shape; the oracle replays training (all four count faces) and
+   *  the discounted interpolation formula in full. */
+  private val text_kneserney = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.Lm.trainKneserNey(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      graft.operators.Lm.crossEntropyKn(docs, "doc_id", "text", lm).orderBy("doc_id")
+    },
+    Some(graft.operators.Lm.kneserNeySql("documents", "doc_id", "text",
+      trainFilter = "doc_id < 300") + " ORDER BY doc_id"))
+
   /** REAL WAV encode→decode round trip, distributed end to end:
    *  synthesize a deterministic PCM16 signal per doc (pure integer
    *  function of the two-round mixer), encode to RIFF/WAVE bytes,
@@ -5825,6 +5842,42 @@ object QueryRegistry {
       SELECT op, CAST(count(*) AS BIGINT) AS n_pix,
         round(count(*)::DOUBLE * $area, 6) AS area_sr
       FROM j GROUP BY op ORDER BY op"""
+    })
+
+  /** MOC normalization to the IVOA NUNIQ serialization
+   *  ([[graft.operators.Spatial.mocNormalize]]): the order-5 lineitem
+   *  pseudo-sky footprint collapsed to its canonical minimal
+   *  multi-order tiling (complete sibling quads merge recursively into
+   *  parents; survivors emit as `4 * 4^norder + npix`, ascending = the
+   *  MOC serialization order). Coverage is exactly preserved while
+   *  uniform regions cost one tile — the footprint artifact VO
+   *  services exchange, completing the q_coverage set-algebra row.
+   *  The oracle replays all five merge rounds as chained CTEs over
+   *  the driver-built pixel aux. */
+  private val q_moc = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
+      val pix = withSky(li, "k").select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix"))
+      graft.operators.Spatial.mocNormalize(pix, "pix", 5).orderBy("nuniq")
+    },
+    Some {
+      val sb = new StringBuilder(
+        s"WITH f5 AS (SELECT DISTINCT pix5 AS pix FROM ${aux("pm_lineitem")})")
+      for (o <- 5 to 1 by -1) {
+        sb.append(s""",
+        f${o - 1} AS (SELECT pix // 4 AS pix FROM f$o GROUP BY 1 HAVING count(*) = 4),
+        r$o AS (SELECT $o AS norder, pix FROM f$o
+          WHERE pix // 4 NOT IN (SELECT pix FROM f${o - 1}))""")
+      }
+      sb.append(""",
+        r0 AS (SELECT 0 AS norder, pix FROM f0),
+        moc AS (SELECT * FROM r5 UNION ALL SELECT * FROM r4 UNION ALL
+          SELECT * FROM r3 UNION ALL SELECT * FROM r2 UNION ALL
+          SELECT * FROM r1 UNION ALL SELECT * FROM r0)
+      SELECT CAST(norder AS INTEGER) AS norder, CAST(pix AS BIGINT) AS npix,
+        CAST((4::BIGINT << (2 * norder)) + pix AS BIGINT) AS nuniq
+      FROM moc ORDER BY nuniq""")
+      sb.toString
     })
 
   /** Seasonal-naive forecast accuracy (MASE, Hyndman & Koehler 2006)
@@ -6301,7 +6354,18 @@ object QueryRegistry {
           Seq("qi_geo" -> lit("*"), "qi_seg" -> lit("*"))))
         .orderBy("c_custkey")
     },
-    Some("""WITH b AS (SELECT c_custkey, n_name, r_name, c_mktsegment AS seg
+    Some(s"""$kanonChainSql
+      SELECT * FROM (
+        SELECT * FROM rel0 UNION ALL SELECT * FROM rel1 UNION ALL
+        SELECT * FROM rel2 UNION ALL SELECT * FROM rel3 UNION ALL
+        SELECT * FROM sup)
+      ORDER BY c_custkey"""))
+
+  /** The k=100 residue-chain CTE prefix shared by the q_kanon and
+   *  q_ldiversity oracles (rel0..rel3 = per-rung releases over the
+   *  not-yet-released residue, sup = suppressed). */
+  private lazy val kanonChainSql: String =
+    """WITH b AS (SELECT c_custkey, n_name, r_name, c_mktsegment AS seg
         FROM customer JOIN nation ON c_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey),
       j0 AS (SELECT *, count(*) OVER (PARTITION BY n_name, seg) AS n0 FROM b),
@@ -6320,12 +6384,46 @@ object QueryRegistry {
       rel3 AS (SELECT c_custkey, '*', '*', CAST(3 AS INTEGER), n3
         FROM j3 WHERE n3 >= 100),
       sup AS (SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-          CAST(-1 AS INTEGER), CAST(NULL AS BIGINT) FROM j3 WHERE n3 < 100)
-      SELECT * FROM (
+          CAST(-1 AS INTEGER), CAST(NULL AS BIGINT) FROM j3 WHERE n3 < 100)"""
+
+  /** l-diversity audit ([[graft.operators.Privacy.lDiversity]]) of the
+   *  q_kanon release: k-anonymity bounds re-identification, not
+   *  attribute disclosure — every released equivalence class
+   *  (qi_geo, qi_seg, anon_level) must also carry >= l DISTINCT
+   *  values of the sensitive attribute (the 2000-wide account-balance
+   *  bucket) or class membership alone leaks it. One
+   *  map-side-combined rollup over the released table; suppressed
+   *  rows (anon_level -1) are not released and not audited. */
+  private val q_ldiversity = QueryDef(
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      val released = graft.operators.Privacy.kAnonymize(base, "c_custkey", k = 100,
+        levels = Seq(
+          Seq("qi_geo" -> col("n_name"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> col("r_name"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> lit("*"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> lit("*"), "qi_seg" -> lit("*"))))
+        .filter(col("anon_level") >= 0)
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), floor(col("c_acctbal") / 2000).cast("long").as("sens")),
+          "c_custkey")
+      graft.operators.Privacy.lDiversity(released,
+          Seq("anon_level", "qi_geo", "qi_seg"), "sens", l = 3)
+        .orderBy("anon_level", "qi_geo", "qi_seg")
+    },
+    Some(s"""$kanonChainSql,
+      rel AS (
         SELECT * FROM rel0 UNION ALL SELECT * FROM rel1 UNION ALL
-        SELECT * FROM rel2 UNION ALL SELECT * FROM rel3 UNION ALL
-        SELECT * FROM sup)
-      ORDER BY c_custkey"""))
+        SELECT * FROM rel2 UNION ALL SELECT * FROM rel3),
+      sd AS (SELECT r.anon_level, r.qi_geo, r.qi_seg,
+          CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS sens
+        FROM rel r JOIN customer c USING (c_custkey))
+      SELECT anon_level, qi_geo, qi_seg, count(*) AS n,
+        CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive,
+        count(DISTINCT sens) >= 3 AS l_diverse
+      FROM sd GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
   /** Funnel time-to-convert ([[graft.operators.Temporal.funnelLatency]]):
    *  exact latency distribution (p50/p90/min/max/integer-div mean, in
@@ -6680,6 +6778,7 @@ object QueryRegistry {
     "multimodal_frames" -> multimodal_frames,
     "multimodal_audio" -> multimodal_audio,
     "text_perplexity" -> text_perplexity,
+    "text_kneserney" -> text_kneserney,
     "text_auc" -> text_auc,
     "text_cv" -> text_cv,
     "q_qnorm" -> q_qnorm,
@@ -6703,6 +6802,7 @@ object QueryRegistry {
     "q_mannwhitney" -> q_mannwhitney,
     "q_forecast_eval" -> q_forecast_eval,
     "q_coverage" -> q_coverage,
+    "q_moc" -> q_moc,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,
@@ -6735,6 +6835,7 @@ object QueryRegistry {
     "sample_negatives" -> sample_negatives,
     "dedup_substring_exact" -> dedup_substring_exact,
     "q_kanon" -> q_kanon,
+    "q_ldiversity" -> q_ldiversity,
     "q_funnel_latency" -> q_funnel_latency,
     "text_drift" -> text_drift,
     "vec_dimstats" -> vec_dimstats,

@@ -88,6 +88,106 @@ object Lm {
       .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("__lp")), 6).as("cross_entropy"))
   }
 
+  /** Kneser-Ney model faces — all bounded by the reference slice's
+   *  observed bigrams: `bi` (w1, w2, c12), `ctx` (w1, c1 = sum c12,
+   *  n1f = distinct continuations of w1), `bwd` (w2, n1b = distinct
+   *  left-contexts of w2), `stats` (nall = distinct bigram types,
+   *  v = prediction vocab). */
+  final case class KneserNeyLm(bi: DataFrame, ctx: DataFrame, bwd: DataFrame, stats: DataFrame) {
+    /** Release the cached bigram table every face derives from. */
+    def unpersist(): Unit = { bi.unpersist(); () }
+  }
+
+  /** Train an interpolated Kneser-Ney bigram model (Kneser & Ney
+   *  1995; Chen & Goodman 1999's interpolated form — the smoothing
+   *  CCNet's KenLM models actually use, vs [[trainBigram]]'s add-one):
+   *  same single reference-slice aggregate as trainBigram plus the
+   *  continuation-count faces. Same bounded-model contract. */
+  def trainKneserNey(ref: DataFrame, idCol: String, textCol: String): KneserNeyLm = {
+    val bi = bigrams(ref, idCol, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bi.groupBy("w1").agg(sum("c12").cast("long").as("c1"), count(lit(1)).as("n1f"))
+    val bwd = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val stats = bi.agg(count(lit(1)).as("nall"), countDistinct("w2").as("v"))
+    KneserNeyLm(bi, ctx, bwd, stats)
+  }
+
+  /**
+   * Per-document cross-entropy under interpolated Kneser-Ney with
+   * fixed discount `d`:
+   *
+   *   p_cont(w2)  = (N1+(·,w2) + 1) / (N1+(··) + V + 1)
+   *   p(w2|w1)    = (max(c12 - d, 0) + d · N1+(w1,·) · p_cont(w2)) / c1   (seen w1)
+   *               = p_cont(w2)                                            (unseen w1)
+   *
+   * The +1/+V+1 add-one on the continuation distribution keeps every
+   * score finite for out-of-vocabulary predictions (standard KenLM
+   * behavior routes OOV through a unigram floor; this is the
+   * replayable integer-count analog). Lower cross-entropy than the
+   * add-one model on reference-like text, much sharper tail
+   * separation — the reason CCNet buckets on KN perplexity. Same
+   * scale shape as [[crossEntropy]]: map-side bigram explode, THREE
+   * broadcast model joins, one combinable groupBy(doc); 6-dp rounding
+   * absorbs summation-order ulp drift. Docs with < 2 tokens produce
+   * no row.
+   */
+  def crossEntropyKn(docs: DataFrame, idCol: String, textCol: String, lm: KneserNeyLm,
+                     d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"crossEntropyKn: discount d must be in (0, 1), got $d")
+    val sbg = bigrams(docs, idCol, textCol)
+    sbg.join(broadcast(lm.bi), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.ctx), Seq("w1"), "left")
+      .join(broadcast(lm.bwd), Seq("w2"), "left")
+      .crossJoin(broadcast(lm.stats))
+      .withColumn("__v", when(col("v") > 0, col("v")).otherwise(raise_error(lit(
+        "Lm.crossEntropyKn: reference slice produced no bigrams (vocab v=0) — " +
+          "train on a slice with at least one document of >= 2 tokens"))))
+      .withColumn("__pc",
+        (coalesce(col("n1b"), lit(0L)) + 1).cast("double") /
+          (col("nall") + col("__v") + 1).cast("double"))
+      .withColumn("__p", when(col("c1").isNotNull,
+          (greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) +
+            lit(d) * col("n1f").cast("double") * col("__pc")) / col("c1").cast("double"))
+        .otherwise(col("__pc")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(log(col("__p"))), 6).as("cross_entropy"))
+  }
+
+  /** SQL twin of [[trainKneserNey]] + [[crossEntropyKn]] for the
+   *  DuckDB oracle — same CTE scaffolding as [[perplexitySql]] with
+   *  the KN faces and formula. */
+  def kneserNeySql(table: String, idCol: String, textCol: String, trainFilter: String,
+                   d: Double = 0.75): String = {
+    val norm = Dedup.normalizeTextSql(textCol)
+    s"""WITH ttoks AS (
+      SELECT list_filter(string_split($norm, ' '), x -> len(x) > 0) AS tk
+      FROM $table WHERE $trainFilter),
+    tidx AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM ttoks WHERE len(tk) >= 2),
+    bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c12 FROM tidx GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f FROM bi GROUP BY 1),
+    bwd AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+    st AS (SELECT count(*) AS nall, count(DISTINCT w2) AS v FROM bi),
+    stoks AS (
+      SELECT $idCol, list_filter(string_split($norm, ' '), x -> len(x) > 0) AS tk
+      FROM $table),
+    sidx AS (SELECT $idCol, tk, unnest(range(1, len(tk))) AS i FROM stoks WHERE len(tk) >= 2),
+    sbg AS (SELECT $idCol, tk[i] AS w1, tk[i+1] AS w2 FROM sidx),
+    scored AS (
+      SELECT s.$idCol,
+        CASE WHEN c.c1 IS NOT NULL THEN
+          (greatest(coalesce(b.c12, 0)::DOUBLE - $d, 0.0)
+            + $d * c.n1f::DOUBLE * ((coalesce(w.n1b, 0) + 1)::DOUBLE / (t.nall + t.v + 1)::DOUBLE))
+          / c.c1::DOUBLE
+        ELSE (coalesce(w.n1b, 0) + 1)::DOUBLE / (t.nall + t.v + 1)::DOUBLE END AS p
+      FROM sbg s
+      LEFT JOIN bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+      LEFT JOIN ctx c ON s.w1 = c.w1
+      LEFT JOIN bwd w ON s.w2 = w.w2, st t)
+    SELECT $idCol, CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(-avg(ln(p)), 6) AS cross_entropy
+    FROM scored GROUP BY $idCol"""
+  }
+
   /**
    * DSIR-style importance weights (Xie et al. 2023, "Data Selection
    * for Language Models via Importance Resampling", simplified to

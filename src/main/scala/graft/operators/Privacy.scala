@@ -69,4 +69,29 @@ object Privacy {
       lit(-1).as("anon_level") :+ lit(null).cast("long").as("group_n"): _*)
     (released :+ suppressed).reduce(_ unionByName _)
   }
+
+  /**
+   * l-diversity audit of a released table (Machanavajjhala et al.
+   * 2007, distinct-l): k-anonymity bounds re-identification but not
+   * ATTRIBUTE disclosure — if every record of an equivalence class
+   * shares one sensitive value, membership alone reveals it. For each
+   * released class (the `classCols` tuple — for a [[kAnonymize]]
+   * release: the QI columns plus `anon_level`), reports its size, its
+   * distinct sensitive-value count, and whether it meets distinct
+   * l-diversity (>= `l` distinct sensitive values). The release is
+   * publishable only when every class flags true.
+   *
+   * Scale shape: ONE map-side-combined groupBy over the released
+   * table (count + count-distinct per class) — class count is bounded
+   * by the generalization domains, rows never collect.
+   */
+  def lDiversity(released: DataFrame, classCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(l >= 1, s"lDiversity: l must be >= 1 (got $l)")
+    require(classCols.nonEmpty, "lDiversity: at least one class column")
+    released.groupBy(classCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
 }

@@ -423,4 +423,41 @@ object Spatial {
       .withColumnRenamed("comp", "group_id")
       .withColumnRenamed("id", idCol)
   }
+
+  /**
+   * MOC normalization (IVOA MOC 2.0 — the multi-order coverage map
+   * every VO service exchanges footprints in): collapse a set of
+   * order-`order` NEST pixels into the canonical MINIMAL multi-order
+   * tiling — any group of 4 sibling pixels that are ALL covered merges
+   * into their parent, recursively up to order 0 — and emit each
+   * surviving tile in the standard NUNIQ packing
+   * `nuniq = 4 * 4^norder + npix` (ascending nuniq = the MOC
+   * serialization order). The inverse of a cover explode: coverage
+   * stays EXACTLY equal while deep uniform regions cost one tile
+   * instead of 4^(k-o).
+   *
+   * Scale shape: `order` rounds (bounded, <= 29) of a
+   * map-side-combined groupBy on `pix div 4` (quad-completeness
+   * count) + an anti-join of the level's survivors — every frame is
+   * bounded by npix(order) regardless of catalog size; the input
+   * row set is distinct-deduped once up front.
+   */
+  def mocNormalize(pixels: DataFrame, pixCol: String, order: Int): DataFrame = {
+    require(order >= 0 && order <= 29, s"mocNormalize: order must be in [0, 29], got $order")
+    var cur = pixels.select(col(pixCol).cast("long").as("pix")).distinct()
+    def nuniqOf(o: Int) = lit(4L << (2 * o)) + col("pix")
+    var out = Seq.empty[DataFrame]
+    for (o <- order until 0 by -1) {
+      val fullParents = cur.groupBy(expr("pix div 4").as("pix"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") === 4).drop("__c")
+      val survivors = cur
+        .join(fullParents.select(col("pix").as("__fp")),
+          expr("pix div 4") === col("__fp"), "left_anti")
+        .select(lit(o).as("norder"), col("pix").as("npix"), nuniqOf(o).as("nuniq"))
+      out = out :+ survivors
+      cur = fullParents
+    }
+    out = out :+ cur.select(lit(0).as("norder"), col("pix").as("npix"), nuniqOf(0).as("nuniq"))
+    out.reduce(_ unionByName _)
+  }
 }

@@ -75,6 +75,41 @@ class LmSpec extends SparkSpecBase {
       s"corpus-side bigrams must not shuffle into a merge join:\n$plan")
   }
 
+  test("Kneser-Ney matches the hand-computed interpolated formula on a tiny corpus") {
+    // training bigrams: (a,b) c12=2, (a,c) 1, (b,a) 1 ->
+    //   ctx: a (c1=3, n1f=2), b (c1=1, n1f=1)
+    //   bwd: b n1b=1, c n1b=1, a n1b=1;  nall=3, v=3 (b, c, a)
+    val ref = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    // bigrams of ref: doc1 -> (a,b),(b,a),(a,c); doc2 -> (a,b)
+    val lm = Lm.trainKneserNey(ref, "doc_id", "text")
+    val d = 0.75
+    def pc(n1b: Long) = (n1b + 1.0) / (3 + 3 + 1.0)
+    // score doc "a b x": bigrams (a,b) seen, (b,x) seen-w1 unseen-w2
+    val pAB = (math.max(2 - d, 0) + d * 2 * pc(1)) / 3.0
+    val pBX = (math.max(0 - d, 0) + d * 1 * pc(0)) / 1.0
+    val expect = BigDecimal(-(math.log(pAB) + math.log(pBX)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Lm.crossEntropyKn(Seq((9L, "a b x")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .select("cross_entropy").as[Double].head()
+    assert(math.abs(got - expect) < 1e-9, s"got $got, expected $expect")
+    // unseen w1 falls back to the continuation distribution alone
+    val pXA = pc(1)
+    val gotU = Lm.crossEntropyKn(Seq((9L, "x a")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .select("cross_entropy").as[Double].head()
+    assert(math.abs(gotU - BigDecimal(-math.log(pXA)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"unseen-context fallback: $gotU")
+  }
+
+  test("Kneser-Ney separates reference-like text from tail noise more sharply than add-one") {
+    val ref = (0L until 40L).map(i => (i, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val docs = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "zq xw vv kk pp qq rr ss tt uu")).toDF("doc_id", "text")
+    val kn = Lm.crossEntropyKn(docs, "doc_id", "text", Lm.trainKneserNey(ref, "doc_id", "text"))
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(kn(100L) < kn(101L), s"reference-like must score lower: $kn")
+  }
+
   test("degenerate reference slice (no bigrams, v=0) fails loudly instead of scoring Infinity") {
     // every ref doc has < 2 tokens -> zero bigrams -> vocab v = 0
     val ref = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")

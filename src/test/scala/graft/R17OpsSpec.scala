@@ -94,6 +94,18 @@ class R17OpsSpec extends SparkSpecBase {
       s"the lone residue row must be suppressed, not released alone: ${out.toSeq}")
   }
 
+  test("lDiversity flags released classes whose sensitive values are too uniform") {
+    // class (X): sensitive {1, 2, 3} -> diverse at l=3;
+    // class (Y): sensitive {1, 1, 2} -> only 2 distinct -> flagged
+    val rel = Seq(("X", 1L), ("X", 2L), ("X", 3L), ("Y", 1L), ("Y", 1L), ("Y", 2L))
+      .toDF("qi", "sens")
+    val out = Privacy.lDiversity(rel, Seq("qi"), "sens", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set(("X", 3L, 3L, true), ("Y", 3L, 2L, false)), out.toString)
+    assert(intercept[IllegalArgumentException](
+      Privacy.lDiversity(rel, Seq("qi"), "sens", l = 0)).getMessage.contains("l must be >= 1"))
+  }
+
   test("kAnonymize suppresses rows no level can release (table smaller than k)") {
     val out = Privacy.kAnonymize(Seq((1L, "x"), (2L, "y")).toDF("id", "c"), "id",
         k = 5, levels = Seq(Seq("qi" -> col("c")), Seq("qi" -> lit("*"))))

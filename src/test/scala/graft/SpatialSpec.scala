@@ -112,4 +112,31 @@ class SpatialSpec extends SparkSpecBase {
       .agg(sum("cnt")).collect()(0).getLong(0)
     assert(total == cust.count())
   }
+
+  test("mocNormalize: exact coverage round-trip, minimality, canonical NUNIQ") {
+    import spark.implicits._
+    // pixels 0..3 (a complete quad -> merges to parent 0@o2 -> its
+    // siblings incomplete), a lone pixel, and a 16-run (two complete
+    // quads + their complete parent quad? no: 16..31 = parents 4..7 =
+    // a complete quad at the NEXT level too)
+    val pix = ((0L to 3L) ++ Seq(9L) ++ (16L to 31L)).toDF("p")
+    val moc = Spatial.mocNormalize(pix, "p", order = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // expansion back to order 3 must reproduce the input set exactly
+    val expanded = moc.flatMap { case (o, np, _) =>
+      val f = 1L << (2 * (3 - o)); (np * f) until (np * f + f) }.sorted
+    assert(expanded.toSeq == ((0L to 3L) ++ Seq(9L) ++ (16L to 31L)).sorted,
+      s"coverage must round-trip: ${moc.toSeq}")
+    // minimality: no tile's 3 siblings are all present at its level
+    moc.groupBy(_._1).foreach { case (_, ts) =>
+      val at = ts.map(_._2).toSet
+      assert(!at.exists(p => (p / 4 * 4 until p / 4 * 4 + 4).forall(at)),
+        s"complete sibling quads must have merged: ${moc.toSeq}")
+    }
+    // canonical packing: nuniq = 4 * 4^norder + npix
+    moc.foreach { case (o, np, nu) => assert(nu == (4L << (2 * o)) + np, s"($o, $np, $nu)") }
+    // 16..31 merges TWO levels: parents 4..7 at o2 form a complete
+    // quad -> single tile 1@o1
+    assert(moc.contains((1, 1L, (4L << 2) + 1)), s"two-level merge expected: ${moc.toSeq}")
+  }
 }
