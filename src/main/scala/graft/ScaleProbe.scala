@@ -30,7 +30,7 @@ object ScaleProbe {
 
     // optional comma-separated section filter for targeted iteration
     // (docs, sketch, graph, temporal, embeddings, ann, multimodal,
-    // spatial, merge, alerts); default all
+    // spatial, merge, alerts, privacy); default all
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
     def section(name: String): Boolean = sections.forall(_.contains(name))
@@ -534,6 +534,57 @@ object ScaleProbe {
         dd.unionByName(dr).count()
       }
       cat.unpersist()
+    }
+
+    // k-anonymity residue chain at snapshot scale: 20M rows over a
+    // (city -> region -> '*') ladder with k = 1000, built so BOTH
+    // paths fire at volume — 5M rows in 20 big cities (release at
+    // level 0) and 15M rows across 100k small cities (residue ->
+    // release at the region rung). Pins: the L sequential broadcast-
+    // count passes stay scan-bound (fact table never shuffles), the
+    // release partitions the input exactly, every released class
+    // holds >= k rows (the r12 residue-counting guarantee re-asserted
+    // at scale), and the lDiversity audit runs as one bounded rollup.
+    if (section("privacy")) locally {
+      val n = 20000000L
+      val rows = spark.range(n).select(col("id"),
+          when(col("id") % 4 === 0, concat(lit("big"), col("id") % 20))
+            .otherwise(concat(lit("s"), col("id") % 100000)).as("city"),
+          concat(lit("r"), col("id") % 97).as("reg"),
+          (col("id") % 13).as("sens"))
+        .repartition(cpus.toInt * 4)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      rows.count()
+      val rel = graft.operators.Privacy.kAnonymize(rows, "id", k = 1000, levels = Seq(
+          Seq("qi" -> col("city")), Seq("qi" -> col("reg")), Seq("qi" -> lit("*"))))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      time("kAnonymize (20M rows, 3-rung ladder, k=1000, mixed release levels)", "privacy") {
+        val total = rel.count()
+        require(total == n, s"release must partition the input: $total != $n")
+        total
+      }
+      time("released classes all >= k at every rung (bounded rollup)", "privacy") {
+        val bad = rel.filter(col("anon_level") >= 0)
+          .groupBy("anon_level", "qi").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") < 1000)
+        require(bad.count() == 0, "a released class fell below k")
+        val lvls = rel.groupBy("anon_level").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        println(s"[probe]   release levels: $lvls")
+        require(lvls.getOrElse(0, 0L) > 0 && lvls.getOrElse(1, 0L) > 0,
+          s"both ladder paths must fire at volume: $lvls")
+        lvls.values.sum
+      }
+      time("lDiversity audit over the 20M-row release (l=3)", "privacy") {
+        val audit = rel.filter(col("anon_level") >= 0)
+          .join(rows.select(col("id"), col("sens")), "id")
+        val out = graft.operators.Privacy.lDiversity(audit,
+          Seq("anon_level", "qi"), "sens", l = 3)
+        require(out.filter(!col("l_diverse")).count() == 0,
+          "the synthetic sensitive column is uniform mod 13 — every class must be diverse")
+        out.count()
+      }
+      rel.unpersist(); rows.unpersist()
     }
 
     // streaming alert cross-match at broker scale: a 1M-object
