@@ -5518,20 +5518,33 @@ object QueryRegistry {
       val sig = ce.join(te, "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sig.count()
-      def rankOf(valueCol: String, order: org.apache.spark.sql.Column, as: String) =
-        graft.operators.Rank.globalRowNumber(sig.select(col("doc_id"), col(valueCol)),
+      // the three rankings run under a NAMED job group set on each
+      // future's own thread (local properties don't reliably reach
+      // pre-existing global-EC threads), so an Await timeout/failure
+      // cancels the in-flight Spark jobs instead of leaking detached
+      // work into subsequent bench queries
+      val jobGroup = "text_ensemble_ranks"
+      def rankOf(valueCol: String, order: org.apache.spark.sql.Column, as: String) = {
+        s.sparkContext.setJobGroup(jobGroup,
+          "text_ensemble concurrent rank construction", interruptOnCancel = true)
+        try graft.operators.Rank.globalRowNumber(sig.select(col("doc_id"), col(valueCol)),
           Seq(order, col("doc_id"))).select(col("doc_id"), col("rank").as(as))
+        finally s.sparkContext.clearJobGroup()
+      }
       // the three rankings are independent and each pays a bounded
       // partition-size collect at CONSTRUCTION time — submit them
       // concurrently so those three jobs overlap (the r11 serial
       // shape paid three job floors back to back; 6.2x idle ratio)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      val ranked = Await.result(Future.sequence(Seq(
-        Future(rankOf("cross_entropy", col("cross_entropy"), "r_ppl")),
-        Future(rankOf("entropy", col("entropy").desc, "r_ent")),
-        Future(rankOf("n_tokens", col("n_tokens").desc, "r_len")))),
-        scala.concurrent.duration.Duration(10, "min"))
+      val ranked =
+        try Await.result(Future.sequence(Seq(
+          Future(rankOf("cross_entropy", col("cross_entropy"), "r_ppl")),
+          Future(rankOf("entropy", col("entropy").desc, "r_ent")),
+          Future(rankOf("n_tokens", col("n_tokens").desc, "r_len")))),
+          scala.concurrent.duration.Duration(10, "min"))
+        catch { case e: Throwable =>
+          s.sparkContext.cancelJobGroup(jobGroup); sig.unpersist(); throw e }
       val summed = ranked.reduce(_.join(_, "doc_id"))
         .withColumn("rank_sum", col("r_ppl") + col("r_ent") + col("r_len"))
       graft.operators.Rank.curriculum(summed, Seq(col("rank_sum"), col("doc_id")), phases = 2)

@@ -825,11 +825,22 @@ object Dedup {
    * both are cached MEMORY_AND_DISK — the r11 uncached shape
    * re-tokenized the corpus three times and re-hashed every window
    * twice (3.3x idle ratio); the caches follow the minhash/neardup
-   * signature-cache precedent (released by the session's cache
-   * clearing, not corpus-collected).
+   * signature-cache precedent: long-lived library callers should use
+   * [[exactDupSpansWithHandle]] and unpersist after their action
+   * (this arity is the bench-session face, where the session's cache
+   * clearing releases the blocks).
    */
   def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
-                    minTokens: Int = 5, maxDocs: Int = 1): DataFrame = {
+                    minTokens: Int = 5, maxDocs: Int = 1): DataFrame =
+    exactDupSpansWithHandle(df, idCol, textCol, minTokens, maxDocs)._1
+
+  /** As [[exactDupSpans]], additionally returning an unpersist handle
+   *  releasing the token-array and shingle caches — call it after the
+   *  action consuming the result (the [[minhashPairsWithHandle]] /
+   *  [[nearDuplicatesWithHandle]] precedent, so library callers don't
+   *  accumulate executor-storage blocks across many corpora). */
+  def exactDupSpansWithHandle(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 5, maxDocs: Int = 1): (DataFrame, () => Unit) = {
     require(minTokens >= 1, s"minTokens must be >= 1 (got $minTokens)")
     require(maxDocs >= 1, s"maxDocs must be >= 1 (got $maxDocs)")
     val w = minTokens
@@ -858,12 +869,13 @@ object Dedup {
       .agg(min(col("__pos")).cast("long").as("span_start"),
         max(col("__e")).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
-    islands.join(base.select(col(idCol), col("__tk")), Seq(idCol))
+    val out = islands.join(base.select(col(idCol), col("__tk")), Seq(idCol))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"),
         col("n_windows"),
         array_join(slice(col("__tk"), (col("span_start") + 1).cast("int"),
           (col("span_end") - col("span_start")).cast("int")), " ").as("span_text"))
+    (out, () => { base.unpersist(); sh.unpersist(); () })
   }
 
   /**

@@ -152,6 +152,17 @@ object TextAnalysis {
       explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__t"))
     val gt = tok.groupBy("__grp", "__t").agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the eager collect below is only safe because groupCol is a
+    // source/shard/slice by contract — enforce the contract instead
+    // of trusting it: the distinct-group count rides the already-
+    // persisted term table (this also FILLS the cache before the
+    // three derived faces read it), and a high-cardinality groupCol
+    // fails loudly here rather than OOMing the driver
+    val nGroups = gt.select("__grp").distinct().count()
+    require(nGroups <= 4096,
+      s"sourceDrift: groupCol '$groupCol' has $nGroups distinct groups; " +
+        "the per-group result is materialized on the driver, so the group " +
+        "count must stay bounded (<= 4096) — pre-bucket the column first")
     val vocab = gt.groupBy("__t").agg(sum("__c").as("__ct"))
     val gTot = gt.groupBy("__grp").agg(sum("__c").as("__n"), count(lit(1)).as("n_types"))
     val nTot = vocab.agg(sum("__ct").as("__nn"))
