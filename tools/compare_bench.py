@@ -129,6 +129,16 @@ def main():
     base = json.load(open(os.path.join(here, 'baseline_duckdb.json')))['duckdb_sec']
     bench = load_bench(sys.argv[1])['queries']
     prev = load_bench(sys.argv[2])['queries'] if len(sys.argv) > 2 else None
+    # per-query job-floor medians (same queries at sf0.001 — constant
+    # scheduling cost, ~zero data cost); when present, the class-A
+    # criterion additionally grades the DATA-DEPENDENT component
+    # max(spark - floor, 0) so a 20x ratio on a 30 ms DuckDB query
+    # whose Spark cost is all job floor stops reading as a throughput
+    # deficit (it vanishes at scale)
+    floor_path = os.path.join(here, 'floor_sf0.001.json')
+    floor = {}
+    if os.path.exists(floor_path):
+        floor = json.load(open(floor_path)).get('queries', {})
 
     print('| query | class | spark s | duckdb s | spark/duckdb |' + (' vs prev |' if prev else ''))
     regressions, failed = [], []
@@ -155,6 +165,12 @@ def main():
         ds = sum(base[q] for q in qs if q in base)
         ratio = f'{ss/ds:.2f}' if ds else 'n/a'
         print(f'| **total {k}** |  | **{ss:.2f}** | **{ds:.2f}** | **{ratio}** |')
+        if k == 'A' and floor:
+            data = sum(max(bench[q] - floor[q], 0.0) for q in qs
+                       if floor.get(q, -1) >= 0)
+            dr = f'{data/ds:.2f}' if ds else 'n/a'
+            print(f'| **total A data-dep (minus sf0.001 job floor)** |  | '
+                  f'**{data:.2f}** | **{ds:.2f}** | **{dr}** |')
     if failed:
         print(f'\nFAILED QUERIES (bench sentinel -1.0): {failed}')
     if regressions:

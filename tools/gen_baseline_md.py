@@ -1,10 +1,19 @@
 #!/usr/bin/env python3
 """Regenerate the BASELINE.md numbers table + class totals from
-tools/baseline_duckdb.json (DuckDB medians) and a bench JSON (Spark
-medians). Prints the markdown table to stdout; the prose sections of
-BASELINE.md are maintained by hand.
+tools/baseline_duckdb.json (DuckDB medians), a bench JSON (Spark
+medians at sf0.1) and — when present — tools/floor_sf0.001.json
+(Spark medians for the SAME queries at sf0.001, i.e. the per-query
+job-scheduling FLOOR: at 1/100th the data a constant-dominated query
+costs the same, a data-dominated one ~nothing).
 
-Usage: python3 tools/gen_baseline_md.py /tmp/bench_r5.json
+The floor column makes the 2x class-A criterion grade the
+DATA-DEPENDENT component: data s = max(spark - floor, 0), and a row
+is floor-bound (class-A ratio not meaningful as a throughput
+comparison) when floor >= 50%% of the sf0.1 median. Prints the
+markdown table to stdout; the prose sections of BASELINE.md are
+maintained by hand.
+
+Usage: python3 tools/gen_baseline_md.py BENCH_FULL.json
 """
 import json, os, sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -13,6 +22,10 @@ from compare_bench import CLS, load_bench
 here = os.path.dirname(os.path.abspath(__file__))
 duck = json.load(open(os.path.join(here, 'baseline_duckdb.json')))['duckdb_sec']
 spark = load_bench(sys.argv[1])['queries']
+floor_path = os.path.join(here, 'floor_sf0.001.json')
+floor = {}
+if os.path.exists(floor_path):
+    floor = json.load(open(floor_path))['queries']
 
 missing = sorted(set(spark) ^ set(duck))
 if missing:
@@ -22,16 +35,23 @@ if failed:
     sys.exit(f"FAILED queries in bench json (sentinel -1.0) — not committing "
              f"a corrupted table: {failed}")
 
-print('| query | class | spark s | duckdb s | spark/duckdb |')
-print('|---|---|---|---|---|')
+print('| query | class | spark s | floor s | data s | duckdb s | spark/duckdb | data/duckdb |')
+print('|---|---|---|---|---|---|---|---|')
 tot = {}
 for q in sorted(set(spark) & set(duck)):
     c = CLS.get(q, '?')
     s, d = spark[q], duck[q]
-    tot.setdefault(c, [0.0, 0.0])
+    f = floor.get(q)
+    data = max(s - f, 0.0) if f is not None and f >= 0 else None
+    tot.setdefault(c, [0.0, 0.0, 0.0])
     tot[c][0] += s
     tot[c][1] += d
-    print(f'| {q} | {c} | {s:.3f} | {d:.3f} | {s / d:.2f} |')
+    tot[c][2] += data if data is not None else s
+    fs = f'{f:.3f}' if f is not None and f >= 0 else ''
+    ds_ = f'{data:.3f}' if data is not None else ''
+    dr = f'{data / d:.2f}' if data is not None else ''
+    print(f'| {q} | {c} | {s:.3f} | {fs} | {ds_} | {d:.3f} | {s / d:.2f} | {dr} |')
 for c in sorted(tot):
-    s, d = tot[c]
-    print(f'| **total {c}** |  | **{s:.2f}** | **{d:.2f}** | **{s / d:.2f}** |')
+    s, d, data = tot[c]
+    print(f'| **total {c}** |  | **{s:.2f}** |  | **{data:.2f}** | **{d:.2f}** | '
+          f'**{s / d:.2f}** | **{data / d:.2f}** |')
