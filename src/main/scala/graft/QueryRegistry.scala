@@ -42,6 +42,7 @@ object QueryRegistry {
       .select(col("c_custkey"),
         sphere.hpix(col("cra"), col("cdec"), 2).as("pix2"),
         sphere.hpix(col("cra"), col("cdec"), 5).as("pix5"),
+        sphere.hpix(col("cra"), col("cdec"), 6).as("pix6"),
         // spatialIndex high bits (pix@20 << 20, signed wrap) computed
         // here so the oracle's BIGINT arithmetic can't overflow
         shiftleft(sphere.hpix(col("cra"), col("cdec"), 20), 20).as("idhigh20"))
@@ -5904,6 +5905,80 @@ object QueryRegistry {
       sb.toString
     })
 
+  /** Mixed-order MOC set algebra over NUNIQ
+   *  ([[graft.operators.Spatial.mocUnion]]/[[graft.operators.Spatial.mocIntersect]]/
+   *  [[graft.operators.Spatial.mocDifference]] — the MOC-2.0
+   *  operations VO services run on exchanged footprints, at the MOCs'
+   *  NATIVE orders, no expansion to a common order): an order-5
+   *  lineitem pseudo-sky footprint (pixels with pix % 3 != 0, so the
+   *  footprint is partial and merge-rich) against an order-6 customer
+   *  footprint (pix % 5 < 2), both normalized first, then
+   *  union / intersection / difference tagged into one result and
+   *  re-normalized (composing with q_moc's minimality contract).
+   *  Intersection exercises the coarse-tile-vs-fine-descendant
+   *  overlap; difference exercises tile SPLITTING (a fine b-tile
+   *  punches a hole through a coarse a-tile). The oracle derives the
+   *  same sets STRUCTURALLY differently: expand both footprints to
+   *  the common order 6, run plain set ops on pixel sets, then replay
+   *  the six merge rounds as chained CTEs. The distinct pixel frames
+   *  are bounded by npix(5)/npix(6) and persisted so the three ops
+   *  share one corpus scan per side (signature-cache precedent). */
+  private val q_moc_ops = QueryDef(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
+      val aPix = withSky(li, "k")
+        .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix"))
+        .filter(col("pix") % 3 =!= 0).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bPix = withSky(t(s, dir, "customer"), "c_custkey")
+        .select(sphere.hpix(col("cra"), col("cdec"), 6).as("pix"))
+        .filter(col("pix") % 5 < 2).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint cuts the logical-plan lineage at the two
+      // normalized MOCs: each set op references its inputs many
+      // times and re-normalizes through 6 more rounds, so carrying
+      // the full 6-round normalize subtree into every reference
+      // multiplies the analyzed plan combinatorially (driver OOM at
+      // analysis time, not an executor-data problem — the frames
+      // themselves are npix-bounded and tiny)
+      val a = Spatial.mocNormalize(aPix, "pix", 5).localCheckpoint()
+      val b = Spatial.mocNormalize(bPix, "pix", 6).localCheckpoint()
+      Seq("union" -> Spatial.mocUnion(a, b, 6),
+          "intersect" -> Spatial.mocIntersect(a, b, 6),
+          "diff_ab" -> Spatial.mocDifference(a, b, 6))
+        .map { case (tag, m) =>
+          m.select(lit(tag).as("op"), col("norder"), col("npix"), col("nuniq")) }
+        .reduce(_ unionByName _)
+        .orderBy("op", "nuniq")
+    },
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH a5 AS (SELECT DISTINCT pix5 AS pix FROM ${aux("pm_lineitem")} WHERE pix5 % 3 <> 0),
+        a6 AS (SELECT unnest([pix * 4, pix * 4 + 1, pix * 4 + 2, pix * 4 + 3]) AS pix FROM a5),
+        b6 AS (SELECT DISTINCT pix6 AS pix FROM ${aux("hpix_customer")} WHERE pix6 % 5 < 2),
+        f6 AS (
+          SELECT 'union' AS op, pix FROM (SELECT pix FROM a6 UNION SELECT pix FROM b6)
+          UNION ALL
+          SELECT 'intersect' AS op, pix FROM (SELECT pix FROM a6 INTERSECT SELECT pix FROM b6)
+          UNION ALL
+          SELECT 'diff_ab' AS op, pix FROM (SELECT pix FROM a6 EXCEPT SELECT pix FROM b6))""")
+      for (o <- 6 to 1 by -1) {
+        sb.append(s""",
+        f${o - 1} AS (SELECT op, pix // 4 AS pix FROM f$o GROUP BY 1, 2 HAVING count(*) = 4),
+        r$o AS (SELECT op, $o AS norder, pix FROM f$o WHERE NOT EXISTS
+          (SELECT 1 FROM f${o - 1} p WHERE p.op = f$o.op AND p.pix = f$o.pix // 4))""")
+      }
+      sb.append(""",
+        r0 AS (SELECT op, 0 AS norder, pix FROM f0),
+        moc AS (SELECT * FROM r6 UNION ALL SELECT * FROM r5 UNION ALL
+          SELECT * FROM r4 UNION ALL SELECT * FROM r3 UNION ALL
+          SELECT * FROM r2 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r0)
+      SELECT op, CAST(norder AS INTEGER) AS norder, CAST(pix AS BIGINT) AS npix,
+        CAST((4::BIGINT << (2 * norder)) + pix AS BIGINT) AS nuniq
+      FROM moc ORDER BY op, nuniq""")
+      sb.toString
+    })
+
   /** Seasonal-naive forecast accuracy (MASE, Hyndman & Koehler 2006)
    *  on daily event volumes: forecast = the value one CALENDAR week
    *  earlier, scaled by the in-sample 1-calendar-day naive MAE — the
@@ -6827,6 +6902,7 @@ object QueryRegistry {
     "q_forecast_eval" -> q_forecast_eval,
     "q_coverage" -> q_coverage,
     "q_moc" -> q_moc,
+    "q_moc_ops" -> q_moc_ops,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,

@@ -460,4 +460,173 @@ object Spatial {
     out = out :+ cur.select(lit(0).as("norder"), col("pix").as("npix"), nuniqOf(0).as("nuniq"))
     out.reduce(_ unionByName _)
   }
+
+  // ------------------------------------------------------- MOC set algebra
+
+  /** The NUNIQ packing of a (norder, npix) tile — MOC 2.0 §2.3.1. */
+  private def nuniqCol: Column = expr("shiftleft(cast(4 as bigint), 2 * norder) + npix")
+
+  /** Materialize a MOC operand and CUT its logical-plan lineage
+   *  (localCheckpoint). The set ops below reference each operand many
+   *  times across ancestor-chain joins plus up-to-29 re-normalization
+   *  rounds; carrying an operand's full upstream plan (itself often a
+   *  multi-round [[mocNormalize]]) into every reference multiplies
+   *  the ANALYZED plan combinatorially — Catalyst analysis, not data,
+   *  becomes the bottleneck (observed: minutes of TreeNode walks on a
+   *  20-tile toy input). MOC frames are npix-bounded by contract, so
+   *  the eager materialization is cheap at any catalog size. */
+  private def pinMoc(m: DataFrame): DataFrame =
+    m.select(col("norder").cast("int").as("norder"), col("npix").cast("long").as("npix"))
+      .localCheckpoint()
+
+  /**
+   * Mixed-order MOC normalization: collapse a PAIRWISE-DISJOINT tile
+   * set (`norder`, `npix` columns, orders up to `maxOrder`) into the
+   * canonical minimal NUNIQ tiling — [[mocNormalize]]'s single-order
+   * walk generalized so each level's quad-merge round also absorbs
+   * the tiles NATIVE to the next-coarser order (the set-operation
+   * results below are mixed-order by construction). Disjointness is
+   * the caller's contract (every producer in this file emits disjoint
+   * tiles); under it the per-level union needs no distinct — a native
+   * coarse tile can never equal a completed parent without
+   * overlapping its four children.
+   *
+   * Scale shape: `maxOrder` (<= 29) rounds of a map-side-combined
+   * quad count + an anti-join, every frame bounded by the tile count
+   * at that level (<= npix(level)), never the source catalog.
+   */
+  def mocNormalizeMixed(tiles: DataFrame, maxOrder: Int): DataFrame = {
+    require(maxOrder >= 0 && maxOrder <= 29,
+      s"mocNormalizeMixed: maxOrder must be in [0, 29], got $maxOrder")
+    def level(o: Int) =
+      tiles.filter(col("norder") === o).select(col("npix").cast("long").as("pix"))
+    var cur = level(maxOrder)
+    var out = Seq.empty[DataFrame]
+    for (o <- maxOrder until 0 by -1) {
+      val fullParents = cur.groupBy(expr("pix div 4").as("pix"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") === 4).drop("__c")
+      val survivors = cur
+        .join(fullParents.select(col("pix").as("__fp")),
+          expr("pix div 4") === col("__fp"), "left_anti")
+        .select(lit(o).as("norder"), col("pix").as("npix"))
+      out = out :+ survivors
+      // per-round lineage cut (the Graph.scala per-round checkpoint
+      // precedent): without it cur's plan doubles every round — fine
+      // for 5 rounds, pathological for 29
+      cur = fullParents.unionByName(level(o - 1)).localCheckpoint()
+    }
+    out = out :+ cur.select(lit(0).as("norder"), col("pix").as("npix"))
+    out.reduce(_ unionByName _).withColumn("nuniq", nuniqCol)
+  }
+
+  /** Tiles of `x` lying inside (`strict` = strictly inside, i.e. a
+   *  PROPER ancestor; else inside-or-equal) some tile of `y` — the
+   *  ancestor/descendant overlap primitive of the MOC set ops: x's
+   *  ancestor chain is a bounded explode (norder + 1 rows per tile),
+   *  the containment test one equi-join against y; y's disjointness
+   *  means at most one chain entry can match, so no distinct.
+   *  `keep` selects the semi (matching) or anti (non-matching) side. */
+  private def tilesCoveredBy(x: DataFrame, y: DataFrame, strict: Boolean,
+                             keep: String): DataFrame = {
+    val xs = if (strict) x.filter(col("norder") >= 1) else x
+    val anc = xs.select(col("norder"), col("npix"),
+        explode(sequence(lit(0), if (strict) col("norder") - 1 else col("norder"))).as("__o"))
+      .withColumn("__apix", expr("shiftright(npix, 2 * (norder - __o))"))
+    val matched = anc.join(
+        y.select(col("norder").as("__o"), col("npix").as("__apix")),
+        Seq("__o", "__apix"), "left_semi")
+      .select("norder", "npix")
+    keep match {
+      case "semi" => matched
+      case "anti" =>
+        val out = x.join(matched.withColumnRenamed("norder", "__n")
+            .withColumnRenamed("npix", "__p"),
+          col("norder") === col("__n") && col("npix") === col("__p"), "left_anti")
+        out.select("norder", "npix")
+    }
+  }
+
+  /** Strict-ancestor index of a MOC: one row per (order, ancestor
+   *  pixel) a tile of `m` sits strictly below — the "has a finer
+   *  descendant in m" probe side. Bounded: norder rows per tile. */
+  private def strictAncestors(m: DataFrame): DataFrame =
+    m.filter(col("norder") >= 1)
+      .select(col("norder").as("__dn"), col("npix").as("__dp"),
+        explode(sequence(lit(0), col("norder") - 1)).as("norder"))
+      .withColumn("npix", expr("shiftright(__dp, 2 * (__dn - norder))"))
+      .select("norder", "npix").distinct()
+
+  /**
+   * Union of two NORMALIZED MOCs at their native mixed orders (the
+   * MOC-2.0 set operation VO services exchange — no expansion to a
+   * common order): a-tiles strictly inside a b-tile and b-tiles
+   * inside-or-equal-to an a-tile are redundant (equal tiles keep the
+   * a copy); the disjoint remainder re-normalizes, because a region
+   * covered 3/4 by `a` and 1/4 by `b` now completes a quad.
+   */
+  def mocUnion(a: DataFrame, b: DataFrame, maxOrder: Int): DataFrame = {
+    val (ap, bp) = (pinMoc(a), pinMoc(b))
+    val aKeep = tilesCoveredBy(ap, bp, strict = true, keep = "anti")
+    val bKeep = tilesCoveredBy(bp, ap, strict = false, keep = "anti")
+    mocNormalizeMixed(aKeep.unionByName(bKeep), maxOrder)
+  }
+
+  /**
+   * Intersection of two NORMALIZED MOCs at native mixed orders: every
+   * overlap of disjoint tilings is witnessed by the FINER tile of the
+   * pair, so the intersection is exactly { a-tiles inside-or-equal a
+   * b-tile } ∪ { b-tiles strictly inside an a-tile } — two bounded
+   * ancestor-chain joins, no pixel expansion (a coarse tile
+   * intersecting millions of fine descendants costs its chain rows,
+   * not its 4^k pixels). The result is provably quad-free when both
+   * inputs are normalized; the defensive re-normalize keeps the
+   * canonical-output contract even on non-minimal inputs.
+   */
+  def mocIntersect(a: DataFrame, b: DataFrame, maxOrder: Int): DataFrame = {
+    val (ap, bp) = (pinMoc(a), pinMoc(b))
+    val aIn = tilesCoveredBy(ap, bp, strict = false, keep = "semi")
+    val bIn = tilesCoveredBy(bp, ap, strict = true, keep = "semi")
+    mocNormalizeMixed(aIn.unionByName(bIn), maxOrder)
+  }
+
+  /**
+   * Difference a \ b of two NORMALIZED MOCs at native mixed orders.
+   * a-tiles wholly inside b vanish; a-tiles with no b-descendant
+   * survive whole; the rest are CONTESTED — a finer b-tile punches a
+   * hole through them — and split one order per round: each round
+   * explodes contested tiles into their 4 children, drops children
+   * that ARE b-tiles (the only way a child can be covered, since its
+   * coarser ancestors were already not), keeps children with no
+   * b-descendant, and carries the remainder. Rounds are bounded by
+   * `maxOrder`; every round's frame is bounded by 4x the b-tiles
+   * still being carved around — the subdivision follows b's tile
+   * paths, never the 4^k full expansion.
+   */
+  def mocDifference(a: DataFrame, b: DataFrame, maxOrder: Int): DataFrame = {
+    val (ap, bp) = (pinMoc(a), pinMoc(b))
+    val bAnc = strictAncestors(bp).localCheckpoint()
+    val bTiles = bp.select("norder", "npix")
+    val a0 = tilesCoveredBy(ap, bp, strict = false, keep = "anti")
+    def partsOf(tiles: DataFrame): (DataFrame, DataFrame) = {
+      val contested = tiles.join(bAnc, Seq("norder", "npix"), "left_semi")
+      val whole = tiles.join(bAnc, Seq("norder", "npix"), "left_anti")
+      (whole, contested)
+    }
+    val (whole0, contested0) = partsOf(a0)
+    var kept = Seq(whole0)
+    // per-round lineage cut + early exit: contested shrinks along b's
+    // tile paths and usually empties well before maxOrder rounds
+    var contested = contested0.localCheckpoint()
+    var round = 0
+    while (round < maxOrder && !contested.isEmpty) {
+      val children = contested.select((col("norder") + 1).as("norder"),
+        explode(expr("array(npix * 4, npix * 4 + 1, npix * 4 + 2, npix * 4 + 3)")).as("npix"))
+      val surviving = children.join(bTiles, Seq("norder", "npix"), "left_anti")
+      val (whole, next) = partsOf(surviving)
+      kept = kept :+ whole
+      contested = next.localCheckpoint()
+      round += 1
+    }
+    mocNormalizeMixed(kept.reduce(_ unionByName _), maxOrder)
+  }
 }

@@ -139,4 +139,68 @@ class SpatialSpec extends SparkSpecBase {
     // quad -> single tile 1@o1
     assert(moc.contains((1, 1L, (4L << 2) + 1)), s"two-level merge expected: ${moc.toSeq}")
   }
+
+  // --- mixed-order MOC set algebra -----------------------------------
+
+  /** Expand a collected MOC back to a flat order-`k` pixel set. */
+  private def expandTo(moc: Array[(Int, Long)], k: Int): Set[Long] =
+    moc.flatMap { case (o, np) =>
+      val f = 1L << (2 * (k - o)); (np * f) until (np * f + f) }.toSet
+
+  private def collectMoc(df: org.apache.spark.sql.DataFrame): Array[(Int, Long)] =
+    df.select("norder", "npix").collect().map(r => (r.getInt(0), r.getLong(1)))
+
+  private def mocOf(pixels: Seq[Long], order: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Spatial.mocNormalize(pixels.toDF("p"), "p", order)
+  }
+
+  test("MOC set algebra: coarse tile vs fine descendants, via expansion parity") {
+    // a = one COARSE tile (order-1 pixel 0 = order-3 pixels 0..15)
+    //     plus a disjoint order-3 pixel 63
+    // b = three FINE order-3 pixels inside the coarse tile (1, 2, 9)
+    //     plus one outside it (48 -> merges nothing)
+    val a = mocOf((0L to 15L) :+ 63L, 3)
+    val b = mocOf(Seq(1L, 2L, 9L, 48L), 3)
+    val aSet = (0L to 15L).toSet + 63L
+    val bSet = Set(1L, 2L, 9L, 48L)
+    val uni = collectMoc(Spatial.mocUnion(a, b, 3))
+    val int = collectMoc(Spatial.mocIntersect(a, b, 3))
+    val dif = collectMoc(Spatial.mocDifference(a, b, 3))
+    assert(expandTo(uni, 3) == (aSet ++ bSet), s"union: ${uni.toSeq}")
+    // the coarse a-tile intersects its strict fine descendants
+    assert(expandTo(int, 3) == Set(1L, 2L, 9L), s"intersect: ${int.toSeq}")
+    // difference SPLITS the coarse tile around the three fine holes
+    assert(expandTo(dif, 3) == (aSet -- bSet), s"difference: ${dif.toSeq}")
+    // all outputs stay canonical: no complete sibling quad survives,
+    // and nuniq rides the standard packing
+    Seq(uni, int, dif).foreach { m =>
+      m.groupBy(_._1).foreach { case (_, ts) =>
+        val at = ts.map(_._2).toSet
+        assert(!at.exists(p => (p / 4 * 4 until p / 4 * 4 + 4).forall(at)),
+          s"non-minimal output: ${m.toSeq}")
+      }
+    }
+  }
+
+  test("MOC set algebra: empty results and identities") {
+    val a = mocOf(Seq(0L, 1L, 2L, 3L, 20L), 3) // quad 0..3 merges to 0@o2
+    val b = mocOf(Seq(40L, 41L), 3)            // disjoint from a
+    // disjoint MOCs: empty intersection, difference = a (same tiling)
+    assert(Spatial.mocIntersect(a, b, 3).count() == 0)
+    assert(collectMoc(Spatial.mocDifference(a, b, 3)).sorted.toSeq ==
+      collectMoc(a).sorted.toSeq)
+    // self: intersection and union are identity, difference is empty
+    assert(collectMoc(Spatial.mocIntersect(a, a, 3)).sorted.toSeq ==
+      collectMoc(a).sorted.toSeq)
+    assert(collectMoc(Spatial.mocUnion(a, a, 3)).sorted.toSeq ==
+      collectMoc(a).sorted.toSeq)
+    assert(Spatial.mocDifference(a, a, 3).count() == 0)
+    // union across orders re-merges: a's quad-completing sibling set
+    // arrives from b at a finer order
+    val a2 = mocOf(Seq(0L, 1L, 2L), 2)          // 3/4 of parent 0@o1
+    val b2 = mocOf(Seq(12L, 13L, 14L, 15L), 3)  // = the missing 3@o2
+    val u2 = collectMoc(Spatial.mocUnion(a2, b2, 3))
+    assert(u2.toSeq == Seq((1, 0L)), s"expected single merged 0@o1 tile: ${u2.toSeq}")
+  }
 }
