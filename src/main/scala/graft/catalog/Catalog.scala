@@ -45,7 +45,7 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
    * 12*4^order entries regardless of the catalog's own map order
    * (order 10 = the reference's layout = 100 MB ceiling).
    */
-  def exportFitsMap(order: Int = -1): String = {
+  def exportFitsMap(order: Int = -1, ordering: String = "NESTED"): String = {
     val ord = if (order < 0) math.min(orderK, 10) else order
     require(ord <= orderK,
       s"exportFitsMap: cannot upsample the order-$orderK map to order $ord")
@@ -55,9 +55,13 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
       else densityMap().groupBy(shiftright(col("pix"), 2 * (orderK - ord)).as("pix"))
         .agg(sum("cnt").as("cnt"))
     val rows = dm.collect()
-    val path = s"$location/$catname/${catname}_order${ord}_hpmap.fits"
+    // ordering = "RING" writes the healpy-DEFAULT layout, so a plain
+    // hp.read_map(path) (no nest=True) reads the map correctly; the
+    // suffix keeps the two layouts from clobbering each other
+    val suffix = if (ordering == "RING") "_ring" else ""
+    val path = s"$location/$catname/${catname}_order${ord}_hpmap$suffix.fits"
     graft.sources.Fits.writeHealpixMap(spark, path, ord,
-      rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+      rows.map(_.getLong(0)), rows.map(_.getLong(1)), ordering)
     path
   }
 

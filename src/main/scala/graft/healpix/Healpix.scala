@@ -169,6 +169,88 @@ object Healpix {
   def pixCenterRa(order: Int, pix: Long): Double = pix2angNest(order, pix)._1
   def pixCenterDec(order: Int, pix: Long): Double = pix2angNest(order, pix)._2
 
+  // -------------------------------------------------- RING scheme interop
+  // healpy's read_map/write_map default to RING ordering, so a NEST-only
+  // library strands its exported maps (a healpy user calling plain
+  // hp.read_map(path) on a NESTED map silently gets scrambled pixels
+  // unless they remember nest=True). Pure ring/bit arithmetic, orders
+  // 0-29 — the published healpix_cxx ring<->xyf pipeline re-derived on
+  // the same jrll/jpll base-face constants pix2angNest already uses.
+
+  private def isqrt(v: Long): Long = {
+    var r = math.sqrt(v.toDouble).toLong
+    while (r > 0 && r * r > v) r -= 1
+    while ((r + 1) * (r + 1) <= v) r += 1
+    r
+  }
+
+  /**
+   * NEST -> RING pixel id at the same order. The ring number jr and
+   * in-ring longitude index jp are exactly pix2angNest's intermediate
+   * quantities; RING id = (pixels in all rings north of jr) + jp - 1.
+   * Integer-exact at every order (no trig).
+   */
+  def nest2ring(order: Int, pix: Long): Long = {
+    val ns = nside(order)
+    val (ix, iy, face) = nest2xyf(pix, order)
+    val jr = jrll(face) * ns - ix - iy - 1 // ring number, 1 .. 4*ns-1
+    var nr = 0L; var nBefore = 0L; var kshift = 0L
+    if (jr < ns) { // north polar cap: ring i holds 4i pixels
+      nr = jr; nBefore = 2 * nr * (nr - 1); kshift = 0
+    } else if (jr > 3 * ns) { // south polar cap
+      nr = 4 * ns - jr; nBefore = npix(order) - 2 * nr * (nr + 1); kshift = 0
+    } else { // equatorial belt: 4*ns pixels per ring
+      nr = ns; nBefore = 2 * ns * (ns - 1) + (jr - ns) * 4 * ns; kshift = (jr - ns) & 1
+    }
+    var jp = (jpll(face) * nr + ix - iy + 1 + kshift) / 2
+    if (jp > 4 * nr) jp -= 4 * nr
+    if (jp < 1) jp += 4 * nr
+    nBefore + jp - 1
+  }
+
+  /** RING -> NEST pixel id at the same order (inverse of
+   *  [[nest2ring]]): recover (ring, in-ring index) from the RING id's
+   *  position relative to the polar-cap prefix sums, locate the base
+   *  face the way ang2pixNest's equatorial edge lines do, then rebuild
+   *  the in-face (ix, iy) from the ring/longitude diagonals. */
+  def ring2nest(order: Int, pix: Long): Long = {
+    val ns = nside(order)
+    val ncap = 2 * ns * (ns - 1)
+    val np = npix(order)
+    var iring = 0L; var iphi = 0L; var kshift = 0L; var nr = 0L; var face = 0
+    if (pix < ncap) { // north polar cap
+      iring = (1 + isqrt(1 + 2 * pix)) >> 1
+      iphi = pix - 2 * iring * (iring - 1) + 1
+      kshift = 0; nr = iring; face = ((iphi - 1) / nr).toInt
+    } else if (pix < np - ncap) { // equatorial belt
+      val ip = pix - ncap
+      val nl4 = 4 * ns
+      iring = ip / nl4 + ns
+      iphi = ip % nl4 + 1
+      kshift = (iring + ns) & 1
+      nr = ns
+      val ire = iring - ns + 1
+      val irm = 2 * ns + 2 - ire
+      val ifm = (iphi - ire / 2 + ns - 1) / ns
+      val ifp = (iphi - irm / 2 + ns - 1) / ns
+      face = if (ifp == ifm) (ifp | 4).toInt
+      else if (ifp < ifm) ifp.toInt
+      else (ifm + 8).toInt
+    } else { // south polar cap
+      val ip = np - pix
+      iring = (1 + isqrt(2 * ip - 1)) >> 1
+      iphi = 4 * iring + 1 - (ip - 2 * iring * (iring - 1))
+      kshift = 0; nr = iring; face = (8 + (iphi - 1) / nr).toInt
+      iring = 4 * ns - iring // count the ring from the north pole
+    }
+    val irt = iring - jrll(face) * ns + 1
+    var ipt = 2 * iphi - jpll(face) * nr - kshift - 1
+    if (ipt >= 2 * ns) ipt -= 8 * ns
+    val ix = (ipt - irt) >> 1
+    val iy = (-ipt - irt) >> 1
+    xyf2nest(ix, iy, face, order)
+  }
+
   /**
    * Conservative maximum angular distance (radians) from any pixel
    * center to any point of that pixel, at the given order. Formula

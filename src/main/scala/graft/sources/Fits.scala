@@ -207,17 +207,26 @@ object Fits {
    * driver-side densify (Catalog.exportFitsMap).
    */
   def writeHealpixMap(spark: SparkSession, path: String, order: Int,
-                      pix: Array[Long], cnt: Array[Long]): Unit = {
+                      pix: Array[Long], cnt: Array[Long],
+                      ordering: String = "NESTED"): Unit = {
     require(order >= 0 && order <= 10,
       s"writeHealpixMap: order must be in [0, 10] — the dense IMPLICIT layout is " +
         s"12*4^order entries (order 10 = 12.6M = 100 MB); downsample first (got $order)")
     require(pix.length == cnt.length, s"pix/cnt length mismatch: ${pix.length} != ${cnt.length}")
+    require(ordering == "NESTED" || ordering == "RING",
+      s"writeHealpixMap: ordering must be NESTED or RING (got $ordering)")
+    // healpy's read_map DEFAULTS to RING: a plain hp.read_map(path) on
+    // a NESTED map silently scrambles pixels unless the user remembers
+    // nest=True. RING lays the same counts out at their RING indices
+    // (input pixel ids stay NEST — the import pipeline's scheme).
+    val ring = ordering == "RING"
     val npix = 12L << (2 * order)
     val dense = new Array[Long](npix.toInt)
     var i = 0
     while (i < pix.length) {
       require(pix(i) >= 0 && pix(i) < npix, s"pixel ${pix(i)} out of range for order $order")
-      dense(pix(i).toInt) += cnt(i)
+      val at = if (ring) graft.healpix.Healpix.nest2ring(order, pix(i)) else pix(i)
+      dense(at.toInt) += cnt(i)
       i += 1
     }
     val repeat = if (npix % 1024 == 0) 1024 else npix.toInt
@@ -230,7 +239,7 @@ object Fits {
       numCard("NAXIS", 2), numCard("NAXIS1", repeat * 8L), numCard("NAXIS2", nRows),
       numCard("PCOUNT", 0), numCard("GCOUNT", 1), numCard("TFIELDS", 1),
       strCard("TTYPE1", "TEMPERATURE"), strCard("TFORM1", s"${repeat}K"),
-      strCard("PIXTYPE", "HEALPIX"), strCard("ORDERING", "NESTED"),
+      strCard("PIXTYPE", "HEALPIX"), strCard("ORDERING", ordering),
       strCard("COORDSYS", "C"), strCard("EXTNAME", "xtension"),
       numCard("NSIDE", 1L << order), numCard("FIRSTPIX", 0), numCard("LASTPIX", npix - 1),
       strCard("INDXSCHM", "IMPLICIT"), strCard("OBJECT", "FULLSKY")))

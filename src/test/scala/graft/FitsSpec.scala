@@ -169,6 +169,24 @@ class FitsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0 until 48).foreach(p => assert(dense1(p) == roll.getOrElse(p.toLong, 0L)))
     intercept[IllegalArgumentException](cat.exportFitsMap(order = 5)) // no upsampling
+
+    // RING export: the healpy-DEFAULT layout — plain hp.read_map(path)
+    // indexes by RING id, so every NEST pixel's count must sit at its
+    // nest2ring slot and the header must say ORDERING=RING
+    val pr = cat.exportFitsMap(ordering = "RING")
+    assert(pr.endsWith("fm_order2_hpmap_ring.fits"), s"ring artifact naming: $pr")
+    val denseR = Fits.read(spark, Seq(pr)).collect().flatMap(_.getSeq[Long](0))
+    assert(denseR.length == 192)
+    (0 until 192).foreach { p =>
+      val at = graft.healpix.Healpix.nest2ring(2, p).toInt
+      assert(denseR(at) == sparse.getOrElse(p.toLong, 0L),
+        s"nest pixel $p must land at ring slot $at")
+    }
+    assert(denseR.sum == cust.count())
+    val headR = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pr)), "US-ASCII")
+    assert(headR.contains("RING") && !headR.contains("NESTED"),
+      "RING export must label ORDERING= 'RING'")
   }
 
   test("unsupported TFORM fails with a clear message") {

@@ -55,6 +55,42 @@ class HealpixSpec extends AnyFunSuite {
     }
   }
 
+  test("RING scheme: nest2ring matches an independent center-sort derivation; bijective; golden round trip") {
+    // Independent derivation of the RING numbering at orders 0-3:
+    // RING ids walk rings north -> south, within a ring by increasing
+    // longitude. Pixel centers come from the golden-pinned
+    // pix2angNest, so sorting every NEST pixel by (dec desc, ra asc)
+    // and ranking MUST reproduce nest2ring exactly — no transcribed
+    // tables on either side. (Centers in one ring share a bit-equal
+    // dec: pix2angNest computes z from the ring index alone.)
+    for (o <- 0 to 3) {
+      val np = Healpix.npix(o)
+      val byCenter = (0L until np).sortBy { p =>
+        val (ra, dec) = Healpix.pix2angNest(o, p); (-dec, ra)
+      }
+      byCenter.zipWithIndex.foreach { case (nest, ringId) =>
+        assert(Healpix.nest2ring(o, nest) == ringId,
+          s"order=$o nest=$nest want ring=$ringId got=${Healpix.nest2ring(o, nest)}")
+        assert(Healpix.ring2nest(o, ringId) == nest,
+          s"order=$o ring=$ringId want nest=$nest got=${Healpix.ring2nest(o, ringId)}")
+      }
+    }
+    // golden set round trip at high orders (up to 20): the maps are
+    // mutual inverses and pix2ang through the round trip is identical
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/healpix_golden.csv"))
+    val rows = try src.getLines().toArray finally src.close()
+    rows.foreach { line =>
+      val a = line.split(",")
+      val (o, pix) = (a(0).toInt, a(3).toLong)
+      val ring = Healpix.nest2ring(o, pix)
+      assert(ring >= 0 && ring < Healpix.npix(o), s"order=$o pix=$pix ring=$ring")
+      assert(Healpix.ring2nest(o, ring) == pix,
+        s"round trip: order=$o nest=$pix ring=$ring got=${Healpix.ring2nest(o, ring)}")
+      assert(Healpix.pix2angNest(o, Healpix.ring2nest(o, ring)) == Healpix.pix2angNest(o, pix))
+    }
+  }
+
   test("nested hierarchy: pix(k) >> 2 == pix(k-1)") {
     val r = rng(3)
     (1 to 20).foreach { o =>
