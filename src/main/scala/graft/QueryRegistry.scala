@@ -6524,6 +6524,59 @@ object QueryRegistry {
         count(DISTINCT sens) >= 3 AS l_diverse
       FROM sd GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** t-closeness audit ([[graft.operators.Privacy.tCloseness]], Li et
+   *  al. 2007) of the q_kanon release — the third release-gate rung:
+   *  distinct-l passes a class whose sensitive values are 98% one
+   *  value; t-closeness bounds each class's variational distance from
+   *  the released table's GLOBAL sensitive distribution. t = 1/5,
+   *  decided in exact integer rationals (num * 5 <= 2*n*N); the
+   *  6-dp t_dist double is display-only. The oracle replays the
+   *  residue chain, both rollups and the dense class x value grid. */
+  private val q_tcloseness = QueryDef(
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      val released = graft.operators.Privacy.kAnonymize(base, "c_custkey", k = 100,
+        levels = Seq(
+          Seq("qi_geo" -> col("n_name"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> col("r_name"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> lit("*"), "qi_seg" -> col("c_mktsegment")),
+          Seq("qi_geo" -> lit("*"), "qi_seg" -> lit("*"))))
+        .filter(col("anon_level") >= 0)
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), floor(col("c_acctbal") / 2000).cast("long").as("sens")),
+          "c_custkey")
+      graft.operators.Privacy.tCloseness(released,
+          Seq("anon_level", "qi_geo", "qi_seg"), "sens", tNum = 1, tDen = 5)
+        .orderBy("anon_level", "qi_geo", "qi_seg")
+    },
+    Some(s"""$kanonChainSql,
+      rel AS (
+        SELECT * FROM rel0 UNION ALL SELECT * FROM rel1 UNION ALL
+        SELECT * FROM rel2 UNION ALL SELECT * FROM rel3),
+      sd AS (SELECT r.anon_level, r.qi_geo, r.qi_seg,
+          CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS sens
+        FROM rel r JOIN customer c USING (c_custkey)),
+      cls AS (SELECT anon_level, qi_geo, qi_seg, count(*) AS n FROM sd GROUP BY 1, 2, 3),
+      gv AS (SELECT sens, count(*) AS g FROM sd GROUP BY 1),
+      -- NOT "AS N": DuckDB identifiers are case-insensitive, so a
+      -- column named N collides with the class count n and the final
+      -- select's N silently resolves to the wrong one
+      tot AS (SELECT count(*) AS total_rows FROM sd),
+      cv AS (SELECT anon_level, qi_geo, qi_seg, sens, count(*) AS c
+        FROM sd GROUP BY 1, 2, 3, 4),
+      grid AS (SELECT cls.anon_level, cls.qi_geo, cls.qi_seg, cls.n,
+          gv.sens, gv.g, coalesce(cv.c, 0) AS c, tot.total_rows
+        FROM cls CROSS JOIN gv CROSS JOIN tot
+        LEFT JOIN cv ON cv.anon_level = cls.anon_level AND cv.qi_geo = cls.qi_geo
+          AND cv.qi_seg = cls.qi_seg AND cv.sens = gv.sens)
+      SELECT anon_level, qi_geo, qi_seg, min(n) AS n,
+        round(CAST(sum(abs(c * total_rows - g * n)) AS DOUBLE)
+          / (2.0 * min(n) * min(total_rows)), 6) AS t_dist,
+        sum(abs(c * total_rows - g * n)) * 5 <= 2 * min(n) * min(total_rows) * 1 AS t_close
+      FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   /** Funnel time-to-convert ([[graft.operators.Temporal.funnelLatency]]):
    *  exact latency distribution (p50/p90/min/max/integer-div mean, in
    *  ms) between first view -> first chained click -> first chained
@@ -6936,6 +6989,7 @@ object QueryRegistry {
     "dedup_substring_exact" -> dedup_substring_exact,
     "q_kanon" -> q_kanon,
     "q_ldiversity" -> q_ldiversity,
+    "q_tcloseness" -> q_tcloseness,
     "q_funnel_latency" -> q_funnel_latency,
     "text_drift" -> text_drift,
     "vec_dimstats" -> vec_dimstats,

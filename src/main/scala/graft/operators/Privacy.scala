@@ -94,4 +94,50 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
+
+  /**
+   * t-closeness audit of a released table (Li, Li & Venkatasubramanian
+   * 2007) — the third rung of the release-gate ladder after
+   * [[kAnonymize]] and [[lDiversity]]: distinct-l is provably
+   * insufficient against SKEWED sensitive distributions (a class with
+   * l distinct values, 98% of them one value, still discloses that
+   * value with near-certainty). Per released class, measures the
+   * VARIATIONAL DISTANCE between the class's categorical
+   * sensitive-value distribution P and the whole released table's Q:
+   * d(P, Q) = (1/2) * sum_v |P(v) - Q(v)|, and flags classes with
+   * d <= t. Exact integer rationals throughout: with class counts c_v
+   * (size n) and global counts g_v (size N),
+   * d = sum_v |c_v*N - g_v*n| / (2*n*N), so the flag compares
+   * num * tDen <= 2*n*N * tNum with t = tNum/tDen — no float enters
+   * the decision (the reported `t_dist` double is 6-dp display only).
+   *
+   * Scale shape: two map-side-combined rollups over the released
+   * table ((class, v) and per-v counts) joined on a dense class x
+   * global-support grid — both sides bounded by |classes| x |sensitive
+   * domain|, never row count; absent (class, v) cells contribute
+   * their full g_v*n mass via the left join's coalesce (dropping them
+   * would understate skew exactly where it matters).
+   */
+  def tCloseness(released: DataFrame, classCols: Seq[String], sensitiveCol: String,
+                 tNum: Long, tDen: Long): DataFrame = {
+    require(tDen >= 1 && tNum >= 0, s"tCloseness: t = $tNum/$tDen must be a nonneg rational")
+    require(classCols.nonEmpty, "tCloseness: at least one class column")
+    val cls = released.groupBy(classCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val gv = released.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__g"))
+    val tot = released.agg(count(lit(1)).as("__N"))
+    val cv = released.groupBy((classCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    cls.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(cv, classCols :+ sensitiveCol, "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .groupBy(classCols.map(col): _*)
+      .agg(min(col("n")).as("n"),
+        sum(abs(col("__c") * col("__N") - col("__g") * col("n"))).as("__num"),
+        min(col("__N")).as("__NN"))
+      .withColumn("t_dist",
+        round(col("__num").cast("double") / (lit(2.0) * col("n") * col("__NN")), 6))
+      .withColumn("t_close",
+        col("__num") * lit(tDen) <= lit(2L) * col("n") * col("__NN") * lit(tNum))
+      .drop("__num", "__NN")
+  }
 }

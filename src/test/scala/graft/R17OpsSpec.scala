@@ -116,6 +116,53 @@ class R17OpsSpec extends SparkSpecBase {
 
   // ---------------------------------------------- funnelLatency
 
+  test("tCloseness flags the skewed class that distinct-l provably passes") {
+    // class A: 10 rows, sensitive values {0 x 8, 1 x 1, 2 x 1} — 3
+    // distinct (l=3 diverse!) but heavily skewed toward 0.
+    // class B: 10 rows, ~uniform {0,1,2} — also l=3 diverse.
+    // global Q over the 20 released rows: P(0)=12/20, P(1)=4/20, P(2)=4/20.
+    val rows = ((1 to 8).map(i => (i.toLong, "A", 0L)) ++
+      Seq((9L, "A", 1L), (10L, "A", 2L)) ++
+      (11 to 14).map(i => (i.toLong, "B", 0L)) ++
+      (15 to 17).map(i => (i.toLong, "B", 1L)) ++
+      (18 to 20).map(i => (i.toLong, "B", 2L))).toDF("id", "cls", "sens")
+    // both classes pass distinct-3-diversity — the audit t-closeness exists to harden
+    val ldiv = Privacy.lDiversity(rows, Seq("cls"), "sens", l = 3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(ldiv == Map("A" -> true, "B" -> true), s"distinct-l must pass both: $ldiv")
+    // variational distances, by hand (n=10, N=20, g = (12, 4, 4)):
+    //   A: c=(8,1,1): |8*20-12*10| + |1*20-4*10| + |1*20-4*10| = 40+20+20 = 80
+    //      d = 80 / (2*10*20) = 0.2
+    //   B: c=(4,3,3): |80-120| + |60-40| + |60-40| = 40+20+20 = 80 -> d = 0.2
+    // hmm — symmetric classes pull Q to their average; use t = 1/5
+    // (d <= 0.2 passes BOTH at equality) and t = 1/10 (fails both),
+    // then break the symmetry with a third class.
+    val t5 = Privacy.tCloseness(rows, Seq("cls"), "sens", tNum = 1, tDen = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(3)))
+    assert(t5.toSet == Set(("A", 0.2, true), ("B", 0.2, true)), t5.toSeq.toString)
+    val t10 = Privacy.tCloseness(rows, Seq("cls"), "sens", tNum = 1, tDen = 10)
+      .collect().map(r => (r.getString(0), r.getBoolean(3)))
+    assert(t10.toSet == Set(("A", false), ("B", false)),
+      s"exact boundary: 0.2 > 1/10 must fail: ${t10.toSeq}")
+    // with a large uniform class anchoring Q, the skewed class fails
+    // while the uniform ones pass — the disclosure l-diversity misses
+    val rows2 = rows.unionByName(
+      ((21 to 80).map { i => (i.toLong, "C", (i % 3).toLong) }).toDF("id", "cls", "sens"))
+    val t4 = Privacy.tCloseness(rows2, Seq("cls"), "sens", tNum = 1, tDen = 4)
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(t4("A") == false && t4("B") == true && t4("C") == true,
+      s"only the skewed-but-l-diverse class may fail: $t4")
+    // absent (class, value) cells must contribute their global mass:
+    // a class missing a value entirely is MORE skewed, not less
+    val rows3 = (Seq((1L, "D", 0L), (2L, "D", 0L)) ++
+      (3 to 22).map(i => (i.toLong, "E", (i % 4).toLong))).toDF("id", "cls", "sens")
+    val d = Privacy.tCloseness(rows3, Seq("cls"), "sens", tNum = 1, tDen = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    // D: n=2, N=22, g0=7, g1..g3=5 each: |2*22-7*2| + 3*|0-5*2| = 30+30 = 60
+    //    d = 60/(2*2*22) = 0.681818
+    assert(d("D") == 0.681818, s"missing values must count: $d")
+  }
+
   test("funnelLatency measures first-completion chains, in exact ms") {
     // user 1: view@1s, click@4s, purchase@10s -> 3000ms, 6000ms
     // user 2: click@1s (pre-view, ignored), view@2s, click@7s -> 5000ms, no purchase
