@@ -2810,6 +2810,32 @@ object QueryRegistry {
         CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
       FROM deg LEFT JOIN pn ON pn.n = deg.n ORDER BY node"""))
 
+  /** Deterministic community detection over the co-supply kNN graph
+   *  ([[graft.operators.Graph.labelPropagation]]): 4 SYNCHRONOUS
+   *  min-tie-broken label-propagation rounds — every node adopts its
+   *  neighbors' most frequent label, ties to the smallest — so the
+   *  integer state is engine-exact and the oracle unrolls the rounds
+   *  as chained CTEs (the graph_pagerank pattern, here with a
+   *  window-free struct-min on the Spark side vs row_number in SQL). */
+  private val graph_communities = QueryDef(
+    (s, dir) => graft.operators.Graph
+      .labelPropagation(coSupplyKnnEdges(s, dir), "a", "b", rounds = 4)
+      .orderBy("node"),
+    Some {
+      val roundCte = (r: Int) => s"""
+      l$r AS (SELECT n AS node, lbl FROM (
+        SELECT d.n, l.lbl, row_number() OVER (PARTITION BY d.n
+            ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM dire d JOIN l${r - 1} l ON l.node = d.nb
+        GROUP BY d.n, l.lbl) WHERE rn = 1)"""
+      s"""WITH $coSupplyKnnSql,
+      dire AS (SELECT a AS n, b AS nb FROM ed UNION ALL SELECT b, a FROM ed),
+      l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM dire),
+      ${(1 to 4).map(roundCte).mkString(",")}
+      SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+      FROM l4 ORDER BY node"""
+    })
+
   /** Multi-source BFS over the co-supply kNN graph: minimum hop from
    *  the three lowest supplier keys, ≤ 6 hops. The Spark side runs
    *  frontier expansion ([[graft.operators.Graph.bfsHops]] — only the
@@ -6895,6 +6921,7 @@ object QueryRegistry {
     "graph_pagerank" -> graph_pagerank,
     "graph_triangles" -> graph_triangles,
     "graph_bfs" -> graph_bfs,
+    "graph_communities" -> graph_communities,
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_resample" -> q_resample,

@@ -410,6 +410,60 @@ object Graph {
   }
 
   /**
+   * Deterministic community detection: SYNCHRONOUS label propagation
+   * (Raghavan, Albert & Kumara 2007) with a FIXED round count and a
+   * total-order tie rule, over an undirected graph. Every node starts
+   * labeled with its own id; each round, every node adopts the most
+   * frequent label among its neighbors, ties broken by the SMALLEST
+   * label — both choices deterministic, so the oracle can unroll the
+   * rounds as chained CTEs (the graph_pagerank pattern) and the
+   * result is engine-exact integer state. Asynchronous/randomized
+   * LPA converges faster but is irreproducible; the fixed-round
+   * synchronous form trades a possible 2-cycle oscillation on
+   * bipartite borders for determinism, which is what a data-release
+   * pipeline replaying the SAME communities needs.
+   *
+   * Output: (node, community) — community = the node's label after
+   * `rounds` rounds (nodes keep their own label if isolated, but an
+   * edge-derived graph has no isolated nodes).
+   *
+   * Scale shape: per round, ONE shuffle of the slim (node, label)
+   * frame joined against the pre-partitioned edge list, then a
+   * map-side-combinable count + a single struct-min aggregate (max
+   * count, min label — no window, no per-node sort); per-round
+   * lineage truncation keeps the plan flat ([[truncate]]).
+   */
+  def labelPropagation(edges0: DataFrame, aCol: String, bCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"labelPropagation: rounds must be in [1,64], got $rounds")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges0
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val dirE = e.select(col("a").as("n"), col("b").as("nb"))
+      .union(e.select(col("b").as("n"), col("a").as("nb")))
+      .distinct()
+      .repartition(col("n"))
+      .persist(lvl)
+    var labels = truncate(
+      dirE.select(col("n").as("node")).distinct().withColumn("lbl", col("node")))
+    for (_ <- 0 until rounds) {
+      val next =
+        dirE.join(labels.select(col("node").as("nb"), col("lbl")), "nb")
+          .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("__c"))
+          .groupBy(col("n"))
+          .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l"))).as("__b"))
+          .select(col("n").as("node"), col("__b.l").as("lbl"))
+      val prev = labels
+      labels = truncate(next)
+      backingRdd(prev).foreach(free(prev))
+    }
+    dirE.unpersist(blocking = false)
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /**
    * Multi-source WEIGHTED shortest paths (undirected, nonnegative
    * integer weights): distributed Bellman-Ford rounds — per round the
    * frontier relaxes its edges, a map-side-combined `min` collapses

@@ -105,6 +105,34 @@ class GraphSpec extends SparkSpecBase {
     r
   }
 
+  test("labelPropagation: two triangles over a bridge resolve to two communities — hand-replayed synchronous rounds") {
+    // triangle {1,2,3} -- bridge 3-10 -- triangle {10,11,12}.
+    // Synchronous most-frequent-neighbor-label, ties to smallest,
+    // replayed by hand for 4 rounds:
+    //   l1: 1->2, 2->1, 3->1, 10->3, 11->10, 12->10
+    //   l2: 1->1, 2->1, 3->1, 10->10, 11->3, 12->3
+    //   l3: A all 1; 10->3, 11->3, 12->3
+    //   l4: {1,2,3}->1, {10,11,12}->3  — two distinct communities,
+    //   the bridge never merges them
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L),
+      s"hand-replayed fixed-round LPA state: $got")
+    // disconnected cliques never share a label, whatever the rounds
+    val disc = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L))
+      .toDF("a", "b")
+    val g2 = Graph.labelPropagation(disc, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(g2).intersect(Set(7L, 8L, 9L).map(g2)).isEmpty)
+    // determinism: bit-equal across partitionings
+    val g3 = Graph.labelPropagation(edges.repartition(7), "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g3 == got)
+    intercept[IllegalArgumentException](Graph.labelPropagation(edges, "a", "b", rounds = 0))
+  }
+
   test("pageRank: symmetric 2-cycle is a fixed point at rank = scale") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, "src", "dst", iterations = 7)
