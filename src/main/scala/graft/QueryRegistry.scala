@@ -5263,6 +5263,24 @@ object QueryRegistry {
       targetFilter = "doc_id < 300", sourceFilter = "doc_id % 7 = 0",
       sampled = true) + " ORDER BY doc_id"))
 
+  /** DSIR importance resampling with the KNESER-NEY model faces
+   *  swapped in ([[graft.operators.Lm.importanceSampleKn]]) — the
+   *  cited recipe's actual practice (KenLM models are KN-smoothed,
+   *  not add-one): same target/source slices and acceptance predicate
+   *  as `sample_dsir`, likelihoods under interpolated KN. The oracle
+   *  replays BOTH full KN trainings (bigram + continuation faces),
+   *  both scorings, the weight arithmetic and the predicate. */
+  private val sample_dsir_kn = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tgt = graft.operators.Lm.trainKneserNey(docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val src = graft.operators.Lm.trainKneserNey(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      graft.operators.Lm.importanceSampleKn(docs, "doc_id", "text", tgt, src).orderBy("doc_id")
+    },
+    Some(graft.operators.Lm.importanceKnSql("documents", "doc_id", "text",
+      targetFilter = "doc_id < 300", sourceFilter = "doc_id % 7 = 0",
+      sampled = true) + " ORDER BY doc_id"))
+
   /** End-to-end C4/CCNet-style curation pipeline, composed from the
    *  engine's own stages: language ID + quality score + repetition
    *  ratio FUSE into ONE corpus scan (all per-row expressions);
@@ -6968,6 +6986,7 @@ object QueryRegistry {
     "sample_curriculum" -> sample_curriculum,
     "pipeline_c4" -> pipeline_c4,
     "sample_dsir" -> sample_dsir,
+    "sample_dsir_kn" -> sample_dsir_kn,
     "multimodal_decode" -> multimodal_decode,
     "multimodal_video" -> multimodal_video,
     "multimodal_phash" -> multimodal_phash,

@@ -241,6 +241,83 @@ object Lm {
     Sampling.weightedSample(importanceWeights(docs, idCol, textCol, target, source),
       idCol, "weight")
 
+  /**
+   * DSIR importance weights under interpolated KNESER-NEY models —
+   * the cited recipe's actual practice (Xie et al. 2023 weight with
+   * KenLM-style models, which are KN-smoothed, not add-one; see
+   * [[crossEntropyKn]]): weight = min(1, p_target/p_source) with both
+   * likelihoods under [[KneserNeyLm]] faces. Same FUSED scoring shape
+   * as [[importanceWeights]] — the corpus bigram-explodes ONCE with
+   * both models' three faces broadcast onto the same stream, one
+   * combinable groupBy(doc) emits both cross-entropies; per-model
+   * 6-dp rounding keeps the arithmetic value-identical to scoring
+   * each model separately.
+   */
+  def importanceWeightsKn(docs: DataFrame, idCol: String, textCol: String,
+                          target: KneserNeyLm, source: KneserNeyLm,
+                          d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"importanceWeightsKn: discount d must be in (0, 1), got $d")
+    def faces(lm: KneserNeyLm, sfx: String) = Seq(
+      lm.bi.withColumnRenamed("c12", s"__c12$sfx"),
+      lm.ctx.withColumnRenamed("c1", s"__c1$sfx").withColumnRenamed("n1f", s"__n1f$sfx"),
+      lm.bwd.withColumnRenamed("n1b", s"__n1b$sfx"),
+      lm.stats.select(col("nall").as(s"__nall$sfx"), col("v").as(s"__v$sfx")))
+    def p(sfx: String, which: String): Column = {
+      val v = when(col(s"__v$sfx") > 0, col(s"__v$sfx")).otherwise(raise_error(lit(
+        s"Lm.importanceWeightsKn: $which reference slice produced no bigrams (vocab v=0) — " +
+          "train on a slice with at least one document of >= 2 tokens")))
+      val pc = (coalesce(col(s"__n1b$sfx"), lit(0L)) + 1).cast("double") /
+        (col(s"__nall$sfx") + v + 1).cast("double")
+      when(col(s"__c1$sfx").isNotNull,
+        (greatest(coalesce(col(s"__c12$sfx"), lit(0L)).cast("double") - d, lit(0.0)) +
+          lit(d) * col(s"__n1f$sfx").cast("double") * pc) / col(s"__c1$sfx").cast("double"))
+        .otherwise(pc)
+    }
+    val Seq(tb, tc, tw, ts) = faces(target, "_t")
+    val Seq(sb, sc, sw, ss) = faces(source, "_s")
+    bigrams(docs, idCol, textCol)
+      .join(broadcast(tb), Seq("w1", "w2"), "left")
+      .join(broadcast(tc), Seq("w1"), "left")
+      .join(broadcast(tw), Seq("w2"), "left")
+      .crossJoin(broadcast(ts))
+      .join(broadcast(sb), Seq("w1", "w2"), "left")
+      .join(broadcast(sc), Seq("w1"), "left")
+      .join(broadcast(sw), Seq("w2"), "left")
+      .crossJoin(broadcast(ss))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(p("_t", "target"))), 6).as("ce_target"),
+        round(-avg(log(p("_s", "source"))), 6).as("ce_source"))
+      .withColumn("weight", round(
+        least(lit(1.0), exp(col("n_bigrams") * (col("ce_source") - col("ce_target")))), 6))
+  }
+
+  /** KN-model DSIR resampling: keep each document with probability
+   *  equal to its [[importanceWeightsKn]] weight, deterministically
+   *  in doc id (the [[importanceSample]] contract with the
+   *  Kneser-Ney faces swapped in). */
+  def importanceSampleKn(docs: DataFrame, idCol: String, textCol: String,
+                         target: KneserNeyLm, source: KneserNeyLm): DataFrame =
+    Sampling.weightedSample(importanceWeightsKn(docs, idCol, textCol, target, source),
+      idCol, "weight")
+
+  /** SQL twin of [[importanceWeightsKn]] (+ the weightedSample
+   *  predicate when `sampled`): the full two-KN-model replay via
+   *  [[kneserNeySql]] subqueries. */
+  def importanceKnSql(table: String, idCol: String, textCol: String,
+                      targetFilter: String, sourceFilter: String,
+                      sampled: Boolean): String = {
+    val keep =
+      if (sampled) " WHERE " + Sampling.weightedSampleSql(idCol, "weight") else ""
+    s"""WITH dtgt AS (SELECT * FROM (${kneserNeySql(table, idCol, textCol, targetFilter)})),
+    dsrc AS (SELECT * FROM (${kneserNeySql(table, idCol, textCol, sourceFilter)})),
+    dw AS (
+      SELECT t.$idCol, t.n_bigrams, t.cross_entropy AS ce_target, s.cross_entropy AS ce_source,
+        round(least(1.0, exp(t.n_bigrams * (s.cross_entropy - t.cross_entropy))), 6) AS weight
+      FROM dtgt t JOIN dsrc s USING ($idCol))
+    SELECT * FROM dw$keep"""
+  }
+
   /** SQL twin of [[importanceWeights]] (+ the weightedSample
    *  predicate when `sampled`) over `table`, with the two models
    *  trained in-query on `targetFilter` / `sourceFilter` slices. */
