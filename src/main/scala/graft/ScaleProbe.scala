@@ -30,7 +30,7 @@ object ScaleProbe {
 
     // optional comma-separated section filter for targeted iteration
     // (docs, sketch, graph, temporal, embeddings, ann, multimodal,
-    // spatial, merge, alerts, privacy); default all
+    // spatial, merge, alerts, privacy, lm); default all
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
     def section(name: String): Boolean = sections.forall(_.contains(name))
@@ -318,6 +318,23 @@ object ScaleProbe {
       graft.operators.Graph.ancestorPairs(
         spark.range(1, 1000000).select(col("id").as("node"), expr("id div 3").as("parent")),
         "node", "parent").count())
+    // fixed-round label propagation on 1000 disjoint 1000-node chains:
+    // 4 synchronous rounds over 1M nodes, each round one slim
+    // (node,label) shuffle. Labels can only travel along edges, so NO
+    // community may cross a chain boundary — asserted exactly.
+    time("labelPropagation (1000 chains x 1000 nodes, 4 rounds)", "graph") {
+      val chainE = spark.range(1000000L).filter(col("id") % 1000 =!= 999)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val lp = graft.operators.Graph.labelPropagation(chainE, "a", "b", rounds = 4)
+      val nNodes = lp.count()
+      require(nNodes == 1000000L, s"every chain node must be labeled: $nNodes")
+      val crossers = lp.filter(expr("community div 1000") =!= expr("node div 1000")).count()
+      require(crossers == 0, s"labels crossed a chain boundary: $crossers")
+      val nComm = lp.select("community").distinct().count()
+      require(nComm >= 1000, s"at least one community per chain: $nComm")
+      println(s"[probe]   $nComm communities over 1000 chains, zero boundary crossings")
+      nNodes
+    }
 
     // temporal joins over the replicated events table
     val ev = EventsTable.normalizeTs(EventsTable.read(spark, s"$sfDir/events.parquet"))
@@ -404,6 +421,24 @@ object ScaleProbe {
       graft.operators.Lm.crossEntropy(big, "doc_id", "text",
         graft.operators.Lm.trainBigram(base.filter(col("doc_id") < 300), "doc_id", "text"))
         .agg(sum("n_bigrams"), avg("cross_entropy")).count())
+    // Kneser-Ney train + score at the same corpus scale: the model
+    // trains on a ~5k-doc slice of the ADVERSARIAL (salted) corpus, so
+    // the vocabulary carries the salt tokens too; all four model faces
+    // must stay broadcast-grade (bounded by the slice's observed
+    // bigram types, asserted, not assumed) while scoring fans over the
+    // full corpus with three broadcast joins.
+    time(s"lm Kneser-Ney train+score over ${replicas}x docs", "lm") {
+      val kn = graft.operators.Lm.trainKneserNey(
+        big.filter(col("doc_id") % 37 === 0), "doc_id", "text")
+      val biTypes = kn.bi.count()
+      require(biTypes > 0 && biTypes < 3000000L,
+        s"KN model faces must stay broadcast-grade: $biTypes bigram types")
+      println(s"[probe]   KN faces: $biTypes bigram types (ctx/bwd/stats all <= that)")
+      val out = graft.operators.Lm.crossEntropyKn(big, "doc_id", "text", kn)
+        .agg(sum("n_bigrams"), avg("cross_entropy")).count()
+      kn.unpersist()
+      out
+    }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bigEmb = spark.range(replicas).crossJoin(emb)
@@ -534,6 +569,33 @@ object ScaleProbe {
         dd.unionByName(dr).count()
       }
       cat.unpersist()
+      // mocNormalize on an order-10, ~10.6M-pixel footprint with an
+      // EXACTLY KNOWN merge structure: keep order-5 ancestors with
+      // pix5 % 7 != 0 (10532 of 12288), and inside every order-7
+      // block of 64 order-10 pixels drop the last one. Each block
+      // then normalizes to exactly 3 o8 + 3 o9 + 3 o10 tiles, so the
+      // 10 merge rounds (round count = order by construction), the
+      // per-order tile counts AND the coverage sum are all asserted
+      // exactly — 10,616,256 pixels in, 1,516,608 tiles out.
+      time("mocNormalize (order 10, 10.6M-pixel footprint, exact structure)", "spatial") {
+        val pix10 = spark.range(12L << 20)
+          .filter(expr("(id div 1024) % 7 != 0 AND id % 64 != 63"))
+          .select(col("id").as("pix"))
+          .repartition(cpus.toInt * 4)
+        val moc = graft.operators.Spatial.mocNormalize(pix10, "pix", 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val perOrder = moc.groupBy("norder").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val blocks = 10532L * 16L
+        require(perOrder == Map(8 -> 3 * blocks, 9 -> 3 * blocks, 10 -> 3 * blocks),
+          s"per-order tile structure must be exact: $perOrder")
+        val covered = moc.select(
+            sum(expr("cast(1 as bigint) << (2 * (10 - norder))")).as("c"))
+          .collect()(0).getLong(0)
+        require(covered == 10532L * 1008L,
+          s"coverage sum must equal the input pixel count: $covered")
+        val n = moc.count(); moc.unpersist(); n
+      }
     }
 
     // k-anonymity residue chain at snapshot scale: 20M rows over a
