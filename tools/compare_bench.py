@@ -44,13 +44,14 @@ CLASSES = {
           'q_topn_other', 'q_cdc', 'text_trigram', 'text_hybrid', 'hpix_smooth',
           'hpix_transients', 'xmatch_eval', 'hpix_maxima', 'pipeline_alert',
           'sample_weighted_k', 'dedup_substring_exact', 'q_kanon', 'q_funnel_latency',
-          'text_drift', 'q_scd2_lookup', 'q_galactic', 'text_ccnet', 'xmatch_mutual', 'q_theilsen', 'text_centroid', 'text_auc', 'text_cv', 'q_attribution_multi', 'q_qnorm', 'text_calibration', 'q_cuped', 'q_mannwhitney', 'q_forecast_eval', 'q_coverage', 'q_xmatch_map', 'q_pareto80', 'q_ldiversity', 'text_kneserney', 'q_moc'],
+          'text_drift', 'q_scd2_lookup', 'q_galactic', 'text_ccnet', 'xmatch_mutual', 'q_theilsen', 'text_centroid', 'text_auc', 'text_cv', 'q_attribution_multi', 'q_qnorm', 'text_calibration', 'q_cuped', 'q_mannwhitney', 'q_forecast_eval', 'q_coverage', 'q_xmatch_map', 'q_pareto80', 'q_ldiversity', 'text_kneserney', 'q_moc',
+          'q_moc_ops', 'q_tcloseness', 'sample_dsir_kn'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster', 'dedup_calibration',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline',
           'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_twopoint', 'q_hierarchy',
-          'pipeline_xmatch3'],
+          'pipeline_xmatch3', 'graph_communities'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
