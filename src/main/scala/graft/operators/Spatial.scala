@@ -475,9 +475,16 @@ object Spatial {
    *  becomes the bottleneck (observed: minutes of TreeNode walks on a
    *  20-tile toy input). MOC frames are npix-bounded by contract, so
    *  the eager materialization is cheap at any catalog size. */
-  private def pinMoc(m: DataFrame): DataFrame =
-    m.select(col("norder").cast("int").as("norder"), col("npix").cast("long").as("npix"))
-      .localCheckpoint()
+  private def pinMoc(m: DataFrame): DataFrame = {
+    val slim = m.select(
+      col("norder").cast("int").as("norder"), col("npix").cast("long").as("npix"))
+    // an operand that is ALREADY a checkpoint (LogicalRDD) needs no
+    // second materialization — a Project over it is just as shallow,
+    // and callers composing several set ops over the same normalized
+    // MOCs would otherwise pay one redundant copy job per op per side
+    if (m.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) slim
+    else slim.localCheckpoint()
+  }
 
   /**
    * Mixed-order MOC normalization: collapse a PAIRWISE-DISJOINT tile
@@ -511,8 +518,11 @@ object Spatial {
         .select(lit(o).as("norder"), col("pix").as("npix"))
       out = out :+ survivors
       // per-round lineage cut (the Graph.scala per-round checkpoint
-      // precedent): without it cur's plan doubles every round — fine
-      // for 5 rounds, pathological for 29
+      // precedent): cur's plan doubles every round, and — measured on
+      // the q_moc_ops fixture — letting it grow even 4 rounds between
+      // cuts TRIPLES total time (Catalyst re-analysis of the widened
+      // tree costs far more than the extra job floors; 14 s with
+      // per-round cuts vs 48 s with every-4th-round cuts)
       cur = fullParents.unionByName(level(o - 1)).localCheckpoint()
     }
     out = out :+ cur.select(lit(0).as("norder"), col("pix").as("npix"))
@@ -615,7 +625,10 @@ object Spatial {
     val (whole0, contested0) = partsOf(a0)
     var kept = Seq(whole0)
     // per-round lineage cut + early exit: contested shrinks along b's
-    // tile paths and usually empties well before maxOrder rounds
+    // tile paths and usually empties well before maxOrder rounds (the
+    // isEmpty on an already-checkpointed frame is near-free; as in
+    // mocNormalizeMixed, per-round cuts measured FASTER than amortized
+    // ones — re-analysis of a widened tree dominates the job floors)
     var contested = contested0.localCheckpoint()
     var round = 0
     while (round < maxOrder && !contested.isEmpty) {
