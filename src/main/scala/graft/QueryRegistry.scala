@@ -60,6 +60,13 @@ object QueryRegistry {
     // center-distance tophat kernel independently
     locally {
       import s.implicits._
+      // NEST -> RING mapping at order 2 (nest2ring — pure arithmetic,
+      // independently pinned in HealpixSpec): the hpix_ring oracle
+      // replays the healpy-default RING layout through it
+      (0L until graft.healpix.Healpix.npix(2)).map { p =>
+        (p, graft.healpix.Healpix.nest2ring(2, p))
+      }.toDF("pix", "ring_pix")
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/ring_map_o2.parquet")
       (0L until graft.healpix.Healpix.npix(2)).map { p =>
         (p, graft.healpix.Healpix.pixCenterRa(2, p), graft.healpix.Healpix.pixCenterDec(2, p))
       }.toDF("pix", "pra", "pdec")
@@ -1061,6 +1068,34 @@ object QueryRegistry {
     Some(s"""SELECT h.pix2 AS pix, count(*) AS cnt
       FROM customer c JOIN ${aux("hpix_customer")} h USING (c_custkey)
       GROUP BY 1 ORDER BY pix"""))
+
+  /** The density map in the healpy-DEFAULT RING layout
+   *  ([[graft.healpix.Healpix.nest2ring]] — what plain
+   *  `hp.read_map(path)` indexes by): the order-2 NEST histogram laid
+   *  out DENSE over all 192 ring-ordered pixels, absent cells as real
+   *  zeros (the full-sky IMPLICIT vector `exportFitsMap(ordering =
+   *  "RING")` serializes). The 192-row NEST->RING mapping is built
+   *  driver-side from the pure ring arithmetic (independently pinned
+   *  in HealpixSpec against a center-sort derivation) and broadcast;
+   *  the oracle joins the same mapping from the aux parquet. */
+  private val hpix_ring = QueryDef(
+    (s, dir) => {
+      val hist = withSky(t(s, dir, "customer"), "c_custkey")
+        .groupBy(sphere.hpix(col("cra"), col("cdec"), 2).as("pix"))
+        .agg(count(lit(1)).as("cnt"))
+      import s.implicits._
+      val ringMap = (0L until graft.healpix.Healpix.npix(2)).map { p =>
+        (p, graft.healpix.Healpix.nest2ring(2, p))
+      }.toDF("pix", "ring_pix")
+      broadcast(ringMap).join(hist, Seq("pix"), "left")
+        .select(col("ring_pix"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("ring_pix")
+    },
+    Some(s"""WITH h AS (SELECT pix2 AS pix, count(*) AS cnt
+        FROM ${aux("hpix_customer")} GROUP BY 1)
+      SELECT r.ring_pix, coalesce(h.cnt, 0) AS cnt
+      FROM ${aux("ring_map_o2")} r LEFT JOIN h USING (pix)
+      ORDER BY r.ring_pix"""))
 
   /**
    * Counts-map tophat smoothing (the map-space operation healpy users
@@ -6881,6 +6916,7 @@ object QueryRegistry {
     "xmatch_knn" -> xmatch_knn,
     "xmatch_postfilter" -> xmatch_postfilter,
     "hpix_histogram" -> hpix_histogram,
+    "hpix_ring" -> hpix_ring,
     "hpix_index" -> hpix_index,
     "partition_map" -> partition_map,
     "dedup_exact" -> dedup_exact,
