@@ -6022,13 +6022,30 @@ object QueryRegistry {
       // themselves are npix-bounded and tiny)
       val a = Spatial.mocNormalize(aPix, "pix", 5).localCheckpoint()
       val b = Spatial.mocNormalize(bPix, "pix", 6).localCheckpoint()
-      Seq("union" -> Spatial.mocUnion(a, b, 6),
-          "intersect" -> Spatial.mocIntersect(a, b, 6),
-          "diff_ab" -> Spatial.mocDifference(a, b, 6))
-        .map { case (tag, m) =>
-          m.select(lit(tag).as("op"), col("norder"), col("npix"), col("nuniq")) }
-        .reduce(_ unionByName _)
-        .orderBy("op", "nuniq")
+      // the three set ops are independent and each runs ~10 small
+      // eager jobs (per-round lineage cuts) at CONSTRUCTION time —
+      // submit them concurrently under a named job group (the
+      // text_ensemble pattern: group set on each future's own thread,
+      // cancel on Await failure so no detached work leaks)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobGroup = "q_moc_ops_sets"
+      def op(tag: String)(build: => DataFrame): Future[DataFrame] = Future {
+        s.sparkContext.setJobGroup(jobGroup,
+          "q_moc_ops concurrent set-op construction", interruptOnCancel = true)
+        try build.select(lit(tag).as("op"), col("norder"), col("npix"), col("nuniq"))
+        finally s.sparkContext.clearJobGroup()
+      }
+      val built =
+        try Await.result(Future.sequence(Seq(
+          op("union")(Spatial.mocUnion(a, b, 6)),
+          op("intersect")(Spatial.mocIntersect(a, b, 6)),
+          op("diff_ab")(Spatial.mocDifference(a, b, 6)))),
+          scala.concurrent.duration.Duration(10, "min"))
+        catch { case e: Throwable =>
+          s.sparkContext.cancelJobGroup(jobGroup)
+          aPix.unpersist(); bPix.unpersist(); throw e }
+      built.reduce(_ unionByName _).orderBy("op", "nuniq")
     },
     Some {
       val sb = new StringBuilder(
