@@ -256,6 +256,47 @@ object Fits {
     } finally out.close()
   }
 
+  /**
+   * Write a normalized MOC in the IVOA MOC 2.0 FITS serialization
+   * (MOC 2.0 §4.3 — the footprint artifact VO services exchange and
+   * mocpy/Aladin read): a BINTABLE with ONE int64 column `UNIQ` of
+   * ascending NUNIQ tile ids, headers PIXTYPE=HEALPIX /
+   * ORDERING=NUNIQ / COORDSYS=C / MOCORDER=<max order> / MOCVERS=2.0.
+   * Input is [[graft.operators.Spatial.mocNormalize]] (or the set
+   * ops') `nuniq` column collected ascending — MOCs are npix-bounded
+   * artifacts, so the driver-side array is the serialization's own
+   * size. Round-trips through [[read]].
+   */
+  def writeMoc(spark: SparkSession, path: String, nuniq: Array[Long], mocOrder: Int): Unit = {
+    require(mocOrder >= 0 && mocOrder <= 29, s"writeMoc: mocOrder in [0, 29], got $mocOrder")
+    require(nuniq.sameElements(nuniq.sorted),
+      "writeMoc: NUNIQ ids must be ascending (the MOC serialization order)")
+    nuniq.headOption.foreach(h => require(h >= 4L,
+      s"writeMoc: $h is not a valid NUNIQ id (norder 0 starts at 4)"))
+    val primary = headerBlock(Seq(
+      logCard("SIMPLE", v = true), numCard("BITPIX", 8),
+      numCard("NAXIS", 0), logCard("EXTEND", v = true)))
+    val bintable = headerBlock(Seq(
+      strCard("XTENSION", "BINTABLE"), numCard("BITPIX", 8),
+      numCard("NAXIS", 2), numCard("NAXIS1", 8), numCard("NAXIS2", nuniq.length),
+      numCard("PCOUNT", 0), numCard("GCOUNT", 1), numCard("TFIELDS", 1),
+      strCard("TTYPE1", "UNIQ"), strCard("TFORM1", "1K"),
+      strCard("PIXTYPE", "HEALPIX"), strCard("ORDERING", "NUNIQ"),
+      strCard("COORDSYS", "C"), numCard("MOCORDER", mocOrder),
+      strCard("MOCVERS", "2.0"), strCard("MOCTOOL", "graft")))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, true), 1 << 20))
+    try {
+      out.write(primary); out.write(bintable)
+      nuniq.foreach(out.writeLong)
+      val dataBytes = nuniq.length.toLong * 8
+      val pad = ((dataBytes + BLOCK - 1) / BLOCK * BLOCK - dataBytes).toInt
+      out.write(new Array[Byte](pad))
+    } finally out.close()
+  }
+
   /** Distributed read: one task per FITS file; all files must share the first file's schema. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val sc = spark.sparkContext

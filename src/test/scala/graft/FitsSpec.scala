@@ -189,6 +189,30 @@ class FitsSpec extends SparkSpecBase {
       "RING export must label ORDERING= 'RING'")
   }
 
+  test("writeMoc round-trip: IVOA MOC 2.0 NUNIQ serialization through graft's own reader") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_moc").toString
+    // a mixed-order MOC from the engine's own normalizer: quad 0..3
+    // merges to 0@o2, pixels 9 and 17 stay at o3
+    val moc = graft.operators.Spatial
+      .mocNormalize(Seq(0L, 1L, 2L, 3L, 9L, 17L).toDF("p"), "p", 3)
+      .orderBy("nuniq").select("nuniq").collect().map(_.getLong(0))
+    val path = s"$out/footprint.fits"
+    Fits.writeMoc(spark, path, moc, mocOrder = 3)
+    val back = Fits.read(spark, Seq(path))
+    assert(back.schema.fieldNames.toSeq == Seq("UNIQ"))
+    assert(back.orderBy(col("UNIQ")).collect().map(_.getLong(0)).toSeq == moc.toSeq)
+    // header contract: the fields a MOC consumer (mocpy/Aladin) keys on
+    val head = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "US-ASCII")
+    Seq("PIXTYPE", "HEALPIX", "ORDERING", "NUNIQ", "MOCORDER", "MOCVERS", "UNIQ")
+      .foreach(k => assert(head.contains(k), s"missing MOC header token $k"))
+    // guards: unsorted input and sub-4 ids are not valid serializations
+    intercept[IllegalArgumentException](Fits.writeMoc(spark, path, Array(20L, 16L), 1))
+    intercept[IllegalArgumentException](Fits.writeMoc(spark, path, Array(1L), 1))
+  }
+
   test("unsupported TFORM fails with a clear message") {
     // build a header with a complex-valued column (TFORM 'C')
     val out = new ByteArrayOutputStream()
