@@ -2852,24 +2852,63 @@ object QueryRegistry {
    *  integer state is engine-exact and the oracle unrolls the rounds
    *  as chained CTEs (the graph_pagerank pattern, here with a
    *  window-free struct-min on the Spark side vs row_number in SQL). */
-  private val graph_communities = QueryDef(
-    (s, dir) => graft.operators.Graph
-      .labelPropagation(coSupplyKnnEdges(s, dir), "a", "b", rounds = 4)
-      .orderBy("node"),
-    Some {
-      val roundCte = (r: Int) => s"""
-      l$r AS (SELECT n AS node, lbl FROM (
+  /** The 4 unrolled synchronous LPA rounds over the co-supply graph
+   *  as chained CTEs (ends in `l4(node, lbl)`) — shared by the
+   *  graph_communities and graph_modularity oracles. MATERIALIZED is
+   *  load-bearing: DuckDB inlines plain CTEs at every reference, and
+   *  the modularity oracle references `l4`/`dire` three times — the
+   *  re-inlined 4-round window chains spilled temp storage to DISK
+   *  FULL at sf0.1 before erroring. */
+  private lazy val lpaCtesSql: String = {
+    val roundCte = (r: Int) => s"""
+      l$r AS MATERIALIZED (SELECT n AS node, lbl FROM (
         SELECT d.n, l.lbl, row_number() OVER (PARTITION BY d.n
             ORDER BY count(*) DESC, l.lbl) AS rn
         FROM dire d JOIN l${r - 1} l ON l.node = d.nb
         GROUP BY d.n, l.lbl) WHERE rn = 1)"""
-      s"""WITH $coSupplyKnnSql,
-      dire AS (SELECT a AS n, b AS nb FROM ed UNION ALL SELECT b, a FROM ed),
-      l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM dire),
-      ${(1 to 4).map(roundCte).mkString(",")}
+    s"""dire AS MATERIALIZED (SELECT a AS n, b AS nb FROM ed UNION ALL SELECT b, a FROM ed),
+      l0 AS MATERIALIZED (SELECT DISTINCT n AS node, n AS lbl FROM dire),
+      ${(1 to 4).map(roundCte).mkString(",")}"""
+  }
+
+  private val graph_communities = QueryDef(
+    (s, dir) => graft.operators.Graph
+      .labelPropagation(coSupplyKnnEdges(s, dir), "a", "b", rounds = 4)
+      .orderBy("node"),
+    Some(s"""WITH $coSupplyKnnSql,
+      $lpaCtesSql
       SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
-      FROM l4 ORDER BY node"""
-    })
+      FROM l4 ORDER BY node"""))
+
+  /** Newman modularity of the detected communities
+   *  ([[graft.operators.Graph.modularity]]), in EXACT integer
+   *  arithmetic: per community, q_num = 4m*e_intra - d_sum^2 (the
+   *  numerator of its contribution to Q over denominator 4m^2), so
+   *  the partition-quality audit of graph_communities hash-matches
+   *  bit for bit; the 6-dp q_contrib double is display-only. The
+   *  oracle replays the 4 LPA rounds AND the modularity arithmetic. */
+  private val graph_modularity = QueryDef(
+    (s, dir) => {
+      val edges = coSupplyKnnEdges(s, dir)
+      val labels = graft.operators.Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      graft.operators.Graph.modularity(edges, "a", "b", labels).orderBy("community")
+    },
+    Some(s"""WITH $coSupplyKnnSql,
+      $lpaCtesSql,
+      mm AS MATERIALIZED (SELECT count(*) AS me FROM ed),
+      ej AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb
+        FROM ed JOIN l4 la ON la.node = ed.a JOIN l4 lb ON lb.node = ed.b),
+      ec AS (SELECT ca AS community, count(*) AS e_intra FROM ej WHERE ca = cb GROUP BY 1),
+      deg AS MATERIALIZED (SELECT n, count(*) AS dd FROM dire GROUP BY 1),
+      dc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(sum(deg.dd) AS BIGINT) AS d_sum
+        FROM l4 l JOIN deg ON deg.n = l.node GROUP BY 1)
+      SELECT CAST(dc.community AS BIGINT) AS community, dc.n_nodes,
+        CAST(coalesce(ec.e_intra, 0) AS BIGINT) AS e_intra, dc.d_sum,
+        CAST(4 * mm.me * coalesce(ec.e_intra, 0) - dc.d_sum * dc.d_sum AS BIGINT) AS q_num,
+        round(CAST(4 * mm.me * coalesce(ec.e_intra, 0) - dc.d_sum * dc.d_sum AS DOUBLE)
+          / (4.0 * mm.me * mm.me), 6) AS q_contrib
+      FROM dc LEFT JOIN ec USING (community), mm ORDER BY community"""))
 
   /** Multi-source BFS over the co-supply kNN graph: minimum hop from
    *  the three lowest supplier keys, ≤ 6 hops. The Spark side runs
@@ -6993,6 +7032,7 @@ object QueryRegistry {
     "graph_triangles" -> graph_triangles,
     "graph_bfs" -> graph_bfs,
     "graph_communities" -> graph_communities,
+    "graph_modularity" -> graph_modularity,
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_resample" -> q_resample,

@@ -464,6 +464,51 @@ object Graph {
   }
 
   /**
+   * Newman modularity of a node partition (Newman & Girvan 2004) over
+   * an undirected simple edge list, in EXACT integer arithmetic: with
+   * m edges, per community c the contribution to Q = sum_c [e_c/m -
+   * (d_c/2m)^2] has numerator q_num = 4m*e_c - d_c^2 over the common
+   * denominator 4m^2 — all longs, so the partition-quality audit is
+   * engine-exact (the 6-dp `q_contrib` double is display-only; sum
+   * q_num / (4m^2) = Q). Pairs with [[labelPropagation]] as the
+   * "did the communities actually capture edge density" check.
+   *
+   * Scale shape: two broadcast-or-shuffle equi-joins of the edge list
+   * against the slim (node, community) labels, one community-bounded
+   * rollup each for intra-edge counts and degree sums; m is a single
+   * scan-bound count (a driver scalar, like the partition-map walk).
+   * `edges` must be distinct undirected pairs (the [[triangleCounts]]
+   * contract); labels must cover every endpoint.
+   */
+  def modularity(edges0: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String = "node",
+                 commCol: String = "community"): DataFrame = {
+    val e = edges0
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val lab = labels.select(col(nodeCol).cast("long").as("__n"),
+      col(commCol).cast("long").as("__c"))
+    val m = e.count()
+    require(m > 0, "modularity: empty edge set")
+    val la = lab.select(col("__n").as("a"), col("__c").as("ca"))
+    val lb = lab.select(col("__n").as("b"), col("__c").as("cb"))
+    val ec = e.join(la, "a").join(lb, "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_intra"))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("__d"))
+    val dc = lab.join(deg, col("__n") === col("n"))
+      .groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("__d").cast("long").as("d_sum"))
+    dc.join(ec, Seq("community"), "left")
+      .withColumn("e_intra", coalesce(col("e_intra"), lit(0L)))
+      .withColumn("q_num", lit(4L * m) * col("e_intra") - col("d_sum") * col("d_sum"))
+      .withColumn("q_contrib",
+        round(col("q_num").cast("double") / lit(4.0 * m * m), 6))
+      .select("community", "n_nodes", "e_intra", "d_sum", "q_num", "q_contrib")
+  }
+
+  /**
    * Multi-source WEIGHTED shortest paths (undirected, nonnegative
    * integer weights): distributed Bellman-Ford rounds — per round the
    * frontier relaxes its edges, a map-side-combined `min` collapses

@@ -133,6 +133,27 @@ class GraphSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Graph.labelPropagation(edges, "a", "b", rounds = 0))
   }
 
+  test("modularity: hand-computed exact integers on the bridged two-triangle graph") {
+    // m = 7 edges; communities {1,2,3} and {10,11,12} (the LPA result
+    // above): e_c = 3 intra each; degrees 2,2,3 per triangle -> d_c = 7;
+    // q_num = 4*7*3 - 7^2 = 35 each; Q = (35+35)/(4*49) = 0.357143
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 3L), (11L, 3L), (12L, 3L))
+      .toDF("node", "community")
+    val got = Graph.modularity(edges, "a", "b", labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 7L, 35L, 0.178571), (3L, 3L, 3L, 7L, 35L, 0.178571)),
+      s"exact per-community modularity numerators: ${got.toSeq}")
+    // the trivial all-one-community partition scores Q = 0 exactly:
+    // e_c = m and d_c = 2m -> q_num = 4m^2 - 4m^2 = 0
+    val one = Seq(1L, 2L, 3L, 10L, 11L, 12L).map(_ -> 7L).toDF("node", "community")
+    val q0 = Graph.modularity(edges, "a", "b", one).collect()
+    assert(q0.length == 1 && q0(0).getLong(4) == 0L, q0.mkString)
+  }
+
   test("pageRank: symmetric 2-cycle is a fixed point at rank = scale") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, "src", "dst", iterations = 7)
