@@ -6038,53 +6038,32 @@ object QueryRegistry {
    *  punches a hole through a coarse a-tile). The oracle derives the
    *  same sets STRUCTURALLY differently: expand both footprints to
    *  the common order 6, run plain set ops on pixel sets, then replay
-   *  the six merge rounds as chained CTEs. The distinct pixel frames
-   *  are bounded by npix(5)/npix(6) and persisted so the three ops
-   *  share one corpus scan per side (signature-cache precedent). */
+   *  the six merge rounds as chained CTEs. Spark-side the whole
+   *  algebra rides [[graft.operators.Spatial]]'s npix-bounded
+   *  driver-side path (MocLocal): two distinct+collect catalog scans,
+   *  then pure-Scala set ops over LocalRelations. */
   private val q_moc_ops = QueryDef(
     (s, dir) => {
       val li = t(s, dir, "lineitem").withColumn("k", col("l_orderkey") * 8 + col("l_linenumber"))
       val aPix = withSky(li, "k")
         .select(sphere.hpix(col("cra"), col("cdec"), 5).as("pix"))
-        .filter(col("pix") % 3 =!= 0).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .filter(col("pix") % 3 =!= 0)
       val bPix = withSky(t(s, dir, "customer"), "c_custkey")
         .select(sphere.hpix(col("cra"), col("cdec"), 6).as("pix"))
-        .filter(col("pix") % 5 < 2).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // localCheckpoint cuts the logical-plan lineage at the two
-      // normalized MOCs: each set op references its inputs many
-      // times and re-normalizes through 6 more rounds, so carrying
-      // the full 6-round normalize subtree into every reference
-      // multiplies the analyzed plan combinatorially (driver OOM at
-      // analysis time, not an executor-data problem — the frames
-      // themselves are npix-bounded and tiny)
-      val a = Spatial.mocNormalize(aPix, "pix", 5).localCheckpoint()
-      val b = Spatial.mocNormalize(bPix, "pix", 6).localCheckpoint()
-      // the three set ops are independent and each runs ~10 small
-      // eager jobs (per-round lineage cuts) at CONSTRUCTION time —
-      // submit them concurrently under a named job group (the
-      // text_ensemble pattern: group set on each future's own thread,
-      // cancel on Await failure so no detached work leaks)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val jobGroup = "q_moc_ops_sets"
-      def op(tag: String)(build: => DataFrame): Future[DataFrame] = Future {
-        s.sparkContext.setJobGroup(jobGroup,
-          "q_moc_ops concurrent set-op construction", interruptOnCancel = true)
-        try build.select(lit(tag).as("op"), col("norder"), col("npix"), col("nuniq"))
-        finally s.sparkContext.clearJobGroup()
-      }
-      val built =
-        try Await.result(Future.sequence(Seq(
-          op("union")(Spatial.mocUnion(a, b, 6)),
-          op("intersect")(Spatial.mocIntersect(a, b, 6)),
-          op("diff_ab")(Spatial.mocDifference(a, b, 6)))),
-          scala.concurrent.duration.Duration(10, "min"))
-        catch { case e: Throwable =>
-          s.sparkContext.cancelJobGroup(jobGroup)
-          aPix.unpersist(); bPix.unpersist(); throw e }
-      built.reduce(_ unionByName _).orderBy("op", "nuniq")
+        .filter(col("pix") % 5 < 2)
+      // mocNormalize's npix-bounded driver-side path: ONE distinct +
+      // collect scan per operand (the only jobs that touch catalog
+      // data), then every set op is job-free LocalRelation algebra
+      // (MocLocal) — the r13 version's ~40 per-round checkpoint jobs
+      // were 85% measured job floor on <= 49k-row frames
+      val a = Spatial.mocNormalize(aPix, "pix", 5)
+      val b = Spatial.mocNormalize(bPix, "pix", 6)
+      Seq("union" -> Spatial.mocUnion(a, b, 6),
+          "intersect" -> Spatial.mocIntersect(a, b, 6),
+          "diff_ab" -> Spatial.mocDifference(a, b, 6))
+        .map { case (tag, df) =>
+          df.select(lit(tag).as("op"), col("norder"), col("npix"), col("nuniq")) }
+        .reduce(_ unionByName _).orderBy("op", "nuniq")
     },
     Some {
       val sb = new StringBuilder(

@@ -442,8 +442,19 @@ object Spatial {
    * bounded by npix(order) regardless of catalog size; the input
    * row set is distinct-deduped once up front.
    */
-  def mocNormalize(pixels: DataFrame, pixCol: String, order: Int): DataFrame = {
+  def mocNormalize(pixels: DataFrame, pixCol: String, order: Int,
+                   localMax: Int = MocLocalMaxTiles): DataFrame = {
     require(order >= 0 && order <= 29, s"mocNormalize: order must be in [0, 29], got $order")
+    if (Healpix.npix(order) <= localMax) {
+      // bounded fast path (the partition_map precedent): the distinct
+      // pixel set is npix(order)-bounded REGARDLESS of catalog size,
+      // so one map-side-combined distinct + collect replaces `order`
+      // rounds of groupBy + anti-join jobs whose job floors dwarf the
+      // data. The quad-merge walk itself is pure Scala (MocLocal).
+      val pix = pixels.select(col(pixCol).cast("long").as("pix"))
+        .distinct().collect().map(_.getLong(0))
+      return tilesToDf(pixels.sparkSession, MocLocal.normalizePixels(pix, order))
+    }
     var cur = pixels.select(col(pixCol).cast("long").as("pix")).distinct()
     def nuniqOf(o: Int) = lit(4L << (2 * o)) + col("pix")
     var out = Seq.empty[DataFrame]
@@ -463,8 +474,34 @@ object Spatial {
 
   // ------------------------------------------------------- MOC set algebra
 
+  /** Tile-count ceiling for the driver-side MOC paths ([[MocLocal]]):
+   *  4M tiles ≈ 50 MB of (norder, npix) pairs on the driver —
+   *  npix(9) = 3.1M sits under it, so every order-≤9 MOC runs local;
+   *  genuinely huge MOCs (the ScaleProbe order-10 10.6M-pixel
+   *  footprint) keep the distributed rounds. */
+  val MocLocalMaxTiles: Int = 4000000
+
   /** The NUNIQ packing of a (norder, npix) tile — MOC 2.0 §2.3.1. */
   private def nuniqCol: Column = expr("shiftleft(cast(4 as bigint), 2 * norder) + npix")
+
+  /** A collected/driver-computed tile array as the standard MOC frame
+   *  (norder int, npix long, nuniq long) — a LocalRelation, so
+   *  downstream set ops collect it back job-free. */
+  private def tilesToDf(spark: org.apache.spark.sql.SparkSession,
+                        tiles: Array[MocLocal.Tile]): DataFrame =
+    spark.createDataFrame(tiles.toIndexedSeq.map { case (o, p) => (o, p, MocLocal.nuniq(o, p)) })
+      .toDF("norder", "npix", "nuniq")
+
+  /** Collect a (pinned) MOC operand when its tile count fits the
+   *  driver-side path, else None. The limit probe bounds the
+   *  transfer: at most localMax + 1 rows come back even when the
+   *  operand is huge. */
+  private def collectIfBounded(m: DataFrame, localMax: Int): Option[Array[MocLocal.Tile]] = {
+    val rows = m.select(col("norder").cast("int"), col("npix").cast("long"))
+      .limit(localMax + 1).collect()
+    if (rows.length > localMax) None
+    else Some(rows.map(r => (r.getInt(0), r.getLong(1))))
+  }
 
   /** Materialize a MOC operand and CUT its logical-plan lineage
    *  (localCheckpoint). The set ops below reference each operand many
@@ -478,11 +515,17 @@ object Spatial {
   private def pinMoc(m: DataFrame): DataFrame = {
     val slim = m.select(
       col("norder").cast("int").as("norder"), col("npix").cast("long").as("npix"))
-    // an operand that is ALREADY a checkpoint (LogicalRDD) needs no
-    // second materialization — a Project over it is just as shallow,
-    // and callers composing several set ops over the same normalized
-    // MOCs would otherwise pay one redundant copy job per op per side
-    if (m.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) slim
+    // an operand that is ALREADY shallow — a checkpoint (LogicalRDD)
+    // or a driver-built LocalRelation (the [[MocLocal]] fast path) —
+    // needs no second materialization: a Project over it is just as
+    // shallow, and callers composing several set ops over the same
+    // normalized MOCs would otherwise pay one redundant copy job per
+    // op per side
+    // optimizedPlan, not logical: tilesToDf emits Project-over-
+    // LocalRelation, which ConvertToLocalRelation collapses
+    val plan = m.queryExecution.optimizedPlan
+    if (plan.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+        plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) slim
     else slim.localCheckpoint()
   }
 
@@ -574,12 +617,27 @@ object Spatial {
    * a copy); the disjoint remainder re-normalizes, because a region
    * covered 3/4 by `a` and 1/4 by `b` now completes a quad.
    */
-  def mocUnion(a: DataFrame, b: DataFrame, maxOrder: Int): DataFrame = {
+  def mocUnion(a: DataFrame, b: DataFrame, maxOrder: Int,
+               localMax: Int = MocLocalMaxTiles): DataFrame = {
     val (ap, bp) = (pinMoc(a), pinMoc(b))
-    val aKeep = tilesCoveredBy(ap, bp, strict = true, keep = "anti")
-    val bKeep = tilesCoveredBy(bp, ap, strict = false, keep = "anti")
-    mocNormalizeMixed(aKeep.unionByName(bKeep), maxOrder)
+    localPair(ap, bp, localMax) match {
+      case Some((at, bt)) => tilesToDf(a.sparkSession, MocLocal.union(at, bt, maxOrder))
+      case None =>
+        val aKeep = tilesCoveredBy(ap, bp, strict = true, keep = "anti")
+        val bKeep = tilesCoveredBy(bp, ap, strict = false, keep = "anti")
+        mocNormalizeMixed(aKeep.unionByName(bKeep), maxOrder)
+    }
   }
+
+  /** Both operands' tile arrays when both fit the driver-side path
+   *  (each probe is one tiny job on a pinned frame — or job-free on a
+   *  LocalRelation), else None → distributed rounds. */
+  private def localPair(ap: DataFrame, bp: DataFrame,
+                        localMax: Int): Option[(Array[MocLocal.Tile], Array[MocLocal.Tile])] =
+    for {
+      at <- collectIfBounded(ap, localMax)
+      bt <- collectIfBounded(bp, localMax)
+    } yield (at, bt)
 
   /**
    * Intersection of two NORMALIZED MOCs at native mixed orders: every
@@ -592,11 +650,16 @@ object Spatial {
    * inputs are normalized; the defensive re-normalize keeps the
    * canonical-output contract even on non-minimal inputs.
    */
-  def mocIntersect(a: DataFrame, b: DataFrame, maxOrder: Int): DataFrame = {
+  def mocIntersect(a: DataFrame, b: DataFrame, maxOrder: Int,
+                   localMax: Int = MocLocalMaxTiles): DataFrame = {
     val (ap, bp) = (pinMoc(a), pinMoc(b))
-    val aIn = tilesCoveredBy(ap, bp, strict = false, keep = "semi")
-    val bIn = tilesCoveredBy(bp, ap, strict = true, keep = "semi")
-    mocNormalizeMixed(aIn.unionByName(bIn), maxOrder)
+    localPair(ap, bp, localMax) match {
+      case Some((at, bt)) => tilesToDf(a.sparkSession, MocLocal.intersect(at, bt, maxOrder))
+      case None =>
+        val aIn = tilesCoveredBy(ap, bp, strict = false, keep = "semi")
+        val bIn = tilesCoveredBy(bp, ap, strict = true, keep = "semi")
+        mocNormalizeMixed(aIn.unionByName(bIn), maxOrder)
+    }
   }
 
   /**
@@ -612,8 +675,14 @@ object Spatial {
    * still being carved around — the subdivision follows b's tile
    * paths, never the 4^k full expansion.
    */
-  def mocDifference(a: DataFrame, b: DataFrame, maxOrder: Int): DataFrame = {
+  def mocDifference(a: DataFrame, b: DataFrame, maxOrder: Int,
+                    localMax: Int = MocLocalMaxTiles): DataFrame = {
     val (ap, bp) = (pinMoc(a), pinMoc(b))
+    localPair(ap, bp, localMax) match {
+      case Some((at, bt)) =>
+        return tilesToDf(a.sparkSession, MocLocal.difference(at, bt, maxOrder))
+      case None => ()
+    }
     val bAnc = strictAncestors(bp).localCheckpoint()
     val bTiles = bp.select("norder", "npix")
     val a0 = tilesCoveredBy(ap, bp, strict = false, keep = "anti")
@@ -641,5 +710,111 @@ object Spatial {
       round += 1
     }
     mocNormalizeMixed(kept.reduce(_ unionByName _), maxOrder)
+  }
+
+  /**
+   * Complement of a NORMALIZED MOC: the sky not covered by `a` —
+   * difference from the all-sky MOC (the 12 order-0 base pixels),
+   * which mocpy exposes as `.complement()`. Double complement is the
+   * identity and a ∪ ¬a = sky (SpatialSpec pins both).
+   */
+  def mocComplement(a: DataFrame, maxOrder: Int,
+                    localMax: Int = MocLocalMaxTiles): DataFrame = {
+    val ap = pinMoc(a)
+    collectIfBounded(ap, localMax) match {
+      case Some(at) => tilesToDf(a.sparkSession, MocLocal.complement(at, maxOrder))
+      case None =>
+        mocDifference(tilesToDf(a.sparkSession, MocLocal.allSky), ap, maxOrder, localMax)
+    }
+  }
+
+  /**
+   * Query-region MOC of a cone (mocpy's `MOC.from_cone`): the
+   * conservative order-`order` disc cover ([[Healpix.queryDiscCover]]
+   * — every pixel whose area can intersect the cone) collapsed to
+   * the canonical NUNIQ tiling. Driver-side end to end: the cover is
+   * npix-bounded and the walk is [[MocLocal]]; the result is a
+   * LocalRelation ready for job-free set algebra against catalog
+   * footprint MOCs.
+   */
+  def mocFromCone(spark: org.apache.spark.sql.SparkSession, order: Int,
+                  raDeg: Double, decDeg: Double, radiusDeg: Double): DataFrame =
+    tilesToDf(spark,
+      MocLocal.normalizePixels(Healpix.queryDiscCover(order, raDeg, decDeg, radiusDeg), order))
+
+  /**
+   * Query-region MOC of a convex spherical polygon: the bounding-cone
+   * cover refined to pixels that can actually intersect the polygon —
+   * a pixel survives iff its center lies inside, OR its center is
+   * within maxPixRad(order) of some polygon edge arc (triangle
+   * inequality: a pixel that meets the polygon either has its center
+   * inside, or contains a boundary point, which then lies within
+   * maxPixRad of the center — so the test is conservative, never
+   * lossy). Same hemisphere-bounded contract as [[polygonSearch]].
+   */
+  def mocFromPolygon(spark: org.apache.spark.sql.SparkSession, order: Int,
+                     vertices: Seq[(Double, Double)]): DataFrame =
+    tilesToDf(spark, MocLocal.normalizePixels(polygonCoverPixels(order, vertices), order))
+
+  /** The refined polygon cover at `order` (driver-side; see
+   *  [[mocFromPolygon]] for the conservativeness argument). */
+  private[graft] def polygonCoverPixels(order: Int, vertices: Seq[(Double, Double)]): Array[Long] = {
+    require(vertices.length >= 3, "polygon needs >= 3 vertices")
+    val (cra, cdec) = polygonCentroid(vertices)
+    val boundRadius = vertices.map { case (r, d) => Healpix.gcDistDeg(cra, cdec, r, d) }.max * 1.001
+    val slackDeg = math.toDegrees(Healpix.maxPixRad(order)) + 1e-9
+    val vecs = vertices.map { case (r, d) => unitVec(r, d) }.toArray
+    Healpix.queryDiscCover(order, cra, cdec, boundRadius).filter { p =>
+      val (pra, pdec) = Healpix.pix2angNest(order, p)
+      pointInPolygon(pra, pdec, vertices, cra, cdec) || {
+        val pv = unitVec(pra, pdec)
+        vecs.indices.exists { i =>
+          arcDistDeg(pv, vecs(i), vecs((i + 1) % vecs.length)) <= slackDeg
+        }
+      }
+    }
+  }
+
+  /** Driver-side point-in-convex-polygon — the same gnomonic
+   *  cross-sign test [[polygonPredicate]] compiles to Columns, on one
+   *  point (shares the centroid/orientation conventions exactly). */
+  private[graft] def pointInPolygon(raDeg: Double, decDeg: Double,
+                                    vertices: Seq[(Double, Double)],
+                                    cra: Double, cdec: Double): Boolean = {
+    val verts = vertices.map { case (r, d) => gnomonicPoint(r, d, cra, cdec) }
+    val signedArea = verts.indices.map { i =>
+      val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+      x1 * y2 - x2 * y1
+    }.sum
+    val ccw = if (signedArea >= 0) verts else verts.reverse
+    val (px, py) = gnomonicPoint(raDeg, decDeg, cra, cdec)
+    ccw.indices.forall { i =>
+      val (x1, y1) = ccw(i); val (x2, y2) = ccw((i + 1) % ccw.length)
+      (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0.0
+    }
+  }
+
+  private def unitVec(raDeg: Double, decDeg: Double): Array[Double] = {
+    val r = math.toRadians(raDeg); val d = math.toRadians(decDeg)
+    Array(math.cos(d) * math.cos(r), math.cos(d) * math.sin(r), math.sin(d))
+  }
+
+  /** Great-circle distance (degrees) from unit vector `p` to the
+   *  minor arc v1→v2: cross-track |asin(p·n̂)| when the perpendicular
+   *  foot falls inside the segment (between the two meridian planes
+   *  through n and each endpoint), else the nearer endpoint. */
+  private[graft] def arcDistDeg(p: Array[Double], v1: Array[Double], v2: Array[Double]): Double = {
+    def cross(a: Array[Double], b: Array[Double]) = Array(
+      a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+    def dot(a: Array[Double], b: Array[Double]) = a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    def angDeg(a: Array[Double], b: Array[Double]) =
+      math.toDegrees(math.atan2(norm(cross(a, b)), dot(a, b)))
+    val n = cross(v1, v2)
+    val nn = norm(n)
+    if (nn < 1e-15) return math.min(angDeg(p, v1), angDeg(p, v2)) // degenerate edge
+    val inSegment = dot(cross(n, v1), p) >= 0 && dot(cross(v2, n), p) >= 0
+    if (inSegment) math.toDegrees(math.abs(math.asin(math.max(-1.0, math.min(1.0, dot(p, n) / nn)))))
+    else math.min(angDeg(p, v1), angDeg(p, v2))
   }
 }

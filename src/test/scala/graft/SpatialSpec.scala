@@ -203,4 +203,111 @@ class SpatialSpec extends SparkSpecBase {
     val u2 = collectMoc(Spatial.mocUnion(a2, b2, 3))
     assert(u2.toSeq == Seq((1, 0L)), s"expected single merged 0@o1 tile: ${u2.toSeq}")
   }
+
+  test("MOC local vs distributed path parity (normalize + all set ops)") {
+    import spark.implicits._
+    // merge-rich pseudo-random but deterministic footprints at order 4
+    val aPix = (0L until graft.healpix.Healpix.npix(4)).filter(p => p % 3 != 0 || p < 40)
+    val bPix = (0L until graft.healpix.Healpix.npix(4)).filter(p => p % 5 < 2 && p > 20)
+    // localMax = 0 forces the distributed rounds on any input;
+    // default rides MocLocal — the canonical tiling is unique, so
+    // both paths must emit the identical tile set
+    val aL = Spatial.mocNormalize(aPix.toDF("p"), "p", 4)
+    val aD = Spatial.mocNormalize(aPix.toDF("p"), "p", 4, localMax = 0)
+    assert(collectMoc(aL).toSeq == collectMoc(aD).sortBy(t => MocTestUtil.nuniq(t)).toSeq,
+      "normalize parity")
+    val bL = Spatial.mocNormalize(bPix.toDF("p"), "p", 4)
+    for ((name, op) <- Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)](
+      ("union", Spatial.mocUnion(_, _, _)),
+      ("intersect", Spatial.mocIntersect(_, _, _)),
+      ("difference", Spatial.mocDifference(_, _, _)))) {
+      val local = collectMoc(op(aL, bL, 4)).sortBy(MocTestUtil.nuniq)
+      val dist = name match {
+        case "union"     => Spatial.mocUnion(aL, bL, 4, localMax = 0)
+        case "intersect" => Spatial.mocIntersect(aL, bL, 4, localMax = 0)
+        case _           => Spatial.mocDifference(aL, bL, 4, localMax = 0)
+      }
+      assert(local.toSeq == collectMoc(dist).sortBy(MocTestUtil.nuniq).toSeq, s"$name parity")
+    }
+  }
+
+  test("mocComplement: identities (a ∪ ¬a = sky, ¬¬a = a, both paths)") {
+    val a = mocOf(Seq(0L, 1L, 2L, 3L, 9L, 100L, 101L), 3)
+    for (localMax <- Seq(Spatial.MocLocalMaxTiles, 0)) {
+      val na = Spatial.mocComplement(a, 3, localMax)
+      // disjoint: a ∩ ¬a = ∅
+      assert(Spatial.mocIntersect(a, na, 3, localMax).count() == 0, s"localMax=$localMax")
+      // exhaustive: a ∪ ¬a = the whole sky (12 order-0 tiles)
+      val sky = collectMoc(Spatial.mocUnion(a, na, 3, localMax)).sortBy(MocTestUtil.nuniq)
+      assert(sky.toSeq == (0L until 12L).map(p => (0, p)), s"localMax=$localMax: ${sky.toSeq}")
+      // involution: ¬¬a = a
+      val nna = collectMoc(Spatial.mocComplement(na, 3, localMax)).sortBy(MocTestUtil.nuniq)
+      assert(nna.toSeq == collectMoc(a).sortBy(MocTestUtil.nuniq).toSeq, s"localMax=$localMax")
+    }
+  }
+
+  test("mocFromCone: covers exactly the disc-cover pixels, canonical form") {
+    val (ra, dec, r, order) = (80.0, 25.0, 18.0, 4)
+    val m = collectMoc(Spatial.mocFromCone(spark, order, ra, dec, r))
+    val cover = graft.healpix.Healpix.queryDiscCover(order, ra, dec, r).toSet
+    assert(expandTo(m, order) == cover, "expansion must equal the disc cover")
+    // minimal: no complete sibling quad at any level
+    m.groupBy(_._1).foreach { case (_, ts) =>
+      val at = ts.map(_._2).toSet
+      assert(!at.exists(p => (p / 4 * 4 until p / 4 * 4 + 4).forall(at)))
+    }
+    // every cone point is inside the MOC: sample points on rings
+    for (t <- 0 until 40) {
+      val ang = t * 9.0; val rad = (t % 5) * r / 5.0
+      val (pra, pdec) = (ra + rad * math.cos(math.toRadians(ang)) /
+        math.cos(math.toRadians(dec)), dec + rad * math.sin(math.toRadians(ang)))
+      if (graft.healpix.Healpix.gcDistDeg(ra, dec, pra, pdec) < r) {
+        val p = graft.healpix.Healpix.ang2pixNest(order, pra, pdec)
+        assert(expandTo(m, order).contains(p), s"cone point ($pra, $pdec) outside MOC")
+      }
+    }
+  }
+
+  test("mocFromPolygon: conservative cover — contains every polygon point, within bounding cone") {
+    val verts = Seq((60.0, -10.0), (75.0, -5.0), (72.0, 12.0), (58.0, 8.0))
+    val order = 5
+    val m = collectMoc(Spatial.mocFromPolygon(spark, order, verts))
+    val pixels = expandTo(m, order)
+    // 1) every point inside the polygon lands in a covered pixel
+    //    (conservativeness — the non-negotiable contract)
+    val (cra, cdec) = Spatial.polygonCentroid(verts)
+    for (i <- 0 until 400) {
+      val pra = 55.0 + (i % 20) * 1.1
+      val pdec = -12.0 + (i / 20) * 1.3
+      if (Spatial.pointInPolygon(pra, pdec, verts, cra, cdec)) {
+        val p = graft.healpix.Healpix.ang2pixNest(order, pra, pdec)
+        assert(pixels.contains(p), s"interior point ($pra, $pdec) uncovered")
+      }
+    }
+    // 2) refinement: the polygon cover is a subset of the bounding
+    //    cone's cover, and strictly smaller for this elongated shape
+    val boundR = verts.map { case (r, d) =>
+      graft.healpix.Healpix.gcDistDeg(cra, cdec, r, d) }.max * 1.001
+    val coneCover = graft.healpix.Healpix.queryDiscCover(order, cra, cdec, boundR).toSet
+    assert(pixels.subsetOf(coneCover), "polygon cover must refine the bounding cone")
+    assert(pixels.size < coneCover.size, "refinement should actually drop corner pixels")
+  }
+
+  test("arcDistDeg: cross-track and endpoint regimes") {
+    def v(ra: Double, dec: Double) = {
+      val r = math.toRadians(ra); val d = math.toRadians(dec)
+      Array(math.cos(d) * math.cos(r), math.cos(d) * math.sin(r), math.sin(d))
+    }
+    // equatorial arc 0..10 deg: a point at (5, 3) is 3 deg cross-track
+    assert(math.abs(Spatial.arcDistDeg(v(5, 3), v(0, 0), v(10, 0)) - 3.0) < 1e-9)
+    // beyond the endpoint: nearest endpoint distance (great-circle)
+    val d = Spatial.arcDistDeg(v(15, 0), v(0, 0), v(10, 0))
+    assert(math.abs(d - 5.0) < 1e-9, s"endpoint regime: $d")
+    // on the arc: zero
+    assert(Spatial.arcDistDeg(v(7, 0), v(0, 0), v(10, 0)) < 1e-9)
+  }
+}
+
+private object MocTestUtil {
+  def nuniq(t: (Int, Long)): Long = (4L << (2 * t._1)) + t._2
 }
