@@ -2889,7 +2889,13 @@ object QueryRegistry {
    *  oracle replays the 4 LPA rounds AND the modularity arithmetic. */
   private val graph_modularity = QueryDef(
     (s, dir) => {
-      val edges = coSupplyKnnEdges(s, dir)
+      // pin the kNN graph ONCE: the co-supply derivation (lineitem
+      // self-join + top-5 window) is otherwise re-planned 4x — for
+      // LPA's directed expansion, modularity's m count, the
+      // intra-edge join and the degree rollup (r13 verdict item).
+      // The edge list is slim (2 longs x |E|), so the eager
+      // materialization is cheap at any SF.
+      val edges = coSupplyKnnEdges(s, dir).localCheckpoint()
       val labels = graft.operators.Graph.labelPropagation(edges, "a", "b", rounds = 4)
       graft.operators.Graph.modularity(edges, "a", "b", labels).orderBy("community")
     },
@@ -4289,15 +4295,47 @@ object QueryRegistry {
    *  with the exact-tile formula on a fully deterministic order. */
   private val q_rfm = QueryDef(
     (s, dir) => {
+      // pin the per-customer rollup ONCE (slim: 4 longs per customer)
+      // — the r13 shape nested the three rankings, so each range
+      // exchange re-planned the previous ranking's full lineage and
+      // the three size-job/offset-walk cycles ran strictly
+      // sequentially (r13 verdict item 4)
       val m = t(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
         .agg(max(unix_timestamp(col("o_orderdate").cast("timestamp"))).cast("long").as("rec"),
           count(lit(1)).as("freq"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("mon"))
-      def quint(df: DataFrame, c: String, out: String) =
-        graft.operators.Rank.curriculum(df, Seq(col(c).asc, col("ck").asc), 5)
-          .withColumnRenamed("phase", out).drop("rank")
-      val scored = quint(quint(quint(m, "rec", "r_q"), "freq", "f_q"), "mon", "m_q")
-      scored.select(col("ck").as("c_custkey"), col("r_q"), col("f_q"), col("m_q"),
+        .localCheckpoint()
+      // ONE fused ranking instead of three: explode each customer
+      // into (metric-code, value) rows and range-rank the 3n-row
+      // union by (metric, value, ck) — each metric occupies a
+      // contiguous block of EXACTLY n rows, so its within-block rank
+      // is (rank - 1) % n + 1 and the exact-ntile formula applies
+      // per block. One sample job + one size job + one rank pass
+      // replace three sequential range-exchange cycles; the
+      // reassembly is a map-side-combinable groupBy(ck), not joins.
+      val n = m.count()
+      val q = n / 5
+      val r = n % 5
+      val ex = m.select(col("ck"), explode(array(
+          struct(lit(0).as("w"), col("rec").as("v")),
+          struct(lit(1).as("w"), col("freq").as("v")),
+          struct(lit(2).as("w"), col("mon").as("v")))).as("e"))
+        .select(col("ck"), col("e.w").as("w"), col("e.v").as("v"))
+      val ranked = graft.operators.Rank.globalRowNumber(ex,
+        Seq(col("w").asc, col("v").asc, col("ck").asc))
+      // exact ntile(5) of the within-metric rank (integer `div` only
+      // — the curriculum formula: first n%5 tiles get the extra row)
+      val wr = s"((rank - 1) % ${n}L + 1)"
+      val tile =
+        if (q == 0) expr(wr)
+        else expr(s"CASE WHEN $wr <= ${r * (q + 1)}L THEN ($wr - 1) div ${q + 1}L + 1" +
+          s" ELSE ${r}L + ($wr - ${r * (q + 1)}L - 1) div ${q}L + 1 END")
+      ranked.withColumn("tile", tile.cast("long"))
+        .groupBy("ck").agg(
+          max(when(col("w") === 0, col("tile"))).as("r_q"),
+          max(when(col("w") === 1, col("tile"))).as("f_q"),
+          max(when(col("w") === 2, col("tile"))).as("m_q"))
+        .select(col("ck").as("c_custkey"), col("r_q"), col("f_q"), col("m_q"),
           (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
         .orderBy("c_custkey")
     },
