@@ -1075,9 +1075,12 @@ object QueryRegistry {
    *  out DENSE over all 192 ring-ordered pixels, absent cells as real
    *  zeros (the full-sky IMPLICIT vector `exportFitsMap(ordering =
    *  "RING")` serializes). The 192-row NEST->RING mapping is built
-   *  driver-side from the pure ring arithmetic (independently pinned
-   *  in HealpixSpec against a center-sort derivation) and broadcast;
-   *  the oracle joins the same mapping from the aux parquet. */
+   *  driver-side from the pure ring arithmetic and the bounded
+   *  histogram is broadcast into the join. NOTE (r13 ADVICE): the
+   *  oracle's ring_map_o2 aux is generated by the same nest2ring
+   *  under test, so THIS oracle only cross-checks the histogram
+   *  join/zero-fill — RING-mapping independence comes from
+   *  HealpixSpec's center-sort re-derivation, not from here. */
   private val hpix_ring = QueryDef(
     (s, dir) => {
       val hist = withSky(t(s, dir, "customer"), "c_custkey")
@@ -1087,7 +1090,12 @@ object QueryRegistry {
       val ringMap = (0L until graft.healpix.Healpix.npix(2)).map { p =>
         (p, graft.healpix.Healpix.nest2ring(2, p))
       }.toDF("pix", "ring_pix")
-      broadcast(ringMap).join(hist, Seq("pix"), "left")
+      // broadcast the HIST side: the ring map is the PRESERVED side
+      // of the left-outer join, which Spark cannot build-broadcast
+      // (a hint there is silently ignored — r13 ADVICE); the
+      // histogram is npix(2)-bounded (<= 192 rows), the natural
+      // build side at any catalog size
+      ringMap.join(broadcast(hist), Seq("pix"), "left")
         .select(col("ring_pix"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         .orderBy("ring_pix")
     },
@@ -2502,19 +2510,40 @@ object QueryRegistry {
    *  per-run writes; Bench's discarded warm-up run now pays them).
    *  The temp root stays random PER PROCESS, so two processes at the
    *  same SF still cannot clobber each other's bucket files. */
-  private val bucketedFixtureRoots = scala.collection.mutable.Map.empty[String, String]
+  // keyed WEAKLY by the owning session (identityHashCode keys can be
+  // reused after a session is GC'd and would silently skip fixture
+  // creation for a new session — r13 ADVICE); fixture dirs are
+  // registered for JVM-exit deletion so repeated sessions in one
+  // process cannot accumulate temp roots unboundedly
+  private val bucketedFixtureRoots =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+  private lazy val bucketedCleanupHook: java.util.Queue[String] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => q.forEach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () } // best-effort exit cleanup
+    }))
+    q
+  }
   private val q_bucketed = QueryDef(
     (s, dir) => {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       bucketedFixtureRoots.synchronized {
-        val key = s"${System.identityHashCode(s)}/$tag"
-        if (!bucketedFixtureRoots.contains(key)) {
+        val perSession = Option(bucketedFixtureRoots.get(s)).getOrElse {
+          val m = scala.collection.mutable.Set.empty[String]
+          bucketedFixtureRoots.put(s, m); m
+        }
+        if (!perSession.contains(tag)) {
           val root = java.nio.file.Files.createTempDirectory(s"graft_bucketed$tag").toString
           graft.operators.Layout.writeBucketed(t(s, dir, "orders"),
             s"graft_bkt_orders$tag", s"$root/orders", Seq("o_custkey"), 8)
           graft.operators.Layout.writeBucketed(t(s, dir, "customer"),
             s"graft_bkt_customer$tag", s"$root/customer", Seq("c_custkey"), 8)
-          bucketedFixtureRoots(key) = root
+          perSession += tag
+          bucketedCleanupHook.add(root)
         }
       }
       s.table(s"graft_bkt_orders$tag")

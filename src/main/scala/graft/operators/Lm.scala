@@ -306,11 +306,11 @@ object Lm {
    *  [[kneserNeySql]] subqueries. */
   def importanceKnSql(table: String, idCol: String, textCol: String,
                       targetFilter: String, sourceFilter: String,
-                      sampled: Boolean): String = {
+                      sampled: Boolean, d: Double = 0.75): String = {
     val keep =
       if (sampled) " WHERE " + Sampling.weightedSampleSql(idCol, "weight") else ""
-    s"""WITH dtgt AS (SELECT * FROM (${kneserNeySql(table, idCol, textCol, targetFilter)})),
-    dsrc AS (SELECT * FROM (${kneserNeySql(table, idCol, textCol, sourceFilter)})),
+    s"""WITH dtgt AS (SELECT * FROM (${kneserNeySql(table, idCol, textCol, targetFilter, d)})),
+    dsrc AS (SELECT * FROM (${kneserNeySql(table, idCol, textCol, sourceFilter, d)})),
     dw AS (
       SELECT t.$idCol, t.n_bigrams, t.cross_entropy AS ce_target, s.cross_entropy AS ce_source,
         round(least(1.0, exp(t.n_bigrams * (s.cross_entropy - t.cross_entropy))), 6) AS weight

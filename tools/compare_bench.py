@@ -62,7 +62,12 @@ CLASSES = {
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
 
-def load_bench(path):
+def load_bench(path, merge=True):
+    """merge=False for the PREVIOUS round's artifact: BENCH_FULL.json
+    belongs to the current sweep only — merging it into the previous
+    round's line produced r13's contradictory 'merged N entries' +
+    'stale file, not merging' notes in one run (each note was about a
+    different argv file consulting the same BENCH_FULL)."""
     text = open(path).read().strip()
     # Three accepted shapes: the raw one-line JSON Bench prints, that line
     # with an sbt "[info] " prefix, or the driver's wrapper object whose
@@ -83,7 +88,7 @@ def load_bench(path):
                 bench = json.loads(m.group(0))
     if bench is None:
         raise SystemExit(f'{path}: no bench JSON line found')
-    return merge_full(bench)
+    return merge_full(bench) if merge else bench
 
 
 def merge_full(bench):
@@ -129,7 +134,7 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     base = json.load(open(os.path.join(here, 'baseline_duckdb.json')))['duckdb_sec']
     bench = load_bench(sys.argv[1])['queries']
-    prev = load_bench(sys.argv[2])['queries'] if len(sys.argv) > 2 else None
+    prev = load_bench(sys.argv[2], merge=False)['queries'] if len(sys.argv) > 2 else None
     # per-query job-floor medians (same queries at sf0.001 — constant
     # scheduling cost, ~zero data cost); when present, the class-A
     # criterion additionally grades the DATA-DEPENDENT component
@@ -167,8 +172,17 @@ def main():
         ratio = f'{ss/ds:.2f}' if ds else 'n/a'
         print(f'| **total {k}** |  | **{ss:.2f}** | **{ds:.2f}** | **{ratio}** |')
         if k == 'A' and floor:
-            data = sum(max(bench[q] - floor[q], 0.0) for q in qs
-                       if floor.get(q, -1) >= 0)
+            # same convention as gen_baseline_md.py: a class-A query
+            # missing from the floor file counts its FULL spark time
+            # as data (and is warned about) instead of silently
+            # dropping from the numerator while staying in the
+            # denominator (r13 ADVICE)
+            nofloor = [q for q in qs if floor.get(q, -1) < 0]
+            if nofloor:
+                print(f'WARNING: class-A queries missing from floor_sf0.001.json '
+                      f'(full spark time counted as data): {nofloor}', file=sys.stderr)
+            data = sum(max(bench[q] - floor[q], 0.0) if floor.get(q, -1) >= 0
+                       else bench[q] for q in qs)
             dr = f'{data/ds:.2f}' if ds else 'n/a'
             print(f'| **total A data-dep (minus sf0.001 job floor)** |  | '
                   f'**{data:.2f}** | **{ds:.2f}** | **{dr}** |')
