@@ -78,6 +78,18 @@ object QueryRegistry {
       }.toDF("pix", "nbr")
         .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/hpix_nbrs_o2.parquet")
     }
+    // order-6 leaf expansion of the two q_moc_region query-cone
+    // covers (queryDiscCover — not SQL-expressible; the set algebra,
+    // complement and merge rounds downstream ARE, so the oracle
+    // replays those independently; cover independence is pinned by
+    // SpatialSpec's brute-force disc-cover checks)
+    locally {
+      import s.implicits._
+      mocRegionCones.flatMap { case (tag, ra, dec, r) =>
+        graft.healpix.Healpix.queryDiscCover(6, ra, dec, r).map(p => (tag, p))
+      }.toDF("region", "pix")
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/moc_cones_o6.parquet")
+    }
     // minhash/simhash signatures (Scala kernels — the banding, est_sim
     // and Hamming downstream of them are recomputed in SQL)
     graft.operators.Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 64)
@@ -6160,6 +6172,60 @@ object QueryRegistry {
       sb.toString
     })
 
+  /** The two pseudo-sky survey cones q_moc_region covers (shared by
+   *  the query and the oracle-aux writer). */
+  private val mocRegionCones = Seq(
+    ("a", 40.0, 10.0, 12.0), ("b", 200.0, -30.0, 15.0))
+
+  /** Query-region MOC composition ([[graft.operators.Spatial.mocFromCone]] /
+   *  [[graft.operators.Spatial.mocComplement]] — mocpy's
+   *  `MOC.from_cone(...).complement()` workflow): the UNSURVEYED sky
+   *  with catalog objects — complement of the union of two query-cone
+   *  MOCs, intersected with the order-6 customer footprint MOC. All
+   *  four set ops ride the driver-side MocLocal path (the frames are
+   *  npix(6)-bounded); the single catalog-data job is the footprint
+   *  distinct+collect. The oracle derives the same region
+   *  STRUCTURALLY differently: leaf-expand the cone covers from the
+   *  aux parquet, flat pixel-set algebra (EXCEPT from all 49152
+   *  order-6 pixels, INTERSECT the footprint), then replay the six
+   *  quad-merge rounds as chained CTEs. */
+  private val q_moc_region = QueryDef(
+    (s, dir) => {
+      val Seq((_, ra1, dec1, r1), (_, ra2, dec2, r2)) = mocRegionCones
+      val coneA = Spatial.mocFromCone(s, 6, ra1, dec1, r1)
+      val coneB = Spatial.mocFromCone(s, 6, ra2, dec2, r2)
+      val unsurveyed = Spatial.mocComplement(Spatial.mocUnion(coneA, coneB, 6), 6)
+      val custPix = withSky(t(s, dir, "customer"), "c_custkey")
+        .select(sphere.hpix(col("cra"), col("cdec"), 6).as("pix"))
+      val footprint = Spatial.mocNormalize(custPix, "pix", 6)
+      Spatial.mocIntersect(unsurveyed, footprint, 6).orderBy("nuniq")
+    },
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH surveyed AS (SELECT DISTINCT pix FROM ${aux("moc_cones_o6")}),
+        cust AS (SELECT DISTINCT pix6 AS pix FROM ${aux("hpix_customer")}),
+        f6 AS (
+          SELECT pix FROM (
+            SELECT range AS pix FROM range(0, 49152)
+            EXCEPT SELECT pix FROM surveyed)
+          INTERSECT SELECT pix FROM cust)""")
+      for (o <- 6 to 1 by -1) {
+        sb.append(s""",
+        f${o - 1} AS (SELECT pix // 4 AS pix FROM f$o GROUP BY 1 HAVING count(*) = 4),
+        r$o AS (SELECT $o AS norder, pix FROM f$o
+          WHERE pix // 4 NOT IN (SELECT pix FROM f${o - 1}))""")
+      }
+      sb.append(""",
+        r0 AS (SELECT 0 AS norder, pix FROM f0),
+        moc AS (SELECT * FROM r6 UNION ALL SELECT * FROM r5 UNION ALL
+          SELECT * FROM r4 UNION ALL SELECT * FROM r3 UNION ALL
+          SELECT * FROM r2 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r0)
+      SELECT CAST(norder AS INTEGER) AS norder, CAST(pix AS BIGINT) AS npix,
+        CAST((4::BIGINT << (2 * norder)) + pix AS BIGINT) AS nuniq
+      FROM moc ORDER BY nuniq""")
+      sb.toString
+    })
+
   /** Seasonal-naive forecast accuracy (MASE, Hyndman & Koehler 2006)
    *  on daily event volumes: forecast = the value one CALENDAR week
    *  earlier, scaled by the in-sample 1-calendar-day naive MAE — the
@@ -7141,6 +7207,7 @@ object QueryRegistry {
     "q_coverage" -> q_coverage,
     "q_moc" -> q_moc,
     "q_moc_ops" -> q_moc_ops,
+    "q_moc_region" -> q_moc_region,
     "multimodal_phash_inc" -> multimodal_phash_inc,
     "q_trainorder" -> q_trainorder,
     "graph_sssp" -> graph_sssp,

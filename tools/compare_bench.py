@@ -45,7 +45,7 @@ CLASSES = {
           'hpix_transients', 'xmatch_eval', 'hpix_maxima', 'pipeline_alert',
           'sample_weighted_k', 'dedup_substring_exact', 'q_kanon', 'q_funnel_latency',
           'text_drift', 'q_scd2_lookup', 'q_galactic', 'text_ccnet', 'xmatch_mutual', 'q_theilsen', 'text_centroid', 'text_auc', 'text_cv', 'q_attribution_multi', 'q_qnorm', 'text_calibration', 'q_cuped', 'q_mannwhitney', 'q_forecast_eval', 'q_coverage', 'q_xmatch_map', 'q_pareto80', 'q_ldiversity', 'text_kneserney', 'q_moc',
-          'q_moc_ops', 'q_tcloseness', 'sample_dsir_kn', 'hpix_ring'],
+          'q_moc_ops', 'q_tcloseness', 'sample_dsir_kn', 'hpix_ring', 'q_moc_region'],
     'B': ['dedup_minhash', 'dedup_neardup', 'dedup_simhash', 'dedup_cluster', 'dedup_calibration',
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
