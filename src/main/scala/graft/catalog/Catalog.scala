@@ -160,6 +160,16 @@ final case class Catalog(spark: SparkSession, location: String, catname: String)
    * `c1Cols`/`c2Cols` prune each side's scan before the join —
    * ra/dec/id are always kept (util.py:276).
    */
+  /** Re-split pixels that outgrew the import threshold through
+   *  appends ([[HipsPartitioner.repartition]] — rewrites only the
+   *  over-threshold tiles, `_ID`s preserved, margins rebuilt, meta +
+   *  frozen layout basis refreshed). Returns a fresh handle (this
+   *  one's cached meta is stale after the rewrite). */
+  def repartition(summaryFiles: Boolean = true, exactMargin: Boolean = false): Catalog = {
+    HipsPartitioner.repartition(spark, location, catname, summaryFiles, exactMargin)
+    Catalog(spark, location, catname)
+  }
+
   def crossMatch(other: Catalog, nNeighbors: Int = 1, dthreshDeg: Double = 0.01,
                  c1Cols: Seq[String] = Nil, c2Cols: Seq[String] = Nil,
                  delim: String = "."): DataFrame = {

@@ -463,6 +463,158 @@ object HipsPartitioner {
     out
   }
 
+  /** Sorted-array lower bound (first index with a(i) >= x). */
+  private def lowerBoundIn(a: Array[Long], x: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) < x) lo = m + 1 else hi = m }
+    lo
+  }
+
+  /**
+   * Re-split an EXISTING catalog whose pixels have grown past the
+   * import threshold through [[append]]s — the lifecycle gap of the
+   * frozen append-time partition map (the reference's only answer is
+   * a full re-import; partitioner.py is one-shot). Re-walks the
+   * ACCUMULATED histogram (point_map) and rewrites ONLY tiles whose
+   * assignment changed: counts only grow under append, so the new
+   * map strictly REFINES the frozen one (a tile is emitted at the
+   * first order whose subtree count drops under the threshold, and
+   * growing counts can only push that deeper) — intact tiles keep
+   * their files byte-identical, and the rewrite cost is bounded by
+   * the over-threshold data, never the catalog.
+   *
+   *  - split tiles' catalog rows are re-bucketed under the new grid
+   *    with `_ID`s PRESERVED (`_ID` depends only on the order-14
+   *    pixel and the import-time rank — partitioning never enters it);
+   *  - split tiles' neighbor files are rebuilt: sources are each
+   *    tile's own rows (new INTERNAL borders between sibling
+   *    sub-tiles) plus its previous neighbor rows (any external row
+   *    within marginDeg of a sub-tile was within marginDeg of the
+   *    parent, so the old neighbor file is a complete external
+   *    source superset); targets are restricted to the split regions
+   *    — margin entries into unchanged tiles are untouched and stay
+   *    correct (a row's entry into a foreign unchanged tile does not
+   *    depend on how the row's own region is tiled);
+   *  - import_hist re-freezes to the accumulated histogram so future
+   *    [[append]]s assign under the REFINED layout; meta refreshes.
+   *
+   * Serialize with other writers (the [[append]] contract). New files
+   * land before old dirs are deleted, so a concurrent reader sees
+   * transient duplicates rather than a gap.
+   */
+  def repartition(spark: SparkSession, outputDir: String, catname: String,
+                  summaryFiles: Boolean = true, exactMargin: Boolean = false): PartitionMap = {
+    import org.apache.hadoop.fs.Path
+    val base = s"$outputDir/$catname"
+    val fsys = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaRaw = HipsCatalog.readString(spark, s"$base/${catname}_meta.json")
+    def metaNum(key: String): String =
+      s""""$key":\\s*([-+\\d.eE]+)""".r.findFirstMatchIn(metaRaw)
+        .getOrElse(throw new IllegalArgumentException(s"$key missing from ${catname}_meta.json"))
+        .group(1)
+    def metaStr(key: String): String =
+      s""""$key":\\s*"([^"]*)"""".r.findFirstMatchIn(metaRaw)
+        .getOrElse(throw new IllegalArgumentException(s"$key missing from ${catname}_meta.json"))
+        .group(1)
+    val orderK = metaNum("order_k").toInt
+    val threshold = metaNum("pix_threshold").toLong
+    val marginDeg = metaNum("margin_deg").toDouble
+    val (raCol, decCol, idCol) = (metaStr("ra_kw"), metaStr("dec_kw"), metaStr("id_kw"))
+
+    spark.catalog.refreshByPath(s"$base/catalog")
+    val (phPix, phCnt) = sparseToArrays(readHistSparse(spark, s"$base/point_map.parquet"))
+    val newMap = partitionMapFromSparseHist(phPix, phCnt, orderK, threshold)
+    val (ihPix, ihCnt) = sparseToArrays(readHistSparse(spark, s"$base/import_hist.parquet"))
+    val oldMap = partitionMapFromSparseHist(ihPix, ihCnt, orderK, threshold)
+
+    // occupied frozen tiles whose region the new walk subdivides
+    val split = oldMap.pixelsAtOrders.toSeq
+      .flatMap { case (o, ps) => ps.map(p => (o, p)) }
+      .filter { case (o, p) =>
+        val span = 1L << (2 * (orderK - o))
+        val lo = p * span
+        var i = lowerBoundIn(phPix, lo)
+        var changed = false
+        while (i < phPix.length && phPix(i) < lo + span) {
+          val no = newMap.grid.order(phPix(i))
+          require(no >= o, s"repartition: new map would COARSEN tile ($o, $p) — the " +
+            "accumulated histogram shrank below import_hist; counts must only grow under append")
+          if (no != o) changed = true
+          i += 1
+        }
+        changed
+      }
+    if (split.isEmpty) return PartitionMap(orderK, oldMap.grid, phPix, phCnt)
+
+    def dirOf(p: Long) = p / 10000L * 10000L
+    def tilePath(tree: String, o: Int, p: Long) = s"$base/$tree/Norder=$o/Dir=${dirOf(p)}/Npix=$p"
+    def existing(tree: String): Seq[String] =
+      split.map { case (o, p) => tilePath(tree, o, p) }.filter(p => fsys.exists(new Path(p)))
+
+    val catPaths = existing("catalog")
+    require(catPaths.nonEmpty,
+      s"repartition: none of the ${split.length} split tiles have catalog dirs — " +
+        s"split=${split.take(5)}, probe=${split.headOption.map { case (o, p) => tilePath("catalog", o, p) }}")
+    // parquet re-reads surface every column nullable, but `_ID` was
+    // written non-nullable (withSpatialId) — restore that in the
+    // rewrite's schema (coalesce against a literal is non-nullable by
+    // construction and never fires: _ID has no nulls) or the summary
+    // sidecar's footer merge rejects the mixed row metadata
+    val oldCat = spark.read.parquet(catPaths: _*)
+      .withColumn("_ID", coalesce(col("_ID"), lit(Long.MinValue)))
+    val nbrPaths = existing("neighbor")
+    val oldNbr =
+      if (nbrPaths.nonEmpty) spark.read.parquet(nbrPaths: _*) else oldCat.limit(0)
+
+    // 1) re-bucket the split tiles' catalog rows, _ID preserved
+    withPartitionColumns(oldCat, raCol, decCol, newMap)
+      .repartition(col("Norder"), col("Npix"))
+      .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
+      .write.mode("append").partitionBy("Norder", "Dir", "Npix")
+      .parquet(s"$base/catalog")
+
+    // 2) rebuilt margin entries TARGETING the split regions only; a
+    //    source row appearing both as a home row and as a replica in
+    //    another split tile's old neighbor file collapses in distinct
+    val sources = oldCat.drop("_ID").unionByName(oldNbr.drop("_ID")).distinct()
+    val sess = spark
+    import sess.implicits._
+    val splitDf = split.toDF("o_s", "p_s")
+    val restricted = marginRows(sources, raCol, decCol, newMap, marginDeg, exactMargin)
+      .join(broadcast(splitDf),
+        expr("Norder >= o_s AND shiftright(Npix, 2 * (Norder - o_s)) = p_s"), "left_semi")
+    // rank offsets read the CURRENT tree (doomed dirs included — the
+    // resulting rank gaps are harmless; uniqueness is the contract),
+    // so the append below can still read its sources
+    withRankOffsets(
+      withSpatialId(restricted.repartition(col("Norder"), col("Npix")), raCol, decCol, idCol),
+      HipsCatalog.loadNeighbors(spark, outputDir, catname))
+      .repartition(col("Norder"), col("Npix"))
+      .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
+      .write.mode("append").partitionBy("Norder", "Dir", "Npix")
+      .parquet(s"$base/neighbor")
+
+    // 3) drop the superseded dirs, then refresh cached listings
+    split.foreach { case (o, p) =>
+      fsys.delete(new Path(tilePath("catalog", o, p)), true)
+      fsys.delete(new Path(tilePath("neighbor", o, p)), true)
+    }
+    spark.catalog.refreshByPath(s"$base/catalog")
+    spark.catalog.refreshByPath(s"$base/neighbor")
+    if (summaryFiles) {
+      writeSummaryFiles(spark, s"$base/catalog")
+      writeSummaryFiles(spark, s"$base/neighbor")
+    }
+
+    // 4) re-freeze the layout basis + refresh meta
+    phPix.zip(phCnt).toSeq.toDF("pix", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/import_hist.parquet")
+    spark.catalog.refreshByPath(s"$base/import_hist.parquet")
+    val out = PartitionMap(orderK, newMap.grid, phPix, phCnt)
+    writeMeta(spark, out, raCol, decCol, idCol, outputDir, catname, threshold, marginDeg)
+    out
+  }
+
   /**
    * Resumable import — the reference partitioner's per-URL cache
    * machinery (partitioner.py:27,66) re-expressed Spark-first. A

@@ -508,6 +508,84 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("catalog repartition: over-threshold pixels re-split, _IDs preserved, layout + search + margin parity with a fresh import") {
+    val out = java.nio.file.Files.createTempDirectory("graft_repart").toString
+    // import 1/8th of the data, then append the rest — pixels grow
+    // ~8x past the import-time density, the frozen-map lifecycle gap
+    val first = li.filter(col("k") % 8 === 1)
+    val rest = li.filter(col("k") % 8 =!= 1)
+    HipsPartitioner.write(first, "cra", "cdec", "k", out, "rp", orderK = 4, threshold = 200, marginDeg = 1.0)
+    HipsPartitioner.append(rest, "cra", "cdec", "k", out, "rp")
+    val beforeIds = HipsCatalog.load(spark, out, "rp")
+      .select("_ID").collect().map(_.getLong(0)).sorted.toSeq
+    def tilesOf(cat: String): Set[(Int, Long)] = {
+      val root = new java.io.File(s"$out/$cat/catalog")
+      root.listFiles().filter(_.getName.startsWith("Norder=")).flatMap { od =>
+        val o = od.getName.stripPrefix("Norder=").toInt
+        od.listFiles().flatMap(_.listFiles()).filter(_.getName.startsWith("Npix="))
+          .map(pd => (o, pd.getName.stripPrefix("Npix=").toLong))
+      }.toSet
+    }
+    val tilesBefore = tilesOf("rp")
+
+    val pm = HipsPartitioner.repartition(spark, out, "rp")
+    // rows survive exactly, _IDs byte-preserved
+    val after = HipsCatalog.load(spark, out, "rp")
+    assert(after.count() == li.count())
+    assert(after.select("_ID").collect().map(_.getLong(0)).sorted.toSeq == beforeIds,
+      "repartition must preserve _IDs — the index is partitioning-independent")
+    assert(pm.nSources == li.count())
+
+    // the refined layout equals a FRESH single-shot import of the
+    // union (same histogram -> same deterministic walk), and it
+    // actually refined something
+    HipsPartitioner.write(li, "cra", "cdec", "k", out, "rpfresh", orderK = 4, threshold = 200, marginDeg = 1.0)
+    val tilesAfter = tilesOf("rp")
+    assert(tilesAfter == tilesOf("rpfresh"), "repartitioned layout must equal a fresh import's")
+    assert(tilesAfter != tilesBefore, "the 8x growth must have split at least one tile")
+    // _ID rank ranges per order-14 pixel are dense 0..n-1 in both
+    // builds, so the _ID multisets agree even though append order differed
+    val freshIds = HipsCatalog.load(spark, out, "rpfresh")
+      .select("_ID").collect().map(_.getLong(0)).sorted.toSeq
+    assert(beforeIds == freshIds)
+
+    // pruned cone search parity against brute force
+    val cone = HipsCatalog.coneSearch(spark, out, "rp", "cra", "cdec", 180.0, 0.0, 30.0, orderK = 4)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val brute = li.withColumn("d", sphere.gcDist(col("cra"), col("cdec"), lit(180.0), lit(0.0)))
+      .filter(col("d") < 30.0).select("k").collect().map(_.getLong(0)).sorted
+    assert(cone.toSeq == brute.toSeq && cone.nonEmpty)
+
+    // stored cross-match (margins rebuilt for split tiles, incl. the
+    // NEW internal borders) equals the fresh import's and the in-flight
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .withColumn("cra", sphere.raOf(col("c_custkey"))).withColumn("cdec", sphere.decOf(col("c_custkey")))
+    HipsPartitioner.write(cust, "cra", "cdec", "c_custkey", out, "rq", orderK = 4, threshold = 500, marginDeg = 1.0)
+    def stored(cat: String) = HipsCatalog.crossMatchStored(spark, out, "rq", cat,
+        "cra", "cdec", "c_custkey", "cra", "cdec", "k", k = 2, dthreshDeg = 0.8, orderK = 4)
+      .select(col("c_custkey"), col("r_k"), col("_RANK")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val viaRepart = stored("rp")
+    assert(viaRepart == stored("rpfresh"), "margin caches must agree after repartition")
+    val inflight = graft.operators.Spatial.crossMatchKnn(cust, li, "cra", "cdec", "c_custkey",
+        "cra", "cdec", "k", k = 2, dthreshDeg = 0.8, leftPrefix = "", rightPrefix = "r_")
+      .select(col("c_custkey"), col("r_k"), col("_RANK")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(viaRepart == inflight && viaRepart.nonEmpty)
+
+    // idempotent: a second repartition finds nothing to split
+    val pm2 = HipsPartitioner.repartition(spark, out, "rp")
+    assert(tilesOf("rp") == tilesAfter && pm2.nSources == li.count())
+
+    // appends AFTER repartition assign under the REFINED frozen map
+    Catalog(spark, out, "rp").append(li.limit(97))
+    val again = HipsCatalog.load(spark, out, "rp")
+    assert(again.count() == li.count() + 97)
+    assert(again.select("_ID").distinct().count() == li.count() + 97,
+      "post-repartition append must continue ranks uniquely")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("catalog compaction: append tails fold to one file per leaf, search + margin parity") {
     val out = java.nio.file.Files.createTempDirectory("graft_compactcat").toString
     HipsPartitioner.write(li.filter(col("k") % 2 === 0), "cra", "cdec", "k",
