@@ -5724,8 +5724,10 @@ object QueryRegistry {
       // it once and FILL the cache before ranking so the three
       // rankings all read the cached frame; the rank frames
       // themselves are slim (id, value)
-      val sig = ce.join(te, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // gcPersist (CacheUtil convention): the cache lives exactly as
+      // long as the result plan — no session CacheManager entry, so
+      // library callers need no clearCache between corpora
+      val sig = graft.operators.CacheUtil.gcPersist(ce.join(te, "doc_id"))
       sig.count()
       // the three rankings run under a NAMED job group set on each
       // future's own thread (local properties don't reliably reach
@@ -5753,7 +5755,7 @@ object QueryRegistry {
           Future(rankOf("n_tokens", col("n_tokens").desc, "r_len")))),
           scala.concurrent.duration.Duration(10, "min"))
         catch { case e: Throwable =>
-          s.sparkContext.cancelJobGroup(jobGroup); sig.unpersist(); throw e }
+          s.sparkContext.cancelJobGroup(jobGroup); throw e } // sig frees via GC
       val summed = ranked.reduce(_.join(_, "doc_id"))
         .withColumn("rank_sum", col("r_ppl") + col("r_ent") + col("r_len"))
       graft.operators.Rank.curriculum(summed, Seq(col("rank_sum"), col("doc_id")), phases = 2)

@@ -35,11 +35,12 @@ object Associations {
                   maxItemsPerBasket: Long = 10000L): DataFrame = {
     require(basketCols.nonEmpty, "basketPairs: at least one basket column")
     require(minSupport >= 1L, s"basketPairs: minSupport must be >= 1, got $minSupport")
-    val items = df
+    // gcPersist: the distinct basket-item set is consumed four times
+    // by the returned plan; freed with it (CacheUtil convention)
+    val items = CacheUtil.gcPersist(df
       .select((basketCols.map(col) :+ col(itemCol).as("item")): _*)
       .filter(col("item").isNotNull)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val worst = items.groupBy(basketCols.map(col): _*).agg(count(lit(1)).as("n"))
       .agg(max("n")).collect()(0)
     if (!worst.isNullAt(0))

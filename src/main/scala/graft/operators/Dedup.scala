@@ -925,13 +925,14 @@ object Dedup {
     val freq = flat.groupBy("tok").agg(count(lit(1)).as("f"))
     // rare-first total order (f, tok) realized per doc via array_sort
     // on (f, tok) structs — no corpus-wide window needed
-    val ordered = flat.join(freq, "tok")
+    // gcPersist below: ordered feeds the prefix explode AND the exact
+    // verify join; freed with the returned frame (CacheUtil)
+    val ordered = CacheUtil.gcPersist(flat.join(freq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("f"), col("tok")))).as("ord"))
       .select(col("id"),
         transform(col("ord"), x => x("tok")).as("toks"),
-        size(col("ord")).cast("long").as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        size(col("ord")).cast("long").as("sz")))
     val pre = ordered
       .withColumn("p", col("sz") - expr(s"(sz * $t100 + 99) div 100") + 1)
       .select(col("id"), col("sz"),

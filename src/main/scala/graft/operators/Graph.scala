@@ -317,11 +317,12 @@ object Graph {
    *  none, because all its edges point INTO it. Returns one row per
    *  graph node: (node, degree, triangles). */
   def triangleCounts(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges0
+    // gcPersist, not Dataset.persist: e and tris live exactly as long
+    // as the returned frame (CacheUtil convention)
+    val e = CacheUtil.gcPersist(edges0
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("a") =!= col("b")).distinct())
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // total order (degree, id): orient src -> dst upward
@@ -343,9 +344,8 @@ object Graph {
       // each unordered {v,w} wedge appears twice; keep one by id order
       .filter(col("v") < col("w"))
     val closing = e.select(col("a").as("v"), col("b").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"))
-      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tris = CacheUtil.gcPersist(wedges.join(closing, Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z")))
     val perNode = tris.select(col("x").as("n"))
       .union(tris.select(col("y").as("n")))
       .union(tris.select(col("z").as("n")))

@@ -324,10 +324,10 @@ object Sketch {
         (0 until d).map(j =>
           df.select(lit(j).as("row"), cmsCell(col(idCol), j, logW).as("cell")))
       else {
-        val hashed = df.select(
+        // gcPersist: freed with the returned sketch frame (CacheUtil)
+        val hashed = CacheUtil.gcPersist(df.select(
             mixCol(col(idCol)).as("h1"),
-            mixCol(col(idCol).bitwiseXOR(lit(bloomSalt))).as("h2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            mixCol(col(idCol).bitwiseXOR(lit(bloomSalt))).as("h2")))
         (0 until d).map(j =>
           hashed.select(lit(j).as("row"),
             pmod(col("h1") + lit(j.toLong) * col("h2"), lit(w)).as("cell")))
