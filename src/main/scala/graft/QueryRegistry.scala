@@ -2957,6 +2957,63 @@ object QueryRegistry {
           / (4.0 * mm.me * mm.me), 6) AS q_contrib
       FROM dc LEFT JOIN ec USING (community), mm ORDER BY community"""))
 
+  /** Deterministic Louvain level-1 ([[graft.operators.Graph.louvainMerge]]
+   *  — greedy mutual-nomination community agglomeration over the LPA
+   *  partition, exact-integer dq_num = 4m*e_cd - 2*d_c*d_d), audited
+   *  through the same exact-integer modularity table as
+   *  graph_modularity — so the oracle replays LPA, BOTH merge rounds
+   *  (community edge rollup, degree sums, positive-gain best-partner
+   *  windows, mutual matching, relabel) and the q_num arithmetic. */
+  private val graph_louvain = QueryDef(
+    (s, dir) => {
+      val edges = coSupplyKnnEdges(s, dir).localCheckpoint()
+      val lpa = graft.operators.Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      val merged = graft.operators.Graph.louvainMerge(edges, "a", "b", lpa, rounds = 2)
+      graft.operators.Graph.modularity(edges, "a", "b", merged).orderBy("community")
+    },
+    Some {
+      // one greedy merge round: labels `prev` -> labels `out`
+      def mergeRound(prev: String, out: String): String = s"""
+      ${out}ec AS (SELECT least(la.lbl, lb.lbl) AS c, greatest(la.lbl, lb.lbl) AS d, count(*) AS ec
+        FROM ed JOIN $prev la ON la.node = ed.a JOIN $prev lb ON lb.node = ed.b
+        WHERE la.lbl <> lb.lbl GROUP BY 1, 2),
+      ${out}ds AS MATERIALIZED (SELECT l.lbl AS c, CAST(sum(deg.dd) AS BIGINT) AS dc
+        FROM $prev l JOIN deg ON deg.n = l.node GROUP BY 1),
+      ${out}dq AS (SELECT * FROM (
+          SELECT e.c, e.d, 4 * mm.me * e.ec - 2 * ca.dc * cb.dc AS dq
+          FROM ${out}ec e JOIN ${out}ds ca ON ca.c = e.c
+            JOIN ${out}ds cb ON cb.c = e.d, mm)
+        WHERE dq > 0),
+      ${out}best AS MATERIALIZED (SELECT x, y FROM (
+          SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY dq DESC, y) AS rn
+          FROM (SELECT c AS x, d AS y, dq FROM ${out}dq
+                UNION ALL SELECT d, c, dq FROM ${out}dq))
+        WHERE rn = 1),
+      ${out}mut AS MATERIALIZED (SELECT p.x AS c, p.y AS d
+        FROM ${out}best p JOIN ${out}best q ON q.x = p.y AND q.y = p.x
+        WHERE p.x < p.y),
+      $out AS MATERIALIZED (SELECT l.node, coalesce(mu.c, l.lbl) AS lbl
+        FROM $prev l LEFT JOIN ${out}mut mu ON mu.d = l.lbl)"""
+      s"""WITH $coSupplyKnnSql,
+      $lpaCtesSql,
+      mm AS MATERIALIZED (SELECT count(*) AS me FROM ed),
+      deg AS MATERIALIZED (SELECT n, count(*) AS dd FROM dire GROUP BY 1),
+      ${mergeRound("l4", "g1")},
+      ${mergeRound("g1", "g2")},
+      ej AS MATERIALIZED (SELECT la.lbl AS ca, lb.lbl AS cb
+        FROM ed JOIN g2 la ON la.node = ed.a JOIN g2 lb ON lb.node = ed.b),
+      ec AS (SELECT ca AS community, count(*) AS e_intra FROM ej WHERE ca = cb GROUP BY 1),
+      dc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(sum(deg.dd) AS BIGINT) AS d_sum
+        FROM g2 l JOIN deg ON deg.n = l.node GROUP BY 1)
+      SELECT CAST(dc.community AS BIGINT) AS community, dc.n_nodes,
+        CAST(coalesce(ec.e_intra, 0) AS BIGINT) AS e_intra, dc.d_sum,
+        CAST(4 * mm.me * coalesce(ec.e_intra, 0) - dc.d_sum * dc.d_sum AS BIGINT) AS q_num,
+        round(CAST(4 * mm.me * coalesce(ec.e_intra, 0) - dc.d_sum * dc.d_sum AS DOUBLE)
+          / (4.0 * mm.me * mm.me), 6) AS q_contrib
+      FROM dc LEFT JOIN ec USING (community), mm ORDER BY community"""
+    })
+
   /** Multi-source BFS over the co-supply kNN graph: minimum hop from
    *  the three lowest supplier keys, ≤ 6 hops. The Spark side runs
    *  frontier expansion ([[graft.operators.Graph.bfsHops]] — only the
@@ -7147,6 +7204,7 @@ object QueryRegistry {
     "graph_bfs" -> graph_bfs,
     "graph_communities" -> graph_communities,
     "graph_modularity" -> graph_modularity,
+    "graph_louvain" -> graph_louvain,
     "dedup_incremental" -> dedup_incremental,
     "q_asof" -> q_asof,
     "q_resample" -> q_resample,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -506,6 +507,86 @@ object Graph {
       .withColumn("q_contrib",
         round(col("q_num").cast("double") / lit(4.0 * m * m), 6))
       .select("community", "n_nodes", "e_intra", "d_sum", "q_num", "q_contrib")
+  }
+
+  /**
+   * Deterministic Louvain-style greedy agglomeration — ONE Louvain
+   * level (Blondel et al. 2008's coarsening run on an EXISTING
+   * partition such as [[labelPropagation]]'s): per round every
+   * community nominates its best positive-modularity-gain merge
+   * partner, and exactly the MUTUAL nominations merge (parallel-safe
+   * and deterministic — no sequential scan-order dependence, the
+   * matching trick distributed community detection uses instead of
+   * Louvain's sequential node sweep); the merged community keeps the
+   * SMALLER id. The gain of merging c and d is exact-integer in the
+   * [[modularity]] q_num arithmetic: dq_num = 4m*e_cd - 2*d_c*d_d
+   * over the common denominator 4m^2 (merging adds e_cd intra edges
+   * and (d_c+d_d)^2 - d_c^2 - d_d^2 = 2*d_c*d_d of degree-squared
+   * mass), so the SQL replay hash-matches bit for bit; gain ties
+   * break to the smallest partner id. Every executed merge strictly
+   * increases Q (only dq_num > 0 nominations are considered).
+   *
+   * Scale shape: per round ONE edge-relabel join (the LPA cost
+   * shape) + community-bounded aggregates and a per-community
+   * window; labels pin per round (truncate + explicit free), early
+   * exit when no positive mutual merge remains. `edges` must be
+   * distinct undirected pairs ([[triangleCounts]] contract); labels
+   * must cover every endpoint.
+   */
+  def louvainMerge(edges0: DataFrame, aCol: String, bCol: String,
+                   labels0: DataFrame, nodeCol: String = "node",
+                   commCol: String = "community", rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"louvainMerge: rounds must be in [1,64], got $rounds")
+    val e = edges0
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val m = e.count()
+    require(m > 0, "louvainMerge: empty edge set")
+    val deg = truncate(
+      e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("__dd")))
+    var lab = truncate(labels0.select(
+      col(nodeCol).cast("long").as("node"), col(commCol).cast("long").as("lbl")))
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val la = lab.select(col("node").as("a"), col("lbl").as("ca"))
+      val lb = lab.select(col("node").as("b"), col("lbl").as("cb"))
+      val cc = e.join(la, "a").join(lb, "b")
+        .filter(col("ca") =!= col("cb"))
+        .groupBy(least(col("ca"), col("cb")).as("c"), greatest(col("ca"), col("cb")).as("d"))
+        .agg(count(lit(1)).as("ec"))
+      val ds = lab.join(deg, col("node") === col("n"))
+        .groupBy(col("lbl").as("c")).agg(sum("__dd").cast("long").as("dc"))
+      val dq = cc
+        .join(ds.select(col("c"), col("dc").as("dc_c")), "c")
+        .join(ds.select(col("c").as("d"), col("dc").as("dc_d")), "d")
+        .withColumn("dq", lit(4L * m) * col("ec") - lit(2L) * col("dc_c") * col("dc_d"))
+        .filter(col("dq") > 0)
+      val cand = dq.select(col("c").as("x"), col("d").as("y"), col("dq"))
+        .unionByName(dq.select(col("d").as("x"), col("c").as("y"), col("dq")))
+      val best = cand
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("x")).orderBy(col("dq").desc, col("y").asc)))
+        .filter(col("__rn") === 1).select("x", "y")
+      val mut = truncate(
+        best.alias("p").join(best.alias("q"),
+            col("q.x") === col("p.y") && col("q.y") === col("p.x"))
+          .filter(col("p.x") < col("p.y"))
+          .select(col("p.x").as("c"), col("p.y").as("d")))
+      if (mut.isEmpty) done = true
+      else {
+        val remap = mut.select(col("d").as("__lbl"), col("c").as("__new"))
+        val prev = lab
+        lab = truncate(lab.join(remap, col("lbl") === col("__lbl"), "left")
+          .select(col("node"), coalesce(col("__new"), col("lbl")).as("lbl")))
+        backingRdd(prev).foreach(free(prev))
+      }
+      backingRdd(mut).foreach(free(mut))
+      r += 1
+    }
+    backingRdd(deg).foreach(free(deg))
+    lab.select(col("node"), col("lbl").as(commCol))
   }
 
   /**

@@ -289,4 +289,41 @@ class GraphSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(ms(5L) == 4L && ms(6L) == 4L && ms(1L) == 0L && ms(10L) == 0L)
   }
+
+  test("louvainMerge: hand-computed greedy rounds on the bridged two-triangle graph") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; m = 7.
+    // From singletons, dq_num(c,d) = 28*e_cd - 2*d_c*d_d:
+    //   round 1: 1<->2 mutual (dq 20; 1's best is 2 since dq(1,3)=16),
+    //            5<->6 mutual (dq 20); 3 nominates 1, 4 nominates 5 —
+    //            not reciprocated, so both stay.
+    //   round 2: {1,2}(d=4,e=1) <-> {3}(d=3): dq 28*2-24=32 mutual;
+    //            {4}(d=3) <-> {5,6}(d=4,e=1): dq 32 mutual.
+    //   -> exactly the two triangles, ids = min members 1 and 4.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val singletons = (1L to 6L).toDF("node").withColumn("community", col("node"))
+    val got = Graph.louvainMerge(edges, "a", "b", singletons, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"two greedy rounds must recover the triangles: $got")
+    // one round stops at the first matching: {1,2}, {3}, {4}, {5,6}
+    val r1 = Graph.louvainMerge(edges, "a", "b", singletons, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 5L),
+      s"round-1 mutual matching: $r1")
+    // a third round must be a no-op (merging the triangles has
+    // dq_num = 28*1 - 2*7*7 < 0) and the early exit must fire
+    val r3 = Graph.louvainMerge(edges, "a", "b", singletons, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == got, "no positive-gain merge may survive convergence")
+    // every merge strictly increased Q: Q(final) > Q(LPA-style input)
+    def qSum(labels: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(edges, "a", "b", labels).agg(sum("q_num")).first().getLong(0)
+    assert(qSum(got.toSeq.toDF("node", "community")) >
+      qSum(singletons), "greedy agglomeration must increase modularity")
+    // partitioning invariance (determinism under shuffles)
+    val reparted = Graph.louvainMerge(edges.repartition(7), "a", "b",
+      singletons.repartition(5), rounds = 2).as[(Long, Long)].collect().toMap
+    assert(reparted == got)
+  }
 }

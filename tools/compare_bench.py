@@ -51,7 +51,7 @@ CLASSES = {
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline',
           'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_twopoint', 'q_hierarchy',
-          'pipeline_xmatch3', 'graph_communities', 'graph_modularity'],
+          'pipeline_xmatch3', 'graph_communities', 'graph_modularity', 'graph_louvain'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
