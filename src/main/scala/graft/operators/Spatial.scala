@@ -163,6 +163,14 @@ object Spatial {
    * Exact within dthresh (the reference's fixed 0.1-degree margin
    * cache can miss true neighbors; the disc-cover margin here cannot).
    *
+   * Parity note vs lsd2 (dask_utils.py:367): the reference's KDTree
+   * `query(..., k=n_neighbors)` PADS — a left row with fewer than k
+   * candidates inside the pixel still yields k result rows, the
+   * missing ones carrying the KDTree's sentinel index. This operator
+   * emits only REAL matches (<= k rows per left row, zero when none
+   * within dthresh); callers needing the reference's fixed-arity
+   * frame can left-join the left table back onto the result.
+   *
    * `leftId` must be unique per left row (ranking key). Join order
    * auto-picked so pixels are ≳ 2x dthresh wide unless given.
    */
@@ -755,6 +763,38 @@ object Spatial {
   def mocFromPolygon(spark: org.apache.spark.sql.SparkSession, order: Int,
                      vertices: Seq[(Double, Double)]): DataFrame =
     tilesToDf(spark, MocLocal.normalizePixels(polygonCoverPixels(order, vertices), order))
+
+  /**
+   * Query-region MOC of a dec-band x ra-interval box (wrap-aware,
+   * the [[boxSearch]] region): the bounding-cone cover refined to
+   * pixels whose center lies inside the box EXPANDED by
+   * maxPixRad(order) — any pixel meeting the box has a point inside
+   * it, and its center sits within maxPixRad of that point, hence
+   * inside the expanded box (dec expands by the slack directly; ra
+   * by slack / cos of the band's largest |dec|, going all-sky past
+   * 89°, so the bound is conservative at the poles too).
+   */
+  def mocFromBox(spark: org.apache.spark.sql.SparkSession, order: Int,
+                 raLo: Double, raHi: Double, decLo: Double, decHi: Double): DataFrame = {
+    val slack = math.toDegrees(Healpix.maxPixRad(order)) + 1e-9
+    val dLo = math.max(-90.0, decLo - slack)
+    val dHi = math.min(90.0, decHi + slack)
+    val maxAbsDec = math.max(math.abs(dLo), math.abs(dHi))
+    val width = if (raLo <= raHi) raHi - raLo else 360.0 - raLo + raHi
+    val raSlack =
+      if (maxAbsDec >= 89.0) 180.0
+      else slack / math.cos(math.toRadians(maxAbsDec))
+    val lo = (((raLo - raSlack) % 360.0) + 360.0) % 360.0
+    val expWidth = math.min(360.0, width + 2 * raSlack)
+    val ((cra, cdec), boundR) = boxBoundingCone(raLo, raHi, decLo, decHi)
+    val pix = Healpix.queryDiscCover(order, cra, cdec, math.min(180.0, boundR + slack))
+      .filter { p =>
+        val (pra, pdec) = Healpix.pix2angNest(order, p)
+        pdec >= dLo && pdec <= dHi &&
+          (expWidth >= 360.0 || (((pra - lo) % 360.0) + 360.0) % 360.0 <= expWidth)
+      }
+    tilesToDf(spark, MocLocal.normalizePixels(pix, order))
+  }
 
   /** The refined polygon cover at `order` (driver-side; see
    *  [[mocFromPolygon]] for the conservativeness argument). */

@@ -293,6 +293,38 @@ class SpatialSpec extends SparkSpecBase {
     assert(pixels.size < coneCover.size, "refinement should actually drop corner pixels")
   }
 
+  test("mocFromBox: conservative wrap-aware cover, refined under the bounding cone") {
+    val order = 5
+    for ((raLo, raHi, decLo, decHi) <- Seq(
+      (100.0, 140.0, -10.0, 20.0),   // plain box
+      (350.0, 15.0, -5.0, 25.0))) {  // wraps through ra = 0
+      val m = collectMoc(Spatial.mocFromBox(spark, order, raLo, raHi, decLo, decHi))
+      val pixels = expandTo(m, order)
+      // conservativeness: every in-box sample point lands covered
+      val width = if (raLo <= raHi) raHi - raLo else 360.0 - raLo + raHi
+      for (i <- 0 to 20; j <- 0 to 12) {
+        val pra = (raLo + i * width / 20.0) % 360.0
+        val pdec = decLo + j * (decHi - decLo) / 12.0
+        val p = graft.healpix.Healpix.ang2pixNest(order, pra, pdec)
+        assert(pixels.contains(p), s"box point ($pra, $pdec) uncovered")
+      }
+      // refinement: strictly inside the bounding-cone cover
+      val ((cra, cdec), r) = {
+        val w = if (raLo <= raHi) raHi - raLo else 360.0 - raLo + raHi
+        ((((raLo + w / 2) % 360.0), (decLo + decHi) / 2),
+          math.min(180.0, (decHi - decLo) / 2 + w / 2 + 1e-9))
+      }
+      val slack = math.toDegrees(graft.healpix.Healpix.maxPixRad(order)) + 1e-9
+      val cone = graft.healpix.Healpix.queryDiscCover(order, cra, cdec,
+        math.min(180.0, r + slack)).toSet
+      assert(pixels.subsetOf(cone))
+      assert(pixels.size < cone.size, "the box cover should drop cone corners")
+      // far-away pixels excluded: antipodal point not covered
+      val anti = graft.healpix.Healpix.ang2pixNest(order, (raLo + 180.0) % 360.0, -decHi)
+      assert(!pixels.contains(anti))
+    }
+  }
+
   test("arcDistDeg: cross-track and endpoint regimes") {
     def v(ra: Double, dec: Double) = {
       val r = math.toRadians(ra); val d = math.toRadians(dec)
