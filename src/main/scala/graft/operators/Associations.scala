@@ -32,15 +32,25 @@ object Associations {
    */
   def basketPairs(df: DataFrame, basketCols: Seq[String], itemCol: String,
                   minSupport: Long = 1L,
-                  maxItemsPerBasket: Long = 10000L): DataFrame = {
+                  maxItemsPerBasket: Long = 10000L): DataFrame =
+    basketPairsWithCache(df, basketCols, itemCol, minSupport, maxItemsPerBasket)._1
+
+  /** As [[basketPairs]], additionally returning an unpersist handle
+   *  for the distinct basket-item cache (consumed four times by the
+   *  returned plan — the columnar persist keeps the within-basket
+   *  self-join scanning compressed batches). Call it once the result
+   *  is materialized ([[graft.operators.Dedup.minhashPairsWithCache]]
+   *  convention). */
+  def basketPairsWithCache(df: DataFrame, basketCols: Seq[String], itemCol: String,
+                           minSupport: Long = 1L,
+                           maxItemsPerBasket: Long = 10000L): (DataFrame, () => Unit) = {
     require(basketCols.nonEmpty, "basketPairs: at least one basket column")
     require(minSupport >= 1L, s"basketPairs: minSupport must be >= 1, got $minSupport")
-    // gcPersist: the distinct basket-item set is consumed four times
-    // by the returned plan; freed with it (CacheUtil convention)
-    val items = CacheUtil.gcPersist(df
+    val items = df
       .select((basketCols.map(col) :+ col(itemCol).as("item")): _*)
       .filter(col("item").isNotNull)
-      .distinct())
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val worst = items.groupBy(basketCols.map(col): _*).agg(count(lit(1)).as("n"))
       .agg(max("n")).collect()(0)
     if (!worst.isNullAt(0))
@@ -52,14 +62,18 @@ object Associations {
     val itemSupport = items.groupBy("item").agg(count(lit(1)).as("s"))
     val a = items.select(basketCols.map(col) :+ col("item").as("item_a"): _*)
     val b = items.select(basketCols.map(col) :+ col("item").as("item_b"): _*)
-    a.join(b, basketCols)
+    val out = a.join(b, basketCols)
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .join(itemSupport.select(col("item").as("item_a"), col("s").as("support_a")), "item_a")
-      .join(itemSupport.select(col("item").as("item_b"), col("s").as("support_b")), "item_b")
+      // vocab-bounded build sides — broadcast EXPLICITLY: the gcPersist
+      // lineage cut hides item-count statistics from the planner, and
+      // these joins must never shuffle the pair table on item ids
+      .join(broadcast(itemSupport.select(col("item").as("item_a"), col("s").as("support_a"))), "item_a")
+      .join(broadcast(itemSupport.select(col("item").as("item_b"), col("s").as("support_b"))), "item_b")
       .withColumn("lift_e6",
         expr(s"(support * ${nBaskets}L * 1000000) div (support_a * support_b)"))
       .select("item_a", "item_b", "support", "support_a", "support_b", "lift_e6")
+    (out, () => { items.unpersist(); () })
   }
 }

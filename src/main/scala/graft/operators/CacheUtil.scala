@@ -13,8 +13,15 @@ import org.apache.spark.storage.StorageLevel
  *
  * The grep-able convention (r13 verdict item 8):
  *  - paired `persist`/`unpersist` inside one function → "released";
- *  - a `*WithHandle` variant returning `() => Unit` → "handle";
- *  - [[CacheUtil.gcPersist]] → lifetime tied to the returned frame.
+ *  - a `*WithHandle`/`*WithCache` variant returning `() => Unit` →
+ *    "handle" — the REQUIRED shape when the columnar in-memory scan
+ *    or the planner's size statistics are load-bearing (measured:
+ *    prefixFilterJoin 5-7x and triangleCounts ~3x slower when their
+ *    caches were converted to lineage-cut checkpoints — downstream
+ *    joins lost their broadcast decisions and columnar pruning);
+ *  - [[CacheUtil.gcPersist]] → lifetime tied to the returned frame;
+ *    for SLIM frames (a few fixed-width columns) whose consumers
+ *    don't depend on cache statistics.
  *
  * Why RDD-level persist: `Dataset.persist` registers the plan in the
  * session's CacheManager, which holds a STRONG reference until an
@@ -29,12 +36,14 @@ import org.apache.spark.storage.StorageLevel
  */
 private[graft] object CacheUtil {
 
-  /** Materialize-on-first-use cache whose lifetime is the returned
-   *  frame (see object doc). The RDD boundary also cuts the logical
-   *  plan, so multi-consumer reuse never re-analyzes the upstream
-   *  subtree. */
-  def gcPersist(df: DataFrame): DataFrame = {
-    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+  /** Eagerly-materialized cache whose lifetime is the returned frame
+   *  (see object doc): `localCheckpoint` stores the INTERNAL row
+   *  representation (columnar-friendly serialized batches — a
+   *  `df.rdd.persist` round-trip would deserialize every row into
+   *  external Row objects, measured 5x slower on the wide
+   *  token-array frame of prefixFilterJoin), keeps the blocks out of
+   *  the CacheManager, and cuts the logical plan so multi-consumer
+   *  reuse never re-analyzes the upstream subtree. Blocks free via
+   *  the ContextCleaner once the caller drops the result. */
+  def gcPersist(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 }

