@@ -142,7 +142,12 @@ object Bench {
     // the captured line is truncated, so the graded surface is always
     // the whole registry.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // a TARGETED run (BENCH_ONLY) must never clobber the committed
+    // full-sweep artifact with its partial map — it cost two full
+    // sweep re-runs in r14 before this guard; targeted output goes
+    // to /tmp unless the caller names a path explicitly
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "/tmp/bench_full_partial.json" else "BENCH_FULL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
