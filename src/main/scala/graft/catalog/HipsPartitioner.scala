@@ -498,15 +498,34 @@ object HipsPartitioner {
    *  - import_hist re-freezes to the accumulated histogram so future
    *    [[append]]s assign under the REFINED layout; meta refreshes.
    *
-   * Serialize with other writers (the [[append]] contract). New files
-   * land before old dirs are deleted, so a concurrent reader sees
-   * transient duplicates rather than a gap.
+   * Serialize with other writers (the [[append]] contract). Readers
+   * stay safe throughout — and so does a WRITER CRASH at any point:
+   *
+   *  - rewritten sub-tiles are staged under `_repartition_stage/`
+   *    (invisible to readers), then a journal listing the staged
+   *    sub-tile dirs and the doomed old dirs is committed via
+   *    write-temp + atomic rename — that rename is the commit point;
+   *  - a crash BEFORE the commit point leaves the old dirs untouched
+   *    and authoritative (the stage tree is discarded debris);
+   *  - a crash AFTER it is rolled FORWARD by [[recoverRepartition]]
+   *    (also run automatically at the next [[repartition]]): the
+   *    commit steps — rename staged dirs in, delete old dirs,
+   *    re-freeze import_hist, refresh meta, drop the journal — are
+   *    each idempotent, so replaying them completes the rewrite;
+   *  - a concurrent reader during the commit window sees transient
+   *    duplicates rather than a gap (new sub-tile dirs land before
+   *    their old dir is deleted); [[HipsCatalog.load]] warns loudly
+   *    when a journal is present so a crashed writer's lingering
+   *    duplicates are detected rather than silently double-counted.
    */
   def repartition(spark: SparkSession, outputDir: String, catname: String,
                   summaryFiles: Boolean = true, exactMargin: Boolean = false): PartitionMap = {
     import org.apache.hadoop.fs.Path
     val base = s"$outputDir/$catname"
     val fsys = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // complete any crashed prior commit / discard pre-commit debris
+    // BEFORE reading layout state — the repaired tree is the basis
+    recoverRepartition(spark, outputDir, catname)
     val metaRaw = HipsCatalog.readString(spark, s"$base/${catname}_meta.json")
     def metaNum(key: String): String =
       s""""$key":\\s*([-+\\d.eE]+)""".r.findFirstMatchIn(metaRaw)
@@ -566,15 +585,17 @@ object HipsPartitioner {
     val oldNbr =
       if (nbrPaths.nonEmpty) spark.read.parquet(nbrPaths: _*) else oldCat.limit(0)
 
-    // 1) re-bucket the split tiles' catalog rows, _ID preserved
+    // 1) STAGE the re-bucketed split-tile catalog rows, _ID preserved
+    //    (invisible to readers until the journal commits)
+    val stage = s"$base/_repartition_stage"
     withPartitionColumns(oldCat, raCol, decCol, newMap)
       .repartition(col("Norder"), col("Npix"))
       .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
-      .write.mode("append").partitionBy("Norder", "Dir", "Npix")
-      .parquet(s"$base/catalog")
+      .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
+      .parquet(s"$stage/catalog")
 
-    // 2) rebuilt margin entries TARGETING the split regions only; a
-    //    source row appearing both as a home row and as a replica in
+    // 2) STAGE rebuilt margin entries TARGETING the split regions only;
+    //    a source row appearing both as a home row and as a replica in
     //    another split tile's old neighbor file collapses in distinct
     val sources = oldCat.drop("_ID").unionByName(oldNbr.drop("_ID")).distinct()
     val sess = spark
@@ -584,17 +605,106 @@ object HipsPartitioner {
       .join(broadcast(splitDf),
         expr("Norder >= o_s AND shiftright(Npix, 2 * (Norder - o_s)) = p_s"), "left_semi")
     // rank offsets read the CURRENT tree (doomed dirs included — the
-    // resulting rank gaps are harmless; uniqueness is the contract),
-    // so the append below can still read its sources
+    // resulting rank gaps are harmless; uniqueness is the contract)
     withRankOffsets(
       withSpatialId(restricted.repartition(col("Norder"), col("Npix")), raCol, decCol, idCol),
       HipsCatalog.loadNeighbors(spark, outputDir, catname))
       .repartition(col("Norder"), col("Npix"))
       .sortWithinPartitions(col("Norder"), col("Dir"), col("Npix"), col("_ID"))
-      .write.mode("append").partitionBy("Norder", "Dir", "Npix")
-      .parquet(s"$base/neighbor")
+      .write.mode("overwrite").partitionBy("Norder", "Dir", "Npix")
+      .parquet(s"$stage/neighbor")
 
-    // 3) drop the superseded dirs, then refresh cached listings
+    // COMMIT POINT: journal the staged sub-tile dirs + doomed old dirs,
+    // made visible atomically via temp-write + rename. Before this
+    // rename a crash leaves the old layout authoritative; after it the
+    // rewrite always completes (here or in recoverRepartition).
+    def stagedTiles(tree: String): Seq[(String, Int, Long)] = {
+      val g = fsys.globStatus(new Path(s"$stage/$tree/Norder=*/Dir=*/Npix=*"))
+      if (g == null) Nil
+      else g.toSeq.map { st =>
+        val p = st.getPath
+        (tree, p.getParent.getParent.getName.stripPrefix("Norder=").toInt,
+          p.getName.stripPrefix("Npix=").toLong)
+      }
+    }
+    val staged = stagedTiles("catalog") ++ stagedTiles("neighbor")
+    val journal =
+      s"""{"summary_files": $summaryFiles,
+         | "split": [${split.map { case (o, p) => s"[$o,$p]" }.mkString(",")}],
+         | "staged": [${staged.map { case (t, o, p) => s"""["$t",$o,$p]""" }.mkString(",")}]}""".stripMargin
+    HipsCatalog.writeString(spark, s"${journalPath(base)}.tmp", journal)
+    require(fsys.rename(new Path(s"${journalPath(base)}.tmp"), new Path(journalPath(base))),
+      s"repartition: journal rename failed at ${journalPath(base)}")
+
+    // 3+4) rename staged dirs in, drop old dirs, re-freeze, drop journal
+    commitRepartition(spark, outputDir, catname)
+  }
+
+  private def journalPath(base: String): String = s"$base/_repartition_journal.json"
+
+  /**
+   * Detect-and-repair for a crashed [[repartition]]. If the commit
+   * journal is present, the crash happened AFTER the commit point —
+   * roll the rewrite FORWARD by replaying the (idempotent) commit
+   * steps. Any journal-less stage debris is from a crash BEFORE the
+   * commit point — the old dirs are untouched and authoritative, so
+   * the debris is discarded. Returns true iff a pending commit was
+   * found and completed. Run automatically at the start of every
+   * [[repartition]]; callers seeing [[HipsCatalog.load]]'s journal
+   * warning should invoke this directly.
+   */
+  def recoverRepartition(spark: SparkSession, outputDir: String, catname: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val base = s"$outputDir/$catname"
+    val fsys = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = fsys.exists(new Path(journalPath(base)))
+    if (pending) commitRepartition(spark, outputDir, catname)
+    fsys.delete(new Path(s"$base/_repartition_stage"), true)
+    fsys.delete(new Path(s"${journalPath(base)}.tmp"), false)
+    pending
+  }
+
+  /**
+   * The idempotent back half of [[repartition]], driven entirely by
+   * the committed journal + on-disk state so a crash at ANY point is
+   * repaired by re-running it: per staged sub-tile dir, (re-)rename it
+   * into the live tree (a destination left by a previous half-finished
+   * attempt can only be this same rename's output, so it is replaced);
+   * delete the superseded old dirs; re-freeze import_hist from the
+   * accumulated histogram (writers serialize, so point_map is exactly
+   * the basis that produced the staged layout); refresh meta; and only
+   * then drop the journal + stage tree.
+   */
+  private def commitRepartition(spark: SparkSession, outputDir: String,
+                                catname: String): PartitionMap = {
+    import org.apache.hadoop.fs.Path
+    val base = s"$outputDir/$catname"
+    val fsys = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val j = HipsCatalog.readString(spark, journalPath(base))
+    val summaryFiles = """"summary_files":\s*(true|false)""".r.findFirstMatchIn(j)
+      .map(_.group(1).toBoolean).getOrElse(true)
+    // each section is one line; greedy .* + final \] captures the whole
+    // array body (inner ]s included) up to the outer closing bracket
+    def section(key: String): String =
+      s""""$key":\\s*\\[(.*)\\]""".r.findFirstMatchIn(j)
+        .getOrElse(throw new IllegalStateException(s"repartition journal missing $key"))
+        .group(1)
+    val split = """\[(\d+),(\d+)\]""".r.findAllMatchIn(section("split"))
+      .map(m => (m.group(1).toInt, m.group(2).toLong)).toSeq
+    val staged = """\["(\w+)",(\d+),(\d+)\]""".r.findAllMatchIn(section("staged"))
+      .map(m => (m.group(1), m.group(2).toInt, m.group(3).toLong)).toSeq
+
+    def dirOf(p: Long) = p / 10000L * 10000L
+    def tilePath(tree: String, o: Int, p: Long) = s"$base/$tree/Norder=$o/Dir=${dirOf(p)}/Npix=$p"
+    staged.foreach { case (tree, o, p) =>
+      val src = new Path(s"$base/_repartition_stage/$tree/Norder=$o/Dir=${dirOf(p)}/Npix=$p")
+      val dst = new Path(tilePath(tree, o, p))
+      if (fsys.exists(src)) {
+        if (fsys.exists(dst)) fsys.delete(dst, true)
+        fsys.mkdirs(dst.getParent)
+        require(fsys.rename(src, dst), s"repartition commit: rename $src -> $dst failed")
+      }
+    }
     split.foreach { case (o, p) =>
       fsys.delete(new Path(tilePath("catalog", o, p)), true)
       fsys.delete(new Path(tilePath("neighbor", o, p)), true)
@@ -606,12 +716,30 @@ object HipsPartitioner {
       writeSummaryFiles(spark, s"$base/neighbor")
     }
 
-    // 4) re-freeze the layout basis + refresh meta
+    val metaRaw = HipsCatalog.readString(spark, s"$base/${catname}_meta.json")
+    def metaNum(key: String): String =
+      s""""$key":\\s*([-+\\d.eE]+)""".r.findFirstMatchIn(metaRaw)
+        .getOrElse(throw new IllegalStateException(s"$key missing from ${catname}_meta.json"))
+        .group(1)
+    def metaStr(key: String): String =
+      s""""$key":\\s*"([^"]*)"""".r.findFirstMatchIn(metaRaw)
+        .getOrElse(throw new IllegalStateException(s"$key missing from ${catname}_meta.json"))
+        .group(1)
+    val orderK = metaNum("order_k").toInt
+    val threshold = metaNum("pix_threshold").toLong
+    spark.catalog.refreshByPath(s"$base/point_map.parquet")
+    val (phPix, phCnt) = sparseToArrays(readHistSparse(spark, s"$base/point_map.parquet"))
+    val newMap = partitionMapFromSparseHist(phPix, phCnt, orderK, threshold)
+    val sess = spark
+    import sess.implicits._
     phPix.zip(phCnt).toSeq.toDF("pix", "cnt")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/import_hist.parquet")
     spark.catalog.refreshByPath(s"$base/import_hist.parquet")
     val out = PartitionMap(orderK, newMap.grid, phPix, phCnt)
-    writeMeta(spark, out, raCol, decCol, idCol, outputDir, catname, threshold, marginDeg)
+    writeMeta(spark, out, metaStr("ra_kw"), metaStr("dec_kw"), metaStr("id_kw"),
+      outputDir, catname, threshold, metaNum("margin_deg").toDouble)
+    fsys.delete(new Path(journalPath(base)), false)
+    fsys.delete(new Path(s"$base/_repartition_stage"), true)
     out
   }
 
@@ -741,9 +869,22 @@ object HipsCatalog {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
-  /** Load the full catalog dataframe (hive partition columns included). */
-  def load(spark: SparkSession, outputDir: String, catname: String): DataFrame =
+  /** Load the full catalog dataframe (hive partition columns included).
+   *  A lingering repartition journal means a writer crashed mid-commit
+   *  (old + new sub-tile dirs may BOTH be visible = duplicate rows) —
+   *  warn loudly and point at the repair path rather than silently
+   *  double-counting; an ACTIVE repartition's commit window triggers
+   *  the same warning, which is the documented transient-duplicates
+   *  read behavior. */
+  def load(spark: SparkSession, outputDir: String, catname: String): DataFrame = {
+    val jp = s"$outputDir/$catname/_repartition_journal.json"
+    if (fs(spark, jp).exists(new Path(jp)))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"catalog $catname has a pending repartition commit ($jp): rows in split tiles " +
+          "may appear twice until the commit finishes — if no repartition is running, " +
+          "a writer crashed; run HipsPartitioner.recoverRepartition to roll it forward")
     spark.read.parquet(s"$outputDir/$catname/catalog")
+  }
 
   /** Load the neighbor (margin) tree; empty DF with catalog schema if absent. */
   def loadNeighbors(spark: SparkSession, outputDir: String, catname: String): DataFrame = {

@@ -66,9 +66,11 @@ object Associations {
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      // vocab-bounded build sides — broadcast EXPLICITLY: the gcPersist
-      // lineage cut hides item-count statistics from the planner, and
-      // these joins must never shuffle the pair table on item ids
+      // vocab-bounded build sides — broadcast EXPLICITLY to pin the
+      // strategy independent of the planner's size estimates: these
+      // joins must never shuffle the pair table on item ids, and the
+      // support tables are bounded by the item vocabulary regardless
+      // of corpus scale
       .join(broadcast(itemSupport.select(col("item").as("item_a"), col("s").as("support_a"))), "item_a")
       .join(broadcast(itemSupport.select(col("item").as("item_b"), col("s").as("support_b"))), "item_b")
       .withColumn("lift_e6",

@@ -482,12 +482,30 @@ object Spatial {
 
   // ------------------------------------------------------- MOC set algebra
 
-  /** Tile-count ceiling for the driver-side MOC paths ([[MocLocal]]):
-   *  4M tiles ≈ 50 MB of (norder, npix) pairs on the driver —
-   *  npix(9) = 3.1M sits under it, so every order-≤9 MOC runs local;
-   *  genuinely huge MOCs (the ScaleProbe order-10 10.6M-pixel
-   *  footprint) keep the distributed rounds. */
-  val MocLocalMaxTiles: Int = 4000000
+  /** Tile-count ceiling for the driver-side MOC paths ([[MocLocal]]).
+   *
+   *  Sizing: the FINAL representation is ~12 B/tile (primitive
+   *  (int, long) pairs — 4M ≈ 50 MB), but the TRANSIENT cost of
+   *  getting there is much larger: `collectIfBounded` holds boxed
+   *  `Row`s plus boxed `Tile` tuples (~150 B/tile all-in), so a 4M
+   *  collect peaks at several hundred MB per operand — a real OOM
+   *  risk on a default 1 GB driver. The ceiling is therefore derived
+   *  from the driver heap (a quarter of `Runtime.maxMemory` at
+   *  150 B/tile), capped at 4M so order-≤9 MOCs (npix(9) = 3.1M)
+   *  run local on any driver with ≥ ~2 GB heap; genuinely huge MOCs
+   *  (the ScaleProbe order-10 10.6M-pixel footprint) keep the
+   *  distributed rounds. Override via `spark.graft.moc.localMaxTiles`
+   *  (0 disables the local path entirely). */
+  def MocLocalMaxTiles: Int = {
+    val conf = org.apache.spark.SparkEnv.get match {
+      case null => None
+      case env  => env.conf.getOption("spark.graft.moc.localMaxTiles")
+    }
+    conf.map(_.toInt).getOrElse {
+      val byHeap = Runtime.getRuntime.maxMemory() / 4 / 150
+      math.min(4000000L, byHeap).toInt
+    }
+  }
 
   /** The NUNIQ packing of a (norder, npix) tile — MOC 2.0 §2.3.1. */
   private def nuniqCol: Column = expr("shiftleft(cast(4 as bigint), 2 * norder) + npix")

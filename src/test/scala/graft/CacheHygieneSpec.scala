@@ -61,11 +61,25 @@ class CacheHygieneSpec extends SparkSpecBase {
       assert((persisted -- before).nonEmpty, "the operator should have cached while live")
     }
     // ContextCleaner is GC-driven: force collections until the weak
-    // refs enqueue and the cleaner unpersists (bounded wait)
+    // refs enqueue and the cleaner unpersists (bounded wait). A GC
+    // canary (a weakly-referenced sentinel allocated alongside the
+    // loop) distinguishes "cleaner broken" from "no full GC ran" —
+    // under -XX:+DisableExplicitGC or a collector that defers full
+    // collections, System.gc() is a no-op and the weak refs can never
+    // enqueue; the test then degrades to a cancel, not a failure.
+    val canary = new java.lang.ref.WeakReference(new Array[Byte](1024))
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while ((persisted -- before).nonEmpty && System.nanoTime() < deadline) {
+      // allocate real garbage so even non-explicit collectors make progress
+      var pressure = new Array[Array[Byte]](64)
+      (0 until 64).foreach(i => pressure(i) = new Array[Byte](1 << 20))
+      pressure = null
       System.gc()
       Thread.sleep(250)
+    }
+    if ((persisted -- before).nonEmpty && canary.get() != null) {
+      cancel("no full GC was observed within the deadline (canary still " +
+        "reachable) — cannot exercise the ContextCleaner drain in this JVM")
     }
     assert((persisted -- before).isEmpty,
       s"gcPersist blocks must drain once the caller drops the result; leaked: ${persisted -- before}")

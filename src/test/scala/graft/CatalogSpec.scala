@@ -586,6 +586,87 @@ class CatalogSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("repartition crash recovery: pre-commit debris discarded, post-commit journal rolled forward without duplicates") {
+    import org.apache.commons.io.FileUtils
+    import java.io.File
+    val out = java.nio.file.Files.createTempDirectory("graft_repartcrash").toString
+    val first = li.filter(col("k") % 8 === 1)
+    val rest = li.filter(col("k") % 8 =!= 1)
+    HipsPartitioner.write(first, "cra", "cdec", "k", out, "rc", orderK = 4, threshold = 200, marginDeg = 1.0)
+    HipsPartitioner.append(rest, "cra", "cdec", "k", out, "rc")
+
+    def tiles(cat: String, tree: String): Set[(Int, Long)] = {
+      val root = new File(s"$out/$cat/$tree")
+      if (!root.exists()) Set.empty
+      else root.listFiles().filter(_.getName.startsWith("Norder=")).flatMap { od =>
+        val o = od.getName.stripPrefix("Norder=").toInt
+        od.listFiles().flatMap(_.listFiles()).filter(_.getName.startsWith("Npix="))
+          .map(pd => (o, pd.getName.stripPrefix("Npix=").toLong))
+      }.toSet
+    }
+    def dirOf(p: Long) = p / 10000L * 10000L
+
+    // clone the grown catalog and run a CLEAN repartition on the clone
+    // — its end state is the ground truth the recovery must reproduce
+    FileUtils.copyDirectory(new File(s"$out/rc"), new File(s"$out/rc2"))
+    FileUtils.moveFile(new File(s"$out/rc2/rc_meta.json"), new File(s"$out/rc2/rc2_meta.json"))
+    val tilesBefore = Map("catalog" -> tiles("rc", "catalog"), "neighbor" -> tiles("rc", "neighbor"))
+    HipsPartitioner.repartition(spark, out, "rc2")
+    val truthIds = HipsCatalog.load(spark, out, "rc2")
+      .select("_ID").collect().map(_.getLong(0)).sorted.toSeq
+
+    // --- crash BEFORE the commit point: stage debris + tmp journal,
+    // no journal. Recovery must discard it and touch nothing else.
+    val junk = new File(s"$out/rc/_repartition_stage/catalog/Norder=9/Dir=0/Npix=7")
+    junk.mkdirs()
+    FileUtils.writeStringToFile(new File(junk, "part-junk.parquet"), "junk", "UTF-8")
+    FileUtils.writeStringToFile(new File(s"$out/rc/_repartition_journal.json.tmp"), "{", "UTF-8")
+    assert(!HipsPartitioner.recoverRepartition(spark, out, "rc"),
+      "no journal => no pending commit to roll forward")
+    assert(!new File(s"$out/rc/_repartition_stage").exists(), "pre-commit stage debris must be discarded")
+    assert(!new File(s"$out/rc/_repartition_journal.json.tmp").exists())
+    assert(tiles("rc", "catalog") == tilesBefore("catalog"), "pre-commit crash leaves the old layout authoritative")
+    assert(HipsCatalog.load(spark, out, "rc").count() == li.count())
+
+    // --- crash AFTER the commit point: reconstruct the committed state
+    // (complete stage tree + journal, old dirs still live) from the
+    // clean run's outputs, plus ONE staged dir already half-applied
+    // (renamed in but journal not yet cleared — the mid-commit replay case)
+    val stagedAll = Seq("catalog", "neighbor").flatMap { tree =>
+      (tiles("rc2", tree) -- tilesBefore(tree)).toSeq.sorted.map { case (o, p) =>
+        FileUtils.copyDirectory(
+          new File(s"$out/rc2/$tree/Norder=$o/Dir=${dirOf(p)}/Npix=$p"),
+          new File(s"$out/rc/_repartition_stage/$tree/Norder=$o/Dir=${dirOf(p)}/Npix=$p"))
+        (tree, o, p)
+      }
+    }
+    val splits = (tilesBefore("catalog") -- tiles("rc2", "catalog")).toSeq.sorted
+    assert(stagedAll.nonEmpty && splits.nonEmpty, "the 8x growth must have split at least one tile")
+    val (t0, o0, p0) = stagedAll.head
+    FileUtils.copyDirectory(
+      new File(s"$out/rc/_repartition_stage/$t0/Norder=$o0/Dir=${dirOf(p0)}/Npix=$p0"),
+      new File(s"$out/rc/$t0/Norder=$o0/Dir=${dirOf(p0)}/Npix=$p0"))
+    val journal =
+      s"""{"summary_files": true,
+         | "split": [${splits.map { case (o, p) => s"[$o,$p]" }.mkString(",")}],
+         | "staged": [${stagedAll.map { case (t, o, p) => s"""["$t",$o,$p]""" }.mkString(",")}]}""".stripMargin
+    FileUtils.writeStringToFile(new File(s"$out/rc/_repartition_journal.json"), journal, "UTF-8")
+
+    assert(HipsPartitioner.recoverRepartition(spark, out, "rc"), "journal present => roll forward")
+    assert(!new File(s"$out/rc/_repartition_journal.json").exists())
+    assert(!new File(s"$out/rc/_repartition_stage").exists())
+    for (tree <- Seq("catalog", "neighbor"))
+      assert(tiles("rc", tree) == tiles("rc2", tree), s"recovered $tree layout must equal the clean run's")
+    val rec = HipsCatalog.load(spark, out, "rc")
+    assert(rec.count() == li.count(), "no duplicate rows after roll-forward")
+    assert(rec.select("_ID").collect().map(_.getLong(0)).sorted.toSeq == truthIds)
+
+    // import_hist was re-frozen: a follow-up repartition finds nothing
+    val pmAfter = HipsPartitioner.repartition(spark, out, "rc")
+    assert(tiles("rc", "catalog") == tiles("rc2", "catalog") && pmAfter.nSources == li.count())
+    FileUtils.deleteDirectory(new File(out))
+  }
+
   test("catalog compaction: append tails fold to one file per leaf, search + margin parity") {
     val out = java.nio.file.Files.createTempDirectory("graft_compactcat").toString
     HipsPartitioner.write(li.filter(col("k") % 2 === 0), "cra", "cdec", "k",
