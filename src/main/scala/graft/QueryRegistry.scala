@@ -5762,11 +5762,11 @@ object QueryRegistry {
    * STANDING per signal is combined, not the raw scores — scale-free
    * and outlier-robust by construction). Three signals (bigram
    * cross-entropy asc, token-distribution entropy desc, length desc)
-   * are each globally ranked via the DISTRIBUTED range-exchange
-   * row_number (never a single-task window), the rank sum is
-   * re-ranked the same way, and the top half is selected with exact
-   * ntile semantics. All rank arithmetic is integer — the only
-   * floats are the already-hash-proven signal values themselves.
+   * are fused into ONE distributed range-exchange row_number (never
+   * a single-task window), the rank sum is re-ranked the same way,
+   * and the top half is selected with exact ntile semantics. All
+   * rank arithmetic is integer — the only floats are the
+   * already-hash-proven signal values themselves.
    */
   private val text_ensemble = QueryDef(
     (s, dir) => {
@@ -5776,44 +5776,39 @@ object QueryRegistry {
         .select("doc_id", "cross_entropy")
       val te = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
         .select("doc_id", "entropy", "n_tokens")
-      // the signal pipeline is the expensive part and every rank pass
-      // materializes its input twice (size walk + index pass) — pin
-      // it once and FILL the cache before ranking so the three
-      // rankings all read the cached frame; the rank frames
-      // themselves are slim (id, value)
+      // the signal pipeline is the expensive part — pin it once
+      // (slim: id + 3 values per doc); the count both fills the
+      // cache and supplies the block size n for the fused ranking
       // gcPersist (CacheUtil convention): the cache lives exactly as
       // long as the result plan — no session CacheManager entry, so
       // library callers need no clearCache between corpora
       val sig = graft.operators.CacheUtil.gcPersist(ce.join(te, "doc_id"))
-      sig.count()
-      // the three rankings run under a NAMED job group set on each
-      // future's own thread (local properties don't reliably reach
-      // pre-existing global-EC threads), so an Await timeout/failure
-      // cancels the in-flight Spark jobs instead of leaking detached
-      // work into subsequent bench queries
-      val jobGroup = "text_ensemble_ranks"
-      def rankOf(valueCol: String, order: org.apache.spark.sql.Column, as: String) = {
-        s.sparkContext.setJobGroup(jobGroup,
-          "text_ensemble concurrent rank construction", interruptOnCancel = true)
-        try graft.operators.Rank.globalRowNumber(sig.select(col("doc_id"), col(valueCol)),
-          Seq(order, col("doc_id"))).select(col("doc_id"), col("rank").as(as))
-        finally s.sparkContext.clearJobGroup()
-      }
-      // the three rankings are independent and each pays a bounded
-      // partition-size collect at CONSTRUCTION time — submit them
-      // concurrently so those three jobs overlap (the r11 serial
-      // shape paid three job floors back to back; 6.2x idle ratio)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val ranked =
-        try Await.result(Future.sequence(Seq(
-          Future(rankOf("cross_entropy", col("cross_entropy"), "r_ppl")),
-          Future(rankOf("entropy", col("entropy").desc, "r_ent")),
-          Future(rankOf("n_tokens", col("n_tokens").desc, "r_len")))),
-          scala.concurrent.duration.Duration(10, "min"))
-        catch { case e: Throwable =>
-          s.sparkContext.cancelJobGroup(jobGroup); throw e } // sig frees via GC
-      val summed = ranked.reduce(_.join(_, "doc_id"))
+      val n = sig.count()
+      // ONE fused ranking instead of three (the q_rfm precedent,
+      // r14 verdict item 1): explode each doc into (metric-code,
+      // orientable sort key) rows — descending metrics are NEGATED
+      // (float negation is exact) so one ascending (w, v, doc_id)
+      // order ranks all three — and range-rank the 3n-row union.
+      // Each metric occupies a contiguous block of EXACTLY n rows,
+      // so its within-block rank is (rank - 1) % n + 1. One sample
+      // job + one size job + one rank pass replace three sequential
+      // range-exchange cycles (the r11-r14 shape ran them on
+      // concurrent futures, overlapping the floors but still paying
+      // three exchanges); reassembly is a map-side-combinable
+      // groupBy(doc_id), not joins.
+      val ex = sig.select(col("doc_id"), explode(array(
+          struct(lit(0).as("w"), col("cross_entropy").cast("double").as("v")),
+          struct(lit(1).as("w"), (-col("entropy")).cast("double").as("v")),
+          struct(lit(2).as("w"), (-col("n_tokens")).cast("double").as("v")))).as("e"))
+        .select(col("doc_id"), col("e.w").as("w"), col("e.v").as("v"))
+      val ranked = graft.operators.Rank.globalRowNumber(ex,
+        Seq(col("w").asc, col("v").asc, col("doc_id").asc))
+      val summed = ranked
+        .withColumn("wr", expr(s"(rank - 1) % ${n}L + 1"))
+        .groupBy("doc_id").agg(
+          max(when(col("w") === 0, col("wr"))).as("r_ppl"),
+          max(when(col("w") === 1, col("wr"))).as("r_ent"),
+          max(when(col("w") === 2, col("wr"))).as("r_len"))
         .withColumn("rank_sum", col("r_ppl") + col("r_ent") + col("r_len"))
       graft.operators.Rank.curriculum(summed, Seq(col("rank_sum"), col("doc_id")), phases = 2)
         .select(col("doc_id"), col("r_ppl"), col("r_ent"), col("r_len"),

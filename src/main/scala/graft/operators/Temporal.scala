@@ -189,12 +189,41 @@ object Temporal {
    * standard hash shuffle on the bucket id that AQE can re-plan. A
    * plain theta join plans as a nested-loop/cartesian and dies at
    * scale. Column names must be disjoint across the two sides.
+   *
+   * Degenerate fast path: when either side fits `broadcastMaxRows`
+   * (probed with a bounded limit+collect — at most broadcastMaxRows+1
+   * rows come back even off a huge side), that side is collected,
+   * sorted by lo, and broadcast as an [[graft.functions.OverlapTable]];
+   * the big side explodes a codegen'd binary-search ordinal probe
+   * ([[graft.functions.OverlapOrdinalsExpr]]) and equi-joins the
+   * broadcast LocalRelation on the ordinal — a MAP-ONLY plan with no
+   * guard jobs, no bucket explode, and no shuffle (the r14 verdict's
+   * q_overlapjoin item: a 20-row incident side paid the full
+   * explode+shuffle+guard apparatus). Both paths produce identical
+   * pairs (ScalaTest parity on random intervals); set
+   * `broadcastMaxRows = 0` to force the distributed path.
    */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   lLo: String, lHi: String, rLo: String, rHi: String,
                   bucketWidth: Long,
-                  maxBucketsPerInterval: Long = 10000L): DataFrame = {
+                  maxBucketsPerInterval: Long = 10000L,
+                  broadcastMaxRows: Int = 1 << 16): DataFrame = {
     require(bucketWidth > 0, s"overlapJoin: bucketWidth must be positive: $bucketWidth")
+    val outCols = (left.columns ++ right.columns).map(col).toSeq
+    def tryCollect(side: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
+      if (broadcastMaxRows <= 0) None
+      else {
+        val rows = side.limit(broadcastMaxRows + 1).collect()
+        if (rows.length <= broadcastMaxRows) Some(rows) else None
+      }
+    tryCollect(right).map { rows =>
+      return broadcastOverlap(left, lLo, lHi, rows, right.schema, rLo, rHi)
+        .select(outCols: _*)
+    }
+    tryCollect(left).map { rows =>
+      return broadcastOverlap(right, rLo, rHi, rows, left.schema, lLo, lHi)
+        .select(outCols: _*)
+    }
     def guard(df: DataFrame, lo: String, hi: String, side: String): Unit = {
       val worst = df.agg(max(floorDiv(col(hi), bucketWidth) - floorDiv(col(lo), bucketWidth) + 1))
         .collect()(0)
@@ -213,6 +242,53 @@ object Temporal {
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
       .filter(col("__b") === floorDiv(greatest(col(lLo), col(rLo)), bucketWidth))
       .drop("__b", "__b2")
+  }
+
+  /** [[overlapJoin]]'s broadcast arm: the collected small side becomes
+   *  a sorted [[graft.functions.OverlapTable]] (broadcast) + an
+   *  ordinal-keyed LocalRelation; the big side explodes the exact
+   *  binary-search ordinal probe and broadcast-equi-joins on the
+   *  ordinal. Null or hi<lo small intervals are dropped at table
+   *  build (they match nothing — the distributed path's filter);
+   *  null/degenerate big intervals probe to empty and drop in the
+   *  explode. */
+  private def broadcastOverlap(big: DataFrame, bLo: String, bHi: String,
+                               smallRows: Array[org.apache.spark.sql.Row],
+                               smallSchema: org.apache.spark.sql.types.StructType,
+                               sLo: String, sHi: String): DataFrame = {
+    import graft.functions.{OverlapOrdinalsExpr, OverlapTable}
+    import org.apache.spark.sql.GraftBridge
+    val spark = big.sparkSession
+    val iLo = smallSchema.fieldIndex(sLo)
+    val iHi = smallSchema.fieldIndex(sHi)
+    def longAt(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case l: Long => l
+      case x: Int => x.toLong
+      case x: Short => x.toLong
+      case x: Byte => x.toLong
+      case other => throw new IllegalArgumentException(
+        s"overlapJoin: interval bound must be integral, got $other (${smallSchema(i).dataType})")
+    }
+    val sorted = smallRows
+      .filter(r => !r.isNullAt(iLo) && !r.isNullAt(iHi) && longAt(r, iHi) >= longAt(r, iLo))
+      .sortBy(r => longAt(r, iLo))
+    val los = sorted.map(longAt(_, iLo))
+    val his = sorted.map(longAt(_, iHi))
+    val maxLen = if (sorted.isEmpty) 1L
+      else los.indices.map(i => his(i) - los(i) + 1).max
+    val bc = spark.sparkContext.broadcast(OverlapTable(los, his, maxLen))
+    import scala.jdk.CollectionConverters._
+    val ordRows: java.util.List[org.apache.spark.sql.Row] =
+      sorted.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
+      }.toList.asJava
+    val smallLocal = spark.createDataFrame(ordRows,
+      smallSchema.add("__ovl_ord", org.apache.spark.sql.types.LongType, nullable = false))
+    big.withColumn("__ovl_ord", explode(GraftBridge.column(OverlapOrdinalsExpr(
+        GraftBridge.expression(col(bLo).cast("long")),
+        GraftBridge.expression(col(bHi).cast("long")), bc))))
+      .join(broadcast(smallLocal), "__ovl_ord")
+      .drop("__ovl_ord")
   }
 
   /**

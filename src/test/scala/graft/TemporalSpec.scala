@@ -217,28 +217,55 @@ class TemporalSpec extends SparkSpecBase {
     assert(got.toSet == Set((1L, 10L), (2L, 10L), (1L, 11L), (1L, 13L), (2L, 13L), (3L, 13L)))
   }
 
-  test("overlapJoin equals the brute-force theta join on seeded random intervals") {
+  test("overlapJoin equals the brute-force theta join on seeded random intervals — BOTH paths") {
     val rnd = new scala.util.Random(42)
     val l = Seq.tabulate(80) { i => val a = rnd.nextInt(1000).toLong; (i.toLong, a, a + rnd.nextInt(50)) }
     val r = Seq.tabulate(80) { i => val a = rnd.nextInt(1000).toLong; (i.toLong, a, a + rnd.nextInt(50)) }
-    val got = Temporal.overlapJoin(l.toDF("lid", "s_lo", "s_hi"), r.toDF("rid", "i_lo", "i_hi"),
-        "s_lo", "s_hi", "i_lo", "i_hi", bucketWidth = 16L)
-      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val want = (for {
       (li, ll, lh) <- l; (ri, rl, rh) <- r
       if ll <= rh && rl <= lh
     } yield (li, ri)).toSet
-    assert(got == want)
+    // broadcast fast path (default: the 80-row sides fit the cap) and
+    // the distributed bucket-explode path must agree pair-for-pair
+    for (cap <- Seq(1 << 16, 0)) {
+      val got = Temporal.overlapJoin(l.toDF("lid", "s_lo", "s_hi"), r.toDF("rid", "i_lo", "i_hi"),
+          "s_lo", "s_hi", "i_lo", "i_hi", bucketWidth = 16L, broadcastMaxRows = cap)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"broadcastMaxRows=$cap")
+    }
   }
 
-  test("overlapJoin: degenerate intervals match nothing; wide intervals trip the guard") {
+  test("overlapJoin broadcast path: column order, exactly-once pairs, big-side-left and big-side-right parity") {
+    val big = Seq.tabulate(300) { i => (i.toLong, i.toLong * 3, i.toLong * 3 + 10) }
+      .toDF("lid", "s_lo", "s_hi")
+    val small = Seq((10L, 50L, 70L), (11L, 60L, 65L), (12L, 800L, 2000L)).toDF("rid", "i_lo", "i_hi")
+    val a = Temporal.overlapJoin(big, small, "s_lo", "s_hi", "i_lo", "i_hi", 10L)
+    assert(a.columns.toSeq == Seq("lid", "s_lo", "s_hi", "rid", "i_lo", "i_hi"),
+      "output column order is left-then-right on every path")
+    val pairs = a.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.length == pairs.toSet.size, "exactly-once emission")
+    // swapped roles (small side on the LEFT) — same pair set, same column contract
+    val b = Temporal.overlapJoin(small, big, "i_lo", "i_hi", "s_lo", "s_hi", 10L)
+    assert(b.columns.toSeq == Seq("rid", "i_lo", "i_hi", "lid", "s_lo", "s_hi"))
+    assert(b.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet == pairs.toSet)
+    // a too-big right side with a small LEFT side routes through the
+    // left-broadcast arm (still no bucket guard: wide intervals pass)
+    val wide = Seq((99L, 0L, 1000000L)).toDF("rid", "i_lo", "i_hi")
+    val c = Temporal.overlapJoin(big, wide, "s_lo", "s_hi", "i_lo", "i_hi",
+      bucketWidth = 1L, maxBucketsPerInterval = 100L)
+    assert(c.count() == 300, "broadcast path needs no bucket guard")
+  }
+
+  test("overlapJoin: degenerate intervals match nothing; wide intervals trip the distributed guard") {
     val left = Seq((1L, 10L, 5L)).toDF("lid", "s_lo", "s_hi") // hi < lo
     val right = Seq((2L, 0L, 100L)).toDF("rid", "i_lo", "i_hi")
-    assert(Temporal.overlapJoin(left, right, "s_lo", "s_hi", "i_lo", "i_hi", 10L).count() == 0)
+    for (cap <- Seq(1 << 16, 0))
+      assert(Temporal.overlapJoin(left, right, "s_lo", "s_hi", "i_lo", "i_hi", 10L,
+        broadcastMaxRows = cap).count() == 0)
     val wide = Seq((3L, 0L, 1000000L)).toDF("lid", "s_lo", "s_hi")
     assert(intercept[IllegalArgumentException] {
       Temporal.overlapJoin(wide, right, "s_lo", "s_hi", "i_lo", "i_hi",
-        bucketWidth = 1L, maxBucketsPerInterval = 100L)
+        bucketWidth = 1L, maxBucketsPerInterval = 100L, broadcastMaxRows = 0)
     }.getMessage.contains("overlapJoin"))
   }
 
