@@ -6926,16 +6926,18 @@ object QueryRegistry {
         vocab AS (SELECT term, sum(c) AS ct FROM gt GROUP BY 1),
         gtot AS (SELECT grp, sum(c) AS n, count(*) AS n_types FROM gt GROUP BY 1),
         tot AS (SELECT sum(ct) AS nn FROM vocab),
-        grid AS (SELECT g.grp, g.n, g.n_types, v.term,
-            coalesce(x.c, 0)::DOUBLE / g.n AS p, v.ct::DOUBLE / t.nn AS q
-          FROM gtot g CROSS JOIN vocab v CROSS JOIN tot t
-          LEFT JOIN gt x ON x.grp = g.grp AND x.term = v.term)
+        -- absent-term JSD mass analytically (sum_all q = 1):
+        -- jsd = 0.5*(ln2 + sum_present[p ln(2p/(p+q)) + q ln(2q/(p+q)) - q ln2])
+        pres AS (SELECT x.grp, g.n, g.n_types,
+            x.c::DOUBLE / g.n AS p, v.ct::DOUBLE / t.nn AS q
+          FROM gt x JOIN vocab v USING (term) JOIN gtot g ON g.grp = x.grp
+          CROSS JOIN tot t)
         SELECT grp AS source, CAST(any_value(n) AS BIGINT) AS n_tokens,
           any_value(n_types) AS n_types,
-          round(sum(CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0 END), 6) AS kl,
-          round(sum(CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) * 0.5 ELSE 0 END
-            + q * ln(2 * q / (p + q)) * 0.5), 6) AS jsd
-        FROM grid GROUP BY grp ORDER BY grp"""
+          round(sum(p * ln(p / q)), 6) AS kl,
+          round((ln(2) + sum(p * ln(2 * p / (p + q))
+            + q * ln(2 * q / (p + q)) - q * ln(2))) * 0.5, 6) AS jsd
+        FROM pres GROUP BY grp ORDER BY grp"""
     })
 
   /** Per-dimension embedding QA (dead/degenerate-dimension screen):

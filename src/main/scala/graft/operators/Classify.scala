@@ -294,25 +294,91 @@ object Classify {
    * accuracy a lucky split?): fold f = id mod k; each fold is scored
    * by a model trained on the OTHER k-1 folds, and the per-fold
    * confusion integers (tp/fp/tn/fn + 6-dp accuracy) come back as
-   * one k-row frame. Cost shape: k bounded trainings (each ONE
-   * map-side-combined aggregate over (k-1)/k of the corpus) + k
-   * map-only scoring passes — nothing iterative, nothing
-   * corpus-sized on the driver. `labelExpr` must be a boolean
-   * Column evaluable on a `docs` row.
+   * one k-row frame.
+   *
+   * Cost shape (the r14 verdict's text_cv item — the old k×(train +
+   * score) chain paid ~k job floors): THREE bounded jobs total, none
+   * fold-sequential. (1) ONE doc pass collects per-fold class counts
+   * (k rows); (2) ONE map-side-combined token pass collects
+   * per-(bucket, fold) label-weighted counts (≤ dim·k rows) — every
+   * fold's training sums are the COMPLEMENT of its own fold's sums
+   * against the totals, exact in integers, so all k models fall out
+   * of one aggregate; (3) the k models become one fold-indexed
+   * literal weight map and ONE map-only corpus pass scores every
+   * fold ([[scoreCentroidInline]]'s shape), straight into the
+   * confusion rollup. Deltas are bit-identical to per-fold
+   * [[trainCentroid]]+[[classifyCentroid]] (asserted in ScalaTest);
+   * token-less docs drop on both engines. `labelExpr` must be a
+   * boolean Column evaluable on a `docs` row.
    */
   def cvCentroid(docs: DataFrame, labelExpr: Column, idCol: String, textCol: String,
                  k: Int = 5, dim: Int = 64, scale: Long = 1000000L): DataFrame = {
     require(k >= 2, s"Classify.cvCentroid needs k >= 2 folds, got $k")
-    val folds = (0 until k).map { f =>
-      val train = docs.filter(pmod(col(idCol), lit(k)) =!= f).withColumn("__y", labelExpr)
-      val model = trainCentroid(train, "__y", idCol, textCol, dim, scale)
-      classifyCentroid(docs.filter(pmod(col(idCol), lit(k)) === f), idCol, textCol,
-          model, dim, scale)
-        .join(docs.select(col(idCol), labelExpr.as("__actual")), idCol)
-        .select(lit(f.toLong).as("fold"),
-          (col("pred_label") === "pos").as("__p"), col("__actual"))
+    require(dim.toLong * k <= (1L << 16),
+      s"Classify.cvCentroid: dim*k = ${dim.toLong * k} literal weight entries — too large " +
+        "for the fold-indexed inline model; lower dim or k")
+    val lab = docs.select(col(idCol),
+      pmod(col(idCol), lit(k.toLong)).cast("int").as("__f"),
+      labelExpr.as("__y"), col(textCol))
+    // (1) per-fold class counts — one aggregate, k rows to the driver
+    val posF = Array.fill(k)(0L)
+    val negF = Array.fill(k)(0L)
+    lab.groupBy("__f").agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("n"))
+      .collect().foreach { r =>
+        posF(r.getInt(0)) = r.getLong(1); negF(r.getInt(0)) = r.getLong(2)
+      }
+    val totPos = posF.sum
+    val totNeg = negF.sum
+    // (2) per-(bucket, fold) token sums — one map-side-combined
+    // aggregate, <= dim*k rows to the driver
+    val s1 = Array.ofDim[Long](k, dim)
+    val s0 = Array.ofDim[Long](k, dim)
+    lab.select(col("__f"), col("__y"),
+        explode(filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)).as("__term"))
+      .withColumn("__b", pmod(graft.functions.native.fingerprint64(col("__term")), lit(dim.toLong)))
+      .groupBy("__b", "__f")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("c0"))
+      .collect().foreach { r =>
+        val b = r.getLong(0).toInt; val f = r.getInt(1)
+        s1(f)(b) = r.getLong(2); s0(f)(b) = r.getLong(3)
+      }
+    // driver-side per-fold models via complement sums — the same
+    // floor-div integer arithmetic as trainCentroid
+    val wEntries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mDiff = Array.fill(k)(0L)
+    for (f <- 0 until k) {
+      val n1 = totPos - posF(f)
+      val n0 = totNeg - negF(f)
+      require(n1 > 0 && n0 > 0,
+        s"Classify.cvCentroid: fold $f's training slice needs both classes (pos=$n1, neg=$n0)")
+      var b = 0
+      while (b < dim) {
+        var t1 = 0L; var t0 = 0L
+        var g = 0
+        while (g < k) { if (g != f) { t1 += s1(g)(b); t0 += s0(g)(b) }; g += 1 }
+        val mu1 = (t1 * scale) / n1 // operands non-negative: / == div
+        val mu0 = (t0 * scale) / n0
+        if (mu1 != mu0) wEntries += ((f.toLong * dim + b, mu1 - mu0))
+        mDiff(f) += mu1 * mu1 - mu0 * mu0
+        b += 1
+      }
     }
-    folds.reduce(_ unionByName _)
+    // (3) ONE map-only scoring pass over the whole corpus with the
+    // fold-indexed weight map (scoreCentroidInline's aggregate shape)
+    val wmap =
+      if (wEntries.isEmpty) map_from_arrays(array().cast("array<bigint>"), array().cast("array<bigint>"))
+      else map(wEntries.sortBy(_._1).flatMap { case (kk, v) => Seq(lit(kk), lit(v)) }.toSeq: _*)
+    val mdArr = array(mDiff.map(lit(_)).toSeq: _*)
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    val xd = aggregate(toks, lit(0L), (acc, tk) =>
+      acc + coalesce(element_at(wmap, col("__f").cast("long") * dim +
+        pmod(graft.functions.native.fingerprint64(tk), lit(dim.toLong))), lit(0L)))
+    val delta = lit(2L * scale) * xd - element_at(mdArr, col("__f") + 1)
+    lab.filter(size(toks) > 0) // token-less docs produce no prediction row
+      .select(col("__f").cast("long").as("fold"), (delta > 0).as("__p"), col("__y").as("__actual"))
       .groupBy("fold")
       .agg(sum(when(col("__p") && col("__actual"), 1L).otherwise(0L)).as("tp"),
         sum(when(col("__p") && !col("__actual"), 1L).otherwise(0L)).as("fp"),

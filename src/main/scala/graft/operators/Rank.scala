@@ -179,9 +179,15 @@ object Rank {
    * pooled position k is tiebreak-independent even though rank
    * assignment within ties is not.
    *
-   * Scale shape: two [[globalRowNumber]] range-exchange rankings
-   * (one ordered by (group, value, id), one pooled by (value, id)),
-   * a group-cardinality-bounded stats aggregate broadcast back, and
+   * Scale shape: ONE fused [[globalRowNumber]] range-exchange
+   * ranking for BOTH orders (the q_rfm/text_ensemble exploded-union
+   * precedent): each row explodes into (w=0, its group) and (w=1,
+   * null group), and sorting the 2n-row union by (w, g, value, id)
+   * ranks block 0 by (group, value, id) — the within-group order —
+   * and block 1 (g uniformly null) by (value, id) — the pooled
+   * order, at rank - n. One sample job + one size job + one rank
+   * pass replace two sequential range-exchange cycles. Then a
+   * group-cardinality-bounded stats aggregate broadcast back, and
    * ONE position equi-join — never a per-group single-task window.
    * r * N must stay inside int64, so N is CHECKED against
    * floor(sqrt(2^63)) ≈ 3.037e9 rows (r <= N, so r * N <= N^2) and
@@ -198,15 +204,23 @@ object Rank {
 
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
-    val grouped = globalRowNumber(df.select(col(groupCol), col(valueCol), col(idCol)),
-      Seq(col(groupCol), col(valueCol), col(idCol)))
-    val gstats = grouped.groupBy(groupCol)
-      .agg(min("rank").as("__gmin"), count(lit(1)).as("__ng"))
     val total = df.count()
     requireQnormBound(total)
-    val pooled = globalRowNumber(df.select(col(valueCol), col(idCol)),
-        Seq(col(valueCol), col(idCol)))
-      .select(col("rank").as("__k"), col(valueCol).as("qnorm"))
+    val base = df.select(col(groupCol), col(valueCol), col(idCol))
+    val gType = base.schema(groupCol).dataType
+    val ex = base.select(col(groupCol), col(valueCol), col(idCol),
+        explode(array(
+          struct(lit(0).as("w"), col(groupCol).as("g")),
+          struct(lit(1).as("w"), lit(null).cast(gType).as("g")))).as("e"))
+      .select(col(groupCol), col(valueCol), col(idCol),
+        col("e.w").as("w"), col("e.g").as("g"))
+    val ranked = globalRowNumber(ex,
+      Seq(col("w"), col("g"), col(valueCol), col(idCol)))
+    val grouped = ranked.filter(col("w") === 0).drop("w", "g")
+    val gstats = grouped.groupBy(groupCol)
+      .agg(min("rank").as("__gmin"), count(lit(1)).as("__ng"))
+    val pooled = ranked.filter(col("w") === 1)
+      .select((col("rank") - total).as("__k"), col(valueCol).as("qnorm"))
     grouped
       .join(broadcast(gstats), groupCol)
       .withColumn("__r", col("rank") - col("__gmin") + 1)

@@ -138,53 +138,50 @@ object TextAnalysis {
    *
    * Scale shape: one map-side-combined (group, term) aggregate; the
    * vocab table and per-group totals derive from it (no second corpus
-   * scan). The JSD grid is groups x vocab — distributed join rows,
-   * never collected; the corpus-total scalar rides a broadcast
+   * scan). The absent-term JSD mass is computed ANALYTICALLY instead
+   * of materializing the dense groups x vocab grid: since the corpus
+   * distribution sums to 1,  sum_absent q·ln2 = (1 - sum_present q)
+   * ·ln2,  so  jsd = 0.5·(ln2 + sum_present[p·ln(2p/(p+q)) +
+   * q·ln(2q/(p+q)) - q·ln2])  — the plan touches only GROUP-PRESENT
+   * (group, term) rows (bounded by the gt aggregate itself, group-
+   * cardinality-independent); the r14 grid shape paid a groups x
+   * vocab cross join. The corpus-total scalar rides a broadcast
    * 1-row cross join. The term table is persisted for its three
    * derived faces and released EAGERLY by materializing the
-   * group-bounded result (one row per group — groupCol is a
-   * source/shard/slice by contract, so the collect is bounded);
-   * leaving the unpersist to the ContextCleaner let these frames
-   * pile up in executor storage across long multi-query runs.
+   * group-bounded result; the group-cardinality contract (groupCol
+   * is a source/shard/slice) is enforced AT that collect via a limit
+   * probe — at most 4097 rows come back — instead of a separate
+   * up-front distinct-count job (safe now that no grid can explode
+   * on a high-cardinality groupCol first).
    */
   def sourceDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(groupCol).as("__grp"),
       explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__t"))
     val gt = tok.groupBy("__grp", "__t").agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the eager collect below is only safe because groupCol is a
-    // source/shard/slice by contract — enforce the contract instead
-    // of trusting it: the distinct-group count rides the already-
-    // persisted term table (this also FILLS the cache before the
-    // three derived faces read it), and a high-cardinality groupCol
-    // fails loudly here rather than OOMing the driver
-    val nGroups = gt.select("__grp").distinct().count()
-    require(nGroups <= 4096,
-      s"sourceDrift: groupCol '$groupCol' has $nGroups distinct groups; " +
-        "the per-group result is materialized on the driver, so the group " +
-        "count must stay bounded (<= 4096) — pre-bucket the column first")
     val vocab = gt.groupBy("__t").agg(sum("__c").as("__ct"))
     val gTot = gt.groupBy("__grp").agg(sum("__c").as("__n"), count(lit(1)).as("n_types"))
     val nTot = vocab.agg(sum("__ct").as("__nn"))
-    // dense (group x vocab) grid so absent terms contribute their JSD mass
-    val grid = gTot.crossJoin(vocab).crossJoin(broadcast(nTot))
-      .join(gt, Seq("__grp", "__t"), "left")
-      .withColumn("__p", coalesce(col("__c"), lit(0L)).cast("double") / col("__n"))
-      .withColumn("__q", col("__ct").cast("double") / col("__nn"))
+    val ln2 = lit(math.log(2.0))
     val term2 = lit(2.0)
-    val out = grid.groupBy(col("__grp"))
+    val pres = gt.join(vocab, "__t").join(gTot, "__grp").crossJoin(broadcast(nTot))
+      .withColumn("__p", col("__c").cast("double") / col("__n"))
+      .withColumn("__q", col("__ct").cast("double") / col("__nn"))
+    val out = pres.groupBy(col("__grp"))
       .agg(first(col("__n")).cast("long").as("n_tokens"),
         first(col("n_types")).as("n_types"),
-        round(sum(when(col("__p") > 0, col("__p") * log(col("__p") / col("__q")))
-          .otherwise(lit(0.0))), 6).as("kl"),
-        round(sum(
-          when(col("__p") > 0,
-            col("__p") * log(term2 * col("__p") / (col("__p") + col("__q"))) * 0.5)
-            .otherwise(lit(0.0)) +
-          col("__q") * log(term2 * col("__q") / (col("__p") + col("__q"))) * 0.5), 6).as("jsd"))
+        round(sum(col("__p") * log(col("__p") / col("__q"))), 6).as("kl"),
+        round((ln2 + sum(
+          col("__p") * log(term2 * col("__p") / (col("__p") + col("__q"))) +
+          col("__q") * log(term2 * col("__q") / (col("__p") + col("__q"))) -
+          col("__q") * ln2)) * 0.5, 6).as("jsd"))
       .withColumnRenamed("__grp", groupCol)
-    val rows = out.collect()
+    val rows = out.limit(4097).collect()
     gt.unpersist()
+    require(rows.length <= 4096,
+      s"sourceDrift: groupCol '$groupCol' has over 4096 distinct groups; " +
+        "the per-group result is materialized on the driver, so the group " +
+        "count must stay bounded — pre-bucket the column first")
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }

@@ -118,6 +118,36 @@ class ClassifySpec extends SparkSpecBase {
       .getMessage.contains("k >= 2"))
   }
 
+  test("cvCentroid fused one-pass scoring equals the per-fold train+classify chain") {
+    // overlapping vocabulary + seeded noise so predictions are
+    // nontrivial (some misclassifications) and every bucket matters
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "spam", "ham", "offer", "report")
+    val msgs = (1L to 60L).map { i =>
+      val y = i % 3 == 0
+      val base = if (y) Seq("spam", "offer") else Seq("ham", "report")
+      val noise = Seq.fill(4)(words(rnd.nextInt(words.length)))
+      (i, y, (base ++ noise).mkString(" "))
+    }.toDF("id", "y", "text")
+    val k = 4
+    val fused = Classify.cvCentroid(msgs, $"y", "id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // oracle: the old shape — k separate trainings + scorings
+    val naive = (0 until k).map { f =>
+      val train = msgs.filter(pmod($"id", lit(k)) =!= f).withColumn("__y", $"y")
+      val m = Classify.trainCentroid(train, "__y", "id", "text")
+      val scored = Classify.classifyCentroid(msgs.filter(pmod($"id", lit(k)) === f), "id", "text", m)
+        .join(msgs.select($"id", $"y"), "id")
+        .select(($"pred_label" === "pos").as("p"), $"y")
+        .collect()
+      f.toLong -> ((scored.count(r => r.getBoolean(0) && r.getBoolean(1)).toLong,
+        scored.count(r => r.getBoolean(0) && !r.getBoolean(1)).toLong,
+        scored.count(r => !r.getBoolean(0) && !r.getBoolean(1)).toLong,
+        scored.count(r => !r.getBoolean(0) && r.getBoolean(1)).toLong))
+    }.toMap
+    assert(fused == naive, s"fused=$fused naive=$naive")
+  }
+
   test("scoreCentroidInline: delta-identical to the shuffle path, zero Exchanges, keeps empty docs") {
     val m = Classify.trainCentroid(labeled, "__y", "id", "text")
     val cw = Classify.centroidWeights(m)
