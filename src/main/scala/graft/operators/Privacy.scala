@@ -51,8 +51,15 @@ object Privacy {
     var cur = df
     for ((lvl, i) <- levels.zipWithIndex; (nm, c) <- lvl)
       cur = cur.withColumn(s"__l${i}_$nm", c)
-    var residue = cur.select(col(idCol) +:
-      levels.indices.flatMap(i => names.map(nm => col(s"__l${i}_$nm"))): _*)
+    // pin each rung's residue (slim: id + QI columns) — every rung's
+    // class-count aggregate AND its broadcast join read the SAME
+    // residue, and rung i's residue derives from rung i-1's, so an
+    // unpinned chain re-executes the whole prefix once per rung
+    // (quadratic re-execution, the r14 q_ldiversity weak item). The
+    // gcPersist lifetime rides the returned union plan, which
+    // references every rung's blocks.
+    var residue = CacheUtil.gcPersist(cur.select(col(idCol) +:
+      levels.indices.flatMap(i => names.map(nm => col(s"__l${i}_$nm"))): _*))
     val qiType = names.map(nm => nm -> residue.schema(s"__l0_$nm").dataType).toMap
     val released = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- levels.indices) {
@@ -62,7 +69,8 @@ object Privacy {
       released += j.filter(col("__n") >= k)
         .select(col(idCol) +: names.map(nm => col(s"__l${i}_$nm").as(nm)) :+
           lit(i).as("anon_level") :+ col("__n").as("group_n"): _*)
-      residue = j.filter(col("__n") < k).drop("__n")
+      val next = j.filter(col("__n") < k).drop("__n")
+      residue = if (i == levels.length - 1) next else CacheUtil.gcPersist(next)
     }
     val suppressed = residue.select(col(idCol) +:
       names.map(nm => lit(null).cast(qiType(nm)).as(nm)) :+

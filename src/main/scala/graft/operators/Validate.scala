@@ -49,50 +49,88 @@ object Validate {
   /**
    * Run the suite: returns one row per check —
    * (check, column, n_violations, n_rows, pass) — ordered as given.
-   * Row-level checks share ONE aggregate scan; each Unique adds one
-   * grouped aggregate (violations = rows beyond the first per
-   * duplicated key); each RefIntegrity one anti-join count.
+   *
+   * ONE job for the whole suite (the r14 verdict's q_validate item —
+   * the old shape paid a separate scan each for the row aggregate,
+   * the uniqueness rollup, and TWO RefIntegrity counts): every
+   * RefIntegrity becomes a broadcast LEFT join presence flag
+   * (map-only — orphans = non-null fact keys whose ref side is
+   * null), every row-level check a conditional sum, and when a
+   * Unique check is present those sums ride a CollectMetrics
+   * (`observe`) node UNDER its grouped aggregate — the scan's rows
+   * flow through the metrics collector on their way into the
+   * NARROW (key, count) uniqueness shuffle, so the whole suite is
+   * one scan and the shuffle stays two columns wide (routing the
+   * sums through the grouped aggregate itself was measured to give
+   * the scan saving back in shuffle width). Additional Unique
+   * checks beyond the first each pay one more grouped aggregate (a
+   * second shuffle key needs a second hash).
    */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Validate.validate: empty check suite")
     val spark = df.sparkSession
-    val (rowChecks, otherChecks) = checks.partition {
+    val rowChecks = checks.filter {
       case _: NotNull | _: InRange | _: Accepted | _: Matches => true
       case _ => false
     }
-    // one scan: count(*) + one conditional sum per row-level check
-    val rowResults: Map[Check, (Long, Long)] =
-      if (rowChecks.isEmpty) Map.empty
-      else {
-        // coalesce: sums over an EMPTY table are NULL, and an empty
-        // snapshot/partition is a legitimate gate input
-        val aggs = rowChecks.zipWithIndex.map { case (c, i) =>
-          coalesce(sum(when(violation(c), 1L).otherwise(0L)), lit(0L)).as(s"v$i")
-        }
-        val r = df.agg(count(lit(1)).as("n"), aggs: _*).first()
-        val n = r.getLong(0)
-        rowChecks.zipWithIndex.map { case (c, i) => c -> (r.getLong(i + 1), n) }.toMap
-      }
-    val otherResults: Map[Check, (Long, Long)] = otherChecks.map {
-      case u @ Unique(col0) =>
-        val r = df.filter(col(col0).isNotNull)
-          .groupBy(col(col0))
-          .agg(count(lit(1)).as("c"))
-          .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)).cast("long"), lit(0L)),
-            coalesce(sum("c").cast("long"), lit(0L)))
+    val uniqueChecks = checks.collect { case u: Unique => u }
+    val fkChecks = checks.collect { case f: RefIntegrity => f }
+    // map-only presence flags for every FK (ref sides stay dimension-
+    // sized by contract; names prefixed to dodge collisions)
+    val annotated = fkChecks.zipWithIndex.foldLeft(df) { case (cur, (f, i)) =>
+      cur.join(broadcast(f.ref.select(col(f.refCol).as(s"__ref$i")).distinct()),
+        col(f.column) === col(s"__ref$i"), "left")
+    }
+    // flat metric list: one violation sum per row check; (orphans,
+    // non-null count) per FK — identical in both routes below
+    val metricCols: Seq[Column] =
+      rowChecks.map(c => sum(when(violation(c), 1L).otherwise(0L))) ++
+        fkChecks.zipWithIndex.flatMap { case (f, i) => Seq(
+          sum(when(col(f.column).isNotNull && col(s"__ref$i").isNull, 1L).otherwise(0L)),
+          sum(when(col(f.column).isNotNull, 1L).otherwise(0L))) }
+    // coalesce: sums over an EMPTY table are NULL, and an empty
+    // snapshot/partition is a legitimate gate input
+    val namedMetrics = count(lit(1)).as("n") +:
+      metricCols.zipWithIndex.map { case (m, i) => coalesce(m, lit(0L)).as(s"m$i") }
+    val (metricRow, uniqueHead) = uniqueChecks.headOption match {
+      case None =>
+        (annotated.agg(namedMetrics.head, namedMetrics.tail: _*).first(), None)
+      case Some(u) =>
+        val obs = new org.apache.spark.sql.Observation()
+        val observed = annotated.observe(obs, namedMetrics.head, namedMetrics.tail: _*)
+        val r = observed.groupBy(col(u.column).as("__k"))
+          .agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(when(col("__k").isNotNull && col("__c") > 1, col("__c") - 1))
+              .cast("long"), lit(0L)),
+            coalesce(sum(when(col("__k").isNotNull, col("__c"))).cast("long"), lit(0L)))
           .first()
-        (u: Check) -> (r.getLong(0), r.getLong(1))
-      case f @ RefIntegrity(col0, ref, refCol) =>
-        val present = df.filter(col(col0).isNotNull)
-        val nTotal = present.count()
-        val nOrphans = present
-          .join(broadcast(ref.select(col(refCol)).distinct()),
-            col(col0) === col(refCol), "left_anti")
-          .count()
-        (f: Check) -> (nOrphans, nTotal)
-      case c => throw new IllegalStateException(s"unhandled check: $c")
-    }.toMap
-    val all = rowResults ++ otherResults
+        val m = obs.get // blocks until the action above registered its metrics
+        // PropagateEmptyRelation can eliminate the CollectMetrics node
+        // when the input is provably empty — every metric is then 0
+        (Row.fromSeq(namedMetrics.indices.map(i =>
+          m.getOrElse(if (i == 0) "n" else s"m${i - 1}", 0L))),
+          Some((r.getLong(0), r.getLong(1))))
+    }
+    val n = metricRow.getLong(0)
+    val rowResults: Map[Check, (Long, Long)] =
+      rowChecks.zipWithIndex.map { case (c, i) => c -> (metricRow.getLong(1 + i), n) }.toMap
+    val fkResults: Map[Check, (Long, Long)] =
+      fkChecks.zipWithIndex.map { case (f, i) =>
+        val b = 1 + rowChecks.length + 2 * i
+        (f: Check) -> (metricRow.getLong(b), metricRow.getLong(b + 1))
+      }.toMap
+    val uniqueResults: Map[Check, (Long, Long)] =
+      uniqueChecks.headOption.map(u => (u: Check) -> uniqueHead.get).toMap ++
+        uniqueChecks.drop(1).map { u =>
+          val r = df.filter(col(u.column).isNotNull)
+            .groupBy(col(u.column))
+            .agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)).cast("long"), lit(0L)),
+              coalesce(sum("c").cast("long"), lit(0L)))
+            .first()
+          (u: Check) -> (r.getLong(0), r.getLong(1))
+        }.toMap
+    val all = rowResults ++ fkResults ++ uniqueResults
     val rows = checks.map { c =>
       val (viol, n) = all(c)
       Row(c.name, c.column, viol, n, if (viol == 0) 1L else 0L)
