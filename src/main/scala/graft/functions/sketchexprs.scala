@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -33,6 +33,20 @@ object SketchKernels {
   def mix2(id: Long): Long = {
     val h = knuth(id)
     knuth(h ^ (h >>> 16))
+  }
+
+  /** Is `item` among `unit`'s m negative-sampling draws
+   *  (knuth(unit*m + j) % n for j in [0, m))? The m-iteration loop is
+   *  ONE compiled kernel call per row — the expression-tree form of
+   *  the same test (m inlined hash subtrees) fell out of whole-stage
+   *  codegen and measured 25x slower (Sampling.negativeSample doc). */
+  def negHit(unit: Long, item: Long, m: Int, n: Long): Boolean = {
+    var j = 0L
+    while (j < m) {
+      if (knuth(unit * m + j) % n == item) return true
+      j += 1
+    }
+    false
   }
 
   /** The k probed bit positions of an id (build-side explode input). */
@@ -89,6 +103,28 @@ case class BloomBitsExpr(child: Expression, logM: Int, k: Int) extends UnaryExpr
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** neg_hit(unit, item) — is `item` among `unit`'s m negative-sampling
+  * candidate draws? One kernel call per row (the m-iteration loop
+  * compiled once, not inlined m times into the expression tree).
+  * Backs [[graft.operators.Sampling.negativeSample]]'s MAP-ONLY
+  * interaction-sliver filter. */
+case class NegHitExpr(left: Expression, right: Expression, m: Int, nItems: Long)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "neg_hit"
+
+  override protected def nullSafeEval(unit: Any, item: Any): Any =
+    SketchKernels.negHit(unit.asInstanceOf[Long], item.asInstanceOf[Long], m, nItems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (u, it) =>
+      s"${ev.value} = graft.functions.SketchKernels.negHit($u, $it, $m, ${nItems}L);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** bloom_probe(id) over a bound filter — boolean, null for null id.

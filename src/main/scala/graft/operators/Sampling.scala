@@ -352,16 +352,19 @@ object Sampling {
    * Plan shape (only slim long pairs ever shuffle, and the
    * interactions side aggregates only a sliver):
    *
-   *  1. An EXACT candidate semi-join shrinks the interactions to the
-   *     sliver that is actually in some unit's candidate set: the m
-   *     draws per unit are generated once by a codegen explode
-   *     (m = k * oversample integer hashes per UNIT) and the
-   *     interactions semi-join against them on (unit, item) — shuffle
-   *     volume is m·|units| + |interactions| long pairs,
-   *     corpus-linear. (Through r11 this stage was a Bloom filter
-   *     built over the exploded candidates in a separate job — the
-   *     semi-join deletes that job, the driver-held filter words,
-   *     and the false-positive sliver rows in one move.) Only the
+   *  1. A MAP-ONLY membership filter shrinks the interactions to the
+   *     sliver that is actually in some unit's candidate set: per
+   *     interaction row, ONE compiled kernel call
+   *     ([[graft.functions.NegHitExpr]]) loops the unit's m draws and
+   *     tests item equality — no candidate explode, no shuffle at
+   *     all for this stage. (History: through r11 this was a Bloom
+   *     filter built over exploded candidates in a separate job;
+   *     r12-r14 an exact semi-join against the m·|units| exploded
+   *     candidate pairs — correct but it shuffled m·|units| +
+   *     |interactions| rows; the EXPRESSION-TREE form of the per-row
+   *     test — m inlined hash subtrees — fell out of whole-stage
+   *     codegen past ~600 nodes and measured 25x slower, which is
+   *     why the loop is a kernel, not a Column tree.) Only the
    *     sliver pays the (tiny) groupBy(unit, collect_set(item))
    *     shuffle before broadcasting back onto the units.
    *  2. One typed flatMap over (unit, interacted-candidates) draws
@@ -384,23 +387,15 @@ object Sampling {
     requireIntegralId(units, unitCol, "negativeSample")
     val m = k * oversample
     val unitType = units.schema(unitCol).dataType
-    // generate each unit's m candidate (unit, item) pairs once (a
-    // codegen explode — m integer hashes per UNIT, not per
-    // interaction) and semi-join the interactions against them: both
-    // join sides are slim long pairs, so the shuffle is 64·|units| +
-    // |interactions| longs — corpus-linear. (Two rejected shapes: a
-    // per-interaction membership predicate re-hashed m times per
-    // ROW and fell out of whole-stage codegen past ~600 expression
-    // nodes, 25x slower; the r11 Bloom filter needed its own build
-    // job plus driver-held words and still let false positives into
-    // the sliver.)
-    val cand = units.select(col(unitCol).cast("long").as("unit"))
-      .withColumn("__j", explode(sequence(lit(0L), lit(m - 1L))))
-      .select(col("unit"),
-        pmod(knuthHash(col("unit") * m + col("__j")), lit(nItems)).as("item"))
-    val sliverByUnit = interactions
+    // map-only membership filter (see plan-shape doc above): one
+    // kernel call per interaction row replaces the r12-r14 exploded
+    // candidate semi-join and its m·|units|-row shuffle
+    val sliver = interactions
       .select(col(iUnitCol).cast("long").as("unit"), col(iItemCol).cast("long").as("item"))
-      .join(cand, Seq("unit", "item"), "left_semi")
+    val sliverByUnit = sliver
+      .filter(org.apache.spark.sql.GraftBridge.column(graft.functions.NegHitExpr(
+        org.apache.spark.sql.GraftBridge.expression(sliver("unit")),
+        org.apache.spark.sql.GraftBridge.expression(sliver("item")), m, nItems)))
       .groupBy("unit").agg(collect_set("item").as("__hit"))
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
