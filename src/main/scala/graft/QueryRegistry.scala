@@ -3495,6 +3495,78 @@ object QueryRegistry {
       WHERE rn <= 5 ORDER BY q_id, rn"""
     })
 
+  /** Composed IVF+PQ ANN ([[graft.operators.Quantize.ivfPqTopK]], the
+   *  Jegou et al. 2011 IVFADC recipe): IVF cell pruning bounds which
+   *  rows each query scores, PQ codes bound what the scan reads, exact
+   *  squared-L2 rerank of the bounded survivors. The oracle replays
+   *  EVERYTHING — the IVF centroid sample + nearest-cell assignment +
+   *  nprobe probing (the ann_ivf CTEs), the PQ codebook sample +
+   *  per-subspace argmin encode + s-ordered ADC fold (the ann_pq
+   *  CTEs) joined on the cell id, the candidate cut, and the rerank. */
+  private val ann_ivfpq = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Quantize.ivfPqTopK(emb,
+          emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "vec_id", "embedding", "q_id", "q_vec",
+          k = 5, nCells = 16, nprobe = 4, m = 4, ksub = 16, refineFactor = 4)
+        .withColumn("l2", round(col("l2"), 6)).orderBy("q_id", "rn")
+    },
+    Some {
+      def l2sub(a: String, b: String, s: String) =
+        s"""list_reduce(list_transform(range(1, 17),
+          i -> (($a)[$s*16+i]::DOUBLE - ($b)[$s*16+i]::DOUBLE) * (($a)[$s*16+i]::DOUBLE - ($b)[$s*16+i]::DOUBLE)),
+          (x, y) -> x + y)"""
+      def l2full(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+          i -> (($a)[i]::DOUBLE - ($b)[i]::DOUBLE) * (($a)[i]::DOUBLE - ($b)[i]::DOUBLE)),
+          (x, y) -> x + y)"""
+      s"""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+      asn AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM embeddings e CROSS JOIN cents c) WHERE crn = 1),
+      prb AS (
+        SELECT q_id, q_vec, cid FROM (
+          SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cents c) WHERE crn <= 4),
+      cb AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, embedding AS cw FROM (
+          SELECT vec_id, embedding, ${graft.operators.Sampling.knuthHashSql("vec_id")} AS h
+          FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+      encd AS (
+        SELECT e.vec_id, t.s, c.j, round(${l2sub("e.embedding", "c.cw", "t.s")}, 9) AS d
+        FROM embeddings e CROSS JOIN range(0, 4) t(s) CROSS JOIN cb c),
+      enc AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM encd)
+        WHERE rn = 1),
+      cellenc AS (SELECT en.vec_id, a.cid, en.s, en.code FROM enc en JOIN asn a USING (vec_id)),
+      persub AS (
+        SELECT p.q_id, ce.vec_id, ce.s, ${l2sub("p.q_vec", "c.cw", "ce.s")} AS ds
+        FROM prb p JOIN cellenc ce USING (cid) JOIN cb c ON c.j = ce.code),
+      adc AS (
+        SELECT q_id, vec_id, list_reduce(list(ds ORDER BY s), (x, y) -> x + y) AS adc
+        FROM persub GROUP BY q_id, vec_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY round(adc, 9), vec_id) AS qrn FROM adc)
+        WHERE qrn <= 20),
+      rer AS (
+        SELECT c.q_id, c.vec_id, ${l2full("ce.embedding", "qe.embedding")} AS l2
+        FROM cand c JOIN embeddings ce ON ce.vec_id = c.vec_id
+                    JOIN embeddings qe ON qe.vec_id = c.q_id)
+      SELECT q_id, vec_id, round(l2, 6) AS l2, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY round(l2, 9), vec_id) AS rn FROM rer)
+      WHERE rn <= 5 ORDER BY q_id, rn"""
+    })
+
   /** MMR diversity selection over a bounded candidate pool: 8 greedy
    *  picks at lambda = 0.5 (exact-binary constant on both engines).
    *  The oracle UNROLLS the recurrence — one CTE block per pick, the
@@ -7276,6 +7348,7 @@ object QueryRegistry {
     "dedup_paragraph" -> dedup_paragraph,
     "dedup_substring" -> dedup_substring,
     "ann_pq" -> ann_pq,
+    "ann_ivfpq" -> ann_ivfpq,
     "q_zorder" -> q_zorder,
     "q_bucketed" -> q_bucketed,
     "q_validate" -> q_validate,

@@ -78,7 +78,7 @@ object Ann {
    * centroids can be INLINED as literals and the corpus-side cell
    * assignment becomes a per-row argmax with no shuffle at all.
    */
-  private def collectCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
+  private[operators] def collectCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
                               nCells: Int): Seq[(Column, Seq[Float])] = {
     val cidType = corpus.schema(corpusId).dataType
     sampleCodebookValues(corpus, corpusId, corpusVec, nCells).map { case (v, vec) =>
@@ -193,7 +193,7 @@ object Ann {
    * `lit(0.0) - x` negation normalizes -0.0 so a zero-similarity tie
    * orders identically. Map-only: no Exchange anywhere.
    */
-  private def nearestCellStructs(vec: Column, codebook: Seq[(Column, Seq[Float])]): Column =
+  private[operators] def nearestCellStructs(vec: Column, codebook: Seq[(Column, Seq[Float])]): Column =
     array_sort(array(codebook.map { case (cid, cvec) =>
       struct((lit(0.0) - round(Dedup.cosine(vec, typedLit(cvec)), 9)).as("negsim"), cid.as("cid"))
     }: _*))
@@ -242,7 +242,7 @@ object Ann {
                 nCells: Int = 16): DataFrame =
     ivfAssignWith(corpus, corpusVec, collectCodebook(corpus, corpusId, corpusVec, nCells))
 
-  private def ivfAssignWith(corpus: DataFrame, corpusVec: String,
+  private[operators] def ivfAssignWith(corpus: DataFrame, corpusVec: String,
                             codebook: Seq[(Column, Seq[Float])]): DataFrame =
     corpus.withColumn("__cid",
       array_min(array(codebook.map { case (cid, cvec) =>

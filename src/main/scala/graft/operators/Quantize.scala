@@ -174,4 +174,65 @@ object Quantize {
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("l2"), col("rn"))
   }
+
+  /**
+   * Composed IVF+PQ ANN — the standard billion-scale recipe (Jegou et
+   * al. 2011 IVFADC): IVF cell pruning bounds WHICH rows each query
+   * scores, PQ codes bound WHAT the scoring scan reads, and an exact
+   * rerank of the k·refineFactor survivors restores full precision.
+   * Both halves are this library's existing machinery composed:
+   * [[Ann.ivfAssignWith]] (map-only nearest-centroid cell id) +
+   * [[pqEncode]] (map-only m-code encode) run in ONE corpus pass;
+   * queries probe their `nprobe` nearest cells ([[Ann
+   * .nearestCellStructs]], map-only + broadcast); ADC scores only the
+   * probed cells' code rows via the same native kernel as [[pqTopK]].
+   *
+   * Scale shape: the corpus never shuffles — cell assignment and
+   * encode are map-only, candidate generation is a broadcast hash
+   * join on the cell id, and the only Exchange carries
+   * (queryId, corpusId, adc) into the bounded top-k window. Per
+   * query the ADC scan touches ~nprobe/nCells of the corpus and
+   * reads m codes per row instead of 4·dim vector bytes — the two
+   * multiplicative savings that make the composition the
+   * billion-scale default. Output: (queryId, corpusId, l2, rn) with
+   * l2 the exact squared distance of the reranked survivors.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                corpusId: String, corpusVec: String,
+                queryId: String, queryVec: String,
+                k: Int, nCells: Int = 16, nprobe: Int = 4,
+                m: Int = 4, ksub: Int = 16, refineFactor: Int = 4): DataFrame = {
+    require(k >= 1 && refineFactor >= 1, s"k and refineFactor must be >= 1: $k, $refineFactor")
+    require(nprobe >= 1 && nprobe <= nCells, s"need 1 <= nprobe <= nCells: $nprobe, $nCells")
+    val cells = Ann.collectCodebook(corpus, corpusId, corpusVec, nCells)
+    val cb = pqCodebook(corpus, corpusId, corpusVec, m, ksub)
+    // ONE corpus pass: cell id + PQ codes, both map-only
+    val enc = pqEncode(Ann.ivfAssignWith(corpus, corpusVec, cells)
+        .select(col(corpusId), col("__cid"), col(corpusVec)), corpusVec, cb)
+      .select(col(corpusId), col("__cid"), col("pq_codes"))
+    val probed = queries
+      .withColumn("__cell",
+        explode(slice(Ann.nearestCellStructs(col(queryVec), cells), 1, nprobe)))
+      .select(col("__cell.cid").as("__cid"), col(queryId), col(queryVec))
+    // a corpus row lives in exactly one cell and a query probes
+    // distinct cells, so each (query, row) pair scores at most once
+    val scored = enc.join(broadcast(probed), "__cid")
+      .withColumn("adc",
+        graft.functions.native.pqAdc(col(queryVec), col("pq_codes"), flatCodebook(cb), m))
+      .select(col(queryId), col(corpusId), col("adc"))
+    val preQ = TopK.maybePartitionTopK(scored, queryId, corpusId, "adc",
+      k * refineFactor, ascending = true)
+    val wq = Window.partitionBy(col(queryId)).orderBy(round(col("adc"), 9).asc, col(corpusId).asc)
+    val cand = preQ.withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= k * refineFactor)
+      .select(col(queryId), col(corpusId))
+    val withVecs = corpus.select(col(corpusId), col(corpusVec))
+      .join(broadcast(cand), corpusId)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+      .withColumn("l2", graft.functions.native.l2Sq(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(round(col("l2"), 9).asc, col(corpusId).asc)
+    withVecs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("l2"), col("rn"))
+  }
 }

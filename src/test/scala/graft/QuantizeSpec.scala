@@ -110,6 +110,38 @@ class QuantizeSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"vectors/codes must not ride a shuffle:\n${offenders.mkString("\n")}")
   }
 
+  test("ivfPqTopK: top-1 self-recall; pairs only from probed cells; no Exchange carries vectors or codes") {
+    val corpus = vecs(200, 64, 13)
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Quantize.ivfPqTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+      k = 5, nCells = 8, nprobe = 3, m = 4, ksub = 16, refineFactor = 8)
+    val rows = got.collect()
+    assert(rows.length == 25, s"5 queries x k=5: got ${rows.length}")
+    assert(rows.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)),
+      "rank 1 must be the query itself (its own cell is its nearest probe; its own codes minimize ADC)")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ds.head >= 0 && ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+    // every returned pair must come from a probed cell: recompute
+    // assignment + probes independently and cross-check membership
+    val cellsOf = Ann.ivfAssign(corpus, "vec_id", "embedding", nCells = 8)
+      .select($"vec_id", $"__cid").as[(Long, Long)].collect().toMap
+    val probes = rows.map(_.getLong(0)).distinct.map { q =>
+      q -> Ann.ivfTopK(corpus, queries.filter($"q_id" === q), "vec_id", "embedding",
+        "q_id", "q_vec", k = 200, nCells = 8, nprobe = 3)
+        .select($"vec_id").as[Long].collect().map(cellsOf).toSet
+    }.toMap
+    rows.foreach(r => assert(probes(r.getLong(0)).contains(cellsOf(r.getLong(1))),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}) not in a probed cell"))
+    val plan = got.queryExecution.executedPlan.toString
+    val offenders = plan.linesIterator.filter(_.contains("Exchange"))
+      .filter(l => l.contains("embedding") || l.contains("q_vec") || l.contains("pq_codes"))
+      .toSeq
+    assert(offenders.isEmpty, s"vectors/codes must not ride a shuffle:\n${offenders.mkString("\n")}")
+  }
+
   test("quantizedTopK plan: no Exchange carries a vector column") {
     val corpus = vecs(50, 16, 5)
     val queries = corpus.limit(2).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))

@@ -13,15 +13,40 @@ comparison) when floor >= 50%% of the sf0.1 median. Prints the
 markdown table to stdout; the prose sections of BASELINE.md are
 maintained by hand.
 
-Usage: python3 tools/gen_baseline_md.py BENCH_FULL.json
+The committed `spark s` convention (r14 verdict item 8, machine-checked
+here): a query's value is the MIN of the sweep median and any idle
+rerun medians passed via --rerun (the contention-rerun rule) — so the
+table is reproducible from committed artifacts instead of hand-spliced.
+--check BASELINE.md re-derives the table and fails on any drifted
+`spark s` cell.
+
+Usage: python3 tools/gen_baseline_md.py BENCH_FULL.json \
+         [--rerun tools/rerun_sf0.1.json ...] [--check BASELINE.md]
 """
-import json, os, sys
+import argparse, json, os, re, sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from compare_bench import CLS, load_bench
 
+ap = argparse.ArgumentParser()
+ap.add_argument('bench')
+ap.add_argument('--rerun', action='append', default=[],
+                help='idle rerun bench json(s); per query the min median wins')
+ap.add_argument('--check', metavar='BASELINE_MD',
+                help='verify the committed table matches the regenerated one')
+args = ap.parse_args()
+
 here = os.path.dirname(os.path.abspath(__file__))
 duck = json.load(open(os.path.join(here, 'baseline_duckdb.json')))['duckdb_sec']
-spark = load_bench(sys.argv[1])['queries']
+spark = dict(load_bench(args.bench)['queries'])
+settled = {}
+for rp in args.rerun:
+    for q, v in load_bench(rp)['queries'].items():
+        if v >= 0 and q in spark and 0 <= spark[q] and v < spark[q]:
+            spark[q] = v
+            settled[q] = rp
+if settled:
+    print(f"settled {len(settled)} queries from reruns: "
+          f"{sorted(settled)}", file=sys.stderr)
 floor_path = os.path.join(here, 'floor_sf0.001.json')
 floor = {}
 if os.path.exists(floor_path):
@@ -34,6 +59,29 @@ failed = sorted(q for q, v in spark.items() if v < 0)
 if failed:
     sys.exit(f"FAILED queries in bench json (sentinel -1.0) — not committing "
              f"a corrupted table: {failed}")
+
+if args.check:
+    committed = {}
+    for line in open(args.check):
+        m = re.match(r'\| (\w+) \| [A-C?] \| (\d+\.\d+) \|', line)
+        if m:
+            committed[m.group(1)] = float(m.group(2))
+    drift = []
+    for q in sorted(set(spark) & set(duck)):
+        want = spark[q]
+        got = committed.get(q)
+        if got is None:
+            drift.append(f"{q}: missing from {args.check}")
+        elif abs(got - want) > 0.0015:  # 3-dp cells; allow rounding slack
+            drift.append(f"{q}: committed {got:.3f} != settled {want:.3f}")
+    extra = sorted(set(committed) - set(spark))
+    if extra:
+        drift.append(f"rows with no bench value: {extra}")
+    if drift:
+        sys.exit("BASELINE drift vs settled medians:\n  " + "\n  ".join(drift))
+    print(f"[check] {len(committed)} committed spark-s cells match the "
+          f"settled medians", file=sys.stderr)
+    sys.exit(0)
 
 print('| query | class | spark s | floor s | data s | duckdb s | spark/duckdb | data/duckdb |')
 print('|---|---|---|---|---|---|---|---|')
