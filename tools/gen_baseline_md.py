@@ -51,6 +51,13 @@ floor_path = os.path.join(here, 'floor_sf0.001.json')
 floor = {}
 if os.path.exists(floor_path):
     floor = json.load(open(floor_path))['queries']
+# optional multi-row-group fixture sweep (graft.FixtureGen layout):
+# same code, same rows, many row groups per file — isolates the
+# single-row-group decode confound from every class-A ratio
+fixture_path = os.path.join(here, 'bench_fixture_sf0.1.json')
+fixture = {}
+if os.path.exists(fixture_path):
+    fixture = json.load(open(fixture_path))['queries']
 
 missing = sorted(set(spark) ^ set(duck))
 if missing:
@@ -83,23 +90,29 @@ if args.check:
           f"settled medians", file=sys.stderr)
     sys.exit(0)
 
-print('| query | class | spark s | floor s | data s | duckdb s | spark/duckdb | data/duckdb |')
-print('|---|---|---|---|---|---|---|---|')
+fx_hdr = ' fixture s |' if fixture else ''
+fx_sep = '---|' if fixture else ''
+print(f'| query | class | spark s |{fx_hdr} floor s | data s | duckdb s | spark/duckdb | data/duckdb |')
+print(f'|---|---|---|{fx_sep}---|---|---|---|---|')
 tot = {}
 for q in sorted(set(spark) & set(duck)):
     c = CLS.get(q, '?')
     s, d = spark[q], duck[q]
     f = floor.get(q)
     data = max(s - f, 0.0) if f is not None and f >= 0 else None
-    tot.setdefault(c, [0.0, 0.0, 0.0])
+    tot.setdefault(c, [0.0, 0.0, 0.0, 0.0])
     tot[c][0] += s
     tot[c][1] += d
     tot[c][2] += data if data is not None else s
+    x = fixture.get(q)
+    tot[c][3] += x if x is not None and x >= 0 else s
     fs = f'{f:.3f}' if f is not None and f >= 0 else ''
     ds_ = f'{data:.3f}' if data is not None else ''
     dr = f'{data / d:.2f}' if data is not None else ''
-    print(f'| {q} | {c} | {s:.3f} | {fs} | {ds_} | {d:.3f} | {s / d:.2f} | {dr} |')
+    fx = (f' {x:.3f} |' if x is not None and x >= 0 else ' |') if fixture else ''
+    print(f'| {q} | {c} | {s:.3f} |{fx} {fs} | {ds_} | {d:.3f} | {s / d:.2f} | {dr} |')
 for c in sorted(tot):
-    s, d, data = tot[c]
-    print(f'| **total {c}** |  | **{s:.2f}** |  | **{data:.2f}** | **{d:.2f}** | '
+    s, d, data, x = tot[c]
+    fx = f' **{x:.2f}** |' if fixture else ''
+    print(f'| **total {c}** |  | **{s:.2f}** |{fx}  | **{data:.2f}** | **{d:.2f}** | '
           f'**{s / d:.2f}** | **{data / d:.2f}** |')
