@@ -399,6 +399,12 @@ object HipsPartitioner {
              outputDir: String, catname: String,
              summaryFiles: Boolean = true): PartitionMap = {
     val spark = df.sparkSession
+    // complete any crashed repartition commit FIRST (writers
+    // serialize, so a pending journal here means the writer died):
+    // without this, rows appended under the stale import_hist land in
+    // the journal's doomed split dirs and the eventual roll-forward
+    // would delete them — the one write path that could lose data
+    recoverRepartition(spark, outputDir, catname)
     // drop any stale cached listing BEFORE reading rank offsets — a
     // listing cached before an external writer's files landed would
     // mint colliding _IDs

@@ -317,7 +317,9 @@ object Classify {
     require(dim.toLong * k <= (1L << 16),
       s"Classify.cvCentroid: dim*k = ${dim.toLong * k} literal weight entries — too large " +
         "for the fold-indexed inline model; lower dim or k")
-    val lab = docs.select(col(idCol),
+    // null ids have no fold (pmod(null, k) is null) — the per-fold
+    // chain dropped them from both training and scoring; keep that
+    val lab = docs.filter(col(idCol).isNotNull).select(col(idCol),
       pmod(col(idCol), lit(k.toLong)).cast("int").as("__f"),
       labelExpr.as("__y"), col(textCol))
     // (1) per-fold class counts — one aggregate, k rows to the driver

@@ -211,15 +211,15 @@ object Rank {
     val ex = base.select(col(groupCol), col(valueCol), col(idCol),
         explode(array(
           struct(lit(0).as("w"), col(groupCol).as("g")),
-          struct(lit(1).as("w"), lit(null).cast(gType).as("g")))).as("e"))
+          struct(lit(1).as("w"), lit(null).cast(gType).as("g")))).as("__e"))
       .select(col(groupCol), col(valueCol), col(idCol),
-        col("e.w").as("w"), col("e.g").as("g"))
+        col("__e.w").as("__w"), col("__e.g").as("__g"))
     val ranked = globalRowNumber(ex,
-      Seq(col("w"), col("g"), col(valueCol), col(idCol)))
-    val grouped = ranked.filter(col("w") === 0).drop("w", "g")
+      Seq(col("__w"), col("__g"), col(valueCol), col(idCol)))
+    val grouped = ranked.filter(col("__w") === 0).drop("__w", "__g")
     val gstats = grouped.groupBy(groupCol)
       .agg(min("rank").as("__gmin"), count(lit(1)).as("__ng"))
-    val pooled = ranked.filter(col("w") === 1)
+    val pooled = ranked.filter(col("__w") === 1)
       .select((col("rank") - total).as("__k"), col(valueCol).as("qnorm"))
     grouped
       .join(broadcast(gstats), groupCol)

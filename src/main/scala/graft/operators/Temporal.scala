@@ -210,8 +210,16 @@ object Temporal {
                   broadcastMaxRows: Int = 1 << 16): DataFrame = {
     require(bucketWidth > 0, s"overlapJoin: bucketWidth must be positive: $bucketWidth")
     val outCols = (left.columns ++ right.columns).map(col).toSeq
+    // the probe collects FULL rows, so gate it on the planner's byte
+    // estimate too (free — no job): a row-count cap alone would pull
+    // up to 64k wide rows (payload columns riding along) to the
+    // driver before deciding anything. Estimates are inexact; 256 MB
+    // leaves headroom under a default driver heap, and an estimate
+    // that large means the side was never broadcast material anyway.
+    val maxProbeBytes = 256L * 1024 * 1024
     def tryCollect(side: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
-      if (broadcastMaxRows <= 0) None
+      if (broadcastMaxRows <= 0 ||
+          side.queryExecution.optimizedPlan.stats.sizeInBytes > maxProbeBytes) None
       else {
         val rows = side.limit(broadcastMaxRows + 1).collect()
         if (rows.length <= broadcastMaxRows) Some(rows) else None
@@ -274,8 +282,16 @@ object Temporal {
       .sortBy(r => longAt(r, iLo))
     val los = sorted.map(longAt(_, iLo))
     val his = sorted.map(longAt(_, iHi))
+    // overflow-safe length: an interval spanning >= half the int64
+    // domain (e.g. a [0, Long.MaxValue] "valid forever" sentinel)
+    // wraps hi-lo+1 negative — clamp to MaxValue, which makes the
+    // kernel's back-scan start clamp to Long.MinValue (scan the whole
+    // lo-prefix; the exact hi >= qLo filter keeps it correct)
     val maxLen = if (sorted.isEmpty) 1L
-      else los.indices.map(i => his(i) - los(i) + 1).max
+      else los.indices.map { i =>
+        val len = his(i) - los(i) + 1
+        if (len <= 0) Long.MaxValue else len
+      }.max
     val bc = spark.sparkContext.broadcast(OverlapTable(los, his, maxLen))
     import scala.jdk.CollectionConverters._
     val ordRows: java.util.List[org.apache.spark.sql.Row] =

@@ -61,13 +61,23 @@ class CacheHygieneSpec extends SparkSpecBase {
       assert((persisted -- before).nonEmpty, "the operator should have cached while live")
     }
     // ContextCleaner is GC-driven: force collections until the weak
-    // refs enqueue and the cleaner unpersists (bounded wait). A GC
-    // canary (a weakly-referenced sentinel allocated alongside the
-    // loop) distinguishes "cleaner broken" from "no full GC ran" —
-    // under -XX:+DisableExplicitGC or a collector that defers full
-    // collections, System.gc() is a no-op and the weak refs can never
-    // enqueue; the test then degrades to a cancel, not a failure.
-    val canary = new java.lang.ref.WeakReference(new Array[Byte](1024))
+    // refs enqueue and the cleaner unpersists (bounded wait). The
+    // cleaner's weak refs point at TENURED objects, which only an
+    // old-generation collection clears — so the "did a qualifying GC
+    // actually run" witness is the old/full collectors' MXBean
+    // counts (a weakly-referenced young-gen canary dies to the minor
+    // GCs the pressure loop itself forces and proves nothing). Under
+    // -XX:+DisableExplicitGC with no organic old collection the count
+    // stays flat and the test degrades to a cancel, not a failure.
+    import scala.jdk.CollectionConverters._
+    def oldGcCount(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .filter { b =>
+        val n = b.getName.toLowerCase
+        n.contains("old") || n.contains("marksweep") || n.contains("full")
+      }
+      .map(_.getCollectionCount.max(0L)).sum
+    val oldGcBefore = oldGcCount()
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while ((persisted -- before).nonEmpty && System.nanoTime() < deadline) {
       // allocate real garbage so even non-explicit collectors make progress
@@ -77,9 +87,9 @@ class CacheHygieneSpec extends SparkSpecBase {
       System.gc()
       Thread.sleep(250)
     }
-    if ((persisted -- before).nonEmpty && canary.get() != null) {
-      cancel("no full GC was observed within the deadline (canary still " +
-        "reachable) — cannot exercise the ContextCleaner drain in this JVM")
+    if ((persisted -- before).nonEmpty && oldGcCount() == oldGcBefore) {
+      cancel("no old-generation collection ran within the deadline (explicit " +
+        "GC disabled?) — cannot exercise the ContextCleaner drain in this JVM")
     }
     assert((persisted -- before).isEmpty,
       s"gcPersist blocks must drain once the caller drops the result; leaked: ${persisted -- before}")

@@ -651,6 +651,9 @@ class CatalogSpec extends SparkSpecBase {
          | "split": [${splits.map { case (o, p) => s"[$o,$p]" }.mkString(",")}],
          | "staged": [${stagedAll.map { case (t, o, p) => s"""["$t",$o,$p]""" }.mkString(",")}]}""".stripMargin
     FileUtils.writeStringToFile(new File(s"$out/rc/_repartition_journal.json"), journal, "UTF-8")
+    // snapshot the crashed state for the append-after-crash case below
+    FileUtils.copyDirectory(new File(s"$out/rc"), new File(s"$out/rc4"))
+    FileUtils.moveFile(new File(s"$out/rc4/rc_meta.json"), new File(s"$out/rc4/rc4_meta.json"))
 
     assert(HipsPartitioner.recoverRepartition(spark, out, "rc"), "journal present => roll forward")
     assert(!new File(s"$out/rc/_repartition_journal.json").exists())
@@ -664,6 +667,18 @@ class CatalogSpec extends SparkSpecBase {
     // import_hist was re-frozen: a follow-up repartition finds nothing
     val pmAfter = HipsPartitioner.repartition(spark, out, "rc")
     assert(tiles("rc", "catalog") == tiles("rc2", "catalog") && pmAfter.nSources == li.count())
+
+    // --- append ONTO the crashed (journal-pending) state: append must
+    // roll the commit forward FIRST, or its rows would land in the
+    // doomed split dirs and be deleted by the eventual recovery
+    HipsPartitioner.append(li.limit(97), "cra", "cdec", "k", out, "rc4")
+    assert(!new File(s"$out/rc4/_repartition_journal.json").exists(),
+      "append must complete the pending commit before writing")
+    val afterAppend = HipsCatalog.load(spark, out, "rc4")
+    assert(afterAppend.count() == li.count() + 97, "no appended row may be lost to the roll-forward")
+    assert(afterAppend.select("_ID").distinct().count() == li.count() + 97)
+    assert(tiles("rc4", "catalog") == tiles("rc2", "catalog"),
+      "append lands under the RECOVERED refined layout")
     FileUtils.deleteDirectory(new File(out))
   }
 

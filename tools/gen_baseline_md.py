@@ -100,19 +100,25 @@ for q in sorted(set(spark) & set(duck)):
     s, d = spark[q], duck[q]
     f = floor.get(q)
     data = max(s - f, 0.0) if f is not None and f >= 0 else None
-    tot.setdefault(c, [0.0, 0.0, 0.0, 0.0])
+    tot.setdefault(c, [0.0, 0.0, 0.0, 0.0, 0, 0])
     tot[c][0] += s
     tot[c][1] += d
     tot[c][2] += data if data is not None else s
     x = fixture.get(q)
-    tot[c][3] += x if x is not None and x >= 0 else s
+    # fixture total covers ONLY fixture-swept queries — never splice
+    # the stock median in silently (coverage shown next to the total)
+    tot[c][5] += 1
+    if x is not None and x >= 0:
+        tot[c][3] += x
+        tot[c][4] += 1
     fs = f'{f:.3f}' if f is not None and f >= 0 else ''
     ds_ = f'{data:.3f}' if data is not None else ''
     dr = f'{data / d:.2f}' if data is not None else ''
     fx = (f' {x:.3f} |' if x is not None and x >= 0 else ' |') if fixture else ''
     print(f'| {q} | {c} | {s:.3f} |{fx} {fs} | {ds_} | {d:.3f} | {s / d:.2f} | {dr} |')
 for c in sorted(tot):
-    s, d, data, x = tot[c]
-    fx = f' **{x:.2f}** |' if fixture else ''
+    s, d, data, x, nfx, nall = tot[c]
+    cov = '' if nfx == nall else f' ({nfx}/{nall})'
+    fx = f' **{x:.2f}**{cov} |' if fixture else ''
     print(f'| **total {c}** |  | **{s:.2f}** |{fx}  | **{data:.2f}** | **{d:.2f}** | '
           f'**{s / d:.2f}** | **{data / d:.2f}** |')
