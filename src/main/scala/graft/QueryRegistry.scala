@@ -3260,6 +3260,30 @@ object QueryRegistry {
       FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q)
       WHERE rn <= 5 ORDER BY q_id, rn"""))
 
+  /** Hard-negative mining ([[graft.operators.Ann.hardNegatives]], the
+   *  DPR/SimCSE contrastive data-prep stage): per anchor, top-5
+   *  most-similar vectors inside the [0.05, 0.95) similarity band —
+   *  informative negatives below the near-duplicate ceiling (the
+   *  anchor and exact duplicates score ~1 and drop). Oracle replays
+   *  the cross-join cosine scan, the round-9 band cut, and the
+   *  ranking. */
+  private val sample_hardneg = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Ann.hardNegatives(emb,
+          emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "vec_id", "embedding", "q_id", "q_vec", k = 5, loCos = 0.05, hiCos = 0.95)
+        .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
+    },
+    Some(s"""SELECT q_id, vec_id, round(cos, 6) AS cos, rn FROM (
+      SELECT q_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 9) DESC, vec_id) AS rn
+      FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id, ${cosSql("c.embedding", "q.embedding")} AS cos
+        FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q)
+      WHERE round(cos, 9) >= 0.05 AND round(cos, 9) < 0.95)
+      WHERE rn <= 5 ORDER BY q_id, rn"""))
+
   /** Sequential-fold dot product (matches DotProductExpr's double accumulation). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, v) -> acc + v)"
@@ -7368,6 +7392,7 @@ object QueryRegistry {
     "ann_mmr" -> ann_mmr,
     "sample_mixture" -> sample_mixture,
     "sample_negatives" -> sample_negatives,
+    "sample_hardneg" -> sample_hardneg,
     "dedup_substring_exact" -> dedup_substring_exact,
     "q_kanon" -> q_kanon,
     "q_ldiversity" -> q_ldiversity,

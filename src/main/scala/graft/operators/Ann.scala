@@ -41,6 +41,40 @@ object Ann {
   }
 
   /**
+   * Hard-negative mining — the contrastive-training data-prep stage
+   * (DPR / SimCSE recipe): per anchor, the top-k most-similar corpus
+   * vectors inside a similarity band [loCos, hiCos) — similar enough
+   * to be INFORMATIVE negatives, below the near-duplicate ceiling
+   * that would make them false negatives. The anchor itself and its
+   * exact duplicates score cos ≈ 1 ≥ hiCos and drop. Band decisions
+   * compare round(cos, 9) so both engines cut identically at the
+   * boundary.
+   *
+   * Scale shape: identical to [[bruteForceTopK]] (map-only scoring
+   * scan x broadcast anchors); the band filter prunes BEFORE the
+   * bounded-heap combiner, so the ranking window sees only in-band
+   * candidates. For corpus-scale anchor sets, generate candidates
+   * with the banded [[lshTopK]]/[[ivfTopK]] paths first and band-
+   * filter those instead.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    corpusId: String, corpusVec: String,
+                    queryId: String, queryVec: String,
+                    k: Int, loCos: Double, hiCos: Double): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1 (got $k)")
+    require(loCos < hiCos, s"hardNegatives: need loCos < hiCos (got [$loCos, $hiCos))")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+      .filter(round(col("cos"), 9) >= loCos && round(col("cos"), 9) < hiCos)
+      .select(col(queryId), col(corpusId), col("cos"))
+    val pre = TopK.maybePartitionTopK(scored, queryId, corpusId, "cos", k, ascending = false)
+    val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
+    pre.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rn"))
+  }
+
+  /**
    * Deterministic pseudo-random hyperplanes as literal float arrays:
    * dyadic uniform values in [-1, 1] derived from a Knuth
    * multiplicative hash of the (plane, component) index. Dyadic

@@ -142,6 +142,34 @@ class QuantizeSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"vectors/codes must not ride a shuffle:\n${offenders.mkString("\n")}")
   }
 
+  test("hardNegatives: band respected, anchor/self excluded, equals brute-force-then-band") {
+    val corpus = vecs(150, 64, 23)
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val (lo, hi) = (0.02, 0.9)
+    val got = Ann.hardNegatives(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+      k = 5, loCos = lo, hiCos = hi).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { r =>
+      val c = BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c >= lo && c < hi, s"cos out of band: $r")
+      assert(r.getLong(0) != r.getLong(1), "the anchor itself (cos ~ 1) must never appear")
+    }
+    // oracle: exact brute-force ranking restricted to the band
+    val brute = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec", k = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (_, _, c) =>
+        val r9 = BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        r9 >= lo && r9 < hi
+      }
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy { case (_, id, c) =>
+          (-BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+        }.take(5).map(t => (q, t._2)).toSeq
+      }.toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
+  }
+
   test("quantizedTopK plan: no Exchange carries a vector column") {
     val corpus = vecs(50, 16, 5)
     val queries = corpus.limit(2).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))

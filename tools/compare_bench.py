@@ -55,7 +55,7 @@ CLASSES = {
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
-          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_ivfpq', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment',
+          'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_ivfpq', 'sample_hardneg', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment',
           'text_jaro', 'multimodal_phash', 'multimodal_afp', 'multimodal_keyframes', 'multimodal_phash_inc',
           'vec_dimstats'],
 }
