@@ -3284,6 +3284,48 @@ object QueryRegistry {
       WHERE round(cos, 9) >= 0.05 AND round(cos, 9) < 0.95)
       WHERE rn <= 5 ORDER BY q_id, rn"""))
 
+  /** Corpus-scale hard-negative mining ([[graft.operators.Ann
+   *  .hardNegativesIvf]]): same [0.05, 0.95) band semantics as
+   *  `sample_hardneg`, but candidates come from IVF cell pruning
+   *  (nprobe of nCells cells per anchor) instead of the brute
+   *  broadcast-anchor scan — the shape that survives corpus-scale
+   *  anchor sets. Oracle replays the Knuth-hash codebook sample,
+   *  nearest-cell assignment, probing, band cut and ranking from
+   *  scratch in SQL. */
+  private val sample_hardneg_ivf = QueryDef(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Ann.hardNegativesIvf(emb,
+          emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "vec_id", "embedding", "q_id", "q_vec", k = 5, loCos = 0.05, hiCos = 0.95,
+          nCells = 16, nprobe = 6)
+        .withColumn("cos", round(col("cos"), 6)).orderBy("q_id", "rn")
+    },
+    Some(s"""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+      asn AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM embeddings e CROSS JOIN cents c) WHERE crn = 1),
+      prb AS (
+        SELECT q_id, q_vec, cid FROM (
+          SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 9) DESC, c.cid) AS crn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cents c) WHERE crn <= 6),
+      scored AS (
+        SELECT p.q_id, a.vec_id, ${cosSql("a.embedding", "p.q_vec")} AS cos
+        FROM asn a JOIN prb p USING (cid))
+      SELECT q_id, vec_id, round(cos, 6) AS cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 9) DESC, vec_id) AS rn
+        FROM scored
+        WHERE round(cos, 9) >= 0.05 AND round(cos, 9) < 0.95)
+      WHERE rn <= 5 ORDER BY q_id, rn"""))
+
   /** Sequential-fold dot product (matches DotProductExpr's double accumulation). */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, v) -> acc + v)"
@@ -7393,6 +7435,7 @@ object QueryRegistry {
     "sample_mixture" -> sample_mixture,
     "sample_negatives" -> sample_negatives,
     "sample_hardneg" -> sample_hardneg,
+    "sample_hardneg_ivf" -> sample_hardneg_ivf,
     "dedup_substring_exact" -> dedup_substring_exact,
     "q_kanon" -> q_kanon,
     "q_ldiversity" -> q_ldiversity,

@@ -393,7 +393,13 @@ object HipsPartitioner {
    * Appends must be SERIALIZED (one writer at a time): the `_ID`
    * offsets are read from the current tree, so concurrent appends
    * would mint colliding ranks — the usual contract for file-based
-   * tables without a transaction log.
+   * tables without a transaction log. Note that append implicitly
+   * runs [[recoverRepartition]] first, which DELETES any
+   * `_repartition_stage/` debris: under the serialization contract
+   * that debris can only be a crashed writer's, but an append racing
+   * a LIVE repartition's staging phase would silently destroy the
+   * in-flight rewrite (the repartition then fails on the missing
+   * stage). Don't run them concurrently.
    */
   def append(df: DataFrame, raCol: String, decCol: String, idCol: String,
              outputDir: String, catname: String,

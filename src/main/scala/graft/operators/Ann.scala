@@ -53,21 +53,82 @@ object Ann {
    * Scale shape: identical to [[bruteForceTopK]] (map-only scoring
    * scan x broadcast anchors); the band filter prunes BEFORE the
    * bounded-heap combiner, so the ranking window sees only in-band
-   * candidates. For corpus-scale anchor sets, generate candidates
-   * with the banded [[lshTopK]]/[[ivfTopK]] paths first and band-
-   * filter those instead.
+   * candidates. The anchor side MUST be bounded — broadcasting a
+   * corpus-sized `queries` would OOM the driver and every executor —
+   * so `maxAnchors` is enforced loudly with a row-count-only probe
+   * (`limit(max + 1).count`, a bounded job that reads no vectors,
+   * the [[mmrSelect]] precedent). For corpus-scale anchor sets use
+   * [[hardNegativesIvf]], which prunes the scoring scan to nprobe
+   * cells per anchor instead of broadcasting everything.
    */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
                     corpusId: String, corpusVec: String,
                     queryId: String, queryVec: String,
-                    k: Int, loCos: Double, hiCos: Double): DataFrame = {
+                    k: Int, loCos: Double, hiCos: Double,
+                    maxAnchors: Int = 65536): DataFrame = {
     require(k >= 1, s"hardNegatives: k must be >= 1 (got $k)")
     require(loCos < hiCos, s"hardNegatives: need loCos < hiCos (got [$loCos, $hiCos))")
+    val nAnchors = queries.select(lit(1)).limit(maxAnchors + 1).count()
+    require(nAnchors <= maxAnchors,
+      s"hardNegatives: > $maxAnchors anchor rows — the brute path broadcasts every anchor " +
+        "vector to every corpus task; for corpus-scale anchor sets use hardNegativesIvf " +
+        "(IVF-pruned candidates), or raise maxAnchors explicitly")
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
       .filter(round(col("cos"), 9) >= loCos && round(col("cos"), 9) < hiCos)
       .select(col(queryId), col(corpusId), col("cos"))
     val pre = TopK.maybePartitionTopK(scored, queryId, corpusId, "cos", k, ascending = false)
+    val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
+    pre.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rn"))
+  }
+
+  /**
+   * Corpus-scale hard-negative mining — [[hardNegatives]] semantics
+   * with IVF candidate pruning instead of the brute broadcast-anchor
+   * scan: corpus rows are cell-assigned map-only against the inlined
+   * codebook ([[ivfAssignWith]]), each anchor probes its `nprobe`
+   * nearest cells, and only the probed cells' rows are cosine-scored
+   * and band-filtered ([loCos, hiCos), round-9 cut — identical to the
+   * brute path). With nprobe = nCells every cell is probed and the
+   * result is EXACTLY [[hardNegatives]] (the parity spec); with
+   * nprobe < nCells the scoring scan per anchor touches ~nprobe/nCells
+   * of the corpus — the multiplicative saving that makes corpus-scale
+   * anchor sets feasible.
+   *
+   * Scale shape: the corpus never shuffles (cell assignment is a
+   * per-row argmax over inlined centroids; candidates come from a
+   * broadcast hash join on the cell id), the band filter prunes
+   * BEFORE the bounded-heap combiner, and the only Exchange carries
+   * (queryId, corpusId, cos) into the top-k window — no vector rides
+   * a shuffle (plan-asserted). Anchor sets past broadcast size:
+   * persist the probed-anchor frame and drop the broadcast hint —
+   * the equi-join on `__cid` stays an equi-join — or shard the
+   * anchors and union the bounded calls.
+   */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+                       corpusId: String, corpusVec: String,
+                       queryId: String, queryVec: String,
+                       k: Int, loCos: Double, hiCos: Double,
+                       nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(k >= 1, s"hardNegativesIvf: k must be >= 1 (got $k)")
+    require(loCos < hiCos, s"hardNegativesIvf: need loCos < hiCos (got [$loCos, $hiCos))")
+    require(nprobe >= 1 && nprobe <= nCells,
+      s"hardNegativesIvf: need 1 <= nprobe <= nCells (got nprobe=$nprobe nCells=$nCells)")
+    val cb = collectCodebook(corpus, corpusId, corpusVec, nCells)
+    val assigned = ivfAssignWith(corpus, corpusVec, cb)
+      .select(col("__cid"), col(corpusId), col(corpusVec))
+    val probed = queries
+      .withColumn("__cell", explode(slice(nearestCellStructs(col(queryVec), cb), 1, nprobe)))
+      .select(col("__cell.cid").as("__cid"), col(queryId), col(queryVec))
+    // a corpus row lives in exactly one cell and an anchor probes
+    // distinct cells, so each (anchor, row) pair scores at most once
+    val cand = assigned.join(broadcast(probed), "__cid")
+      .withColumn("cos", Dedup.cosine(col(corpusVec), col(queryVec)))
+      .filter(round(col("cos"), 9) >= loCos && round(col("cos"), 9) < hiCos)
+      .select(col(queryId), col(corpusId), col("cos"))
+    val pre = TopK.maybePartitionTopK(cand, queryId, corpusId, "cos", k, ascending = false)
     val w = Window.partitionBy(col(queryId)).orderBy(round(col("cos"), 9).desc, col(corpusId).asc)
     pre.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

@@ -501,11 +501,26 @@ object Spatial {
       case null => None
       case env  => env.conf.getOption("spark.graft.moc.localMaxTiles")
     }
-    conf.map(_.toInt).getOrElse {
+    conf.map { v =>
+      try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.moc.localMaxTiles must be an integer tile count (0 disables " +
+            s"the driver-side MOC path): got '$v'")
+      }
+    }.getOrElse {
       val byHeap = Runtime.getRuntime.maxMemory() / 4 / 150
+      if (byHeap < 4000000L && !loggedHeapCeiling.getAndSet(true))
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"MOC local-vs-distributed cutover is HEAP-derived on this driver: " +
+            s"$byHeap tiles (maxMemory/4/150B) < the 4M cap — the same dataset can " +
+            s"take a different plan on a larger driver; pin spark.graft.moc.localMaxTiles " +
+            s"for plan stability")
       math.min(4000000L, byHeap).toInt
     }
   }
+
+  /** One-shot latch for the heap-derived-ceiling log line above. */
+  private val loggedHeapCeiling = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** The NUNIQ packing of a (norder, npix) tile — MOC 2.0 §2.3.1. */
   private def nuniqCol: Column = expr("shiftleft(cast(4 as bigint), 2 * norder) + npix")

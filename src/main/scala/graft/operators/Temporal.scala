@@ -202,6 +202,15 @@ object Temporal {
    * explode+shuffle+guard apparatus). Both paths produce identical
    * pairs (ScalaTest parity on random intervals); set
    * `broadcastMaxRows = 0` to force the distributed path.
+   *
+   * `maxBucketsPerInterval` guards only the DISTRIBUTED path: it
+   * exists to bound the bucket explode, which the broadcast arm never
+   * performs, so a join that takes the fast path is NOT checked
+   * against it — an ultra-wide interval that would fail loudly on the
+   * distributed path succeeds via broadcast (binary search has no
+   * width blowup) and only trips the guard once the small side grows
+   * past `broadcastMaxRows`. Callers using the guard as a data-
+   * hygiene gate should validate interval widths explicitly.
    */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   lLo: String, lHi: String, rLo: String, rHi: String,
@@ -210,20 +219,30 @@ object Temporal {
                   broadcastMaxRows: Int = 1 << 16): DataFrame = {
     require(bucketWidth > 0, s"overlapJoin: bucketWidth must be positive: $bucketWidth")
     val outCols = (left.columns ++ right.columns).map(col).toSeq
-    // the probe collects FULL rows, so gate it on the planner's byte
-    // estimate too (free — no job): a row-count cap alone would pull
-    // up to 64k wide rows (payload columns riding along) to the
-    // driver before deciding anything. Estimates are inexact; 256 MB
+    // probe order: byte estimate (free — no job), then a row-COUNT
+    // probe (`select(1).limit(n+1).count` — bounded job that ships no
+    // payload columns), and only after the count passes the full-row
+    // collect. A collect-first probe would pull up to 64k wide rows
+    // per side to the driver even when both sides end up too big and
+    // the distributed path runs anyway. Estimates are inexact; 256 MB
     // leaves headroom under a default driver heap, and an estimate
     // that large means the side was never broadcast material anyway.
     val maxProbeBytes = 256L * 1024 * 1024
-    def tryCollect(side: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
-      if (broadcastMaxRows <= 0 ||
-          side.queryExecution.optimizedPlan.stats.sizeInBytes > maxProbeBytes) None
+    def tryCollect(side: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+      val stats = side.queryExecution.optimizedPlan.stats
+      if (broadcastMaxRows <= 0 || stats.sizeInBytes > maxProbeBytes) None
       else {
-        val rows = side.limit(broadcastMaxRows + 1).collect()
-        if (rows.length <= broadcastMaxRows) Some(rows) else None
+        val n = stats.rowCount match { // exact planner count when available: no probe job at all
+          case Some(rc) => rc.toLong
+          case None => side.select(lit(1)).limit(broadcastMaxRows + 1).count()
+        }
+        if (n > broadcastMaxRows) None
+        else {
+          val rows = side.limit(broadcastMaxRows + 1).collect()
+          if (rows.length <= broadcastMaxRows) Some(rows) else None
+        }
       }
+    }
     tryCollect(right).map { rows =>
       return broadcastOverlap(left, lLo, lHi, rows, right.schema, rLo, rHi)
         .select(outCols: _*)

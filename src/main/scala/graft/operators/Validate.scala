@@ -68,6 +68,15 @@ object Validate {
    */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Validate.validate: empty check suite")
+    // exhaustiveness up front: a future Check subtype that is neither
+    // row-level, Unique, nor RefIntegrity must fail HERE with a named
+    // error, not as a NoSuchElementException at result assembly
+    checks.foreach {
+      case _: NotNull | _: InRange | _: Accepted | _: Matches | _: Unique | _: RefIntegrity =>
+      case other => throw new IllegalStateException(
+        s"Validate.validate: unhandled check type ${other.getClass.getSimpleName} " +
+          s"('${other.name}' on '${other.column}') — teach validate() its aggregation route")
+    }
     val spark = df.sparkSession
     val rowChecks = checks.filter {
       case _: NotNull | _: InRange | _: Accepted | _: Matches => true

@@ -170,6 +170,55 @@ class QuantizeSpec extends SparkSpecBase {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
   }
 
+  test("hardNegativesIvf: nprobe = nCells equals the brute band path; no Exchange carries vectors") {
+    val corpus = vecs(150, 64, 23)
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val (lo, hi) = (0.02, 0.9)
+    // full probing degenerates to the brute-force-then-band result exactly
+    val full = Ann.hardNegativesIvf(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+      k = 5, loCos = lo, hiCos = hi, nCells = 8, nprobe = 8)
+    val brute = Ann.hardNegatives(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+      k = 5, loCos = lo, hiCos = hi)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rows(full) == rows(brute), "nprobe = nCells must reproduce the brute band result")
+    // pruned probing: band respected, results drawn only from probed cells
+    val pruned = Ann.hardNegativesIvf(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+      k = 5, loCos = lo, hiCos = hi, nCells = 8, nprobe = 3)
+    val got = pruned.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val c = BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c >= lo && c < hi, s"cos out of band: $r")
+      assert(r.getLong(0) != r.getLong(1), "the anchor itself must never appear")
+    }
+    val cellsOf = Ann.ivfAssign(corpus, "vec_id", "embedding", nCells = 8)
+      .select($"vec_id", $"__cid").as[(Long, Long)].collect().toMap
+    val probesOf = Ann.ivfTopK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+        k = 150, nCells = 8, nprobe = 3)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(p => cellsOf(p._2)).toSet }
+    got.foreach(r => assert(probesOf(r.getLong(0)).contains(cellsOf(r.getLong(1))),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}) not from a probed cell"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val offenders = plan.linesIterator.filter(_.contains("Exchange"))
+      .filter(l => l.contains("embedding") || l.contains("q_vec"))
+      .toSeq
+    assert(offenders.isEmpty, s"vectors must not ride a shuffle:\n${offenders.mkString("\n")}")
+  }
+
+  test("hardNegatives: loud guard on an unbounded anchor side") {
+    val corpus = vecs(50, 16, 29)
+    val anchors = corpus.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.hardNegatives(corpus, anchors, "vec_id", "embedding", "q_id", "q_vec",
+        k = 3, loCos = 0.0, hiCos = 0.9, maxAnchors = 10)
+    }
+    assert(e.getMessage.contains("hardNegativesIvf"),
+      s"guard must point at the corpus-scale path: ${e.getMessage}")
+  }
+
   test("quantizedTopK plan: no Exchange carries a vector column") {
     val corpus = vecs(50, 16, 5)
     val queries = corpus.limit(2).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
