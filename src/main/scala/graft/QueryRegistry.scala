@@ -5670,6 +5670,95 @@ object QueryRegistry {
       ORDER BY doc_id"""
     })
 
+  /** End-to-end RELEASE pipeline — the full training-data publication
+   *  gate composed from the engine's own stages, every one already
+   *  individually oracle-replayed: (1) near-dup dedup (LSH candidates
+   *  → exact-Jaccard verify; a doc with a verified J ≥ 0.8 twin of
+   *  smaller id drops), (2) the fused signal filter (langid + quality
+   *  + repetition, ONE scan), (3) PII redaction of a planted contact
+   *  block (the text_redact fixture — doc_id % 7 plants an email,
+   *  phone, IP), (4) a k-anonymity SUPPRESSION gate (release only
+   *  source groups holding ≥ 5 released docs — the one-rung
+   *  suppression mechanism; the generalization ladder lives in
+   *  q_kanon), (5) leakage-safe train/val/test split keyed on the
+   *  released text's exact-dup representative, and (6) greedy
+   *  token-budget shard packing of the released corpus. Stages 2-4
+   *  are per-row expressions + one narrow (source, n) aggregate, so
+   *  Catalyst fuses them onto the scan; the released frame is pinned
+   *  once (gcPersist) because both the packer and the split window
+   *  fan out from it — at corpus scale this materialization IS the
+   *  published release. The oracle replays every stage in one CTE
+   *  chain, the packer via the recursive next-fit walk. */
+  private val pipeline_release = QueryDef(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("t2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 "),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" 4242 from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(col("text")))
+      val dupIds = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val sig = TextAnalysis.signalFilter(docs,
+        minQualityE4 = 4000, maxDupRatioE4 = 6500, lang = "en").select("doc_id")
+      val red = TextAnalysis.redactPii(
+        docs.join(sig, "doc_id").join(dupIds, Seq("doc_id"), "left_anti"), "t2")
+      val qiOk = red.groupBy("source").agg(count(lit(1)).as("__qn"))
+        .filter(col("__qn") >= 5).select("source")
+      val gated = graft.operators.CacheUtil.gcPersist(red.join(broadcast(qiOk), "source")
+        .select("doc_id", "source", "n_emails", "n_phones", "n_ips", "redacted"))
+      val packed = graft.operators.Packing.packGreedy(
+        gated.withColumn("n_tok", TextAnalysis.wsTokenCount(col("redacted"))),
+        "doc_id", "n_tok", budget = 512L, nBuckets = 8)
+      graft.operators.Sampling.withLeakageSafeSplit(gated, "doc_id", "redacted")
+        .select("doc_id", "source", "split", "n_emails", "n_phones", "n_ips")
+        .join(packed, "doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      val norm = Dedup.normalizeTextSql("text")
+      s"""WITH d AS (SELECT doc_id, text, lang, source,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id ||
+          '@example.com or +1 555 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+          ' 4242 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        ELSE text END AS t2 FROM documents),
+      dup AS (SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM $jaccardShinglesSql a JOIN $jaccardShinglesSql b
+          ON a.doc_id < b.doc_id
+          AND least(len(a.sh), len(b.sh)) >= 0.8 * greatest(len(a.sh), len(b.sh)))
+        WHERE jaccard >= 0.8),
+      plang AS ($langIdSql),
+      pqual AS (SELECT doc_id, ${TextAnalysis.qualitySql("text")} FROM documents),
+      ptk AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+      prep AS (SELECT doc_id,
+        CASE WHEN len(toks) > 0
+          THEN CAST(floor((1.0 - len(list_distinct(toks))::DOUBLE / len(toks)) * 10000) AS BIGINT)
+          ELSE 0 END AS dup_token_ratio_e4 FROM ptk),
+      pred AS (SELECT doc_id, ${TextAnalysis.redactPiiSql("t2")} FROM d),
+      rel AS MATERIALIZED (
+        SELECT d.doc_id, d.source, r.n_emails, r.n_phones, r.n_ips, r.redacted
+        FROM d JOIN plang l USING (doc_id) JOIN pqual q USING (doc_id)
+          JOIN prep p USING (doc_id) JOIN pred r USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+          AND l.pred_lang = 'en' AND q.quality_score_e4 >= 4000
+          AND p.dup_token_ratio_e4 <= 6500),
+      gated AS MATERIALIZED (SELECT * FROM rel WHERE source IN (
+        SELECT source FROM rel GROUP BY source HAVING count(*) >= 5)),
+      spl AS (SELECT doc_id, source, n_emails, n_phones, n_ips,
+          ${graft.operators.Sampling.splitSql("rep")} AS split
+        FROM (SELECT *, min(doc_id) OVER (
+          PARTITION BY ${Dedup.normalizeTextSql("redacted")}) AS rep FROM gated)),
+      pk AS (SELECT * FROM (${graft.operators.Packing.packGreedySql(
+          "gated", "doc_id", raw"len(regexp_split_to_array(trim(redacted), '\s+'))",
+          budget = 512L, nBuckets = 8)}))
+      SELECT s.doc_id, s.source, s.split, s.n_emails, s.n_phones, s.n_ips,
+        p.bucket, p.seq, p.seq_pos, p.n_tok
+      FROM spl s JOIN pk p USING (doc_id) ORDER BY s.doc_id"""
+    })
+
   /** Bigram-LM perplexity scoring (the CCNet-style quality filter):
    *  train add-one-smoothed bigram counts on the doc_id<300 reference
    *  slice, score EVERY document's per-word cross-entropy with the
@@ -7385,6 +7474,7 @@ object QueryRegistry {
     "text_entropy" -> text_entropy,
     "sample_curriculum" -> sample_curriculum,
     "pipeline_c4" -> pipeline_c4,
+    "pipeline_release" -> pipeline_release,
     "sample_dsir" -> sample_dsir,
     "sample_dsir_kn" -> sample_dsir_kn,
     "multimodal_decode" -> multimodal_decode,

@@ -110,6 +110,31 @@ class R18OpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("pipeline_release: gate/split/packing invariants hold on real sf0.01 documents") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val rel = QueryRegistry.all.toMap.apply("pipeline_release").run(spark, dir)
+    val rows = rel.collect()
+    assert(rows.nonEmpty, "the release gate must publish something at sf0.01")
+    // k-anonymity suppression gate: every released source group >= 5
+    val bySource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    bySource.foreach { case (src, n) => assert(n >= 5, s"source $src released with only $n docs") }
+    // near-dup dedup: no released doc has a verified J >= 0.8 twin of smaller id
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dropped = graft.operators.Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      .select("id_b").as[Long].collect().toSet
+    val released = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(released.intersect(dropped).isEmpty, "a near-duplicate leaked through the release gate")
+    // split labels valid; packing: every sequence fits the budget unless it is a single oversize doc
+    rows.foreach(r => assert(Set("train", "val", "test")(r.getAs[String]("split"))))
+    rows.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("seq"))).foreach { case (k, rs) =>
+      val tot = rs.map(_.getAs[Long]("n_tok")).sum
+      assert(tot <= 512 || rs.length == 1, s"sequence $k overruns the budget: $tot tokens in ${rs.length} docs")
+      assert(rs.map(_.getAs[Long]("seq_pos")).sorted.toSeq == (1L to rs.length).toSeq,
+        s"sequence $k has non-dense positions")
+    }
+  }
+
   test("multi-touch attribution conserves cents exactly against an independent recompute") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
