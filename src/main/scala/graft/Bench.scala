@@ -52,6 +52,14 @@ object Bench {
       // unpinned JVM-default zone would make Bench time a DIFFERENT
       // workload than the UTC-pinned Verify measures
       .config("spark.sql.session.timeZone", "UTC")
+      // size the scan split to the SF (the default 128 MB makes every
+      // sf0.1 table a ONE-TASK scan — a 15 MB multi-row-group file
+      // decodes serially on one core while DuckDB parallelizes its row
+      // groups; measured 2-2.5x on the fixture's scan-bound tail).
+      // At cluster scale the default is right because files are many;
+      // override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (2L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1178,10 +1178,16 @@ object QueryRegistry {
     (s, dir) => {
       val cust = withSky(t(s, dir, "customer"), "c_custkey")
         .select(col("c_custkey"), sphere.hpix(col("cra"), col("cdec"), 2).as("pix"))
-      val oc = t(s, dir, "orders")
+      // oc feeds BOTH the flag-building chain and the per-object
+      // feature chain, and the flag chain ends in a broadcast build —
+      // ReuseExchange does not fire across broadcast sub-executions,
+      // so without the pins the orders⨝customer join and the pix×yr
+      // rollup each run twice (counted in the executed plan's scans)
+      val oc = graft.operators.CacheUtil.gcPersist(t(s, dir, "orders")
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("pix"), year(col("o_orderdate")).as("yr"))
-      val pixYr = oc.groupBy("pix", "yr").agg(count(lit(1)).as("cnt"))
+        .select(col("c_custkey"), col("pix"), year(col("o_orderdate")).as("yr")))
+      val pixYr = graft.operators.CacheUtil.gcPersist(
+        oc.groupBy("pix", "yr").agg(count(lit(1)).as("cnt")))
       val perPix = pixYr.groupBy("pix").agg(sum("cnt").as("total"))
       val dev = lit(7L) * coalesce(col("cnt"), lit(0L)) - col("total")
       val flagged = perPix
@@ -2438,9 +2444,9 @@ object QueryRegistry {
       val ev = events(s, dir)
         .withColumn("cents", floor(col("value") * 100).cast("long"))
         .filter(col("cents").isNotNull)
-      val n = ev.count()
-      val ks = Seq(n / 4, n / 2, 3 * n / 4, n).filter(_ >= 1).distinct
-      val res = graft.operators.Rank.kthSmallest(ev, "cents", ks)
+      // ks derive from the operator's own count — no separate count scan
+      val res = graft.operators.Rank.kthSmallestBy(ev, "cents",
+        n => Seq(n / 4, n / 2, 3 * n / 4, n).filter(_ >= 1).distinct)
       import s.implicits._
       res.toSeq.map { case (k, v) => (k, v) }.toDF("k", "value").orderBy("k")
     },

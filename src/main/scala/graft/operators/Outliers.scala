@@ -62,10 +62,18 @@ object Outliers {
    * Assumes |scaled values| < 2^45 so `d * 13490` cannot overflow.
    */
   def robustOutliers(df: DataFrame, groupCol: String, idCol: String, valueCol: String,
-                     zThresholdE4: Long = 35000L): DataFrame =
+                     zThresholdE4: Long = 35000L): DataFrame = {
     // batch == the streaming face scoring against self-derived stats,
-    // BY CONSTRUCTION — one scoring pipeline, not two hand-synced copies
-    scoreStream(df, robustStats(df, groupCol, valueCol), groupCol, idCol, valueCol, zThresholdE4)
+    // BY CONSTRUCTION — one scoring pipeline, not two hand-synced copies.
+    // The three passes (median, MAD, scoring) would each re-decode the
+    // source; pin the slim (grp, id, val) projection once so they read
+    // the checkpointed three-column frame instead (the broadcast
+    // decisions downstream are explicit hints, so the lost planner
+    // stats are irrelevant — the gcPersist contract).
+    val slim = CacheUtil.gcPersist(
+      df.select(col(groupCol), col(idCol), col(valueCol)))
+    scoreStream(slim, robustStats(slim, groupCol, valueCol), groupCol, idCol, valueCol, zThresholdE4)
+  }
 
   /**
    * Streaming face: score an event STREAM against robust stats

@@ -81,13 +81,28 @@ object Rank {
    * Returns k -> value. NULLs are excluded (document the contract
    * at the call site); ks must lie in [1, n].
    */
-  def kthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long]): Map[Long, Long] = {
-    require(ks.nonEmpty, "kthSmallest: no ranks requested")
+  def kthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long]): Map[Long, Long] =
+    kthSmallestBy(df, valueCol, _ => ks)
+
+  /**
+   * [[kthSmallest]] with the ranks derived from the operator's OWN
+   * non-null count — the quantile shape (`n/4, n/2, ...`) without the
+   * caller paying a separate count scan first (the count already
+   * rides the first count/min/max aggregate). The candidate column
+   * is pinned (gcPersist) for the refinement rounds, so the source
+   * is decoded once and the ≤ 4 histogram passes read the
+   * checkpointed single-long column.
+   */
+  def kthSmallestBy(df: DataFrame, valueCol: String,
+                    ksOf: Long => Seq[Long]): Map[Long, Long] = {
     Sampling.requireIntegralId(df, valueCol, "kthSmallest")
-    val vals = df.select(col(valueCol).cast("long").as("v")).filter(col("v").isNotNull)
+    val vals = CacheUtil.gcPersist(
+      df.select(col(valueCol).cast("long").as("v")).filter(col("v").isNotNull))
     val first = vals.agg(count(lit(1)), min("v"), max("v")).first()
     val n = first.getLong(0)
     require(n > 0, "kthSmallest: no non-null values")
+    val ks = ksOf(n)
+    require(ks.nonEmpty, "kthSmallest: no ranks requested")
     ks.foreach(k => require(k >= 1 && k <= n, s"kthSmallest: rank $k outside [1, $n]"))
     require(BigInt(first.getLong(2)) - BigInt(first.getLong(1)) <= BigInt(Long.MaxValue),
       "kthSmallest: value range exceeds 2^63 — rescale the column first")
