@@ -51,13 +51,14 @@ CLASSES = {
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline',
           'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_twopoint', 'q_hierarchy',
-          'pipeline_xmatch3', 'graph_communities', 'graph_modularity', 'graph_louvain'],
+          'pipeline_xmatch3', 'graph_communities', 'graph_modularity', 'graph_louvain',
+          'pipeline_release'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
           'ann_quantized', 'dedup_semantic', 'vec_centroids', 'text_langid', 'text_quality',
           'text_fingerprint', 'decontaminate', 'vec_kmeans', 'sample_weighted', 'dedup_incremental',
           'multimodal_decode', 'text_bpe', 'ann_pq', 'ann_ivfpq', 'sample_hardneg', 'ann_mmr', 'text_winnow', 'text_cdc', 'dedup_winnow', 'dedup_containment',
           'text_jaro', 'multimodal_phash', 'multimodal_afp', 'multimodal_keyframes', 'multimodal_phash_inc',
-          'vec_dimstats'],
+          'vec_dimstats', 'sample_hardneg_ivf'],
 }
 CLS = {q: k for k, qs in CLASSES.items() for q in qs}
 
@@ -145,6 +146,14 @@ def main():
     floor = {}
     if os.path.exists(floor_path):
         floor = json.load(open(floor_path)).get('queries', {})
+    # fixture-first grading (r15 verdict item 6): when the multi-row-
+    # group fixture sweep is present, the class-A 2x criterion grades
+    # fxdata/duckdb = max(fixture - floor, 0) / duckdb — the 100 TB-
+    # shaped layout — and the stock data ratio stays for comparison
+    fixture_path = os.path.join(here, 'bench_fixture_sf0.1.json')
+    fixture = {}
+    if os.path.exists(fixture_path):
+        fixture = json.load(open(fixture_path)).get('queries', {})
 
     print('| query | class | spark s | duckdb s | spark/duckdb |' + (' vs prev |' if prev else ''))
     regressions, failed = [], []
@@ -186,6 +195,23 @@ def main():
             dr = f'{data/ds:.2f}' if ds else 'n/a'
             print(f'| **total A data-dep (minus sf0.001 job floor)** |  | '
                   f'**{data:.2f}** | **{ds:.2f}** | **{dr}** |')
+        if k == 'A' and floor and fixture:
+            fqs = [q for q in qs if fixture.get(q, -1) >= 0]
+            fds = sum(base[q] for q in fqs if q in base)
+            fdata = sum(max(fixture[q] - floor[q], 0.0) if floor.get(q, -1) >= 0
+                        else fixture[q] for q in fqs)
+            fr = f'{fdata/fds:.2f}' if fds else 'n/a'
+            cov = '' if len(fqs) == len(qs) else f' ({len(fqs)}/{len(qs)} swept)'
+            print(f'| **total A fixture-data (multi-row-group layout{cov})** |  | '
+                  f'**{fdata:.2f}** | **{fds:.2f}** | **{fr}** |')
+            weak = [(max(fixture[q] - floor[q], 0.0) / base[q], q)
+                    for q in fqs if q in base and floor.get(q, -1) >= 0
+                    and base[q] > 0
+                    and max(fixture[q] - floor[q], 0.0) > 2 * base[q]
+                    and max(fixture[q] - floor[q], 0.0) > 0.1]
+            if weak:
+                print('WEAK (class A, fixture-data > 2x DuckDB and > 0.1 s): '
+                      + ', '.join(f'{q} {r:.1f}x' for r, q in sorted(weak, reverse=True)))
     if failed:
         print(f'\nFAILED QUERIES (bench sentinel -1.0): {failed}')
     if regressions:

@@ -13,12 +13,22 @@ comparison) when floor >= 50%% of the sf0.1 median. Prints the
 markdown table to stdout; the prose sections of BASELINE.md are
 maintained by hand.
 
+Fixture-first grading (r15 verdict item 6): when
+tools/bench_fixture_sf0.1.json is present (the SAME sweep on the
+multi-row-group graft.FixtureGen layout — the shape any real corpus
+has), the table carries `fixture s`, `fx data s` =
+max(fixture - floor, 0) and `fxdata/duckdb` — the 2x class-A
+criterion is graded on the fxdata/duckdb column by default, with
+stock data/duckdb kept for the decode-confound comparison.
+
 The committed `spark s` convention (r14 verdict item 8, machine-checked
 here): a query's value is the MIN of the sweep median and any idle
 rerun medians passed via --rerun (the contention-rerun rule) — so the
 table is reproducible from committed artifacts instead of hand-spliced.
 --check BASELINE.md re-derives the table and fails on any drifted
-`spark s` cell.
+`spark s` OR `fixture s` cell (fixture cells compare against
+tools/bench_fixture_sf0.1.json directly — fixture sweeps are run once,
+idle, so they carry no rerun-fold convention).
 
 Usage: python3 tools/gen_baseline_md.py BENCH_FULL.json \
          [--rerun tools/rerun_sf0.1.json ...] [--check BASELINE.md]
@@ -51,9 +61,10 @@ floor_path = os.path.join(here, 'floor_sf0.001.json')
 floor = {}
 if os.path.exists(floor_path):
     floor = json.load(open(floor_path))['queries']
-# optional multi-row-group fixture sweep (graft.FixtureGen layout):
-# same code, same rows, many row groups per file — isolates the
-# single-row-group decode confound from every class-A ratio
+# multi-row-group fixture sweep (graft.FixtureGen layout): same rows,
+# same types, many row groups per file — isolates the single-row-group
+# decode confound AND is the layout a real 100 TB corpus has, so the
+# class-A 2x criterion grades fxdata/duckdb when the column is present
 fixture_path = os.path.join(here, 'bench_fixture_sf0.1.json')
 fixture = {}
 if os.path.exists(fixture_path):
@@ -68,30 +79,39 @@ if failed:
              f"a corrupted table: {failed}")
 
 if args.check:
-    committed = {}
+    committed = {}       # query -> (spark s, fixture s or None)
     for line in open(args.check):
-        m = re.match(r'\| (\w+) \| [A-C?] \| (\d+\.\d+) \|', line)
+        m = re.match(r'\| (\w+) \| [A-C?] \| (\d+\.\d+) \|(?: (\d+\.\d+) \|)?', line)
         if m:
-            committed[m.group(1)] = float(m.group(2))
+            committed[m.group(1)] = (
+                float(m.group(2)),
+                float(m.group(3)) if m.group(3) is not None else None)
     drift = []
     for q in sorted(set(spark) & set(duck)):
-        want = spark[q]
         got = committed.get(q)
         if got is None:
             drift.append(f"{q}: missing from {args.check}")
-        elif abs(got - want) > 0.0015:  # 3-dp cells; allow rounding slack
-            drift.append(f"{q}: committed {got:.3f} != settled {want:.3f}")
+            continue
+        if abs(got[0] - spark[q]) > 0.0015:  # 3-dp cells; rounding slack
+            drift.append(f"{q}: committed spark {got[0]:.3f} != settled {spark[q]:.3f}")
+        fx = fixture.get(q)
+        if fx is not None and fx >= 0:
+            if got[1] is None:
+                drift.append(f"{q}: fixture cell missing (settled {fx:.3f})")
+            elif abs(got[1] - fx) > 0.0015:
+                drift.append(f"{q}: committed fixture {got[1]:.3f} != settled {fx:.3f}")
     extra = sorted(set(committed) - set(spark))
     if extra:
         drift.append(f"rows with no bench value: {extra}")
     if drift:
         sys.exit("BASELINE drift vs settled medians:\n  " + "\n  ".join(drift))
-    print(f"[check] {len(committed)} committed spark-s cells match the "
-          f"settled medians", file=sys.stderr)
+    nfx = sum(1 for q in committed if committed[q][1] is not None)
+    print(f"[check] {len(committed)} committed spark-s cells (+{nfx} fixture "
+          f"cells) match the settled medians", file=sys.stderr)
     sys.exit(0)
 
-fx_hdr = ' fixture s |' if fixture else ''
-fx_sep = '---|' if fixture else ''
+fx_hdr = ' fixture s | fx data s | fxdata/duckdb |' if fixture else ''
+fx_sep = '---|---|---|' if fixture else ''
 print(f'| query | class | spark s |{fx_hdr} floor s | data s | duckdb s | spark/duckdb | data/duckdb |')
 print(f'|---|---|---|{fx_sep}---|---|---|---|---|')
 tot = {}
@@ -100,25 +120,34 @@ for q in sorted(set(spark) & set(duck)):
     s, d = spark[q], duck[q]
     f = floor.get(q)
     data = max(s - f, 0.0) if f is not None and f >= 0 else None
-    tot.setdefault(c, [0.0, 0.0, 0.0, 0.0, 0, 0])
+    tot.setdefault(c, [0.0, 0.0, 0.0, 0.0, 0, 0, 0.0])
     tot[c][0] += s
     tot[c][1] += d
     tot[c][2] += data if data is not None else s
     x = fixture.get(q)
-    # fixture total covers ONLY fixture-swept queries — never splice
+    fxdata = (max(x - f, 0.0) if x is not None and x >= 0 and f is not None and f >= 0
+              else None)
+    # fixture totals cover ONLY fixture-swept queries — never splice
     # the stock median in silently (coverage shown next to the total)
     tot[c][5] += 1
     if x is not None and x >= 0:
         tot[c][3] += x
         tot[c][4] += 1
+        tot[c][6] += fxdata if fxdata is not None else x
     fs = f'{f:.3f}' if f is not None and f >= 0 else ''
     ds_ = f'{data:.3f}' if data is not None else ''
     dr = f'{data / d:.2f}' if data is not None else ''
-    fx = (f' {x:.3f} |' if x is not None and x >= 0 else ' |') if fixture else ''
+    if fixture:
+        fx = f' {x:.3f} |' if x is not None and x >= 0 else ' |'
+        fx += f' {fxdata:.3f} |' if fxdata is not None else ' |'
+        fx += f' {fxdata / d:.2f} |' if fxdata is not None else ' |'
+    else:
+        fx = ''
     print(f'| {q} | {c} | {s:.3f} |{fx} {fs} | {ds_} | {d:.3f} | {s / d:.2f} | {dr} |')
 for c in sorted(tot):
-    s, d, data, x, nfx, nall = tot[c]
+    s, d, data, x, nfx, nall, fxdata = tot[c]
     cov = '' if nfx == nall else f' ({nfx}/{nall})'
-    fx = f' **{x:.2f}**{cov} |' if fixture else ''
+    fx = (f' **{x:.2f}**{cov} | **{fxdata:.2f}** | **{fxdata / d:.2f}** |'
+          if fixture else '')
     print(f'| **total {c}** |  | **{s:.2f}** |{fx}  | **{data:.2f}** | **{d:.2f}** | '
           f'**{s / d:.2f}** | **{data / d:.2f}** |')
