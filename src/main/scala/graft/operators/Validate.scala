@@ -34,8 +34,10 @@ object Validate {
   final case class RefIntegrity(column: String, ref: DataFrame, refCol: String) extends Check { val name = "ref_integrity" }
 
   /** Violation predicate for a row-level check (NULL-exempt except
-   *  NotNull itself — the usual SQL-constraint semantics). */
-  private def violation(c: Check): Column = c match {
+   *  NotNull itself — the usual SQL-constraint semantics). Exposed to
+   *  the streaming release gate: row-level checks are per-row
+   *  EXPRESSIONS, so they apply to a streaming frame unchanged. */
+  private[graft] def violation(c: Check): Column = c match {
     case NotNull(col0) => col(col0).isNull
     case InRange(col0, lo, hi) =>
       col(col0).isNotNull && (col(col0).cast("double") < lo || col(col0).cast("double") > hi)

@@ -362,6 +362,51 @@ class StreamingSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
   }
 
+  test("streaming release gate equals the batch composition; stateful stages refused loudly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Validate
+    val dir = sf("sf0.001")
+    val checks = Seq(Validate.NotNull("doc_id"), Validate.InRange("n_chars", 1, 1e9),
+      Validate.Matches("source", "^src"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("pred_lang"), col("quality_score_e4"),
+        col("n_emails") + col("n_phones") + col("n_ips"), col("redacted"))
+      .collect().map(_.toSeq).toSet
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = key(graft.streaming.ReleaseGate(batchDocs,
+      minQualityE4 = 4000, maxDupRatioE4 = 6500, lang = "en", checks = checks))
+    assert(batch.nonEmpty, "thresholds must keep some sf0.001 docs")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_relgate").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/00_documents.parquet"))
+    val src = spark.readStream.schema(batchDocs.schema).parquet(streamDir)
+    val q = graft.streaming.ReleaseGate(src,
+        minQualityE4 = 4000, maxDupRatioE4 = 6500, lang = "en", checks = checks)
+      .writeStream.format("memory").queryName("release_gate_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(key(spark.table("release_gate_test")) == batch,
+      "streamed release gate must equal the batch composition")
+    // stateful stages refuse loudly: Unique check on the stream...
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.ReleaseGate(src, 4000, 6500, "en", Seq(Validate.Unique("doc_id")))
+    }
+    assert(e1.getMessage.contains("STATEFUL"))
+    // ...and the k-anonymity gate on a streaming frame
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.ReleaseGate.kAnonymityGate(src, Seq("source"), 5)
+    }
+    assert(e2.getMessage.contains("materialize"))
+    // the batch face of the gate suppresses exactly the < k groups
+    val gated = graft.streaming.ReleaseGate.kAnonymityGate(batchDocs, Seq("source"), 5)
+    val counts = gated.groupBy("source").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) >= 5))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+  }
+
   test("streaming alert cross-match equals the brute-force batch oracle") {
     import org.apache.spark.sql.functions._
     import graft.functions.sphere
