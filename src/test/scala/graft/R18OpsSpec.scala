@@ -110,6 +110,20 @@ class R18OpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("pipeline_alert plan: both fan-out subtrees read pins, not re-executed parquet scans") {
+    // the flag chain ends in a broadcast build and ReuseExchange does
+    // not fire across broadcast sub-executions — without the r16 pins
+    // the orders x customer join and the pix x yr rollup executed
+    // twice (visible as repeated parquet scans in the executed plan)
+    val df = QueryRegistry.all.toMap.apply("pipeline_alert").run(spark, "/root/testdata/sf0.001")
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    val parquetScans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans == 0,
+      s"every downstream consumer must read the pinned subtrees ($parquetScans parquet scans):\n" +
+        plan.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+  }
+
   test("pipeline_release: gate/split/packing invariants hold on real sf0.01 documents") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.01"
