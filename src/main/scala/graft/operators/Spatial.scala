@@ -229,16 +229,44 @@ object Spatial {
     // candidates) the plain window is still faster (27-30s vs
     // 36-38s) because a local shuffle is an in-memory copy; the
     // combiner pays off on network-bound clusters.
-    val preFiltered =
-      if (rankShuffle) joined
-      else partitionTopK(joined, leftPrefix + leftId, rightPrefix + rightId, k)
-    val w = Window.partitionBy(col(leftPrefix + leftId))
-      .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
-    preFiltered
-      .withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k)
-      .withColumn("hips_k", lit(o))
-      .withColumnRenamed("__pix", "hips_pix")
-      .drop("__salt")
+    if (k == 1) {
+      // k = 1 (the nearest-neighbor case every pipeline composition
+      // uses): a min(struct(rounded dist, right id, payload)) aggregate
+      // replaces the window entirely. The aggregate gets PARTIAL
+      // (map-side) combination, so the exchange carries at most one
+      // row per (left id, upstream partition) instead of EVERY
+      // candidate pair, and the per-partition window sort disappears.
+      // Semantics are identical: struct comparison is lexicographic on
+      // (round(_DIST, 9), right id) — exactly the window's ORDER BY —
+      // and the (left, right) candidate pair is unique in `joined`
+      // (the left row carries ONE pixel and one salt), so the payload
+      // field is never reached by the comparator.
+      val leftIdC = leftPrefix + leftId
+      val restoredOrder = joined.columns.filterNot(_ == "__salt")
+      val payloadCols = restoredOrder.filterNot(_ == leftIdC)
+      val best = joined.groupBy(col(leftIdC)).agg(
+        min(struct(
+          round(col("_DIST"), 9).as("__rd"),
+          col(rightPrefix + rightId).as("__rid"),
+          struct(payloadCols.map(col): _*).as("__p"))).as("__best"))
+      best.select(restoredOrder.map { c =>
+          if (c == leftIdC) col(c) else col("__best").getField("__p").getField(c).as(c)
+        }: _*)
+        .withColumn("_RANK", lit(1))
+        .withColumn("hips_k", lit(o))
+        .withColumnRenamed("__pix", "hips_pix")
+    } else {
+      val preFiltered =
+        if (rankShuffle) joined
+        else partitionTopK(joined, leftPrefix + leftId, rightPrefix + rightId, k)
+      val w = Window.partitionBy(col(leftPrefix + leftId))
+        .orderBy(round(col("_DIST"), 9).asc, col(rightPrefix + rightId).asc)
+      preFiltered
+        .withColumn("_RANK", row_number().over(w)).filter(col("_RANK") <= k)
+        .withColumn("hips_k", lit(o))
+        .withColumnRenamed("__pix", "hips_pix")
+        .drop("__salt")
+    }
   }
 
   /**
@@ -277,11 +305,19 @@ object Spatial {
                     dthreshDeg: Double): DataFrame = {
     require(leftId != rightId,
       s"mutualNearest: left and right id columns must differ, both are '$leftId'")
-    val fwd = crossMatchKnn(left, right, leftRa, leftDec, leftId,
+    // project to (id, ra, dec) BEFORE the match: only these columns are
+    // used below, and the k = 1 nearest-pick aggregate inside
+    // crossMatchKnn carries its input columns through the exchange —
+    // full-width catalogs (name/address/comment strings) would ride
+    // every candidate row for nothing (guide §2.3, measured +25% on
+    // xmatch_mutual when left wide)
+    val lSlim = left.select(col(leftId), col(leftRa), col(leftDec))
+    val rSlim = right.select(col(rightId), col(rightRa), col(rightDec))
+    val fwd = crossMatchKnn(lSlim, rSlim, leftRa, leftDec, leftId,
         rightRa, rightDec, rightId, k = 1, dthreshDeg = dthreshDeg,
         leftPrefix = "", rightPrefix = "mn_")
       .select(col(leftId), col("mn_" + rightId).as(rightId), col("_DIST"))
-    val bwd = crossMatchKnn(right, left, rightRa, rightDec, rightId,
+    val bwd = crossMatchKnn(rSlim, lSlim, rightRa, rightDec, rightId,
         leftRa, leftDec, leftId, k = 1, dthreshDeg = dthreshDeg,
         leftPrefix = "", rightPrefix = "mn_")
       .select(col(rightId), col("mn_" + leftId).as(leftId))

@@ -58,6 +58,30 @@ class SpatialSpec extends SparkSpecBase {
     }
   }
 
+  test("crossMatchKnn k=1 aggregate path: schema and values equal the k-generic window path") {
+    // the k = 1 nearest-pick is a min(struct) aggregate (map-side
+    // combinable — no candidate-set window shuffle); this pins its
+    // output contract to the window path's: same columns in the same
+    // order, same _RANK/hips_k values, same rows
+    val supp = spark.read.parquet(sf("sf0.001") + "/supplier.parquet")
+      .withColumn("sra", sphere.raOf(col("s_suppkey")))
+      .withColumn("sdec", sphere.decOf(col("s_suppkey")))
+    val agg1 = Spatial.crossMatchKnn(cust, supp,
+      "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey",
+      k = 1, dthreshDeg = 30.0, leftPrefix = "", rightPrefix = "x_")
+    // k = 2 runs the window path; filtering its output to _RANK = 1
+    // must reproduce the k = 1 aggregate's rows exactly
+    val win1 = Spatial.crossMatchKnn(cust, supp,
+      "cra", "cdec", "c_custkey", "sra", "sdec", "s_suppkey",
+      k = 2, dthreshDeg = 30.0, leftPrefix = "", rightPrefix = "x_")
+      .filter(col("_RANK") === 1)
+    assert(agg1.columns.toSeq == win1.columns.toSeq,
+      s"k=1 column order drifted: ${agg1.columns.toSeq} vs ${win1.columns.toSeq}")
+    val a = agg1.collect().map(_.toSeq).sortBy(_.toString)
+    val w = win1.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == w.toSeq)
+  }
+
   test("box search honors the ra wrap; polygon search contains/excludes known points") {
     import spark.implicits._
     val pts = Seq(
