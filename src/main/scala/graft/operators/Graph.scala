@@ -43,6 +43,38 @@ object Graph {
                           maxIter: Int = 30): DataFrame =
     connectedComponentsWithCache(pairs, aCol, bCol, maxIter)._1
 
+  /** Edge-count ceiling for the driver-side connected-components path.
+   *
+   *  Sizing mirrors [[Spatial.MocLocalMaxTiles]]: the transient cost
+   *  is boxed collected `Row`s plus the label array (~100 B/edge
+   *  all-in), so the ceiling is heap-derived (a quarter of
+   *  `Runtime.maxMemory` at 100 B/edge) and capped at 1M edges —
+   *  big enough that every bench-scale duplicate graph runs local,
+   *  small enough that the broadcast back (≤ 2M slim label rows)
+   *  stays executor-safe. Corpus-scale duplicate graphs keep the
+   *  distributed star rounds. Override via
+   *  `spark.graft.cc.localMaxEdges` (0 disables the local path). */
+  def ccLocalMaxEdges(spark: org.apache.spark.sql.SparkSession): Long = {
+    spark.conf.getOption("spark.graft.cc.localMaxEdges").map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.cc.localMaxEdges must be an integer edge count (0 disables " +
+            s"the driver-side union-find path): got '$v'")
+      }
+    }.getOrElse {
+      val byHeap = Runtime.getRuntime.maxMemory() / 4 / 100
+      if (byHeap < 1000000L && !loggedCcHeapCeiling.getAndSet(true))
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"connected-components local-vs-distributed cutover is HEAP-derived on this " +
+            s"driver: $byHeap edges (maxMemory/4/100B) < the 1M cap — pin " +
+            s"spark.graft.cc.localMaxEdges for plan stability across drivers")
+      math.min(1000000L, byHeap)
+    }
+  }
+
+  /** One-shot latch for the heap-derived-ceiling log line above. */
+  private val loggedCcHeapCeiling = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Per-iteration lineage truncation. `labels` feeds the next
    *  iteration TWICE (message join + self union), so without
    *  truncation the logical plan DOUBLES every round — exponential
@@ -140,6 +172,59 @@ object Graph {
       val (df0, obs0) = phiObserved(edges)
       edges = truncate(df0)
       phiOf(obs0)
+    }
+    // Scale-adaptive LOCAL degenerate (the MocLocalMaxTiles /
+    // overlapJoin-broadcast precedent): the canonical edge count is
+    // already known FOR FREE from the observed phi on the initial
+    // truncate, and below the bounded ceiling a driver-side
+    // union-find replaces the star rounds outright — each star round
+    // is 2 checkpoint jobs plus edge-sized shuffles whose job floors
+    // dwarf tiny duplicate graphs (near-dup pair sets at bench scale
+    // are a few thousand edges; measured 2.3 s/round of pure
+    // overhead). Same labels by construction: union-find's
+    // min-id-per-component IS the star fixed point. Corpus-sized
+    // edge sets (over the ceiling) keep the distributed rounds
+    // unchanged.
+    if (phiPrev._1 <= ccLocalMaxEdges(pairs.sparkSession)) {
+      val collected = edges.select(col("hi"), col("lo")).collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp // path halving
+          x = gp
+        }
+        x
+      }
+      collected.foreach { r =>
+        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // attach-smaller-root union keeps every root the minimum of the
+      // roots merged into it, so find(x) IS min id of x's component
+      val labels = new Array[org.apache.spark.sql.Row](collected.length * 2)
+      var i = 0
+      collected.foreach { r =>
+        labels(i) = org.apache.spark.sql.Row(r.getLong(0), find(r.getLong(0)))
+        labels(i + 1) = org.apache.spark.sql.Row(r.getLong(1), find(r.getLong(1)))
+        i += 2
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false)))
+      val spark = pairs.sparkSession
+      // a node appears once per incident edge — dedupe before the
+      // join or labels would multiply the node rows
+      import scala.jdk.CollectionConverters._
+      val labelsDf = spark.createDataFrame(labels.distinct.toSeq.asJava, schema)
+      val out = truncate(
+        nodes.join(broadcast(labelsDf), Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp")))
+      backingRdd(edges).foreach(free(edges))
+      nodes.unpersist(blocking = false)
+      return (out, () => { backingRdd(out).foreach(free(out)); () })
     }
     var it = 0
     var converged = false

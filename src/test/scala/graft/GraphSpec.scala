@@ -34,10 +34,13 @@ class GraphSpec extends SparkSpecBase {
     // star rounds are O(log n): a 2000-node chain at maxIter = 1
     // cannot have contracted fully (one large+small round only
     // shortens chains by a constant factor)
+    // force the distributed star rounds — the maxIter contract is
+    // theirs (the local union-find degenerate has no iteration bound)
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
     val chain = (1L to 2000L).map(i => (i, i + 1)).toDF("a", "b")
-    val e = intercept[IllegalStateException] {
+    val e = try intercept[IllegalStateException] {
       Graph.connectedComponents(chain, "a", "b", maxIter = 1).collect()
-    }
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
     assert(e.getMessage.contains("did not converge"))
   }
 
@@ -58,8 +61,15 @@ class GraphSpec extends SparkSpecBase {
     }
     val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(n => n -> find(n)).toMap
+    // default path: the driver-side union-find degenerate (600 edges
+    // is under the local ceiling)
     assert(comps(edges) == expect,
+      "local union-find labels must match exact union-find")
+    // forced distributed star rounds must produce the same labels
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try assert(comps(edges) == expect,
       "star-contraction labels must match exact union-find")
+    finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
   test("dedupClusters: transitive near-dups collapse to one canonical doc") {
@@ -82,11 +92,16 @@ class GraphSpec extends SparkSpecBase {
     // untruncated plan doubles per round — 2^50 nodes by the end. The
     // checkpointing must keep the returned plan CONSTANT-sized no
     // matter how many iterations ran (this chain needs all 50).
-    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Graph.connectedComponents(edges, "a", "b", maxIter = 60)
-    val plan = labels.queryExecution.optimizedPlan.toString
-    assert(plan.length < 10000, s"iteration lineage must be truncated, got ${plan.length} chars")
-    assert(labels.collect().forall(_.getLong(1) == 1L), "51-node chain collapses to min id 1")
+    // force the distributed star rounds — the lineage-truncation
+    // guarantee under test is theirs (the local path never iterates)
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val edges = (1L to 50L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Graph.connectedComponents(edges, "a", "b", maxIter = 60)
+      val plan = labels.queryExecution.optimizedPlan.toString
+      assert(plan.length < 10000, s"iteration lineage must be truncated, got ${plan.length} chars")
+      assert(labels.collect().forall(_.getLong(1) == 1L), "51-node chain collapses to min id 1")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
   /** Driver-side replay of the EXACT integer update rule — the
