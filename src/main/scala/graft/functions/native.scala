@@ -35,6 +35,11 @@ object native {
 
   /** Jaro-Winkler similarity (JaroWinklerExpr, DuckDB-variant-exact). */
   def jaroWinkler(a: Column, b: Column): Column = c2(JaroWinklerExpr.apply)(a, b)
+  /** Thresholded exact Levenshtein distance (BitLevenshteinExpr —
+   *  bit-parallel Myers, -1 over maxDist; Spark-levenshtein-exact). */
+  def bitLevenshtein(a: Column, b: Column, maxDist: Int): Column =
+    GraftBridge.column(BitLevenshteinExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b), maxDist))
   /** Winnowing picks (pos << 32 | gramFp) of normalized text (WinnowExpr). */
   def winnow(normText: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expression(normText), k, w))

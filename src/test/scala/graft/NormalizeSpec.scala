@@ -36,6 +36,38 @@ class NormalizeSpec extends SparkSpecBase {
     assert(r.isNullAt(1))
   }
 
+  test("bitLevenshtein equals Spark's thresholded levenshtein on fuzzed ASCII + edge cases") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val k = graft.functions.TextKernels
+    // deterministic fuzz: lengths 0..100 (spanning the 64-bit block
+    // boundary), small alphabet so real collisions/edits occur, plus
+    // hand-picked edges; reference = Spark's own banded DP
+    val rnd = new scala.util.Random(42)
+    def rs(n: Int, alpha: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+    val cases = Seq(
+      ("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("a" * 64, "a" * 64), ("a" * 64, "a" * 65), ("a" * 63 + "b", "a" * 64),
+      ("kitten", "sitting"), ("flaw", "lawn")) ++
+      (1 to 400).map { i =>
+        (rs(rnd.nextInt(101), 2 + rnd.nextInt(8)), rs(rnd.nextInt(101), 2 + rnd.nextInt(8)))
+      }
+    for ((a, b) <- cases; t <- Seq(0, 1, 3, 40, 200)) {
+      val got = k.bitLevenshtein(u(a), u(b), t)
+      val want = u(a).levenshteinDistance(u(b), t)
+      assert(got == want, s"bitLevenshtein('$a','$b',$t) = $got, Spark = $want")
+    }
+    // non-ASCII falls back to the codepoint DP (same values)
+    for ((a, b) <- Seq(("café", "cafe"), ("你好", "你"), ("ábc", "abc"))) {
+      assert(k.bitLevenshtein(u(a), u(b), 40) == u(a).levenshteinDistance(u(b), 40))
+    }
+    // the SQL-visible face: operator-level parity is pinned by
+    // editDistancePairs' oracle queries; here pin the Column face
+    val df = Seq(("abcdef", "abdcef"), ("xxxxx", "yyyyy")).toDF("a", "b")
+    val got = df.select(native.bitLevenshtein(col("a"), col("b"), 3)).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(2, -1))
+  }
+
   test("jaroWinkler matches the classic reference values and edge cases") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     val jw = (a: String, b: String) => graft.functions.TextKernels.jaroWinkler(u(a), u(b))
