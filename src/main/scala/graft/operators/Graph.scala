@@ -799,21 +799,31 @@ object Graph {
     def fresh(t: DataFrame): DataFrame =
       t.sparkSession.createDataFrame(t.rdd, t.schema)
     def release(t: DataFrame): Unit = backingRdd(t).foreach(free(t))
+    // fixed-point counts ride the checkpoint jobs as OBSERVED metrics
+    // (the connectedComponents phi pattern): the old per-round
+    // `pairs.count()` + `grown.count()` pair re-ran two jobs per round
+    // on data the truncate had just materialized
+    def truncateCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val ck = truncate(df.observe(obs, count(lit(1)).as("n")))
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
     val base = parents.select(col(childCol).cast("long").as("node"),
       col(parentCol).cast("long").as("anc"))
-    var pairsCk = truncate(base)      // all ancestors found so far
-    var jumpCk = truncate(base.withColumnRenamed("anc", "jump")) // ancestor at 2^r hops
+    var (pairsCk, nPairs) = truncateCounted(base)
+    // the initial jump table is the SAME rows under a renamed column —
+    // share the checkpointed RDD instead of materializing it twice
+    var jumpCk = pairsCk
     var pairs = fresh(pairsCk)
-    var jump = fresh(jumpCk)
+    var jump = fresh(pairsCk).withColumnRenamed("anc", "jump")
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
       // new ancestors: everything reachable THROUGH the current jump
       val step = pairs.join(jump.withColumnRenamed("node", "anc"), Seq("anc"))
         .select(col("node"), col("jump").as("anc"))
-      val grown = truncate(pairs.unionByName(step).distinct())
-      val nBefore = pairs.count()
-      if (grown.count() == nBefore) {
+      val (grown, nGrown) = truncateCounted(pairs.unionByName(step).distinct())
+      if (nGrown == nPairs) {
         release(grown)
         done = true
       } else {
@@ -824,12 +834,14 @@ object Graph {
             jump.withColumnRenamed("jump", "jump2").withColumnRenamed("node", "jump"),
             Seq("jump"))
           .select(col("node"), col("jump2").as("jump")))
-        release(pairsCk); pairsCk = grown; pairs = fresh(grown)
-        release(jumpCk); jumpCk = jump2; jump = fresh(jump2)
+        if (jumpCk ne pairsCk) release(jumpCk)
+        release(pairsCk); pairsCk = grown; pairs = fresh(grown); nPairs = nGrown
+        jumpCk = jump2; jump = fresh(jump2)
         r += 1
       }
     }
-    release(jumpCk)
+    // converged in round 0 ⇒ jump still shares pairs' RDD — the result
+    if (jumpCk ne pairsCk) release(jumpCk)
     // exiting via maxRounds without the fixpoint means depth >
     // 2^maxRounds — or a CYCLE (forest-contract violation), which
     // never converges. A silently truncated closure must not pass as
