@@ -349,6 +349,10 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val withDeg = edges.join(deg, "src")
       .repartition(col("src"))
+      // pin the sort into the persisted layout: every iteration's
+      // sort-merge join on src otherwise re-sorts the edge side
+      // (the iteration-invariant big side) per round
+      .sortWithinPartitions("src")
       .persist(lvl)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
@@ -477,6 +481,9 @@ object Graph {
       .union(e.select(col("b").as("n"), col("a").as("nb")))
       .distinct()
       .repartition(col("n"))
+      // sorted persisted layout — per-round joins on n skip the
+      // edge-side sort (see pageRank's withDeg note)
+      .sortWithinPartitions("n")
       .persist(lvl)
     var frontier = truncate(
       seeds.select(col(seedCol).cast("long").as("node"))
@@ -544,6 +551,9 @@ object Graph {
       .union(e.select(col("b").as("n"), col("a").as("nb")))
       .distinct()
       .repartition(col("n"))
+      // sorted persisted layout — per-round joins on n skip the
+      // edge-side sort (see pageRank's withDeg note)
+      .sortWithinPartitions("n")
       .persist(lvl)
     var labels = truncate(
       dirE.select(col("n").as("node")).distinct().withColumn("lbl", col("node")))
@@ -719,6 +729,7 @@ object Graph {
       .union(e.select(col("b").as("n"), col("a").as("nb"), col("w")))
       .groupBy("n", "nb").agg(min("w").as("w"))
       .repartition(col("n"))
+      .sortWithinPartitions("n")
       .persist(lvl)
     // ckpt handles (for freeing blocks) are kept SEPARATE from the
     // stats-reset frames the next round plans over. `fresh` rebuilds
