@@ -324,10 +324,22 @@ object Spatial {
     fwd.join(bwd, Seq(leftId, rightId))
   }
 
-  /** Largest order whose pixels are still ≥ ~2x dthresh wide (arcsec thresholds reach order ~18). */
+  /** Largest order whose pixels are still ≥ ~factor x dthresh wide
+   *  (arcsec thresholds reach order ~18). The width factor is 2 for
+   *  ordinary (small) radii — the r1-r15 rule — but 1 for WIDE
+   *  thresholds (≥ 5°, the xmatch-pipeline regime): there the coarse
+   *  orders are so few pixels that candidate pairs overshoot the true
+   *  neighbor fraction ~3x, and one step deeper prunes them while the
+   *  disc-cover explode stays O(10) pixels (a radius-d cap over
+   *  pixels ≥ d wide). Measured: pipeline_xmatch3 6.2 -> 3.4 s with
+   *  factor 1 at 10-15°; q_fof (2.5°) 1.1 -> 2.6 s if factor 1 is
+   *  applied below the cutoff — hence the split. Results are exact
+   *  at any order (the cover is lossless); only candidate volume
+   *  moves. */
   def autoOrder(dthreshDeg: Double): Int = {
+    val factor = if (dthreshDeg >= 5.0) 1.0 else 2.0
     var o = 0
-    while (o < 18 && math.toDegrees(Healpix.maxPixRad(o + 1)) >= 2 * dthreshDeg) o += 1
+    while (o < 18 && math.toDegrees(Healpix.maxPixRad(o + 1)) >= factor * dthreshDeg) o += 1
     o
   }
 
