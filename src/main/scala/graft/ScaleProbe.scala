@@ -25,6 +25,11 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // NTZ events resolve through the session zone
       .config("spark.ui.enabled", "false")
+      // the probe EXISTS to exercise the distributed graph rounds
+      // (diameter/plan-size/stats stress); the driver-side
+      // small-graph degenerates would otherwise absorb the sub-1M
+      // probes and measure the wrong path
+      .config("spark.graft.cc.localMaxEdges", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

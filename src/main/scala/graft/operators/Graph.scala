@@ -43,7 +43,9 @@ object Graph {
                           maxIter: Int = 30): DataFrame =
     connectedComponentsWithCache(pairs, aCol, bCol, maxIter)._1
 
-  /** Edge-count ceiling for the driver-side connected-components path.
+  /** Edge-count ceiling for the driver-side graph degenerates
+   *  (connected components, labelPropagation, louvainMerge, bfsHops,
+   *  sssp — all exact-integer replays of their distributed rounds).
    *
    *  Sizing mirrors [[Spatial.MocLocalMaxTiles]]: the transient cost
    *  is boxed collected `Row`s plus the label array (~100 B/edge
@@ -74,6 +76,18 @@ object Graph {
 
   /** One-shot latch for the heap-derived-ceiling log line above. */
   private val loggedCcHeapCeiling = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Bounded local-materialization probe for the driver-side graph
+   *  degenerates: collects at most cap+1 rows and returns None when
+   *  the frame exceeds cap. limit() short-circuits, so an over-cap
+   *  (corpus-scale) graph pays a bounded partial scan — not a full
+   *  count — before taking the distributed path. */
+  private def collectIfBounded(df: DataFrame, cap: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (cap <= 0) return None
+    val lim = math.min(cap + 1, Int.MaxValue.toLong - 1).toInt
+    val rows = df.limit(lim).collect()
+    if (rows.length > cap) None else Some(rows)
+  }
 
   /** Per-iteration lineage truncation. `labels` feeds the next
    *  iteration TWICE (message join + self union), so without
@@ -477,6 +491,46 @@ object Graph {
     val e = edges0
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // bounded LOCAL degenerate (the connectedComponents ceiling): a
+    // driver-side BFS replaces maxHops x (join + anti-join +
+    // checkpoint + isEmpty) jobs when the edge set is bounded; the
+    // frontier discipline is identical, so (node, hop) match
+    // bit-for-bit. Seeds are bounded by the node set once edges are.
+    collectIfBounded(e, ccLocalMaxEdges(edges0.sparkSession)) match {
+      case Some(rows) =>
+        val seedRows = seeds.select(col(seedCol).cast("long").as("node"))
+          .filter(col("node").isNotNull).distinct().collect()
+        val nbrs = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        def add(x: Long, y: Long): Unit =
+          nbrs.computeIfAbsent(x, _ => new java.util.ArrayList[Long]()).add(y)
+        rows.foreach { r => add(r.getLong(0), r.getLong(1)); add(r.getLong(1), r.getLong(0)) }
+        val dist = new java.util.HashMap[Long, Long]()
+        var frontier = new java.util.ArrayList[Long]()
+        seedRows.foreach { r => dist.put(r.getLong(0), 0L); frontier.add(r.getLong(0)) }
+        var h = 1L
+        while (h <= maxHops && !frontier.isEmpty) {
+          val next = new java.util.ArrayList[Long]()
+          frontier.forEach { n =>
+            val nn = nbrs.get(n)
+            if (nn != null) nn.forEach { nb =>
+              if (!dist.containsKey(nb)) { dist.put(nb, h); next.add(nb) }
+            }
+          }
+          frontier = next
+          h += 1
+        }
+        val out = new Array[org.apache.spark.sql.Row](dist.size)
+        var i = 0
+        dist.forEach { (n, d) => out(i) = org.apache.spark.sql.Row(n, d); i += 1 }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("hop",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        return edges0.sparkSession.createDataFrame(out.toSeq.asJava, schema)
+      case None => ()
+    }
     val dirE = e.select(col("a").as("n"), col("b").as("nb"))
       .union(e.select(col("b").as("n"), col("a").as("nb")))
       .distinct()
@@ -547,6 +601,50 @@ object Graph {
     val e = edges0
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // bounded LOCAL degenerate (the connectedComponents precedent,
+    // same ceiling): the synchronous rounds are exact integer state —
+    // a driver-side replay over the collected edge set produces
+    // bit-identical labels, without rounds x (broadcast + aggregate +
+    // checkpoint) jobs whose constants dwarf small graphs. Over-cap
+    // graphs pay only the short-circuited limit probe and keep the
+    // distributed rounds.
+    collectIfBounded(e, ccLocalMaxEdges(edges0.sparkSession)) match {
+      case Some(rows) =>
+        // distinct symmetric adjacency (the dirE contract)
+        val nbrs = new java.util.HashMap[Long, java.util.TreeSet[java.lang.Long]]()
+        def add(x: Long, y: Long): Unit =
+          nbrs.computeIfAbsent(x, _ => new java.util.TreeSet[java.lang.Long]()).add(y)
+        rows.foreach { r => add(r.getLong(0), r.getLong(1)); add(r.getLong(1), r.getLong(0)) }
+        var lab = new java.util.HashMap[Long, Long]()
+        nbrs.keySet().forEach(n => lab.put(n, n))
+        for (_ <- 0 until rounds) {
+          val next = new java.util.HashMap[Long, Long]()
+          nbrs.forEach { (n, nn) =>
+            // most frequent neighbor label, ties to the SMALLEST —
+            // exactly min(struct(-count, lbl))
+            val cnt = new java.util.HashMap[Long, Long]()
+            nn.forEach(nb => cnt.merge(lab.get(nb), 1L, _ + _))
+            var bestLbl = Long.MaxValue
+            var bestC = -1L
+            cnt.forEach { (l, c) =>
+              if (c > bestC || (c == bestC && l < bestLbl)) { bestC = c; bestLbl = l }
+            }
+            next.put(n, bestLbl)
+          }
+          lab = next
+        }
+        val out = new Array[org.apache.spark.sql.Row](lab.size)
+        var i = 0
+        lab.forEach { (n, l) => out(i) = org.apache.spark.sql.Row(n, l); i += 1 }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("community",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        return edges0.sparkSession.createDataFrame(out.toSeq.asJava, schema)
+      case None => ()
+    }
     val dirE = e.select(col("a").as("n"), col("b").as("nb"))
       .union(e.select(col("b").as("n"), col("a").as("nb")))
       .distinct()
@@ -648,6 +746,83 @@ object Graph {
     val e = edges0
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // bounded LOCAL degenerate (the labelPropagation/CC ceiling): the
+    // merge rounds are exact integer arithmetic over community
+    // rollups — replayed bit-identically on the driver when the edge
+    // set (and hence the node/label set) is bounded. Each distributed
+    // round otherwise costs ~10 tiny stages + 2 checkpoints.
+    val localEdges = collectIfBounded(e, ccLocalMaxEdges(edges0.sparkSession))
+    val localLabels = if (localEdges.isDefined)
+      collectIfBounded(labels0.select(
+        col(nodeCol).cast("long").as("node"), col(commCol).cast("long").as("lbl")),
+        2 * ccLocalMaxEdges(edges0.sparkSession) + 1)
+    else None
+    (localEdges, localLabels) match {
+      case (Some(er), Some(lr)) =>
+        val mm = er.length.toLong
+        require(mm > 0, "louvainMerge: empty edge set")
+        // boxed label values: the distributed rounds INNER-join labels
+        // onto edge endpoints, so an unlabeled endpoint (contract
+        // violation) silently drops that edge from the rollup — a
+        // scala.Long value would unbox the absent null to community 0
+        // instead
+        val lab = new java.util.HashMap[Long, java.lang.Long]()
+        lr.foreach(r => lab.put(r.getLong(0), r.getLong(1)))
+        val deg = new java.util.HashMap[Long, Long]()
+        er.foreach { r =>
+          deg.merge(r.getLong(0), 1L, _ + _); deg.merge(r.getLong(1), 1L, _ + _)
+        }
+        var r0 = 0
+        var doneL = false
+        while (r0 < rounds && !doneL) {
+          val ec = new java.util.HashMap[(Long, Long), Long]()
+          er.foreach { r =>
+            val ca = lab.get(r.getLong(0)); val cb = lab.get(r.getLong(1))
+            if (ca != null && cb != null && ca.longValue() != cb.longValue())
+              ec.merge((math.min(ca, cb), math.max(ca, cb)), 1L, _ + _)
+          }
+          val ds = new java.util.HashMap[Long, Long]()
+          lab.forEach { (n, l) => ds.merge(l, deg.getOrDefault(n, 0L), _ + _) }
+          // positive-gain nominations, best partner per community:
+          // max dq, ties to the smallest partner id
+          val best = new java.util.HashMap[Long, (Long, Long)]() // x -> (dq, y)
+          def nominate(x: Long, y: Long, dq: Long): Unit = {
+            val cur = best.get(x)
+            if (cur == null || dq > cur._1 || (dq == cur._1 && y < cur._2))
+              best.put(x, (dq, y))
+          }
+          ec.forEach { (cd, cnt) =>
+            val dq = 4L * mm * cnt - 2L * ds.get(cd._1) * ds.get(cd._2)
+            if (dq > 0) { nominate(cd._1, cd._2, dq); nominate(cd._2, cd._1, dq) }
+          }
+          // mutual nominations with c < d merge; merged keeps the smaller id
+          val remap = new java.util.HashMap[Long, Long]()
+          best.forEach { (x, dy) =>
+            if (x < dy._2) {
+              val back = best.get(dy._2)
+              if (back != null && back._2 == x) remap.put(dy._2, x)
+            }
+          }
+          if (remap.isEmpty) doneL = true
+          else {
+            val upd = new java.util.ArrayList[Long]()
+            lab.forEach { (n, l) => if (remap.containsKey(l)) upd.add(n) }
+            upd.forEach(n => lab.put(n, remap.get(lab.get(n))))
+          }
+          r0 += 1
+        }
+        val out = new Array[org.apache.spark.sql.Row](lab.size)
+        var i = 0
+        lab.forEach { (n, l) => out(i) = org.apache.spark.sql.Row(n, l); i += 1 }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(commCol,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        return edges0.sparkSession.createDataFrame(out.toSeq.asJava, schema)
+      case _ => ()
+    }
     val m = e.count()
     require(m > 0, "louvainMerge: empty edge set")
     val deg = truncate(
@@ -725,6 +900,69 @@ object Graph {
       .filter(col("a") =!= col("b"))
     require(e.filter(col("w") < 0 || col("w").isNull).limit(1).isEmpty,
       "sssp: negative or null edge weight — bounded-path minima need nonnegative weights")
+    // bounded LOCAL degenerate (the connectedComponents ceiling):
+    // driver-side Bellman-Ford with the identical bounded-frontier
+    // discipline — per distributed round: candidate min + improvement
+    // filter + accumulator re-aggregate is 3 checkpoints + an isEmpty,
+    // all job-floor on small graphs. Distances are exact integers, so
+    // the replay is bit-identical.
+    collectIfBounded(e, ccLocalMaxEdges(edges0.sparkSession)) match {
+      case Some(rows) =>
+        val seedRows = seeds.select(col(seedCol).cast("long").as("node"))
+          .filter(col("node").isNotNull).distinct().collect()
+        // symmetric adjacency, parallel edges collapsed to min weight
+        val wMap = new java.util.HashMap[(Long, Long), Long]()
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1); val w = r.getLong(2)
+          wMap.merge((a, b), w, math.min(_, _)); wMap.merge((b, a), w, math.min(_, _))
+        }
+        val nbrs = new java.util.HashMap[Long, java.util.ArrayList[(Long, Long)]]()
+        wMap.forEach { (k, w) =>
+          nbrs.computeIfAbsent(k._1, _ => new java.util.ArrayList[(Long, Long)]())
+            .add((k._2, w))
+        }
+        // values are BOXED Longs: java.util.Map.get on an absent key
+        // returns null, and a scala.Long value type would silently
+        // unbox it to 0 (an absent node is NOT at distance 0)
+        val dist = new java.util.HashMap[Long, java.lang.Long]()
+        var frontier = new java.util.ArrayList[Long]()
+        seedRows.foreach { r => dist.put(r.getLong(0), 0L); frontier.add(r.getLong(0)) }
+        var r1 = 1
+        while (r1 <= maxRounds && !frontier.isEmpty) {
+          val improved = new java.util.LinkedHashMap[Long, java.lang.Long]()
+          frontier.forEach { n =>
+            val dn: Long = dist.get(n)
+            val nn = nbrs.get(n)
+            if (nn != null) nn.forEach { case (nb, w) =>
+              val cand = dn + w
+              val old = dist.get(nb)
+              val cur = improved.get(nb)
+              if ((old == null || cand < old.longValue()) &&
+                  (cur == null || cand < cur.longValue()))
+                improved.put(nb, cand)
+            }
+          }
+          frontier = new java.util.ArrayList[Long]()
+          val it = improved.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            dist.put(en.getKey, en.getValue)
+            frontier.add(en.getKey)
+          }
+          r1 += 1
+        }
+        val out = new Array[org.apache.spark.sql.Row](dist.size)
+        var i = 0
+        dist.forEach { (n, d) => out(i) = org.apache.spark.sql.Row(n, d); i += 1 }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        return edges0.sparkSession.createDataFrame(out.toSeq.asJava, schema)
+      case None => ()
+    }
     val dirE = e.select(col("a").as("n"), col("b").as("nb"), col("w"))
       .union(e.select(col("b").as("n"), col("a").as("nb"), col("w")))
       .groupBy("n", "nb").agg(min("w").as("w"))

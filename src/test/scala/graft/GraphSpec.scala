@@ -72,6 +72,36 @@ class GraphSpec extends SparkSpecBase {
     finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
+  test("local graph degenerates equal the forced-distributed rounds (LPA, louvain, bfs, sssp)") {
+    // the driver-side replays must be BIT-identical to the
+    // distributed iterations on the same inputs — run each operator
+    // under the default (local) ceiling and with the ceiling at 0
+    // (forced distributed) and compare full sorted outputs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (7L, 8L), (10L, 3L), (10L, 1L)).toDF("a", "b")
+    val wEdges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 7L), (1L, 4L, 20L),
+      (4L, 5L, 2L), (7L, 8L, 1L)).toDF("a", "b", "w")
+    val seeds = Seq(1L, 7L).toDF("s")
+    def both[T](f: => Seq[T]): (Seq[T], Seq[T]) = {
+      val local = f
+      spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+      try (local, f) finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    }
+    val (lpaL, lpaD) = both(Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(lpaL == lpaD, s"LPA local $lpaL != distributed $lpaD")
+    val labs = Graph.labelPropagation(edges, "a", "b", rounds = 2)
+    val (louL, louD) = both(Graph.louvainMerge(edges, "a", "b", labs, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(louL == louD, s"louvain local $louL != distributed $louD")
+    val (bfsL, bfsD) = both(Graph.bfsHops(edges, "a", "b", seeds, "s", maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(bfsL == bfsD, s"bfs local $bfsL != distributed $bfsD")
+    val (ssspL, ssspD) = both(Graph.sssp(wEdges, "a", "b", "w", seeds, "s", maxRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(ssspL == ssspD, s"sssp local $ssspL != distributed $ssspD")
+  }
+
   test("dedupClusters: transitive near-dups collapse to one canonical doc") {
     // three mutually-similar texts (a->b->c transitively), one distinct
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
