@@ -2863,7 +2863,17 @@ object QueryRegistry {
   private def coSupplyKnnEdges(s: SparkSession, dir: String): DataFrame = {
     val bp = t(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-    val pairs = bp.alias("x").join(bp.alias("y"),
+    // SHUFFLE_HASH: the wedge self-join's sort-merge plan paid two
+    // 591k-row sorts per run for a join whose per-partition build
+    // side is a bounded slice of the slim (p, sk) projection —
+    // measured 4.65 -> 2.07 s (same-epoch 5-run medians) at sf0.1.
+    // At scale AQE's skew-join splitting applies to shuffled-hash
+    // joins too, so a hot part key cannot grow one build partition
+    // unboundedly. (Tried and rejected: collect_set + interpreted
+    // higher-order pair generation, 2x SLOWER — lambda expressions
+    // are CodegenFallback; and an explode-based co-partitioned
+    // self-join, still slower than this shape.)
+    val pairs = bp.alias("x").hint("SHUFFLE_HASH").join(bp.alias("y"),
         col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
       .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
       .agg(count(lit(1)).as("w"))

@@ -396,14 +396,25 @@ object Graph {
    *  partners (ties broken by partner id), then symmetrize. The
    *  result is degree-bounded (≤ 2k per node) at ANY scale — the
    *  standard way to sparsify a similarity/co-occurrence projection
-   *  whose raw density grows with the data. One window shuffle per
-   *  direction over the pair table; map-side top-k would apply for
-   *  huge k but k is small by construction. */
+   *  whose raw density grows with the data. Returns (a, b) LONG
+   *  canonical undirected edges. One window shuffle per direction
+   *  over the pair table (Spark 4's WindowGroupLimit map-side-prunes
+   *  to k rows per node per input partition before the exchange). */
   def topKNeighborGraph(pairs: DataFrame, uCol: String, vCol: String,
                         wCol: String, k: Int): DataFrame = {
     require(k >= 1, s"topKNeighborGraph: k must be >= 1, got $k")
-    val directed = pairs.select(col(uCol).as("n"), col(vCol).as("p"), col(wCol).as("w"))
-      .union(pairs.select(col(vCol).as("n"), col(uCol).as("p"), col(wCol).as("w")))
+    val slim = pairs.select(col(uCol).cast("long").as("u"),
+      col(vCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+    // (A driver-side bounded degenerate was tried here — collect the
+    // pair table under the ccLocalMaxEdges ceiling and replay the
+    // deterministic top-k locally — and REJECTED by measurement: the
+    // pair table is k-unbounded (499,500 rows at sf0.1), so the
+    // boxed-row collect cost exactly what the window + distinct
+    // exchanges cost, with extra driver pressure. The distributed
+    // window is already map-side-pruned by Spark 4's WindowGroupLimit
+    // to <= k rows per node per input partition.)
+    val directed = slim.select(col("u").as("n"), col("v").as("p"), col("w"))
+      .union(slim.select(col("v").as("n"), col("u").as("p"), col("w")))
     val byNode = org.apache.spark.sql.expressions.Window
       .partitionBy("n").orderBy(col("w").desc, col("p").asc)
     directed.withColumn("__rn", row_number().over(byNode))

@@ -286,6 +286,19 @@ class GraphSpec extends SparkSpecBase {
     assert(degs.forall(_ <= 4), "degree bounded by 2k")
   }
 
+  test("topKNeighborGraph casts to long and breaks weight ties by partner id") {
+    // int inputs: the operator's output contract is LONG (a, b)
+    val pairs = Seq((1, 2, 5), (1, 3, 5), (1, 4, 5), (2, 3, 1))
+      .toDF("u", "v", "w")
+    val ed = Graph.topKNeighborGraph(pairs, "u", "v", "w", k = 1)
+    assert(ed.schema.fields.map(_.dataType).forall(
+      _ == org.apache.spark.sql.types.LongType), "canonical edges are LONG")
+    val got = ed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node 1: all three partners tie at w=5 -> keeps the SMALLEST id (2);
+    // 2 keeps 1 (5 beats 1), 3 keeps 1, 4 keeps 1 -> symmetrized union
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
   test("bfsHops: multi-source min distance, early stop, unreachable absent") {
     // path 1-2-3-4-5, island 10-11, isolated seed 99
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a", "b")
