@@ -373,20 +373,22 @@ object Graph {
       .distinct()
       .persist(lvl)
     val teleport = (100L - d100) * (scale / 100L)
+    // the rank table feeds each iteration exactly ONCE (the message
+    // join; `nodes` is a separate persisted frame), so the chained
+    // plan grows LINEARLY in the iteration count — no per-iteration
+    // checkpoint is needed (contrast labelPropagation, whose labels
+    // feed twice per round). Chaining all K iterations into the
+    // consumer's single action replaces K (persist + count)
+    // materialization jobs with one job whose stages pipeline over
+    // the pre-partitioned persisted edge layout.
     var ranks = nodes.select(col("node"), lit(scale).as("r"))
-    var prevHandle: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = withDeg.join(ranks, col("node") === col("src"))
         .select(col("dst").as("node"), expr("r div od").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + expr(s"($d100 * coalesce(s, 0L)) div 100")).as("r"))
-        .persist(lvl)
-      next.count() // materialize before releasing the previous iteration
-      prevHandle.foreach(_.unpersist(blocking = false))
-      prevHandle = Some(next)
-      ranks = next
     }
     ranks
   }
