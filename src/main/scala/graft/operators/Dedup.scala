@@ -618,13 +618,20 @@ object Dedup {
                            idCol: String, textCol: String,
                            minJaccard: Double = 0.8, numPerms: Int = 128,
                            bands: Int = 32, shingleN: Int = 3): DataFrame = {
-    val spark = newBatch.sparkSession
+    // columnar Dataset persist, NOT the GC-tracked .rdd persist the
+    // exact-dedup sibling uses: the state is consumed twice (band
+    // join + verify join) and the RDD round-trip costs a full
+    // InternalRow -> Row -> InternalRow conversion of the signature
+    // and shingle-hash ARRAYS per consumer (measured: state
+    // materialization 0.66 s columnar vs 1.93 s via .rdd at sf0.1),
+    // and strips the size statistics the join planning needs. The
+    // cost is the minhashPairs convention's leak: the cache lives
+    // until the session clears it (one-shot jobs fine; long-lived
+    // recurring-ingest callers should use [[incrementalNearDedupWithState]]
+    // against a state THEY persist and release).
     val st = nearDupState(history, idCol, textCol, numPerms, shingleN)
-    // GC-tracked RDD persist (not df.persist — see incrementalDedupWithCache):
-    // the state is consumed twice (band join + verify join); the cache
-    // frees itself when the result plan is dropped
-    val stRdd = st.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    incrementalNearDedupWithState(newBatch, spark.createDataFrame(stRdd, st.schema),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalNearDedupWithState(newBatch, st,
       idCol, textCol, minJaccard, numPerms, bands, shingleN)
   }
 
@@ -639,7 +646,6 @@ object Dedup {
     require(minJaccard > 0.0 && minJaccard <= 1.0, s"minJaccard must be in (0, 1]: $minJaccard")
     val rowsPerBand = bandLayout(numPerms, bands)
     Sampling.requireIntegralId(newBatch, idCol, "incrementalNearDedup")
-    val spark = newBatch.sparkSession
     val bb = newBatch
       .select(col(idCol).as("__bid"), shingles(col(textCol), shingleN).as("__shg"))
       .select(col("__bid"),
@@ -647,9 +653,9 @@ object Dedup {
         graft.functions.native.sortedHashes(col("__shg")).as("bsh"))
       .withColumn("bsz", size(col("bsh")))
       .filter(col("bsz") > 0)
-    // batch state is consumed twice as well; same GC-tracked cache
-    val bbRdd = bb.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchBase = spark.createDataFrame(bbRdd, bb.schema)
+    // batch state is consumed twice as well; same columnar persist
+    // (and same leak note) as the history state above
+    val batchBase = bb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBand = batchBase.select(col("__bid"), col("bsig"),
         posexplode(bandHashes(col("bsig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
@@ -657,18 +663,25 @@ object Dedup {
         posexplode(bandHashes(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
     // exactly-once candidate emission per (batch, hist) pair — the
-    // first truly-matching band, not a distinct shuffle of all pairs
-    val cand = bBand.join(hBand, Seq("band", "bandhash"))
+    // first truly-matching band, not a distinct shuffle of all pairs.
+    // The batch-derived frames (band keys, verify payloads, candidate
+    // ids, dup ids) are BROADCAST by the operator's own contract —
+    // ingest batches are small relative to history, and the
+    // RDD-backed GC-tracked caches carry no size statistics, so
+    // without the hints every join here planned sort-merge and the
+    // corpus-sized history state was shuffled per ingest (measured:
+    // 33 SMJs, zero broadcasts at sf0.1). History always streams.
+    val cand = broadcast(bBand).join(hBand, Seq("band", "bandhash"))
       .filter(col("band") === firstMatchingBand(col("bsig"), col("sig"), bands, rowsPerBand))
       .select("__bid", "__hist_id")
-    val dupIds = cand
-      .join(batchBase.select(col("__bid"), col("bsh"), col("bsz")), "__bid")
+    val dupIds = broadcast(cand
+        .join(broadcast(batchBase.select(col("__bid"), col("bsh"), col("bsz"))), "__bid"))
       .join(state.select(col("__hist_id"), col("sh"), col("sz")), "__hist_id")
       .filter(least(col("bsz"), col("sz")) >= lit(minJaccard) * greatest(col("bsz"), col("sz")))
       .withColumn("inter", graft.functions.native.intersectCount(col("bsh"), col("sh")))
       .filter(col("inter").cast("double") / (col("bsz") + col("sz") - col("inter")) >= minJaccard)
       .select(col("__bid").as(idCol))
-    newBatch.join(dupIds, Seq(idCol), "left_anti")
+    newBatch.join(broadcast(dupIds), Seq(idCol), "left_anti")
   }
 
   /**
