@@ -56,11 +56,50 @@ object Bpe {
     out.toArray
   }
 
+  /** Distinct-word ceiling for the driver-side merge-loop replay
+   *  (the connectedComponents/labelPropagation degenerate precedent):
+   *  below it the per-merge (pair-count aggregate + argmax collect +
+   *  re-encode materialization) job pairs are replayed locally over
+   *  the collected word table in exact integer arithmetic with the
+   *  identical UTF-8-binary tie order. Heap-derived (a quarter of
+   *  maxMemory at ~200 B/word all-in), capped at 1M distinct words;
+   *  web-scale vocabularies (10^6-10^7) keep the distributed loop.
+   *  Override via `spark.graft.bpe.localMaxWords` (0 disables). */
+  def bpeLocalMaxWords(spark: org.apache.spark.sql.SparkSession): Long = {
+    spark.conf.getOption("spark.graft.bpe.localMaxWords").map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.bpe.localMaxWords must be an integer word count (0 disables " +
+            s"the driver-side merge loop): got '$v'")
+      }
+    }.getOrElse(math.min(1000000L, Runtime.getRuntime.maxMemory() / 4 / 200))
+  }
+
+  /** Unsigned UTF-8 byte order — the order Spark's UTF8String binary
+   *  comparison (and DuckDB's binary collation) sorts strings in; the
+   *  driver replay must break frequency ties in exactly this order,
+   *  NOT Java String's UTF-16 code-unit order (they differ above the
+   *  BMP). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /**
    * Train `nMerges` byte-pair merges over the text column. One
-   * corpus pass builds the word-frequency table; each iteration is
-   * one aggregation over it (pair counts, map-side combined) plus a
-   * bounded argmax collect. Stops early if no pair remains.
+   * corpus pass builds the word-frequency table; vocabularies under
+   * [[bpeLocalMaxWords]] then replay the merge loop on the driver
+   * (bit-identical: exact integer pair counts, UTF-8-binary tie
+   * order), while larger ones run each iteration as one aggregation
+   * over the distinct-word table (pair counts, map-side combined)
+   * plus a bounded argmax collect. Stops early if no pair remains.
    */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
             maxWordLen: Int = 64): Seq[Merge] = {
@@ -75,7 +114,12 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString).toArray, f) }
     var words = words0.persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
+    val nWords = words.count()
+    if (nWords <= bpeLocalMaxWords(spark)) {
+      val local = words.collect()
+      words.unpersist(blocking = false)
+      return trainLocal(local, nMerges)
+    }
     val merges = new ArrayBuffer[Merge]
     var rank = 0
     var exhausted = false
@@ -100,6 +144,39 @@ object Bpe {
       }
     }
     words.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Driver-side replay of the merge loop: same pair counting, same
+   *  (count desc, left, right) selection under UTF-8 byte order, same
+   *  left-to-right non-overlapping application. */
+  private def trainLocal(words0: Array[(Array[String], Long)], nMerges: Int): Seq[Merge] = {
+    var words = words0
+    val merges = new ArrayBuffer[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val cnt = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          cnt.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null; var bc = -1L
+        cnt.forEach { (p, c) =>
+          if (c > bc ||
+            (c == bc && (utf8Lt(p._1, bl) ||
+              (p._1 == bl && utf8Lt(p._2, br))))) { bc = c; bl = p._1; br = p._2 }
+        }
+        merges += Merge(rank, bl, br)
+        words = words.map { case (syms, f) => (applyMerge(syms, bl, br), f) }
+        rank += 1
+      }
+    }
     merges.toSeq
   }
 

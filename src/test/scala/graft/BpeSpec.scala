@@ -31,6 +31,17 @@ class BpeSpec extends SparkSpecBase {
     assert(m1 == m2, "merge sequence must not depend on partitioning")
   }
 
+  test("driver-side merge replay matches the distributed loop exactly") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(regexp_replace(lower(col("text")), "[^a-z]+", " ").as("clean"))
+    val local = Bpe.train(docs, "clean", nMerges = 6, maxWordLen = 12)
+    spark.conf.set("spark.graft.bpe.localMaxWords", "0")
+    try {
+      val dist = Bpe.train(docs, "clean", nMerges = 6, maxWordLen = 12)
+      assert(local == dist, "local replay must reproduce the distributed merges")
+    } finally spark.conf.unset("spark.graft.bpe.localMaxWords")
+  }
+
   test("encode: more merges never increases a document's token count; NULL text counts 0") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .select(col("doc_id"), regexp_replace(lower(col("text")), "[^a-z]+", " ").as("clean"))
