@@ -2425,7 +2425,12 @@ object QueryRegistry {
   private val q_skewjoin = QueryDef(
     (s, dir) => graft.operators.Skew.saltedJoin(
         t(s, dir, "lineitem"), t(s, dir, "orders"),
-        "l_orderkey", "o_orderkey", salts = 8)
+        "l_orderkey", "o_orderkey", salts = 8,
+        // salt from the columns the aggregate consumes: the default
+        // full-row salt referenced all 16 lineitem columns, defeating
+        // column pruning at the scan and widening the salted exchange
+        // 8x for nothing (the result is salt-invariant)
+        saltCols = Seq("l_orderkey", "l_extendedprice"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum(floor(col("l_extendedprice")).cast("long")).as("sum_price_fl"))

@@ -33,22 +33,39 @@ object Skew {
    */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
-                 salts: Int, joinType: String = "inner"): DataFrame = {
+                 salts: Int, joinType: String = "inner",
+                 saltCols: Seq[String] = Nil): DataFrame = {
     require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin: only inner/left_outer (right replication breaks right-side semantics), got $joinType")
-    // deterministic per-row salt: hash EVERY left column so two
-    // identical rows may still land on different... no — identical
-    // rows MUST be deterministic too; xxhash64 over the full row is
-    // deterministic per row CONTENT, spreading a hot key as long as
-    // its rows differ anywhere. (A hot key of fully identical rows
-    // cannot be spread deterministically — monotonically-increasing
-    // ingest ids make that case vanish in practice.)
-    val saltCol = pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong))
+    saltCols.foreach(c => require(left.columns.contains(c),
+      s"saltedJoin: saltCols column '$c' not in the left frame (${left.columns.mkString(", ")})"))
+    // deterministic per-row salt: hash row CONTENT (xxhash64), never
+    // rand() — retried map tasks must reproduce the same salt or rows
+    // duplicate/vanish under fetch failures (SPARK-38388). Default
+    // hashes EVERY left column, spreading a hot key as long as its
+    // rows differ anywhere; callers that consume only a projection
+    // should pass those columns as `saltCols` — the salt expression
+    // otherwise references the full row and silently defeats column
+    // pruning at the scan AND widens the salted exchange to every
+    // column (a hot key of fully identical rows cannot be spread
+    // deterministically either way). The join result is
+    // salt-invariant, so saltCols only affects spread and plan width.
+    val saltInputs = if (saltCols.nonEmpty) saltCols else left.columns.toSeq
+    val saltCol = pmod(xxhash64(struct(saltInputs.map(col): _*)), lit(salts.toLong))
     val l = left.withColumn("__salt", saltCol)
     val r = right.crossJoin(
       spark(right).range(0, salts).select(col("id").as("__salt")))
-    l.join(r, l("__salt") === r("__salt") && col(leftKey) === col(rightKey), joinType)
+    // SHUFFLE_HASH on the replicated side: salting exists precisely
+    // because the right side is too big (or too hot) to broadcast —
+    // without the hint the planner broadcasts the salts-times-larger
+    // replication whenever its ESTIMATE fits, serializing a
+    // single-threaded driver hash build of salts x |right| rows and
+    // defeating the (salt, key) redistribution the operator is for.
+    // The hashed build is a per-partition slice, and AQE's skew-join
+    // splitting applies to shuffled-hash joins.
+    l.join(r.hint("SHUFFLE_HASH"),
+        l("__salt") === r("__salt") && col(leftKey) === col(rightKey), joinType)
       .drop("__salt")
   }
 

@@ -49,5 +49,23 @@ class SkewSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Skew.saltedJoin(left, right, "k", "rk", 4, "right_outer"))
       .getMessage.contains("right replication"))
+    assert(intercept[IllegalArgumentException](
+      Skew.saltedJoin(left, right, "k", "rk", 4, saltCols = Seq("nope")))
+      .getMessage.contains("saltCols"))
+  }
+
+  test("saltCols projection changes spread inputs, never the join result") {
+    val full = Skew.saltedJoin(left, right, "k", "rk", salts = 8)
+      .orderBy("k", "payload", "tag").collect().toSeq
+    val proj = Skew.saltedJoin(left, right, "k", "rk", salts = 8,
+        saltCols = Seq("payload"))
+      .orderBy("k", "payload", "tag").collect().toSeq
+    assert(full == proj, "the join result must be salt-invariant")
+    // shuffled-hash stays forced: the replicated side must never be a
+    // driver-built broadcast (the skew-mitigation contract)
+    val plan = Skew.saltedJoin(left, right, "k", "rk", salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must plan shuffled-hash, not broadcast:\n$plan")
   }
 }
