@@ -84,18 +84,23 @@ object Bench {
       val times = runs.map { _ =>
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast success
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        val dt = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+        // registry queries that persist intermediates (minhash/neardup
+        // signature caches) have no post-materialization unpersist
+        // hook. Dataset-level persists are plan-keyed in the session
+        // CacheManager, so run k's rebuild of an identical plan would
+        // silently read run k-1's cached blocks — the median would
+        // measure cached-state READS, not the state build (r16 verdict
+        // item 1). Clear between RUNS (outside the timed region) so
+        // every run computes from parquet, and between queries so
+        // storage pressure can't distort later measurements.
+        spark.sharedState.cacheManager.clearCache()
+        dt
       }
-      // registry queries that persist intermediates (minhash/neardup
-      // signature caches) have no post-materialization unpersist hook,
-      // so cached blocks accumulate across the 50+ query sweep; clear
-      // between queries so storage-memory pressure from earlier
-      // queries can't evict/spill and distort later measurements
-      spark.sharedState.cacheManager.clearCache()
       if (times.contains(-1.0)) -1.0
       else median(if (withWarmup) times.tail else times)
     }

@@ -4557,10 +4557,16 @@ object QueryRegistry {
       // exchange re-planned the previous ranking's full lineage and
       // the three size-job/offset-walk cycles ran strictly
       // sequentially (r13 verdict item 4)
+      // the customer count rides the checkpoint job as an observed
+      // metric (the ancestorPairs/CC pattern) — the old shape paid a
+      // separate count job over data the checkpoint had just
+      // materialized
+      val mObs = new org.apache.spark.sql.Observation()
       val m = t(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
         .agg(max(unix_timestamp(col("o_orderdate").cast("timestamp"))).cast("long").as("rec"),
           count(lit(1)).as("freq"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("mon"))
+        .observe(mObs, count(lit(1)).as("n"))
         .localCheckpoint()
       // ONE fused ranking instead of three: explode each customer
       // into (metric-code, value) rows and range-rank the 3n-row
@@ -4570,7 +4576,7 @@ object QueryRegistry {
       // per block. One sample job + one size job + one rank pass
       // replace three sequential range-exchange cycles; the
       // reassembly is a map-side-combinable groupBy(ck), not joins.
-      val n = m.count()
+      val n = mObs.get("n").asInstanceOf[Long]
       val q = n / 5
       val r = n % 5
       val ex = m.select(col("ck"), explode(array(
@@ -6025,13 +6031,17 @@ object QueryRegistry {
       val te = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
         .select("doc_id", "entropy", "n_tokens")
       // the signal pipeline is the expensive part — pin it once
-      // (slim: id + 3 values per doc); the count both fills the
-      // cache and supplies the block size n for the fused ranking
+      // (slim: id + 3 values per doc); the block size n for the fused
+      // ranking rides the checkpoint job as an observed metric (the
+      // q_rfm/ancestorPairs pattern — the old shape paid a separate
+      // count job over data the checkpoint had just materialized)
       // gcPersist (CacheUtil convention): the cache lives exactly as
       // long as the result plan — no session CacheManager entry, so
       // library callers need no clearCache between corpora
-      val sig = graft.operators.CacheUtil.gcPersist(ce.join(te, "doc_id"))
-      val n = sig.count()
+      val sigObs = new org.apache.spark.sql.Observation()
+      val sig = graft.operators.CacheUtil.gcPersist(
+        ce.join(te, "doc_id").observe(sigObs, count(lit(1)).as("n")))
+      val n = sigObs.get("n").asInstanceOf[Long]
       // ONE fused ranking instead of three (the q_rfm precedent,
       // r14 verdict item 1): explode each doc into (metric-code,
       // orientable sort key) rows — descending metrics are NEGATED

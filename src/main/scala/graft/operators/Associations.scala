@@ -51,14 +51,18 @@ object Associations {
       .filter(col("item").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val worst = items.groupBy(basketCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .agg(max("n")).collect()(0)
-    if (!worst.isNullAt(0))
-      require(worst.getLong(0) <= maxItemsPerBasket,
-        s"basketPairs: largest basket holds ${worst.getLong(0)} distinct items " +
+    // ONE job answers both guard questions: the per-basket rollup's
+    // max is the hot-basket bound and its row count IS the distinct
+    // basket count (items is already distinct over basket+item) — the
+    // old shape paid a second distinct+count scan for nBaskets
+    val guard = items.groupBy(basketCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max("n"), count(lit(1))).collect()(0)
+    if (!guard.isNullAt(0))
+      require(guard.getLong(0) <= maxItemsPerBasket,
+        s"basketPairs: largest basket holds ${guard.getLong(0)} distinct items " +
           s"(> $maxItemsPerBasket) — the within-basket pair join would explode; " +
           "prune hot baskets or raise the bound explicitly")
-    val nBaskets = items.select(basketCols.map(col): _*).distinct().count()
+    val nBaskets = guard.getLong(1)
     val itemSupport = items.groupBy("item").agg(count(lit(1)).as("s"))
     val a = items.select(basketCols.map(col) :+ col("item").as("item_a"): _*)
     val b = items.select(basketCols.map(col) :+ col("item").as("item_b"): _*)

@@ -617,7 +617,8 @@ object Dedup {
   def incrementalNearDedup(newBatch: DataFrame, history: DataFrame,
                            idCol: String, textCol: String,
                            minJaccard: Double = 0.8, numPerms: Int = 128,
-                           bands: Int = 32, shingleN: Int = 3): DataFrame = {
+                           bands: Int = 32, shingleN: Int = 3,
+                           maxBatchRows: Long = 100000L): DataFrame = {
     // columnar Dataset persist, NOT the GC-tracked .rdd persist the
     // exact-dedup sibling uses: the state is consumed twice (band
     // join + verify join) and the RDD round-trip costs a full
@@ -632,7 +633,7 @@ object Dedup {
     val st = nearDupState(history, idCol, textCol, numPerms, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     incrementalNearDedupWithState(newBatch, st,
-      idCol, textCol, minJaccard, numPerms, bands, shingleN)
+      idCol, textCol, minJaccard, numPerms, bands, shingleN, maxBatchRows)
   }
 
   /** As [[incrementalNearDedup]] against a PRE-BUILT (and ideally
@@ -642,10 +643,27 @@ object Dedup {
   def incrementalNearDedupWithState(newBatch: DataFrame, state: DataFrame,
                                     idCol: String, textCol: String,
                                     minJaccard: Double = 0.8, numPerms: Int = 128,
-                                    bands: Int = 32, shingleN: Int = 3): DataFrame = {
+                                    bands: Int = 32, shingleN: Int = 3,
+                                    maxBatchRows: Long = 100000L): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0, s"minJaccard must be in (0, 1]: $minJaccard")
     val rowsPerBand = bandLayout(numPerms, bands)
     Sampling.requireIntegralId(newBatch, idCol, "incrementalNearDedup")
+    // the small-batch broadcast contract, ENFORCED (the hardNegatives
+    // maxAnchors discipline): every batch-derived frame below is
+    // broadcast — the banded keys blow up to batch x bands rows each
+    // carrying the full signature array, so a corpus-sized "batch"
+    // would build a driver-OOM-shaped plan instead of a degraded but
+    // working one. Row-count-only probe (`limit(max + 1).count`, a
+    // bounded job that reads no text); raise maxBatchRows explicitly
+    // if your ingest batches are genuinely larger and your driver is
+    // sized for ~batch x bands x (numPerms x 4 B) of broadcast.
+    val nBatch = newBatch.select(lit(1)).limit(
+      (maxBatchRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(nBatch <= maxBatchRows,
+      s"incrementalNearDedup: > $maxBatchRows batch rows — the operator broadcasts " +
+        "batch-derived band keys and signatures by contract (history streams); " +
+        "for corpus-sized re-dedup use nearDuplicates/minhashPairs, or raise " +
+        "maxBatchRows explicitly")
     val bb = newBatch
       .select(col(idCol).as("__bid"), shingles(col(textCol), shingleN).as("__shg"))
       .select(col("__bid"),

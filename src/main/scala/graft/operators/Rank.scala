@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
  */
 object Rank {
 
+  /** Range-partition count sized to the DATA, not to the session
+   *  constant: ceil(estimated bytes / `spark.graft.rank.bytesPerPartition`,
+   *  default 64 MB), clamped to [1, spark.sql.shuffle.partitions].
+   *  The estimate is Catalyst's free sizeInBytes (no job); partition
+   *  count never affects the rank values (the global order is the
+   *  same under any partitioning), only parallelism, so a misestimate
+   *  degrades performance, not correctness. Unknown/huge estimates
+   *  (rdd-backed frames report the default ~8 EB) clamp to the
+   *  session parallelism — exactly today's behavior — while small
+   *  frames drop to ONE partition, which additionally skips the
+   *  RangePartitioner's sampling job (a whole scheduling round trip
+   *  on every ranking of a small frame). Explicit `numPartitions`
+   *  callers are untouched. */
+  private def adaptiveParts(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = BigInt(spark.conf.getOption("spark.graft.rank.bytesPerPartition")
+      .map(_.toLong).getOrElse(64L << 20)).max(BigInt(1))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= 0) maxParts
+    else ((est + target - 1) / target).min(BigInt(maxParts)).max(BigInt(1)).toInt
+  }
+
   /** Core: ranked frame + total row count (the count is free — it is
    *  the sum of the partition sizes the offset walk already
    *  collected). The range-exchange shuffle files are reused between
@@ -25,8 +48,7 @@ object Rank {
                               numPartitions: Int): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "globalRowNumber needs at least one sort column")
     val spark = df.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = if (numPartitions > 0) numPartitions else adaptiveParts(df)
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     // RDD face for the per-partition offset walk: the range exchange
@@ -271,8 +293,7 @@ object Rank {
                  numPartitions: Int = 0): DataFrame = {
     require(sumCols.nonEmpty, "prefixSums needs at least one sum column")
     val spark = df.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = if (numPartitions > 0) numPartitions else adaptiveParts(df)
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val idx = sumCols.map(ranged.schema.fieldIndex).toArray
