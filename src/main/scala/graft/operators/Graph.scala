@@ -368,9 +368,24 @@ object Graph {
     require(d100 >= 0 && d100 <= 100, s"pageRank: d100 must be in [0,100], got $d100")
     require(scale > 0 && scale % 100 == 0, s"pageRank: scale must be a positive multiple of 100")
     val lvl = StorageLevel.MEMORY_AND_DISK
-    val edges = edges0
+    // materialize the canonical edge set ONCE (the CC pair-frame
+    // discipline, r16): the distinct subtree otherwise re-executes
+    // inside every consumer that cannot share an exchange — the
+    // degree rollup, the degree-annotated join's probe side and the
+    // node universe each replay the full input dedup (measured 1.2-3 s
+    // per replay at sf0.1 on a 1.2M-row input). gcPersist: slim
+    // 2-column frame, no downstream broadcast decision depends on its
+    // statistics (deg and withDeg get explicit layouts), blocks free
+    // with the returned plan.
+    // (A driver-side integer-replay degenerate was tried here and
+    // REJECTED by measurement: this operator's edge set is NOT
+    // k-bounded — 1M+ distinct edges at sf0.1 — so the bounded-probe
+    // collect alone cost ~1.4 s and the 5x1.2M-row boxed replay
+    // another ~1.5 s, matching the distributed rounds' cost with
+    // extra driver pressure.)
+    val edges = CacheUtil.gcPersist(edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
+      .distinct())
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val withDeg = edges.join(deg, "src")
       .repartition(col("src"))
