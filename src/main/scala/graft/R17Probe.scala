@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage decomposition probe for round-17 optimization work
-  * (graph_pagerank cost breakdown). Not part of the graded surface. */
+/** Dev-only stage decomposition probe for round-17 optimization work.
+  * Not part of the graded surface. */
 object R17Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -18,40 +18,32 @@ object R17Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    // warm up
     spark.read.parquet(s"$dir/lineitem.parquet").groupBy("l_returnflag").count().count()
+    val qs = QueryRegistry.all.toMap
     for (round <- 1 to 3) {
       println(s"--- round $round")
-      val fwd = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      val edges0 = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      val edges = edges0.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).distinct()
-      time("edges.distinct.count")(edges.count())
-      val rows = time("limit(1M+1).collect")(edges.limit(1000001).collect())
-      println(s"PROBE n_edges=${rows.length}")
-      time("driver replay 5 iters") {
-        val od = new java.util.HashMap[Long, Long]()
-        rows.foreach(r => od.merge(r.getLong(0), 1L, _ + _))
-        val nodeSet = new java.util.HashSet[Long]()
-        rows.foreach { r => nodeSet.add(r.getLong(0)); nodeSet.add(r.getLong(1)) }
-        var ranks = new java.util.HashMap[Long, Long]()
-        nodeSet.forEach(n => ranks.put(n, 1000000000L))
-        for (_ <- 1 to 5) {
-          val contrib = new java.util.HashMap[Long, Long]()
-          rows.foreach { r =>
-            val s = r.getLong(0)
-            contrib.merge(r.getLong(1), ranks.get(s) / od.get(s), _ + _)
-          }
-          val next = new java.util.HashMap[Long, Long]()
-          nodeSet.forEach(n => next.put(n, 150000000L + 85L * contrib.getOrDefault(n, 0L) / 100L))
-          ranks = next
-        }
-        println(s"PROBE n_nodes=${ranks.size}")
-      }
-      time("full graph_pagerank query") {
-        QueryRegistry.all.toMap.apply("graph_pagerank").run(spark, dir)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val tgt = graft.operators.Lm.trainKneserNey(
+        docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val src = graft.operators.Lm.trainKneserNey(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      time("tgt.bi build (count)")(tgt.bi.count())
+      time("src.bi build (count)")(src.bi.count())
+      time("importanceSampleKn after warm caches") {
+        graft.operators.Lm.importanceSampleKn(docs, "doc_id", "text", tgt, src)
           .write.format("noop").mode("overwrite").save()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      time("full sample_dsir_kn query (cold)") {
+        qs("sample_dsir_kn").run(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      time("full text_ensemble query (cold)") {
+        qs("text_ensemble").run(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      time("full pipeline_er query (cold)") {
+        qs("pipeline_er").run(spark, dir).write.format("noop").mode("overwrite").save()
       }
       spark.sharedState.cacheManager.clearCache()
     }

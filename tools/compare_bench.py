@@ -50,7 +50,7 @@ CLASSES = {
           'q_asof', 'q_rangejoin', 'text_repetition', 'text_editdist', 'pack_greedy',
           'dedup_incremental_near', 'dedup_snm', 'q_skewjoin',
           'graph_triangles', 'graph_bfs', 'graph_pagerank', 'graph_sssp', 'dedup_ppjoin', 'q_skyline',
-          'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_twopoint', 'q_hierarchy',
+          'pipeline_er', 'dedup_keepbest', 'q_fof', 'q_fof_dist', 'q_twopoint', 'q_hierarchy',
           'pipeline_xmatch3', 'graph_communities', 'graph_modularity', 'graph_louvain',
           'pipeline_release'],
     'C': ['dedup_jaccard', 'dedup_cosine', 'ann_bruteforce', 'ann_lsh', 'ann_ivf', 'ann_recall',
